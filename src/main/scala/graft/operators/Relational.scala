@@ -1,0 +1,593 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.{Query, Tables}
+import graft.util.Num._
+
+/** Relational operator inventory (SURVEY.md §2.6-2.8): aggregations
+  * (incl. rollup/cube/grouping sets/HLL), the full join catalog
+  * (broadcast, sort-merge, semi, anti, range, as-of, interval),
+  * window functions (row frames, range frames, top-k per group),
+  * global sort/limit, set ops, distinct, JSON access, pivot,
+  * conditional aggregation, string/date scalar functions.
+  *
+  * Every query is declarative DataFrame code — Catalyst handles
+  * pushdown, pruning, partial aggregation and join selection; explicit
+  * `broadcast()` hints mark the dimension sides that must never
+  * shuffle at 100 TB. Each result ends in a unique ORDER BY so the
+  * driver's hash compare is order-stable.
+  */
+object Relational {
+
+  // ---- aggregations ------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary (hash agg with partial agg;
+    * one shuffle on the two low-cardinality group keys). */
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q01Sql = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${sqlDsum("l_quantity")} AS sum_qty,
+      ${sqlDsum("l_extendedprice")} AS sum_base_price,
+      ${sqlDsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+      ${sqlDsum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+      ${sqlDavg("l_quantity")} AS avg_qty,
+      ${sqlDavg("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** Global (no-group) aggregates incl. exact distinct counts and a
+    * deterministic stddev built from decimal moments. */
+  private def q02(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      dsum(col("l_extendedprice")).as("sum_price"),
+      davg(col("l_extendedprice")).as("avg_price"),
+      dstddev(col("l_quantity")).as("sd_qty"))
+  }
+
+  private val q02Sql = s"""
+    SELECT COUNT(*) AS n_rows,
+      COUNT(DISTINCT l_orderkey) AS n_orders,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      MIN(l_extendedprice) AS min_price,
+      MAX(l_extendedprice) AS max_price,
+      ${sqlDsum("l_extendedprice")} AS sum_price,
+      ${sqlDavg("l_extendedprice")} AS avg_price,
+      ${sqlDstddev("l_quantity")} AS sd_qty
+    FROM lineitem"""
+
+  /** ROLLUP hierarchy totals (returnflag, linestatus). */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("rflag", "lstatus")
+
+  private val q03Sql = s"""
+    SELECT COALESCE(l_returnflag,'ALL') AS rflag,
+           COALESCE(l_linestatus,'ALL') AS lstatus,
+           COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY rflag, lstatus"""
+
+  /** CUBE over order status x priority. */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  private val q04Sql = s"""
+    SELECT COALESCE(o_orderstatus,'ALL') AS status,
+           COALESCE(o_orderpriority,'ALL') AS priority,
+           COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority"""
+
+  /** Explicit GROUPING SETS (flag-only, status-only, grand total). */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(s"""
+      SELECT COALESCE(l_returnflag,'ALL') AS rflag,
+             COALESCE(l_linestatus,'ALL') AS lstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rflag, lstatus""")
+  }
+
+  private val q05Sql = s"""
+    SELECT COALESCE(l_returnflag,'ALL') AS rflag,
+           COALESCE(l_linestatus,'ALL') AS lstatus,
+           COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY rflag, lstatus"""
+
+  /** HLL approximate distinct next to the exact value (no SQL oracle —
+    * HLL implementations differ across engines; rows-only check). */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  // ---- joins -------------------------------------------------------
+
+  /** Broadcast-hash join: fact x small dim; the dim never shuffles. */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  private val q10Sql = s"""
+    SELECT p_brand, ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** Big-big sort-merge join (explicit MERGE hint): both sides shuffle
+    * on the join key once; at 100 TB this is the bucketed-join slot. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    li.hint("merge")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q11Sql = s"""
+    SELECT o_orderpriority, ${sqlDsum("l_extendedprice")} AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** 5-way star join (TPC-H Q5 shape): two broadcast dims, revenue by
+    * nation for one region + year. */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  private val q12Sql = s"""
+    SELECT n_name, ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE year(o_orderdate) = 1996 AND r_name = 'ASIA'
+    GROUP BY n_name ORDER BY n_name"""
+
+  /** Left-semi join (EXISTS): customers with a >100k order. */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  private val q13Sql = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    ORDER BY c_custkey"""
+
+  /** Left-anti join (NOT EXISTS): customers without an URGENT order. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  private val q14Sql = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey"""
+
+  /** Equi + range residual join (theta): quantity within +-2 of part
+    * size. The equi key keeps it a hash/merge join; the range predicate
+    * is a residual filter, so no nested-loop blowup at scale. */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    li.join(broadcast(p),
+        col("l_partkey") === col("p_partkey") &&
+        col("l_quantity") >= col("p_size") - lit(2) &&
+        col("l_quantity") <= col("p_size") + lit(2))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  private val q15Sql = s"""
+    SELECT p_brand, COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey
+     AND l_quantity >= p_size - 2 AND l_quantity <= p_size + 2
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** As-of join via the union+window trick: for every click, the most
+    * recent error (at-or-before) of the same user. One shuffle on
+    * user_id, one sort — no per-row point lookups, scales linearly.
+    * Oracle uses DuckDB's native ASOF JOIN. */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(null).cast(TimestampType).as("err_ts"), lit(1).as("kind"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("event_id"), col("ts").as("err_ts"), lit(0).as("kind"))
+    // kind orders an error before a click at the same timestamp, so an
+    // equal-ts error matches (ASOF ON c.ts >= e.ts semantics).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    errors.unionByName(clicks)
+      .withColumn("last_err_ts", last(col("err_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_err_ts").as("err_ts"))
+      .orderBy("event_id")
+  }
+
+  private val q16Sql = """
+    SELECT c.event_id, c.user_id, c.ts, e.ts AS err_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    ORDER BY c.event_id"""
+
+  /** Interval join, bucketized: views within 1h before each purchase.
+    * Each purchase expands to its 2 candidate hour-buckets, the join is
+    * equi on (user_id, bucket) — at 100 TB this is a plain shuffled
+    * hash join instead of an O(n^2) theta join. */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val hour = lit(3600000000L) // microseconds
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (unix_micros(col("ts")) / hour).cast(LongType).as("b"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        (unix_micros(col("ts")) / hour).cast(LongType).as("v_b"))
+    val expanded = purchases
+      .withColumn("cand", explode(array(col("b"), col("b") - 1)))
+    val matched = expanded.join(views,
+        col("user_id") === col("v_user") && col("cand") === col("v_b") &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("ts"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_views"))
+    purchases.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("ts"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"))
+      .orderBy("event_id")
+  }
+
+  private val q17Sql = """
+    SELECT p.event_id, p.ts, COUNT(v.event_id) AS n_views
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.ts
+    ORDER BY p.event_id"""
+
+  // ---- windows / sort / set ops ------------------------------------
+
+  /** Top-3 parts per brand by revenue (window row_number). */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    val rev = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("p_brand", "rn")
+  }
+
+  private val q20Sql = s"""
+    SELECT p_brand, p_partkey, revenue, rn FROM (
+      SELECT p_brand, p_partkey, revenue,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY revenue DESC, p_partkey) AS rn
+      FROM (
+        SELECT p_brand, p_partkey,
+               ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey))
+    WHERE rn <= 3
+    ORDER BY p_brand, rn"""
+
+  /** Row-frame windows per supplier: row_number, running sum, lag/lead
+    * over a fully deterministic composite ordering. */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        sum(dec(col("l_quantity"))).over(wsum).cast(DoubleType).as("run_qty"),
+        lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
+        lead(col("l_extendedprice"), 1).over(w).as("next_price"))
+      .orderBy("l_suppkey", "rn")
+  }
+
+  private val q21Sql = """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           row_number() OVER w AS rn,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
+           lag(l_extendedprice, 1) OVER w AS prev_price,
+           lead(l_extendedprice, 1) OVER w AS next_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ORDER BY l_suppkey, rn"""
+
+  /** Range-frame window: per customer, 30-day trailing order total
+    * (range frame over an integer day index — identical semantics in
+    * both engines, tie rows are frame peers). */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("day_idx",
+        datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast(DateType)))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_idx"))
+      .rangeBetween(-30, 0)
+    o.select(
+        col("o_orderkey"), col("o_custkey"), col("day_idx"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("sum_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q22Sql = """
+    SELECT o_orderkey, o_custkey, day_idx,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY day_idx RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+    FROM (SELECT *, date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_idx
+          FROM orders)
+    ORDER BY o_orderkey"""
+
+  /** Global top-25 (TakeOrderedAndProject: per-partition top-k + merge,
+    * never a full sort at scale). */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+
+  private val q23Sql = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 25"""
+
+  /** Set operations: 1995-vs-1996 buyer key sets. */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val a = buyers(1995); val b = buyers(1996)
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+      .select(col("op"), col("custkey"))
+      .orderBy("op", "custkey")
+  }
+
+  private val q24Sql = """
+    WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1995),
+         b AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1996)
+    SELECT 'union' AS op, custkey FROM (SELECT custkey FROM a UNION SELECT custkey FROM b)
+    UNION ALL
+    SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+    UNION ALL
+    SELECT 'except' AS op, custkey FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+    ORDER BY op, custkey"""
+
+  /** dropDuplicates (exact distinct on a composite key). */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .dropDuplicates()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private val q25Sql = """
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders ORDER BY o_orderstatus, o_orderpriority"""
+
+  // ---- scalar / JSON / pivot ---------------------------------------
+
+  /** JSON field extraction + aggregation over the extracted value. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  private val q30Sql = """
+    SELECT event_type, SUM(k) AS sum_k, COUNT(k) AS n_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** Pivot (wide counts of event types per user). */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy("user_id")
+
+  private val q31Sql = """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type='click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type='error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type='view' THEN 1 END) AS view
+    FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Conditional aggregation (CASE WHEN inside agg) per nation. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(when(col("c_acctbal") > 5000, 1).otherwise(0)).as("n_rich"),
+        dsum(when(col("c_acctbal") > 0, col("c_acctbal")).otherwise(lit(0.0))).as("sum_pos_bal"))
+      .orderBy("n_name")
+  }
+
+  private val q32Sql = s"""
+    SELECT n_name, COUNT(*) AS n_cust,
+           SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich,
+           ${sqlDsum("CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END")} AS sum_pos_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
+
+  /** String scalar functions (upper/substr/length/concat/locate). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 10).as("prefix"),
+        length(col("p_name")).as("len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        instr(col("p_name"), "a").as("pos_a"))
+      .orderBy("p_partkey")
+
+  private val q33Sql = """
+    SELECT p_partkey, upper(p_name) AS uname,
+           substr(p_name, 1, 10) AS prefix,
+           length(p_name) AS len,
+           p_brand || '-' || p_type AS brand_type,
+           strpos(p_name, 'a') AS pos_a
+    FROM part ORDER BY p_partkey"""
+
+  /** Date/time scalar functions. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_add(to_date(col("o_orderdate")), 30).cast(TimestampType).as("plus30"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast(DateType)).as("days_since"))
+      .orderBy("o_orderkey")
+
+  private val q34Sql = """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m,
+           day(o_orderdate) AS dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders ORDER BY o_orderkey"""
+
+  // ---- catalog -----------------------------------------------------
+
+  val queries: Seq[Query] = Seq(
+    Query("q01_pricing_summary", q01, Some(q01Sql)),
+    Query("q02_global_stats",    q02, Some(q02Sql)),
+    Query("q03_rollup",          q03, Some(q03Sql)),
+    Query("q04_cube",            q04, Some(q04Sql)),
+    Query("q05_grouping_sets",   q05, Some(q05Sql)),
+    Query("q06_approx_distinct", q06, None),
+    Query("q10_join_broadcast",  q10, Some(q10Sql)),
+    Query("q11_join_sortmerge",  q11, Some(q11Sql)),
+    Query("q12_join_star",       q12, Some(q12Sql)),
+    Query("q13_semi_join",       q13, Some(q13Sql)),
+    Query("q14_anti_join",       q14, Some(q14Sql)),
+    Query("q15_range_join",      q15, Some(q15Sql)),
+    Query("q16_asof_join",       q16, Some(q16Sql)),
+    Query("q17_interval_join",   q17, Some(q17Sql)),
+    Query("q20_window_topk",     q20, Some(q20Sql)),
+    Query("q21_window_rows",     q21, Some(q21Sql)),
+    Query("q22_window_range",    q22, Some(q22Sql)),
+    Query("q23_top_n_global",    q23, Some(q23Sql)),
+    Query("q24_set_ops",         q24, Some(q24Sql)),
+    Query("q25_distinct",        q25, Some(q25Sql)),
+    Query("q30_json_extract",    q30, Some(q30Sql)),
+    Query("q31_pivot",           q31, Some(q31Sql)),
+    Query("q32_conditional_agg", q32, Some(q32Sql)),
+    Query("q33_string_funcs",    q33, Some(q33Sql)),
+    Query("q34_date_funcs",      q34, Some(q34Sql)))
+}
