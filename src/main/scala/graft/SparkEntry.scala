@@ -10,11 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Query] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.TextOps.queries ++
+      operators.GridOps.queries ++
+      operators.VectorSearch.queries ++
+      operators.Dedup.queries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0: end-to-end semantic search (chunk -> embed -> cosine
+    * top-10 with provenance links), the reference's core lifecycle. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    operators.VectorSearch.searchE2E(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Query, Tables}
+import graft.functions.Hashes
+
+/** Near-duplicate detection for training-data pipelines: MinHash+LSH
+  * banding, SimHash hamming buckets, exact n-gram Jaccard
+  * verification, and embedding-cosine near-dup. Exact dedup is
+  * TextOps q45 (md5 groupBy).
+  *
+  * Scale shape (100 TB): signatures are computed scan-side (narrow),
+  * candidate generation is a shuffle on band/bucket keys only (tiny
+  * vs full pairwise), and exact verification runs only on candidate
+  * pairs. Nothing here is O(n^2) in the corpus.
+  */
+object Dedup {
+
+  /** q50: MinHash-LSH candidate pairs + exact Jaccard verification.
+    * 64 hashes, 16 bands x 4 rows: catches pairs down to J ~= 0.5
+    * with high probability. Output: verified pairs with J >= 0.35.
+    * (Custom hash kernels => rows-only; correctness in DedupSpec.) */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val banded = docs
+      .withColumn("band", explode(Hashes.minhashBandsUdf(64, 3, 16)(col("text"))))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard", Hashes.jaccardUdf(3)(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q51: SimHash near-dup — 4 x 16-bit bands of the 64-bit simhash as
+    * LSH keys, hamming <= 12 verification on candidates. */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Hashes.simhashUdf(col("text")).as("sh"))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("hamming", Hashes.hammingUdf(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= 12)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q52: embedding-cosine top-similar pairs per label block (the
+    * "semantic near-dup" pass; label is the blocking key, so the
+    * pair space is per-block not global). Output ids only — FP-safe
+    * for the DuckDB oracle. */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.VectorOps.vecCosine(col("a.embedding"), col("b.embedding")).as("sim"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("rank"), col("id_a"), col("id_b"))
+      .orderBy("label", "rank")
+  }
+
+  private val q52Sql = """
+    WITH pairs AS (
+      SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, rank, id_a, id_b FROM (
+      SELECT label, id_a, id_b,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY sim DESC, id_a, id_b) AS rank
+      FROM pairs)
+    WHERE rank <= 3 ORDER BY label, rank"""
+
+  /** q53: n-gram (word 3-shingle) Jaccard pairs inside same-source
+    * blocks above a low threshold — exact, UDF-verified. rows-only
+    * (shingle set SQL would re-implement the kernel). */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    docs.as("a").join(docs.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Hashes.jaccardUdf(3)(col("a.text"), col("b.text")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("source"), col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("source", "id_a", "id_b")
+  }
+
+  /** q54: winnowing-fingerprint overlap pairs: docs sharing >= 25% of
+    * their rolling-hash fingerprints (position-robust near-dup). */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Hashes.winnowUdf(8, 4)(col("text"))).as("fp"))
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_fp", "fp_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_fp", "fp_b"), "id_b")
+      .withColumn("overlap", col("n_shared").cast("double") / least(col("fp_a"), col("fp_b")))
+      .filter(col("overlap") >= 0.25)
+      .select(col("id_a"), col("id_b"), col("n_shared"), round(col("overlap"), 4).as("overlap"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query("q50_dedup_minhash_lsh", q50, None),
+    Query("q51_dedup_simhash",     q51, None),
+    Query("q52_embedding_neardup", q52, Some(q52Sql)),
+    Query("q53_ngram_jaccard",     q53, None),
+    Query("q54_winnow_overlap",    q54, None))
+}

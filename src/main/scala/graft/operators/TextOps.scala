@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Query, Tables}
+import graft.functions.{exprs, TextAnalysis, TypeInference}
+import graft.util.Num._
+
+/** Text/grid ingestion operators (SURVEY.md §2.2-2.4): grid->cell
+  * explode with A1 provenance and deep links, chunking, type
+  * inference, text analytics (token stats, quality, language ID,
+  * exact fingerprint dedup). The `documents` fixture plays the role
+  * of a worksheet: doc_id = row, whitespace tokens = cells.
+  */
+object TextOps {
+
+  /** Token grid: one row per non-empty cell with full provenance.
+    * The narrow pipeline (scan -> split -> posexplode -> scalar
+    * exprs) fuses into one codegen stage — no shuffle at any scale.
+    * Sheet-row convention: doc_id + 2 (header offset, the fixed
+    * variant of the reference's off-by-one — indexer.py:54). */
+  def cells(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("colidx", "value")))
+      .filter(length(trim(col("value"))) > 0)
+      .withColumn("col_letter", exprs.a1Col(col("colidx")))
+      .withColumn("sheet_row", (col("doc_id") + 2).cast(LongType))
+
+  private def q40(s: SparkSession, d: String): DataFrame =
+    cells(s, d)
+      .withColumn("cell_id",
+        concat_ws("_", col("source"), col("doc_id"),
+          concat(col("col_letter"), col("sheet_row"))))
+      .withColumn("link",
+        format_string("https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=%s%d",
+          col("source"), lit("0"), col("col_letter"), col("sheet_row")))
+      .select("doc_id", "colidx", "value", "col_letter", "sheet_row", "cell_id", "link")
+      .orderBy("doc_id", "colidx")
+
+  // A1 letters in SQL: two-letter range is enough for the oracle data
+  // (docs have < 200 tokens); the Spark side is full bijective base-26.
+  private val sqlA1 =
+    """CASE WHEN colidx < 26 THEN chr(CAST(65 + colidx AS INTEGER))
+    ELSE chr(CAST(64 + colidx // 26 AS INTEGER)) || chr(CAST(65 + colidx % 26 AS INTEGER)) END"""
+
+  private val q40Sql = s"""
+    WITH cells AS (
+      SELECT doc_id, source, i-1 AS colidx, l[i] AS value
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+           UNNEST(generate_series(1, len(l))) AS t(i)
+    )
+    SELECT doc_id, colidx, value, $sqlA1 AS col_letter,
+           doc_id + 2 AS sheet_row,
+           source || '_' || doc_id || '_' || $sqlA1 || (doc_id + 2) AS cell_id,
+           printf('https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=%s%d',
+                  source, '0', $sqlA1, doc_id + 2) AS link
+    FROM cells
+    WHERE length(trim(value)) > 0
+    ORDER BY doc_id, colidx"""
+
+  /** Chunk pipeline stats via the ChunkText generator (custom kernel
+    * — no SQL oracle; invariants covered by ChunkerSpec). Chunk size
+    * 120/24 so the fixture docs (47-558 chars) actually split. */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        exprs.chunkText(col("text"), 120, 24).as(Seq("pos", "chunk")))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(length(col("chunk"))).as("max_chunk_len"),
+        sum(length(col("chunk"))).as("total_chunk_chars"))
+      .orderBy("doc_id")
+
+  /** Type inference over strings rendered identically in both engines. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val samples = li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      explode(array(
+        col("l_linenumber").cast(StringType),
+        col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        when(col("l_linenumber") % 2 === 0, "true").otherwise("false"),
+        concat(col("l_linenumber"), lit("."), col("l_linenumber")))).as("v"))
+    samples
+      .withColumn("inferred", TypeInference.suggestDataType(col("v")))
+      .groupBy(col("inferred"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy("inferred")
+  }
+
+  private val q42Sql = s"""
+    WITH samples AS (
+      SELECT unnest([
+        CAST(l_linenumber AS VARCHAR),
+        l_returnflag,
+        strftime(l_shipdate, '%Y-%m-%d'),
+        CASE WHEN l_linenumber % 2 = 0 THEN 'true' ELSE 'false' END,
+        l_linenumber || '.' || l_linenumber]) AS v
+      FROM lineitem
+    )
+    SELECT ${TypeInference.sql("v")} AS inferred,
+           COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v
+    FROM samples GROUP BY 1 ORDER BY inferred"""
+
+  /** Quality features aggregated per language tag. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val qf = TextAnalysis.qualityCols(col("text")).toMap
+    docs.select(col("lang"), qf("n_tokens").as("n_tokens"),
+        qf("mean_tok_len").as("mtl"), qf("punct_ratio").as("pr"),
+        qf("digit_ratio").as("dr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        davg(col("mtl")).as("avg_tok_len"),
+        davg(col("pr")).as("avg_punct_ratio"),
+        davg(col("dr")).as("avg_digit_ratio"))
+      .orderBy("lang")
+  }
+
+  private val q43Sql = s"""
+    WITH f AS (
+      SELECT lang,
+        len(regexp_split_to_array(trim(text), ' +')) AS n_tokens,
+        CAST(length(text) - (len(regexp_split_to_array(trim(text), ' +')) - 1) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), ' +')) AS mtl,
+        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS pr,
+        CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS dr
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+           ${sqlDavg("mtl")} AS avg_tok_len,
+           ${sqlDavg("pr")} AS avg_punct_ratio,
+           ${sqlDavg("dr")} AS avg_digit_ratio
+    FROM f GROUP BY lang ORDER BY lang"""
+
+  /** Stopword language ID vs the fixture's lang tag (confusion counts). */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  private val q44Sql = {
+    val toks = "regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')"
+    s"""
+    WITH t AS (SELECT lang, $toks AS toks FROM documents)
+    SELECT lang, ${TextAnalysis.sqlLangId("toks")} AS predicted, COUNT(*) AS n
+    FROM t GROUP BY 1, 2 ORDER BY lang, predicted"""
+  }
+
+  /** Exact dedup by md5 fingerprint: keeper = min doc_id per digest. */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(md5(col("text").cast(BinaryType)).as("digest"), col("doc_id"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .orderBy("keeper")
+
+  private val q45Sql = """
+    SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM documents GROUP BY md5(text) ORDER BY keeper"""
+
+  /** Token statistics per source (counts are integers — exact). */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        max(col("n_tok")).as("max_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+
+  private val q46Sql = """
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(len(regexp_split_to_array(trim(text), ' +'))) AS sum_tokens,
+           MAX(len(regexp_split_to_array(trim(text), ' +'))) AS max_tokens,
+           SUM(n_chars) AS sum_chars
+    FROM documents GROUP BY source ORDER BY source"""
+
+  val queries: Seq[Query] = Seq(
+    Query("q40_grid_explode_a1", q40, Some(q40Sql)),
+    Query("q41_chunk_stats",     q41, None),
+    Query("q42_type_inference",  q42, Some(q42Sql)),
+    Query("q43_quality_score",   q43, Some(q43Sql)),
+    Query("q44_lang_id",         q44, Some(q44Sql)),
+    Query("q45_dedup_exact",     q45, Some(q45Sql)),
+    Query("q46_token_stats",     q46, Some(q46Sql)))
+}

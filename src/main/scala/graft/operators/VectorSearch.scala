@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Query, Tables}
+import graft.functions.{exprs, Embed, VectorOps}
+
+/** Vector search (SURVEY.md §2.5): exact brute-force kNN (the
+  * reference's `collection.query` semantics, made oracle-able),
+  * multi-query batch kNN, LSH-bucketed ANN (the 100 TB scale path),
+  * and the flagship end-to-end semantic search (chunk -> embed ->
+  * top-k with provenance + deep links — app.py:42-78 reimagined as
+  * one declarative plan).
+  *
+  * Scale notes: the query side of every kNN here is tiny and
+  * explicitly broadcast — the corpus never shuffles. Exact top-k goes
+  * through orderBy(...).limit(k) = TakeOrderedAndProject (per
+  * partition top-k + driver merge, no global sort). The ANN variant
+  * buckets by hyperplane signs so candidate generation is an equi
+  * join on the bucket key.
+  */
+object VectorSearch {
+
+  /** Distances in double precision; ordering ties broken by vec_id. */
+  private def l2(a: Column, b: Column) = VectorOps.vecL2(a, b)
+  private def cos(a: Column, b: Column) = VectorOps.vecCosine(a, b)
+
+  /** q60: exact L2 top-10 neighbors of vec_id 0 (rank + id + label —
+    * distance values intentionally not output: the ids are FP-robust,
+    * the raw floats would hash-differ across engines). */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val top = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dist", l2(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("dist"), col("vec_id"))))
+      .select(col("rank"), col("vec_id"), col("label"))
+  }
+
+  private val q60Sql = """
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, label,
+        sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> (CAST(embedding[i] AS DOUBLE) - CAST(qvec[i] AS DOUBLE))
+             * (CAST(embedding[i] AS DOUBLE) - CAST(qvec[i] AS DOUBLE))))) AS dist
+      FROM embeddings, q WHERE vec_id <> 0
+    )
+    SELECT row_number() OVER (ORDER BY dist, vec_id) AS rank, vec_id, label
+    FROM scored ORDER BY dist, vec_id LIMIT 10"""
+
+  /** q61: batch multi-query cosine top-5 (queries = vec_id 0..4,
+    * broadcast; per-query window top-k — V4 semantics). */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cos(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q61Sql = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, vec_id,
+        list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+             i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))) AS sim
+      FROM embeddings, q WHERE vec_id <> query_id
+    )
+    SELECT query_id, rank, vec_id FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  // ---- ANN: random-hyperplane LSH -----------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * a +-1 from murmur-derived bits. nBits sign bits -> bucket key. */
+  private def hyperplaneSignBits(v: Column, dim: Int, nBits: Int): Column = {
+    val planes: Seq[Column] = (0 until nBits).map { p =>
+      val comps = (0 until dim).map { j =>
+        val sign = if ((scala.util.hashing.MurmurHash3.productHash((p, j)) & 1) == 0) 1.0 else -1.0
+        element_at(v, j + 1).cast(DoubleType) * lit(sign)
+      }
+      val dot = comps.reduce(_ + _)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    }
+    planes.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
+  }
+
+  /** q62: LSH-bucketed ANN — bucket the corpus by 8 hyperplane sign
+    * bits, probe with queries 0..4 on bucket equality, exact cosine
+    * within candidates, report top-3 + candidate count. Approximate
+    * by design => rows-only check (recall tested in VectorSearchSpec).
+    */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dim = 64
+    val bucketed = emb.withColumn("bucket",
+      hyperplaneSignBits(col("embedding"), dim, 8))
+    val qs = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    bucketed.join(broadcast(qs),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cos(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("n_candidates"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q63: flagship end-to-end semantic search — chunk documents,
+    * embed chunks, embed a fixed query text, cosine top-10 with
+    * provenance + deep link (custom embed kernel => rows-only). */
+  def searchE2E(s: SparkSession, d: String): DataFrame = {
+    val dim = Embed.DefaultDim
+    val queryText = "spark window aggregation over sorted batches"
+    val qvec = Embed.embed(queryText, dim)
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        exprs.chunkText(col("text"), 200, 40).as(Seq("pos", "chunk")))
+      .withColumn("chunk_id",
+        concat_ws("_", col("source"), col("doc_id"), col("pos")))
+      .withColumn("embedding", Embed.embedCol(col("chunk"), dim))
+    chunks
+      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("chunk_id"))))
+      .withColumn("link",
+        format_string("https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=A%d",
+          col("source"), lit("0"), col("doc_id") + 2))
+      .select(col("rank"), col("chunk_id"), col("doc_id"), col("source"),
+        col("chunk"), col("link"))
+  }
+
+  /** q64: the reference's bulk "build index" pipeline (S1-S4) as one
+    * job: chunk + embed + synthesize ids, then an index summary per
+    * source partition (custom kernels => rows-only). Written as the
+    * partitioned-parquet sink shape minus the physical write. */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val dim = Embed.DefaultDim
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        exprs.chunkText(col("text"), 200, 40).as(Seq("pos", "chunk")))
+      .withColumn("embedding", Embed.embedCol(col("chunk"), dim))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(length(col("chunk"))).as("sum_chunk_chars"))
+      .orderBy("source")
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query("q60_knn_l2",         q60, Some(q60Sql)),
+    Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
+    Query("q62_ann_lsh",        q62, None),
+    Query("q63_search_e2e",     searchE2E, None),
+    Query("q64_build_index",    q64, None))
+}

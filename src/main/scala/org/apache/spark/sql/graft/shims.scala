@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * Column API. Spark 4 made Column backend-agnostic and hid the
+  * Expression constructor behind `private[sql]`; this shim lives in
+  * the org.apache.spark.sql namespace solely to re-expose the two
+  * conversions (the supported extension pattern for native
+  * expressions without going through the string function registry).
+  */
+object shims {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{exprs, Registry, TypeInference}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integration of the native expressions inside real Spark plans. */
+class ExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("a1_col / a1_index as Catalyst expressions (codegen path)") {
+    import spark.implicits._
+    val df = (0 until 1000).toDF("i")
+      .withColumn("letter", exprs.a1Col(col("i")))
+      .withColumn("back", exprs.a1Index(col("letter")))
+    assert(df.filter(col("back") =!= col("i")).count() == 0)
+    val row702 = df.filter(col("i") === 702).select("letter").head.getString(0)
+    assert(row702 == "AAA")
+  }
+
+  test("a1 functions usable from SQL after registration") {
+    Registry.ensure(spark)
+    val got = spark.sql("SELECT a1_col(27) AS c, a1_index('AB') AS i").head
+    assert(got.getString(0) == "AB" && got.getInt(1) == 27)
+  }
+
+  test("chunk_text generator explodes rows with positions") {
+    import spark.implicits._
+    val text = (1 to 50).map(i => s"tok$i").mkString(" ") // ~350 chars
+    val df = Seq((1L, text), (2L, "short")).toDF("id", "text")
+      .select(col("id"), exprs.chunkText(col("text"), 100, 20).as(Seq("pos", "chunk")))
+    val rows = df.collect()
+    assert(rows.count(_.getLong(0) == 2L) == 1) // short text: 1 chunk
+    val posForId1 = rows.filter(_.getLong(0) == 1L).map(_.getInt(1)).sorted
+    assert(posForId1.head == 0 && posForId1.length > 1)
+    assert(rows.forall(_.getString(2).length <= 100))
+  }
+
+  test("chunk_text via SQL (LATERAL VIEW-style)") {
+    Registry.ensure(spark)
+    import spark.implicits._
+    Seq((1L, ("x " * 200).trim)).toDF("id", "text").createOrReplaceTempView("t")
+    val n = spark.sql(
+      "SELECT id, pos, chunk FROM t LATERAL VIEW chunk_text(text, 50, 10) AS pos, chunk")
+      .count()
+    assert(n > 1)
+  }
+
+  test("suggest_data_type classifies like the reference") {
+    import spark.implicits._
+    val df = Seq(
+      "42" -> "integer", "-7" -> "integer", "3.14" -> "float",
+      "true" -> "boolean", "Sai" -> "boolean", "đúng" -> "boolean",
+      "25/12/2024" -> "date", "2024-12-25" -> "date",
+      "hello" -> "string", "12a" -> "string")
+      .toDF("v", "expected")
+      .withColumn("got", TypeInference.suggestDataType(col("v")))
+    assert(df.filter(col("got") =!= col("expected")).count() == 0)
+  }
+}
