@@ -14,7 +14,8 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.GridOps.queries ++
       operators.VectorSearch.queries ++
-      operators.Dedup.queries
+      operators.Dedup.queries ++
+      streaming.Streams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0: end-to-end semantic search (chunk -> embed -> cosine

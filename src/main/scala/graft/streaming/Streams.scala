@@ -1,0 +1,173 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.{Query, Tables}
+import graft.functions.exprs
+import graft.util.Num._
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference's
+  * dead incremental-index webhook (app.py:252-258) re-expressed as a
+  * file-source stream with an idempotent foreachBatch merge, plus the
+  * watermark/tumbling/sliding/session windowed aggregations, each
+  * with a batch-SQL oracle.
+  *
+  * Verification runs the streams to completion on the bounded fixture
+  * (memory sink, complete mode) — the exact same plan tails an
+  * unbounded directory on a cluster, where the watermark bounds state
+  * and append mode emits finalized windows.
+  */
+object Streams {
+
+  /** events raw parquet schema (ts is nanos-as-long, see Tables.events). */
+  private val rawEventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The streaming file source tails a directory; stage the fixture
+    * file into a fresh inbox dir (what a collector would feed). */
+  private def stageInbox(d: String, file: String): String = {
+    val inbox = Paths.get(s"/root/repo/target/stream_tmp/${UUID.randomUUID}/inbox")
+    Files.createDirectories(inbox)
+    Files.copy(Paths.get(s"$d/$file"), inbox.resolve(file),
+      StandardCopyOption.REPLACE_EXISTING)
+    inbox.toString
+  }
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(rawEventsSchema).parquet(stageInbox(d, "events.parquet"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = "graft_sink_" + UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** q80: streaming tumbling 1-day windows per event_type (watermarked;
+    * complete mode so the bounded run emits every window). */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    runToMemory(agg, "complete")
+      .select(col("w.start").as("day_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("day_start", "event_type")
+  }
+
+  private val q80Sql = s"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day_start, event_type,
+           COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY day_start, event_type"""
+
+  /** q81: streaming sliding windows (1 day long, 6 h slide) per type. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, "complete")
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+  }
+
+  // each event belongs to exactly 4 sliding windows: start =
+  // 6h-bucket(ts) - k*6h for k in 0..3
+  private val q81Sql = """
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' AS win_start,
+             event_type
+      FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+    )
+    GROUP BY 1, 2 ORDER BY win_start, event_type"""
+
+  /** q82: 30-minute-gap session windows per user (two events share a
+    * session iff their gap is strictly under 30 min). */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val q82Sql = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, session_start"""
+
+  /** q83: incremental index maintenance (the reference's webhook,
+    * S10): stream new document files from an inbox, chunk+embed them,
+    * merge idempotently into a partitioned parquet index via
+    * foreachBatch dynamic partition overwrite, and summarize the
+    * resulting index. Rows-only (custom kernels inside). */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val tmp = Paths.get(s"/root/repo/target/stream_tmp/${UUID.randomUUID}")
+    val index = tmp.resolve("index")
+    Files.createDirectories(tmp)
+    val inbox = stageInbox(d, "documents.parquet")
+
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val chunks = s.readStream.schema(docsSchema).parquet(inbox)
+      .select(col("doc_id"), col("source"),
+        exprs.chunkText(col("text"), 200, 40).as(Seq("pos", "chunk")))
+      .withColumn("chunk_id", concat_ws("_", col("source"), col("doc_id"), col("pos")))
+      .withColumn("embedding", graft.functions.Embed.embedCol(col("chunk")))
+    val q = chunks.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // partition-overwrite by source: replaying a batch rewrites the
+        // same partitions => idempotent (fixes the reference's
+        // duplicate-id `add`, indexer.py:56)
+        batch.write.mode("overwrite").partitionBy("source")
+          .parquet(index.toString)
+        ()
+      }
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(index.toString)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("source")
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query("q80_stream_tumbling", q80, Some(q80Sql)),
+    Query("q81_stream_sliding",  q81, Some(q81Sql)),
+    Query("q82_session_window",  q82, Some(q82Sql)),
+    Query("q83_incremental_index", q83, None))
+}
