@@ -15,6 +15,7 @@ object SparkEntry {
       operators.GridOps.queries ++
       operators.VectorSearch.queries ++
       operators.Dedup.queries ++
+      operators.Multimodal.queries ++
       streaming.Streams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

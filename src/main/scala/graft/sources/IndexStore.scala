@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{exprs, Embed, VectorOps}
+
+/** The persistent vector index (SURVEY.md §2.1 S4 + §3.1/3.2): the
+  * reference's ChromaDB collection re-expressed as a partitioned
+  * parquet table of (chunk_id, document, provenance..., embedding).
+  *
+  * - `build` is the bulk-index lifecycle (indexer.py:95-128): scan ->
+  *   chunk -> embed -> id synthesis -> partitioned write. Partitioned
+  *   by `source` and written with dynamic partition overwrite, so
+  *   re-indexing a source is idempotent (fixes the duplicate-id
+  *   `collection.add` defect, indexer.py:56).
+  * - `searchTopK` is the query lifecycle (app.py:42-78): read index ->
+  *   distance vs a broadcast query vector -> TakeOrderedAndProject
+  *   top-k -> deep-link projection. Column pruning means a search
+  *   reads only (embedding, id, provenance) — never the documents.
+  *
+  * At 100 TB: build is a narrow pipeline (no shuffle) parallel over
+  * input splits; search is a scan + per-partition top-k + driver merge
+  * of k rows. Both scale linearly with executors.
+  */
+object IndexStore {
+
+  val ChunkSize = 1000
+  val ChunkOverlap = 200
+
+  /** Chunk/embed/id-synthesize `docs` (doc_id, text, source) into the
+    * index layout, without writing. */
+  def indexRows(docs: DataFrame, dim: Int = Embed.DefaultDim): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        exprs.chunkText(col("text"), ChunkSize, ChunkOverlap).as(Seq("pos", "chunk")))
+      .withColumn("chunk_id",
+        concat_ws("_", col("source"), col("doc_id"), col("pos")))
+      .withColumn("sheet_row", col("doc_id") + 2)
+      .withColumn("embedding", Embed.embedCol(col("chunk"), dim))
+
+  /** Build (or refresh) the index at `path`. Idempotent per source
+    * partition. */
+  def build(spark: SparkSession, docs: DataFrame, path: String,
+            dim: Int = Embed.DefaultDim): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    indexRows(docs, dim)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("source")
+      .parquet(path)
+  }
+
+  /** Exact cosine top-k for a free-text query, with deep links. */
+  def searchTopK(spark: SparkSession, path: String, queryText: String,
+                 k: Int = 10, dim: Int = Embed.DefaultDim): DataFrame = {
+    val qvec = Embed.embed(queryText, dim)
+    spark.read.parquet(path)
+      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("chunk_id"))))
+      .withColumn("link",
+        format_string("https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=A%d",
+          col("source"), lit("0"), col("sheet_row")))
+      .select(col("rank"), col("chunk_id"), col("doc_id"), col("source"),
+        col("chunk"), col("link"))
+  }
+}
