@@ -35,6 +35,16 @@ object Hashes {
     }
   }
 
+  /** Distinct 64-bit hashes of the word n-gram shingles — the compact
+    * form for inverted-index similarity joins (collision probability
+    * ~ |shingles|^2 / 2^64, negligible). */
+  def shingleHashes(text: String, n: Int): Array[Long] =
+    shingles(text, n).map { s =>
+      val h1 = MurmurHash3.stringHash(s, 0x5819)
+      val h2 = MurmurHash3.stringHash(s, 0x77f3)
+      (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    }.toArray
+
   // ---- MinHash -----------------------------------------------------
 
   /** k-permutation MinHash over word n-gram shingles. Permutation i is
@@ -136,6 +146,9 @@ object Hashes {
 
   def jaccardUdf(n: Int): UserDefinedFunction =
     udf((a: String, b: String) => jaccardShingles(a, b, n))
+
+  def shingleHashesUdf(n: Int): UserDefinedFunction =
+    udf((s: String) => shingleHashes(s, n))
 
   def winnowUdf(k: Int, w: Int): UserDefinedFunction =
     udf((s: String) => winnow(s, k, w))

@@ -185,6 +185,48 @@ object TextOps {
            SUM(n_chars) AS sum_chars
     FROM documents GROUP BY source ORDER BY source"""
 
+  /** S1/P3 folder-listing scan: a file manifest with a `parents`
+    * array, filtered by folder membership (project_search.py:13-14).
+    * The manifest is derived deterministically from sources; at scale
+    * this is a pushed-down filter over a catalog table. */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val manifest = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source").as("file_id"),
+        concat(lit("Spreadsheet "), col("source")).as("file_name"),
+        array(concat(lit("folder"),
+            substring(col("source"), 4, 10).cast(LongType) % 3),
+          lit("root")).as("parents"),
+        col("n_docs"))
+    manifest.filter(array_contains(col("parents"), "folder1"))
+      .select(col("file_id"), col("file_name"), col("n_docs"))
+      .orderBy("file_id")
+  }
+
+  private val q47Sql = """
+    SELECT file_id, 'Spreadsheet ' || file_id AS file_name, n_docs
+    FROM (SELECT source AS file_id, COUNT(*) AS n_docs
+          FROM documents GROUP BY source)
+    WHERE list_contains([concat('folder', CAST(CAST(substr(file_id, 4, 10) AS BIGINT) % 3 AS VARCHAR)), 'root'], 'folder1')
+    ORDER BY file_id"""
+
+  /** Subword (BPE-ish) token estimate per source — regex-only, exact
+    * in both engines. */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), TextAnalysis.subwordCount(col("text")).as("n_sub"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_sub")).as("sum_subwords"), max(col("n_sub")).as("max_subwords"))
+      .orderBy("source")
+
+  private val q48Sql = s"""
+    SELECT source,
+           SUM(n_sub) AS sum_subwords, MAX(n_sub) AS max_subwords
+    FROM (SELECT source, ${TextAnalysis.sqlSubwordCount("text")} AS n_sub
+          FROM documents)
+    GROUP BY source ORDER BY source"""
+
   val queries: Seq[Query] = Seq(
     Query("q40_grid_explode_a1", q40, Some(q40Sql)),
     Query("q41_chunk_stats",     q41, None),
@@ -192,5 +234,7 @@ object TextOps {
     Query("q43_quality_score",   q43, Some(q43Sql)),
     Query("q44_lang_id",         q44, Some(q44Sql)),
     Query("q45_dedup_exact",     q45, Some(q45Sql)),
-    Query("q46_token_stats",     q46, Some(q46Sql)))
+    Query("q46_token_stats",     q46, Some(q46Sql)),
+    Query("q47_folder_listing",  q47, Some(q47Sql)),
+    Query("q48_subword_count",   q48, Some(q48Sql)))
 }
