@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for selected queries so
+  * pushdown/pruning/broadcast/codegen can be audited (run:
+  * `sbt "runMain graft.Explain q01_pricing_summary ..."`, no args =
+  * a representative set).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q01_pricing_summary", "q10_join_broadcast", "q12_join_star",
+      "q23_top_n_global", "q60_knn_l2", "q40_grid_explode_a1",
+      "q53_ngram_jaccard")
+    names.foreach { n =>
+      println(s"\n================= $n =================")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -195,7 +195,12 @@ object Relational {
     * nation for one region + year. */
   private def q12(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val o  = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996)
+    // range predicate, not year(): a raw comparison pushes down to the
+    // parquet scan (and prunes date-partitioned tables at scale);
+    // year() would evaluate per row post-scan
+    val o  = Tables.orders(s, d).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+      col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
     val c  = Tables.customer(s, d)
     val n  = Tables.nation(s, d)
     val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
@@ -215,7 +220,8 @@ object Relational {
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
-    WHERE year(o_orderdate) = 1996 AND r_name = 'ASIA'
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01' AND r_name = 'ASIA'
     GROUP BY n_name ORDER BY n_name"""
 
   /** Left-semi join (EXISTS): customers with a >100k order. */
@@ -431,7 +437,9 @@ object Relational {
   /** Set operations: 1995-vs-1996 buyer key sets. */
   private def q24(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+    def buyers(y: Int) = o.filter(
+        col("o_orderdate") >= lit(s"$y-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast(TimestampType))
       .select(col("o_custkey").as("custkey")).distinct()
     val a = buyers(1995); val b = buyers(1996)
     a.union(b).distinct().withColumn("op", lit("union"))
@@ -442,8 +450,10 @@ object Relational {
   }
 
   private val q24Sql = """
-    WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1995),
-         b AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1996)
+    WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+         b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
     SELECT 'union' AS op, custkey FROM (SELECT custkey FROM a UNION SELECT custkey FROM b)
     UNION ALL
     SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
