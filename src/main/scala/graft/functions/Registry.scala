@@ -15,5 +15,11 @@ object Registry {
       es => A1Index(es.head), "built-in")
     reg.createOrReplaceTempFunction("chunk_text",
       es => ChunkText(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm_sq",
+      es => VecNormSq(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2_sq",
+      es => VecL2Sq(es(0), es(1)), "built-in")
   }
 }

@@ -2,33 +2,27 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
 
 /** Vector distance/similarity over ArrayType(FloatType) embedding
-  * columns (SURVEY.md §2.5 V3), composed from Spark's higher-order
-  * functions — fully declarative, no UDF serialization, Catalyst can
-  * push surrounding filters/projections around them.
-  *
-  * All arithmetic is promoted to double element-wise and folded
-  * left-to-right (sequential `aggregate`), making results
-  * deterministic for a given element order.
+  * columns (SURVEY.md §2.5 V3). Backed by the codegen'd VecKernels
+  * expressions (tight loops over unsafe array data); arithmetic is
+  * element-wise double with a left-to-right fold, so results are
+  * deterministic and bit-identical to both the declarative
+  * `zip_with`+`aggregate` formulation and the DuckDB oracle mirrors.
   */
 object VectorOps {
 
-  private def d(c: Column): Column = c.cast("double")
-
-  /** Sum of a double array via sequential fold. */
-  private def asum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
   def vecDot(a: Column, b: Column): Column =
-    asum(zip_with(a, b, (x, y) => d(x) * d(y)))
+    shims.toColumn(VecDot(shims.toExpression(a), shims.toExpression(b)))
 
-  def vecNormSq(a: Column): Column = asum(transform(a, x => d(x) * d(x)))
+  def vecNormSq(a: Column): Column =
+    shims.toColumn(VecNormSq(shims.toExpression(a)))
 
   def vecNorm(a: Column): Column = sqrt(vecNormSq(a))
 
   def vecL2Sq(a: Column, b: Column): Column =
-    asum(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))))
+    shims.toColumn(VecL2Sq(shims.toExpression(a), shims.toExpression(b)))
 
   def vecL2(a: Column, b: Column): Column = sqrt(vecL2Sq(a, b))
 

@@ -53,6 +53,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(n > 1)
   }
 
+  test("VecKernels match the declarative zip_with/aggregate forms bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => d(x) * d(y)),
+      lit(0.0), (acc, x) => acc + x)
+    val hofL2 = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => (d(x) - d(y)) * (d(x) - d(y))), lit(0.0), (acc, x) => acc + x)
+    val cmp = df.select(
+      graft.functions.VectorOps.vecDot(col("a"), col("b")).as("kd"),
+      hofDot.as("hd"),
+      graft.functions.VectorOps.vecL2Sq(col("a"), col("b")).as("kl"),
+      hofL2.as("hl"))
+    assert(cmp.filter(col("kd") =!= col("hd") || col("kl") =!= col("hl")).count() == 0)
+  }
+
+  test("vec functions usable from SQL") {
+    Registry.ensure(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head
+    assert(r.getDouble(0) == 11.0)
+  }
+
   test("suggest_data_type classifies like the reference") {
     import spark.implicits._
     val df = Seq(
