@@ -343,6 +343,40 @@ object Relational {
     GROUP BY p.event_id, p.ts
     ORDER BY p.event_id"""
 
+  /** Salted join for skewed keys (technique demo with exact-result
+    * oracle): events.user_id has ~25 hot keys — a plain shuffled join
+    * would put each key on one task. The big side gets a random-ish
+    * but DETERMINISTIC salt (hash of its unique id mod 16), the small
+    * side explodes to all 16 salt values, and the join key becomes
+    * (user_id, salt) so every hot key spreads across 16 tasks. AQE's
+    * skew handling does this adaptively; explicit salting is the
+    * portable form. Results are salt-invariant, so the oracle is the
+    * plain join. (shuffle_hash hint defeats the broadcast that would
+    * otherwise hide the skew at this scale.) */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val salts = 16
+    val userDim = e.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_seen")) // per-user dim table
+    val saltedDim = userDim
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    val saltedEvents = e
+      .withColumn("salt", pmod(hash(col("event_id")), lit(salts)))
+    saltedEvents.hint("shuffle_hash")
+      .join(saltedDim, Seq("user_id", "salt"))
+      .groupBy(col("user_id"), col("first_seen"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  private val q18Sql = s"""
+    SELECT e.user_id, u.first_seen, COUNT(*) AS n_events,
+           ${sqlDsum("e.value")} AS sum_value
+    FROM events e
+    JOIN (SELECT user_id, MIN(ts) AS first_seen FROM events GROUP BY user_id) u
+      ON e.user_id = u.user_id
+    GROUP BY e.user_id, u.first_seen ORDER BY e.user_id"""
+
   // ---- windows / sort / set ops ------------------------------------
 
   /** Top-3 parts per brand by revenue (window row_number). */
@@ -589,6 +623,7 @@ object Relational {
     Query("q15_range_join",      q15, Some(q15Sql)),
     Query("q16_asof_join",       q16, Some(q16Sql)),
     Query("q17_interval_join",   q17, Some(q17Sql)),
+    Query("q18_salted_join",     q18, Some(q18Sql)),
     Query("q20_window_topk",     q20, Some(q20Sql)),
     Query("q21_window_rows",     q21, Some(q21Sql)),
     Query("q22_window_range",    q22, Some(q22Sql)),

@@ -81,6 +81,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("GraftExtensions installs the functions via spark.sql.extensions") {
+    spark // force the shared session/context first
+    // build a sibling session over the same context (never stop it —
+    // that would kill the suite's SparkContext)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // (spark.sql.extensions=graft.GraftExtensions does the same at
+      // cluster level; it is a static conf, so in-JVM we pass the
+      // instance through the builder instead)
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql("SELECT a1_col(702) AS c").head
+      assert(r.getString(0) == "AAA")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("suggest_data_type classifies like the reference") {
     import spark.implicits._
     val df = Seq(
