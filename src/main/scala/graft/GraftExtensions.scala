@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("a1_col"),
       info("a1_col", "a1_col(i) - bijective base-26 column letters"),
       (es: Seq[Expression]) => A1Col(es.head)))

@@ -343,6 +343,21 @@ object Relational {
     GROUP BY p.event_id, p.ts
     ORDER BY p.event_id"""
 
+  /** Same as-of semantics as q16, but through the custom operator
+    * stack (graft.plans.AsOfJoin: LogicalPlan + Strategy + sorted
+    * -merge SparkPlan) instead of the union+window composition —
+    * verified against the identical DuckDB ASOF oracle. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"))
+    graft.plans.AsOf.join(clicks, errors, "user_id", "ts", "err_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("err_ts"))
+      .orderBy("event_id")
+  }
+
   /** Salted join for skewed keys (technique demo with exact-result
     * oracle): events.user_id has ~25 hot keys — a plain shuffled join
     * would put each key on one task. The big side gets a random-ish
@@ -624,6 +639,7 @@ object Relational {
     Query("q16_asof_join",       q16, Some(q16Sql)),
     Query("q17_interval_join",   q17, Some(q17Sql)),
     Query("q18_salted_join",     q18, Some(q18Sql)),
+    Query("q19_asof_custom",     q19, Some(q16Sql)),
     Query("q20_window_topk",     q20, Some(q20Sql)),
     Query("q21_window_rows",     q21, Some(q21Sql)),
     Query("q22_window_range",    q22, Some(q22Sql)),

@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a (possibly custom) LogicalPlan — the standard
+    * factory used by Spark extensions (Dataset#ofRows is
+    * private[sql]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
