@@ -151,6 +151,26 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Exact interpolated percentiles (median/p90) per group. Inputs
+    * are integer-valued doubles and both engines use the standard
+    * (1-d)*lower + d*upper interpolation at rank p*(n-1), so values
+    * are bit-exact across engines. */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val q07Sql = """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ---- joins -------------------------------------------------------
 
   /** Broadcast-hash join: fact x small dim; the dim never shuffles. */
@@ -392,6 +412,43 @@ object Relational {
       ON e.user_id = u.user_id
     GROUP BY e.user_id, u.first_seen ORDER BY e.user_id"""
 
+  /** Bucketed co-located join: both fact tables are written once as
+    * bucketed tables on the join key (8 buckets, sorted), then joined
+    * WITHOUT any Exchange — the physical plan reads bucket i of each
+    * side into the same task. This is the canonical 100 TB shape for
+    * repeated big-big joins: pay the shuffle once at layout time, not
+    * per query. (In-memory catalog; the bucketed files live under
+    * target/bucketed and are rebuilt per session.) Oracle = the
+    * identical plain join. */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val suffix = math.abs(d.hashCode).toString
+    val liT = s"graft_li_b$suffix"; val oT = s"graft_o_b$suffix"
+    val base = s"/root/repo/target/bucketed"
+    if (!s.catalog.tableExists(liT)) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite")
+        .option("path", s"$base/$liT")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(liT)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .option("path", s"$base/$oT")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(oT)
+    }
+    // MERGE hint: at fixture scale Catalyst would broadcast the small
+    // side; the point here is the bucket-aligned sort-merge join with
+    // no Exchange on either side (which is what a big-big join would
+    // pick unaided)
+    s.table(liT).hint("merge")
+      .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---- windows / sort / set ops ------------------------------------
 
   /** Top-3 parts per brand by revenue (window row_number). */
@@ -428,9 +485,15 @@ object Relational {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // rank/dense_rank order by shipdate only: ties share a rank, so
+    // the values are deterministic even though the peer order isn't
+    val wDate = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
     li.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).as("rn"),
+        rank().over(wDate).as("rnk"),
+        dense_rank().over(wDate).as("drnk"),
+        ntile(4).over(w).as("quartile"),
         sum(dec(col("l_quantity"))).over(wsum).cast(DoubleType).as("run_qty"),
         lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
         lead(col("l_extendedprice"), 1).over(w).as("next_price"))
@@ -440,11 +503,15 @@ object Relational {
   private val q21Sql = """
     SELECT l_suppkey, l_orderkey, l_linenumber,
            row_number() OVER w AS rn,
+           rank() OVER wd AS rnk,
+           dense_rank() OVER wd AS drnk,
+           ntile(4) OVER w AS quartile,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
            lag(l_extendedprice, 1) OVER w AS prev_price,
            lead(l_extendedprice, 1) OVER w AS next_price
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+           wd AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
     ORDER BY l_suppkey, rn"""
 
   /** Range-frame window: per customer, 30-day trailing order total
@@ -630,6 +697,7 @@ object Relational {
     Query("q04_cube",            q04, Some(q04Sql)),
     Query("q05_grouping_sets",   q05, Some(q05Sql)),
     Query("q06_approx_distinct", q06, None),
+    Query("q07_percentiles",     q07, Some(q07Sql)),
     Query("q10_join_broadcast",  q10, Some(q10Sql)),
     Query("q11_join_sortmerge",  q11, Some(q11Sql)),
     Query("q12_join_star",       q12, Some(q12Sql)),
@@ -646,6 +714,7 @@ object Relational {
     Query("q23_top_n_global",    q23, Some(q23Sql)),
     Query("q24_set_ops",         q24, Some(q24Sql)),
     Query("q25_distinct",        q25, Some(q25Sql)),
+    Query("q26_bucketed_join",   q26, Some(q11Sql)),
     Query("q30_json_extract",    q30, Some(q30Sql)),
     Query("q31_pivot",           q31, Some(q31Sql)),
     Query("q32_conditional_agg", q32, Some(q32Sql)),
