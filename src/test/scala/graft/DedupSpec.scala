@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.Hashes
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Recall/precision checks for the dedup kernels on planted
+  * near-duplicates (complements the driver's rows-only gate on the
+  * q50/q51/q53/q54 pipeline queries).
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val rnd = new Random(123)
+  private def doc(n: Int): String =
+    (1 to n).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+
+  /** base docs + planted near-dups (small token edits) + exact dups.
+    * lazy val: the generator is stateful, the corpus must be stable.
+    * 300-token docs: simhash bit margins scale with sqrt(len), so a
+    * 2-token edit flips few bits only when docs are long relative to
+    * the edit. */
+  private lazy val corpus: Seq[(Long, String)] = {
+    val bases = (0 until 40).map(i => (i.toLong, doc(300)))
+    val nearDups = bases.take(10).map { case (i, t) =>
+      val toks = t.split(" ").toVector
+      val mutated = toks.updated(5, "XX").updated(30, "YY").mkString(" ")
+      (100L + i, mutated)
+    }
+    val exactDups = bases.slice(10, 15).map { case (i, t) => (200L + i, t) }
+    bases ++ nearDups ++ exactDups
+  }
+
+  test("minhash LSH banding recovers planted near- and exact dups") {
+    val pairs = for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      ba = Hashes.minhashBands(Hashes.minhash(ta, 64, 3), 16)
+      bb = Hashes.minhashBands(Hashes.minhash(tb, 64, 3), 16)
+      if ba.toSet.intersect(bb.toSet).nonEmpty
+    } yield (ia, ib)
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet ++
+      (10 until 15).map(i => (i.toLong, 200L + i)).toSet
+    val found = pairs.toSet
+    // every planted pair has high jaccard => banding must catch it
+    planted.foreach { p =>
+      assert(found.contains(p), s"LSH missed planted dup $p")
+    }
+    // and LSH should not return a quadratic blowup of false candidates
+    assert(found.size < corpus.size * 4)
+  }
+
+  test("simhash hamming separates near-dups from random docs") {
+    corpus.take(10).foreach { case (i, t) =>
+      val dup = corpus.find(_._1 == 100L + i).get._2
+      val dh = Hashes.hamming64(Hashes.simhash64(t), Hashes.simhash64(dup))
+      val rh = Hashes.hamming64(Hashes.simhash64(t),
+        Hashes.simhash64(corpus((i + 20).toInt)._2))
+      assert(dh < rh, s"near-dup $i not closer: $dh vs $rh")
+      assert(dh <= 10, s"near-dup $i hamming $dh too large")
+    }
+  }
+
+  test("exact jaccard on hashed shingles equals string-shingle jaccard") {
+    corpus.take(8).combinations(2).foreach { case Seq((_, a), (_, b)) =>
+      val viaStrings = Hashes.jaccardShingles(a, b, 3)
+      val ha = Hashes.shingleHashes(a, 3).toSet
+      val hb = Hashes.shingleHashes(b, 3).toSet
+      val viaHashes =
+        if (ha.isEmpty && hb.isEmpty) 1.0
+        else ha.intersect(hb).size.toDouble / ha.union(hb).size
+      assert(math.abs(viaStrings - viaHashes) < 1e-12)
+    }
+  }
+
+  test("pipeline q50 finds the planted dups end-to-end") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    // mirror of the q50 shape on the planted corpus
+    val banded = df.withColumn("band",
+      explode(Hashes.minhashBandsUdf(64, 3, 16)(col("text"))))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.text").as("ta"), col("b.text").as("tb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("j", Hashes.jaccardUdf(3)(col("ta"), col("tb")))
+      .filter(col("j") >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (10 until 15).foreach { i =>
+      assert(cand.contains((i.toLong, 200L + i)), s"missed exact dup $i")
+    }
+    (0 until 10).foreach { i =>
+      assert(cand.contains((i.toLong, 100L + i)), s"missed near dup $i")
+    }
+  }
+}
