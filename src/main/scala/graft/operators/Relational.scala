@@ -588,6 +588,22 @@ object Relational {
     SELECT DISTINCT o_orderstatus, o_orderpriority
     FROM orders ORDER BY o_orderstatus, o_orderpriority"""
 
+  /** Correlated scalar subquery: customers above their nation's
+    * average balance (identical SQL runs in Spark SQL and DuckDB;
+    * Catalyst decorrelates it into an aggregate + join). */
+  private val q27Text = s"""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT ${sqlDavg("c2.c_acctbal")}
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_custkey"""
+
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q27Text)
+  }
+
   // ---- scalar / JSON / pivot ---------------------------------------
 
   /** JSON field extraction + aggregation over the extracted value. */
@@ -715,6 +731,7 @@ object Relational {
     Query("q24_set_ops",         q24, Some(q24Sql)),
     Query("q25_distinct",        q25, Some(q25Sql)),
     Query("q26_bucketed_join",   q26, Some(q11Sql)),
+    Query("q27_correlated_subq", q27, Some(q27Text)),
     Query("q30_json_extract",    q30, Some(q30Sql)),
     Query("q31_pivot",           q31, Some(q31Sql)),
     Query("q32_conditional_agg", q32, Some(q32Sql)),
