@@ -85,10 +85,15 @@ object TextOps {
         date_format(col("l_shipdate"), "yyyy-MM-dd"),
         when(col("l_linenumber") % 2 === 0, "true").otherwise("false"),
         concat(col("l_linenumber"), lit("."), col("l_linenumber")))).as("v"))
+    // dictionary evaluation: count by value first (cheap hash agg),
+    // run the regex chain on the ~2.6k DISTINCT values instead of the
+    // 3M sample rows, then roll up — the standard trick for expensive
+    // scalar functions over low-cardinality columns at scale
     samples
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("inferred", TypeInference.suggestDataType(col("v")))
       .groupBy(col("inferred"))
-      .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .agg(sum(col("cnt")).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
       .orderBy("inferred")
   }
 
@@ -227,6 +232,41 @@ object TextOps {
           FROM documents)
     GROUP BY source ORDER BY source"""
 
+  /** S2/S3 source formats: round-trip documents through CSV (explicit
+    * schema, header) and JSON lines under target/, read both back and
+    * aggregate — exercising the csv/json readers with the same
+    * results as the parquet original (oracle = parquet directly).
+    * (fixture text is single-line; the CSV writer's quoting covers
+    * embedded commas/quotes). */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val base = s"/root/repo/target/srcfmt/${math.abs(d.hashCode)}"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    val fromCsv = s.read.option("header", "true")
+      .schema(schema)
+      .csv(s"$base/csv")
+      .select(col("doc_id"), col("lang"), length(col("text")).as("len_csv"))
+    val fromJson = s.read
+      .schema(schema)
+      .json(s"$base/json")
+      .select(col("doc_id").as("j_doc_id"), length(col("text")).as("len_json"))
+    fromCsv.join(fromJson, col("doc_id") === col("j_doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len_csv")).as("sum_chars_csv"),
+        sum(col("len_json")).as("sum_chars_json"))
+      .orderBy("lang")
+  }
+
+  private val q49Sql = """
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(length(text)) AS sum_chars_csv,
+           SUM(length(text)) AS sum_chars_json
+    FROM documents GROUP BY lang ORDER BY lang"""
+
   val queries: Seq[Query] = Seq(
     Query("q40_grid_explode_a1", q40, Some(q40Sql)),
     Query("q41_chunk_stats",     q41, None),
@@ -236,5 +276,6 @@ object TextOps {
     Query("q45_dedup_exact",     q45, Some(q45Sql)),
     Query("q46_token_stats",     q46, Some(q46Sql)),
     Query("q47_folder_listing",  q47, Some(q47Sql)),
-    Query("q48_subword_count",   q48, Some(q48Sql)))
+    Query("q48_subword_count",   q48, Some(q48Sql)),
+    Query("q49_csv_json_source", q49, Some(q49Sql)))
 }
