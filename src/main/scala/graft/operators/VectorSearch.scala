@@ -134,6 +134,49 @@ object VectorSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** q65: IVF-style ANN — the other classic scale path besides LSH.
+    * "Training" stand-in: every 97th vector is a centroid
+    * (deterministic; a k-means pass would slot in here). Corpus
+    * vectors are assigned to their nearest centroid cell (narrow
+    * broadcast pass); each query probes its 2 nearest cells and ranks
+    * candidates by exact cosine. At 100 TB the cell assignment is a
+    * scan-side computed column (ideal partition key for the index
+    * layout) and probing touches ~2/k of the corpus. Approximate =>
+    * rows-only. */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    // nearest-centroid assignment (one narrow pass, centroids broadcast)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist"), col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cdist", l2(col("embedding"), col("cvec")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id").as("cell"))
+    // queries probe their 2 nearest cells
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdist"), col("cent_id"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist", l2(col("qvec"), col("cvec")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("query_id"), col("qvec"), col("cent_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cos(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("n_candidates"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q63: flagship end-to-end semantic search — chunk documents,
     * embed chunks, embed a fixed query text, cosine top-10 with
     * provenance + deep link (custom embed kernel => rows-only). */
@@ -181,6 +224,7 @@ object VectorSearch {
     Query("q60_knn_l2",         q60, Some(q60Sql)),
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
     Query("q62_ann_lsh",        q62, None),
+    Query("q65_ann_ivf",        q65, None),
     Query("q63_search_e2e",     searchE2E, None),
     Query("q64_build_index",    q64, None))
 }
