@@ -177,6 +177,23 @@ object VectorSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** q66: per-label centroids via the typed VecMeanAgg Aggregator,
+    * plus each label's dispersion (decimal-exact mean member-to-
+    * centroid distance — deterministic, but the centroid itself sums
+    * doubles in partition order, so this stays rows-only). One hash
+    * shuffle on label for the centroids, one broadcast join back. */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.groupBy(col("label"))
+      .agg(graft.functions.VecMeanAgg.vecMean(col("embedding")).as("centroid"))
+    emb.join(broadcast(cents), Seq("label"))
+      .withColumn("dist", l2(col("embedding"), col("centroid")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.util.Num.davg(col("dist")), 4).as("avg_dist"))
+      .orderBy("label")
+  }
+
   /** q63: flagship end-to-end semantic search — chunk documents,
     * embed chunks, embed a fixed query text, cosine top-10 with
     * provenance + deep link (custom embed kernel => rows-only). */
@@ -225,6 +242,7 @@ object VectorSearch {
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
     Query("q62_ann_lsh",        q62, None),
     Query("q65_ann_ivf",        q65, None),
+    Query("q66_label_centroids", q66, None),
     Query("q63_search_e2e",     searchE2E, None),
     Query("q64_build_index",    q64, None))
 }

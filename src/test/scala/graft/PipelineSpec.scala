@@ -70,6 +70,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.nonEmpty && frames.forall(_.length == 32))
   }
 
+  test("VecMeanAgg computes exact centroids") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f, 0.0f)),
+      (0, Array(3.0f, 0.0f, 1.0f, 0.0f)),
+      (1, Array(10.0f, 10.0f, 10.0f, 10.0f)))
+      .toDF("label", "v")
+    val cents = df.groupBy(col("label"))
+      .agg(graft.functions.VecMeanAgg.vecMean(col("v"), 4).as("c"))
+      .orderBy("label").collect()
+    assert(cents(0).getSeq[Float](1) == Seq(2.0f, 1.0f, 2.0f, 0.0f))
+    assert(cents(1).getSeq[Float](1) == Seq(10.0f, 10.0f, 10.0f, 10.0f))
+  }
+
   test("ann lsh recall: bucketed candidates overlap exact top-k") {
     // sanity on the fixture: at least the queries return candidates
     val df = SparkEntry.queries("q62_ann_lsh")(spark, "/root/testdata/sf0.001")
