@@ -267,6 +267,47 @@ object TextOps {
            SUM(length(text)) AS sum_chars_json
     FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** Full reference-contract grid ingestion (GridIngest) driven from
+    * the fixtures: each source becomes a worksheet (header + one row
+    * of tokens per doc, ordered by doc_id), then grid -> cells ->
+    * chunks with the reference's exact `{file}_{sheet}_{col}{row}_{pos}`
+    * ids and gid/range links (indexer.py:56, app.py:63-69). Token
+    * cells are < chunkSize, so every cell is exactly one chunk and
+    * the whole contract is SQL-mirrorable. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grid = docs
+      .select(col("source"),
+        struct(col("doc_id"), split(col("text"), " ").as("toks")).as("r"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("r"))).as("datarows"))
+      .select(col("source").as("file_id"), lit(0L).as("sheet_id"),
+        col("source").as("tab_name"),
+        concat(array(array(lit("HDR"))),
+          transform(col("datarows"), r => r.getField("toks"))).as("rows"))
+    GridIngest.chunks(GridIngest.cells(grid))
+      .select(col("chunk_id"), col("link"), col("chunk").as("value"))
+      .orderBy("chunk_id")
+  }
+
+  private val q74Sql = s"""
+    WITH ranked AS (
+      SELECT source, text,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), cells AS (
+      SELECT source, rn + 1 AS sheet_row, i-1 AS colidx, l[i] AS value
+      FROM (SELECT source, rn, string_split(text, ' ') AS l FROM ranked),
+           UNNEST(generate_series(1, len(l))) AS t(i)
+    )
+    SELECT source || '_0_' || $sqlA1 || sheet_row || '_0' AS chunk_id,
+           printf('https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=%s%d',
+                  source, '0', $sqlA1, sheet_row) AS link,
+           value
+    FROM cells
+    WHERE length(trim(value)) > 0
+    ORDER BY chunk_id"""
+
   val queries: Seq[Query] = Seq(
     Query("q40_grid_explode_a1", q40, Some(q40Sql)),
     Query("q41_chunk_stats",     q41, None),
@@ -277,5 +318,6 @@ object TextOps {
     Query("q46_token_stats",     q46, Some(q46Sql)),
     Query("q47_folder_listing",  q47, Some(q47Sql)),
     Query("q48_subword_count",   q48, Some(q48Sql)),
-    Query("q49_csv_json_source", q49, Some(q49Sql)))
+    Query("q49_csv_json_source", q49, Some(q49Sql)),
+    Query("q74_grid_ingest_ref", q74, Some(q74Sql)))
 }
