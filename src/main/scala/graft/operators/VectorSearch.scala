@@ -100,7 +100,7 @@ object VectorSearch {
   private def hyperplaneSignBits(v: Column, dim: Int, nBits: Int): Column = {
     val planes: Seq[Column] = (0 until nBits).map { p =>
       val comps = (0 until dim).map { j =>
-        val sign = if ((scala.util.hashing.MurmurHash3.productHash((p, j)) & 1) == 0) 1.0 else -1.0
+        val sign = if ((scala.util.hashing.MurmurHash3.stringHash(s"$p:$j", 0x9e37) & 1) == 0) 1.0 else -1.0
         element_at(v, j + 1).cast(DoubleType) * lit(sign)
       }
       val dot = comps.reduce(_ + _)
