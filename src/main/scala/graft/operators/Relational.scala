@@ -682,6 +682,41 @@ object Relational {
            strpos(p_name, 'a') AS pos_a
     FROM part ORDER BY p_partkey"""
 
+  /** Higher-order array functions over per-order quantity vectors:
+    * collect_list -> sort_array, element access, slice, filter,
+    * transform + decimal-exact fold (HOF aggregate). The fold goes
+    * through DECIMAL so the DuckDB list mirror is order-independent
+    * and bit-exact; array contents are compared as joined strings
+    * (both engines render integer-valued doubles as "x.0"). */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(
+        col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        element_at(col("qs"), 1).as("min_q"),
+        element_at(col("qs"), -1).as("max_q"),
+        aggregate(col("qs"), lit(BigDecimal(0)).cast(DecimalType(18, 6)),
+          // re-cast each step: decimal + widens to (19,6); the values
+          // (sums of a few quantities) always fit 18,6 so this is exact
+          (acc, x) => (acc + x.cast(DecimalType(18, 6))).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("sum_q"),
+        size(filter(col("qs"), _ > 25)).as("n_big"),
+        concat_ws(",", transform(slice(col("qs"), 1, 3),
+          x => x.cast(StringType))).as("first3"))
+      .orderBy("l_orderkey")
+
+  private val q35Sql = """
+    SELECT l_orderkey, len(qs) AS n_items,
+           qs[1] AS min_q, qs[-1] AS max_q,
+           CAST(list_sum(list_transform(qs, x -> CAST(x AS DECIMAL(18,6)))) AS DOUBLE) AS sum_q,
+           len(list_filter(qs, x -> x > 25)) AS n_big,
+           array_to_string(list_transform(qs[1:3], x -> CAST(x AS VARCHAR)), ',') AS first3
+    FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+          FROM lineitem GROUP BY l_orderkey)
+    ORDER BY l_orderkey"""
+
   /** Date/time scalar functions. */
   private def q34(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -736,5 +771,6 @@ object Relational {
     Query("q31_pivot",           q31, Some(q31Sql)),
     Query("q32_conditional_agg", q32, Some(q32Sql)),
     Query("q33_string_funcs",    q33, Some(q33Sql)),
-    Query("q34_date_funcs",      q34, Some(q34Sql)))
+    Query("q34_date_funcs",      q34, Some(q34Sql)),
+    Query("q35_array_funcs",     q35, Some(q35Sql)))
 }
