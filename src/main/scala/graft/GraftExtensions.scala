@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => SimplifyA1Roundtrips)
     e.injectFunction((FunctionIdentifier("a1_col"),
       info("a1_col", "a1_col(i) - bijective base-26 column letters"),
       (es: Seq[Expression]) => A1Col(es.head)))

@@ -113,6 +113,24 @@ case class ChunkText(text: Expression, size: Expression, overlap: Expression)
     copy(text = cs(0), size = cs(1), overlap = cs(2))
 }
 
+/** Optimizer rule: cancel A1 codec roundtrips —
+  * a1_index(a1_col(x)) => x and a1_col(a1_index(s)) => s. Arises when
+  * provenance written with letters is re-parsed for range predicates
+  * (S5-S8 over q40-shaped tables); the rewrite keeps point/range
+  * reads sargable instead of evaluating the codec per row.
+  * Injected by GraftExtensions (injectOptimizerRule).
+  */
+object SimplifyA1Roundtrips
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case A1Index(A1Col(x)) => x
+      case A1Col(A1Index(s)) => s
+    }
+}
+
 /** Column-side builders. */
 object exprs {
   import org.apache.spark.sql.functions.lit

@@ -80,6 +80,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("exact dedup is idempotent (dedup of dedup = dedup)") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    def dedup(in: org.apache.spark.sql.DataFrame) =
+      in.groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+    val once = dedup(df)
+    val twice = dedup(once.join(df, "doc_id").select("doc_id", "text"))
+    assert(once.count() == twice.count())
+    assert(once.select("doc_id").except(twice.select("doc_id")).count() == 0)
+  }
+
   test("pipeline q50 finds the planted dups end-to-end") {
     import spark.implicits._
     val df = corpus.toDF("doc_id", "text")

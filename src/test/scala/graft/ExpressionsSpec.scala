@@ -81,6 +81,18 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("SimplifyA1Roundtrips cancels codec roundtrips in the optimized plan") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.SimplifyA1Roundtrips)
+    val df = (0 until 10).toDF("i")
+      .withColumn("back", exprs.a1Index(exprs.a1Col(col("i"))))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("a1col") && !optimized.contains("A1Col"),
+      s"roundtrip not eliminated:\n$optimized")
+    assert(df.filter(col("back") =!= col("i")).count() == 0)
+  }
+
   test("GraftExtensions installs the functions via spark.sql.extensions") {
     spark // force the shared session/context first
     // build a sibling session over the same context (never stop it —
