@@ -95,12 +95,14 @@ object VectorSearch {
 
   // ---- ANN: random-hyperplane LSH -----------------------------------
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is
-    * a +-1 from murmur-derived bits. nBits sign bits -> bucket key. */
-  private def hyperplaneSignBits(v: Column, dim: Int, nBits: Int): Column = {
+  /** Deterministic pseudo-random hyperplanes: component j of plane p
+    * (of table t) is a +-1 from murmur-derived bits. nBits sign bits
+    * -> one bucket key per table. */
+  private def hyperplaneSignBits(v: Column, dim: Int, nBits: Int,
+                                 table: Int): Column = {
     val planes: Seq[Column] = (0 until nBits).map { p =>
       val comps = (0 until dim).map { j =>
-        val sign = if ((scala.util.hashing.MurmurHash3.stringHash(s"$p:$j", 0x9e37) & 1) == 0) 1.0 else -1.0
+        val sign = if ((scala.util.hashing.MurmurHash3.stringHash(s"$table:$p:$j", 0x9e37) & 1) == 0) 1.0 else -1.0
         element_at(v, j + 1).cast(DoubleType) * lit(sign)
       }
       val dot = comps.reduce(_ + _)
@@ -109,23 +111,34 @@ object VectorSearch {
     planes.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
   }
 
-  /** q62: LSH-bucketed ANN — bucket the corpus by 8 hyperplane sign
-    * bits, probe with queries 0..4 on bucket equality, exact cosine
-    * within candidates, report top-3 + candidate count. Approximate
-    * by design => rows-only check (recall tested in VectorSearchSpec).
-    */
+  /** q62: multi-table hyperplane-LSH ANN. One 8-bit table has
+    * near-zero recall on random 64-dim data (any single far-apart
+    * bit kills the match — measured by q67's recall harness), so the
+    * standard L-table scheme applies: 4 independent 8-bit tables, a
+    * corpus vector is a candidate if it collides with the query in
+    * ANY table. Explode = 4 rows/vector; join stays equi on
+    * (table, bucket). Approximate => rows-only; recall via q67. */
   private def q62(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val dim = 64
-    val bucketed = emb.withColumn("bucket",
-      hyperplaneSignBits(col("embedding"), dim, 8))
+    // 6 bits x 8 tables: for the fixture's random vectors the nearest
+    // neighbors sit at ~60-70 degrees, so p_collide ~ (1-theta/pi)^6
+    // ~ 0.06/table -> ~0.4 over 8 tables, while random pairs (~90
+    // degrees) collide in ~10% of the corpus — the recall/candidate
+    // trade-off chosen from q67's measurements
+    val nTables = 8
+    val bucketed = emb.withColumn("tb", explode(array(
+        (0 until nTables).map(t => struct(lit(t).as("t"),
+          hyperplaneSignBits(col("embedding"), dim, 6, t).as("b"))): _*)))
     val qs = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("bucket").as("qbucket"))
+        col("tb").as("qtb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     bucketed.join(broadcast(qs),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        col("tb") === col("qtb") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qvec"))
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("sim", cos(col("embedding"), col("qvec")))
       .withColumn("rank", row_number().over(w))
       .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("query_id"))))
@@ -175,6 +188,41 @@ object VectorSearch {
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("vec_id"), col("n_candidates"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Exact cosine top-k per query (queries = vec_id < 5), reused by
+    * the recall harness. */
+  private def exactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cos(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  /** q67: ANN quality harness — recall@3 of both approximate paths
+    * (hyperplane LSH q62, IVF 2-probe q65) against the exact top-3.
+    * The number every ANN deployment must watch; emitted per
+    * (method, query). Approximate => rows-only. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val exact = exactTopK(s, d, 3)
+    def recall(method: String, ann: DataFrame): DataFrame =
+      ann.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+        .join(exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact")),
+          Seq("query_id"), "right")
+        .select(lit(method).as("method"), col("query_id"),
+          (coalesce(col("n_hit"), lit(0L)) / col("n_exact")).as("recall_at_3"))
+    recall("lsh", q62(s, d))
+      .unionByName(recall("ivf", q65(s, d)))
+      .orderBy("method", "query_id")
   }
 
   /** q66: per-label centroids via the typed VecMeanAgg Aggregator,
@@ -243,6 +291,7 @@ object VectorSearch {
     Query("q62_ann_lsh",        q62, None),
     Query("q65_ann_ivf",        q65, None),
     Query("q66_label_centroids", q66, None),
+    Query("q67_ann_recall",      q67, None),
     Query("q63_search_e2e",     searchE2E, None),
     Query("q64_build_index",    q64, None))
 }
