@@ -96,19 +96,31 @@ object VectorSearch {
   // ---- ANN: random-hyperplane LSH -----------------------------------
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p
-    * (of table t) is a +-1 from murmur-derived bits. nBits sign bits
-    * -> one bucket key per table. */
-  private def hyperplaneSignBits(v: Column, dim: Int, nBits: Int,
-                                 table: Int): Column = {
-    val planes: Seq[Column] = (0 until nBits).map { p =>
-      val comps = (0 until dim).map { j =>
-        val sign = if ((scala.util.hashing.MurmurHash3.stringHash(s"$table:$p:$j", 0x9e37) & 1) == 0) 1.0 else -1.0
-        element_at(v, j + 1).cast(DoubleType) * lit(sign)
+    * of table t is a +-1 from murmur-derived bits. Returns one bucket
+    * key per table, table id packed in the high bits. A tight-loop
+    * UDF over a precomputed sign matrix — the equivalent Column
+    * expression tree (tables x bits x dim nodes) made Janino compile
+    * a multi-second monster method. */
+  private def hyperplaneBucketsUdf(dim: Int, nBits: Int, nTables: Int) = {
+    val signs: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables, nBits, dim) { (t, p, j) =>
+        if ((scala.util.hashing.MurmurHash3.stringHash(s"$t:$p:$j", 0x9e37) & 1) == 0) 1.0 else -1.0
       }
-      val dot = comps.reduce(_ + _)
-      when(dot >= 0, lit(1)).otherwise(lit(0))
+    udf { (v: Seq[Float]) =>
+      Array.tabulate(nTables) { t =>
+        var key = 0L
+        var p = 0
+        while (p < nBits) {
+          var dot = 0.0
+          var j = 0
+          val s = signs(t)(p)
+          while (j < dim && j < v.length) { dot += v(j) * s(j); j += 1 }
+          if (dot >= 0) key |= (1L << p)
+          p += 1
+        }
+        (t.toLong << 32) | key
+      }
     }
-    planes.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
   }
 
   /** q62: multi-table hyperplane-LSH ANN. One 8-bit table has
@@ -127,9 +139,8 @@ object VectorSearch {
     // degrees) collide in ~10% of the corpus — the recall/candidate
     // trade-off chosen from q67's measurements
     val nTables = 8
-    val bucketed = emb.withColumn("tb", explode(array(
-        (0 until nTables).map(t => struct(lit(t).as("t"),
-          hyperplaneSignBits(col("embedding"), dim, 6, t).as("b"))): _*)))
+    val buckets = hyperplaneBucketsUdf(dim, 6, nTables)
+    val bucketed = emb.withColumn("tb", explode(buckets(col("embedding"))))
     val qs = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("tb").as("qtb"))
