@@ -169,16 +169,29 @@ object VectorSearch {
     * rows-only. */
   private def q65(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = emb.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+
     // nearest-centroid assignment (one narrow pass, centroids broadcast)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist"), col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("cdist", l2(col("embedding"), col("cvec")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id").as("cell"))
+    def assign(cents: DataFrame): DataFrame = {
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist"), col("cent_id"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("cdist", l2(col("embedding"), col("cvec")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("cent_id").as("cell"))
+    }
+
+    // seeds: every 97th vector; one k-means refinement step (Lloyd
+    // iteration via the VecMeanAgg centroid Aggregator) re-centers the
+    // cells before the final assignment — at scale each iteration is
+    // one narrow assignment pass + one tiny groupBy(cell)
+    val seeds = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val cents = assign(seeds)
+      .groupBy(col("cell"))
+      .agg(graft.functions.VecMeanAgg.vecMean(col("embedding")).as("cvec"))
+      .select(col("cell").as("cent_id"), col("cvec"))
+    val assigned = assign(cents)
     // queries probe their 2 nearest cells
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qdist"), col("cent_id"))
