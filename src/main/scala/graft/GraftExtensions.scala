@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_l2_sq"),
       info("vec_l2_sq", "vec_l2_sq(a, b) - squared L2 distance"),
       (es: Seq[Expression]) => VecL2Sq(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("embed_text"),
+      info("embed_text", "embed_text(s) - deterministic unit-norm embedding"),
+      (es: Seq[Expression]) => EmbedText(es.head, Embed.DefaultDim)))
   }
 }

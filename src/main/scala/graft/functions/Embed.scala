@@ -66,5 +66,15 @@ object Embed {
   def embedUdf(dim: Int = DefaultDim): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => embed(s, dim))
 
-  def embedCol(c: Column, dim: Int = DefaultDim): Column = embedUdf(dim)(c)
+  /** Static entry for codegen (EmbedText expression). */
+  def embedArray(s: org.apache.spark.unsafe.types.UTF8String,
+                 dim: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      embed(if (s == null) "" else s.toString, dim))
+
+  /** Native-expression column (codegen'd static call, no UDF
+    * row-encoder round trip). */
+  def embedCol(c: Column, dim: Int = DefaultDim): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      EmbedText(org.apache.spark.sql.graft.shims.toExpression(c), dim))
 }

@@ -21,5 +21,7 @@ object Registry {
       es => VecNormSq(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_l2_sq",
       es => VecL2Sq(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("embed_text",
+      es => EmbedText(es.head, Embed.DefaultDim), "built-in")
   }
 }

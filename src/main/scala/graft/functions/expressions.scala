@@ -113,6 +113,25 @@ case class ChunkText(text: Expression, size: Expression, overlap: Expression)
     copy(text = cs(0), size = cs(1), overlap = cs(2))
 }
 
+/** embed_text(text): deterministic hashed-n-gram embedding as a
+  * native expression — one static call in generated code straight to
+  * the Embed kernel, instead of a ScalaUDF's encoder round trip
+  * (SURVEY.md §2.5 V1; the hot scalar of every index build).
+  */
+case class EmbedText(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"embed_text needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    Embed.embedArray(v.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Embed.embedArray($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): EmbedText = copy(c)
+}
+
 /** Optimizer rule: cancel A1 codec roundtrips —
   * a1_index(a1_col(x)) => x and a1_col(a1_index(s)) => s. Arises when
   * provenance written with letters is re-parsed for range predicates
