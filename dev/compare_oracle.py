@@ -53,6 +53,14 @@ def main(out_dir: str, sf_dir: str) -> None:
         bad = None
         for c in got.columns:
             a, b = got[c], exp[c]
+            # dtype-kind compare: the driver hashes rendered values, so
+            # int64 123 vs float64 123.0 (e.g. DuckDB HUGEINT sums) is a
+            # real mismatch even though numpy == says equal
+            ka, kb = a.dtype.kind, b.dtype.kind
+            num = {"i", "u", "f"}
+            if ka != kb and (ka in num or kb in num) and not (ka in "iu" and kb in "iu"):
+                bad = (c, -1, f"dtype {a.dtype}", f"dtype {b.dtype}")
+                break
             try:
                 eq = (a.values == b.values) | (a.isna().values & b.isna().values)
             except Exception:

@@ -28,10 +28,12 @@ object TextAnalysis {
       (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long")) + others.cast("long")
   }
 
+  // outer CAST: DuckDB SUM over integers yields HUGEINT, which pandas
+  // renders as float64 — cast back so the column stays BIGINT like Spark
   def sqlSubwordCount(col: String): String =
-    s"""(SELECT COALESCE(SUM(CAST(ceil(length(w)/4.0) AS BIGINT)), 0)
+    s"""CAST((SELECT COALESCE(SUM(CAST(ceil(length(w)/4.0) AS BIGINT)), 0)
          FROM UNNEST(regexp_extract_all($col, '[a-zA-Z]+')) AS t(w))
-       + len(regexp_extract_all($col, '[^a-zA-Z \\t\\n]'))"""
+       + len(regexp_extract_all($col, '[^a-zA-Z \\t\\n]')) AS BIGINT)"""
 
   /** Stopword lexicons (tiny, deterministic) for language ID. */
   val Stopwords: Map[String, Seq[String]] = Map(

@@ -87,8 +87,8 @@ object GridOps {
 
   private val q73Sql = """
     SELECT user_id, COUNT(*) AS total,
-           SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS failed,
-           array_to_string(list_sort(list(event_id) FILTER (event_type='error')), ',') AS error_ids
+           CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+           COALESCE(array_to_string(list_sort(list(event_id) FILTER (event_type='error')), ','), '') AS error_ids
     FROM events GROUP BY user_id ORDER BY user_id"""
 
   val queries: Seq[Query] = Seq(

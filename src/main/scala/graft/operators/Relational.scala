@@ -617,7 +617,7 @@ object Relational {
       .orderBy("event_type")
 
   private val q30Sql = """
-    SELECT event_type, SUM(k) AS sum_k, COUNT(k) AS n_k,
+    SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k,
            MIN(k) AS min_k, MAX(k) AS max_k
     FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -657,7 +657,7 @@ object Relational {
 
   private val q32Sql = s"""
     SELECT n_name, COUNT(*) AS n_cust,
-           SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich,
+           CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
            ${sqlDsum("CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END")} AS sum_pos_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name ORDER BY n_name"""

@@ -137,7 +137,7 @@ object TextOps {
         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS dr
       FROM documents
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
            ${sqlDavg("mtl")} AS avg_tok_len,
            ${sqlDavg("pr")} AS avg_punct_ratio,
            ${sqlDavg("dr")} AS avg_digit_ratio
@@ -185,9 +185,9 @@ object TextOps {
 
   private val q46Sql = """
     SELECT source, COUNT(*) AS n_docs,
-           SUM(len(regexp_split_to_array(trim(text), ' +'))) AS sum_tokens,
+           CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS sum_tokens,
            MAX(len(regexp_split_to_array(trim(text), ' +'))) AS max_tokens,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY source ORDER BY source"""
 
   /** S1/P3 folder-listing scan: a file manifest with a `parents`
@@ -227,7 +227,7 @@ object TextOps {
 
   private val q48Sql = s"""
     SELECT source,
-           SUM(n_sub) AS sum_subwords, MAX(n_sub) AS max_subwords
+           CAST(SUM(n_sub) AS BIGINT) AS sum_subwords, MAX(n_sub) AS max_subwords
     FROM (SELECT source, ${TextAnalysis.sqlSubwordCount("text")} AS n_sub
           FROM documents)
     GROUP BY source ORDER BY source"""
@@ -263,8 +263,8 @@ object TextOps {
 
   private val q49Sql = """
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(length(text)) AS sum_chars_csv,
-           SUM(length(text)) AS sum_chars_json
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_csv,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_json
     FROM documents GROUP BY lang ORDER BY lang"""
 
   /** Full reference-contract grid ingestion (GridIngest) driven from
