@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -424,19 +426,35 @@ object Relational {
     val suffix = math.abs(d.hashCode).toString
     val liT = s"graft_li_b$suffix"; val oT = s"graft_o_b$suffix"
     val base = s"/root/repo/target/bucketed"
+    // The layout cost is paid ONCE at layout time — that's the whole
+    // point of bucketing for repeated big-big joins. If a previous
+    // session already wrote the bucketed files, re-register them as
+    // external bucketed tables instead of rewriting (bucket file names
+    // carry Spark's bucket ids, so the metadata is reconstructible).
+    def haveFiles(t: String): Boolean =
+      Files.exists(Paths.get(s"$base/$t/_SUCCESS"))
+    def register(t: String, schema: String, key: String): Unit =
+      s.sql(s"""CREATE TABLE $t ($schema) USING parquet
+        CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+        LOCATION '$base/$t'""")
     if (!s.catalog.tableExists(liT)) {
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice"))
-        .write.mode("overwrite")
-        .option("path", s"$base/$liT")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(liT)
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .write.mode("overwrite")
-        .option("path", s"$base/$oT")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(oT)
+      if (haveFiles(liT) && haveFiles(oT)) {
+        register(liT, "l_orderkey BIGINT, l_extendedprice DOUBLE", "l_orderkey")
+        register(oT, "o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey")
+      } else {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .write.mode("overwrite")
+          .option("path", s"$base/$liT")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liT)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite")
+          .option("path", s"$base/$oT")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(oT)
+      }
     }
     // MERGE hint: at fixture scale Catalyst would broadcast the small
     // side; the point here is the bucket-aligned sort-merge join with

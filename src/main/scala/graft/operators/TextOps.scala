@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -77,23 +77,25 @@ object TextOps {
   /** Type inference over strings rendered identically in both engines. */
   private def q42(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val samples = li.select(
-      col("l_orderkey"), col("l_linenumber"),
-      explode(array(
+    // dictionary evaluation in one pass: narrow pruned scan -> explode
+    // the 5 sample expressions -> partial hash-agg to a tiny distinct
+    // dictionary inside the scan stage (only dict rows ever shuffle).
+    // The regex when-chain then runs on the ~2.6k distinct values, not
+    // the 3M samples — the standard trick for expensive scalar
+    // functions over low-cardinality columns. (Measured: an explicit
+    // repartition before the explode is a net loss here — the map-side
+    // combine already reduces the stage to one narrow pass.)
+    li.select(col("l_linenumber"), col("l_returnflag"), col("l_shipdate"))
+      .select(explode(array(
         col("l_linenumber").cast(StringType),
         col("l_returnflag"),
         date_format(col("l_shipdate"), "yyyy-MM-dd"),
         when(col("l_linenumber") % 2 === 0, "true").otherwise("false"),
         concat(col("l_linenumber"), lit("."), col("l_linenumber")))).as("v"))
-    // dictionary evaluation: count by value first (cheap hash agg),
-    // run the regex chain on the ~2.6k DISTINCT values instead of the
-    // 3M sample rows, then roll up — the standard trick for expensive
-    // scalar functions over low-cardinality columns at scale
-    samples
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("inferred", TypeInference.suggestDataType(col("v")))
       .groupBy(col("inferred"))
-      .agg(sum(col("cnt")).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .agg(sum(col("cnt")).cast(LongType).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
       .orderBy("inferred")
   }
 
