@@ -19,14 +19,26 @@ import graft.functions.Hashes
   */
 object Dedup {
 
+  /** Build a materialized signature table: spread the docs across
+    * cores FIRST (the fixture parquet is one row group, so the scan
+    * alone is a single task and would run the per-doc hash kernel
+    * serially), compute the signature expression in parallel, and
+    * localCheckpoint the result so the self-join / doc-frequency
+    * branches below read the materialized signatures instead of
+    * re-running the kernel once per branch. At 100 TB this is the
+    * signature table you'd persist to storage between pipeline
+    * stages. */
+  private def signatures(s: SparkSession, docs: DataFrame)(sig: DataFrame => DataFrame): DataFrame =
+    sig(docs.repartition(s.sparkContext.defaultParallelism)).localCheckpoint()
+
   /** q50: MinHash-LSH candidate pairs + exact Jaccard verification.
     * 64 hashes, 16 bands x 4 rows: catches pairs down to J ~= 0.5
     * with high probability. Output: verified pairs with J >= 0.35.
     * (Custom hash kernels => rows-only; correctness in DedupSpec.) */
   private def q50(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val banded = docs
-      .withColumn("band", explode(Hashes.minhashBandsUdf(64, 3, 16)(col("text"))))
+    val banded = signatures(s, docs)(
+      _.withColumn("band", explode(Hashes.minhashBandsUdf(64, 3, 16)(col("text")))))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -46,12 +58,12 @@ object Dedup {
     * values that would blow up the pair join quadratically) are
     * dropped, the standard scale guard for banded LSH. */
   private def q51(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), Hashes.simhashUdf(col("text")).as("sh"))
-    val banded = docs.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val banded = signatures(s, Tables.documents(s, d))(
+      _.select(col("doc_id"), Hashes.simhashUdf(col("text")).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk")))
     val smallBuckets = banded.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= 256).select(col("bk"))
     val pruned = banded.join(smallBuckets, "bk")
@@ -121,9 +133,9 @@ object Dedup {
     * 95s at sf0.1; this form is ~2s with identical output.)
     * rows-only: the shingle kernel has no SQL mirror. */
   private def q53(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        Hashes.shingleHashesUdf(3)(col("text")).as("sh"))
+    val docs = signatures(s, Tables.documents(s, d))(
+      _.select(col("doc_id"), col("source"),
+        Hashes.shingleHashesUdf(3)(col("text")).as("sh")))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val posting = docs.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
     val shared = posting.as("a").join(posting.as("b"),
@@ -150,6 +162,9 @@ object Dedup {
     * inverted index (but still count toward each doc's |fp| so the
     * overlap denominator stays honest). */
   private def q54(s: SparkSession, d: String): DataFrame = {
+    // no signature checkpoint here: the winnow kernel is a cheap
+    // rolling hash, so recomputing it per branch measures faster than
+    // materializing the exploded fingerprint rows
     val allFps = Tables.documents(s, d)
       .select(col("doc_id"), explode(Hashes.winnowUdf(8, 4)(col("text"))).as("fp"))
     val sizes = allFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
