@@ -12,6 +12,7 @@ object SparkEntry {
   private def modules: Seq[Query] =
     operators.Relational.queries ++
       operators.TextOps.queries ++
+      operators.Corpus.queries ++
       operators.GridOps.queries ++
       operators.VectorSearch.queries ++
       operators.Dedup.queries ++

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Query, Tables}
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond dedup (SURVEY.md §2 extensions): vocabulary building,
+  * TF-IDF term ranking, PII redaction, deterministic train/valid/test
+  * splitting + stratified sampling, and word n-gram statistics. All
+  * five are oracle-checked (declarative built-ins only, no UDFs).
+  *
+  * Scale shape: everything is explode -> partial hash-agg (map-side
+  * combine shrinks token streams before any shuffle) or a scan-side
+  * scalar expression; the only joins are against vocabulary-sized
+  * aggregates. Nothing is quadratic, nothing collects to the driver.
+  */
+object Corpus {
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  // ---- q55: vocabulary (global top-k tokens) -----------------------
+
+  /** Top-50 corpus vocabulary with counts and deterministic ranks.
+    * At 100 TB: explode + partial agg, then TakeOrderedAndProject —
+    * the full term dictionary never sits on one node. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val counts = tokens(s, d).groupBy(col("term")).agg(count(lit(1)).as("n"))
+    counts
+      .orderBy(col("n").desc, col("term"))
+      .limit(50)
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .select(col("rank"), col("term"), col("n"))
+  }
+
+  private val q55Sql = """
+    SELECT row_number() OVER (ORDER BY n DESC, term) AS rank, term, n
+    FROM (
+      SELECT term, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE length(term) > 0
+      GROUP BY term)
+    ORDER BY n DESC, term LIMIT 50"""
+
+  // ---- q56: TF-IDF term ranking ------------------------------------
+
+  /** Per-document top-3 terms by tf/df score (df over the FULL corpus,
+    * docs 0-49 reported). The score is one IEEE double division —
+    * bit-identical across engines, unlike ln()-based idf. The df
+    * table is vocabulary-sized, so the join back to term frequencies
+    * broadcasts; at 100 TB it would be a shuffle join on term. */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val tf = tokens(s, d).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.filter(col("doc_id") < 50)
+      .join(df, "term")
+      .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val q56Sql = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, rank, term, tf, df, score FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / df.df AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rank
+      FROM tf JOIN df ON tf.term = df.term
+      WHERE tf.doc_id < 50)
+    WHERE rank <= 3 ORDER BY doc_id, rank"""
+
+  // ---- q57: PII redaction ------------------------------------------
+
+  /** Redact emails and phone numbers from a contact field. The fixture
+    * text contains no organic PII, so a deterministic synthetic
+    * contact string is built in-query (identically on both sides) and
+    * the redaction kernel — the part a pipeline actually ships — is
+    * exercised and oracle-checked: regexp_replace + match counts.
+    * Scan-side scalar work only; no shuffle besides the final sort. */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+?[0-9][0-9-]{6,}[0-9]"
+
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val contact = concat(
+      lit("user"), col("doc_id"), lit("@corp"), pmod(col("doc_id"), lit(7)),
+      lit(".com call +1-555-"), lpad(pmod(col("doc_id") * 37, lit(10000)).cast(StringType), 4, "0"),
+      lit(" note "), substring(col("text"), 1, 40))
+    docs.select(col("doc_id"), contact.as("contact"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("contact"), lit(EmailPat)).as("n_emails"),
+        regexp_count(col("contact"), lit(PhonePat)).as("n_phones"),
+        regexp_replace(regexp_replace(col("contact"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  private val q57Sql = s"""
+    SELECT doc_id,
+           len(regexp_extract_all(contact, '$EmailPat')) AS n_emails,
+           len(regexp_extract_all(contact, '$PhonePat')) AS n_phones,
+           regexp_replace(regexp_replace(contact, '$EmailPat', '<EMAIL>', 'g'),
+                          '$PhonePat', '<PHONE>', 'g') AS redacted
+    FROM (
+      SELECT doc_id,
+             'user' || doc_id || '@corp' || (doc_id % 7) || '.com call +1-555-'
+               || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+               || ' note ' || substr(text, 1, 40) AS contact
+      FROM documents WHERE doc_id < 100)
+    ORDER BY doc_id"""
+
+  // ---- q58: deterministic split + stratified sample ----------------
+
+  /** Train/valid/test assignment and a ~10% stratified sample from a
+    * PORTABLE deterministic hash: bucket = first two hex digits of
+    * md5(doc_id) as 0..255 (identical in any engine; Spark's hash()
+    * is murmur3, DuckDB's is not — md5 is the common ground). The
+    * split is reproducible run-to-run and engine-to-engine, which is
+    * the property a training pipeline actually needs. One narrow
+    * scan + one tiny agg shuffle. */
+  private def hexDigit(c: Column): Column =
+    instr(lit("0123456789abcdef"), c) - 1
+
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("doc_id").cast(StringType))
+    val bucket = hexDigit(substring(h, 1, 1)) * 16 + hexDigit(substring(h, 2, 1))
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "valid")
+          .otherwise("test"))
+      .withColumn("sampled", (col("bucket") < 26).cast(IntegerType))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sampled")).cast(LongType).as("n_sampled"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("lang", "split")
+  }
+
+  private val q58Sql = """
+    WITH b AS (
+      SELECT lang, doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN bucket < 26 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM b GROUP BY 1, 2 ORDER BY lang, split"""
+
+  // ---- q59: word n-gram statistics ---------------------------------
+
+  /** Top-10 word bigrams per language (higher-order array functions
+    * build the n-grams — no UDF, stays in codegen). Explode + partial
+    * agg + per-group top-k window: the 100 TB shape. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = transform(
+      sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("bigram"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
+  private val q59Sql = """
+    WITH grams AS (
+      SELECT lang, unnest(list_transform(generate_series(1, len(l) - 1),
+                          i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM (SELECT lang, string_split(text, ' ') AS l FROM documents)
+    )
+    SELECT lang, rank, bigram, n FROM (
+      SELECT lang, bigram, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, bigram) AS rank
+      FROM grams GROUP BY lang, bigram)
+    WHERE rank <= 10 ORDER BY lang, rank"""
+
+  val queries: Seq[Query] = Seq(
+    Query("q55_vocab_topk",    q55, Some(q55Sql)),
+    Query("q56_tfidf",         q56, Some(q56Sql)),
+    Query("q57_pii_redact",    q57, Some(q57Sql)),
+    Query("q58_split_sample",  q58, Some(q58Sql)),
+    Query("q59_ngram_counts",  q59, Some(q59Sql)))
+}
