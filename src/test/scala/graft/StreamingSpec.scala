@@ -55,4 +55,40 @@ class StreamingSpec extends AnyFunSuite {
         "late row below the watermark must not produce a window")
     } finally q.stop()
   }
+
+  test("session windows merge across micro-batches and finalize via watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val agg = ms.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("start"), col("w.end").as("end"),
+        col("user_id"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    try {
+      // batch 1: two events 20 min apart -> one open session [10:00, 10:50)
+      ms.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:20:00"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0, "session still open")
+      // batch 2: an event at 10:40 EXTENDS the same session (gap < 30m
+      // from 10:20) — state from batch 1 must merge, not restart
+      ms.addData((ts("2024-01-01 10:40:00"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0, "merged session still open")
+      // batch 3: 13:00 pushes the watermark past 11:10 -> session final
+      ms.addData((ts("2024-01-01 13:00:00"), 2L))
+      q.processAllAvailable()
+      val done = spark.table("sess_test").collect()
+      assert(done.length == 1)
+      val r = done.head
+      assert(r.getAs[Long]("user_id") == 1L)
+      assert(r.getAs[Long]("n") == 3L, "all three events in ONE merged session")
+      assert(r.getAs[Timestamp]("start") == ts("2024-01-01 10:00:00"))
+      assert(r.getAs[Timestamp]("end") == ts("2024-01-01 11:10:00"),
+        "session closes 30m after the last event")
+    } finally q.stop()
+  }
 }
