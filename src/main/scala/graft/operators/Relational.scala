@@ -500,8 +500,13 @@ object Relational {
     * over a fully deterministic composite ordering. */
   private def q21(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // every column the frame functions read is part of the ordering:
+    // (orderkey, linenumber) is NOT unique in the generated fixture at
+    // sf>=0.1, so a shorter key would leave lead/lag and the running
+    // sum order-dependent between engines
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"), col("l_partkey"))
     val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // rank/dense_rank order by shipdate only: ties share a rank, so
     // the values are deterministic even though the peer order isn't
@@ -524,11 +529,11 @@ object Relational {
            rank() OVER wd AS rnk,
            dense_rank() OVER wd AS drnk,
            ntile(4) OVER w AS quartile,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
            lag(l_extendedprice, 1) OVER w AS prev_price,
            lead(l_extendedprice, 1) OVER w AS next_price
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_partkey),
            wd AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
     ORDER BY l_suppkey, rn"""
 
@@ -558,6 +563,8 @@ object Relational {
     * never a full sort at scale). */
   private def q23(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      // ties beyond this sort key are harmless: tied rows are identical
+      // in every output column, so the top-25 VALUES are deterministic
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(25)

@@ -48,13 +48,22 @@ object Streams {
   }
 
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val s = df.sparkSession
     val name = "graft_sink_" + UUID.randomUUID.toString.replace("-", "")
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    // streaming state partitions are fixed at query start; size them to
+    // the stream's throughput, not the batch session's CPU count — each
+    // state store instance costs checkpoint files every micro-batch.
+    // (On a cluster this is the knob you set per stream job anyway.)
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    s.table(name)
   }
 
   /** q80: streaming tumbling 1-day windows per event_type (watermarked;
@@ -165,9 +174,30 @@ object Streams {
       .orderBy("source")
   }
 
+  /** q84: streaming exactly-once ingest dedup — dropDuplicates on the
+    * event id with a watermark bounding the dedup state (the standard
+    * guard against at-least-once upstream delivery in a training-data
+    * ingest). Bounded-run oracle: exact DISTINCT counts per type. */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val deduped = eventsStream(s, d)
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    runToMemory(deduped, "complete")
+      .orderBy("event_type")
+  }
+
+  private val q84Sql = s"""
+    SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value
+          FROM events ORDER BY event_id, ts)
+    GROUP BY event_type ORDER BY event_type"""
+
   val queries: Seq[Query] = Seq(
     Query("q80_stream_tumbling", q80, Some(q80Sql)),
     Query("q81_stream_sliding",  q81, Some(q81Sql)),
     Query("q82_session_window",  q82, Some(q82Sql)),
-    Query("q83_incremental_index", q83, None))
+    Query("q83_incremental_index", q83, None),
+    Query("q84_stream_dedup",    q84, Some(q84Sql)))
 }

@@ -91,4 +91,26 @@ class StreamingSpec extends AnyFunSuite {
         "session closes 30m after the last event")
     } finally q.stop()
   }
+
+  test("streaming dropDuplicates removes redelivered events across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val agg = ms.toDF().toDF("event_id", "ts", "k")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00"), "a"), (2L, ts("2024-01-01 10:01:00"), "a"))
+      q.processAllAvailable()
+      // batch 2 redelivers event 1 (at-least-once upstream) + a new one
+      ms.addData((1L, ts("2024-01-01 10:00:00"), "a"), (3L, ts("2024-01-01 10:02:00"), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("a" -> 2L, "b" -> 1L), s"redelivery must not double-count: $rows")
+    } finally q.stop()
+  }
 }
