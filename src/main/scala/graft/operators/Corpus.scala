@@ -186,6 +186,8 @@ object Corpus {
       i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
     Tables.documents(s, d)
+      .select(col("lang"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("lang"), explode(bigrams).as("bigram"))
       .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(w))

@@ -164,7 +164,8 @@ object Dedup {
   private def q54(s: SparkSession, d: String): DataFrame = {
     // no signature checkpoint here: the winnow kernel is a cheap
     // rolling hash, so recomputing it per branch measures faster than
-    // materializing the exploded fingerprint rows
+    // either materializing the exploded fingerprint rows or paying a
+    // per-branch repartition shuffle (both measured slower)
     val allFps = Tables.documents(s, d)
       .select(col("doc_id"), explode(Hashes.winnowUdf(8, 4)(col("text"))).as("fp"))
     val sizes = allFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
