@@ -133,12 +133,13 @@ object VectorSearch {
   private def q62(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val dim = 64
-    // 6 bits x 8 tables: for the fixture's random vectors the nearest
+    // 6 bits x 16 tables: for the fixture's random vectors the nearest
     // neighbors sit at ~60-70 degrees, so p_collide ~ (1-theta/pi)^6
-    // ~ 0.06/table -> ~0.4 over 8 tables, while random pairs (~90
-    // degrees) collide in ~10% of the corpus — the recall/candidate
-    // trade-off chosen from q67's measurements
-    val nTables = 8
+    // ~ 0.06/table -> ~0.6 over 16 tables, at a ~20% random-pair
+    // candidate fraction — the same fraction q65's IVF runs at, chosen
+    // from q67's measurements (8 tables: recall 0.40 @ ~13%; 7-bit
+    // tables: too selective for 64-dim neighbors, recall fell to 0.33)
+    val nTables = 16
     val buckets = hyperplaneBucketsUdf(dim, 6, nTables)
     val bucketed = emb.withColumn("tb", explode(buckets(col("embedding"))))
     val qs = bucketed.filter(col("vec_id") < 5)
@@ -181,18 +182,21 @@ object VectorSearch {
         .select(col("vec_id"), col("label"), col("embedding"), col("cent_id").as("cell"))
     }
 
-    // seeds: every 97th vector; one k-means refinement step (Lloyd
-    // iteration via the VecMeanAgg centroid Aggregator) re-centers the
-    // cells before the final assignment — at scale each iteration is
-    // one narrow assignment pass + one tiny groupBy(cell)
-    val seeds = emb.filter(col("vec_id") % 97 === 0)
+    // seeds: every 31st vector (~sqrt(N) cells — the classic IVF
+    // operating point: candidate fraction ~= probes/sqrt(N)); two
+    // k-means refinement steps (Lloyd iterations via the VecMeanAgg
+    // centroid Aggregator) re-center the cells before the final
+    // assignment — at scale each iteration is one narrow assignment
+    // pass + one tiny groupBy(cell)
+    val seeds = emb.filter(col("vec_id") % 31 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val cents = assign(seeds)
+    def lloyd(cs: DataFrame): DataFrame = assign(cs)
       .groupBy(col("cell"))
       .agg(graft.functions.VecMeanAgg.vecMean(col("embedding")).as("cvec"))
       .select(col("cell").as("cent_id"), col("cvec"))
+    val cents = lloyd(lloyd(seeds)).localCheckpoint()
     val assigned = assign(cents)
-    // queries probe their 2 nearest cells
+    // queries probe their 3 nearest cells
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qdist"), col("cent_id"))
     val probes = emb.filter(col("vec_id") < 5)
@@ -200,7 +204,7 @@ object VectorSearch {
       .crossJoin(broadcast(cents))
       .withColumn("qdist", l2(col("qvec"), col("cvec")))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 2)
+      .filter(col("prn") <= 3)
       .select(col("query_id"), col("qvec"), col("cent_id").as("cell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
