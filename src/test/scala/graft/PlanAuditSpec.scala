@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan property assertions — the scale invariants that
+  * matter at 100 TB, enforced instead of eyeballed (.explain):
+  * dimension joins broadcast, filters reach the parquet scan, scans
+  * prune to referenced columns, global top-k avoids a full sort, and
+  * whole-stage codegen covers the hot relational paths.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def qe(name: String): QueryExecution =
+    SparkEntry.queries(name)(spark, d).queryExecution
+
+  private def planStr(name: String): String = qe(name).executedPlan.toString
+
+  test("q10: the part dimension joins via broadcast, never a shuffle") {
+    val p = planStr("q10_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q12: star join broadcasts dims and pushes the date range to the orders scan") {
+    val p = planStr("q12_join_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters") &&
+      p.replaceAll("\\s+", " ").matches(".*PushedFilters: \\[[^]]*GreaterThanOrEqual\\(o_orderdate.*"),
+      "o_orderdate range must reach the parquet scan:\n" + p)
+  }
+
+  test("q01: lineitem scan prunes to the referenced columns and pushes the date filter") {
+    val p = planStr("q01_pricing_summary")
+    val read = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq.mkString("\n")
+    assert(!read.contains("l_partkey") && !read.contains("l_comment"),
+      s"scan must not read unreferenced columns:\n$read")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q23: global top-k is TakeOrderedAndProject, not a total sort") {
+    val p = planStr("q23_top_n_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), s"no global Sort node expected:\n$p")
+  }
+
+  test("q01: aggregation is partial-then-final with whole-stage codegen") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, d)
+    df.collect() // AQE only shows codegen stages in the FINAL plan
+                 // (and count() would build a different QueryExecution)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), "map-side partial aggregation:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final HashAggregate:\n" + p)
+    // whole-stage codegen renders as "*(n)" stage markers in the
+    // final adaptive plan's simple string
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("q55: vocabulary top-k never globally sorts the term dictionary") {
+    val p = planStr("q55_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q58: split assignment reads only (doc_id, lang)") {
+    val p = planStr("q58_split_sample")
+    val read = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq.mkString("\n")
+    assert(read.contains("doc_id") && read.contains("lang") && !read.contains("text"),
+      s"split must not read the text column:\n$read")
+  }
+}
