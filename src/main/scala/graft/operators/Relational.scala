@@ -764,6 +764,72 @@ object Relational {
            date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
     FROM orders ORDER BY o_orderkey"""
 
+  /** Unpivot (melt): the q31 wide per-user event-type counts back to
+    * long form — pivot's inverse, the other direction a reporting
+    * pipeline needs. Uses the Dataset unpivot API (Expand physically:
+    * no shuffle beyond the q31 aggregation itself). */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    q31(s, d)
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n")
+      .orderBy("user_id", "event_type")
+
+  private val q36Sql = """
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type='click' THEN 1 END) AS click,
+             COUNT(CASE WHEN event_type='error' THEN 1 END) AS error,
+             COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+             COUNT(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+             COUNT(CASE WHEN event_type='view' THEN 1 END) AS view
+      FROM events GROUP BY user_id)
+    SELECT user_id, 'click' AS event_type, click AS n FROM wide
+    UNION ALL SELECT user_id, 'error', error FROM wide
+    UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+    UNION ALL SELECT user_id, 'signup', signup FROM wide
+    UNION ALL SELECT user_id, 'view', view FROM wide
+    ORDER BY user_id, event_type"""
+
+  /** Distribution window functions per supplier: percent_rank,
+    * cume_dist, first/last/nth value over a total ordering (every
+    * column the frame functions read is in the sort — see q21). */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_partkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(s, d)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        // (rank-1)/(n-1) and rank/n on identical integers: one IEEE
+        // division each, bit-identical across engines — no rounding
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("l_extendedprice")).over(wFrame).as("cheapest"),
+        last(col("l_extendedprice")).over(wFrame).as("dearest"),
+        nth_value(col("l_extendedprice"), 2).over(wFrame).as("second_cheapest"),
+        row_number().over(w).as("rn"))
+      .orderBy("l_suppkey", "rn")
+  }
+
+  private val q37Sql = """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist,
+           first_value(l_extendedprice) OVER wf AS cheapest,
+           last_value(l_extendedprice) OVER wf AS dearest,
+           nth_value(l_extendedprice, 2) OVER wf AS second_cheapest,
+           row_number() OVER w AS rn
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey,
+                 l_linenumber, l_quantity, l_partkey),
+           wf AS (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey,
+                  l_linenumber, l_quantity, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY l_suppkey, rn"""
+
   // ---- catalog -----------------------------------------------------
 
   val queries: Seq[Query] = Seq(
@@ -796,6 +862,8 @@ object Relational {
     Query("q31_pivot",           q31, Some(q31Sql)),
     Query("q32_conditional_agg", q32, Some(q32Sql)),
     Query("q33_string_funcs",    q33, Some(q33Sql)),
+    Query("q36_unpivot",         q36, Some(q36Sql)),
+    Query("q37_window_dist",     q37, Some(q37Sql)),
     Query("q34_date_funcs",      q34, Some(q34Sql)),
     Query("q35_array_funcs",     q35, Some(q35Sql)))
 }
