@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level behavior of the corpus-preparation operators beyond the
+  * oracle gate: the split must be a pure function of doc_id (stable
+  * run-to-run and independent of partitioning), redaction must handle
+  * edge shapes, and TF-IDF must prefer rare terms.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("split assignment is identical run-to-run and sums to the corpus") {
+    val a = SparkEntry.queries("q58_split_sample")(spark, d).collect()
+    val b = SparkEntry.queries("q58_split_sample")(spark, d).collect()
+    assert(a.toSeq == b.toSeq)
+    val total = a.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables.documents(spark, d).count()
+    assert(total == corpus, s"every doc gets exactly one split: $total != $corpus")
+    // the 80/10/10 target is approximate but must be in the ballpark
+    val byFrac = a.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum.toDouble / total).toMap
+    assert(byFrac("train") > 0.70 && byFrac("train") < 0.90, byFrac.toString)
+  }
+
+  test("PII redaction removes every email/phone and preserves other text") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail a.b-c_d@ex-ample.co.uk now"),
+      (1L, "call +1-555-0100 or 555-123-4567 today"),
+      (2L, "no pii here at all"),
+      (3L, "x@y.io and 1234-5678-901 mixed")).toDF("doc_id", "contact")
+    val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val PhonePat = "\\+?[0-9][0-9-]{6,}[0-9]"
+    val out = df.select(col("doc_id"),
+        regexp_replace(regexp_replace(col("contact"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>").as("red"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "call <PHONE> or <PHONE> today")
+    assert(out(2) == "no pii here at all")
+    assert(out(3) == "<EMAIL> and <PHONE> mixed")
+  }
+
+  test("TF-IDF ranks a term unique to the doc above corpus-wide boilerplate") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i =>
+      (i.toLong, if (i == 7) "common common unique7" else "common common filler" + i))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("corpus_tmp")
+    // inline re-derivation of the q56 shape on a controlled corpus
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = tf.filter(col("doc_id") === 7)
+      .join(df_, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .orderBy(col("score").desc, col("term"))
+      .select("term").as[String].collect()
+    assert(top.head == "unique7",
+      s"doc-unique term must outrank the everywhere-term: ${top.toSeq}")
+  }
+}
