@@ -10,8 +10,11 @@ import graft.{Query, Tables}
 /** Corpus-preparation operators a large-scale training-data pipeline
   * needs beyond dedup (SURVEY.md §2 extensions): vocabulary building,
   * TF-IDF term ranking, PII redaction, deterministic train/valid/test
-  * splitting + stratified sampling, and word n-gram statistics. All
-  * five are oracle-checked (declarative built-ins only, no UDFs).
+  * splitting + stratified sampling, and word n-gram statistics.
+  *
+  * Each is a PUBLIC parameterized operator over any DataFrame; the
+  * q5x entries below are the fixture-bound instantiations the driver
+  * verifies against DuckDB (declarative built-ins only, no UDFs).
   *
   * Scale shape: everything is explode -> partial hash-agg (map-side
   * combine shrinks token streams before any shuffle) or a scan-side
@@ -20,25 +23,26 @@ import graft.{Query, Tables}
   */
 object Corpus {
 
-  private def tokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("term"))
+  /** Whitespace tokens of `textCol` with the id/extra columns kept. */
+  def tokens(df: DataFrame, textCol: String, keep: String*): DataFrame =
+    df.select(keep.map(col) :+ explode(split(col(textCol), " ")).as("term"): _*)
       .filter(length(col("term")) > 0)
 
-  // ---- q55: vocabulary (global top-k tokens) -----------------------
+  // ---- vocabulary (global top-k tokens) ----------------------------
 
-  /** Top-50 corpus vocabulary with counts and deterministic ranks.
+  /** Top-`k` corpus vocabulary with counts and deterministic ranks.
     * At 100 TB: explode + partial agg, then TakeOrderedAndProject —
     * the full term dictionary never sits on one node. */
-  private def q55(s: SparkSession, d: String): DataFrame = {
-    val counts = tokens(s, d).groupBy(col("term")).agg(count(lit(1)).as("n"))
-    counts
+  def vocabulary(df: DataFrame, textCol: String, k: Int = 50): DataFrame =
+    tokens(df, textCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))
-      .limit(50)
+      .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("term"))))
       .select(col("rank"), col("term"), col("n"))
-  }
+
+  private def q55(s: SparkSession, d: String): DataFrame =
+    vocabulary(Tables.documents(s, d), "text")
 
   private val q55Sql = """
     SELECT row_number() OVER (ORDER BY n DESC, term) AS rank, term, n
@@ -49,27 +53,34 @@ object Corpus {
       GROUP BY term)
     ORDER BY n DESC, term LIMIT 50"""
 
-  // ---- q56: TF-IDF term ranking ------------------------------------
+  // ---- TF-IDF term ranking -----------------------------------------
 
-  /** Per-document top-3 terms by tf/df score (df over the FULL corpus,
-    * docs 0-49 reported). The score is one IEEE double division —
+  /** Per-document top-`k` terms by tf/df score; document frequencies
+    * are computed over the FULL corpus even when `docFilter` trims the
+    * reported side. The score is one IEEE double division —
     * bit-identical across engines, unlike ln()-based idf. The df
     * table is vocabulary-sized, so the join back to term frequencies
     * broadcasts; at 100 TB it would be a shuffle join on term. */
-  private def q56(s: SparkSession, d: String): DataFrame = {
-    val tf = tokens(s, d).groupBy(col("doc_id"), col("term"))
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, docFilter: Column = lit(true)): DataFrame = {
+    val tf = tokens(df.withColumnRenamed(idCol, "doc_id"), textCol, "doc_id")
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.filter(col("doc_id") < 50)
-      .join(df, "term")
+    tf.filter(docFilter)
+      .join(dfreq, "term")
       .withColumn("score", col("tf").cast(DoubleType) / col("df"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
-      .orderBy("doc_id", "rank")
   }
+
+  private def q56(s: SparkSession, d: String): DataFrame =
+    tfidfTopTerms(Tables.documents(s, d), "doc_id", "text",
+        docFilter = col("doc_id") < 50)
+      .orderBy("doc_id", "rank")
 
   private val q56Sql = """
     WITH toks AS (
@@ -89,30 +100,35 @@ object Corpus {
       WHERE tf.doc_id < 50)
     WHERE rank <= 3 ORDER BY doc_id, rank"""
 
-  // ---- q57: PII redaction ------------------------------------------
+  // ---- PII redaction ------------------------------------------------
 
-  /** Redact emails and phone numbers from a contact field. The fixture
-    * text contains no organic PII, so a deterministic synthetic
-    * contact string is built in-query (identically on both sides) and
-    * the redaction kernel — the part a pipeline actually ships — is
-    * exercised and oracle-checked: regexp_replace + match counts.
-    * Scan-side scalar work only; no shuffle besides the final sort. */
-  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhonePat = "\\+?[0-9][0-9-]{6,}[0-9]"
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\+?[0-9][0-9-]{6,}[0-9]"
 
+  /** Redacted copy of a string column (emails then phones), as a
+    * scan-side Column — compose into any projection. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
+
+  /** Redaction report: match counts + redacted text per row. */
+  def redactionReport(df: DataFrame, textCol: String, keep: String*): DataFrame =
+    df.select(
+      keep.map(col) ++ Seq(
+        regexp_count(col(textCol), lit(EmailPat)).as("n_emails"),
+        regexp_count(col(textCol), lit(PhonePat)).as("n_phones"),
+        redactPii(col(textCol)).as("redacted")): _*)
+
+  /** q57: [[redactionReport]] over a deterministic synthetic contact
+    * field (the fixture text contains no organic PII; building the
+    * field identically on both sides keeps the redaction kernel —
+    * the part a pipeline actually ships — oracle-checked). */
   private def q57(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
     val contact = concat(
       lit("user"), col("doc_id"), lit("@corp"), pmod(col("doc_id"), lit(7)),
       lit(".com call +1-555-"), lpad(pmod(col("doc_id") * 37, lit(10000)).cast(StringType), 4, "0"),
       lit(" note "), substring(col("text"), 1, 40))
-    docs.select(col("doc_id"), contact.as("contact"))
-      .select(
-        col("doc_id"),
-        regexp_count(col("contact"), lit(EmailPat)).as("n_emails"),
-        regexp_count(col("contact"), lit(PhonePat)).as("n_phones"),
-        regexp_replace(regexp_replace(col("contact"), EmailPat, "<EMAIL>"),
-          PhonePat, "<PHONE>").as("redacted"))
+    redactionReport(docs.select(col("doc_id"), contact.as("contact")), "contact", "doc_id")
       .orderBy("doc_id")
   }
 
@@ -130,34 +146,38 @@ object Corpus {
       FROM documents WHERE doc_id < 100)
     ORDER BY doc_id"""
 
-  // ---- q58: deterministic split + stratified sample ----------------
+  // ---- deterministic split + stratified sample ----------------------
 
-  /** Train/valid/test assignment and a ~10% stratified sample from a
-    * PORTABLE deterministic hash: bucket = first two hex digits of
-    * md5(doc_id) as 0..255 (identical in any engine; Spark's hash()
-    * is murmur3, DuckDB's is not — md5 is the common ground). The
-    * split is reproducible run-to-run and engine-to-engine, which is
-    * the property a training pipeline actually needs. One narrow
-    * scan + one tiny agg shuffle. */
   private def hexDigit(c: Column): Column =
     instr(lit("0123456789abcdef"), c) - 1
 
-  private def q58(s: SparkSession, d: String): DataFrame = {
-    val h = md5(col("doc_id").cast(StringType))
-    val bucket = hexDigit(substring(h, 1, 1)) * 16 + hexDigit(substring(h, 2, 1))
+  /** 0..255 bucket from a PORTABLE deterministic hash: the first two
+    * hex digits of md5(id) (identical in any engine; Spark's hash()
+    * is murmur3, DuckDB's is not — md5 is the common ground). */
+  def md5Bucket(idCol: Column): Column = {
+    val h = md5(idCol.cast(StringType))
+    hexDigit(substring(h, 1, 1)) * 16 + hexDigit(substring(h, 2, 1))
+  }
+
+  /** Train/valid/test assignment reproducible run-to-run and
+    * engine-to-engine — the property a training pipeline actually
+    * needs. Fractions are in 256ths via bucket thresholds. */
+  def assignSplit(idCol: Column, trainUpTo: Int = 205, validUpTo: Int = 230): Column = {
+    val b = md5Bucket(idCol)
+    when(b < trainUpTo, "train").when(b < validUpTo, "valid").otherwise("test")
+  }
+
+  /** q58: split + ~10% stratified sample counts per language. One
+    * narrow scan + one tiny agg shuffle. */
+  private def q58(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("bucket", bucket)
-      .withColumn("split",
-        when(col("bucket") < 205, "train")
-          .when(col("bucket") < 230, "valid")
-          .otherwise("test"))
-      .withColumn("sampled", (col("bucket") < 26).cast(IntegerType))
+      .withColumn("split", assignSplit(col("doc_id")))
+      .withColumn("sampled", (md5Bucket(col("doc_id")) < 26).cast(IntegerType))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("sampled")).cast(LongType).as("n_sampled"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("lang", "split")
-  }
 
   private val q58Sql = """
     WITH b AS (
@@ -174,27 +194,34 @@ object Corpus {
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM b GROUP BY 1, 2 ORDER BY lang, split"""
 
-  // ---- q59: word n-gram statistics ---------------------------------
+  // ---- word n-gram statistics ---------------------------------------
 
-  /** Top-10 word bigrams per language (higher-order array functions
-    * build the n-grams — no UDF, stays in codegen). Explode + partial
+  /** Top-`k` word `n`-grams per group (higher-order array functions
+    * build the grams — no UDF, stays in codegen). Explode + partial
     * agg + per-group top-k window: the 100 TB shape. */
-  private def q59(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val bigrams = transform(
-      sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
-    Tables.documents(s, d)
-      .select(col("lang"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("lang"), explode(bigrams).as("bigram"))
-      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+  def ngramTopK(df: DataFrame, textCol: String, groupCol: String,
+                n: Int = 2, k: Int = 10): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // guard: sequence(1, 0) DESCENDS in Spark, so a doc with fewer
+    // than n tokens must yield an empty gram list, not indices <= 0
+    val grams = when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("bigram"))
+    df.select(col(groupCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(groupCol), explode(grams).as("bigram"))
+      .groupBy(col(groupCol), col("bigram")).agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("lang"), col("rank"), col("bigram"), col("n"))
-      .orderBy("lang", "rank")
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("bigram"), col("n"))
   }
+
+  private def q59(s: SparkSession, d: String): DataFrame =
+    ngramTopK(Tables.documents(s, d), "text", "lang")
+      .orderBy("lang", "rank")
 
   private val q59Sql = """
     WITH grams AS (

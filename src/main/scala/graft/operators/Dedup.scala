@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,10 +12,13 @@ import graft.functions.Hashes
   * verification, and embedding-cosine near-dup. Exact dedup is
   * TextOps q45 (md5 groupBy).
   *
-  * Scale shape (100 TB): signatures are computed scan-side (narrow),
-  * candidate generation is a shuffle on band/bucket keys only (tiny
-  * vs full pairwise), and exact verification runs only on candidate
-  * pairs. Nothing here is O(n^2) in the corpus.
+  * Each technique is a PUBLIC parameterized operator over any
+  * (id, text) DataFrame — the q5x entries below are the fixture-bound
+  * instantiations the driver verifies. Scale shape (100 TB):
+  * signatures are computed scan-side (narrow), candidate generation
+  * is a shuffle on band/bucket keys only (tiny vs full pairwise), and
+  * exact verification runs only on candidate pairs. Nothing here is
+  * O(n^2) in the corpus.
   */
 object Dedup {
 
@@ -31,41 +34,54 @@ object Dedup {
   private def signatures(s: SparkSession, docs: DataFrame)(sig: DataFrame => DataFrame): DataFrame =
     sig(docs.repartition(s.sparkContext.defaultParallelism)).localCheckpoint()
 
-  /** q50: MinHash-LSH candidate pairs + exact Jaccard verification.
-    * 64 hashes, 16 bands x 4 rows: catches pairs down to J ~= 0.5
-    * with high probability. Output: verified pairs with J >= 0.35.
-    * (Custom hash kernels => rows-only; correctness in DedupSpec.) */
-  private def q50(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val banded = signatures(s, docs)(
-      _.withColumn("band", explode(Hashes.minhashBandsUdf(64, 3, 16)(col("text")))))
+  /** MinHash-LSH near-dup pairs over any (id, text) frame: `nHashes`
+    * minhashes of word `shingleK`-shingles in `nBands` LSH bands for
+    * candidate generation, exact-Jaccard verification at `threshold`.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   nHashes: Int = 64, shingleK: Int = 3, nBands: Int = 16,
+                   threshold: Double = 0.35): DataFrame = {
+    val s = docs.sparkSession
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val banded = signatures(s, base)(
+      _.withColumn("band", explode(Hashes.minhashBandsUdf(nHashes, shingleK, nBands)(col("text")))))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.text").as("text_a"), col("b.text").as("text_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
-      .withColumn("jaccard", Hashes.jaccardUdf(3)(col("text_a"), col("text_b")))
-      .filter(col("jaccard") >= 0.35)
+      .withColumn("jaccard", Hashes.jaccardUdf(shingleK)(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
-  /** q51: SimHash near-dup — 4 x 16-bit bands of the 64-bit simhash
-    * as LSH keys (pigeonhole: any pair at hamming <= 3 shares at
-    * least one exact band), hamming <= 3 verification on candidates.
-    * Degenerate buckets (> 256 docs — boilerplate-dominated band
-    * values that would blow up the pair join quadratically) are
-    * dropped, the standard scale guard for banded LSH. */
-  private def q51(s: SparkSession, d: String): DataFrame = {
-    val banded = signatures(s, Tables.documents(s, d))(
+  /** q50: the fixture instantiation of [[minhashPairs]] (64 hashes,
+    * 16 bands x 4 rows: catches pairs down to J ~= 0.5 with high
+    * probability; custom hash kernels => rows-only, DedupSpec). */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs: 64-bit simhash split into `nBands`
+    * bands as LSH keys (pigeonhole: any pair at hamming <=
+    * nBands - 1 shares at least one exact band), hamming <=
+    * `maxHamming` verification on candidates. Degenerate buckets
+    * (> `bucketCap` docs — boilerplate-dominated band values that
+    * would blow up the pair join quadratically) are dropped, the
+    * standard scale guard for banded LSH. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
+    val s = docs.sparkSession
+    val nBands = 4 // 4 x 16 bits of the 64-bit simhash
+    val banded = signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
       _.select(col("doc_id"), Hashes.simhashUdf(col("text")).as("sh"))
         .select(col("doc_id"), col("sh"),
-          explode(array((0 until 4).map(b =>
+          explode(array((0 until nBands).map(b =>
             struct(lit(b).as("band"),
               shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk")))
     val smallBuckets = banded.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= 256).select(col("bk"))
+      .filter(col("bsz") <= bucketCap).select(col("bk"))
     val pruned = banded.join(smallBuckets, "bk")
     // verify with the codegen'd bit_count(xor) BEFORE deduplicating:
     // the hamming filter kills almost every candidate, so the
@@ -74,23 +90,25 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
-      .orderBy("id_a", "id_b")
   }
 
-  /** q52: embedding-cosine top-similar pairs per label block (the
-    * "semantic near-dup" pass; label is the blocking key, so the
-    * pair space is per-block not global). Output ids only — FP-safe
-    * for the DuckDB oracle. */
-  private def q52(s: SparkSession, d: String): DataFrame = {
-    // norms are computed once per vector BEFORE the pair join (the
-    // join-side expression then only pays the dot product; same
-    // arithmetic as the oracle: dot / (norm_a * norm_b))
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        graft.functions.VectorOps.vecNorm(col("embedding")).as("nrm"))
-    val pairs = emb.as("a").join(emb.as("b"),
+  /** q51: fixture instantiation of [[simhashPairs]]. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine top-`k` similar pairs per blocking key (the
+    * "semantic near-dup" pass; the block bounds the pair space).
+    * Norms are computed once per vector BEFORE the pair join, so the
+    * join side only pays the dot product. */
+  def cosinePairsPerBlock(emb: DataFrame, idCol: String, vecCol: String,
+                          blockCol: String, k: Int = 3): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"), col(blockCol).as("label"),
+      col(vecCol).as("embedding"),
+      graft.functions.VectorOps.vecNorm(col(vecCol)).as("nrm"))
+    val pairs = e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -99,10 +117,15 @@ object Dedup {
     val w = Window.partitionBy(col("label"))
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
     pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= k)
       .select(col("label"), col("rank"), col("id_a"), col("id_b"))
-      .orderBy("label", "rank")
   }
+
+  /** q52: fixture instantiation of [[cosinePairsPerBlock]] — ids only,
+    * FP-safe for the DuckDB oracle. */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    cosinePairsPerBlock(Tables.embeddings(s, d), "vec_id", "embedding", "label")
+      .orderBy("label", "rank")
 
   private val q52Sql = """
     WITH pairs AS (
@@ -123,21 +146,25 @@ object Dedup {
       FROM pairs)
     WHERE rank <= 3 ORDER BY label, rank"""
 
-  /** q53: exact n-gram (word 3-shingle) Jaccard pairs above a
-    * threshold, via an inverted shingle index: explode hashed
-    * shingles once per doc, equi-join on the shingle hash to count
-    * shared shingles per pair, then J = shared/(|a|+|b|-shared).
-    * Pairs with zero overlap are never materialized — at 100 TB this
-    * is a shuffle on shingle hashes, not an O(n^2) block scan.
-    * (The naive blocked crossJoin + per-pair re-tokenizing UDF was
-    * 95s at sf0.1; this form is ~2s with identical output.)
-    * rows-only: the shingle kernel has no SQL mirror. */
-  private def q53(s: SparkSession, d: String): DataFrame = {
-    val docs = signatures(s, Tables.documents(s, d))(
+  /** Exact n-gram (word `shingleK`-shingle) Jaccard pairs above
+    * `threshold`, via an inverted shingle index: explode hashed
+    * shingles once per doc, equi-join on the shingle hash (within an
+    * optional blocking column) to count shared shingles per pair,
+    * then J = shared/(|a|+|b|-shared). Pairs with zero overlap are
+    * never materialized — at 100 TB this is a shuffle on shingle
+    * hashes, not an O(n^2) block scan. (The naive blocked crossJoin +
+    * per-pair re-tokenizing UDF was 95s at sf0.1; this form is ~2s
+    * with identical output.) */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleK: Int = 3,
+                        threshold: Double = 0.2): DataFrame = {
+    val s = docs.sparkSession
+    val base = signatures(s, docs.select(col(idCol).as("doc_id"),
+      col(blockCol).as("source"), col(textCol).as("text")))(
       _.select(col("doc_id"), col("source"),
-        Hashes.shingleHashesUdf(3)(col("text")).as("sh")))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val posting = docs.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
+        Hashes.shingleHashesUdf(shingleK)(col("text")).as("sh")))
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val posting = base.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
     val shared = posting.as("a").join(posting.as("b"),
         col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -149,28 +176,35 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
-      .filter(col("jaccard") >= 0.2)
+      .filter(col("jaccard") >= threshold)
       .select(col("source"), col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("source", "id_a", "id_b")
   }
 
-  /** q54: winnowing-fingerprint overlap pairs: docs sharing >= 25% of
-    * their rolling-hash fingerprints (position-robust near-dup).
+  /** q53: fixture instantiation of [[ngramJaccardPairs]]. */
+  private def q53(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "source")
+      .orderBy("source", "id_a", "id_b")
+
+  /** Winnowing-fingerprint overlap pairs: docs sharing >= `minOverlap`
+    * of their rolling-hash fingerprints (position-robust near-dup).
     * Standard stop-fingerprint filter: hashes occurring in more than
-    * 64 docs are non-discriminative boilerplate and would create
+    * `maxDf` docs are non-discriminative boilerplate and would create
     * quadratic hot keys in the pair join — they are dropped from the
     * inverted index (but still count toward each doc's |fp| so the
     * overlap denominator stays honest). */
-  private def q54(s: SparkSession, d: String): DataFrame = {
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 8, kGram: Int = 4,
+                         maxDf: Int = 64, minOverlap: Double = 0.25): DataFrame = {
     // no signature checkpoint here: the winnow kernel is a cheap
     // rolling hash, so recomputing it per branch measures faster than
     // either materializing the exploded fingerprint rows or paying a
     // per-branch repartition shuffle (both measured slower)
-    val allFps = Tables.documents(s, d)
-      .select(col("doc_id"), explode(Hashes.winnowUdf(8, 4)(col("text"))).as("fp"))
+    val allFps = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Hashes.winnowUdf(window, kGram)(col(textCol))).as("fp"))
     val sizes = allFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val rare = allFps.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= 64)
+      .filter(col("df") <= maxDf)
       .select(col("fp"))
     val fps = allFps.join(rare, "fp")
     val shared = fps.as("a").join(fps.as("b"),
@@ -181,10 +215,14 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_fp", "fp_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_fp", "fp_b"), "id_b")
       .withColumn("overlap", col("n_shared").cast("double") / least(col("fp_a"), col("fp_b")))
-      .filter(col("overlap") >= 0.25)
+      .filter(col("overlap") >= minOverlap)
       .select(col("id_a"), col("id_b"), col("n_shared"), round(col("overlap"), 4).as("overlap"))
-      .orderBy("id_a", "id_b")
   }
+
+  /** q54: fixture instantiation of [[winnowOverlapPairs]]. */
+  private def q54(s: SparkSession, d: String): DataFrame =
+    winnowOverlapPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
 
   val queries: Seq[Query] = Seq(
     Query("q50_dedup_minhash_lsh", q50, None),

@@ -56,20 +56,28 @@ object VectorSearch {
     SELECT row_number() OVER (ORDER BY dist, vec_id) AS rank, vec_id, label
     FROM scored ORDER BY dist, vec_id LIMIT 10"""
 
-  /** q61: batch multi-query cosine top-5 (queries = vec_id 0..4,
-    * broadcast; per-query window top-k — V4 semantics). */
+  /** PUBLIC batch kNN: exact cosine top-`k` of each query vector
+    * against the corpus (queries broadcast — the corpus never
+    * shuffles; per-query window top-k — V2/V4 semantics). `queries`
+    * needs (query_id, qvec) columns. */
+  def knnCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cos(col(vecCol), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol))
+  }
+
+  /** q61: [[knnCosine]] with queries = vec_id 0..4 of the fixture. */
   private def q61(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    emb.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cos(col("embedding"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id"))
+    knnCosine(emb, "vec_id", "embedding", qs, 5)
       .orderBy("query_id", "rank")
   }
 
@@ -123,98 +131,108 @@ object VectorSearch {
     }
   }
 
-  /** q62: multi-table hyperplane-LSH ANN. One 8-bit table has
-    * near-zero recall on random 64-dim data (any single far-apart
-    * bit kills the match — measured by q67's recall harness), so the
-    * standard L-table scheme applies: 4 independent 8-bit tables, a
+  /** PUBLIC multi-table hyperplane-LSH ANN over any (id, vec) corpus;
+    * queries = (query_id, qvec). One table has near-zero recall on
+    * random high-dim data (any single far-apart bit kills the match —
+    * measured by q67's recall harness), so the standard L-table
+    * scheme applies: `nTables` independent `nBits`-bit tables, a
     * corpus vector is a candidate if it collides with the query in
-    * ANY table. Explode = 4 rows/vector; join stays equi on
-    * (table, bucket). Approximate => rows-only; recall via q67. */
-  private def q62(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val dim = 64
-    // 6 bits x 16 tables: for the fixture's random vectors the nearest
-    // neighbors sit at ~60-70 degrees, so p_collide ~ (1-theta/pi)^6
-    // ~ 0.06/table -> ~0.6 over 16 tables, at a ~20% random-pair
-    // candidate fraction — the same fraction q65's IVF runs at, chosen
-    // from q67's measurements (8 tables: recall 0.40 @ ~13%; 7-bit
-    // tables: too selective for 64-dim neighbors, recall fell to 0.33)
-    val nTables = 16
-    val buckets = hyperplaneBucketsUdf(dim, 6, nTables)
-    val bucketed = emb.withColumn("tb", explode(buckets(col("embedding"))))
-    val qs = bucketed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("tb").as("qtb"))
+    * ANY table. Explode = nTables rows/vector; the join stays equi on
+    * (table, bucket). Returns per-query approximate top-k with the
+    * candidate count (the honesty column every ANN needs). */
+  def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, k: Int, dim: Int,
+             nBits: Int = 6, nTables: Int = 16): DataFrame = {
+    val buckets = hyperplaneBucketsUdf(dim, nBits, nTables)
+    val bucketed = corpus.withColumn("tb", explode(buckets(col(vecCol))))
+    val qb = queries.withColumn("qtb", explode(buckets(col("qvec"))))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    bucketed.join(broadcast(qs),
-        col("tb") === col("qtb") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"), col("qvec"))
-      .dropDuplicates("query_id", "vec_id")
-      .withColumn("sim", cos(col("embedding"), col("qvec")))
+      .orderBy(col("sim").desc, col(idCol))
+    bucketed.join(broadcast(qb),
+        col("tb") === col("qtb") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col(vecCol), col("qvec"))
+      .dropDuplicates("query_id", idCol)
+      .withColumn("sim", cos(col(vecCol), col("qvec")))
       .withColumn("rank", row_number().over(w))
       .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("query_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("n_candidates"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_candidates"))
+  }
+
+  /** q62: [[annLsh]] with the fixture queries. Defaults (6 bits x 16
+    * tables) chosen from q67's measurements: for the fixture's random
+    * 64-dim vectors the nearest neighbors sit at ~60-70 degrees, so
+    * p_collide ~ (1-theta/pi)^6 ~ 0.06/table -> recall ~0.6 over 16
+    * tables at a ~20% random-pair candidate fraction — the same
+    * fraction q65's IVF runs at (8 tables: recall 0.40 @ ~13%; 7-bit
+    * tables: too selective for 64-dim neighbors, recall fell 0.33). */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    annLsh(emb, "vec_id", "embedding", qs, k = 3, dim = 64)
       .orderBy("query_id", "rank")
   }
 
-  /** q65: IVF-style ANN — the other classic scale path besides LSH.
-    * "Training" stand-in: every 97th vector is a centroid
-    * (deterministic; a k-means pass would slot in here). Corpus
-    * vectors are assigned to their nearest centroid cell (narrow
-    * broadcast pass); each query probes its 2 nearest cells and ranks
-    * candidates by exact cosine. At 100 TB the cell assignment is a
-    * scan-side computed column (ideal partition key for the index
-    * layout) and probing touches ~2/k of the corpus. Approximate =>
-    * rows-only. */
-  private def q65(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  /** PUBLIC IVF-style ANN — the other classic scale path besides LSH.
+    * `seeds` provides the initial centroids (typically a deterministic
+    * or sampled subset of the corpus); `lloydIters` k-means refinement
+    * steps re-center the cells (each iteration = one narrow broadcast
+    * assignment pass + one tiny groupBy(cell) via the VecMeanAgg
+    * Aggregator); each query probes its `probes` nearest cells and
+    * ranks candidates by exact cosine. At 100 TB the cell assignment
+    * is a scan-side computed column (ideal partition key for the
+    * index layout) and probing touches ~probes/#cells of the corpus. */
+  def annIvf(emb: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, k: Int, seeds: DataFrame,
+             lloydIters: Int = 2, probes: Int = 3): DataFrame = {
 
     // nearest-centroid assignment (one narrow pass, centroids broadcast)
     def assign(cents: DataFrame): DataFrame = {
-      val wAssign = Window.partitionBy(col("vec_id"))
+      val wAssign = Window.partitionBy(col(idCol))
         .orderBy(col("cdist"), col("cent_id"))
       emb.crossJoin(broadcast(cents))
-        .withColumn("cdist", l2(col("embedding"), col("cvec")))
+        .withColumn("cdist", l2(col(vecCol), col("cvec")))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
-        .select(col("vec_id"), col("label"), col("embedding"), col("cent_id").as("cell"))
+        .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
     }
-
-    // seeds: every 31st vector (~sqrt(N) cells — the classic IVF
-    // operating point: candidate fraction ~= probes/sqrt(N)); two
-    // k-means refinement steps (Lloyd iterations via the VecMeanAgg
-    // centroid Aggregator) re-center the cells before the final
-    // assignment — at scale each iteration is one narrow assignment
-    // pass + one tiny groupBy(cell)
-    val seeds = emb.filter(col("vec_id") % 31 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     def lloyd(cs: DataFrame): DataFrame = assign(cs)
       .groupBy(col("cell"))
-      .agg(graft.functions.VecMeanAgg.vecMean(col("embedding")).as("cvec"))
+      .agg(graft.functions.VecMeanAgg.vecMean(col(vecCol)).as("cvec"))
       .select(col("cell").as("cent_id"), col("cvec"))
-    val cents = lloyd(lloyd(seeds)).localCheckpoint()
+    val cents = (1 to lloydIters).foldLeft(seeds)((cs, _) => lloyd(cs))
+      .localCheckpoint()
     val assigned = assign(cents)
-    // queries probe their 3 nearest cells
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qdist"), col("cent_id"))
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probed = queries
       .crossJoin(broadcast(cents))
       .withColumn("qdist", l2(col("qvec"), col("cvec")))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 3)
+      .filter(col("prn") <= probes)
       .select(col("query_id"), col("qvec"), col("cent_id").as("cell"))
     val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cos(col("embedding"), col("qvec")))
+      .orderBy(col("sim").desc, col(idCol))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cos(col(vecCol), col("qvec")))
       .withColumn("rank", row_number().over(wRank))
       .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("query_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("n_candidates"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_candidates"))
+  }
+
+  /** q65: [[annIvf]] with ~sqrt(N) seed cells (every 31st vector —
+    * the classic operating point: candidate fraction ~= probes/
+    * sqrt(N)), 2 Lloyd steps, 3 probes; fixture queries. */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val seeds = emb.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    annIvf(emb, "vec_id", "embedding", qs, k = 3, seeds = seeds)
       .orderBy("query_id", "rank")
   }
 
