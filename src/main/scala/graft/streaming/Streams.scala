@@ -194,10 +194,46 @@ object Streams {
           FROM events ORDER BY event_id, ts)
     GROUP BY event_type ORDER BY event_type"""
 
+  /** q85: stateful stream-stream interval join — views within 1 hour
+    * before each purchase of the same user, both sides watermarked so
+    * the join state is bounded (the other §2.9 stateful operator
+    * class besides windowed aggregation). Inner joins emit matches as
+    * both sides arrive; the bounded run therefore produces exactly
+    * the batch interval-join result (q17's semantics pre-aggregation,
+    * oracle-checked against the same SQL). */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val views = eventsStream(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 day")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+    runToMemory(joined.select(col("p_id"), col("v_id"), col("p_ts"), col("v_ts")),
+        "append")
+      .orderBy("p_id", "v_id")
+  }
+
+  private val q85Sql = """
+    SELECT p.event_id AS p_id, v.event_id AS v_id, p.ts AS p_ts, v.ts AS v_ts
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    ORDER BY p_id, v_id"""
+
   val queries: Seq[Query] = Seq(
     Query("q80_stream_tumbling", q80, Some(q80Sql)),
     Query("q81_stream_sliding",  q81, Some(q81Sql)),
     Query("q82_session_window",  q82, Some(q82Sql)),
     Query("q83_incremental_index", q83, None),
-    Query("q84_stream_dedup",    q84, Some(q84Sql)))
+    Query("q84_stream_dedup",    q84, Some(q84Sql)),
+    Query("q85_stream_stream_join", q85, Some(q85Sql)))
 }
