@@ -153,6 +153,27 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Sketch-based approximate percentiles next to the exact values
+    * (same pattern as q06's HLL: approximate implementations differ
+    * across engines => rows-only check; the exact columns and the
+    * (approx - exact) gap are covered by q07's oracle and the
+    * rows-only sanity of this query). At 100 TB approx_percentile's
+    * mergeable sketch is the only way to get quantiles in one pass. */
+  private def q08(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("approx_p"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact_p"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("approx_p").getItem(0).as("ap50"), col("approx_p").getItem(1).as("ap90"),
+        col("approx_p").getItem(2).as("ap99"),
+        col("exact_p").getItem(0).as("p50"), col("exact_p").getItem(1).as("p90"),
+        col("exact_p").getItem(2).as("p99"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   /** Exact interpolated percentiles (median/p90) per group. Inputs
     * are integer-valued doubles and both engines use the standard
     * (1-d)*lower + d*upper interpolation at rank p*(n-1), so values
@@ -840,6 +861,7 @@ object Relational {
     Query("q05_grouping_sets",   q05, Some(q05Sql)),
     Query("q06_approx_distinct", q06, None),
     Query("q07_percentiles",     q07, Some(q07Sql)),
+    Query("q08_approx_percentiles", q08, None),
     Query("q10_join_broadcast",  q10, Some(q10Sql)),
     Query("q11_join_sortmerge",  q11, Some(q11Sql)),
     Query("q12_join_star",       q12, Some(q12Sql)),
