@@ -41,11 +41,14 @@ object Streams {
     inbox.toString
   }
 
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private def eventsStreamFrom(s: SparkSession, inbox: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(rawEventsSchema).parquet(stageInbox(d, "events.parquet"))
+    s.readStream.schema(rawEventsSchema).parquet(inbox)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    eventsStreamFrom(s, stageInbox(d, "events.parquet"))
 
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val s = df.sparkSession
@@ -202,12 +205,13 @@ object Streams {
     * the batch interval-join result (q17's semantics pre-aggregation,
     * oracle-checked against the same SQL). */
   private def q85(s: SparkSession, d: String): DataFrame = {
-    val purchases = eventsStream(s, d)
+    val inbox = stageInbox(d, "events.parquet") // one staging, two sources
+    val purchases = eventsStreamFrom(s, inbox)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 day")
-    val views = eventsStream(s, d)
+    val views = eventsStreamFrom(s, inbox)
       .filter(col("event_type") === "view")
       .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Dedup, VectorSearch}
+
+/** The public parameterized operators must work on arbitrary frames
+  * with arbitrary column names and non-default parameters — not just
+  * the fixture instantiations the driver verifies.
+  */
+class PublicApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("minhashPairs finds a planted near-dup under custom column names and bands") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (100L, base),
+      (200L, base + " extra"), // near-dup of 100
+      (300L, "completely different content about spark query planning and shuffles"))
+      .toDF("item_id", "body")
+    val pairs = Dedup.minhashPairs(docs, "item_id", "body",
+        nHashes = 32, shingleK = 2, nBands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 200L)), pairs.toString)
+  }
+
+  test("assignSplit honors custom thresholds") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val frac = ids
+      .withColumn("split", Corpus.assignSplit(col("id"), trainUpTo = 128, validUpTo = 192))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 2000.0).toMap
+    // 128/256 = 50% train, 64/256 = 25% valid, 25% test (±ε)
+    assert(math.abs(frac("train") - 0.5) < 0.05, frac.toString)
+    assert(math.abs(frac("valid") - 0.25) < 0.05, frac.toString)
+    assert(math.abs(frac("test") - 0.25) < 0.05, frac.toString)
+  }
+
+  test("ngramTopK builds trigrams and survives docs shorter than n") {
+    import spark.implicits._
+    val docs = Seq(
+      ("g1", "a b c d"), ("g1", "a b c"), ("g1", "x"), ("g1", ""))
+      .toDF("grp", "body")
+    val top = Corpus.ngramTopK(docs, "body", "grp", n = 3, k = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(top.head == (1, "a b c", 2L), top.toSeq.toString)
+  }
+
+  test("knnCosine / annLsh / annIvf agree on an easy separable corpus") {
+    import spark.implicits._
+    // 40 vectors in 2 tight clusters around e1 and e2 (dim 8)
+    def vec(axis: Int, i: Int): Array[Float] =
+      Array.tabulate(8)(j => (if (j == axis) 10f else 0f) + ((i * 31 + j * 7) % 5) * 0.01f)
+    val corpus = ((0 until 20).map(i => (i.toLong, vec(0, i))) ++
+      (20 until 40).map(i => (i.toLong, vec(1, i))))
+      .toDF("id", "v")
+    val queries = Seq((0L, vec(0, 99)), (1L, vec(1, 77)))
+      .toDF("query_id", "qvec")
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = ids(VectorSearch.knnCosine(corpus, "id", "v", queries, 5))
+    // query 0's neighbors all come from cluster 0, query 1's from cluster 1
+    assert(exact(0L).forall(_ < 20) && exact(1L).forall(_ >= 20))
+    val lsh = ids(VectorSearch.annLsh(corpus, "id", "v", queries, k = 5,
+      dim = 8, nBits = 2, nTables = 8))
+    assert(lsh(0L).subsetOf(exact(0L)) || lsh(0L).forall(_ < 20))
+    val seeds = corpus.filter(col("id").isin(0L, 20L))
+      .select(col("id").as("cent_id"), col("v").as("cvec"))
+    val ivf = ids(VectorSearch.annIvf(corpus, "id", "v", queries, k = 5,
+      seeds = seeds, lloydIters = 1, probes = 1))
+    // with one probe on a separable corpus, IVF = exact
+    assert(ivf == exact, s"$ivf vs $exact")
+  }
+}
