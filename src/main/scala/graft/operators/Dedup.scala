@@ -195,25 +195,29 @@ object Dedup {
   def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
                          window: Int = 8, kGram: Int = 4,
                          maxDf: Int = 64, minOverlap: Double = 0.25): DataFrame = {
-    // no signature checkpoint here: the winnow kernel is a cheap
-    // rolling hash, so recomputing it per branch measures faster than
-    // either materializing the exploded fingerprint rows or paying a
-    // per-branch repartition shuffle (both measured slower)
-    val allFps = docs
-      .select(col(idCol).as("doc_id"),
-        explode(Hashes.winnowUdf(window, kGram)(col(textCol))).as("fp"))
-    val sizes = allFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val rare = allFps.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("fp"))
-    val fps = allFps.join(rare, "fp")
-    val shared = fps.as("a").join(fps.as("b"),
+    val s = docs.sparkSession
+    // winnow emits DISTINCT fingerprints per doc, so both per-doc size
+    // and per-fp document frequency are plain window counts over ONE
+    // exploded pass — no separate groupBy branches, no join back for
+    // sizes. The checkpointed signature table is read twice by the
+    // pair self-join instead of re-running the kernel per branch.
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wFp  = Window.partitionBy(col("fp"))
+    val fps = signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
+      _.select(col("doc_id"), explode(Hashes.winnowUdf(window, kGram)(col("text"))).as("fp"))
+        .withColumn("n_fp", count(lit(1)).over(wDoc))
+        // stop-fingerprint filter: fps in > maxDf docs are
+        // non-discriminative boilerplate that would create quadratic
+        // hot keys in the pair join (n_fp is computed BEFORE the
+        // filter so the overlap denominator stays honest)
+        .withColumn("df", count(lit(1)).over(wFp))
+        .filter(col("df") <= maxDf)
+        .select(col("doc_id"), col("fp"), col("n_fp")))
+    fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_fp", "fp_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_fp", "fp_b"), "id_b")
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a.n_fp")).as("fp_a"), min(col("b.n_fp")).as("fp_b"))
       .withColumn("overlap", col("n_shared").cast("double") / least(col("fp_a"), col("fp_b")))
       .filter(col("overlap") >= minOverlap)
       .select(col("id_a"), col("id_b"), col("n_shared"), round(col("overlap"), 4).as("overlap"))
