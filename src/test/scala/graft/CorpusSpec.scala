@@ -52,6 +52,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3) == "<EMAIL> and <PHONE> mixed")
   }
 
+  test("redaction is idempotent and md5 buckets stay in range") {
+    import spark.implicits._
+    val texts = Seq("a@b.co", "+1-555-0100", "x <EMAIL> y", "plain", "a@b.co 555-123-4567")
+      .toDF("t")
+    val once = texts.select(operators.Corpus.redactPii(col("t")).as("r1"))
+    val twice = once.select(col("r1"), operators.Corpus.redactPii(col("r1")).as("r2"))
+    assert(twice.filter(col("r1") =!= col("r2")).count() == 0,
+      "redact(redact(x)) must equal redact(x)")
+    val buckets = (0L until 5000L).toDF("id")
+      .select(operators.Corpus.md5Bucket(col("id")).as("b"))
+      .agg(min("b"), max("b")).head
+    assert(buckets.getInt(0) >= 0 && buckets.getInt(1) <= 255, buckets.toString)
+  }
+
   test("TF-IDF ranks a term unique to the doc above corpus-wide boilerplate") {
     import spark.implicits._
     val docs = (0 until 20).map(i =>
