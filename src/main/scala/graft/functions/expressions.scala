@@ -79,11 +79,22 @@ case class A1Index(child: Expression) extends UnaryExpression {
   * text via Chunker.split. A Generator composes with the rest of the
   * plan as a narrow op (no shuffle); Catalyst prunes `chunk` if only
   * `pos` is consumed.
+  *
+  * Implements CollectionGenerator with a doGenCode that calls the
+  * static [[ChunkText.chunkRows]] kernel, so GenerateExec keeps the
+  * chunk pipeline inside whole-stage codegen (the previous
+  * CodegenFallback broke the scan->chunk->embed stage in two).
   */
 case class ChunkText(text: Expression, size: Expression, overlap: Expression)
-    extends Expression with Generator with CodegenFallback {
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.CollectionGenerator {
 
   override def children: Seq[Expression] = Seq(text, size, overlap)
+
+  override def inline: Boolean = true
+  override def position: Boolean = false
+  override def collectionType: DataType =
+    ArrayType(elementSchema, containsNull = false)
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("pos", IntegerType, nullable = false),
@@ -108,9 +119,38 @@ case class ChunkText(text: Expression, size: Expression, overlap: Expression)
     }
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tGen = text.genCode(ctx)
+    val cls = ChunkText.getClass.getName.stripSuffix("$")
+    ev.copy(code = code"""
+      ${tGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $cls.chunkRows(${tGen.isNull} ? null : ${tGen.value}, $sizeV, $overlapV);
+      boolean ${ev.isNull} = false;""")
+  }
+
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): ChunkText =
     copy(text = cs(0), size = cs(1), overlap = cs(2))
+}
+
+object ChunkText {
+  /** Static kernel for the generated code path: chunks -> ArrayData of
+    * (pos, chunk) InternalRows (empty array for null/empty text —
+    * same no-row semantics as the interpreted eval). */
+  def chunkRows(t: UTF8String, size: Int, overlap: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (t == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val chunks = Chunker.split(t.toString, size, overlap)
+    val rows = new Array[Any](chunks.length)
+    var i = 0
+    while (i < chunks.length) {
+      rows(i) = InternalRow(i, UTF8String.fromString(chunks(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
 }
 
 /** embed_text(text): deterministic hashed-n-gram embedding as a
