@@ -103,33 +103,10 @@ object VectorSearch {
 
   // ---- ANN: random-hyperplane LSH -----------------------------------
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p
-    * of table t is a +-1 from murmur-derived bits. Returns one bucket
-    * key per table, table id packed in the high bits. A tight-loop
-    * UDF over a precomputed sign matrix — the equivalent Column
-    * expression tree (tables x bits x dim nodes) made Janino compile
-    * a multi-second monster method. */
-  private def hyperplaneBucketsUdf(dim: Int, nBits: Int, nTables: Int) = {
-    val signs: Array[Array[Array[Double]]] =
-      Array.tabulate(nTables, nBits, dim) { (t, p, j) =>
-        if ((scala.util.hashing.MurmurHash3.stringHash(s"$t:$p:$j", 0x9e37) & 1) == 0) 1.0 else -1.0
-      }
-    udf { (v: Seq[Float]) =>
-      Array.tabulate(nTables) { t =>
-        var key = 0L
-        var p = 0
-        while (p < nBits) {
-          var dot = 0.0
-          var j = 0
-          val s = signs(t)(p)
-          while (j < dim && j < v.length) { dot += v(j) * s(j); j += 1 }
-          if (dot >= 0) key |= (1L << p)
-          p += 1
-        }
-        (t.toLong << 32) | key
-      }
-    }
-  }
+  /** Deterministic pseudo-random hyperplane buckets — kernel shared
+    * with the persistent index layout via [[graft.functions.Lsh]]. */
+  private def hyperplaneBucketsUdf(dim: Int, nBits: Int, nTables: Int) =
+    graft.functions.Lsh.bucketsUdf(dim, nBits, nTables)
 
   /** PUBLIC multi-table hyperplane-LSH ANN over any (id, vec) corpus;
     * queries = (query_id, qvec). One table has near-zero recall on

@@ -47,6 +47,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(link == "https://docs.google.com/spreadsheets/d/sheetB/edit#gid=0&range=A4")
   }
 
+  test("ANN search probes persisted LSH buckets and finds the on-topic doc") {
+    val dir = Files.createTempDirectory("graft_idx_ann").toString + "/index"
+    IndexStore.build(spark, tinyDocs, dir)
+    val idx = spark.read.parquet(dir)
+    assert(idx.schema.fieldNames.contains("lsh_buckets"))
+    assert(idx.select("lsh_buckets").head.getSeq[Long](0).length == IndexStore.LshTables)
+    val exact = IndexStore.searchTopK(spark, dir, "spark sql window", k = 3).collect()
+    val ann = IndexStore.searchTopKAnn(spark, dir, "spark sql window", k = 3).collect()
+    // ANN candidates are a subset of the corpus ranked by the same
+    // exact score, so its hits appear in exact order; the strongly
+    // on-topic doc must survive the bucket probe at rank 1
+    assert(ann.nonEmpty)
+    assert(ann.head.getAs[Long]("doc_id") == 2L)
+    val exactIds = exact.map(_.getAs[String]("chunk_id")).toSeq
+    val annIds = ann.map(_.getAs[String]("chunk_id")).toSeq
+    val shared = annIds.filter(exactIds.contains)
+    assert(shared == exactIds.filter(annIds.contains),
+      s"ann must preserve exact relative order: $annIds vs $exactIds")
+  }
+
   test("re-build is idempotent (partition overwrite, no duplicate ids)") {
     val dir = Files.createTempDirectory("graft_idx2").toString + "/index"
     IndexStore.build(spark, tinyDocs, dir)
