@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -233,11 +234,65 @@ object Streams {
     WHERE p.event_type = 'purchase' AND v.event_type = 'view'
     ORDER BY p_id, v_id"""
 
+  /** q86: arbitrary stateful processing via flatMapGroupsWithState —
+    * the custom-state escape hatch (§2.9) the built-in windows can't
+    * express (here: per-user sessionization with a custom in-state
+    * gap rule, reproducing q82's 30-minute-gap semantics through the
+    * typed API). Update mode emits a refreshed summary per user per
+    * micro-batch; the bounded run's last emission per user covers all
+    * events, selected by the trailing window. State stores only the
+    * event timestamps per user — bounded by the per-user event count
+    * (a production variant would evict via GroupStateTimeout; the
+    * session-count logic is what's under test). */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val stream = eventsStream(s, d)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val updated = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+              state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty) ++
+            rows.map(_._2.getTime).toSeq
+          state.update(seen)
+          val sorted = seen.sorted
+          val gapMs = 30L * 60 * 1000
+          val nSessions = if (sorted.isEmpty) 0L
+            else 1L + sorted.zip(sorted.tail).count { case (a, b) => b - a >= gapMs }
+          Iterator((user, sorted.length.toLong, nSessions))
+      }
+      .toDF("user_id", "n_events", "n_sessions")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    runToMemory(updated, "update")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(byUser))
+      .filter(col("rn") === 1) // last (fullest) emission per user
+      .select(col("user_id"), col("n_events"), col("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  private val q86Sql = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM marked GROUP BY user_id ORDER BY user_id"""
+
   val queries: Seq[Query] = Seq(
     Query("q80_stream_tumbling", q80, Some(q80Sql)),
     Query("q81_stream_sliding",  q81, Some(q81Sql)),
     Query("q82_session_window",  q82, Some(q82Sql)),
     Query("q83_incremental_index", q83, None),
     Query("q84_stream_dedup",    q84, Some(q84Sql)),
-    Query("q85_stream_stream_join", q85, Some(q85Sql)))
+    Query("q85_stream_stream_join", q85, Some(q85Sql)),
+    Query("q86_custom_state",    q86, Some(q86Sql)))
 }
