@@ -228,6 +228,51 @@ object Dedup {
     winnowOverlapPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  /** Cluster near-dup pairs into connected components and label every
+    * id with its cluster representative (the minimum reachable id) —
+    * the survivor-selection step that turns pairwise detections into
+    * deletions. Distributed label propagation: each iteration joins
+    * current labels across the (symmetrized) edge list and keeps the
+    * per-node minimum, checkpointed to truncate lineage; converges in
+    * O(diameter) iterations (near-dup clusters are shallow — chains
+    * longer than a few hops are rare). No driver-side union-find, no
+    * collect: scales with the edge list. */
+  def clusterLabels(ids: DataFrame, idCol: String,
+                    pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                    maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nlabel"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Ids that survive dedup: the minimum id of each cluster (isolated
+    * ids survive trivially). */
+  def survivors(ids: DataFrame, idCol: String, pairs: DataFrame,
+                maxIter: Int = 10): DataFrame =
+    clusterLabels(ids, idCol, pairs, maxIter = maxIter)
+      .filter(col("id") === col("label"))
+      .select(col("id"))
+
   val queries: Seq[Query] = Seq(
     Query("q50_dedup_minhash_lsh", q50, None),
     Query("q51_dedup_simhash",     q51, None),

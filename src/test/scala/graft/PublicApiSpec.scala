@@ -56,6 +56,20 @@ class PublicApiSpec extends AnyFunSuite {
     assert(top.head == (1, "a b c", 2L), top.toSeq.toString)
   }
 
+  test("clusterLabels/survivors resolve transitive near-dup chains") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc")
+    // chain 1-2-3 (1 and 3 never directly paired), pair 5-6, isolated 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterLabels(ids, "doc", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L), labels.toString)
+    val surv = Dedup.survivors(ids, "doc", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 4L, 5L, 7L), surv.toString)
+  }
+
   test("knnCosine / annLsh / annIvf agree on an easy separable corpus") {
     import spark.implicits._
     // 40 vectors in 2 tight clusters around e1 and e2 (dim 8)
