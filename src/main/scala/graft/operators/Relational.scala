@@ -650,6 +650,55 @@ object Relational {
     s.sql(q27Text)
   }
 
+  /** LATERAL correlated subquery: top-2 customers by balance per
+    * nation — the identical SQL text runs in Spark SQL and DuckDB
+    * (Catalyst plans the lateral as a rewritten join + per-key
+    * window, not a per-row re-execution). */
+  private val q28Text = """
+    SELECT n_name, c.c_custkey, c.c_acctbal
+    FROM nation,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    ORDER BY n_name, c_acctbal DESC, c_custkey"""
+
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q28Text)
+  }
+
+  /** Multiset set operations (ALL variants keep duplicates): order
+    * priorities of 1995 vs 1996 as bags — INTERSECT ALL keeps the
+    * min multiplicity, EXCEPT ALL subtracts multiplicities. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def prios(y: Int) = o.filter(
+        col("o_orderdate") >= lit(s"$y-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast(TimestampType))
+      .select(col("o_orderpriority").as("prio"))
+    val a = prios(1995); val b = prios(1996)
+    a.intersectAll(b).groupBy(col("prio")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionByName(
+        a.exceptAll(b).groupBy(col("prio")).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all")))
+      .select(col("op"), col("prio"), col("n"))
+      .orderBy("op", "prio")
+  }
+
+  private val q29Sql = """
+    WITH a AS (SELECT o_orderpriority AS prio FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+         b AS (SELECT o_orderpriority AS prio FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT 'intersect_all' AS op, prio, COUNT(*) AS n
+    FROM (SELECT prio FROM a INTERSECT ALL SELECT prio FROM b) GROUP BY prio
+    UNION ALL
+    SELECT 'except_all' AS op, prio, COUNT(*) AS n
+    FROM (SELECT prio FROM a EXCEPT ALL SELECT prio FROM b) GROUP BY prio
+    ORDER BY op, prio"""
+
   // ---- scalar / JSON / pivot ---------------------------------------
 
   /** JSON field extraction + aggregation over the extracted value. */
@@ -880,6 +929,8 @@ object Relational {
     Query("q25_distinct",        q25, Some(q25Sql)),
     Query("q26_bucketed_join",   q26, Some(q11Sql)),
     Query("q27_correlated_subq", q27, Some(q27Text)),
+    Query("q28_lateral_topk",    q28, Some(q28Text)),
+    Query("q29_set_ops_all",     q29, Some(q29Sql)),
     Query("q30_json_extract",    q30, Some(q30Sql)),
     Query("q31_pivot",           q31, Some(q31Sql)),
     Query("q32_conditional_agg", q32, Some(q32Sql)),
