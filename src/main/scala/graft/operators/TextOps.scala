@@ -89,7 +89,9 @@ object TextOps {
       .select(explode(array(
         col("l_linenumber").cast(StringType),
         col("l_returnflag"),
-        date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        // cast(date as string) renders yyyy-MM-dd like date_format
+        // would, without the per-row DateTimeFormatter machinery
+        to_date(col("l_shipdate")).cast(StringType),
         when(col("l_linenumber") % 2 === 0, "true").otherwise("false"),
         concat(col("l_linenumber"), lit("."), col("l_linenumber")))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
