@@ -15,12 +15,17 @@ import graft.{Query, Tables}
   */
 object GridOps {
 
-  /** S5 point read: cell C<row> for sheet rows 2..11 (col C = index 2). */
-  private def q70(s: SparkSession, d: String): DataFrame =
-    TextOps.cells(s, d)
-      .filter(col("col_letter") === "C" && col("doc_id").between(0, 9))
+  /** S5 point/column read over a cell frame (doc_id, col_letter,
+    * value): a pushed-down filter, never a scan at scale. */
+  def pointRead(cells: DataFrame, colLetter: String,
+                fromDoc: Long, toDoc: Long): DataFrame =
+    cells
+      .filter(col("col_letter") === colLetter && col("doc_id").between(fromDoc, toDoc))
       .select(col("doc_id"), col("col_letter"), col("value"))
-      .orderBy("doc_id")
+
+  /** q70: [[pointRead]] of column C, sheet rows 2..11. */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    pointRead(TextOps.cells(s, d), "C", 0, 9).orderBy("doc_id")
 
   private val q70Sql = """
     SELECT doc_id, 'C' AS col_letter, l[3] AS value
@@ -28,14 +33,21 @@ object GridOps {
     WHERE doc_id BETWEEN 0 AND 9 AND len(l) >= 3 AND length(trim(l[3])) > 0
     ORDER BY doc_id"""
 
-  /** S6 range read A10:D12 — filter + pivot back to grid shape. */
-  private def q71(s: SparkSession, d: String): DataFrame =
-    TextOps.cells(s, d)
-      .filter(col("doc_id").between(10, 12) && col("colidx") < 4)
+  /** S6 range read — filter + pivot back to grid shape (the A1-range
+    * `get()` of the reference's toolkit, sheet_creator_tool.py:70-81). */
+  def rangeRead(cells: DataFrame, fromDoc: Long, toDoc: Long,
+                nCols: Int): DataFrame = {
+    val letters = (0 until nCols).map(i => ('A' + i).toChar.toString)
+    cells
+      .filter(col("doc_id").between(fromDoc, toDoc) && col("colidx") < nCols)
       .groupBy(col("doc_id"))
-      .pivot("col_letter", Seq("A", "B", "C", "D"))
+      .pivot("col_letter", letters)
       .agg(first(col("value")))
-      .orderBy("doc_id")
+  }
+
+  /** q71: [[rangeRead]] A10:D12. */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    rangeRead(TextOps.cells(s, d), 10, 12, 4).orderBy("doc_id")
 
   private val q71Sql = """
     SELECT doc_id, l[1] AS A, l[2] AS B, l[3] AS C, l[4] AS D
@@ -43,18 +55,23 @@ object GridOps {
     WHERE doc_id BETWEEN 10 AND 12
     ORDER BY doc_id"""
 
-  /** S7/S8 upsert: uppercase the first 3 cells of docs 0-4, merge into
-    * the base grid via full-outer + coalesce (idempotent overwrite
-    * semantics — applying twice yields the same table). */
+  /** S7/S8 upsert: merge `updates` (doc_id, colidx, new_value) into a
+    * base cell grid via full-outer + coalesce — idempotent overwrite
+    * semantics (applying twice yields the same table), one shuffled
+    * join on the cell key at scale. */
+  def upsert(base: DataFrame, updates: DataFrame): DataFrame =
+    base.join(updates, Seq("doc_id", "colidx"), "full_outer")
+      .select(col("doc_id"), col("colidx"),
+        coalesce(col("new_value"), col("value")).as("value"))
+
+  /** q72: [[upsert]] uppercasing the first 3 cells of docs 0-4. */
   private def q72(s: SparkSession, d: String): DataFrame = {
     val base = TextOps.cells(s, d)
       .select(col("doc_id"), col("colidx"), col("value"))
     val updates = base
       .filter(col("doc_id") < 5 && col("colidx") < 3)
       .select(col("doc_id"), col("colidx"), upper(col("value")).as("new_value"))
-    base.join(updates, Seq("doc_id", "colidx"), "full_outer")
-      .select(col("doc_id"), col("colidx"),
-        coalesce(col("new_value"), col("value")).as("value"))
+    upsert(base, updates)
       .filter(col("doc_id") < 8)
       .orderBy("doc_id", "colidx")
   }
