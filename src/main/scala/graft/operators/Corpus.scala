@@ -236,6 +236,38 @@ object Corpus {
       FROM grams GROUP BY lang, bigram)
     WHERE rank <= 10 ORDER BY lang, rank"""
 
+  // ---- composed preparation pipeline --------------------------------
+
+  /** Heuristic quality gate over a text column: token count bounds
+    * and punctuation/digit-ratio caps (the q43 features as a filter).
+    * Scan-side only — composes into any projection pipeline. */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minTokens: Int = 5, maxTokens: Int = 100000,
+                    maxPunctRatio: Double = 0.2,
+                    maxDigitRatio: Double = 0.3): DataFrame = {
+    val q = graft.functions.TextAnalysis.qualityCols(col(textCol)).toMap
+    df.filter(q("n_tokens").between(minTokens, maxTokens) &&
+      q("punct_ratio") <= maxPunctRatio &&
+      q("digit_ratio") <= maxDigitRatio)
+  }
+
+  /** The composed corpus-preparation flow a training pipeline runs:
+    * quality gate -> MinHash near-dup detection -> survivor
+    * selection (transitive clusters collapse to their minimum id) ->
+    * deterministic split assignment. Returns the surviving rows with
+    * a `split` column. Each stage is the public operator above, so
+    * thresholds/parameters tune independently; at 100 TB the stages
+    * are narrow scans plus the dedup shuffle on band keys. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              minTokens: Int = 5, dedupThreshold: Double = 0.5): DataFrame = {
+    val clean = qualityFilter(docs, textCol, minTokens = minTokens)
+    val pairs = Dedup.minhashPairs(clean, idCol, textCol, threshold = dedupThreshold)
+    val keep = Dedup.survivors(clean.select(col(idCol)), idCol, pairs)
+      .withColumnRenamed("id", idCol)
+    clean.join(keep, idCol)
+      .withColumn("split", assignSplit(col(idCol)))
+  }
+
   val queries: Seq[Query] = Seq(
     Query("q55_vocab_topk",    q55, Some(q55Sql)),
     Query("q56_tfidf",         q56, Some(q56Sql)),

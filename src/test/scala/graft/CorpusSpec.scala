@@ -66,6 +66,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(buckets.getInt(0) >= 0 && buckets.getInt(1) <= 255, buckets.toString)
   }
 
+  test("prepare: quality gate drops junk, dedup keeps one of each clone pair, splits assigned") {
+    import spark.implicits._
+    val good = "a sensible document with enough words to pass the quality gate easily"
+    val docs = Seq(
+      (1L, good + " one"),
+      (2L, good + " one extra"),           // near-dup of 1 -> dropped
+      (3L, good + " totally different content about query planning and shuffles here"),
+      (4L, "short"),                        // under minTokens -> dropped
+      (5L, "1 2 3 4 5 6 7 8 9 10 11 12"))  // digit-heavy -> dropped
+      .toDF("doc_id", "text")
+    val out = operators.Corpus.prepare(docs, "doc_id", "text")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), kept.toString)
+    assert(out.filter(col("split").isin("train", "valid", "test")).count() == 2)
+  }
+
   test("TF-IDF ranks a term unique to the doc above corpus-wide boilerplate") {
     import spark.implicits._
     val docs = (0 until 20).map(i =>
