@@ -41,6 +41,11 @@ object IndexStore {
     * prunes files, not just rows. */
   def indexRows(docs: DataFrame, dim: Int = Embed.DefaultDim): DataFrame =
     docs
+      // spread the chunk->embed kernel across cores: a single-row-group
+      // input would otherwise run the whole pipeline on one task (on a
+      // cluster, file splits provide this for free; the narrow shuffle
+      // is trivial next to the per-chunk embedding cost)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         exprs.chunkText(col("text"), ChunkSize, ChunkOverlap).as(Seq("pos", "chunk")))
       .withColumn("chunk_id",
