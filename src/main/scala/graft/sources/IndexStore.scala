@@ -101,4 +101,36 @@ object IndexStore {
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
   }
+
+  /** Bucket-PARTITIONED index: one row per (table-bucket, chunk),
+    * parquet-partitioned by the bucket key — the full 100 TB layout
+    * where an ANN probe prunes FILES (partition pruning on
+    * bucket IN (...)), not rows. Costs nTables x storage (the classic
+    * multi-table LSH space/time trade); [[searchTopKAnnPartitioned]]
+    * deduplicates collisions across tables before the exact rerank. */
+  def buildBucketed(spark: SparkSession, docs: DataFrame, path: String,
+                    dim: Int = Embed.DefaultDim): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    indexRows(docs, dim)
+      .withColumn("bucket", explode(col("lsh_buckets")))
+      .drop("lsh_buckets")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
+  /** ANN search over the bucket-partitioned layout: the bucket
+    * predicate resolves to partition directories at planning time, so
+    * non-colliding files are never opened. */
+  def searchTopKAnnPartitioned(spark: SparkSession, path: String, queryText: String,
+                               k: Int = 10, dim: Int = Embed.DefaultDim): DataFrame = {
+    val qvec = Embed.embed(queryText, dim)
+    val qBuckets = Lsh.queryBuckets(qvec, dim, LshBits, LshTables)
+    present(spark.read.parquet(path)
+      .filter(col("bucket").isin(qBuckets: _*))
+      .dropDuplicates("chunk_id")
+      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(k))
+  }
 }

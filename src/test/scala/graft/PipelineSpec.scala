@@ -67,6 +67,23 @@ class PipelineSpec extends AnyFunSuite {
       s"ann must preserve exact relative order: $annIds vs $exactIds")
   }
 
+  test("bucket-partitioned index prunes partitions at plan time") {
+    val dir = Files.createTempDirectory("graft_idx_bp").toString + "/index"
+    IndexStore.buildBucketed(spark, tinyDocs, dir)
+    val df = IndexStore.searchTopKAnnPartitioned(spark, dir, "spark sql window", k = 3)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("bucket"), s"bucket predicate must prune partitions: $scan")
+    val hits = df.collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 2L)
+    // agrees with the row-pruned ANN over the flat layout
+    val flatDir = Files.createTempDirectory("graft_idx_fl").toString + "/index"
+    IndexStore.build(spark, tinyDocs, flatDir)
+    val flat = IndexStore.searchTopKAnn(spark, flatDir, "spark sql window", k = 3).collect()
+    assert(hits.map(_.getAs[String]("chunk_id")).toSeq ==
+      flat.map(_.getAs[String]("chunk_id")).toSeq)
+  }
+
   test("re-build is idempotent (partition overwrite, no duplicate ids)") {
     val dir = Files.createTempDirectory("graft_idx2").toString + "/index"
     IndexStore.build(spark, tinyDocs, dir)
