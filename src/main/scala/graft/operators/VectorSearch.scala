@@ -200,6 +200,33 @@ object VectorSearch {
       .select(col("query_id"), col("rank"), col(idCol), col("n_candidates"))
   }
 
+  /** Farthest-first (k-center, 2-approx) seeding for [[annIvf]]:
+    * start from the vector with the given id, then k-1 times add the
+    * corpus vector farthest from its nearest chosen seed. Each round
+    * is one narrow broadcast pass + a 1-row reduce — k passes total,
+    * so reserve it for offline index builds (q65 keeps cheap
+    * deterministic striding); ties break on vec_id for determinism. */
+  def farthestFirstSeeds(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int, startId: Long = 0L): DataFrame = {
+    val s = emb.sparkSession
+    var seeds = emb.filter(col(idCol) === startId)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+      .localCheckpoint()
+    var i = 1
+    while (i < k) {
+      val next = emb.crossJoin(broadcast(seeds))
+        .withColumn("d", l2(col(vecCol), col("cvec")))
+        .groupBy(col(idCol), col(vecCol))
+        .agg(min(col("d")).as("dmin"))
+        .orderBy(col("dmin").desc, col(idCol))
+        .limit(1)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+      seeds = seeds.unionByName(next).localCheckpoint()
+      i += 1
+    }
+    seeds
+  }
+
   /** q65: [[annIvf]] with ~sqrt(N) seed cells (every 31st vector —
     * the classic operating point: candidate fraction ~= probes/
     * sqrt(N)), 2 Lloyd steps, 3 probes; fixture queries. */

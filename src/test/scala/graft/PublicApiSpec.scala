@@ -56,6 +56,20 @@ class PublicApiSpec extends AnyFunSuite {
     assert(top.head == (1, "a b c", 2L), top.toSeq.toString)
   }
 
+  test("farthestFirstSeeds picks one seed per cluster on separable data") {
+    import spark.implicits._
+    def vec(axis: Int, i: Int): Array[Float] =
+      Array.tabulate(8)(j => (if (j == axis) 10f else 0f) + ((i * 13 + j) % 3) * 0.01f)
+    // three tight clusters around axes 0, 1, 2
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i % 3, i))).toDF("id", "v")
+    val seeds = graft.operators.VectorSearch
+      .farthestFirstSeeds(corpus, "id", "v", k = 3, startId = 0L)
+      .collect().map(_.getAs[Long]("cent_id"))
+    assert(seeds.length == 3)
+    // one representative per cluster: the axis of each seed id differs
+    assert(seeds.map(_ % 3).toSet.size == 3, seeds.toSeq.toString)
+  }
+
   test("clusterLabels/survivors resolve transitive near-dup chains") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc")
