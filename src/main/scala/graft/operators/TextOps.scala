@@ -237,17 +237,18 @@ object TextOps {
     GROUP BY source ORDER BY source"""
 
   /** S2/S3 source formats: round-trip documents through CSV (explicit
-    * schema, header) and JSON lines under target/, read both back and
-    * aggregate — exercising the csv/json readers with the same
-    * results as the parquet original (oracle = parquet directly).
-    * (fixture text is single-line; the CSV writer's quoting covers
-    * embedded commas/quotes). */
+    * schema, header), JSON lines, and ORC under target/, read all
+    * three back and aggregate — exercising the csv/json/orc readers
+    * with the same results as the parquet original (oracle = parquet
+    * directly). (fixture text is single-line; the CSV writer's
+    * quoting covers embedded commas/quotes). */
   private def q49(s: SparkSession, d: String): DataFrame = {
     val base = s"/root/repo/target/srcfmt/${math.abs(d.hashCode)}"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     docs.write.mode("overwrite").json(s"$base/json")
+    docs.write.mode("overwrite").orc(s"$base/orc")
     val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
     val fromCsv = s.read.option("header", "true")
       .schema(schema)
@@ -257,18 +258,23 @@ object TextOps {
       .schema(schema)
       .json(s"$base/json")
       .select(col("doc_id").as("j_doc_id"), length(col("text")).as("len_json"))
+    val fromOrc = s.read.orc(s"$base/orc")
+      .select(col("doc_id").as("o_doc_id"), length(col("text")).as("len_orc"))
     fromCsv.join(fromJson, col("doc_id") === col("j_doc_id"))
+      .join(fromOrc, col("doc_id") === col("o_doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("len_csv")).as("sum_chars_csv"),
-        sum(col("len_json")).as("sum_chars_json"))
+        sum(col("len_json")).as("sum_chars_json"),
+        sum(col("len_orc")).as("sum_chars_orc"))
       .orderBy("lang")
   }
 
   private val q49Sql = """
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars_csv,
-           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_json
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_json,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_orc
     FROM documents GROUP BY lang ORDER BY lang"""
 
   /** Full reference-contract grid ingestion (GridIngest) driven from
