@@ -84,6 +84,17 @@ class PipelineSpec extends AnyFunSuite {
       flat.map(_.getAs[String]("chunk_id")).toSeq)
   }
 
+  test("bucketed re-build is idempotent (no duplicate chunk per bucket)") {
+    val dir = Files.createTempDirectory("graft_idx_bp2").toString + "/index"
+    IndexStore.buildBucketed(spark, tinyDocs, dir)
+    val n1 = spark.read.parquet(dir).count()
+    IndexStore.buildBucketed(spark, tinyDocs, dir)
+    val again = spark.read.parquet(dir)
+    assert(again.count() == n1)
+    assert(again.groupBy("bucket", "chunk_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("re-build is idempotent (partition overwrite, no duplicate ids)") {
     val dir = Files.createTempDirectory("graft_idx2").toString + "/index"
     IndexStore.build(spark, tinyDocs, dir)

@@ -71,6 +71,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q18: salting spreads a hot key's rows across many tasks") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, d)
+    val salts = 16
+    val salted = e.withColumn("salt", pmod(hash(col("event_id")), lit(salts)))
+    // the hottest user's rows must land in >1 salt group — that is the
+    // entire point of the technique (each (user, salt) pair becomes a
+    // separate join task at scale)
+    val hot = e.groupBy("user_id").count().orderBy(col("count").desc).first.getLong(0)
+    val spread = salted.filter(col("user_id") === hot)
+      .select("salt").distinct().count()
+    assert(spread > salts / 2, s"hot key only reached $spread of $salts salt groups")
+  }
+
   test("q58: split assignment reads only (doc_id, lang)") {
     val p = planStr("q58_split_sample")
     val read = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq.mkString("\n")
