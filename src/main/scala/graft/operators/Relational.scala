@@ -719,6 +719,32 @@ object Relational {
           FROM events)
     GROUP BY event_type ORDER BY event_type"""
 
+  /** MapType operator set: JSON object -> map, map construction,
+    * map_concat, map_filter (HOF), explode to (key, value) rows —
+    * output is plain columns so both engines hash identically (map
+    * COLUMN rendering differs across engines; map CONTENT does not). */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("m", map_concat(
+        from_json(col("props"), MapType(StringType, LongType)),
+        map(lit("uid"), col("user_id"), lit("neg"), lit(-1L))))
+      .withColumn("m", map_filter(col("m"), (_, v) => v >= 0)) // drops "neg"
+      .select(explode(col("m")).as(Seq("key", "value")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast(LongType).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy("key")
+
+  private val q38Sql = """
+    SELECT key, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS sum_v,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM (
+      SELECT 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS value FROM events
+      UNION ALL
+      SELECT 'uid' AS key, user_id FROM events)
+    GROUP BY key ORDER BY key"""
+
   /** Pivot (wide counts of event types per user). */
   private def q31(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -936,6 +962,7 @@ object Relational {
     Query("q32_conditional_agg", q32, Some(q32Sql)),
     Query("q33_string_funcs",    q33, Some(q33Sql)),
     Query("q36_unpivot",         q36, Some(q36Sql)),
+    Query("q38_map_funcs",       q38, Some(q38Sql)),
     Query("q37_window_dist",     q37, Some(q37Sql)),
     Query("q34_date_funcs",      q34, Some(q34Sql)),
     Query("q35_array_funcs",     q35, Some(q35Sql)))
