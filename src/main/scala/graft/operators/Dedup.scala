@@ -273,10 +273,36 @@ object Dedup {
       .filter(col("id") === col("label"))
       .select(col("id"))
 
+  /** q68: MinHash-LSH dedup quality harness — recall of q50's banded
+    * candidate generation against the EXACT Jaccard >= threshold pair
+    * set (computed via the inverted shingle index with no blocking,
+    * which is exact — q53's method, not an approximation). Because
+    * minhashPairs verifies every candidate with exact Jaccard,
+    * precision is 1.0 by construction; what banding can lose is
+    * recall, and this query measures it (the dedup analog of q67's
+    * ANN recall). Rows-only (custom kernels). */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val threshold = 0.35
+    val exact = ngramJaccardPairs(
+        docs.withColumn("all_block", lit("x")), "doc_id", "text", "all_block",
+        shingleK = 3, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    val found = minhashPairs(docs, "doc_id", "text", threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    val nExact = exact.count()
+    val nFound = found.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+    import s.implicits._
+    Seq((nExact, nFound,
+      if (nExact == 0) 1.0 else nFound.toDouble / nExact))
+      .toDF("n_exact_pairs", "n_found_pairs", "recall")
+  }
+
   val queries: Seq[Query] = Seq(
     Query("q50_dedup_minhash_lsh", q50, None),
     Query("q51_dedup_simhash",     q51, None),
     Query("q52_embedding_neardup", q52, Some(q52Sql)),
     Query("q53_ngram_jaccard",     q53, None),
-    Query("q54_winnow_overlap",    q54, None))
+    Query("q54_winnow_overlap",    q54, None),
+    Query("q68_dedup_recall",      q68, None))
 }
