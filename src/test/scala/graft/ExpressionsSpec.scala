@@ -43,6 +43,31 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(2).length <= 100))
   }
 
+  test("chunk_text codegen path equals the Chunker kernel exactly") {
+    import spark.implicits._
+    // varied shapes: multi-separator text, exact-boundary, empty-ish
+    val texts = Seq(
+      ("p1 " * 100).trim + "\n\n" + ("p2 " * 80).trim + "\nline\nlast words here",
+      "a" * 260,
+      (1 to 60).map(i => s"w$i").mkString(" "),
+      "tiny")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), exprs.chunkText(col("text"), 120, 24).as(Seq("pos", "chunk")))
+    // the Generate node must be codegen'd (star marker), and its rows
+    // must equal Chunker.split run directly
+    df.collect() // finalize AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Generate") && l.contains("*(")),
+      s"Generate must be inside whole-stage codegen:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      graft.functions.Chunker.split(t, 120, 24).zipWithIndex.map {
+        case (c, p) => (i.toLong, p, c)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("chunk_text via SQL (LATERAL VIEW-style)") {
     Registry.ensure(spark)
     import spark.implicits._
