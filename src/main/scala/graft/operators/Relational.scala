@@ -452,8 +452,19 @@ object Relational {
     // session already wrote the bucketed files, re-register them as
     // external bucketed tables instead of rewriting (bucket file names
     // carry Spark's bucket ids, so the metadata is reconstructible).
+    // A fingerprint of the SOURCE parquet (size + mtime) guards the
+    // reuse: if the fixture is regenerated, the layout rebuilds
+    // instead of silently serving stale data.
+    def srcFingerprint: String =
+      Seq("lineitem", "orders").map { t =>
+        val p = Paths.get(s"$d/$t.parquet")
+        s"$t:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      }.mkString(";")
+    def metaPath(t: String) = Paths.get(s"$base/$t/_graft_src_meta")
     def haveFiles(t: String): Boolean =
-      Files.exists(Paths.get(s"$base/$t/_SUCCESS"))
+      Files.exists(Paths.get(s"$base/$t/_SUCCESS")) &&
+        Files.exists(metaPath(t)) &&
+        new String(Files.readAllBytes(metaPath(t))) == srcFingerprint
     def register(t: String, schema: String, key: String): Unit =
       s.sql(s"""CREATE TABLE $t ($schema) USING parquet
         CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
@@ -475,6 +486,8 @@ object Relational {
           .option("path", s"$base/$oT")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable(oT)
+        Files.write(metaPath(liT), srcFingerprint.getBytes)
+        Files.write(metaPath(oT), srcFingerprint.getBytes)
       }
     }
     // MERGE hint: at fixture scale Catalyst would broadcast the small
