@@ -132,6 +132,30 @@ object Hashes {
     picked.toArray
   }
 
+  // ---- codegen kernels (UTF8String -> Catalyst data) ----------------
+  // Static forwarders for the native expressions in NativeHashExprs —
+  // one generated-code call per row, no ScalaUDF encoder round trip on
+  // the signature scans (the hottest stage of every dedup operator).
+
+  def minhashBandsData(t: org.apache.spark.unsafe.types.UTF8String,
+                       k: Int, shingleN: Int, bands: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      minhashBands(minhash(if (t == null) null else t.toString, k, shingleN), bands))
+
+  def simhash64Utf8(t: org.apache.spark.unsafe.types.UTF8String): Long =
+    simhash64(if (t == null) null else t.toString)
+
+  def shingleHashesData(t: org.apache.spark.unsafe.types.UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      shingleHashes(if (t == null) null else t.toString, n))
+
+  def winnowData(t: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      winnow(if (t == null) null else t.toString, k, w))
+
   // ---- UDFs --------------------------------------------------------
 
   def minhashUdf(k: Int, shingleN: Int): UserDefinedFunction =

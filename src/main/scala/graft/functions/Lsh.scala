@@ -47,6 +47,33 @@ object Lsh {
     (c: Column) => f(c)
   }
 
+  /** Codegen kernel: bucket keys straight off the unsafe array data
+    * (static call from LshBuckets' generated code — same math as
+    * [[buckets]], no encoder round trip). */
+  def bucketsData(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                  signs: Array[Array[Array[Double]]],
+                  dim: Int, nBits: Int, nTables: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var p = 0
+      while (p < nBits) {
+        var dot = 0.0
+        var j = 0
+        val s = signs(t)(p)
+        while (j < dim && j < n) { dot += v.getFloat(j) * s(j); j += 1 }
+        if (dot >= 0) key |= (1L << p)
+        p += 1
+      }
+      out(t) = (t.toLong << 32) | key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Driver-side buckets of one query vector (same kernel). */
   def queryBuckets(v: Array[Float], dim: Int, nBits: Int, nTables: Int): Array[Long] =
     buckets(v, signMatrix(dim, nBits, nTables), dim, nBits, nTables)

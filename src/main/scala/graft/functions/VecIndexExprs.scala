@@ -1,0 +1,239 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types._
+
+/** Scan-side vector-index kernels (SURVEY.md §2.5): nearest-centroid
+  * assignment for IVF (the fix for the N x C crossJoin+window shuffle
+  * — cell assignment is now a codegen'd argmin per row against a
+  * plan-constant centroid table, no Exchange), and 8-bit scalar
+  * quantization (SQ8) for compressed-domain candidate generation.
+  *
+  * Centroid tables ride into generated code via
+  * `CodegenContext.addReferenceObj` — the standard mechanism for
+  * plan-constant state (what Spark itself does for, e.g., regex
+  * patterns). A K-cell coarse quantizer is index METADATA (K ~ sqrt N
+  * vectors), centrally trained and broadcast in every IVF system; the
+  * corpus-sized work stays distributed and codegen'd.
+  */
+object VecIndex {
+
+  private def l2sqTo(v: ArrayData, c: Array[Float]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = v.getFloat(i).toDouble - c(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Id of the L2-nearest centroid; ties break on the smaller id
+    * (same order the previous window formulation used). */
+  def nearestCell(v: ArrayData, ids: Array[Long], cents: Array[Array[Float]]): Long = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val d = l2sqTo(v, cents(i))
+      if (d < bestD || (d == bestD && ids(i) < ids(best))) { bestD = d; best = i }
+      i += 1
+    }
+    ids(best)
+  }
+
+  /** Ids of the `p` L2-nearest centroids, ascending (dist, id) —
+    * partial selection, O(C*p). */
+  def nearestCells(v: ArrayData, ids: Array[Long], cents: Array[Array[Float]],
+                   p: Int): ArrayData = {
+    val c = cents.length
+    val k = math.min(p, c)
+    val d = new Array[Double](c)
+    var i = 0
+    while (i < c) { d(i) = l2sqTo(v, cents(i)); i += 1 }
+    val taken = new Array[Boolean](c)
+    val out = new Array[Long](k)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      i = 0
+      while (i < c) {
+        if (!taken(i) && (best < 0 || d(i) < d(best) ||
+            (d(i) == d(best) && ids(i) < ids(best)))) best = i
+        i += 1
+      }
+      taken(best) = true
+      out(r) = ids(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distance (L2) to the nearest centroid — the farthest-first
+    * seeding scan. */
+  def minCentDist(v: ArrayData, cents: Array[Array[Float]]): Double = {
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val d = l2sqTo(v, cents(i))
+      if (d < bestD) bestD = d
+      i += 1
+    }
+    math.sqrt(bestD)
+  }
+
+  // ---- SQ8: symmetric per-vector 8-bit scalar quantization ----------
+
+  /** code[i] = round(x[i] / s) with s = max|x|/127 — 4x smaller than
+    * float32, dot products in integer arithmetic. */
+  def sq8Code(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var mx = 0.0f
+    var i = 0
+    while (i < n) { val a = math.abs(v.getFloat(i)); if (a > mx) mx = a; i += 1 }
+    if (mx > 0) {
+      val inv = 127.0 / mx
+      i = 0
+      while (i < n) { out(i) = math.round(v.getFloat(i) * inv).toByte; i += 1 }
+    }
+    out
+  }
+
+  /** Per-vector cosine rank factor: scale / ||x|| (so approx cosine =
+    * sq8Dot(a,b) * factor(a) * factor(b)); 0 for the zero vector. */
+  def sq8Factor(v: ArrayData): Double = {
+    val n = v.numElements()
+    var mx = 0.0
+    var nrm = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      val a = math.abs(x)
+      if (a > mx) mx = a
+      nrm += x * x
+      i += 1
+    }
+    if (nrm == 0.0) 0.0 else (mx / 127.0) / math.sqrt(nrm)
+  }
+
+  def sq8Dot(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var s = 0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+}
+
+/** nearest_cell(vec): LONG id of the L2-nearest centroid. The
+  * centroid table is a plan constant (addReferenceObj), so IVF cell
+  * assignment is one codegen'd scan stage — no crossJoin, no window,
+  * no Exchange (PlanAuditSpec enforces). */
+case class NearestCell(child: Expression, ids: Array[Long],
+                       cents: Array[Array[Float]])
+    extends UnaryExpression with FloatVecInput {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = check(child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    VecIndex.nearestCell(v.asInstanceOf[ArrayData], ids, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecIndex.nearestCell($v, $idsRef, $centsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** nearest_cells(vec, p): ARRAY<LONG> of the p nearest centroid ids
+  * (multiprobe cell list, ascending distance). */
+case class NearestCells(child: Expression, ids: Array[Long],
+                        cents: Array[Array[Float]], p: Int)
+    extends UnaryExpression with FloatVecInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = check(child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    VecIndex.nearestCells(v.asInstanceOf[ArrayData], ids, cents, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecIndex.nearestCells($v, $idsRef, $centsRef, $p)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** min_cent_dist(vec): DOUBLE L2 distance to the nearest of a
+  * plan-constant seed set (farthest-first seeding scan). */
+case class MinCentDist(child: Expression, cents: Array[Array[Float]])
+    extends UnaryExpression with FloatVecInput {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = check(child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    VecIndex.minCentDist(v.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecIndex.minCentDist($v, $centsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** sq8_code(vec): BINARY 8-bit scalar-quantized code (1 byte/dim). */
+case class Sq8Code(child: Expression) extends UnaryExpression with FloatVecInput {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = check(child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    VecIndex.sq8Code(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecIndex.sq8Code($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** sq8_factor(vec): DOUBLE per-vector cosine rank factor. */
+case class Sq8Factor(child: Expression) extends UnaryExpression with FloatVecInput {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = check(child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    VecIndex.sq8Factor(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecIndex.sq8Factor($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** sq8_dot(code_a, code_b): INT integer dot product of two codes. */
+case class Sq8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes() =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sq8_dot needs BINARY inputs, got ${left.dataType}, ${right.dataType}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecIndex.sq8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecIndex.sq8Dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
+/** Column builders. */
+object vecIndexExprs {
+  def nearestCell(c: Column, ids: Array[Long], cents: Array[Array[Float]]): Column =
+    shims.toColumn(NearestCell(shims.toExpression(c), ids, cents))
+  def nearestCells(c: Column, ids: Array[Long], cents: Array[Array[Float]], p: Int): Column =
+    shims.toColumn(NearestCells(shims.toExpression(c), ids, cents, p))
+  def minCentDist(c: Column, cents: Array[Array[Float]]): Column =
+    shims.toColumn(MinCentDist(shims.toExpression(c), cents))
+  def sq8Code(c: Column): Column = shims.toColumn(Sq8Code(shims.toExpression(c)))
+  def sq8Factor(c: Column): Column = shims.toColumn(Sq8Factor(shims.toExpression(c)))
+  def sq8Dot(a: Column, b: Column): Column =
+    shims.toColumn(Sq8Dot(shims.toExpression(a), shims.toExpression(b)))
+}
