@@ -27,6 +27,10 @@ private[functions] trait TextHashExpr extends UnaryExpression {
   * MinHash signature over word shingles. */
 case class MinHashBands(child: Expression, k: Int, shingleN: Int, bands: Int)
     extends TextHashExpr {
+  // plan-time validation: a bad constant must fail at construction,
+  // not per-row mid-job
+  require(k > 0 && bands > 0 && k % bands == 0,
+    s"bands ($bands) must divide k ($k), both positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     Hashes.minhashBandsData(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
@@ -71,9 +75,11 @@ case class WinnowFp(child: Expression, kGram: Int, window: Int) extends TextHash
 
 /** lsh_buckets(vec): ARRAY<LONG> multi-table hyperplane bucket keys.
   * The sign matrix is derived deterministically from (dim, bits,
-  * tables) — recomputed per executor via the lazy val, shipped into
-  * generated code as a reference object (never serialized into the
-  * plan string; ~tables*bits*dim doubles). */
+  * tables). On the codegen path it rides the plan's reference-object
+  * array (addReferenceObj serializes it to executors with the plan,
+  * ~tables*bits*dim doubles — small, and never inlined into the
+  * generated source); on the interpreted path the @transient lazy val
+  * recomputes it per executor. */
 case class LshBuckets(child: Expression, dim: Int, nBits: Int, nTables: Int)
     extends UnaryExpression with FloatVecInput {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

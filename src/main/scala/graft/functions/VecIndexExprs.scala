@@ -34,14 +34,16 @@ object VecIndex {
     s
   }
 
-  /** Id of the L2-nearest centroid; ties break on the smaller id
-    * (same order the previous window formulation used). */
+  /** Id of the L2-nearest centroid; ties break on the smaller id.
+    * Compares on sqrt(d2) so ordering (incl. near-ties collapsed by
+    * sqrt rounding) is bit-for-bit the order a window over vecL2
+    * would produce. */
   def nearestCell(v: ArrayData, ids: Array[Long], cents: Array[Array[Float]]): Long = {
     var best = 0
     var bestD = Double.MaxValue
     var i = 0
     while (i < cents.length) {
-      val d = l2sqTo(v, cents(i))
+      val d = math.sqrt(l2sqTo(v, cents(i)))
       if (d < bestD || (d == bestD && ids(i) < ids(best))) { bestD = d; best = i }
       i += 1
     }
@@ -56,7 +58,7 @@ object VecIndex {
     val k = math.min(p, c)
     val d = new Array[Double](c)
     var i = 0
-    while (i < c) { d(i) = l2sqTo(v, cents(i)); i += 1 }
+    while (i < c) { d(i) = math.sqrt(l2sqTo(v, cents(i))); i += 1 }
     val taken = new Array[Boolean](c)
     val out = new Array[Long](k)
     var r = 0
@@ -157,6 +159,7 @@ case class NearestCell(child: Expression, ids: Array[Long],
 case class NearestCells(child: Expression, ids: Array[Long],
                         cents: Array[Array[Float]], p: Int)
     extends UnaryExpression with FloatVecInput {
+  require(p >= 1, s"probe count p must be >= 1, got $p")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = check(child.dataType)
   override def nullSafeEval(v: Any): Any =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Query, Tables}
-import graft.functions.Hashes
+import graft.functions.{hashExprs, Hashes}
 
 /** Near-duplicate detection for training-data pipelines: MinHash+LSH
   * banding, SimHash hamming buckets, exact n-gram Jaccard
@@ -43,14 +43,19 @@ object Dedup {
                    threshold: Double = 0.35): DataFrame = {
     val s = docs.sparkSession
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // signature table carries (doc_id, band) ONLY: at 100 TB the band
+    // self-join shuffle must never move document text — text is joined
+    // back onto the (tiny) candidate-pair set for the exact verify
     val banded = signatures(s, base)(
-      _.withColumn("band", explode(Hashes.minhashBandsUdf(nHashes, shingleK, nBands)(col("text")))))
-    val pairs = banded.as("a").join(banded.as("b"),
+      _.select(col("doc_id"),
+        explode(hashExprs.minhashBands(col("text"), nHashes, shingleK, nBands)).as("band")))
+    val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    candidates
+      .join(base.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", Hashes.jaccardUdf(shingleK)(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -75,7 +80,7 @@ object Dedup {
     val s = docs.sparkSession
     val nBands = 4 // 4 x 16 bits of the 64-bit simhash
     val banded = signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
-      _.select(col("doc_id"), Hashes.simhashUdf(col("text")).as("sh"))
+      _.select(col("doc_id"), hashExprs.simhash64(col("text")).as("sh"))
         .select(col("doc_id"), col("sh"),
           explode(array((0 until nBands).map(b =>
             struct(lit(b).as("band"),
@@ -162,7 +167,7 @@ object Dedup {
     val base = signatures(s, docs.select(col(idCol).as("doc_id"),
       col(blockCol).as("source"), col(textCol).as("text")))(
       _.select(col("doc_id"), col("source"),
-        Hashes.shingleHashesUdf(shingleK)(col("text")).as("sh")))
+        hashExprs.shingleHashes(col("text"), shingleK).as("sh")))
     val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val posting = base.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
     val shared = posting.as("a").join(posting.as("b"),
@@ -193,7 +198,7 @@ object Dedup {
     * inverted index (but still count toward each doc's |fp| so the
     * overlap denominator stays honest). */
   def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
-                         window: Int = 8, kGram: Int = 4,
+                         kGram: Int = 8, window: Int = 4,
                          maxDf: Int = 64, minOverlap: Double = 0.25): DataFrame = {
     val s = docs.sparkSession
     // winnow emits DISTINCT fingerprints per doc, so both per-doc size
@@ -204,7 +209,7 @@ object Dedup {
     val wDoc = Window.partitionBy(col("doc_id"))
     val wFp  = Window.partitionBy(col("fp"))
     val fps = signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
-      _.select(col("doc_id"), explode(Hashes.winnowUdf(window, kGram)(col("text"))).as("fp"))
+      _.select(col("doc_id"), explode(hashExprs.winnowFp(col("text"), kGram, window)).as("fp"))
         .withColumn("n_fp", count(lit(1)).over(wDoc))
         // stop-fingerprint filter: fps in > maxDf docs are
         // non-discriminative boilerplate that would create quadratic

@@ -103,10 +103,11 @@ object VectorSearch {
 
   // ---- ANN: random-hyperplane LSH -----------------------------------
 
-  /** Deterministic pseudo-random hyperplane buckets — kernel shared
-    * with the persistent index layout via [[graft.functions.Lsh]]. */
-  private def hyperplaneBucketsUdf(dim: Int, nBits: Int, nTables: Int) =
-    graft.functions.Lsh.bucketsUdf(dim, nBits, nTables)
+  /** Deterministic pseudo-random hyperplane buckets — native codegen
+    * kernel shared with the persistent index layout via
+    * [[graft.functions.Lsh]]. */
+  private def hyperplaneBuckets(dim: Int, nBits: Int, nTables: Int): Column => Column =
+    (c: Column) => graft.functions.hashExprs.lshBuckets(c, dim, nBits, nTables)
 
   /** PUBLIC multi-table hyperplane-LSH ANN over any (id, vec) corpus;
     * queries = (query_id, qvec). One table has near-zero recall on
@@ -120,7 +121,7 @@ object VectorSearch {
   def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, dim: Int,
              nBits: Int = 6, nTables: Int = 16): DataFrame = {
-    val buckets = hyperplaneBucketsUdf(dim, nBits, nTables)
+    val buckets = hyperplaneBuckets(dim, nBits, nTables)
     val bucketed = corpus.withColumn("tb", explode(buckets(col(vecCol))))
     val qb = queries.withColumn("qtb", explode(buckets(col("qvec"))))
     val w = Window.partitionBy(col("query_id"))
@@ -151,44 +152,57 @@ object VectorSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** Collect a (cent_id, cvec) centroid frame to driver arrays sorted
+    * by id. A coarse quantizer is index METADATA (~sqrt N rows in
+    * every IVF system) — it rides into the scan-side argmin
+    * expressions as a plan constant, never as a join side. */
+  private def collectCents(cs: DataFrame): (Array[Long], Array[Array[Float]]) = {
+    val rows = cs.select(col("cent_id").cast("long"), col("cvec")).collect()
+      .sortBy(_.getLong(0))
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
+  }
+
   /** PUBLIC IVF-style ANN — the other classic scale path besides LSH.
     * `seeds` provides the initial centroids (typically a deterministic
     * or sampled subset of the corpus); `lloydIters` k-means refinement
-    * steps re-center the cells (each iteration = one narrow broadcast
-    * assignment pass + one tiny groupBy(cell) via the VecMeanAgg
-    * Aggregator); each query probes its `probes` nearest cells and
-    * ranks candidates by exact cosine. At 100 TB the cell assignment
-    * is a scan-side computed column (ideal partition key for the
-    * index layout) and probing touches ~probes/#cells of the corpus. */
+    * steps re-center the cells; each query probes its `probes` nearest
+    * cells (multiprobe) and ranks candidates by exact cosine.
+    *
+    * Cell assignment is a codegen'd NearestCell argmin per corpus row
+    * against the plan-constant centroid table — one narrow scan stage,
+    * no crossJoin, no window, no Exchange over the corpus
+    * (PlanAuditSpec's q65 test enforces this). Each Lloyd step is that
+    * narrow scan + a tiny groupBy(cell) on the VecMeanAgg Aggregator
+    * + a ~sqrt(N)-row collect of the refreshed centroid table. At
+    * 100 TB the assigned cell is the index partition key and probing
+    * touches ~probes/#cells of the corpus files. */
   def annIvf(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, seeds: DataFrame,
              lloydIters: Int = 2, probes: Int = 3): DataFrame = {
+    import graft.functions.vecIndexExprs
 
-    // nearest-centroid assignment (one narrow pass, centroids broadcast)
-    def assign(cents: DataFrame): DataFrame = {
-      val wAssign = Window.partitionBy(col(idCol))
-        .orderBy(col("cdist"), col("cent_id"))
-      emb.crossJoin(broadcast(cents))
-        .withColumn("cdist", l2(col(vecCol), col("cvec")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+    def assign(ids: Array[Long], cents: Array[Array[Float]]): DataFrame =
+      emb.select(col(idCol), col(vecCol),
+        vecIndexExprs.nearestCell(col(vecCol), ids, cents).as("cell"))
+
+    var (ids, cents) = collectCents(seeds)
+    var it = 0
+    while (it < lloydIters) {
+      val refreshed = collectCents(
+        assign(ids, cents)
+          .groupBy(col("cell"))
+          .agg(graft.functions.VecMeanAgg.vecMean(col(vecCol)).as("cvec"))
+          .select(col("cell").as("cent_id"), col("cvec")))
+      ids = refreshed._1
+      cents = refreshed._2
+      it += 1
     }
-    def lloyd(cs: DataFrame): DataFrame = assign(cs)
-      .groupBy(col("cell"))
-      .agg(graft.functions.VecMeanAgg.vecMean(col(vecCol)).as("cvec"))
-      .select(col("cell").as("cent_id"), col("cvec"))
-    val cents = (1 to lloydIters).foldLeft(seeds)((cs, _) => lloyd(cs))
-      .localCheckpoint()
-    val assigned = assign(cents)
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdist"), col("cent_id"))
-    val probed = queries
-      .crossJoin(broadcast(cents))
-      .withColumn("qdist", l2(col("qvec"), col("cvec")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= probes)
-      .select(col("query_id"), col("qvec"), col("cent_id").as("cell"))
+    val assigned = assign(ids, cents)
+    // multiprobe list: the p nearest cells per query via the same
+    // scan-side kernel (ascending distance, ties on id — the order
+    // the old window formulation produced)
+    val probed = queries.select(col("query_id"), col("qvec"),
+      explode(vecIndexExprs.nearestCells(col("qvec"), ids, cents, probes)).as("cell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol))
     assigned.join(broadcast(probed), Seq("cell"))
@@ -203,28 +217,30 @@ object VectorSearch {
   /** Farthest-first (k-center, 2-approx) seeding for [[annIvf]]:
     * start from the vector with the given id, then k-1 times add the
     * corpus vector farthest from its nearest chosen seed. Each round
-    * is one narrow broadcast pass + a 1-row reduce — k passes total,
-    * so reserve it for offline index builds (q65 keeps cheap
-    * deterministic striding); ties break on vec_id for determinism. */
+    * is one narrow MinCentDist scan (seed set = plan constant) + a
+    * 1-row TakeOrdered — k passes total, so reserve it for offline
+    * index builds (q65 keeps cheap deterministic striding); ties
+    * break on the id column for determinism. */
   def farthestFirstSeeds(emb: DataFrame, idCol: String, vecCol: String,
                          k: Int, startId: Long = 0L): DataFrame = {
-    val s = emb.sparkSession
-    var seeds = emb.filter(col(idCol) === startId)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
-      .localCheckpoint()
+    import graft.functions.vecIndexExprs
+    val first = emb.filter(col(idCol) === startId)
+      .select(col(idCol).cast("long"), col(vecCol)).head
+    var ids = Array(first.getLong(0))
+    var cents = Array(first.getSeq[Float](1).toArray)
     var i = 1
     while (i < k) {
-      val next = emb.crossJoin(broadcast(seeds))
-        .withColumn("d", l2(col(vecCol), col("cvec")))
-        .groupBy(col(idCol), col(vecCol))
-        .agg(min(col("d")).as("dmin"))
-        .orderBy(col("dmin").desc, col(idCol))
-        .limit(1)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
-      seeds = seeds.unionByName(next).localCheckpoint()
+      val next = emb.select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cvec"),
+          vecIndexExprs.minCentDist(col(vecCol), cents).as("dmin"))
+        .orderBy(col("dmin").desc, col("cent_id"))
+        .limit(1).head
+      ids :+= next.getLong(0)
+      cents :+= next.getSeq[Float](1).toArray
       i += 1
     }
-    seeds
+    val s = emb.sparkSession
+    import s.implicits._
+    ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
   }
 
   /** q65: [[annIvf]] with ~sqrt(N) seed cells (every 31st vector —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{exprs, Embed, Lsh, VectorOps}
+import graft.functions.{exprs, hashExprs, Embed, Lsh, VectorOps}
 
 /** The persistent vector index (SURVEY.md §2.1 S4 + §3.1/3.2): the
   * reference's ChromaDB collection re-expressed as a partitioned
@@ -53,7 +53,7 @@ object IndexStore {
       .withColumn("sheet_row", col("doc_id") + 2)
       .withColumn("embedding", Embed.embedCol(col("chunk"), dim))
       .withColumn("lsh_buckets",
-        Lsh.bucketsUdf(dim, LshBits, LshTables)(col("embedding")))
+        hashExprs.lshBuckets(col("embedding"), dim, LshBits, LshTables))
 
   /** Build (or refresh) the index at `path`. Idempotent per source
     * partition. */

@@ -139,6 +139,103 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native hash expressions match the ScalaUDF kernels bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.{hashExprs, Hashes}
+    val rnd = new scala.util.Random(41)
+    val texts = (0 until 60).map { i =>
+      (i.toLong, (1 to 40 + rnd.nextInt(200)).map(_ => s"w${rnd.nextInt(300)}").mkString(" "))
+    } :+ (999L, "")
+    val df = texts.toDF("id", "text").repartition(4)
+    val cmp = df.select(
+      hashExprs.minhashBands(col("text"), 64, 3, 16).as("mb_n"),
+      Hashes.minhashBandsUdf(64, 3, 16)(col("text")).as("mb_u"),
+      hashExprs.simhash64(col("text")).as("sh_n"),
+      Hashes.simhashUdf(col("text")).as("sh_u"),
+      sort_array(hashExprs.shingleHashes(col("text"), 3)).as("sg_n"),
+      sort_array(Hashes.shingleHashesUdf(3)(col("text"))).as("sg_u"),
+      hashExprs.winnowFp(col("text"), 8, 4).as("wf_n"),
+      Hashes.winnowUdf(8, 4)(col("text")).as("wf_u"))
+    assert(cmp.filter(col("mb_n") =!= col("mb_u") || col("sh_n") =!= col("sh_u") ||
+      col("sg_n") =!= col("sg_u") || col("wf_n") =!= col("wf_u")).count() == 0)
+  }
+
+  test("native lsh_buckets matches the UDF kernel bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.{hashExprs, Lsh}
+    val rnd = new scala.util.Random(43)
+    val df = (0 until 100).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    val cmp = df.select(
+      hashExprs.lshBuckets(col("v"), 64, 6, 16).as("n"),
+      Lsh.bucketsUdf(64, 6, 16)(col("v")).as("u"))
+    assert(cmp.filter(col("n") =!= col("u")).count() == 0)
+  }
+
+  test("MinHashBands rejects bad band constants at construction, not per row") {
+    import graft.functions.hashExprs
+    intercept[IllegalArgumentException] {
+      hashExprs.minhashBands(col("text"), 64, 3, 7) // 7 does not divide 64
+    }
+  }
+
+  test("NearestCell/NearestCells/MinCentDist match a driver-side argmin") {
+    import spark.implicits._
+    import graft.functions.vecIndexExprs
+    val rnd = new scala.util.Random(47)
+    def v(): Array[Float] = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val cents = Array.fill(9)(v())
+    val ids = Array.tabulate(9)(i => (i * 10).toLong)
+    val df = (0 until 120).map(i => (i.toLong, v())).toDF("id", "x")
+    val got = df.select(col("id"),
+        vecIndexExprs.nearestCell(col("x"), ids, cents).as("cell"),
+        vecIndexExprs.nearestCells(col("x"), ids, cents, 3).as("cells"),
+        vecIndexExprs.minCentDist(col("x"), cents).as("dmin"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2), r.getDouble(3)))).toMap
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { case (id, x) =>
+      val ds = cents.indices.map { i =>
+        var s = 0.0
+        (0 until 16).foreach(j => { val d = x(j).toDouble - cents(i)(j).toDouble; s += d * d })
+        (math.sqrt(s), ids(i))
+      }
+      val want = ds.sortBy(identity).map(_._2)
+      assert(got(id)._1 == want.head, s"nearestCell mismatch at $id")
+      assert(got(id)._2 == want.take(3), s"nearestCells mismatch at $id")
+      assert(got(id)._3 == ds.map(_._1).min, s"minCentDist mismatch at $id")
+    }
+  }
+
+  test("sq8 code/dot approximates cosine rank on unit-ish vectors") {
+    import graft.functions.VecIndex
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(53)
+    def v(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val q = v()
+    val xs = Array.fill(50)(v())
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    def ad(a: Array[Float]) = new GenericArrayData(a)
+    val qc = VecIndex.sq8Code(ad(q)); val qf = VecIndex.sq8Factor(ad(q))
+    val approx = xs.map { x =>
+      VecIndex.sq8Dot(qc, VecIndex.sq8Code(ad(x))) * qf * VecIndex.sq8Factor(ad(x))
+    }
+    val exact = xs.map(cos(q, _))
+    // SQ8 with 127 levels: tiny quantization error
+    xs.indices.foreach(i => assert(math.abs(approx(i) - exact(i)) < 0.01,
+      s"sq8 error too large at $i: ${approx(i)} vs ${exact(i)}"))
+    // and the top-5 by approx contains the top-3 by exact
+    val topA = approx.zipWithIndex.sortBy(-_._1).take(5).map(_._2).toSet
+    val topE = exact.zipWithIndex.sortBy(-_._1).take(3).map(_._2).toSet
+    assert(topE.subsetOf(topA))
+  }
+
   test("suggest_data_type classifies like the reference") {
     import spark.implicits._
     val df = Seq(

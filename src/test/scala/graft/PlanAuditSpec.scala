@@ -85,6 +85,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(spread > salts / 2, s"hot key only reached $spread of $salts salt groups")
   }
 
+  test("q65: IVF cell assignment is one narrow codegen'd scan — no Exchange, no join") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, d)
+    val (ids, cents) = {
+      val rows = emb.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
+      (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
+    }
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.vecIndexExprs.nearestCell(col("embedding"), ids, cents).as("cell"))
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"assignment must be a single narrow stage:\n$p")
+    assert(p.contains("*(1)"), s"assignment must be whole-stage codegen:\n$p")
+  }
+
+  test("q65: full IVF plan has no cartesian/nested-loop join and no ScalaUDF") {
+    val p = planStr("q65_ann_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF must not cross-join the corpus against centroids:\n$p")
+  }
+
+  test("q50: no document text inside the band-join candidate generation") {
+    // the candidate dedup (dropDuplicates on id_a/id_b) sits at the top
+    // of the band self-join subtree; nothing under it may carry text —
+    // text joins back only AFTER dedup, onto the tiny pair set
+    val q = qe("q50_dedup_minhash_lsh")
+    val dedups = q.analyzed.collect {
+      case dd: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => dd
+    }
+    assert(dedups.nonEmpty, s"expected a Deduplicate node:\n${q.analyzed}")
+    dedups.foreach { dd =>
+      dd.foreach { node =>
+        assert(!node.output.exists(_.name.contains("text")),
+          s"text column inside candidate generation: ${node.output.map(_.name)}")
+      }
+    }
+  }
+
+  test("q51/q53/q54/q62: signature scans are native codegen, no ScalaUDF before the shuffle") {
+    Seq("q51_dedup_simhash", "q53_ngram_jaccard", "q54_winnow_overlap", "q62_ann_lsh")
+      .foreach { name =>
+        val p = planStr(name)
+        assert(!p.contains("UDF("), s"$name still runs a ScalaUDF:\n$p")
+      }
+  }
+
   test("q58: split assignment reads only (doc_id, lang)") {
     val p = planStr("q58_split_sample")
     val read = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq.mkString("\n")
