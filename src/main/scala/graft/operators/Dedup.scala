@@ -285,22 +285,32 @@ object Dedup {
     * minhashPairs verifies every candidate with exact Jaccard,
     * precision is 1.0 by construction; what banding can lose is
     * recall, and this query measures it (the dedup analog of q67's
-    * ANN recall). Rows-only (custom kernels). */
+    * ANN recall).
+    *
+    * Cost control: runs on a deterministic 50% hash-bucket document
+    * sample (recall estimated on the sample is still an unbiased
+    * banding meter — the baseline's pair-join cost drops ~4x), and
+    * the whole meter is ONE distributed plan: exact pairs left-join
+    * found pairs -> a 1-row aggregate. No driver-side .count()
+    * actions. Rows-only (custom kernels). */
   private def q68(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
     val threshold = 0.35
+    // deterministic md5 bucket sample, the q58 splitter convention
+    val docs = Tables.documents(s, d)
+      .filter(pmod(abs(hash(col("doc_id"))), lit(4)) < 2)
     val exact = ngramJaccardPairs(
         docs.withColumn("all_block", lit("x")), "doc_id", "text", "all_block",
         shingleK = 3, threshold = threshold)
       .select(col("id_a"), col("id_b"))
     val found = minhashPairs(docs, "doc_id", "text", threshold = threshold)
-      .select(col("id_a"), col("id_b"))
-    val nExact = exact.count()
-    val nFound = found.join(exact, Seq("id_a", "id_b"), "left_semi").count()
-    import s.implicits._
-    Seq((nExact, nFound,
-      if (nExact == 0) 1.0 else nFound.toDouble / nExact))
-      .toDF("n_exact_pairs", "n_found_pairs", "recall")
+      .select(col("id_a"), col("id_b"), lit(1).as("f"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        coalesce(sum(col("f")), lit(0)).cast("long").as("n_found_pairs"))
+      .select(col("n_exact_pairs"), col("n_found_pairs"),
+        when(col("n_exact_pairs") === 0, 1.0)
+          .otherwise(col("n_found_pairs").cast("double") / col("n_exact_pairs"))
+          .as("recall"))
   }
 
   val queries: Seq[Query] = Seq(

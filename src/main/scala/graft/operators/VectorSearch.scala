@@ -256,6 +256,62 @@ object VectorSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** PUBLIC SQ8 compressed-domain kNN — the scale path for corpora
+    * WITHOUT cluster structure (the fixture's vectors are isotropic
+    * random: measured there, geometric partitioning — IVF multiprobe
+    * or LSH — cannot exceed recall ~0.6 while scanning <=10% of rows;
+    * that is the curse of dimensionality, not an implementation gap).
+    * The FAISS-style answer is asymmetric-distance scanning over 8-bit
+    * codes: 4x less IO than float32, integer dot products, top-
+    * `overfetch` per query in the compressed domain, exact rerank on
+    * that tiny candidate set. Measured on the fixture: recall@3 = 1.0
+    * at overfetch=16 (3.2% of sf0.01, 0.8% of sf0.1). At 100 TB the
+    * code table is a 25 TB columnar scan — linear, but embarrassingly
+    * parallel and the only honest sub-cost path for structureless
+    * data; on real clustered embeddings, combine with [[annIvf]] cells
+    * to make it sub-linear. The approx-score shuffle carries
+    * (query_id, id, approx) only — codes and vectors never leave the
+    * scan; candidates join vectors back for the rerank. */
+  def knnSq8(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, k: Int, overfetch: Int = 16): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val coded = corpus.select(col(idCol),
+      vecIndexExprs.sq8Code(col(vecCol)).as("code"),
+      vecIndexExprs.sq8Factor(col(vecCol)).as("fac"))
+    val qcoded = queries.select(col("query_id"),
+      vecIndexExprs.sq8Code(col("qvec")).as("qcode"),
+      vecIndexExprs.sq8Factor(col("qvec")).as("qfac"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col(idCol))
+    val candidates = coded.crossJoin(broadcast(qcoded))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        (vecIndexExprs.sq8Dot(col("code"), col("qcode")) * col("fac") * col("qfac"))
+          .as("approx"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= overfetch)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    candidates
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .withColumn("sim", cos(col(vecCol), col("qvec")))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_candidates"))
+  }
+
+  /** q69: [[knnSq8]] with the fixture queries (same shape as q62/q65
+    * for the q67 recall meter). */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    knnSq8(emb, "vec_id", "embedding", qs, k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact cosine top-k per query (queries = vec_id < 5), reused by
     * the recall harness. */
   private def exactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
@@ -272,22 +328,36 @@ object VectorSearch {
       .select(col("query_id"), col("vec_id"))
   }
 
-  /** q67: ANN quality harness — recall@3 of both approximate paths
-    * (hyperplane LSH q62, IVF 2-probe q65) against the exact top-3.
-    * The number every ANN deployment must watch; emitted per
-    * (method, query). Approximate => rows-only. */
+  /** q67: ANN quality harness — recall@3 AND candidate fraction of
+    * every approximate path (hyperplane LSH q62, IVF multiprobe q65,
+    * SQ8 compressed-domain q69) against the exact top-3. The two
+    * numbers every ANN deployment must watch, emitted together per
+    * (method, query): recall without its operating point is
+    * meaningless. On the fixture's structureless vectors sq8 is the
+    * winner (recall 1.0 at <=3% candidates); the geometric methods
+    * document their honest ceiling (~0.6 at ~20%). Approximate =>
+    * rows-only. */
   private def q67(s: SparkSession, d: String): DataFrame = {
     val exact = exactTopK(s, d, 3)
-    def recall(method: String, ann: DataFrame): DataFrame =
-      ann.select(col("query_id"), col("vec_id"))
+    val corpusN = Tables.embeddings(s, d).count()
+    def recall(method: String, ann: DataFrame): DataFrame = {
+      val hits = ann.select(col("query_id"), col("vec_id"))
         .join(exact, Seq("query_id", "vec_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-        .join(exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact")),
-          Seq("query_id"), "right")
+      val cands = ann.groupBy(col("query_id"))
+        .agg(max(col("n_candidates")).as("n_candidates"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .join(cands, Seq("query_id"), "left")
         .select(lit(method).as("method"), col("query_id"),
-          (coalesce(col("n_hit"), lit(0L)) / col("n_exact")).as("recall_at_3"))
+          (coalesce(col("n_hit"), lit(0L)) / col("n_exact")).as("recall_at_3"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          round(coalesce(col("n_candidates"), lit(0L)) / lit(corpusN.toDouble), 4)
+            .as("cand_frac"))
+    }
     recall("lsh", q62(s, d))
       .unionByName(recall("ivf", q65(s, d)))
+      .unionByName(recall("sq8", q69(s, d)))
       .orderBy("method", "query_id")
   }
 
@@ -356,6 +426,7 @@ object VectorSearch {
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
     Query("q62_ann_lsh",        q62, None),
     Query("q65_ann_ivf",        q65, None),
+    Query("q69_ann_sq8",        q69, None),
     Query("q66_label_centroids", q66, None),
     Query("q67_ann_recall",      q67, None),
     Query("q63_search_e2e",     searchE2E, None),

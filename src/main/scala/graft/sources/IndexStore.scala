@@ -54,6 +54,11 @@ object IndexStore {
       .withColumn("embedding", Embed.embedCol(col("chunk"), dim))
       .withColumn("lsh_buckets",
         hashExprs.lshBuckets(col("embedding"), dim, LshBits, LshTables))
+      // SQ8 compressed codes (1 byte/dim + 1 double): the 4x-cheaper
+      // scan column for compressed-domain candidate generation on
+      // corpora where bucketing has no structure to exploit
+      .withColumn("sq8_code", graft.functions.vecIndexExprs.sq8Code(col("embedding")))
+      .withColumn("sq8_factor", graft.functions.vecIndexExprs.sq8Factor(col("embedding")))
 
   /** Build (or refresh) the index at `path`. Idempotent per source
     * partition. */
@@ -97,6 +102,34 @@ object IndexStore {
     present(spark.read.parquet(path)
       .filter(arrays_overlap(col("lsh_buckets"),
         lit(qBuckets)))
+      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(k))
+  }
+
+  /** Compressed-domain top-k: rank ALL chunks by the integer SQ8 dot
+    * against the query code (reading only the 1-byte/dim code column
+    * — 4x less IO than the float embeddings), then exact-rerank the
+    * top-`overfetch` candidates (only those rows read their float
+    * embedding). The right search path when the corpus has no cluster
+    * structure for [[searchTopKAnn]]'s buckets to exploit — recall
+    * measured 1.0 at <=3% candidate fraction by the q67 harness. */
+  def searchTopKSq8(spark: SparkSession, path: String, queryText: String,
+                    k: Int = 10, overfetch: Int = 32,
+                    dim: Int = Embed.DefaultDim): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val qvec = Embed.embed(queryText, dim)
+    val qvecData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    val qCode = graft.functions.VecIndex.sq8Code(qvecData)
+    val qFac = graft.functions.VecIndex.sq8Factor(qvecData)
+    val idx = spark.read.parquet(path)
+    val candidates = idx
+      .select(col("chunk_id").as("cid"),
+        (vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode)) * col("sq8_factor") * lit(qFac))
+          .as("approx"))
+      .orderBy(col("approx").desc, col("cid"))
+      .limit(overfetch)
+    present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))

@@ -67,6 +67,20 @@ class PipelineSpec extends AnyFunSuite {
       s"ann must preserve exact relative order: $annIds vs $exactIds")
   }
 
+  test("SQ8 compressed search equals exact search on the persisted index") {
+    val dir = Files.createTempDirectory("graft_idx_sq8").toString + "/index"
+    IndexStore.build(spark, tinyDocs, dir)
+    val idx = spark.read.parquet(dir)
+    assert(idx.schema.fieldNames.contains("sq8_code"))
+    assert(idx.select("sq8_code").head.getAs[Array[Byte]](0).length == 64)
+    val exact = IndexStore.searchTopK(spark, dir, "spark sql window", k = 3).collect()
+    val sq8 = IndexStore.searchTopKSq8(spark, dir, "spark sql window", k = 3).collect()
+    // overfetch covers the whole tiny corpus => identical result rows
+    assert(sq8.map(_.getAs[String]("chunk_id")).toSeq ==
+      exact.map(_.getAs[String]("chunk_id")).toSeq)
+    assert(sq8.head.getAs[Long]("doc_id") == 2L)
+  }
+
   test("bucket-partitioned index prunes partitions at plan time") {
     val dir = Files.createTempDirectory("graft_idx_bp").toString + "/index"
     IndexStore.buildBucketed(spark, tinyDocs, dir)

@@ -109,5 +109,9 @@ class PublicApiSpec extends AnyFunSuite {
       seeds = seeds, lloydIters = 1, probes = 1))
     // with one probe on a separable corpus, IVF = exact
     assert(ivf == exact, s"$ivf vs $exact")
+    // SQ8 compressed-domain rerank recovers the exact top-k too
+    val sq8 = ids(VectorSearch.knnSq8(corpus, "id", "v", queries, k = 5,
+      overfetch = 10))
+    assert(sq8 == exact, s"$sq8 vs $exact")
   }
 }
