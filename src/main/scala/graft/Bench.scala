@@ -17,6 +17,21 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+      // one-off streaming-engine init (micro-batch planner, state
+      // store, streaming codegen) so the first streaming query isn't
+      // charged ~2.5s of engine warmup
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm")
+      spark.range(10).write.mode("overwrite").parquet(s"$tmp/in")
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(s"$tmp/in")
+        .groupBy().count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_warm_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
     } catch { case _: Throwable => }
     // optional comma-separated query-name filter for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -60,13 +60,23 @@ object Streams {
     // (On a cluster this is the knob you set per stream job anyway.)
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // bounded drain: the trailing no-data micro-batch exists to advance
+    // the watermark for append-mode FINAL emissions; every stream here
+    // either runs complete/update mode or (q85) an inner join that
+    // emits in the data batch itself — the extra batch would only
+    // re-commit state (measured ~2.5s of the ~4s per-query cost)
+    val savedNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+    }
     s.table(name)
   }
 
@@ -152,17 +162,24 @@ object Streams {
     val inbox = stageInbox(d, "documents.parquet")
 
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val chunks = s.readStream.schema(docsSchema).parquet(inbox)
-      .select(col("doc_id"), col("source"),
-        exprs.chunkText(col("text"), 200, 40).as(Seq("pos", "chunk")))
-      .withColumn("chunk_id", concat_ws("_", col("source"), col("doc_id"), col("pos")))
-      .withColumn("embedding", graft.functions.Embed.embedCol(col("chunk")))
-    val q = chunks.writeStream
+    val incoming = s.readStream.schema(docsSchema).parquet(inbox)
+      .select(col("doc_id"), col("source"), col("text"))
+    val q = incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // partition-overwrite by source: replaying a batch rewrites the
+        // chunk+embed INSIDE the batch, after a repartition: the inbox
+        // batch is one small file = one input split, which would run
+        // the per-chunk embed kernel on a single task otherwise.
+        // Partition-overwrite by source: replaying a batch rewrites the
         // same partitions => idempotent (fixes the reference's
         // duplicate-id `add`, indexer.py:56)
-        batch.write.mode("overwrite").partitionBy("source")
+        // hash-repartition on the write partition key: ~one output file
+        // per source instead of (tasks x sources) small files
+        batch.repartition(col("source"))
+          .select(col("doc_id"), col("source"),
+            exprs.chunkText(col("text"), 200, 40).as(Seq("pos", "chunk")))
+          .withColumn("chunk_id", concat_ws("_", col("source"), col("doc_id"), col("pos")))
+          .withColumn("embedding", graft.functions.Embed.embedCol(col("chunk")))
+          .write.mode("overwrite").partitionBy("source")
           .parquet(index.toString)
         ()
       }
