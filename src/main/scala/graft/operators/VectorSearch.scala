@@ -378,20 +378,61 @@ object VectorSearch {
       .orderBy("label")
   }
 
-  /** q63: flagship end-to-end semantic search — chunk documents,
-    * embed chunks, embed a fixed query text, cosine top-10 with
-    * provenance + deep link (custom embed kernel => rows-only). */
-  def searchE2E(s: SparkSession, d: String): DataFrame = {
-    val dim = Embed.DefaultDim
-    val queryText = "spark window aggregation over sorted batches"
-    val qvec = Embed.embed(queryText, dim)
-    val chunks = Tables.documents(s, d)
+  private val E2EQueryText = "spark window aggregation over sorted batches"
+
+  /** The q63 chunk+embed pipeline, shared by the query and its oracle
+    * materialization. */
+  private def e2eChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         exprs.chunkText(col("text"), 200, 40).as(Seq("pos", "chunk")))
       .withColumn("chunk_id",
         concat_ws("_", col("source"), col("doc_id"), col("pos")))
-      .withColumn("embedding", Embed.embedCol(col("chunk"), dim))
-    chunks
+      .withColumn("embedding", Embed.embedCol(col("chunk"), Embed.DefaultDim))
+
+  /** Dump q63's intermediates (chunk embeddings + the query vector) as
+    * parquet for the DuckDB oracle: the custom embed kernel runs in
+    * Spark once, and the oracle independently re-ranks from the
+    * materialized vectors — everything downstream of the kernel
+    * (cosine, ordering, rank, links, projection) gets a hash-checked
+    * oracle instead of a rows-only smoke check. Called by Verify
+    * before the query dump (never by Bench). */
+  def materializeSearchAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    e2eChunks(s, d)
+      .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q63_chunks.parquet")
+    import s.implicits._
+    Seq(Embed.embed(E2EQueryText, Embed.DefaultDim).toSeq).toDF("qvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q63_query.parquet")
+  }
+
+  private val q63Sql = """
+    WITH q AS (SELECT qvec
+               FROM read_parquet('/root/repo/target/verify_aux/q63_query.parquet/*.parquet')),
+    scored AS (
+      SELECT chunk_id, doc_id, source, chunk,
+        list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+             i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))) AS sim
+      FROM read_parquet('/root/repo/target/verify_aux/q63_chunks.parquet/*.parquet'), q
+    )
+    SELECT row_number() OVER (ORDER BY sim DESC, chunk_id) AS rank,
+           chunk_id, doc_id, source, chunk,
+           'https://docs.google.com/spreadsheets/d/' || source ||
+           '/edit#gid=0&range=A' || CAST(doc_id + 2 AS BIGINT) AS link
+    FROM scored ORDER BY sim DESC, chunk_id LIMIT 10"""
+
+  /** q63: flagship end-to-end semantic search — chunk documents,
+    * embed chunks, embed a fixed query text, cosine top-10 with
+    * provenance + deep link. Oracle: DuckDB re-ranks from the
+    * Verify-materialized chunk embeddings (the q60 trick applied to
+    * the full pipeline). */
+  def searchE2E(s: SparkSession, d: String): DataFrame = {
+    val qvec = Embed.embed(E2EQueryText, Embed.DefaultDim)
+    e2eChunks(s, d)
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(10)
@@ -429,6 +470,6 @@ object VectorSearch {
     Query("q69_ann_sq8",        q69, None),
     Query("q66_label_centroids", q66, None),
     Query("q67_ann_recall",      q67, None),
-    Query("q63_search_e2e",     searchE2E, None),
+    Query("q63_search_e2e",     searchE2E, Some(q63Sql)),
     Query("q64_build_index",    q64, None))
 }
