@@ -77,4 +77,18 @@ object Lsh {
   /** Driver-side buckets of one query vector (same kernel). */
   def queryBuckets(v: Array[Float], dim: Int, nBits: Int, nTables: Int): Array[Long] =
     buckets(v, signMatrix(dim, nBits, nTables), dim, nBits, nTables)
+
+  /** Multiprobe expansion: each bucket key plus its Hamming-1
+    * neighbors (each of the nBits sign bits flipped) — the standard
+    * neighboring-bucket probe that recovers points whose single
+    * nearest hyperplane fell on the other side. The table id rides the
+    * high 32 bits and is never flipped. Probes nBits+1 buckets per
+    * table instead of 1. */
+  def expandProbes(keys: Array[Long], nBits: Int): Array[Long] =
+    keys.flatMap(k => k +: Array.tabulate(nBits)(i => k ^ (1L << i)))
+
+  /** Driver-side multiprobe query buckets. */
+  def queryBucketsMultiprobe(v: Array[Float], dim: Int, nBits: Int,
+                             nTables: Int): Array[Long] =
+    expandProbes(queryBuckets(v, dim, nBits, nTables), nBits)
 }

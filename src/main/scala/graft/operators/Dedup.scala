@@ -68,23 +68,43 @@ object Dedup {
     minhashPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs: 64-bit simhash split into `nBands`
-    * bands as LSH keys (pigeonhole: any pair at hamming <=
-    * nBands - 1 shares at least one exact band), hamming <=
-    * `maxHamming` verification on candidates. Degenerate buckets
-    * (> `bucketCap` docs — boilerplate-dominated band values that
-    * would blow up the pair join quadratically) are dropped, the
-    * standard scale guard for banded LSH. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
+  /** Shared banded-signature frame for the simhash family: 64-bit
+    * simhash split into 4 x 16-bit band keys. */
+  private def simhashBanded(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = docs.sparkSession
     val nBands = 4 // 4 x 16 bits of the 64-bit simhash
-    val banded = signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
+    signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
       _.select(col("doc_id"), hashExprs.simhash64(col("text")).as("sh"))
         .select(col("doc_id"), col("sh"),
           explode(array((0 until nBands).map(b =>
             struct(lit(b).as("band"),
               shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk")))
+  }
+
+  /** Audit view for [[simhashPairs]]'s bucketCap guard — the "no
+    * silent caps" companion: the degenerate band buckets candidate
+    * generation drops, with their sizes. A nonempty result is the
+    * signal to raise the cap or pre-strip the boilerplate driving the
+    * collisions. */
+  def simhashDroppedBuckets(docs: DataFrame, idCol: String, textCol: String,
+                            bucketCap: Int = 256): DataFrame = {
+    val banded = simhashBanded(docs, idCol, textCol)
+    banded.groupBy(col("bk")).agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > bucketCap)
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("bucket_size"))
+  }
+
+  /** SimHash near-dup pairs: banded simhash keys for candidate
+    * generation (pigeonhole: any pair at hamming <= nBands - 1 shares
+    * at least one exact band), hamming <= `maxHamming` verification on
+    * candidates. Degenerate buckets (> `bucketCap` docs —
+    * boilerplate-dominated band values that would blow up the pair
+    * join quadratically) are dropped, the standard scale guard for
+    * banded LSH; [[simhashDroppedBuckets]] is the audit view of what
+    * the cap dropped. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
+    val banded = simhashBanded(docs, idCol, textCol)
     val smallBuckets = banded.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= bucketCap).select(col("bk"))
     val pruned = banded.join(smallBuckets, "bk")

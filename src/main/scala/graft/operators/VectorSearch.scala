@@ -120,10 +120,18 @@ object VectorSearch {
     * candidate count (the honesty column every ANN needs). */
   def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, dim: Int,
-             nBits: Int = 6, nTables: Int = 16): DataFrame = {
+             nBits: Int = 6, nTables: Int = 16,
+             multiprobe: Boolean = false): DataFrame = {
     val buckets = hyperplaneBuckets(dim, nBits, nTables)
     val bucketed = corpus.withColumn("tb", explode(buckets(col(vecCol))))
-    val qb = queries.withColumn("qtb", explode(buckets(col("qvec"))))
+    // query-side-only multiprobe: expand each query bucket with its
+    // Hamming-1 neighbors (the corpus layout never changes — the same
+    // persisted index serves both operating points)
+    val qBuckets: Column =
+      if (!multiprobe) buckets(col("qvec"))
+      else flatten(transform(buckets(col("qvec")), b =>
+        array((b +: (0 until nBits).map(i => b.bitwiseXOR(lit(1L << i)))): _*)))
+    val qb = queries.withColumn("qtb", explode(qBuckets))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol))
     bucketed.join(broadcast(qb),

@@ -154,11 +154,17 @@ object IndexStore {
 
   /** ANN search over the bucket-partitioned layout: the bucket
     * predicate resolves to partition directories at planning time, so
-    * non-colliding files are never opened. */
+    * non-colliding files are never opened. `multiprobe` additionally
+    * probes each bucket's Hamming-1 neighbors (query-side only — the
+    * persisted layout serves both operating points), trading more
+    * partitions read for recall. */
   def searchTopKAnnPartitioned(spark: SparkSession, path: String, queryText: String,
-                               k: Int = 10, dim: Int = Embed.DefaultDim): DataFrame = {
+                               k: Int = 10, dim: Int = Embed.DefaultDim,
+                               multiprobe: Boolean = false): DataFrame = {
     val qvec = Embed.embed(queryText, dim)
-    val qBuckets = Lsh.queryBuckets(qvec, dim, LshBits, LshTables)
+    val qBuckets =
+      if (multiprobe) Lsh.queryBucketsMultiprobe(qvec, dim, LshBits, LshTables)
+      else Lsh.queryBuckets(qvec, dim, LshBits, LshTables)
     present(spark.read.parquet(path)
       .filter(col("bucket").isin(qBuckets: _*))
       .dropDuplicates("chunk_id")

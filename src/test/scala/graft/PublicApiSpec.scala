@@ -114,4 +114,45 @@ class PublicApiSpec extends AnyFunSuite {
       overfetch = 10))
     assert(sq8 == exact, s"$sq8 vs $exact")
   }
+
+  test("LSH multiprobe candidates are a superset of single-probe candidates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    val queries = Seq((0L, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("query_id", "qvec")
+    def cands(mp: Boolean) = VectorSearch
+      .annLsh(corpus, "id", "v", queries, k = 200, dim = 16,
+        nBits = 8, nTables = 4, multiprobe = mp)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val single = cands(false)
+    val multi = cands(true)
+    assert(single.subsetOf(multi), s"${single -- multi} missing under multiprobe")
+    assert(multi.size > single.size, "multiprobe should widen the candidate set")
+    // driver-side probe expansion matches: base + nBits flips per key
+    val keys = graft.functions.Lsh.queryBuckets(Array.fill(16)(0.5f), 16, 8, 4)
+    val probes = graft.functions.Lsh.expandProbes(keys, 8)
+    assert(probes.length == keys.length * 9)
+    assert(keys.forall(probes.contains))
+    // flipped keys keep their table id (high 32 bits)
+    assert(probes.map(_ >>> 32).toSet == keys.map(_ >>> 32).toSet)
+  }
+
+  test("simhashDroppedBuckets surfaces what the bucketCap guard drops") {
+    import spark.implicits._
+    // 300 identical docs => every band bucket holds 300 > cap
+    val docs = ((0 until 300).map(i => (i.toLong, "same text in every doc body")) ++
+      Seq((900L, "something completely different here entirely")))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.simhashDroppedBuckets(docs, "doc_id", "text", bucketCap = 256)
+      .collect()
+    assert(dropped.length == 4, dropped.mkString(",")) // all 4 bands degenerate
+    assert(dropped.forall(_.getAs[Long]("bucket_size") == 300L))
+    // and with the cap the pair query stays non-quadratic (0 pairs here)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text", bucketCap = 256).count() == 0)
+    // audit view is empty when no bucket exceeds the cap
+    assert(Dedup.simhashDroppedBuckets(docs, "doc_id", "text", bucketCap = 300)
+      .count() == 0)
+  }
 }
