@@ -43,5 +43,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("embed_text"),
       info("embed_text", "embed_text(s) - deterministic unit-norm embedding"),
       (es: Seq[Expression]) => EmbedText(es.head, Embed.DefaultDim)))
+    e.injectFunction((FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", "minhash_bands(text, k, shingle_n, bands) - LSH band keys"),
+      (es: Seq[Expression]) => MinHashBands(es(0), Registry.intArg(es(1)),
+        Registry.intArg(es(2)), Registry.intArg(es(3)))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit tf-weighted SimHash"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - distinct word-shingle hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es(0), Registry.intArg(es(1)))))
+    e.injectFunction((FunctionIdentifier("winnow_fp"),
+      info("winnow_fp", "winnow_fp(text, k_gram, window) - winnowing fingerprint"),
+      (es: Seq[Expression]) => WinnowFp(es(0), Registry.intArg(es(1)),
+        Registry.intArg(es(2)))))
+    e.injectFunction((FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets", "lsh_buckets(vec, dim, bits, tables) - hyperplane LSH bucket keys"),
+      (es: Seq[Expression]) => LshBuckets(es(0), Registry.intArg(es(1)),
+        Registry.intArg(es(2)), Registry.intArg(es(3)))))
+    e.injectFunction((FunctionIdentifier("sq8_code"),
+      info("sq8_code", "sq8_code(vec) - 8-bit scalar-quantized code"),
+      (es: Seq[Expression]) => Sq8Code(es.head)))
+    e.injectFunction((FunctionIdentifier("sq8_factor"),
+      info("sq8_factor", "sq8_factor(vec) - cosine rank factor for sq8 codes"),
+      (es: Seq[Expression]) => Sq8Factor(es.head)))
+    e.injectFunction((FunctionIdentifier("sq8_dot"),
+      info("sq8_dot", "sq8_dot(a, b) - integer dot product of sq8 codes"),
+      (es: Seq[Expression]) => Sq8Dot(es(0), es(1))))
   }
 }

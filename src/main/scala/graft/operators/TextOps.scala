@@ -79,13 +79,16 @@ object TextOps {
     val li = Tables.lineitem(s, d)
     // dictionary evaluation in one pass: narrow pruned scan -> explode
     // the 5 sample expressions -> partial hash-agg to a tiny distinct
-    // dictionary inside the scan stage (only dict rows ever shuffle).
-    // The regex when-chain then runs on the ~2.6k distinct values, not
-    // the 3M samples — the standard trick for expensive scalar
-    // functions over low-cardinality columns. (Measured: an explicit
-    // repartition before the explode is a net loss here — the map-side
-    // combine already reduces the stage to one narrow pass.)
+    // dictionary (only dict rows ever shuffle). The regex when-chain
+    // then runs on the ~2.6k distinct values, not the 3M samples — the
+    // standard trick for expensive scalar functions over low-
+    // cardinality columns. The fixture parquet is one row group = one
+    // input split, so spread the narrow 3-column scan across cores
+    // before the explode+partial-agg (measured 2x; on a cluster, file
+    // splits provide the parallelism and the repartition is ~free
+    // relative to the explode volume).
     li.select(col("l_linenumber"), col("l_returnflag"), col("l_shipdate"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(array(
         col("l_linenumber").cast(StringType),
         col("l_returnflag"),

@@ -172,6 +172,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(cmp.filter(col("n") =!= col("u")).count() == 0)
   }
 
+  test("hash/sq8 kernels usable from SQL after registration") {
+    Registry.ensure(spark)
+    val r = spark.sql("""
+      SELECT simhash64('alpha beta gamma') AS sh,
+             size(minhash_bands('alpha beta gamma delta', 64, 3, 16)) AS nb,
+             size(shingle_hashes('a b c d', 2)) AS ns,
+             size(winnow_fp('abcdefghijklmnop', 8, 4)) AS nw,
+             size(lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 2, 4, 3)) AS nl,
+             sq8_dot(sq8_code(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+                     sq8_code(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))) AS d
+      """).head
+    assert(r.getLong(0) == graft.functions.Hashes.simhash64("alpha beta gamma"))
+    assert(r.getInt(1) == 16 && r.getInt(2) == 3 && r.getInt(3) > 0 && r.getInt(4) == 3)
+    assert(r.getInt(5) == 127 * 127)
+  }
+
   test("MinHashBands rejects bad band constants at construction, not per row") {
     import graft.functions.hashExprs
     intercept[IllegalArgumentException] {
