@@ -16,12 +16,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // q63's oracle re-ranks from materialized chunk embeddings (the
-    // embed kernel is custom; everything downstream gets a real oracle)
-    try operators.VectorSearch.materializeSearchAux(
-      spark, sfDir, "/root/repo/target/verify_aux")
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] q63 aux materialization failed: ${e.getMessage}")
+    // Custom-kernel outputs materialized for the DuckDB oracles: the
+    // kernels run in Spark once; every oracle re-derives the full
+    // downstream logic (banding, pruning, verification, ranking) from
+    // these parquet tables. q63 chunks+query vector, dedup signatures,
+    // ANN buckets/codes/centroids.
+    val auxDir = "/root/repo/target/verify_aux"
+    Seq[(String, () => Unit)](
+      ("q63 search", () => operators.VectorSearch.materializeSearchAux(spark, sfDir, auxDir)),
+      ("dedup sigs", () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
+      ("ann", () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir))
+    ).foreach { case (what, run) =>
+      try run()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $what aux materialization failed: ${e.getMessage}")
+      }
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -34,6 +34,26 @@ object Dedup {
   private def signatures(s: SparkSession, docs: DataFrame)(sig: DataFrame => DataFrame): DataFrame =
     sig(docs.repartition(s.sparkContext.defaultParallelism)).localCheckpoint()
 
+  /** Materialize every dedup signature (minhash bands, simhash,
+    * shingle hashes, winnow fingerprints) of the fixture corpus for
+    * the DuckDB oracle: the custom hash kernels run in Spark once
+    * (with exactly the q50/q51/q53/q54 parameters), and the oracles
+    * independently re-derive candidate generation, pruning,
+    * verification, and ranking from the materialized signatures.
+    * Called by Verify before the query dump (never by Bench). */
+  def materializeDedupAux(s: SparkSession, d: String, auxDir: String): Unit =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        hashExprs.minhashBands(col("text"), 64, 3, 16).as("mb"),
+        hashExprs.simhash64(col("text")).as("sh"),
+        hashExprs.shingleHashes(col("text"), 3).as("sg"),
+        hashExprs.winnowFp(col("text"), 8, 4).as("wf"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/dedup_sigs.parquet")
+
+  private val AuxSigs =
+    "read_parquet('/root/repo/target/verify_aux/dedup_sigs.parquet/*.parquet')"
+
   /** MinHash-LSH near-dup pairs over any (id, text) frame: `nHashes`
     * minhashes of word `shingleK`-shingles in `nBands` LSH bands for
     * candidate generation, exact-Jaccard verification at `threshold`.
@@ -63,10 +83,31 @@ object Dedup {
 
   /** q50: the fixture instantiation of [[minhashPairs]] (64 hashes,
     * 16 bands x 4 rows: catches pairs down to J ~= 0.5 with high
-    * probability; custom hash kernels => rows-only, DedupSpec). */
+    * probability). Oracle: DuckDB re-derives banding, candidate
+    * dedup, and the Jaccard verify from the materialized signatures
+    * (hash-set Jaccard == string-shingle Jaccard absent 64-bit
+    * collisions — DedupSpec property). */
   private def q50(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")
+
+  private val q50Sql = s"""
+    WITH sigs AS (SELECT doc_id, mb, sg FROM $AuxSigs),
+    banded AS (SELECT doc_id, unnest(mb) AS band FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b,
+        CASE WHEN len(sa.sg) = 0 AND len(sb.sg) = 0 THEN 1.0
+             ELSE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                  / (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)))
+        END AS j
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.id_a
+      JOIN sigs sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, round(j, 4) AS jaccard
+    FROM verified WHERE j >= 0.35 ORDER BY id_a, id_b"""
 
   /** Shared banded-signature frame for the simhash family: 64-bit
     * simhash split into 4 x 16-bit band keys. */
@@ -119,10 +160,28 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** q51: fixture instantiation of [[simhashPairs]]. */
+  /** q51: fixture instantiation of [[simhashPairs]]. Oracle re-derives
+    * the 4x16-bit banding, bucket-cap pruning, and bit_count(xor)
+    * hamming verify from the materialized simhash values (arithmetic
+    * >> equals Spark's unsigned shift here because the & 65535 mask
+    * discards every sign-filled bit). */
   private def q51(s: SparkSession, d: String): DataFrame =
     simhashPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")
+
+  private val q51Sql = s"""
+    WITH sigs AS (SELECT doc_id, sh FROM $AuxSigs),
+    banded AS (
+      SELECT doc_id, sh, b AS band, (sh >> (b * 16)) & 65535 AS key
+      FROM sigs, UNNEST([0, 1, 2, 3]) AS t(b)),
+    small AS (SELECT band, key FROM banded GROUP BY band, key HAVING COUNT(*) <= 256),
+    pruned AS (SELECT banded.* FROM banded JOIN small USING (band, key))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM pruned a JOIN pruned b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ORDER BY id_a, id_b"""
 
   /** Embedding-cosine top-`k` similar pairs per blocking key (the
     * "semantic near-dup" pass; the block bounds the pair space).
@@ -205,10 +264,28 @@ object Dedup {
       .select(col("source"), col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** q53: fixture instantiation of [[ngramJaccardPairs]]. */
+  /** q53: fixture instantiation of [[ngramJaccardPairs]]. Oracle:
+    * exact Jaccard from the materialized shingle-hash sets — the
+    * hash sets ARE what the Spark operator joins on, so this mirror
+    * is exact, not collision-approximate. */
   private def q53(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "source")
       .orderBy("source", "id_a", "id_b")
+
+  private val q53Sql = s"""
+    WITH sigs AS (SELECT doc_id, source, sg FROM $AuxSigs),
+    pairs AS (
+      SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sg, b.sg)) AS n_shared,
+             len(a.sg) AS n_a, len(b.sg) AS n_b
+      FROM sigs a JOIN sigs b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sg, b.sg)) > 0)
+    SELECT source, id_a, id_b,
+           round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2
+    ORDER BY source, id_a, id_b"""
 
   /** Winnowing-fingerprint overlap pairs: docs sharing >= `minOverlap`
     * of their rolling-hash fingerprints (position-robust near-dup).
@@ -248,10 +325,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), round(col("overlap"), 4).as("overlap"))
   }
 
-  /** q54: fixture instantiation of [[winnowOverlapPairs]]. */
+  /** q54: fixture instantiation of [[winnowOverlapPairs]]. Oracle:
+    * same inverted-index + stop-fingerprint logic from the
+    * materialized winnow fingerprints (winnow emits distinct fps, so
+    * |fp| = len(wf) exactly). */
   private def q54(s: SparkSession, d: String): DataFrame =
     winnowOverlapPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")
+
+  private val q54Sql = s"""
+    WITH sigs AS (SELECT doc_id, wf, len(wf) AS n_fp FROM $AuxSigs),
+    posting AS (SELECT doc_id, n_fp, unnest(wf) AS fp FROM sigs),
+    keep AS (SELECT fp FROM posting GROUP BY fp HAVING COUNT(*) <= 64),
+    pruned AS (SELECT posting.* FROM posting JOIN keep USING (fp)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared,
+             MIN(a.n_fp) AS fp_a, MIN(b.n_fp) AS fp_b
+      FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / least(fp_a, fp_b), 4) AS overlap
+    FROM shared
+    WHERE CAST(n_shared AS DOUBLE) / least(fp_a, fp_b) >= 0.25
+    ORDER BY id_a, id_b"""
 
   /** Cluster near-dup pairs into connected components and label every
     * id with its cluster representative (the minimum reachable id) —
@@ -315,9 +411,10 @@ object Dedup {
     * actions. Rows-only (custom kernels). */
   private def q68(s: SparkSession, d: String): DataFrame = {
     val threshold = 0.35
-    // deterministic md5 bucket sample, the q58 splitter convention
+    // deterministic md5 bucket sample — the q58 splitter kernel, so
+    // the DuckDB oracle reproduces the exact same subcorpus
     val docs = Tables.documents(s, d)
-      .filter(pmod(abs(hash(col("doc_id"))), lit(4)) < 2)
+      .filter(Corpus.md5Bucket(col("doc_id")) < 128)
     val exact = ngramJaccardPairs(
         docs.withColumn("all_block", lit("x")), "doc_id", "text", "all_block",
         shingleK = 3, threshold = threshold)
@@ -333,11 +430,44 @@ object Dedup {
           .as("recall"))
   }
 
+  private val q68Sql = s"""
+    WITH sampled AS (
+      SELECT doc_id, mb, sg FROM $AuxSigs
+      WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 128),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sampled a JOIN sampled b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sg, b.sg)) > 0
+        AND CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+            / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.35),
+    banded AS (SELECT doc_id, unnest(mb) AS band FROM sampled),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+    found AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sampled sa ON sa.doc_id = cand.id_a
+      JOIN sampled sb ON sb.doc_id = cand.id_b
+      WHERE (len(sa.sg) = 0 AND len(sb.sg) = 0)
+         OR (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)) > 0
+             AND CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                 / (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg))) >= 0.35))
+    SELECT COUNT(*) AS n_exact_pairs,
+           CAST(COALESCE(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT)
+             AS n_found_pairs,
+           CASE WHEN COUNT(*) = 0 THEN 1.0
+                ELSE CAST(COALESCE(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 END), 0)
+                          AS DOUBLE) / COUNT(*)
+           END AS recall
+    FROM exact e LEFT JOIN found f ON e.id_a = f.id_a AND e.id_b = f.id_b"""
+
   val queries: Seq[Query] = Seq(
-    Query("q50_dedup_minhash_lsh", q50, None),
-    Query("q51_dedup_simhash",     q51, None),
+    Query("q50_dedup_minhash_lsh", q50, Some(q50Sql)),
+    Query("q51_dedup_simhash",     q51, Some(q51Sql)),
     Query("q52_embedding_neardup", q52, Some(q52Sql)),
-    Query("q53_ngram_jaccard",     q53, None),
-    Query("q54_winnow_overlap",    q54, None),
-    Query("q68_dedup_recall",      q68, None))
+    Query("q53_ngram_jaccard",     q53, Some(q53Sql)),
+    Query("q54_winnow_overlap",    q54, Some(q54Sql)),
+    Query("q68_dedup_recall",      q68, Some(q68Sql)))
 }

@@ -184,20 +184,19 @@ object VectorSearch {
     * + a ~sqrt(N)-row collect of the refreshed centroid table. At
     * 100 TB the assigned cell is the index partition key and probing
     * touches ~probes/#cells of the corpus files. */
-  def annIvf(emb: DataFrame, idCol: String, vecCol: String,
-             queries: DataFrame, k: Int, seeds: DataFrame,
-             lloydIters: Int = 2, probes: Int = 3): DataFrame = {
+  /** Train the IVF coarse quantizer: `lloydIters` refinement steps
+    * from the seed frame; returns the final centroid table as driver
+    * arrays (index metadata). Each step = one narrow NearestCell scan
+    * + a tiny groupBy(cell) on the VecMeanAgg Aggregator. */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   seeds: DataFrame, lloydIters: Int = 2): (Array[Long], Array[Array[Float]]) = {
     import graft.functions.vecIndexExprs
-
-    def assign(ids: Array[Long], cents: Array[Array[Float]]): DataFrame =
-      emb.select(col(idCol), col(vecCol),
-        vecIndexExprs.nearestCell(col(vecCol), ids, cents).as("cell"))
-
     var (ids, cents) = collectCents(seeds)
     var it = 0
     while (it < lloydIters) {
       val refreshed = collectCents(
-        assign(ids, cents)
+        emb.select(col(vecCol),
+            vecIndexExprs.nearestCell(col(vecCol), ids, cents).as("cell"))
           .groupBy(col("cell"))
           .agg(graft.functions.VecMeanAgg.vecMean(col(vecCol)).as("cvec"))
           .select(col("cell").as("cent_id"), col("cvec")))
@@ -205,7 +204,17 @@ object VectorSearch {
       cents = refreshed._2
       it += 1
     }
-    val assigned = assign(ids, cents)
+    (ids, cents)
+  }
+
+  def annIvf(emb: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, k: Int, seeds: DataFrame,
+             lloydIters: Int = 2, probes: Int = 3): DataFrame = {
+    import graft.functions.vecIndexExprs
+
+    val (ids, cents) = ivfCentroids(emb, idCol, vecCol, seeds, lloydIters)
+    val assigned = emb.select(col(idCol), col(vecCol),
+      vecIndexExprs.nearestCell(col(vecCol), ids, cents).as("cell"))
     // multiprobe list: the p nearest cells per query via the same
     // scan-side kernel (ascending distance, ties on id — the order
     // the old window formulation produced)
@@ -251,18 +260,141 @@ object VectorSearch {
     ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
   }
 
+  private def q65Seeds(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+
   /** q65: [[annIvf]] with ~sqrt(N) seed cells (every 31st vector —
     * the classic operating point: candidate fraction ~= probes/
-    * sqrt(N)), 2 Lloyd steps, 3 probes; fixture queries. */
+    * sqrt(N)), 2 Lloyd steps, 3 probes; fixture queries. Oracle:
+    * DuckDB re-derives assignment argmin, probe list, and ranking
+    * from the Verify-materialized trained centroid table. */
   private def q65(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val seeds = emb.filter(col("vec_id") % 31 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    annIvf(emb, "vec_id", "embedding", qs, k = 3, seeds = seeds)
+    annIvf(emb, "vec_id", "embedding", qs, k = 3, seeds = q65Seeds(emb))
       .orderBy("query_id", "rank")
   }
+
+  /** Materialize the ANN kernel outputs for the DuckDB oracles: LSH
+    * bucket arrays + SQ8 codes/factors per vector (`ann_sigs`), and
+    * the trained q65 centroid table (`q65_cents`). The oracles then
+    * re-derive candidate generation, assignment, probing, and ranking
+    * independently. Called by Verify (never by Bench). */
+  def materializeAnnAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import graft.functions.{hashExprs, vecIndexExprs}
+    val emb = Tables.embeddings(s, d)
+    val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
+    emb.select(col("vec_id"),
+        hashExprs.lshBuckets(col("embedding"), 64, 6, 16).as("lb"),
+        bytesToInts(vecIndexExprs.sq8Code(col("embedding"))).as("sq8"),
+        vecIndexExprs.sq8Factor(col("embedding")).as("fac"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ann_sigs.parquet")
+    val (ids, cents) = ivfCentroids(emb, "vec_id", "embedding", q65Seeds(emb))
+    import s.implicits._
+    ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q65_cents.parquet")
+  }
+
+  private val AuxAnn =
+    "read_parquet('/root/repo/target/verify_aux/ann_sigs.parquet/*.parquet')"
+  private val AuxCents =
+    "read_parquet('/root/repo/target/verify_aux/q65_cents.parquet/*.parquet')"
+
+  /** Exact-cosine SQL fragment between embeddings-view rows `a` and
+    * `b` — the q61-proven double-arithmetic mirror of vecCosine. */
+  private def cosSql(a: String, b: String) = s"""
+        list_sum(list_transform(generate_series(1, len($a.embedding)),
+          i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, len($a.embedding)),
+             i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, len($b.embedding)),
+             i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))))"""
+
+  private val q62Sql = s"""
+    WITH bk AS (SELECT vec_id, unnest(lb) AS tb FROM $AuxAnn),
+    q AS (SELECT vec_id AS query_id, tb FROM bk WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id
+      FROM bk c JOIN q ON c.tb = q.tb AND c.vec_id <> q.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, ${cosSql("e", "qe")} AS sim
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings qe ON qe.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
+             COUNT(*) OVER (PARTITION BY query_id) AS n_candidates
+      FROM scored)
+    SELECT query_id, rank, vec_id, n_candidates FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  private def l2Sql(vec: String, cent: String) = s"""
+        sqrt(list_sum(list_transform(generate_series(1, len($vec)),
+          i -> (CAST($vec[i] AS DOUBLE) - CAST($cent[i] AS DOUBLE))
+             * (CAST($vec[i] AS DOUBLE) - CAST($cent[i] AS DOUBLE)))))"""
+
+  private val q65Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxCents),
+    assign AS (
+      SELECT e.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cent_id AS cell FROM assign WHERE arn = 1),
+    probe AS (
+      SELECT q.vec_id AS query_id, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${l2Sql("q.embedding", "c.cvec")}, c.cent_id) AS prn
+      FROM embeddings q, cents c WHERE q.vec_id < 5),
+    probed AS (SELECT query_id, cell FROM probe WHERE prn <= 3),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM assigned a JOIN probed p USING (cell)
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, ${cosSql("e", "qe")} AS sim
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings qe ON qe.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
+             COUNT(*) OVER (PARTITION BY query_id) AS n_candidates
+      FROM scored)
+    SELECT query_id, rank, vec_id, n_candidates FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  private val q69Sql = s"""
+    WITH codes AS (SELECT vec_id, sq8, fac FROM $AuxAnn),
+    q AS (SELECT vec_id AS query_id, sq8 AS qcode, fac AS qfac
+          FROM codes WHERE vec_id < 5),
+    approxs AS (
+      SELECT q.query_id, c.vec_id,
+        CAST(list_sum(list_transform(generate_series(1, len(c.sq8)),
+          i -> c.sq8[i] * q.qcode[i])) AS DOUBLE) * c.fac * q.qfac AS approx
+      FROM codes c, q WHERE c.vec_id <> q.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx DESC, vec_id) AS arn
+        FROM approxs)
+      WHERE arn <= 16),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, ${cosSql("e", "qe")} AS sim
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings qe ON qe.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
+             COUNT(*) OVER (PARTITION BY query_id) AS n_candidates
+      FROM scored)
+    SELECT query_id, rank, vec_id, n_candidates FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank"""
 
   /** PUBLIC SQ8 compressed-domain kNN — the scale path for corpora
     * WITHOUT cluster structure (the fixture's vectors are isotropic
@@ -473,9 +605,9 @@ object VectorSearch {
   val queries: Seq[Query] = Seq(
     Query("q60_knn_l2",         q60, Some(q60Sql)),
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
-    Query("q62_ann_lsh",        q62, None),
-    Query("q65_ann_ivf",        q65, None),
-    Query("q69_ann_sq8",        q69, None),
+    Query("q62_ann_lsh",        q62, Some(q62Sql)),
+    Query("q65_ann_ivf",        q65, Some(q65Sql)),
+    Query("q69_ann_sq8",        q69, Some(q69Sql)),
     Query("q66_label_centroids", q66, None),
     Query("q67_ann_recall",      q67, None),
     Query("q63_search_e2e",     searchE2E, Some(q63Sql)),
