@@ -25,7 +25,8 @@ object Verify {
     Seq[(String, () => Unit)](
       ("q63 search", () => operators.VectorSearch.materializeSearchAux(spark, sfDir, auxDir)),
       ("dedup sigs", () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
-      ("ann", () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir))
+      ("ann", () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
+      ("q41 chunks", () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir))
     ).foreach { case (what, run) =>
       try run()
       catch { case e: Throwable =>

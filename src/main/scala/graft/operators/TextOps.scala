@@ -61,9 +61,10 @@ object TextOps {
     WHERE length(trim(value)) > 0
     ORDER BY doc_id, colidx"""
 
-  /** Chunk pipeline stats via the ChunkText generator (custom kernel
-    * — no SQL oracle; invariants covered by ChunkerSpec). Chunk size
-    * 120/24 so the fixture docs (47-558 chars) actually split. */
+  /** Chunk pipeline stats via the ChunkText generator. Chunk size
+    * 120/24 so the fixture docs (47-558 chars) actually split.
+    * Oracle: re-aggregated in DuckDB from the Verify-materialized
+    * chunk table (kernel invariants covered by ChunkerSpec). */
   private def q41(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
@@ -73,6 +74,20 @@ object TextOps {
         max(length(col("chunk"))).as("max_chunk_len"),
         sum(length(col("chunk"))).as("total_chunk_chars"))
       .orderBy("doc_id")
+
+  /** Materialize q41's chunk table for the DuckDB oracle (Verify-only). */
+  def materializeChunkAux(s: SparkSession, d: String, auxDir: String): Unit =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        exprs.chunkText(col("text"), 120, 24).as(Seq("pos", "chunk")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q41_chunks.parquet")
+
+  private val q41Sql = """
+    SELECT doc_id, n_chars, COUNT(*) AS n_chunks,
+           MAX(length(chunk)) AS max_chunk_len,
+           CAST(SUM(length(chunk)) AS BIGINT) AS total_chunk_chars
+    FROM read_parquet('/root/repo/target/verify_aux/q41_chunks.parquet/*.parquet')
+    GROUP BY doc_id, n_chars ORDER BY doc_id"""
 
   /** Type inference over strings rendered identically in both engines. */
   private def q42(s: SparkSession, d: String): DataFrame = {
@@ -323,7 +338,7 @@ object TextOps {
 
   val queries: Seq[Query] = Seq(
     Query("q40_grid_explode_a1", q40, Some(q40Sql)),
-    Query("q41_chunk_stats",     q41, None),
+    Query("q41_chunk_stats",     q41, Some(q41Sql)),
     Query("q42_type_inference",  q42, Some(q42Sql)),
     Query("q43_quality_score",   q43, Some(q43Sql)),
     Query("q44_lang_id",         q44, Some(q44Sql)),

@@ -501,22 +501,57 @@ object VectorSearch {
       .orderBy("method", "query_id")
   }
 
-  /** q66: per-label centroids via the typed VecMeanAgg Aggregator,
-    * plus each label's dispersion (decimal-exact mean member-to-
-    * centroid distance — deterministic, but the centroid itself sums
-    * doubles in partition order, so this stays rows-only). One hash
-    * shuffle on label for the centroids, one broadcast join back. */
+  /** q66: per-label centroids and dispersion, fully deterministic:
+    * the centroid is the per-dimension DECIMAL mean (posexplode →
+    * groupBy(label, dim) → davg), so both the centroid and the
+    * member-to-centroid distances are order-independent and the whole
+    * query carries a DuckDB oracle. (The float-summing VecMeanAgg
+    * Aggregator remains the production centroid operator — exercised
+    * by annIvf and PipelineSpec — but an oracle-gated query needs
+    * reduction-order-free arithmetic.) Scale shape: one shuffle on
+    * (label, dim), one on (label, vec_id), one on label — all
+    * map-side combined. */
   private def q66(s: SparkSession, d: String): DataFrame = {
+    import graft.util.Num.{davg, dsum}
     val emb = Tables.embeddings(s, d)
-    val cents = emb.groupBy(col("label"))
-      .agg(graft.functions.VecMeanAgg.vecMean(col("embedding")).as("centroid"))
-    emb.join(broadcast(cents), Seq("label"))
-      .withColumn("dist", l2(col("embedding"), col("centroid")))
-      .groupBy(col("label"))
+    val byDim = emb.select(col("label"), col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cents = byDim.groupBy(col("label"), col("i"))
+      .agg(davg(col("x")).as("m"))
+    val dists = byDim.join(cents, Seq("label", "i"))
+      .withColumn("sq", (col("x") - col("m")) * (col("x") - col("m")))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sqrt(dsum(col("sq"))).as("dist"))
+    dists.groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(graft.util.Num.davg(col("dist")), 4).as("avg_dist"))
+        round(davg(col("dist")), 4).as("avg_dist"))
       .orderBy("label")
   }
+
+  private val q66Sql = s"""
+    WITH idx AS (
+      SELECT label, vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings),
+    bydim AS (
+      SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM idx),
+    cents AS (
+      SELECT label, i, ${graft.util.Num.sqlDavg("x")} AS m
+      FROM bydim GROUP BY label, i),
+    dists AS (
+      SELECT b.label, b.vec_id,
+             sqrt(${graft.util.Num.sqlDsum("(b.x - c.m) * (b.x - c.m)")}) AS dist
+      FROM bydim b JOIN cents c ON b.label = c.label AND b.i = c.i
+      GROUP BY b.label, b.vec_id)
+    SELECT label, COUNT(*) AS n, round(${graft.util.Num.sqlDavg("dist")}, 4) AS avg_dist
+    FROM dists GROUP BY label ORDER BY label"""
+
+  private val q64Sql = """
+    SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_chars
+    FROM read_parquet('/root/repo/target/verify_aux/q63_chunks.parquet/*.parquet')
+    GROUP BY source ORDER BY source"""
 
   private val E2EQueryText = "spark window aggregation over sorted batches"
 
@@ -587,8 +622,9 @@ object VectorSearch {
 
   /** q64: the reference's bulk "build index" pipeline (S1-S4) as one
     * job: chunk + embed + synthesize ids, then an index summary per
-    * source partition (custom kernels => rows-only). Written as the
-    * partitioned-parquet sink shape minus the physical write. */
+    * source partition. Written as the partitioned-parquet sink shape
+    * minus the physical write. Oracle: re-aggregated in DuckDB from
+    * the q63 chunk materialization (same 200/40 chunking). */
   private def q64(s: SparkSession, d: String): DataFrame = {
     val dim = Embed.DefaultDim
     Tables.documents(s, d)
@@ -608,8 +644,8 @@ object VectorSearch {
     Query("q62_ann_lsh",        q62, Some(q62Sql)),
     Query("q65_ann_ivf",        q65, Some(q65Sql)),
     Query("q69_ann_sq8",        q69, Some(q69Sql)),
-    Query("q66_label_centroids", q66, None),
+    Query("q66_label_centroids", q66, Some(q66Sql)),
     Query("q67_ann_recall",      q67, None),
     Query("q63_search_e2e",     searchE2E, Some(q63Sql)),
-    Query("q64_build_index",    q64, None))
+    Query("q64_build_index",    q64, Some(q64Sql)))
 }
