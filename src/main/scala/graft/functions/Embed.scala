@@ -62,10 +62,6 @@ object Embed {
     }
   }
 
-  /** UDF of fixed dimension (dim must be a plan-time constant). */
-  def embedUdf(dim: Int = DefaultDim): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => embed(s, dim))
-
   /** Static entry for codegen (EmbedText expression). */
   def embedArray(s: org.apache.spark.unsafe.types.UTF8String,
                  dim: Int): org.apache.spark.sql.catalyst.util.ArrayData =

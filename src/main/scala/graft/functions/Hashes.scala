@@ -157,16 +157,17 @@ object Hashes {
       winnow(if (t == null) null else t.toString, k, w))
 
   // ---- UDFs --------------------------------------------------------
-
-  def minhashUdf(k: Int, shingleN: Int): UserDefinedFunction =
-    udf((s: String) => minhash(s, k, shingleN))
+  // The signature-scan UDFs survive only as the independent reference
+  // baselines the ExpressionsSpec parity suite checks the native
+  // codegen expressions against, bit-for-bit. Operators use the
+  // native forms (graft.functions.hashExprs). jaccardUdf stays on the
+  // hot path by design: it runs only on the tiny candidate-pair set,
+  // where a per-row UDF is irrelevant.
 
   def minhashBandsUdf(k: Int, shingleN: Int, bands: Int): UserDefinedFunction =
     udf((s: String) => minhashBands(minhash(s, k, shingleN), bands))
 
   val simhashUdf: UserDefinedFunction = udf((s: String) => simhash64(s))
-
-  val hammingUdf: UserDefinedFunction = udf((a: Long, b: Long) => hamming64(a, b))
 
   def jaccardUdf(n: Int): UserDefinedFunction =
     udf((a: String, b: String) => jaccardShingles(a, b, n))
