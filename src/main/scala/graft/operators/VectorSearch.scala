@@ -36,7 +36,10 @@ object VectorSearch {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
     val top = emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("dist", l2(col("embedding"), col("qvec")))
+      // project the vectors away before the top-k: the TakeOrdered
+      // heap and driver merge hold (dist, id, label) rows only
+      .select(l2(col("embedding"), col("qvec")).as("dist"),
+        col("vec_id"), col("label"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(10)
     top.withColumn("rank", row_number().over(
@@ -66,7 +69,10 @@ object VectorSearch {
       .orderBy(col("sim").desc, col(idCol))
     corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("sim", cos(col(vecCol), col("qvec")))
+      // sim is computed scan-side; the rank exchange carries
+      // (query_id, id, sim) — the vectors never shuffle
+      .select(col("query_id"), col(idCol),
+        cos(col(vecCol), col("qvec")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol))
@@ -136,9 +142,13 @@ object VectorSearch {
       .orderBy(col("sim").desc, col(idCol))
     bucketed.join(broadcast(qb),
         col("tb") === col("qtb") && col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol), col(vecCol), col("qvec"))
+      // sim computed scan-side BEFORE the dedup: a multi-table
+      // collision recomputes a dot product (cheap, bounded by
+      // nTables) so that neither the dedup nor the rank exchange
+      // ever carries a vector
+      .select(col("query_id"), col(idCol),
+        cos(col(vecCol), col("qvec")).as("sim"))
       .dropDuplicates("query_id", idCol)
-      .withColumn("sim", cos(col(vecCol), col("qvec")))
       .withColumn("rank", row_number().over(w))
       .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("query_id"))))
       .filter(col("rank") <= k)
@@ -224,7 +234,9 @@ object VectorSearch {
       .orderBy(col("sim").desc, col(idCol))
     assigned.join(broadcast(probed), Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("sim", cos(col(vecCol), col("qvec")))
+      // rank exchange carries (query_id, id, sim) only
+      .select(col("query_id"), col(idCol),
+        cos(col(vecCol), col("qvec")).as("sim"))
       .withColumn("rank", row_number().over(wRank))
       .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("query_id"))))
       .filter(col("rank") <= k)
@@ -435,7 +447,9 @@ object VectorSearch {
     candidates
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
-      .withColumn("sim", cos(col(vecCol), col("qvec")))
+      // rank exchange carries (query_id, id, sim) only
+      .select(col("query_id"), col(idCol),
+        cos(col(vecCol), col("qvec")).as("sim"))
       .withColumn("rank", row_number().over(wRank))
       .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("query_id"))))
       .filter(col("rank") <= k)
@@ -462,7 +476,8 @@ object VectorSearch {
       .orderBy(col("sim").desc, col("vec_id"))
     emb.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cos(col("embedding"), col("qvec")))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("embedding"), col("qvec")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"))

@@ -133,6 +133,22 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("q61/q62/q65/q69: no embedding vector rides a rank/dedup exchange") {
+    Seq("q61_knn_cos_multi", "q62_ann_lsh", "q65_ann_ivf", "q69_ann_sq8").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, d)
+      df.collect() // finalize the adaptive plan
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"$name shuffles array columns ${arrays.map(_.name)} — vectors must stay scan-side")
+      }
+    }
+  }
+
   test("q58: split assignment reads only (doc_id, lang)") {
     val p = planStr("q58_split_sample")
     val read = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq.mkString("\n")
