@@ -516,6 +516,49 @@ object VectorSearch {
       .orderBy("method", "query_id")
   }
 
+  /** q67 oracle: the three method mirrors (q62/q65/q69, already
+    * hash-proven individually) composed with an exact-top-3 mirror
+    * and the same recall/candidate-fraction arithmetic. Nested WITHs
+    * are scoped per parenthesized subquery, so the mirrors' internal
+    * CTE names don't collide. */
+  private val q67Sql = s"""
+    WITH exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qe.vec_id AS query_id, e.vec_id,
+               row_number() OVER (PARTITION BY qe.vec_id
+                 ORDER BY ${cosSql("e", "qe")} DESC, e.vec_id) AS rank
+        FROM embeddings e, embeddings qe
+        WHERE qe.vec_id < 5 AND e.vec_id <> qe.vec_id)
+      WHERE rank <= 3),
+    corpus AS (SELECT COUNT(*) AS n FROM embeddings),
+    lsh AS ($q62Sql),
+    ivf AS ($q65Sql),
+    sq8 AS ($q69Sql),
+    all_ann AS (
+      SELECT 'lsh' AS method, query_id, vec_id, n_candidates FROM lsh
+      UNION ALL SELECT 'ivf', query_id, vec_id, n_candidates FROM ivf
+      UNION ALL SELECT 'sq8', query_id, vec_id, n_candidates FROM sq8),
+    ex AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id),
+    hit AS (
+      SELECT a.method, a.query_id, COUNT(*) AS n_hit
+      FROM all_ann a JOIN exact x
+        ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+      GROUP BY a.method, a.query_id),
+    cand AS (
+      SELECT method, query_id, MAX(n_candidates) AS n_candidates
+      FROM all_ann GROUP BY method, query_id),
+    methods AS (SELECT unnest(['lsh', 'ivf', 'sq8']) AS method)
+    SELECT m.method, ex.query_id,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall_at_3,
+           COALESCE(c.n_candidates, 0) AS n_candidates,
+           round(COALESCE(c.n_candidates, 0)
+                 / CAST((SELECT n FROM corpus) AS DOUBLE), 4) AS cand_frac
+    FROM methods m
+    CROSS JOIN ex
+    LEFT JOIN hit h ON h.method = m.method AND h.query_id = ex.query_id
+    LEFT JOIN cand c ON c.method = m.method AND c.query_id = ex.query_id
+    ORDER BY m.method, ex.query_id"""
+
   /** q66: per-label centroids and dispersion, fully deterministic:
     * the centroid is the per-dimension DECIMAL mean (posexplode →
     * groupBy(label, dim) → davg), so both the centroid and the
@@ -660,7 +703,7 @@ object VectorSearch {
     Query("q65_ann_ivf",        q65, Some(q65Sql)),
     Query("q69_ann_sq8",        q69, Some(q69Sql)),
     Query("q66_label_centroids", q66, Some(q66Sql)),
-    Query("q67_ann_recall",      q67, None),
+    Query("q67_ann_recall",      q67, Some(q67Sql)),
     Query("q63_search_e2e",     searchE2E, Some(q63Sql)),
     Query("q64_build_index",    q64, Some(q64Sql)))
 }
