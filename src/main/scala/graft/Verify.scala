@@ -26,7 +26,8 @@ object Verify {
       ("q63 search", () => operators.VectorSearch.materializeSearchAux(spark, sfDir, auxDir)),
       ("dedup sigs", () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
       ("ann", () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
-      ("q41 chunks", () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir))
+      ("q41 chunks", () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
+      ("media", () => operators.Multimodal.materializeMediaAux(spark, sfDir, auxDir))
     ).foreach { case (what, run) =>
       try run()
       catch { case e: Throwable =>

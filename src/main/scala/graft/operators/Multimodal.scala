@@ -28,7 +28,8 @@ object Multimodal {
 
   /** Decoded features per media item. */
   case class MediaFeatures(media_id: Long, format: String, n_bytes: Int,
-                           mean_byte: Double, histogram: Array[Long])
+                           byte_sum: Long, mean_byte: Double,
+                           histogram: Array[Long])
 
   /** STUB decoder — deterministic stand-in for an image/audio codec.
     * Real implementation would decode `blob` into pixels/samples; this
@@ -46,7 +47,7 @@ object Multimodal {
         sum += b
         i += 1
       }
-      MediaFeatures(m.media_id, m.format, m.blob.length,
+      MediaFeatures(m.media_id, m.format, m.blob.length, sum,
         if (m.blob.length == 0) 0.0 else sum.toDouble / m.blob.length, hist)
     }
 
@@ -77,39 +78,72 @@ object Multimodal {
       .as[Media]
   }
 
-  /** q90: batched decode + feature extraction, aggregated per format.
-    * mapPartitions = one codec context per partition (the expensive
-    * init a real decoder would amortize across its batch). */
-  private def q90(s: SparkSession, d: String): DataFrame = {
+  private def featuresDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
-      .mapPartitions(_.map(FakeCodec.features))
-      .groupBy(col("format"))
-      .agg(count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        graft.util.Num.davg(col("mean_byte")).as("avg_mean_byte"))
-      .orderBy("format")
+    mediaTable(s, d).mapPartitions(_.map(FakeCodec.features)).toDF()
   }
 
-  /** q91: resize + frame-sample the blobs, explode frames with index,
-    * count frames and bytes per format (all deterministic). */
-  private def q91(s: SparkSession, d: String): DataFrame = {
+  private def framesDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val frames = mediaTable(s, d).flatMap { m =>
+    mediaTable(s, d).flatMap { m =>
       val resized = FakeCodec.resize(m.blob, 128)
       FakeCodec.sampleFrames(resized, 32, 24).zipWithIndex.map {
         case (f, i) => (m.media_id, m.format, i, f.length,
           f.foldLeft(0L)((a, b) => a + (b & 0xff)))
       }
     }.toDF("media_id", "format", "frame_idx", "frame_bytes", "byte_sum")
-    frames.groupBy(col("format"))
+  }
+
+  /** Materialize the codec outputs (features + sampled frames) for
+    * the DuckDB oracles: the stub codec runs in Spark once, and the
+    * oracles re-aggregate independently (Verify-only). */
+  def materializeMediaAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    featuresDf(s, d).drop("histogram")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/media_features.parquet")
+    framesDf(s, d)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/media_frames.parquet")
+  }
+
+  /** q90: batched decode + feature extraction, aggregated per format.
+    * mapPartitions = one codec context per partition (the expensive
+    * init a real decoder would amortize across its batch). The mean
+    * byte value is the size-weighted mean computed from exact integer
+    * sums — no double quantization anywhere, so the oracle divides
+    * the same two BIGINTs (a decimal-cast mean-of-means hit a
+    * double->DECIMAL tie-rounding divergence at sf0.1). Oracle:
+    * re-aggregated from the materialized feature table. */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    featuresDf(s, d)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("byte_sum")) / sum(col("n_bytes"))).as("avg_byte"))
+      .orderBy("format")
+
+  private val q90Sql = """
+    SELECT format, COUNT(*) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(byte_sum) AS BIGINT) / CAST(SUM(n_bytes) AS BIGINT) AS avg_byte
+    FROM read_parquet('/root/repo/target/verify_aux/media_features.parquet/*.parquet')
+    GROUP BY format ORDER BY format"""
+
+  /** q91: resize + frame-sample the blobs, explode frames with index,
+    * count frames and bytes per format (all deterministic). Oracle:
+    * re-aggregated from the materialized frame table. */
+  private def q91(s: SparkSession, d: String): DataFrame =
+    framesDf(s, d).groupBy(col("format"))
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("media_id")).as("n_media"),
         sum(col("byte_sum")).as("total_byte_sum"))
       .orderBy("format")
-  }
+
+  private val q91Sql = """
+    SELECT format, COUNT(*) AS n_frames, COUNT(DISTINCT media_id) AS n_media,
+           CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum
+    FROM read_parquet('/root/repo/target/verify_aux/media_frames.parquet/*.parquet')
+    GROUP BY format ORDER BY format"""
 
   val queries: Seq[Query] = Seq(
-    Query("q90_media_features", q90, None),
-    Query("q91_frame_sample",   q91, None))
+    Query("q90_media_features", q90, Some(q90Sql)),
+    Query("q91_frame_sample",   q91, Some(q91Sql)))
 }
