@@ -298,20 +298,20 @@ object Dedup {
                          kGram: Int = 8, window: Int = 4,
                          maxDf: Int = 64, minOverlap: Double = 0.25): DataFrame = {
     val s = docs.sparkSession
-    // winnow emits DISTINCT fingerprints per doc, so both per-doc size
-    // and per-fp document frequency are plain window counts over ONE
-    // exploded pass — no separate groupBy branches, no join back for
-    // sizes. The checkpointed signature table is read twice by the
-    // pair self-join instead of re-running the kernel per branch.
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val wFp  = Window.partitionBy(col("fp"))
+    // winnow emits DISTINCT fingerprints per doc, so the per-doc size
+    // is just size(wf) computed scan-side before the explode — no
+    // per-doc window. The stop-fingerprint filter (fps in > maxDf
+    // docs are non-discriminative boilerplate that would create
+    // quadratic hot keys in the pair join) stays a single window
+    // count over fp — one exchange, cheaper than the groupBy+join
+    // formulation (measured). n_fp is computed BEFORE the filter so
+    // the overlap denominator stays honest. The checkpointed
+    // signature table is read twice by the pair self-join instead of
+    // re-running the kernel per branch.
+    val wFp = Window.partitionBy(col("fp"))
     val fps = signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
-      _.select(col("doc_id"), explode(hashExprs.winnowFp(col("text"), kGram, window)).as("fp"))
-        .withColumn("n_fp", count(lit(1)).over(wDoc))
-        // stop-fingerprint filter: fps in > maxDf docs are
-        // non-discriminative boilerplate that would create quadratic
-        // hot keys in the pair join (n_fp is computed BEFORE the
-        // filter so the overlap denominator stays honest)
+      _.select(col("doc_id"), hashExprs.winnowFp(col("text"), kGram, window).as("wf"))
+        .select(col("doc_id"), size(col("wf")).as("n_fp"), explode(col("wf")).as("fp"))
         .withColumn("df", count(lit(1)).over(wFp))
         .filter(col("df") <= maxDf)
         .select(col("doc_id"), col("fp"), col("n_fp")))
