@@ -20,8 +20,14 @@ object Verify {
     // kernels run in Spark once; every oracle re-derives the full
     // downstream logic (banding, pruning, verification, ranking) from
     // these parquet tables. q63 chunks+query vector, dedup signatures,
-    // ANN buckets/codes/centroids.
-    val auxDir = "/root/repo/target/verify_aux"
+    // ANN buckets/codes/centroids. They live in a SIBLING of the
+    // verify output directory — same filesystem the driver's DuckDB
+    // demonstrably reads parquet from, but not a subdirectory a
+    // result-dir scan would trip over — and the oracle SQL (authored
+    // against the canonical /root/repo/target/verify_aux path) is
+    // rewritten to the actual absolute location at dump time below.
+    val canonicalAux = "/root/repo/target/verify_aux"
+    val auxDir = new java.io.File(outDir).getAbsolutePath + "_aux"
     Seq[(String, () => Unit)](
       ("q63 search", () => operators.VectorSearch.materializeSearchAux(spark, sfDir, auxDir)),
       ("dedup sigs", () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
@@ -54,7 +60,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace(canonicalAux, auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
