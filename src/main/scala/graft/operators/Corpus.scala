@@ -268,10 +268,154 @@ object Corpus {
       .withColumn("split", assignSplit(col(idCol)))
   }
 
+  // ---- repetition signals (Gopher-style quality filters) ------------
+
+  /** Per-document repetition signals — the classic corpus-quality
+    * filters (cf. Gopher/MassiveText): token count, distinct-token
+    * ratio, top-token share, and duplicate-bigram fraction. Highly
+    * repetitive documents (boilerplate, keyword stuffing, generation
+    * loops) score low distinct ratios / high duplicate fractions and
+    * get dropped before training. All-declarative: explode -> partial
+    * hash-agg per (doc, term) -> per-doc agg -> left join back (docs
+    * with no tokens keep zeroed signals). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = base
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tokAgg = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val tk = split(col("text"), " ")
+    val grams = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val gramAgg = base.select(col("doc_id"), explode(grams).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct_bigrams"))
+    base.select(col("doc_id"))
+      .join(tokAgg, Seq("doc_id"), "left")
+      .join(gramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("n_distinct").cast("double") / col("n_tokens"), lit(0.0)), 4)
+          .as("distinct_ratio"),
+        round(coalesce(col("top_c").cast("double") / col("n_tokens"), lit(0.0)), 4)
+          .as("top_token_share"),
+        round(coalesce(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"),
+          lit(0.0)), 4).as("dup_bigram_frac"))
+  }
+
+  private def q95(s: SparkSession, d: String): DataFrame =
+    repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val q95Sql = """
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE len(t) > 0),
+    tc AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  COUNT(*) AS n_distinct, MAX(c) AS top_c
+           FROM tc GROUP BY 1),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+                            i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+    gc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    ga AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                  COUNT(*) AS n_distinct_bigrams
+           FROM gc GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(ta.n_tokens, 0) AS n_tokens,
+           round(COALESCE(CAST(ta.n_distinct AS DOUBLE) / ta.n_tokens, 0.0), 4)
+             AS distinct_ratio,
+           round(COALESCE(CAST(ta.top_c AS DOUBLE) / ta.n_tokens, 0.0), 4)
+             AS top_token_share,
+           round(COALESCE(1.0 - CAST(ga.n_distinct_bigrams AS DOUBLE) / ga.n_bigrams, 0.0), 4)
+             AS dup_bigram_frac
+    FROM documents d
+    LEFT JOIN ta ON ta.doc_id = d.doc_id
+    LEFT JOIN ga ON ga.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
+  // ---- benchmark decontamination ------------------------------------
+
+  /** Drop training documents that share at least `minShared` distinct
+    * word-`shingleK`-shingles with a benchmark/eval set — the
+    * standard contamination guard before training (minShared tunes
+    * the tolerance to incidental phrase overlap vs verbatim leakage).
+    * Posting-list join on 64-bit shingle hashes: the benchmark side
+    * is tiny and broadcasts; the corpus side is a narrow scan +
+    * per-doc distinct count + anti-join. Nothing quadratic. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, bTextCol: String,
+                    shingleK: Int = 3, minShared: Int = 1): DataFrame = {
+    import graft.functions.hashExprs
+    val posting = docs.select(col(idCol),
+      explode(hashExprs.shingleHashes(col(textCol), shingleK)).as("h"))
+    val benchH = benchmark
+      .select(explode(hashExprs.shingleHashes(col(bTextCol), shingleK)).as("h"))
+      .distinct()
+    val contaminated = posting.join(broadcast(benchH), "h")
+      .groupBy(col(idCol)).agg(countDistinct(col("h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** q96: decontaminate the md5-bucket train split against the test
+    * split (q58's splitter thresholds), dropping train docs sharing
+    * >= 5 distinct shingles with any test doc (the fixture's docs are
+    * template-generated, so single-shingle overlap is ubiquitous —
+    * the threshold separates verbatim leakage from incidental phrase
+    * reuse). Oracle re-derives from the materialized shingle-hash
+    * signatures (same kernel, same k as dedup_sigs.sg). */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(md5Bucket(col("doc_id")) < 205)
+    val test = docs.filter(md5Bucket(col("doc_id")) >= 230)
+    decontaminate(train, "doc_id", "text", test, "text", minShared = 5)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val q96Sql = """
+    WITH b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      FROM documents),
+    sigs AS (SELECT doc_id, sg
+             FROM read_parquet('/root/repo/target/verify_aux/dedup_sigs.parquet/*.parquet')),
+    test_h AS (
+      SELECT DISTINCT h FROM (
+        SELECT unnest(s.sg) AS h
+        FROM sigs s JOIN b ON b.doc_id = s.doc_id WHERE b.bucket >= 230)),
+    train AS (SELECT s.doc_id, s.sg
+              FROM sigs s JOIN b ON b.doc_id = s.doc_id WHERE b.bucket < 205),
+    contaminated AS (
+      SELECT doc_id FROM (
+        SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_shared FROM (
+          SELECT doc_id, unnest(sg) AS h FROM train) t
+        JOIN test_h USING (h)
+        GROUP BY t.doc_id)
+      WHERE n_shared >= 5)
+    SELECT doc_id FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id"""
+
   val queries: Seq[Query] = Seq(
     Query("q55_vocab_topk",    q55, Some(q55Sql)),
     Query("q56_tfidf",         q56, Some(q56Sql)),
     Query("q57_pii_redact",    q57, Some(q57Sql)),
     Query("q58_split_sample",  q58, Some(q58Sql)),
-    Query("q59_ngram_counts",  q59, Some(q59Sql)))
+    Query("q59_ngram_counts",  q59, Some(q59Sql)),
+    Query("q95_repetition_quality", q95, Some(q95Sql)),
+    Query("q96_decontaminate", q96, Some(q96Sql)))
 }

@@ -115,6 +115,37 @@ class PublicApiSpec extends AnyFunSuite {
     assert(sq8 == exact, s"$sq8 vs $exact")
   }
 
+  test("repetitionSignals flags a repetitive doc and clears a diverse one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now " * 50),                                  // loop spam
+      (2L, (1 to 100).map(i => s"unique$i").mkString(" ")),   // all distinct
+      (3L, ""))                                               // no tokens
+      .toDF("id", "body")
+    val sig = Corpus.repetitionSignals(docs, "id", "body")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (dr1, ts1, db1) = sig(1L)
+    val (dr2, ts2, db2) = sig(2L)
+    assert(dr1 < 0.05 && ts1 >= 0.5 && db1 > 0.9, s"spam doc: $dr1 $ts1 $db1")
+    assert(dr2 == 1.0 && ts2 == 0.01 && db2 == 0.0, s"diverse doc: $dr2 $ts2 $db2")
+    assert(sig(3L) == ((0.0, 0.0, 0.0))) // empty doc: zeroed signals
+  }
+
+  test("decontaminate drops verbatim leakage but keeps clean docs") {
+    import spark.implicits._
+    val bench = Seq((100L, "the exact benchmark question about spark shuffles here"))
+      .toDF("bid", "btext")
+    val train = Seq(
+      (1L, "the exact benchmark question about spark shuffles here copied verbatim"),
+      (2L, "a completely unrelated training document with different words entirely"))
+      .toDF("id", "body")
+    val kept = Corpus.decontaminate(train, "id", "body", bench, "btext",
+        shingleK = 3, minShared = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), kept.toString)
+  }
+
   test("LSH multiprobe candidates are a superset of single-probe candidates") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
