@@ -197,18 +197,29 @@ object VectorSearch {
   /** Train the IVF coarse quantizer: `lloydIters` refinement steps
     * from the seed frame; returns the final centroid table as driver
     * arrays (index metadata). Each step = one narrow NearestCell scan
-    * + a tiny groupBy(cell) on the VecMeanAgg Aggregator. */
+    * + a tiny per-(cell, dim) DECIMAL-mean aggregate. The decimal
+    * mean is reduction-order-free, so the trained centroids are
+    * bit-identical across executions — a correctness-gate requirement
+    * (the q65/q67 oracles re-derive from a materialized copy computed
+    * in a separate execution). The float-summing VecMeanAgg
+    * Aggregator remains the cheaper production choice when cross-run
+    * bit-stability isn't needed. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    seeds: DataFrame, lloydIters: Int = 2): (Array[Long], Array[Array[Float]]) = {
     import graft.functions.vecIndexExprs
+    import graft.util.Num.davg
     var (ids, cents) = collectCents(seeds)
     var it = 0
     while (it < lloydIters) {
       val refreshed = collectCents(
         emb.select(col(vecCol),
             vecIndexExprs.nearestCell(col(vecCol), ids, cents).as("cell"))
+          .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
+          .groupBy(col("cell"), col("i"))
+          .agg(davg(col("x").cast("double")).as("m"))
           .groupBy(col("cell"))
-          .agg(graft.functions.VecMeanAgg.vecMean(col(vecCol)).as("cvec"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+            s => s.getField("m").cast("float")).as("cvec"))
           .select(col("cell").as("cent_id"), col("cvec")))
       ids = refreshed._1
       cents = refreshed._2
