@@ -145,7 +145,14 @@ class ExpressionsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(41)
     val texts = (0 until 60).map { i =>
       (i.toLong, (1 to 40 + rnd.nextInt(200)).map(_ => s"w${rnd.nextInt(300)}").mkString(" "))
-    } :+ (999L, "")
+    } ++ Seq(
+      (999L, ""),
+      // non-ASCII: multibyte UTF-8, surrogate pairs, combining marks —
+      // the UTF8String -> String conversion must agree between the
+      // codegen kernel call and the ScalaUDF path
+      (1000L, "đúng tiếng việt nội dung văn bản đúng tiếng việt"),
+      (1001L, "日本語のテキスト 数据处理 日本語のテキスト 数据处理 été déjà"),
+      (1002L, "emoji 🎉 test 🚀🎉 emoji tab\tand\nnewline mixed 🎉"))
     val df = texts.toDF("id", "text").repartition(4)
     val cmp = df.select(
       hashExprs.minhashBands(col("text"), 64, 3, 16).as("mb_n"),
