@@ -410,6 +410,61 @@ object Corpus {
     WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     ORDER BY doc_id"""
 
+  /** q97: the COMPOSED preparation pipeline ([[prepare]]) end-to-end —
+    * quality gate -> MinHash near-dup detection at threshold 0.5 ->
+    * transitive survivor selection -> deterministic split — emitted
+    * as (doc_id, split) for every surviving document. The oracle
+    * re-derives the entire flow in DuckDB: the quality thresholds via
+    * the q43 feature mirrors, banding + hash-set Jaccard from the
+    * materialized signatures, connected components as a RECURSIVE CTE
+    * min-label closure (exact — the Spark side's label propagation
+    * converges on these shallow clusters), and the md5-bucket split. */
+  private def q97(s: SparkSession, d: String): DataFrame =
+    prepare(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  private val q97Sql = """
+    WITH RECURSIVE q AS (
+      SELECT doc_id FROM documents
+      WHERE len(regexp_split_to_array(trim(text), ' +')) BETWEEN 5 AND 100000
+        AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) <= 0.2
+        AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) <= 0.3),
+    sigs AS (
+      SELECT s.doc_id, s.mb, s.sg
+      FROM read_parquet('/root/repo/target/verify_aux/dedup_sigs.parquet/*.parquet') s
+      JOIN q ON q.doc_id = s.doc_id),
+    banded AS (SELECT doc_id, unnest(mb) AS band FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.id_a
+      JOIN sigs sb ON sb.doc_id = cand.id_b
+      WHERE (len(sa.sg) = 0 AND len(sb.sg) = 0)
+         OR (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)) > 0
+             AND CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                 / (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg))) >= 0.5)),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    r(id, label) AS (
+      SELECT doc_id, doc_id FROM q
+      UNION
+      SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id),
+    labels AS (SELECT id, MIN(label) AS label FROM r GROUP BY id),
+    surv AS (SELECT id AS doc_id FROM labels WHERE id = label),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      FROM surv)
+    SELECT doc_id,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split
+    FROM b ORDER BY doc_id"""
+
   val queries: Seq[Query] = Seq(
     Query("q55_vocab_topk",    q55, Some(q55Sql)),
     Query("q56_tfidf",         q56, Some(q56Sql)),
@@ -417,5 +472,6 @@ object Corpus {
     Query("q58_split_sample",  q58, Some(q58Sql)),
     Query("q59_ngram_counts",  q59, Some(q59Sql)),
     Query("q95_repetition_quality", q95, Some(q95Sql)),
-    Query("q96_decontaminate", q96, Some(q96Sql)))
+    Query("q96_decontaminate", q96, Some(q96Sql)),
+    Query("q97_prepare_pipeline", q97, Some(q97Sql)))
 }
