@@ -135,6 +135,72 @@ object IndexStore {
       .limit(k))
   }
 
+  /** IVF-partitioned index — the other 100 TB layout besides LSH
+    * buckets: rows land in the parquet partition of their
+    * nearest-centroid cell (`NearestCell` scan-side assignment, no
+    * corpus shuffle beyond the partitioned write), and the trained
+    * centroid table persists as a `_centroids` sidecar (underscore
+    * prefix = invisible to Spark's file index). A query probes its
+    * `probes` nearest cells -> partition pruning opens only those
+    * directories; within them the SQ8 codes pre-rank candidates
+    * (1 byte/dim reads) and only the top-`overfetch` rows pay the
+    * float embedding read + exact cosine — the FAISS IVF-SQ pattern
+    * as a parquet layout. */
+  def buildIvf(spark: SparkSession, docs: DataFrame, path: String,
+               nCells: Int = 16, lloydIters: Int = 2,
+               dim: Int = Embed.DefaultDim): Unit = {
+    import graft.functions.vecIndexExprs
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val rows = indexRows(docs, dim).localCheckpoint()
+    // deterministic seed pick: first nCells chunks by id (offline
+    // build; at scale use a sampled seed set + more Lloyd steps)
+    val seeds = rows.select(col("chunk_id"), col("embedding"))
+      .orderBy("chunk_id").limit(nCells)
+      .select(row_number().over(Window.orderBy(col("chunk_id"))).cast("long").as("cent_id"),
+        col("embedding").as("cvec"))
+    val (ids, cents) = graft.operators.VectorSearch.ivfCentroids(
+      rows, "chunk_id", "embedding", seeds, lloydIters)
+    rows.withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(path)
+    val s2 = spark
+    import s2.implicits._
+    ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_centroids")
+  }
+
+  /** ANN search over the IVF-partitioned layout: the cell predicate
+    * resolves to partition directories at planning time; SQ8 pre-rank
+    * + exact rerank inside the probed cells. */
+  def searchTopKIvf(spark: SparkSession, path: String, queryText: String,
+                    k: Int = 10, probes: Int = 3, overfetch: Int = 32,
+                    dim: Int = Embed.DefaultDim): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val qvec = Embed.embed(queryText, dim)
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
+      math.min(probes, ids.length)).toLongArray().toSeq
+    val qCode = graft.functions.VecIndex.sq8Code(qData)
+    val qFac = graft.functions.VecIndex.sq8Factor(qData)
+    val idx = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+    val candidates = idx
+      .select(col("chunk_id").as("cid"),
+        (vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode)) * col("sq8_factor") * lit(qFac))
+          .as("approx"))
+      .orderBy(col("approx").desc, col("cid"))
+      .limit(overfetch)
+    present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
+      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(k))
+  }
+
   /** Bucket-PARTITIONED index: one row per (table-bucket, chunk),
     * parquet-partitioned by the bucket key — the full 100 TB layout
     * where an ANN probe prunes FILES (partition pruning on

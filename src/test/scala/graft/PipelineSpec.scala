@@ -98,6 +98,29 @@ class PipelineSpec extends AnyFunSuite {
       flat.map(_.getAs[String]("chunk_id")).toSeq)
   }
 
+  test("IVF-partitioned index prunes cell partitions and finds the on-topic doc") {
+    val dir = Files.createTempDirectory("graft_idx_ivf").toString + "/index"
+    IndexStore.buildIvf(spark, tinyDocs, dir, nCells = 2, lloydIters = 1)
+    // sidecar centroid table persisted and hidden from the table read
+    assert(spark.read.parquet(s"$dir/_centroids").count() >= 1)
+    assert(!spark.read.parquet(dir).columns.contains("cent_id"))
+    val df = IndexStore.searchTopKIvf(spark, dir, "spark sql window",
+      k = 3, probes = 1, overfetch = 10)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("cell"), s"cell predicate must prune partitions: $scan")
+    val hits = df.collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 2L)
+    // probing every cell with full overfetch recovers the exact ranking
+    val all = IndexStore.searchTopKIvf(spark, dir, "spark sql window",
+      k = 3, probes = 2, overfetch = 100).collect()
+    val exactDir = Files.createTempDirectory("graft_idx_ex").toString + "/index"
+    IndexStore.build(spark, tinyDocs, exactDir)
+    val exact = IndexStore.searchTopK(spark, exactDir, "spark sql window", k = 3).collect()
+    assert(all.map(_.getAs[String]("chunk_id")).toSeq ==
+      exact.map(_.getAs[String]("chunk_id")).toSeq)
+  }
+
   test("bucketed re-build is idempotent (no duplicate chunk per bucket)") {
     val dir = Files.createTempDirectory("graft_idx_bp2").toString + "/index"
     IndexStore.buildBucketed(spark, tinyDocs, dir)
