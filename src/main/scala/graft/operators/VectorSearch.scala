@@ -197,30 +197,43 @@ object VectorSearch {
   /** Train the IVF coarse quantizer: `lloydIters` refinement steps
     * from the seed frame; returns the final centroid table as driver
     * arrays (index metadata). Each step = one narrow NearestCell scan
-    * + a tiny per-(cell, dim) DECIMAL-mean aggregate. The decimal
-    * mean is reduction-order-free, so the trained centroids are
-    * bit-identical across executions — a correctness-gate requirement
+    * + a tiny per-cell mean.
+    *
+    * `bitExact = true` (default) computes per-(cell, dim) DECIMAL
+    * means — reduction-order-free, so the trained centroids are
+    * bit-identical across executions: a correctness-gate requirement
     * (the q65/q67 oracles re-derive from a materialized copy computed
-    * in a separate execution). The float-summing VecMeanAgg
-    * Aggregator remains the cheaper production choice when cross-run
-    * bit-stability isn't needed. */
+    * in a separate execution). `bitExact = false` uses the
+    * float-summing VecMeanAgg typed Aggregator — one aggregate
+    * instead of two and no posexplode, the right choice for offline
+    * index builds ([[graft.sources.IndexStore.buildIvf]]) where
+    * centroids ship WITH the index and nothing recomputes them. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                   seeds: DataFrame, lloydIters: Int = 2): (Array[Long], Array[Array[Float]]) = {
+                   seeds: DataFrame, lloydIters: Int = 2,
+                   bitExact: Boolean = true): (Array[Long], Array[Array[Float]]) = {
     import graft.functions.vecIndexExprs
     import graft.util.Num.davg
-    var (ids, cents) = collectCents(seeds)
-    var it = 0
-    while (it < lloydIters) {
-      val refreshed = collectCents(
-        emb.select(col(vecCol),
-            vecIndexExprs.nearestCell(col(vecCol), ids, cents).as("cell"))
+    def recenter(assigned: DataFrame): DataFrame =
+      if (bitExact)
+        assigned
           .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
           .groupBy(col("cell"), col("i"))
           .agg(davg(col("x").cast("double")).as("m"))
           .groupBy(col("cell"))
           .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
             s => s.getField("m").cast("float")).as("cvec"))
-          .select(col("cell").as("cent_id"), col("cvec")))
+          .select(col("cell").as("cent_id"), col("cvec"))
+      else
+        assigned
+          .groupBy(col("cell"))
+          .agg(graft.functions.VecMeanAgg.vecMean(col(vecCol)).as("cvec"))
+          .select(col("cell").as("cent_id"), col("cvec"))
+    var (ids, cents) = collectCents(seeds)
+    var it = 0
+    while (it < lloydIters) {
+      val refreshed = collectCents(recenter(
+        emb.select(col(vecCol),
+          vecIndexExprs.nearestCell(col(vecCol), ids, cents).as("cell"))))
       ids = refreshed._1
       cents = refreshed._2
       it += 1

@@ -158,8 +158,11 @@ object IndexStore {
       .orderBy("chunk_id").limit(nCells)
       .select(row_number().over(Window.orderBy(col("chunk_id"))).cast("long").as("cent_id"),
         col("embedding").as("cvec"))
+    // fast float-sum centroid training (VecMeanAgg): the trained
+    // quantizer ships with the index as the _centroids sidecar, so
+    // cross-execution bit-stability is not required here
     val (ids, cents) = graft.operators.VectorSearch.ivfCentroids(
-      rows, "chunk_id", "embedding", seeds, lloydIters)
+      rows, "chunk_id", "embedding", seeds, lloydIters, bitExact = false)
     rows.withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
