@@ -132,6 +132,24 @@ object VecIndex {
     while (i < n) { s += a(i) * b(i); i += 1 }
     s
   }
+
+  /** Reduction-order-free L2 distance of a float vector to a double
+    * centroid: sqrt of the exact DECIMAL(18,6) sum of squared per-dim
+    * deviations — bit-for-bit `sqrt(dsum((x_i - m_i)^2))` over
+    * posexploded rows ([[graft.functions.DecVec]] carries the
+    * Cast-identical rounding), collapsed to one scan-side kernel so
+    * centroid-dispersion queries never shuffle (row, dim) pairs. */
+  def decL2(v: ArrayData, m: ArrayData): Double = {
+    val n = math.min(v.numElements(), m.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = v.getFloat(i).toDouble - m.getDouble(i)
+      s += DecVec.micros(d * d)
+      i += 1
+    }
+    math.sqrt(DecVec.toDouble(s))
+  }
 }
 
 /** nearest_cell(vec): LONG id of the L2-nearest centroid. The
@@ -227,6 +245,25 @@ case class Sq8Dot(left: Expression, right: Expression) extends BinaryExpression 
     copy(l, r)
 }
 
+/** dec_l2(vec FLOAT[], cent DOUBLE[]): DOUBLE reduction-order-free L2
+  * distance to a (typically per-group decimal-mean) centroid. */
+case class DecL2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dec_l2 needs (ARRAY<FLOAT>, ARRAY<DOUBLE>), got $l, $r")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecIndex.decL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecIndex.decL2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
 /** Column builders. */
 object vecIndexExprs {
   def nearestCell(c: Column, ids: Array[Long], cents: Array[Array[Float]]): Column =
@@ -239,4 +276,6 @@ object vecIndexExprs {
   def sq8Factor(c: Column): Column = shims.toColumn(Sq8Factor(shims.toExpression(c)))
   def sq8Dot(a: Column, b: Column): Column =
     shims.toColumn(Sq8Dot(shims.toExpression(a), shims.toExpression(b)))
+  def decL2(v: Column, m: Column): Column =
+    shims.toColumn(DecL2(shims.toExpression(v), shims.toExpression(m)))
 }
