@@ -32,6 +32,7 @@ object Verify {
       ("q63 search", () => operators.VectorSearch.materializeSearchAux(spark, sfDir, auxDir)),
       ("dedup sigs", () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
       ("ann", () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
+      ("q98 ivf index", () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
       ("q41 chunks", () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
       ("media", () => operators.Multimodal.materializeMediaAux(spark, sfDir, auxDir))
     ).foreach { case (what, run) =>
@@ -40,7 +41,12 @@ object Verify {
         System.err.println(s"[verify] $what aux materialization failed: ${e.getMessage}")
       }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only single-query iteration (same knob as Bench); the driver
+    // never sets it, so a driver run always dumps the full catalog
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -60,6 +66,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace(canonicalAux, auxDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -507,6 +507,116 @@ object VectorSearch {
         .orderBy("query_id", "rank")
     }
 
+  // ---- q98: the persisted IVF-SQ index, gated end-to-end ------------
+
+  /** Deterministic on-disk location of the q98 index for an sf dir —
+    * one physical build per (session, sf), shared by the query, the
+    * Verify aux dump, and the bench (see IndexStore.buildIvfOnce). */
+  private def q98IndexPath(d: String): String =
+    "/root/repo/target/q98_ivf_index/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val Q98QueryText = "grouped aggregation over partitioned batches"
+  private val Q98Probes = 3
+  private val Q98Overfetch = 32
+
+  /** q98: the flagship 100 TB index lifecycle as ONE gated query —
+    * build the IVF-partitioned FAISS-IVF-SQ-style parquet layout
+    * (cell = nearest trained centroid -> partition directory,
+    * `_centroids` sidecar, SQ8 codes in-row), then search it: probe
+    * the 3 nearest cells (partition pruning opens only those
+    * directories — PlanAuditSpec asserts it), SQ8 integer pre-rank
+    * inside the probed cells, exact cosine rerank on the top-32.
+    * bitExact build => the whole artifact is reproducible
+    * bit-for-bit, so the oracle re-derives assignment, probing,
+    * pre-ranking, reranking, and presentation from an independently
+    * dumped copy of the same index. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q98IndexPath(d)
+    IndexStore.buildIvfOnce(s, Tables.documents(s, d), path, bitExact = true)
+    IndexStore.searchTopKIvf(s, path, Q98QueryText, k = 10,
+      probes = Q98Probes, overfetch = Q98Overfetch)
+  }
+
+  /** Dump the q98 index (rows + `_centroids` sidecar + query-side
+    * vector/code) for the DuckDB oracle. Shares the physical build
+    * with the q98 query via buildIvfOnce; the oracle re-derives the
+    * cell assignment from the dumped embeddings x centroids (so a
+    * build-side assignment bug fails the gate too), then mirrors
+    * probe -> SQ8 pre-rank -> exact rerank -> presentation. */
+  def materializeIvfIndexAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import graft.sources.IndexStore
+    val path = q98IndexPath(d)
+    IndexStore.buildIvfOnce(s, Tables.documents(s, d), path, bitExact = true)
+    val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
+    s.read.parquet(path)
+      .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
+        col("cell").cast("long").as("cell"),
+        bytesToInts(col("sq8_code")).as("sq8"), col("sq8_factor").as("fac"),
+        col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q98_index.parquet")
+    s.read.parquet(s"$path/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q98_cents.parquet")
+    val qvec = Embed.embed(Q98QueryText, Embed.DefaultDim)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    import s.implicits._
+    Seq((qvec.toSeq,
+        graft.functions.VecIndex.sq8Code(qData).map(_.toInt).toSeq,
+        graft.functions.VecIndex.sq8Factor(qData)))
+      .toDF("qvec", "qcode", "qfac")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q98_query.parquet")
+  }
+
+  private val AuxQ98Index =
+    "read_parquet('/root/repo/target/verify_aux/q98_index.parquet/*.parquet')"
+  private val AuxQ98Cents =
+    "read_parquet('/root/repo/target/verify_aux/q98_cents.parquet/*.parquet')"
+  private val AuxQ98Query =
+    "read_parquet('/root/repo/target/verify_aux/q98_query.parquet/*.parquet')"
+
+  /** Generic exact-cosine SQL between two array-column expressions
+    * (the [[cosSql]] arithmetic over arbitrary columns). */
+  private def cosColsSql(x: String, y: String) = s"""
+        list_sum(list_transform(generate_series(1, len($x)),
+          i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, len($x)),
+             i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, len($y)),
+             i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))))"""
+
+  private val q98Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ98Cents),
+    qv AS (SELECT qvec, qcode, qfac FROM $AuxQ98Query),
+    idx AS (SELECT * FROM $AuxQ98Index),
+    assign AS (
+      SELECT x.chunk_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.chunk_id
+               ORDER BY ${l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM idx x, cents c),
+    assigned AS (SELECT chunk_id, cent_id AS cell FROM assign WHERE arn = 1),
+    probe AS (
+      SELECT c.cent_id AS cell FROM cents c, qv
+      ORDER BY ${l2Sql("qv.qvec", "c.cvec")}, c.cent_id LIMIT $Q98Probes),
+    pruned AS (
+      SELECT x.* FROM idx x
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+    cand AS (
+      SELECT x.chunk_id FROM pruned x CROSS JOIN qv
+      ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
+          k -> x.sq8[k] * qv.qcode[k])) AS DOUBLE) * x.fac * qv.qfac DESC,
+        x.chunk_id
+      LIMIT $Q98Overfetch),
+    scored AS (
+      SELECT x.chunk_id, x.doc_id, x.source, x.chunk,
+             ${cosColsSql("x.embedding", "qv.qvec")} AS sim
+      FROM pruned x JOIN cand USING (chunk_id) CROSS JOIN qv)
+    SELECT row_number() OVER (ORDER BY sim DESC, chunk_id) AS rank,
+           chunk_id, doc_id, source, chunk,
+           'https://docs.google.com/spreadsheets/d/' || source ||
+           '/edit#gid=0&range=A' || CAST(doc_id + 2 AS BIGINT) AS link
+    FROM scored ORDER BY sim DESC, chunk_id LIMIT 10"""
+
   /** Exact cosine top-k of queries against a corpus — the recall
     * harness baseline. */
   private def exactTopKOf(corpus: DataFrame, idCol: String, vecCol: String,
@@ -760,5 +870,6 @@ object VectorSearch {
     Query("q66_label_centroids", q66, Some(q66Sql)),
     Query("q67_ann_recall",      q67, Some(q67Sql)),
     Query("q63_search_e2e",     searchE2E, Some(q63Sql)),
-    Query("q64_build_index",    q64, Some(q64Sql)))
+    Query("q64_build_index",    q64, Some(q64Sql)),
+    Query("q98_ivf_search",     q98, Some(q98Sql)))
 }

@@ -149,6 +149,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q98: IVF index probes prune parquet partitions at plan time") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q98_ivf_search")(spark, d)
+    df.collect() // finalize the adaptive plan + populate scan metrics
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q98_ivf_index")))
+    assert(idxScans.nonEmpty, "expected scans of the q98 index:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"index scan must carry a cell partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= 3,
+        s"probe must open at most `probes`=3 of 16 cell directories, read $read: $f")
+    }
+  }
+
   test("q58: split assignment reads only (doc_id, lang)") {
     val p = planStr("q58_split_sample")
     val read = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq.mkString("\n")
