@@ -33,6 +33,7 @@ object Verify {
       ("dedup sigs", () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
       ("ann", () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
       ("q98 ivf index", () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
+      ("q67b clustered", () => operators.VectorSearch.materializeClusteredAux(spark, sfDir, auxDir)),
       ("q41 chunks", () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
       ("media", () => operators.Multimodal.materializeMediaAux(spark, sfDir, auxDir))
     ).foreach { case (what, run) =>

@@ -388,20 +388,23 @@ object VectorSearch {
           i -> (CAST($vec[i] AS DOUBLE) - CAST($cent[i] AS DOUBLE))
              * (CAST($vec[i] AS DOUBLE) - CAST($cent[i] AS DOUBLE)))))"""
 
-  private val q65Sql = s"""
-    WITH cents AS (SELECT cent_id, cvec FROM $AuxCents),
+  /** IVF mirror, parameterized on the corpus table (vec_id, embedding)
+    * and the trained-centroid aux table — instantiated for q65
+    * (fixture corpus) and q67b (clustered corpus). */
+  private def ivfMirrorSql(corpusT: String, centsT: String, probes: Int) = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $centsT),
     assign AS (
       SELECT e.vec_id, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cent_id) AS arn
-      FROM embeddings e, cents c),
+      FROM $corpusT e, cents c),
     assigned AS (SELECT vec_id, cent_id AS cell FROM assign WHERE arn = 1),
     probe AS (
       SELECT q.vec_id AS query_id, c.cent_id AS cell,
              row_number() OVER (PARTITION BY q.vec_id
                ORDER BY ${l2Sql("q.embedding", "c.cvec")}, c.cent_id) AS prn
-      FROM embeddings q, cents c WHERE q.vec_id < 5),
-    probed AS (SELECT query_id, cell FROM probe WHERE prn <= 3),
+      FROM $corpusT q, cents c WHERE q.vec_id < 5),
+    probed AS (SELECT query_id, cell FROM probe WHERE prn <= $probes),
     cand AS (
       SELECT p.query_id, a.vec_id
       FROM assigned a JOIN probed p USING (cell)
@@ -409,8 +412,8 @@ object VectorSearch {
     scored AS (
       SELECT cand.query_id, cand.vec_id, ${cosSql("e", "qe")} AS sim
       FROM cand
-      JOIN embeddings e ON e.vec_id = cand.vec_id
-      JOIN embeddings qe ON qe.vec_id = cand.query_id),
+      JOIN $corpusT e ON e.vec_id = cand.vec_id
+      JOIN $corpusT qe ON qe.vec_id = cand.query_id),
     ranked AS (
       SELECT query_id, vec_id,
              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
@@ -419,8 +422,14 @@ object VectorSearch {
     SELECT query_id, rank, vec_id, n_candidates FROM ranked
     WHERE rank <= 3 ORDER BY query_id, rank"""
 
-  private val q69Sql = s"""
-    WITH codes AS (SELECT vec_id, sq8, fac FROM $AuxAnn),
+  private val q65Sql = ivfMirrorSql("embeddings", AuxCents, 3)
+
+  /** SQ8 mirror, parameterized on the codes table (vec_id, sq8, fac)
+    * and the float-vector table for the exact rerank — instantiated
+    * for q69 (fixture) and q67b (clustered corpus, where both roles
+    * are served by the one aux table). */
+  private def sq8MirrorSql(codesT: String, vecT: String, overfetch: Int) = s"""
+    WITH codes AS (SELECT vec_id, sq8, fac FROM $codesT),
     q AS (SELECT vec_id AS query_id, sq8 AS qcode, fac AS qfac
           FROM codes WHERE vec_id < 5),
     approxs AS (
@@ -434,12 +443,12 @@ object VectorSearch {
                row_number() OVER (PARTITION BY query_id
                  ORDER BY approx DESC, vec_id) AS arn
         FROM approxs)
-      WHERE arn <= 16),
+      WHERE arn <= $overfetch),
     scored AS (
       SELECT cand.query_id, cand.vec_id, ${cosSql("e", "qe")} AS sim
       FROM cand
-      JOIN embeddings e ON e.vec_id = cand.vec_id
-      JOIN embeddings qe ON qe.vec_id = cand.query_id),
+      JOIN $vecT e ON e.vec_id = cand.vec_id
+      JOIN $vecT qe ON qe.vec_id = cand.query_id),
     ranked AS (
       SELECT query_id, vec_id,
              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
@@ -447,6 +456,8 @@ object VectorSearch {
       FROM scored)
     SELECT query_id, rank, vec_id, n_candidates FROM ranked
     WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  private val q69Sql = sq8MirrorSql(AuxAnn, "embeddings", 16)
 
   /** PUBLIC SQ8 compressed-domain kNN — the scale path for corpora
     * WITHOUT cluster structure (the fixture's vectors are isotropic
@@ -684,28 +695,26 @@ object VectorSearch {
       .orderBy("method", "query_id")
   }
 
-  /** q67 oracle: the three method mirrors (q62/q65/q69, already
-    * hash-proven individually) composed with an exact-top-3 mirror
-    * and the same recall/candidate-fraction arithmetic. Nested WITHs
-    * are scoped per parenthesized subquery, so the mirrors' internal
-    * CTE names don't collide. */
-  private val q67Sql = s"""
+  /** Recall/candidate-fraction meter mirror, parameterized on the
+    * corpus table and the (method name -> mirror SQL) list —
+    * instantiated for q67 (fixture, 3 methods) and q67b (clustered
+    * corpus, 2 methods). Nested WITHs are scoped per parenthesized
+    * subquery, so the mirrors' internal CTE names don't collide. */
+  private def recallMirrorSql(vecT: String, methods: Seq[(String, String)]) = s"""
     WITH exact AS (
       SELECT query_id, vec_id FROM (
         SELECT qe.vec_id AS query_id, e.vec_id,
                row_number() OVER (PARTITION BY qe.vec_id
                  ORDER BY ${cosSql("e", "qe")} DESC, e.vec_id) AS rank
-        FROM embeddings e, embeddings qe
+        FROM $vecT e, $vecT qe
         WHERE qe.vec_id < 5 AND e.vec_id <> qe.vec_id)
       WHERE rank <= 3),
-    corpus AS (SELECT COUNT(*) AS n FROM embeddings),
-    lsh AS ($q62Sql),
-    ivf AS ($q65Sql),
-    sq8 AS ($q69Sql),
+    corpus AS (SELECT COUNT(*) AS n FROM $vecT),
+    ${methods.map { case (m, sql) => s"m_$m AS ($sql)" }.mkString(",\n    ")},
     all_ann AS (
-      SELECT 'lsh' AS method, query_id, vec_id, n_candidates FROM lsh
-      UNION ALL SELECT 'ivf', query_id, vec_id, n_candidates FROM ivf
-      UNION ALL SELECT 'sq8', query_id, vec_id, n_candidates FROM sq8),
+      ${methods.map { case (m, _) =>
+        s"SELECT '$m' AS method, query_id, vec_id, n_candidates FROM m_$m" }
+        .mkString("\n      UNION ALL ")}),
     ex AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id),
     hit AS (
       SELECT a.method, a.query_id, COUNT(*) AS n_hit
@@ -715,7 +724,7 @@ object VectorSearch {
     cand AS (
       SELECT method, query_id, MAX(n_candidates) AS n_candidates
       FROM all_ann GROUP BY method, query_id),
-    methods AS (SELECT unnest(['lsh', 'ivf', 'sq8']) AS method)
+    methods AS (SELECT unnest([${methods.map("'" + _._1 + "'").mkString(", ")}]) AS method)
     SELECT m.method, ex.query_id,
            CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall_at_3,
            COALESCE(c.n_candidates, 0) AS n_candidates,
@@ -726,6 +735,110 @@ object VectorSearch {
     LEFT JOIN hit h ON h.method = m.method AND h.query_id = ex.query_id
     LEFT JOIN cand c ON c.method = m.method AND c.query_id = ex.query_id
     ORDER BY m.method, ex.query_id"""
+
+  private val q67Sql = recallMirrorSql("embeddings",
+    Seq("lsh" -> q62Sql, "ivf" -> q65Sql, "sq8" -> q69Sql))
+
+  // ---- q67b: the same meter on a CLUSTERED corpus -------------------
+
+  private val ClusterCount = 50
+  private val ClusterAlpha = 0.2
+
+  /** Cluster-structured corpus synthesized deterministically from the
+    * isotropic fixture: vector i joins cluster (i mod 50) and becomes
+    * center(cluster) + 0.2 * original. The fixture's isotropic
+    * vectors put an honest ~0.6 ceiling on every geometric ANN method
+    * (q67); real embedding corpora are clustered, and this corpus
+    * models that regime so q67b can document the IVF operating point
+    * scale users actually get. 50 clusters => one cluster is 2% of
+    * the corpus at any sf. */
+  private def clusteredEmb(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "q67b_corpus") {
+      import s.implicits._
+      val centers = (0 until ClusterCount).map(c =>
+          (c.toLong, Embed.embed("cluster:" + c, Embed.DefaultDim).toSeq))
+        .toDF("cid", "cvec")
+      Tables.embeddings(s, d)
+        .withColumn("cid", col("vec_id") % ClusterCount)
+        .join(broadcast(centers), Seq("cid"))
+        .select(col("vec_id"),
+          zip_with(col("cvec"), col("embedding"),
+            (c, v) => (c.cast("double") + lit(ClusterAlpha) * v.cast("double"))
+              .cast("float")).as("embedding"))
+    }
+
+  /** One deterministic seed per cluster: vectors 0..49 land in
+    * clusters 0..49 (i mod 50), so Lloyd starts with every cluster
+    * covered and converges each cell onto a cluster mean. */
+  private def q67bSeeds(clustered: DataFrame): DataFrame =
+    clustered.filter(col("vec_id") < ClusterCount)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+
+  private def q67bQueries(clustered: DataFrame): DataFrame =
+    clustered.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  private val Q67bProbes = 2
+
+  private def q67bIvf(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "q67b_ivf") {
+      val emb = clusteredEmb(s, d)
+      annIvf(emb, "vec_id", "embedding", q67bQueries(emb), k = 3,
+        seeds = q67bSeeds(emb), lloydIters = 2, probes = Q67bProbes)
+        .orderBy("query_id", "rank")
+    }
+
+  private def q67bSq8(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "q67b_sq8") {
+      val emb = clusteredEmb(s, d)
+      knnSq8(emb, "vec_id", "embedding", q67bQueries(emb), k = 3)
+        .orderBy("query_id", "rank")
+    }
+
+  /** q67b: [[q67]]'s recall/candidate-fraction meter on the clustered
+    * corpus — the demonstration that IVF's geometry pays off the
+    * moment the data has structure: probing 2 of 50 trained cells
+    * (~4% of the corpus) recovers the full exact top-3, where the
+    * same method on the isotropic fixture capped near 0.6 at ~20%
+    * candidates. SQ8 rides along as the structure-free baseline. */
+  private def q67b(s: SparkSession, d: String): DataFrame = {
+    val corpusN = clusteredEmb(s, d).count()
+    recallMeter(
+      cachedFrame(s, d, "q67b_exact3") {
+        val emb = clusteredEmb(s, d)
+        exactTopKOf(emb, "vec_id", "embedding", q67bQueries(emb), 3)
+      },
+      "vec_id", corpusN,
+      Seq("ivf" -> q67bIvf(s, d), "sq8" -> q67bSq8(s, d)))
+  }
+
+  /** Dump the clustered corpus (vectors + SQ8 codes) and its trained
+    * centroids for the q67b oracle, which re-derives assignment,
+    * probing, pre-ranking, ranking, and the meter arithmetic in
+    * DuckDB. Shares the session-pinned corpus frame with the query
+    * path. Called by Verify (never by Bench). */
+  def materializeClusteredAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import graft.functions.vecIndexExprs
+    val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
+    val cl = clusteredEmb(s, d)
+    cl.select(col("vec_id"), col("embedding"),
+        bytesToInts(vecIndexExprs.sq8Code(col("embedding"))).as("sq8"),
+        vecIndexExprs.sq8Factor(col("embedding")).as("fac"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q67b_corpus.parquet")
+    val (ids, cents) = ivfCentroids(cl, "vec_id", "embedding", q67bSeeds(cl))
+    import s.implicits._
+    ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q67b_cents.parquet")
+  }
+
+  private val AuxQ67bCorpus =
+    "read_parquet('/root/repo/target/verify_aux/q67b_corpus.parquet/*.parquet')"
+  private val AuxQ67bCents =
+    "read_parquet('/root/repo/target/verify_aux/q67b_cents.parquet/*.parquet')"
+
+  private val q67bSql = recallMirrorSql(AuxQ67bCorpus,
+    Seq("ivf" -> ivfMirrorSql(AuxQ67bCorpus, AuxQ67bCents, Q67bProbes),
+        "sq8" -> sq8MirrorSql(AuxQ67bCorpus, AuxQ67bCorpus, 16)))
 
   /** q66: per-label centroids and dispersion, fully deterministic:
     * the centroid is the per-dimension DECIMAL mean and each member's
@@ -869,6 +982,7 @@ object VectorSearch {
     Query("q69_ann_sq8",        q69, Some(q69Sql)),
     Query("q66_label_centroids", q66, Some(q66Sql)),
     Query("q67_ann_recall",      q67, Some(q67Sql)),
+    Query("q67b_ann_recall_clustered", q67b, Some(q67bSql)),
     Query("q63_search_e2e",     searchE2E, Some(q63Sql)),
     Query("q64_build_index",    q64, Some(q64Sql)),
     Query("q98_ivf_search",     q98, Some(q98Sql)))
