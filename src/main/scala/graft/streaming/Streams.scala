@@ -33,14 +33,19 @@ object Streams {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** The streaming file source tails a directory; stage the fixture
-    * file into a fresh inbox dir (what a collector would feed). */
-  private def stageInbox(d: String, file: String): String = {
-    val inbox = Paths.get(s"/root/repo/target/stream_tmp/${UUID.randomUUID}/inbox")
-    Files.createDirectories(inbox)
-    Files.copy(Paths.get(s"$d/$file"), inbox.resolve(file),
-      StandardCopyOption.REPLACE_EXISTING)
-    inbox.toString
-  }
+    * file into a fresh inbox dir (what a collector would feed). One
+    * staging per (sf, file) per JVM — the inbox is read-only input,
+    * so every stream over the same fixture can tail the same copy. */
+  private val stagedInboxes =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def stageInbox(d: String, file: String): String =
+    stagedInboxes.getOrElseUpdate((d, file), {
+      val inbox = Paths.get(s"/root/repo/target/stream_tmp/${UUID.randomUUID}/inbox")
+      Files.createDirectories(inbox)
+      Files.copy(Paths.get(s"$d/$file"), inbox.resolve(file),
+        StandardCopyOption.REPLACE_EXISTING)
+      inbox.toString
+    })
 
   private def eventsStreamFrom(s: SparkSession, inbox: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -60,6 +65,9 @@ object Streams {
     // (On a cluster this is the knob you set per stream job anyway.)
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // one bounded drain = 1-2 micro-batches: background snapshot
+    // maintenance would only add load next to the foreground commits
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     // bounded drain: the trailing no-data micro-batch exists to advance
     // the watermark for append-mode FINAL emissions; every stream here
     // either runs complete/update mode or (q85) an inner join that
@@ -172,13 +180,18 @@ object Streams {
         // Partition-overwrite by source: replaying a batch rewrites the
         // same partitions => idempotent (fixes the reference's
         // duplicate-id `add`, indexer.py:56)
-        // hash-repartition on the write partition key: ~one output file
-        // per source instead of (tasks x sources) small files
-        batch.repartition(col("source"))
+        // chunk+embed at FULL parallelism (repartition by source alone
+        // would cap the embed kernel at #sources tasks), THEN
+        // hash-repartition on the write partition key: ~one output
+        // file per source instead of (tasks x sources) small files.
+        // The second shuffle carries finished chunk rows — cheap next
+        // to the per-chunk embedding it unblocks.
+        batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("source"),
             exprs.chunkText(col("text"), 200, 40).as(Seq("pos", "chunk")))
           .withColumn("chunk_id", concat_ws("_", col("source"), col("doc_id"), col("pos")))
           .withColumn("embedding", graft.functions.Embed.embedCol(col("chunk")))
+          .repartition(col("source"))
           .write.mode("overwrite").partitionBy("source")
           .parquet(index.toString)
         ()
