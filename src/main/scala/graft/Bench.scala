@@ -55,7 +55,20 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The harness that captures this output retains only a bounded tail
+    // of stdout, which truncates the full per-query line above. Persist
+    // the complete record to a file, and end stdout with a compact
+    // summary line (headline total + slowest queries) that fits whole
+    // inside a 2000-char tail.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), line + "\n")
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"errors":$errs,"queries_full":"target/bench_last.json","sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
