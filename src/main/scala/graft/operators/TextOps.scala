@@ -92,27 +92,31 @@ object TextOps {
   /** Type inference over strings rendered identically in both engines. */
   private def q42(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    // dictionary evaluation in one pass: narrow pruned scan -> explode
-    // the 5 sample expressions -> partial hash-agg to a tiny distinct
-    // dictionary (only dict rows ever shuffle). The regex when-chain
-    // then runs on the ~2.6k distinct values, not the 3M samples — the
-    // standard trick for expensive scalar functions over low-
-    // cardinality columns. The fixture parquet is one row group = one
-    // input split, so spread the narrow 3-column scan across cores
-    // before the explode+partial-agg (measured 2x; on a cluster, file
-    // splits provide the parallelism and the repartition is ~free
-    // relative to the explode volume).
-    li.select(col("l_linenumber"), col("l_returnflag"), col("l_shipdate"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(explode(array(
+    // dictionary evaluation in two hops: the raw key space
+    // (linenumber x returnflag x shipdate) is ~50k combos for 600k
+    // rows, so aggregate counts on NATIVE types first (codegen hash
+    // agg, no string materialization for the bulk rows), then render
+    // the 5 sample strings and run the regex when-chain over the
+    // weighted dictionary only — the standard trick for expensive
+    // scalar functions over low-cardinality columns, applied one
+    // level earlier than the string dictionary itself.
+    // (the fixture parquet is one row group = one input split, so the
+    // scan-side partial agg runs on one task here; on a cluster, file
+    // splits parallelize it for free, and only the ~50k-combo native
+    // dictionary ever shuffles — never 5x-exploded strings)
+    li.select(col("l_linenumber"), col("l_returnflag"),
+        to_date(col("l_shipdate")).as("sd"))
+      .groupBy(col("l_linenumber"), col("l_returnflag"), col("sd"))
+      .agg(count(lit(1)).as("cnt0"))
+      .select(col("cnt0"), explode(array(
         col("l_linenumber").cast(StringType),
         col("l_returnflag"),
         // cast(date as string) renders yyyy-MM-dd like date_format
         // would, without the per-row DateTimeFormatter machinery
-        to_date(col("l_shipdate")).cast(StringType),
+        col("sd").cast(StringType),
         when(col("l_linenumber") % 2 === 0, "true").otherwise("false"),
         concat(col("l_linenumber"), lit("."), col("l_linenumber")))).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("v")).agg(sum(col("cnt0")).as("cnt"))
       .withColumn("inferred", TypeInference.suggestDataType(col("v")))
       .groupBy(col("inferred"))
       .agg(sum(col("cnt")).cast(LongType).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
