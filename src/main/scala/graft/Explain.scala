@@ -21,7 +21,8 @@ object Explain {
       "q01_pricing_summary", "q10_join_broadcast", "q12_join_star",
       "q23_top_n_global", "q60_knn_l2", "q40_grid_explode_a1",
       "q53_ngram_jaccard", "q50_dedup_minhash_lsh", "q65_ann_ivf",
-      "q69_ann_sq8", "q96_decontaminate")
+      "q69_ann_sq8", "q96_decontaminate", "q67b_ann_recall_clustered",
+      "q98_ivf_search")
     names.foreach { n =>
       println(s"\n================= $n =================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

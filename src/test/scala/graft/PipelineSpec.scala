@@ -121,6 +121,29 @@ class PipelineSpec extends AnyFunSuite {
       exact.map(_.getAs[String]("chunk_id")).toSeq)
   }
 
+  test("bit-exact IVF builds are bit-identical across executions") {
+    // the property q98's oracle design rests on: with bitExact = true
+    // the whole artifact (cell assignments, embeddings, codes,
+    // centroid sidecar) reproduces exactly on an independent build
+    def build(): (Seq[(String, Long, Seq[Float])], Seq[(Long, Seq[Float])]) = {
+      val dir = Files.createTempDirectory("graft_idx_bx").toString + "/index"
+      IndexStore.buildIvf(spark, tinyDocs, dir, nCells = 2, lloydIters = 2,
+        bitExact = true)
+      val rows = spark.read.parquet(dir)
+        .select(col("chunk_id"), col("cell").cast("long"), col("embedding"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Float](2)))
+        .sortBy(_._1).toSeq
+      val cents = spark.read.parquet(s"$dir/_centroids")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      (rows, cents)
+    }
+    val (r1, c1) = build()
+    val (r2, c2) = build()
+    assert(r1 == r2, "index rows must reproduce bit-for-bit")
+    assert(c1 == c2, "centroid sidecar must reproduce bit-for-bit")
+  }
+
   test("bucketed re-build is idempotent (no duplicate chunk per bucket)") {
     val dir = Files.createTempDirectory("graft_idx_bp2").toString + "/index"
     IndexStore.buildBucketed(spark, tinyDocs, dir)
