@@ -465,6 +465,58 @@ object Corpus {
                 WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split
     FROM b ORDER BY doc_id"""
 
+  /** PUBLIC: pack documents into fixed token-budget training
+    * sequences — the standard pretraining-data step (concatenate the
+    * token stream in a deterministic order, cut at exact `budget`
+    * boundaries; each document belongs to the sequence where its
+    * first token lands, so sequence assignment is a closed-form
+    * prefix-sum, not an iterative scan). Packing runs independently
+    * per `partCol` group in ascending `idCol` order. Returns one row
+    * per (group, seq_id) with occupancy stats.
+    *
+    * Scale shape: one window prefix-sum per group (range-partitioned
+    * sort — the same cost class as any global ordering) followed by a
+    * map-side-combined agg on (group, seq_id). At 100 TB you pack per
+    * (group, shard) instead of per group — same plan with a shard
+    * column appended to `partCol` — because a total order per group
+    * is neither needed by training nor worth a global sort. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    partCol: String, budget: Int): DataFrame = {
+    import graft.functions.TextAnalysis
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+    docs.select(col(partCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tok")) / lit(budget.toDouble)))
+      .groupBy(col(partCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
+  /** q99: [[packSequences]] over the documents fixture, per-lang
+    * packing at a 512-token budget. */
+  private def q99(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d), "doc_id", "text", "lang", 512)
+      .orderBy("lang", "seq_id")
+
+  private val q99Sql = s"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             ${graft.functions.TextAnalysis.sqlTokenCount("text")} AS n_tok
+      FROM documents),
+    cums AS (
+      SELECT lang, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      FROM toks)
+    SELECT lang, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM cums
+    GROUP BY 1, 2 ORDER BY lang, seq_id"""
+
   val queries: Seq[Query] = Seq(
     Query("q55_vocab_topk",    q55, Some(q55Sql)),
     Query("q56_tfidf",         q56, Some(q56Sql)),
@@ -473,5 +525,6 @@ object Corpus {
     Query("q59_ngram_counts",  q59, Some(q59Sql)),
     Query("q95_repetition_quality", q95, Some(q95Sql)),
     Query("q96_decontaminate", q96, Some(q96Sql)),
-    Query("q97_prepare_pipeline", q97, Some(q97Sql)))
+    Query("q97_prepare_pipeline", q97, Some(q97Sql)),
+    Query("q99_sequence_packing", q99, Some(q99Sql)))
 }

@@ -82,6 +82,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.filter(col("split").isin("train", "valid", "test")).count() == 2)
   }
 
+  test("sequence packing: budget boundaries, contiguous doc ranges, token totals conserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ("a " * 100).trim, "en"), (1L, ("b " * 300).trim, "en"),
+      (2L, ("c " * 200).trim, "en"), (3L, ("d " * 700).trim, "en"), // alone > budget
+      (4L, ("e " * 50).trim, "en"), (5L, ("f " * 10).trim, "de"))
+      .toDF("doc_id", "text", "lang")
+    val packed = operators.Corpus.packSequences(docs, "doc_id", "text", "lang", 512)
+      .orderBy("lang", "seq_id").collect()
+    // expected prefix sums (en): 100, 400, 600, 1300, 1350 =>
+    // starts 0,100,400,600,1300 => seqs 0,0,0,1,2
+    val en = packed.filter(_.getString(0) == "en")
+    assert(en.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 3L, 600L), (1L, 1L, 700L), (2L, 1L, 50L)))
+    // doc ranges are contiguous and non-overlapping within a group
+    en.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(5) < b.getLong(4)) // last_doc(seq) < first_doc(next)
+    }
+    // tokens conserved per group
+    assert(en.map(_.getLong(3)).sum == 1350L)
+    assert(packed.filter(_.getString(0) == "de").map(_.getLong(3)).sum == 10L)
+  }
+
   test("TF-IDF ranks a term unique to the doc above corpus-wide boilerplate") {
     import spark.implicits._
     val docs = (0 until 20).map(i =>
