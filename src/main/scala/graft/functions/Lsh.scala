@@ -76,7 +76,8 @@ object Lsh {
 
   /** Driver-side buckets of one query vector (same kernel). */
   def queryBuckets(v: Array[Float], dim: Int, nBits: Int, nTables: Int): Array[Long] =
-    buckets(v, signMatrix(dim, nBits, nTables), dim, nBits, nTables)
+    buckets(scala.collection.immutable.ArraySeq.unsafeWrapArray(v),
+      signMatrix(dim, nBits, nTables), dim, nBits, nTables)
 
   /** Multiprobe expansion: each bucket key plus its Hamming-1
     * neighbors (each of the nBits sign bits flipped) — the standard

@@ -293,7 +293,7 @@ object VectorSearch {
                          k: Int, startId: Long = 0L): DataFrame = {
     import graft.functions.vecIndexExprs
     val first = emb.filter(col(idCol) === startId)
-      .select(col(idCol).cast("long"), col(vecCol)).head
+      .select(col(idCol).cast("long"), col(vecCol)).head()
     var ids = Array(first.getLong(0))
     var cents = Array(first.getSeq[Float](1).toArray)
     var i = 1
@@ -301,7 +301,7 @@ object VectorSearch {
       val next = emb.select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cvec"),
           vecIndexExprs.minCentDist(col(vecCol), cents).as("dmin"))
         .orderBy(col("dmin").desc, col("cent_id"))
-        .limit(1).head
+        .limit(1).head()
       ids :+= next.getLong(0)
       cents :+= next.getSeq[Float](1).toArray
       i += 1

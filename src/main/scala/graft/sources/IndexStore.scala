@@ -251,7 +251,8 @@ object IndexStore {
       if (multiprobe) Lsh.queryBucketsMultiprobe(qvec, dim, LshBits, LshTables)
       else Lsh.queryBuckets(qvec, dim, LshBits, LshTables)
     present(spark.read.parquet(path)
-      .filter(col("bucket").isin(qBuckets: _*))
+      .filter(col("bucket").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(qBuckets): _*))
       .dropDuplicates("chunk_id")
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
