@@ -63,8 +63,14 @@ object Bench {
     // the complete record to a file, and end stdout with a compact
     // summary line (headline total + slowest queries) that fits whole
     // inside a 2000-char tail.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), line + "\n")
+    // the persistence side channel must never kill the stdout summary
+    try {
+      val p = java.nio.file.Paths.get("/root/repo/target/bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")

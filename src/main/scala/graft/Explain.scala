@@ -21,7 +21,11 @@ object Explain {
       "q01_pricing_summary", "q10_join_broadcast", "q12_join_star",
       "q23_top_n_global", "q60_knn_l2", "q40_grid_explode_a1",
       "q53_ngram_jaccard", "q50_dedup_minhash_lsh", "q65_ann_ivf",
-      "q69_ann_sq8", "q96_decontaminate", "q67b_ann_recall_clustered",
+      "q69_ann_sq8", "q96_decontaminate", "q99_sequence_packing",
+      // q98's printed search plan is the artifact under audit
+      // (partition pruning + broadcast rerank); q67b is intentionally
+      // absent — its meter plan reads checkpoint-pinned frames, so
+      // there is nothing to audit that q65/q69 don't already show
       "q98_ivf_search")
     names.foreach { n =>
       println(s"\n================= $n =================")

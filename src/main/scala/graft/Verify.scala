@@ -28,23 +28,36 @@ object Verify {
     // rewritten to the actual absolute location at dump time below.
     val canonicalAux = "/root/repo/target/verify_aux"
     val auxDir = new java.io.File(outDir).getAbsolutePath + "_aux"
-    Seq[(String, () => Unit)](
-      ("q63 search", () => operators.VectorSearch.materializeSearchAux(spark, sfDir, auxDir)),
-      ("dedup sigs", () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
-      ("ann", () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
-      ("q98 ivf index", () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
-      ("q67b clustered", () => operators.VectorSearch.materializeClusteredAux(spark, sfDir, auxDir)),
-      ("q41 chunks", () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
-      ("media", () => operators.Multimodal.materializeMediaAux(spark, sfDir, auxDir))
-    ).foreach { case (what, run) =>
-      try run()
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $what aux materialization failed: ${e.getMessage}")
+    // dev-only single-query iteration (same knob as Bench); the driver
+    // never sets it, so a driver run always dumps the full catalog and
+    // materializes every aux table
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // each aux step lists the queries whose oracles read its tables,
+    // so a filtered dev run skips the expensive unrelated kernels
+    Seq[(String, Set[String], () => Unit)](
+      ("q63 search", Set("q63_search_e2e", "q64_build_index"),
+        () => operators.VectorSearch.materializeSearchAux(spark, sfDir, auxDir)),
+      ("dedup sigs", Set("q50_dedup_minhash_lsh", "q51_dedup_simhash",
+          "q53_ngram_jaccard", "q54_winnow_overlap", "q68_dedup_recall"),
+        () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
+      ("ann", Set("q62_ann_lsh", "q65_ann_ivf", "q67_ann_recall", "q69_ann_sq8"),
+        () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
+      ("q98 ivf index", Set("q98_ivf_search"),
+        () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
+      ("q67b clustered", Set("q67b_ann_recall_clustered"),
+        () => operators.VectorSearch.materializeClusteredAux(spark, sfDir, auxDir)),
+      ("q41 chunks", Set("q41_chunk_stats"),
+        () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
+      ("media", Set("q90_media_features", "q91_frame_sample"),
+        () => operators.Multimodal.materializeMediaAux(spark, sfDir, auxDir))
+    ).foreach { case (what, serves, run) =>
+      if (only.forall(names => serves.exists(names.contains))) {
+        try run()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $what aux materialization failed: ${e.getMessage}")
+        }
       }
     }
-    // dev-only single-query iteration (same knob as Bench); the driver
-    // never sets it, so a driver run always dumps the full catalog
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -28,6 +28,12 @@ object VectorSearch {
   private def l2(a: Column, b: Column) = VectorOps.vecL2(a, b)
   private def cos(a: Column, b: Column) = VectorOps.vecCosine(a, b)
 
+  /** Signed-byte SQ8 codes as int lists for the aux dumps (DuckDB has
+    * no signed-byte list type) — ONE definition shared by the
+    * q69/q98/q67b materializations so their interpretation can never
+    * diverge. Verify-only (a UDF is fine off the hot path). */
+  private lazy val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
+
   /** Session-scoped memo of small, expensive-to-produce result frames
     * (the ANN method outputs and the exact baseline — a few dozen rows
     * each). Each is computed ONCE per (session, sf) and localCheckpoint
@@ -337,7 +343,6 @@ object VectorSearch {
   def materializeAnnAux(s: SparkSession, d: String, auxDir: String): Unit = {
     import graft.functions.{hashExprs, vecIndexExprs}
     val emb = Tables.embeddings(s, d)
-    val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
     emb.select(col("vec_id"),
         hashExprs.lshBuckets(col("embedding"), 64, 6, 16).as("lb"),
         bytesToInts(vecIndexExprs.sq8Code(col("embedding"))).as("sq8"),
@@ -560,7 +565,6 @@ object VectorSearch {
     import graft.sources.IndexStore
     val path = q98IndexPath(d)
     IndexStore.buildIvfOnce(s, Tables.documents(s, d), path, bitExact = true)
-    val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
     s.read.parquet(path)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("cell").cast("long").as("cell"),
@@ -819,7 +823,6 @@ object VectorSearch {
     * path. Called by Verify (never by Bench). */
   def materializeClusteredAux(s: SparkSession, d: String, auxDir: String): Unit = {
     import graft.functions.vecIndexExprs
-    val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
     val cl = clusteredEmb(s, d)
     cl.select(col("vec_id"), col("embedding"),
         bytesToInts(vecIndexExprs.sq8Code(col("embedding"))).as("sq8"),

@@ -169,6 +169,10 @@ object IndexStore {
       rows, "chunk_id", "embedding", seeds, lloydIters, bitExact = bitExact)
     rows.withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
       .write.mode(SaveMode.Overwrite)
+      // a FULL rebuild must truncate the whole layout: dynamic mode
+      // (right for build()'s per-source refresh) would leave stale
+      // directories behind for any cell the rebuild no longer emits
+      .option("partitionOverwriteMode", "static")
       .partitionBy("cell")
       .parquet(path)
     val s2 = spark
@@ -233,6 +237,8 @@ object IndexStore {
       .withColumn("bucket", explode(col("lsh_buckets")))
       .drop("lsh_buckets")
       .write.mode(SaveMode.Overwrite)
+      // full rebuild: truncate the whole layout (see buildIvf)
+      .option("partitionOverwriteMode", "static")
       .partitionBy("bucket")
       .parquet(path)
   }

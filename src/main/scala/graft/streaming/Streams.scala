@@ -67,6 +67,8 @@ object Streams {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     // one bounded drain = 1-2 micro-batches: background snapshot
     // maintenance would only add load next to the foreground commits
+    val savedMaint = s.conf.get(
+      "spark.sql.streaming.stateStore.maintenanceInterval", "60s")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     // bounded drain: the trailing no-data micro-batch exists to advance
     // the watermark for append-mode FINAL emissions; every stream here
@@ -84,6 +86,7 @@ object Streams {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", saved)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", savedMaint)
     }
     s.table(name)
   }
