@@ -465,6 +465,80 @@ object Corpus {
                 WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split
     FROM b ORDER BY doc_id"""
 
+  /** 0..65535 bucket from the same portable md5 hash — the
+    * finer-grained variant of [[md5Bucket]] for sampling-rate
+    * thresholds (rate resolution 1/65536 instead of 1/256). */
+  def md5Bucket16(idCol: Column): Column = {
+    val h = md5(idCol.cast(StringType))
+    (0 until 4).map(i => hexDigit(substring(h, i + 1, 1)) * (1 << (4 * (3 - i))))
+      .reduce(_ + _)
+  }
+
+  /** PUBLIC: deterministic mixture sampling — the data-mixing step
+    * that reweights sources before training (keep group k's rows at
+    * rate(k)). Acceptance is a pure function of the id (bucket16 <
+    * rate * 65536), so the sample is reproducible run-to-run and
+    * engine-to-engine, composes with [[assignSplit]] (independent
+    * hash positions would need a salt — here both derive from the
+    * same md5, so compose rates multiplicatively only across
+    * DIFFERENT id columns), and needs no shuffle: one scan-side
+    * filter, rates resolved as a broadcast-free when-chain. */
+  def sampleAtRates(docs: DataFrame, idCol: String, keyCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * 65536).toInt): Column) {
+      case (acc, (k, r)) =>
+        when(col(keyCol) === k, lit(math.round(r * 65536).toInt)).otherwise(acc)
+    }
+    docs.filter(md5Bucket16(col(idCol)) < thr)
+  }
+
+  private val Q100Rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
+  private val Q100Default = 0.1
+
+  /** q100: [[sampleAtRates]] over the documents fixture — upweight
+    * en, downsample the rest, report realized rates per lang. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = sampleAtRates(docs, "doc_id", "lang", Q100Rates, Q100Default)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("text"))).as("kept_chars"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        round(coalesce(col("n_kept"), lit(0L)) / col("n_total"), 4).as("kept_frac"))
+      .orderBy("lang")
+  }
+
+  private val q100Sql = s"""
+    WITH b AS (
+      SELECT lang, doc_id, length(text) AS n_chars_t,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
+      FROM documents),
+    thr AS (
+      SELECT lang, doc_id, n_chars_t, bucket,
+             CASE lang WHEN 'en' THEN 65536 WHEN 'de' THEN 32768
+                       WHEN 'fr' THEN 16384 ELSE 6554 END AS threshold
+      FROM b),
+    kept AS (
+      SELECT lang, COUNT(*) AS n_kept,
+             CAST(SUM(n_chars_t) AS BIGINT) AS kept_chars
+      FROM thr WHERE bucket < threshold GROUP BY lang),
+    total AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+    SELECT t.lang, t.n_total,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_chars, 0) AS kept_chars,
+           round(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / t.n_total, 4) AS kept_frac
+    FROM total t LEFT JOIN kept k USING (lang)
+    ORDER BY lang"""
+
   /** PUBLIC: pack documents into fixed token-budget training
     * sequences — the standard pretraining-data step (concatenate the
     * token stream in a deterministic order, cut at exact `budget`
@@ -526,5 +600,6 @@ object Corpus {
     Query("q95_repetition_quality", q95, Some(q95Sql)),
     Query("q96_decontaminate", q96, Some(q96Sql)),
     Query("q97_prepare_pipeline", q97, Some(q97Sql)),
-    Query("q99_sequence_packing", q99, Some(q99Sql)))
+    Query("q99_sequence_packing", q99, Some(q99Sql)),
+    Query("q100_mixture_sample", q100, Some(q100Sql)))
 }

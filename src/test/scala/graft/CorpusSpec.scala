@@ -105,6 +105,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(packed.filter(_.getString(0) == "de").map(_.getLong(3)).sum == 10L)
   }
 
+  test("mixture sampling: rate 1 keeps all, rate 0 keeps none, default applies, stable") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i =>
+      (i, "text", if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "text", "k")
+    def run() = operators.Corpus.sampleAtRates(docs, "doc_id", "k",
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = run()
+    assert(counts.getOrElse("a", 0L) == 100L, s"rate 1.0 keeps every row: $counts")
+    assert(!counts.contains("b"), s"rate 0.0 keeps nothing: $counts")
+    val c = counts.getOrElse("c", 0L)
+    assert(c > 30L && c < 70L, s"default 0.5 keeps about half of 100: $c")
+    assert(run() == counts, "sample must be identical run-to-run")
+  }
+
   test("TF-IDF ranks a term unique to the doc above corpus-wide boilerplate") {
     import spark.implicits._
     val docs = (0 until 20).map(i =>
