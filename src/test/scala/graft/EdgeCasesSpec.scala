@@ -106,4 +106,18 @@ class EdgeCasesSpec extends AnyFunSuite {
     // itself didn't throw and left a valid (possibly empty) directory.
     assert(new java.io.File(dir).getParentFile.exists())
   }
+
+  test("buildIvf with fewer chunks than requested cells still builds and searches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tinyivf").toString + "/idx"
+    // one short doc -> one chunk, but nCells = 16 requested: the seed
+    // pick degrades to the available chunk count and search probes
+    // min(probes, cells)
+    val one = Seq((0L, "spark window aggregation", "sheetZ"))
+      .toDF("doc_id", "text", "source")
+    graft.sources.IndexStore.buildIvf(spark, one, dir, nCells = 16, lloydIters = 2)
+    val hits = graft.sources.IndexStore
+      .searchTopKIvf(spark, dir, "spark window", k = 3, probes = 3).collect()
+    assert(hits.length == 1 && hits.head.getAs[Long]("doc_id") == 0L)
+  }
 }
