@@ -271,6 +271,11 @@ object TextOps {
     docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     docs.write.mode("overwrite").json(s"$base/json")
     docs.write.mode("overwrite").orc(s"$base/orc")
+    // line-oriented text round-trip (the 5th built-in format): one
+    // "doc_id<TAB>text" line per doc; parsing splits on the FIRST tab
+    // so document content may itself contain tabs
+    docs.select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").text(s"$base/txt")
     val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
     val fromCsv = s.read.option("header", "true")
       .schema(schema)
@@ -282,13 +287,19 @@ object TextOps {
       .select(col("doc_id").as("j_doc_id"), length(col("text")).as("len_json"))
     val fromOrc = s.read.orc(s"$base/orc")
       .select(col("doc_id").as("o_doc_id"), length(col("text")).as("len_orc"))
+    val fromTxt = s.read.text(s"$base/txt")
+      .select(substring_index(col("value"), "\t", 1).cast(LongType).as("t_doc_id"),
+        (length(col("value"))
+          - length(substring_index(col("value"), "\t", 1)) - 1).as("len_txt"))
     fromCsv.join(fromJson, col("doc_id") === col("j_doc_id"))
       .join(fromOrc, col("doc_id") === col("o_doc_id"))
+      .join(fromTxt, col("doc_id") === col("t_doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("len_csv")).as("sum_chars_csv"),
         sum(col("len_json")).as("sum_chars_json"),
-        sum(col("len_orc")).as("sum_chars_orc"))
+        sum(col("len_orc")).as("sum_chars_orc"),
+        sum(col("len_txt")).as("sum_chars_txt"))
       .orderBy("lang")
   }
 
@@ -296,7 +307,8 @@ object TextOps {
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars_csv,
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars_json,
-           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_orc
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_orc,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_txt
     FROM documents GROUP BY lang ORDER BY lang"""
 
   /** Full reference-contract grid ingestion (GridIngest) driven from
