@@ -121,6 +121,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(run() == counts, "sample must be identical run-to-run")
   }
 
+  test("sequence packing matches an imperative reference over seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (budget <- Seq(7, 64, 512)) {
+      val tokens = (0L until 200L).map(i => i -> (1 + rnd.nextInt(3 * budget)))
+      val docs = tokens.map { case (id, n) => (id, ("w " * n).trim, "g") }
+        .toDF("doc_id", "text", "grp")
+      // imperative fold: each doc joins the sequence its first token
+      // lands in over the concatenated stream
+      var cum = 0L
+      val expected = tokens.map { case (id, n) =>
+        val seq = cum / budget; cum += n; (seq, id, n.toLong)
+      }.groupBy(_._1).map { case (seq, rows) =>
+        seq -> (rows.size.toLong, rows.map(_._3).sum,
+          rows.map(_._2).min, rows.map(_._2).max)
+      }
+      val got = operators.Corpus.packSequences(docs, "doc_id", "text", "grp", budget)
+        .collect().map(r => r.getLong(1) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(got == expected, s"budget=$budget")
+    }
+  }
+
   test("TF-IDF ranks a term unique to the doc above corpus-wide boilerplate") {
     import spark.implicits._
     val docs = (0 until 20).map(i =>
