@@ -65,6 +65,11 @@ object Profile {
         concat(col("l_linenumber"), lit("."), col("l_linenumber")))).as("v"))
     t("norepart_dict_agg")(noRepart.groupBy("v").count().count())
     t("norepart_dict_agg_again")(noRepart.groupBy("v").count().count())
+    for (q <- Seq("q54_winnow_overlap", "q20_window_topk", "q38_map_funcs",
+        "q97_prepare_pipeline")) {
+      t(s"$q cold")(graft.SparkEntry.queries(q)(spark, d).count())
+      t(s"$q warm")(graft.SparkEntry.queries(q)(spark, d).count())
+    }
     spark.stop()
   }
 }
