@@ -193,6 +193,30 @@ object IndexStore {
     builtIvfOnce.getOrElseUpdate((System.identityHashCode(spark), path),
       buildIvf(spark, docs, path, nCells, lloydIters, dim, bitExact))
 
+  /** Incrementally add documents to an EXISTING IVF index without
+    * retraining: new rows are assigned to cells by the persisted
+    * `_centroids` quantizer (the FAISS add-with-trained-quantizer
+    * flow — at 100 TB you train once on a sample and append forever,
+    * re-training only when the corpus drifts). Append-mode write:
+    * only the touched cell partitions gain files, existing data is
+    * never rewritten, and a probe keeps pruning to its cells. The
+    * caller owns dedup semantics (appending an already-indexed
+    * chunk_id duplicates it — use [[build]]'s partition-overwrite
+    * flow for idempotent re-ingest of a source). */
+  def appendIvf(spark: SparkSession, docs: DataFrame, path: String,
+                dim: Int = Embed.DefaultDim): Unit = {
+    import graft.functions.vecIndexExprs
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    indexRows(docs, dim)
+      .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(path)
+  }
+
   /** ANN search over the IVF-partitioned layout: the cell predicate
     * resolves to partition directories at planning time; SQ8 pre-rank
     * + exact rerank inside the probed cells. */

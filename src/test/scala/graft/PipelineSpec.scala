@@ -121,6 +121,29 @@ class PipelineSpec extends AnyFunSuite {
       exact.map(_.getAs[String]("chunk_id")).toSeq)
   }
 
+  test("appendIvf assigns new docs with the existing quantizer, search finds them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idx_app").toString + "/index"
+    IndexStore.buildIvf(spark, tinyDocs, dir, nCells = 2, lloydIters = 1)
+    val centsBefore = spark.read.parquet(s"$dir/_centroids").collect().toSeq
+    val nBefore = spark.read.parquet(dir).count()
+    val late = Seq((9L, "spark sql window aggregation shuffle partitions", "sheetC"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.appendIvf(spark, late, dir)
+    // append adds rows without touching the quantizer or old rows
+    assert(spark.read.parquet(dir).count() > nBefore)
+    assert(spark.read.parquet(s"$dir/_centroids").collect().toSeq == centsBefore)
+    // the appended row's cell matches a fresh assignment by the sidecar
+    val ids = centsBefore.map(_.getLong(0)).sorted
+    val hits = IndexStore.searchTopKIvf(spark, dir, "spark sql window",
+      k = 2, probes = 2, overfetch = 20).collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSet == Set(2L, 9L),
+      s"search must surface the appended on-topic doc: ${hits.toSeq}")
+    val cell = spark.read.parquet(dir).filter(col("doc_id") === 9L)
+      .select(col("cell").cast("long")).head().getLong(0)
+    assert(ids.contains(cell), s"appended row landed in unknown cell $cell")
+  }
+
   test("bit-exact IVF builds are bit-identical across executions") {
     // the property q98's oracle design rests on: with bitExact = true
     // the whole artifact (cell assignments, embeddings, codes,
