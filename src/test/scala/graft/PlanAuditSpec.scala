@@ -178,6 +178,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q99/q100: packing and mixture sampling stay native with per-group shuffles only") {
+    val pack = planStr("q99_sequence_packing")
+    assert(!pack.contains("UDF("), s"packing must not run a ScalaUDF:\n$pack")
+    assert(pack.contains("hashpartitioning(lang"),
+      s"the prefix-sum window must partition by the pack group, not globally:\n$pack")
+    val mix = planStr("q100_mixture_sample")
+    assert(!mix.contains("UDF("), s"sampling must not run a ScalaUDF:\n$mix")
+  }
+
   test("q58: split assignment reads only (doc_id, lang)") {
     val p = planStr("q58_split_sample")
     val read = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq.mkString("\n")
