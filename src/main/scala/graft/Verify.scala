@@ -83,7 +83,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace(canonicalAux, auxDir))}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a SPARK_GRAFT_ONLY dev run must not clobber the full catalog in
+    // oracle_sql.json — every other query in that outDir would be
+    // silently de-oracled for later compares; subsets go to their own file
+    val catalogFile =
+      if (only.isDefined) "oracle_sql_subset.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$catalogFile"), json)
     spark.stop()
   }
 }

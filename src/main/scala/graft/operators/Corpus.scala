@@ -198,9 +198,18 @@ object Corpus {
 
   /** Top-`k` word `n`-grams per group (higher-order array functions
     * build the grams — no UDF, stays in codegen). Explode + partial
-    * agg + per-group top-k window: the 100 TB shape. */
+    * agg + a TWO-LEVEL top-k: the final per-group `row_number`
+    * window runs in one partition per group, so its input is first
+    * pruned to the top-k of each of `pruneBuckets` hash buckets of
+    * the gram dictionary (a gram lives wholly in one bucket, so
+    * every global top-k member survives its bucket's top-k; ties
+    * break on the total order (count desc, gram asc) both levels,
+    * keeping the result identical). Bounds the single-partition
+    * window input at `pruneBuckets * k` rows per group regardless of
+    * dictionary size — the 100 TB shape. `pruneBuckets <= 1` skips
+    * the pre-prune. */
   def ngramTopK(df: DataFrame, textCol: String, groupCol: String,
-                n: Int = 2, k: Int = 10): DataFrame = {
+                n: Int = 2, k: Int = 10, pruneBuckets: Int = 64): DataFrame = {
     val toks = split(col(textCol), " ")
     // guard: sequence(1, 0) DESCENDS in Spark, so a doc with fewer
     // than n tokens must yield an empty gram list, not indices <= 0
@@ -209,11 +218,23 @@ object Corpus {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("bigram"))
-    df.select(col(groupCol), col(textCol))
+    val counted = df.select(col(groupCol), col(textCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(groupCol), explode(grams).as("bigram"))
       .groupBy(col(groupCol), col("bigram")).agg(count(lit(1)).as("n"))
+    val pruned =
+      if (pruneBuckets <= 1) counted
+      else {
+        val lw = Window.partitionBy(col(groupCol), col("bkt"))
+          .orderBy(col("n").desc, col("bigram"))
+        counted
+          .withColumn("bkt", pmod(xxhash64(col("bigram")), lit(pruneBuckets.toLong)))
+          .withColumn("lr", row_number().over(lw))
+          .filter(col("lr") <= k)
+          .drop("bkt", "lr")
+      }
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("bigram"))
+    pruned
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(groupCol), col("rank"), col("bigram"), col("n"))
@@ -465,24 +486,36 @@ object Corpus {
                 WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split
     FROM b ORDER BY doc_id"""
 
-  /** 0..65535 bucket from the same portable md5 hash — the
+  /** 0..65535 bucket from a portable salted md5 hash — the
     * finer-grained variant of [[md5Bucket]] for sampling-rate
-    * thresholds (rate resolution 1/65536 instead of 1/256). */
-  def md5Bucket16(idCol: Column): Column = {
-    val h = md5(idCol.cast(StringType))
+    * thresholds (rate resolution 1/65536 instead of 1/256). The
+    * `salt` decorrelates this bucket from any other hash of the same
+    * id: an unsalted bucket16 would be a strict refinement of
+    * [[md5Bucket]] (bucket == bucket16 >> 8), so e.g. sampling at
+    * rate ≤ 0.8 on split-assigned rows would keep ONLY train-split
+    * rows. Distinct purposes must use distinct salts. */
+  def md5Bucket16(idCol: Column, salt: String = ""): Column = {
+    val h = md5(concat(lit(salt), idCol.cast(StringType)))
     (0 until 4).map(i => hexDigit(substring(h, i + 1, 1)) * (1 << (4 * (3 - i))))
       .reduce(_ + _)
   }
 
+  /** Salt for [[sampleAtRates]]' acceptance hash, decorrelating it
+    * from [[assignSplit]]/[[md5Bucket]] (which hash the bare id). */
+  val SampleSalt = "sample:"
+
   /** PUBLIC: deterministic mixture sampling — the data-mixing step
     * that reweights sources before training (keep group k's rows at
-    * rate(k)). Acceptance is a pure function of the id (bucket16 <
-    * rate * 65536), so the sample is reproducible run-to-run and
-    * engine-to-engine, composes with [[assignSplit]] (independent
-    * hash positions would need a salt — here both derive from the
-    * same md5, so compose rates multiplicatively only across
-    * DIFFERENT id columns), and needs no shuffle: one scan-side
-    * filter, rates resolved as a broadcast-free when-chain. */
+    * rate(k)). Acceptance is a pure function of the id (salted
+    * bucket16 < rate * 65536), so the sample is reproducible
+    * run-to-run and engine-to-engine, and needs no shuffle: one
+    * scan-side filter, rates resolved as a broadcast-free when-chain.
+    *
+    * The acceptance hash is salted with [[SampleSalt]], making it
+    * independent of [[assignSplit]]'s bucket: sampling split-assigned
+    * rows preserves the train/valid/test proportions within the
+    * sample (pinned by q101 and CorpusSpec) instead of silently
+    * keeping only train rows as a shared unsalted hash would. */
   def sampleAtRates(docs: DataFrame, idCol: String, keyCol: String,
                     rates: Map[String, Double],
                     defaultRate: Double): DataFrame = {
@@ -491,7 +524,7 @@ object Corpus {
       case (acc, (k, r)) =>
         when(col(keyCol) === k, lit(math.round(r * 65536).toInt)).otherwise(acc)
     }
-    docs.filter(md5Bucket16(col(idCol)) < thr)
+    docs.filter(md5Bucket16(col(idCol), SampleSalt) < thr)
   }
 
   private val Q100Rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
@@ -517,10 +550,10 @@ object Corpus {
   private val q100Sql = s"""
     WITH b AS (
       SELECT lang, doc_id, length(text) AS n_chars_t,
-             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
+             (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
       FROM documents),
     thr AS (
       SELECT lang, doc_id, n_chars_t, bucket,
@@ -539,28 +572,85 @@ object Corpus {
     FROM total t LEFT JOIN kept k USING (lang)
     ORDER BY lang"""
 
+  /** q101: the [[sampleAtRates]] ∘ [[assignSplit]] composition gate —
+    * a uniform rate-0.5 sample of split-assigned docs must retain
+    * ~half of EVERY split (train/valid/test), which only holds when
+    * the sampling hash is salt-decorrelated from the split hash. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("split", assignSplit(col("doc_id")))
+    val kept = sampleAtRates(base, "doc_id", "lang", Map.empty, 0.5)
+      .groupBy(col("split")).agg(count(lit(1)).as("n_kept"))
+    base.groupBy(col("split")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("split"), "left")
+      .select(col("split"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)) / col("n_total"), 4).as("kept_frac"))
+      .orderBy("split")
+  }
+
+  private val q101Sql = """
+    WITH b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
+             (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket16
+      FROM documents),
+    s AS (
+      SELECT CASE WHEN bucket < 205 THEN 'train'
+                  WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split,
+             CASE WHEN bucket16 < 32768 THEN 1 ELSE 0 END AS kept
+      FROM b)
+    SELECT split, COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           round(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 4) AS kept_frac
+    FROM s GROUP BY split ORDER BY split"""
+
   /** PUBLIC: pack documents into fixed token-budget training
     * sequences — the standard pretraining-data step (concatenate the
     * token stream in a deterministic order, cut at exact `budget`
     * boundaries; each document belongs to the sequence where its
     * first token lands, so sequence assignment is a closed-form
     * prefix-sum, not an iterative scan). Packing runs independently
-    * per `partCol` group in ascending `idCol` order. Returns one row
-    * per (group, seq_id) with occupancy stats.
+    * per `partCol` group in ascending numeric `idCol` order. Returns
+    * one row per (group, seq_id) with occupancy stats.
     *
-    * Scale shape: one window prefix-sum per group (range-partitioned
-    * sort — the same cost class as any global ordering) followed by a
-    * map-side-combined agg on (group, seq_id). At 100 TB you pack per
-    * (group, shard) instead of per group — same plan with a shard
-    * column appended to `partCol` — because a total order per group
-    * is neither needed by training nor worth a global sort. */
+    * Scale shape: a SKEW-SAFE two-pass distributed prefix sum. A
+    * naive `Window.partitionBy(group).orderBy(id)` funnels each
+    * group through ONE task's sort — a 90%-English corpus would push
+    * ~90% of 100 TB through a single partition. Instead: (1) shard
+    * each group by the id's high bits (`shard = id >> shardBits`,
+    * monotone in id, so shard-major + in-shard order == global id
+    * order) and aggregate per-(group, shard) token totals — one tiny
+    * row per shard; (2) a window over THOSE rows yields each shard's
+    * starting offset; (3) join the offsets back on (group, shard) —
+    * the join's hash partitioning is exactly what the in-shard
+    * prefix-sum window needs, so Spark reuses one exchange and every
+    * shard's sort runs in parallel with bounded input. `cum` is
+    * bit-identical to the single-window form, followed by the same
+    * map-side-combined agg on (group, seq_id). */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    partCol: String, budget: Int): DataFrame = {
+                    partCol: String, budget: Int,
+                    shardBits: Int = 12): DataFrame = {
     import graft.functions.TextAnalysis
-    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
-    docs.select(col(partCol), col(idCol),
+    val tok = docs.select(col(partCol), col(idCol),
         TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+      // arithmetic shift: exact for the full long range (a double
+      // division would lose id precision past 2^53) and monotone
+      .withColumn("shard", shiftright(col(idCol).cast(LongType), shardBits))
+    val offsets = tok.groupBy(col(partCol), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("offset", coalesce(
+        sum(col("shard_tok")).over(
+          Window.partitionBy(col(partCol)).orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(partCol), col("shard"), col("offset"))
+    val w = Window.partitionBy(col(partCol), col("shard")).orderBy(col(idCol))
+    tok.join(offsets, Seq(partCol, "shard"))
+      .withColumn("cum", col("offset") + sum(col("n_tok")).over(w))
       .withColumn("seq_id",
         floor((col("cum") - col("n_tok")) / lit(budget.toDouble)))
       .groupBy(col(partCol), col("seq_id"))
@@ -601,5 +691,6 @@ object Corpus {
     Query("q96_decontaminate", q96, Some(q96Sql)),
     Query("q97_prepare_pipeline", q97, Some(q97Sql)),
     Query("q99_sequence_packing", q99, Some(q99Sql)),
-    Query("q100_mixture_sample", q100, Some(q100Sql)))
+    Query("q100_mixture_sample", q100, Some(q100Sql)),
+    Query("q101_sample_split_compose", q101, Some(q101Sql)))
 }

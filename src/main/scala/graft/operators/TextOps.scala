@@ -273,8 +273,15 @@ object TextOps {
     docs.write.mode("overwrite").orc(s"$base/orc")
     // line-oriented text round-trip (the 5th built-in format): one
     // "doc_id<TAB>text" line per doc; parsing splits on the FIRST tab
-    // so document content may itself contain tabs
-    docs.select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+    // so document content may itself contain tabs. Guards for the
+    // format's two lossy inputs: a null text still writes the tab
+    // (concat_ws would drop the separator and shift len_txt by -1),
+    // and embedded newlines are normalized to spaces length-for-length
+    // (a raw newline would split one doc into two lines, and the inner
+    // join would silently drop the fragment row). Both leave the
+    // single-line, non-null fixture byte-identical.
+    docs.select(concat(col("doc_id").cast(StringType), lit("\t"),
+        translate(coalesce(col("text"), lit("")), "\n\r", "  ")).as("value"))
       .write.mode("overwrite").text(s"$base/txt")
     val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
     val fromCsv = s.read.option("header", "true")

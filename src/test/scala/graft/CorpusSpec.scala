@@ -121,6 +121,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(run() == counts, "sample must be identical run-to-run")
   }
 
+  test("sampling composes with split assignment: every split keeps ~rate fraction") {
+    import spark.implicits._
+    // regression: an unsalted bucket16 refines the split bucket
+    // (bucket == bucket16 >> 8), so rate 0.5 would keep ONLY train
+    // rows — valid and test would vanish from the sample entirely
+    val docs = (0L until 3000L).toDF("doc_id").withColumn("k", lit("x"))
+      .withColumn("split", operators.Corpus.assignSplit(col("doc_id")))
+    val total = docs.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = operators.Corpus
+      .sampleAtRates(docs, "doc_id", "k", Map.empty, defaultRate = 0.5)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq("train", "valid", "test")) {
+      val frac = kept.getOrElse(s, 0L).toDouble / total(s)
+      assert(frac > 0.35 && frac < 0.65,
+        s"split $s must retain ~half under a 0.5 sample, got $frac " +
+          s"(${kept.getOrElse(s, 0L)}/${total(s)})")
+    }
+  }
+
   test("sequence packing matches an imperative reference over seeded random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
@@ -137,11 +158,32 @@ class CorpusSpec extends AnyFunSuite {
         seq -> (rows.size.toLong, rows.map(_._3).sum,
           rows.map(_._2).min, rows.map(_._2).max)
       }
-      val got = operators.Corpus.packSequences(docs, "doc_id", "text", "grp", budget)
-        .collect().map(r => r.getLong(1) ->
-          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-      assert(got == expected, s"budget=$budget")
+      // shardBits=3 splits the 200 ids across 25 shards, exercising
+      // the two-pass offset path; default (12) keeps them in one —
+      // both must equal the imperative single-stream reference
+      for (shardBits <- Seq(3, 12)) {
+        val got = operators.Corpus
+          .packSequences(docs, "doc_id", "text", "grp", budget, shardBits)
+          .collect().map(r => r.getLong(1) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        assert(got == expected, s"budget=$budget shardBits=$shardBits")
+      }
     }
+  }
+
+  test("n-gram top-k: bucket pre-prune returns exactly the unpruned result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // heavy-tailed gram distribution with many count ties so the
+    // (n desc, gram asc) tie-break is exercised across buckets
+    val docs = (0 until 300).map { i =>
+      val ws = Seq.fill(12)("w" + rnd.nextInt(40))
+      (i.toLong, ws.mkString(" "), "g" + (i % 3))
+    }.toDF("doc_id", "text", "lang")
+    def run(buckets: Int) =
+      operators.Corpus.ngramTopK(docs, "text", "lang", pruneBuckets = buckets)
+        .orderBy("lang", "rank").collect().toSeq
+    assert(run(64) == run(1), "pre-pruned top-k must be identical to the exact one")
   }
 
   test("TF-IDF ranks a term unique to the doc above corpus-wide boilerplate") {

@@ -71,6 +71,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q59: n-gram top-k pre-prunes the per-group dictionary window by hash bucket") {
+    val p = planStr("q59_ngram_counts")
+    // the one-partition-per-group final window must see at most
+    // pruneBuckets*k rows per group — the bucket-level partial top-k
+    // shows up as a window exchange on (group, bkt)
+    assert("hashpartitioning\\(lang#\\d+, bkt#\\d+".r.findFirstIn(p).isDefined,
+      s"bucket-level partial top-k must bound the per-group window input:\n$p")
+  }
+
   test("q18: salting spreads a hot key's rows across many tasks") {
     import org.apache.spark.sql.functions._
     val e = Tables.events(spark, d)
@@ -183,6 +192,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!pack.contains("UDF("), s"packing must not run a ScalaUDF:\n$pack")
     assert(pack.contains("hashpartitioning(lang"),
       s"the prefix-sum window must partition by the pack group, not globally:\n$pack")
+    // skew-safety: the prefix sum over the FULL docs relation must be
+    // sharded — partitioned by (group, shard), never by group alone,
+    // which would sort a whole language through one task at 100 TB
+    assert("hashpartitioning\\(lang#\\d+, shard#\\d+".r.findFirstIn(pack).isDefined,
+      s"the in-shard prefix-sum window must partition by (lang, shard):\n$pack")
     val mix = planStr("q100_mixture_sample")
     assert(!mix.contains("UDF("), s"sampling must not run a ScalaUDF:\n$mix")
   }
