@@ -26,7 +26,12 @@ def main(out_dir: str, sf_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:
+        oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    except FileNotFoundError:
+        # SPARK_GRAFT_ONLY runs dump their catalog to a subset file so
+        # they can't clobber a full run's oracle_sql.json
+        oracle = json.load(open(f"{out_dir}/oracle_sql_subset.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:

@@ -44,8 +44,12 @@ object Verify {
         () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
       ("q98 ivf index", Set("q98_ivf_search"),
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
-      ("q67b clustered", Set("q67b_ann_recall_clustered"),
+      // q102's oracle reads the clustered corpus dump, so its name is
+      // in the clustered step's serves set too
+      ("q67b clustered", Set("q67b_ann_recall_clustered", "q102_ann_hnsw"),
         () => operators.VectorSearch.materializeClusteredAux(spark, sfDir, auxDir)),
+      ("q102 hnsw", Set("q102_ann_hnsw"),
+        () => operators.VectorSearch.materializeHnswAux(spark, sfDir, auxDir)),
       ("q41 chunks", Set("q41_chunk_stats"),
         () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
       ("media", Set("q90_media_features", "q91_frame_sample"),

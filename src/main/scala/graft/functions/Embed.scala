@@ -5,16 +5,42 @@ import org.apache.spark.sql.functions.udf
 
 import scala.util.hashing.MurmurHash3
 
+/** Pluggable text-embedding backend (SURVEY.md §2.5 V1).
+  *
+  * Contract: `embed` must be a PURE, deterministic, thread-safe
+  * function of (text, dim) returning a unit-L2 `dim`-vector —
+  * determinism is what lets index builds and Verify re-runs
+  * hash-match (SURVEY.md §7.3). Implementations are instantiated
+  * reflectively on driver AND executors (see [[Embed.loadBackend]]),
+  * so any expensive state (an ONNX session, a tokenizer) belongs in
+  * lazily-initialized instance fields, never in constructor work that
+  * can't run on an executor.
+  */
+trait EmbedBackend extends Serializable {
+  def embed(text: String, dim: Int): Array[Float]
+}
+
 /** Deterministic offline text embedding (SURVEY.md §2.5 V1).
   *
   * The reference embeds with ONNX all-MiniLM-L6-v2 (384-dim, unit
   * norm; /root/reference/app.py:35-36, indexer.py:11). That model is
-  * unavailable offline, so this is a feature-hashing stand-in with the
-  * same *contract*: pure function of the text, fixed dimension, unit
-  * L2 norm, cosine/L2 comparable. Features are lowercased word
-  * unigrams plus intra-word char trigrams, signed-hashed into `dim`
-  * buckets (classic hashing trick), then L2-normalized. Swap-in point
-  * for a real model: replace `Embed.embed` only.
+  * unavailable offline, so the DEFAULT backend is a feature-hashing
+  * stand-in with the same *contract*: pure function of the text,
+  * fixed dimension, unit L2 norm, cosine/L2 comparable. Features are
+  * lowercased word unigrams plus intra-word char trigrams,
+  * signed-hashed into `dim` buckets (classic hashing trick), then
+  * L2-normalized.
+  *
+  * Swap-in point for a real model — a flag, not a refactor: implement
+  * [[EmbedBackend]] over an ONNX Runtime session for the public
+  * all-MiniLM-L6-v2 weights (dim 384), put the jar on the classpath,
+  * and set `-Dgraft.embed.backend=com.example.OnnxMiniLmBackend` on
+  * the driver and executors (`spark.driver/executor.extraJavaOptions`
+  * on a cluster). Every call site — the `EmbedText` codegen
+  * expression included — dispatches through [[Embed.backend]], which
+  * resolves the property once per JVM. The offline oracle keeps the
+  * hashed-n-gram default (the property unset) so correctness gates
+  * stay bit-stable.
   *
   * Determinism: MurmurHash3 with fixed seeds — stable across JVMs,
   * partitions and re-runs, so index builds and Verify re-runs
@@ -23,27 +49,58 @@ import scala.util.hashing.MurmurHash3
 object Embed {
   val DefaultDim = 64 // fixture dim (FIXTURES.md); 384 for MiniLM parity
 
+  /** System property naming the [[EmbedBackend]] class to load; unset
+    * or empty means [[HashedNgramBackend]]. */
+  val BackendProp = "graft.embed.backend"
+
   private val IdxSeed = 0x5ca1ab1e
   private val SignSeed = 0x7ee1f00d
 
-  def embed(text: String, dim: Int): Array[Float] = {
-    val v = new Array[Float](dim)
-    if (text != null) {
-      val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+")
-      var i = 0
-      while (i < toks.length) {
-        val t = toks(i)
-        if (t.nonEmpty) {
-          addFeature(v, t, dim)
-          var j = 0
-          while (j + 3 <= t.length) { addFeature(v, t.substring(j, j + 3), dim); j += 1 }
+  /** The default hashed-n-gram backend (stateless object). */
+  object HashedNgramBackend extends EmbedBackend {
+    def embed(text: String, dim: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      if (text != null) {
+        val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+")
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          if (t.nonEmpty) {
+            addFeature(v, t, dim)
+            var j = 0
+            while (j + 3 <= t.length) { addFeature(v, t.substring(j, j + 3), dim); j += 1 }
+          }
+          i += 1
         }
-        i += 1
       }
+      normalize(v)
+      v
     }
-    normalize(v)
-    v
   }
+
+  /** Reflectively resolve a backend: a Scala `object` (MODULE$) or a
+    * class with a no-arg constructor. Fails fast with the class name
+    * so a typo'd property surfaces at first embed, not as silent
+    * fallback to the wrong vectors. */
+  def loadBackend(className: String): EmbedBackend = {
+    val cls = Class.forName(className)
+    val inst =
+      try cls.getField("MODULE$").get(null)
+      catch { case _: NoSuchFieldException => cls.getDeclaredConstructor().newInstance() }
+    inst match {
+      case b: EmbedBackend => b
+      case other => throw new IllegalArgumentException(
+        s"$className (${other.getClass.getName}) does not implement graft.functions.EmbedBackend")
+    }
+  }
+
+  private[graft] def resolveBackend(prop: Option[String]): EmbedBackend =
+    prop.map(_.trim).filter(_.nonEmpty).map(loadBackend).getOrElse(HashedNgramBackend)
+
+  /** The active backend, resolved once per JVM from [[BackendProp]]. */
+  lazy val backend: EmbedBackend = resolveBackend(sys.props.get(BackendProp))
+
+  def embed(text: String, dim: Int): Array[Float] = backend.embed(text, dim)
 
   private def addFeature(v: Array[Float], f: String, dim: Int): Unit = {
     val idx = math.floorMod(MurmurHash3.stringHash(f, IdxSeed), dim)

@@ -816,6 +816,140 @@ object VectorSearch {
       Seq("ivf" -> q67bIvf(s, d), "sq8" -> q67bSq8(s, d)))
   }
 
+  // ---- HNSW: sharded graph ANN (the reference's index structure) ----
+
+  /** PUBLIC sharded-HNSW ANN — the reference's actual index structure
+    * (chromadb → hnswlib, app.py:50-52) in the distributed shape: the
+    * corpus is hash-partitioned into `numShards` shards, each shard
+    * builds one deterministic in-memory [[graft.functions.HnswGraph]]
+    * (Malkov & Yashunin 2018) in its executor, every query searches
+    * every shard with an `efSearch` beam, and the per-shard top-k
+    * lists merge in one tiny window. Per query the result is the
+    * union-of-shards approximate top-k — the standard scale-out HNSW
+    * deployment (one graph per index shard, fan-out + merge).
+    *
+    * Scale shape at 100 TB: `repartition(numShards, id)` is the ONE
+    * corpus shuffle; shard count is chosen so a shard's vectors + an
+    * M-degree adjacency fit executor memory (the same sizing rule
+    * every sharded-HNSW system applies), queries ride in as a
+    * plan-constant array (quantizer-sized, like the IVF centroid
+    * table), the merge exchanges only (query, id, sim) rows.
+    * Graph build is once per session ([[cachedFrame]] on the gate
+    * query) — a persisted-adjacency layout would slot into
+    * IndexStore beside buildIvf; q67-family measurements already
+    * document IVF-SQ as the operating point this engine recommends
+    * at that scale (graph quality vs rebuild cost trade).
+    *
+    * `n_candidates` = total distance computations across all shards
+    * and layers for the query — the honesty metric of the q67-family
+    * meters (for sharded HNSW the honest cost INCLUDES paying the
+    * upper-layer descent once per shard).
+    *
+    * Determinism: shard assignment is Spark's fixed murmur hash on
+    * the id; within a shard the build inserts ids ascending with
+    * id-tie-broken heaps (HnswGraph's contract); the merge ranks on
+    * (sim desc, id). Re-runs and Verify re-executions hash-match. */
+  def annHnsw(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int, numShards: Int = 4,
+              m: Int = 8, efConstruction: Int = 64,
+              efSearch: Int = 48): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    // query side: explicit tiny side, closure-shipped like the IVF
+    // centroid table (index metadata, never a join input)
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("query_id").cast("long"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val local = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .repartition(numShards, col(idCol))
+      .mapPartitions { it =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        val rows = it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = graft.functions.HnswGraph.build(
+            rows.map(_._1), rows.map(_._2), m, efConstruction)
+          qArr.iterator.flatMap { case (qid, qvec) =>
+            // k+1 locally: the query's own vector lives in exactly one
+            // shard and is filtered after the merge
+            val (top, nDist) = g.search(qvec, k + 1, efSearch)
+            top.iterator.map { case (id, sim) => (qid, shard, id, sim, nDist) }
+          }
+        }
+      }
+      .toDF("query_id", "shard", "vec_id", "sim", "n_local")
+    // one plan, one graph build: n_candidates = sum of each shard's
+    // (constant-per-shard) n_local, summed once per shard via a
+    // first-row-of-shard mark — no self-join back onto the build
+    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wQuery = Window.partitionBy(col("query_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    local
+      .withColumn("first_of_shard", row_number().over(wShard) === 1)
+      .withColumn("n_candidates",
+        sum(when(col("first_of_shard"), col("n_local")).otherwise(0L)).over(wQuery))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("n_candidates"))
+  }
+
+  /** q102's hnsw frame — searched over the q67b clustered corpus (the
+    * regime real embedding corpora live in; on the isotropic fixture
+    * distance concentration keeps ANY beam search near-exhaustive at
+    * 500 vectors, the same measured ceiling q67 documents for
+    * LSH/IVF). Computed once per session — shared by the gate query
+    * and its aux materialization so the oracle re-derives the meter
+    * from the exact candidate set the meter measured. */
+  private def q102Hnsw(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "q102") {
+      val emb = clusteredEmb(s, d)
+      // 2 shards / 8-wide beam: the beam must not out-size the
+      // cluster (10 vectors) or it expands into the cross-cluster
+      // concentration regime; per-shard search cost is ~constant in
+      // corpus size (beam + descent), so the candidate FRACTION the
+      // meter reports shrinks as N grows
+      annHnsw(emb, "vec_id", "embedding", q67bQueries(emb), k = 3,
+        numShards = 2, efSearch = 8)
+        .orderBy("query_id", "rank")
+    }
+
+  /** q102: sharded-HNSW recall/candidate-fraction meter against the
+    * exact top-3 on the clustered corpus — the graph-index completion
+    * of the q67 ANN family (LSH/IVF/SQ8; q67b measures IVF/SQ8 on the
+    * same corpus, so the three operating points are directly
+    * comparable). Oracle: DuckDB recomputes the exact baseline and
+    * the meter arithmetic from the materialized clustered corpus plus
+    * the Verify-materialized HNSW result set (the q62-buckets
+    * pattern: the custom kernel runs in Spark once, everything
+    * downstream is independently re-derived). */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val corpusN = clusteredEmb(s, d).count()
+    recallMeter(
+      cachedFrame(s, d, "q67b_exact3") {
+        val emb = clusteredEmb(s, d)
+        exactTopKOf(emb, "vec_id", "embedding", q67bQueries(emb), 3)
+      },
+      "vec_id", corpusN,
+      Seq("hnsw" -> q102Hnsw(s, d)))
+  }
+
+  /** Dump the q102 HNSW candidate set for the DuckDB oracle (the
+    * clustered corpus itself is dumped by [[materializeClusteredAux]],
+    * which Verify runs for q102 too). Called by Verify (never by
+    * Bench). */
+  def materializeHnswAux(s: SparkSession, d: String, auxDir: String): Unit =
+    q102Hnsw(s, d)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q102_hnsw.parquet")
+
+  private val AuxHnsw =
+    "read_parquet('/root/repo/target/verify_aux/q102_hnsw.parquet/*.parquet')"
+
   /** Dump the clustered corpus (vectors + SQ8 codes) and its trained
     * centroids for the q67b oracle, which re-derives assignment,
     * probing, pre-ranking, ranking, and the meter arithmetic in
@@ -842,6 +976,10 @@ object VectorSearch {
   private val q67bSql = recallMirrorSql(AuxQ67bCorpus,
     Seq("ivf" -> ivfMirrorSql(AuxQ67bCorpus, AuxQ67bCents, Q67bProbes),
         "sq8" -> sq8MirrorSql(AuxQ67bCorpus, AuxQ67bCorpus, 16)))
+
+  // declared after AuxQ67bCorpus: object vals initialize in order
+  private val q102Sql = recallMirrorSql(AuxQ67bCorpus,
+    Seq("hnsw" -> s"SELECT query_id, vec_id, n_candidates FROM $AuxHnsw"))
 
   /** q66: per-label centroids and dispersion, fully deterministic:
     * the centroid is the per-dimension DECIMAL mean and each member's
@@ -988,5 +1126,6 @@ object VectorSearch {
     Query("q67b_ann_recall_clustered", q67b, Some(q67bSql)),
     Query("q63_search_e2e",     searchE2E, Some(q63Sql)),
     Query("q64_build_index",    q64, Some(q64Sql)),
-    Query("q98_ivf_search",     q98, Some(q98Sql)))
+    Query("q98_ivf_search",     q98, Some(q98Sql)),
+    Query("q102_ann_hnsw",      q102, Some(q102Sql)))
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Embed, EmbedBackend}
+
+/** Test fixtures for the reflective backend loader: a plain class
+  * with a no-arg constructor and a Scala object — the two shapes
+  * [[Embed.loadBackend]] must resolve. */
+class ClassBackendFixture extends EmbedBackend {
+  def embed(text: String, dim: Int): Array[Float] =
+    Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+}
+
+object ObjectBackendFixture extends EmbedBackend {
+  def embed(text: String, dim: Int): Array[Float] =
+    Array.tabulate(dim)(i => if (i == dim - 1) 1f else 0f)
+}
+
+/** The config-gated embedding-backend seam (V1 swap-in dry run): the
+  * default stays the bit-stable hashed-n-gram function, and a real
+  * model (ONNX MiniLM when weights are available) swaps in via the
+  * `graft.embed.backend` property without touching call sites.
+  */
+class EmbedBackendSpec extends AnyFunSuite {
+
+  test("unset/blank property resolves to the hashed-n-gram default") {
+    assert(Embed.resolveBackend(None) eq Embed.HashedNgramBackend)
+    assert(Embed.resolveBackend(Some("")) eq Embed.HashedNgramBackend)
+    assert(Embed.resolveBackend(Some("   ")) eq Embed.HashedNgramBackend)
+  }
+
+  test("Embed.embed delegates to the active backend bit-for-bit") {
+    val viaFacade = Embed.embed("the quick brown fox", 64)
+    val viaDefault = Embed.HashedNgramBackend.embed("the quick brown fox", 64)
+    assert(viaFacade.toSeq == viaDefault.toSeq)
+  }
+
+  test("loadBackend resolves a no-arg class") {
+    val b = Embed.loadBackend(classOf[ClassBackendFixture].getName)
+    assert(b.embed("x", 4).toSeq == Seq(1f, 0f, 0f, 0f))
+  }
+
+  test("loadBackend resolves a Scala object via MODULE$") {
+    val b = Embed.loadBackend(ObjectBackendFixture.getClass.getName)
+    assert(b.embed("x", 4).toSeq == Seq(0f, 0f, 0f, 1f))
+  }
+
+  test("resolveBackend dispatches a named backend end-to-end") {
+    val b = Embed.resolveBackend(Some(classOf[ClassBackendFixture].getName))
+    assert(b.embed("anything", 3).toSeq == Seq(1f, 0f, 0f))
+  }
+
+  test("a non-backend class fails fast with its name") {
+    val e = intercept[IllegalArgumentException] {
+      Embed.loadBackend("java.lang.StringBuilder")
+    }
+    assert(e.getMessage.contains("StringBuilder"))
+    intercept[ClassNotFoundException] {
+      Embed.loadBackend("com.example.DoesNotExist")
+    }
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HnswGraph
+import graft.operators.VectorSearch
+
+/** The HNSW kernel and its sharded Spark operator beyond the q102
+  * oracle gate: graph invariants (degree bounds, level monotonicity),
+  * determinism (bit-identical rebuild and re-search), search quality
+  * vs plain-Scala brute force, and the sub-linear candidate count the
+  * meter reports.
+  */
+class HnswSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** Deterministic synthetic corpus: hashed-n-gram embeddings of
+    * numbered strings — unit-norm, fixed-dim, no RNG. */
+  private def corpus(n: Int, dim: Int = 32): (Array[Long], Array[Array[Float]]) = {
+    val ids = Array.tabulate(n)(_.toLong)
+    val vecs = ids.map(i => functions.Embed.embed(s"synthetic document number $i content", dim))
+    (ids, vecs)
+  }
+
+  private def cosSim(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("build is deterministic and respects degree/level invariants") {
+    val (ids, vecs) = corpus(500)
+    val m = 8
+    val g1 = HnswGraph.build(ids, vecs, m, efConstruction = 64)
+    val g2 = HnswGraph.build(ids, vecs, m, efConstruction = 64)
+    val q = functions.Embed.embed("synthetic query about documents", 32)
+    val (r1, n1) = g1.search(q, 10, 48)
+    val (r2, n2) = g2.search(q, 10, 48)
+    assert(r1.toSeq == r2.toSeq && n1 == n2, "two builds must answer identically")
+    for (i <- ids.indices; l <- 0 to g1.levelOfNode(i)) {
+      val cap = if (l == 0) 2 * m else m
+      assert(g1.degree(i, l) <= cap, s"node $i level $l degree ${g1.degree(i, l)} > $cap")
+    }
+  }
+
+  /** Deterministic isotropic pseudo-random vector — the regime the sf
+    * fixtures (and most fresh embedding corpora) live in. */
+  private def randVec(id: Long, dim: Int): Array[Float] = {
+    var x = id * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L; x ^= x >>> 27
+      v(i) = ((x & 0xffffff).toDouble / 0x7fffff.toDouble - 1.0).toFloat
+      i += 1
+    }
+    v
+  }
+
+  private def measureRecall(ids: Array[Long], vecs: Array[Array[Float]],
+                            g: HnswGraph, k: Int, ef: Int): (Double, Long) = {
+    var hit = 0; var total = 0; var maxDist = 0L
+    for (qi <- 0 until 10) {
+      val q = vecs(qi * 7)
+      val exact = ids.indices
+        .map(i => (cosSim(q, vecs(i)), ids(i)))
+        .sortBy { case (s, id) => (-s, id) }
+        .take(k).map(_._2).toSet
+      val (approx, nDist) = g.search(q, k, ef)
+      maxDist = math.max(maxDist, nDist)
+      hit += approx.map(_._1).count(exact.contains)
+      total += k
+    }
+    (hit.toDouble / total, maxDist)
+  }
+
+  test("recall on an isotropic corpus is ~exact at default params, sub-linear cost") {
+    val ids = Array.tabulate(800)(_.toLong)
+    val vecs = ids.map(randVec(_, 32))
+    val g = HnswGraph.build(ids, vecs, m = 8, efConstruction = 64)
+    val (recall, maxDist) = measureRecall(ids, vecs, g, k = 5, ef = 16)
+    assert(recall >= 0.9, s"recall@5 $recall < 0.9 at ef=16 on 800 isotropic nodes")
+    assert(maxDist < ids.length / 2, s"beam visited $maxDist of ${ids.length} — not sub-linear")
+  }
+
+  test("near-duplicate-heavy corpus: the published M lever restores recall") {
+    // mean pairwise cosine ~0.95 — the regime a dedup pipeline exists
+    // to remove. Default m=8 measurably disconnects (recall ~0.64,
+    // see HnswGraph.selectNeighbors scaladoc); m=16/efC=128 is the
+    // documented operating point for such data.
+    val (ids, vecs) = corpus(800)
+    val g = HnswGraph.build(ids, vecs, m = 16, efConstruction = 128)
+    val (recall, maxDist) = measureRecall(ids, vecs, g, k = 5, ef = 48)
+    assert(recall >= 0.9, s"recall@5 $recall < 0.9 at m=16/ef=48 on near-dup corpus")
+    assert(maxDist < ids.length, s"beam visited $maxDist of ${ids.length}")
+  }
+
+  test("search results are sorted by (sim desc, id) and exclude nothing it found") {
+    val (ids, vecs) = corpus(300)
+    val g = HnswGraph.build(ids, vecs, m = 6, efConstruction = 48)
+    val q = functions.Embed.embed("another synthetic probe", 32)
+    val (top, _) = g.search(q, 8, 32)
+    val resorted = top.sortBy { case (id, sim) => (-sim, id) }
+    assert(top.toSeq == resorted.toSeq, "output must arrive rank-ordered")
+    assert(top.map(_._1).distinct.length == top.length, "no duplicate ids")
+  }
+
+  test("empty and single-node graphs answer without error") {
+    val g0 = HnswGraph.build(Array.empty, Array.empty, m = 4, efConstruction = 8)
+    assert(g0.search(Array.fill(8)(1f), 3, 8)._1.isEmpty)
+    val g1 = HnswGraph.build(Array(42L), Array(Array.fill(8)(0.5f)), 4, 8)
+    val (r, _) = g1.search(Array.fill(8)(1f), 3, 8)
+    assert(r.map(_._1).toSeq == Seq(42L))
+  }
+
+  test("annHnsw output is deterministic across runs and matches the ANN contract") {
+    val emb = Tables.embeddings(spark, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val run1 = VectorSearch.annHnsw(emb, "vec_id", "embedding", qs, k = 3)
+      .orderBy("query_id", "rank").collect()
+    val run2 = VectorSearch.annHnsw(emb, "vec_id", "embedding", qs, k = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(run1.toSeq == run2.toSeq, "sharded search must be reproducible")
+    val n = emb.count()
+    run1.foreach { r =>
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("query_id"), "self excluded")
+      assert(r.getAs[Long]("n_candidates") > 0, "honesty column present")
+    }
+    val ranks = run1.groupBy(_.getAs[Long]("query_id"))
+      .values.map(_.map(_.getAs[Int]("rank")).toSeq.sorted)
+    assert(ranks.forall(_ == Seq(1, 2, 3)), s"each query gets a dense top-3 (corpus $n)")
+  }
+}
