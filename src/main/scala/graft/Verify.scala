@@ -50,6 +50,8 @@ object Verify {
         () => operators.VectorSearch.materializeClusteredAux(spark, sfDir, auxDir)),
       ("q102 hnsw", Set("q102_ann_hnsw"),
         () => operators.VectorSearch.materializeHnswAux(spark, sfDir, auxDir)),
+      ("q103 hnsw index", Set("q103_hnsw_search"),
+        () => operators.VectorSearch.materializeHnswIndexAux(spark, sfDir, auxDir)),
       ("q41 chunks", Set("q41_chunk_stats"),
         () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
       ("media", Set("q90_media_features", "q91_frame_sample"),

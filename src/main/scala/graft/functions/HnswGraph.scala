@@ -45,6 +45,10 @@ final class HnswGraph private (
   def degree(i: Int, level: Int): Int =
     if (level < links(i).length) links(i)(level).length else 0
   def levelOfNode(i: Int): Int = levels(i)
+  /** Adjacency of node `i` (level -> neighbor node indices) — the
+    * persistable graph state ([[HnswGraph.fromAdjacency]] round-trips
+    * it). */
+  def linksOf(i: Int): Array[Array[Int]] = links(i)
 
   /** Approximate top-`k` by cosine similarity with an `ef`-wide beam.
     * Returns the (id, sim) list sorted by (sim desc, id asc) plus the
@@ -143,6 +147,23 @@ object HnswGraph {
     val h = MurmurHash3.productHash((id, "hnsw-level"), LevelSeed)
     val u = ((h & 0x7fffffff).toDouble + 1.0) / (Int.MaxValue.toDouble + 2.0)
     math.min(MaxLevelCap, math.floor(-math.log(u) * mL).toInt)
+  }
+
+  /** Reconstruct a graph from persisted per-node state ([[build]]'s
+    * `levelOfNode`/`linksOf` output, stored beside the vectors) —
+    * search-time loading never re-pays the build. The entry point is
+    * re-derived by [[build]]'s own invariant: the FIRST (lowest-index)
+    * node holding the maximum level. */
+  def fromAdjacency(ids: Array[Long], vecs: Array[Array[Float]],
+                    levels: Array[Int], links: Array[Array[Array[Int]]]): HnswGraph = {
+    var entry = -1
+    var maxLevel = -1
+    var i = 0
+    while (i < ids.length) {
+      if (levels(i) > maxLevel) { maxLevel = levels(i); entry = i }
+      i += 1
+    }
+    new HnswGraph(ids, vecs, vecs.map(norm), levels, links, entry, maxLevel)
   }
 
   /** Build a graph over the (id, vector) arrays. `m` is the target

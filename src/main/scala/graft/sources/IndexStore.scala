@@ -248,6 +248,132 @@ object IndexStore {
       .limit(k))
   }
 
+  // HNSW layout parameters — the graph is persisted per shard, so
+  // query-time loading must agree on nothing but the column names
+  // (m/efConstruction are baked into the stored adjacency)
+  val HnswShards = 4
+  val HnswM = 8
+  val HnswEfConstruction = 64
+
+  /** HNSW-persisted index — the graph counterpart of [[buildIvf]]:
+    * rows are hash-sharded on chunk_id, each shard builds one
+    * deterministic [[graft.functions.HnswGraph]] over its vectors,
+    * and the per-node graph state (level + adjacency as in-shard
+    * ordinals) is stored IN the rows beside the embeddings — build
+    * once, search forever without re-paying construction (the
+    * reference persists exactly this structure: hnswlib's graph under
+    * ./chroma_db, app.py:32-33).
+    *
+    * In-shard node ordinals are positions in the chunk_id-sorted
+    * shard, so the adjacency is meaningful independent of file or
+    * row-group order; [[searchTopKHnsw]] re-sorts and asserts the
+    * stored ordinal before traversing.
+    *
+    * Scale trade (documented, measured by q102/q67b): a graph probe
+    * computes ~constant distances per shard but must LOAD the shard's
+    * vectors+adjacency — the layout for memory-resident serving
+    * shards. When the index must stay on disk and prune IO,
+    * [[buildIvf]]'s cell partitioning is the recommended operating
+    * point (probes open only their directories). */
+  def buildHnsw(spark: SparkSession, docs: DataFrame, path: String,
+                numShards: Int = HnswShards, m: Int = HnswM,
+                efConstruction: Int = HnswEfConstruction,
+                dim: Int = Embed.DefaultDim): Unit = {
+    import spark.implicits._
+    import graft.functions.HnswGraph
+    val rows = indexRows(docs, dim)
+      .withColumn("shard",
+        pmod(xxhash64(col("chunk_id")), lit(numShards.toLong)).cast("int"))
+      .localCheckpoint()
+    val adj = rows.select(col("shard"), col("chunk_id"), col("embedding"))
+      .repartition(numShards, col("shard"))
+      .mapPartitions { it =>
+        // a task may hold several shard keys (hash-of-hash): build one
+        // graph per shard value, never across them
+        it.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (_, rws) =>
+          val sorted = rws.map(r => (r.getString(1), r.getSeq[Float](2).toArray))
+            .sortBy(_._1)
+          val g = HnswGraph.build(
+            Array.tabulate(sorted.length)(_.toLong), sorted.map(_._2),
+            m, efConstruction)
+          sorted.indices.iterator.map { i =>
+            (sorted(i)._1, i, g.levelOfNode(i),
+              g.linksOf(i).map(_.toSeq).toSeq)
+          }
+        }
+      }
+      .toDF("chunk_id", "hnsw_node", "hnsw_level", "hnsw_links")
+    rows.join(adj, Seq("chunk_id"))
+      .write.mode(SaveMode.Overwrite)
+      // full rebuild: truncate the whole layout (see buildIvf)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
+  /** [[buildHnsw]], executed at most once per (session, path) — the
+    * build is deterministic, so Verify's aux materialization and the
+    * q103 query share one physical build. */
+  private val builtHnswOnce =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Unit]
+  def buildHnswOnce(spark: SparkSession, docs: => DataFrame, path: String,
+                    numShards: Int = HnswShards, m: Int = HnswM,
+                    efConstruction: Int = HnswEfConstruction,
+                    dim: Int = Embed.DefaultDim): Unit =
+    builtHnswOnce.getOrElseUpdate((System.identityHashCode(spark), path),
+      buildHnsw(spark, docs, path, numShards, m, efConstruction, dim))
+
+  /** Graph-traverse the persisted shards for the candidate chunk ids
+    * of `queryText` (per-shard approximate top-`k`) — the traversal
+    * half of [[searchTopKHnsw]], public so the q103 oracle can dump
+    * the exact candidate set the search used (deterministic: same
+    * index + query => same candidates). */
+  def hnswCandidates(spark: SparkSession, path: String, queryText: String,
+                     k: Int = 10, efSearch: Int = 48,
+                     dim: Int = Embed.DefaultDim): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HnswGraph
+    val qvec = Embed.embed(queryText, dim)
+    spark.read.parquet(path)
+      .select(col("shard"), col("chunk_id"), col("hnsw_node"),
+        col("hnsw_level"), col("hnsw_links"), col("embedding"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (shard, rws) =>
+          val sorted = rws.sortBy(_.getString(1))
+          sorted.iterator.zipWithIndex.foreach { case (r, i) =>
+            require(r.getInt(2) == i,
+              s"hnsw shard $shard ordering drifted at ordinal $i (stored ${r.getInt(2)})")
+          }
+          val g = HnswGraph.fromAdjacency(
+            Array.tabulate(sorted.length)(_.toLong),
+            sorted.map(_.getSeq[Float](5).toArray),
+            sorted.map(_.getInt(3)),
+            sorted.map(_.getSeq[scala.collection.Seq[Int]](4).map(_.toArray).toArray))
+          val (top, _) = g.search(qvec, k, efSearch)
+          top.iterator.map { case (ord, _) => sorted(ord.toInt).getString(1) }
+        }
+      }
+      .toDF("cid")
+  }
+
+  /** ANN search over the HNSW-persisted layout: per-shard graph
+    * traversal ([[hnswCandidates]]) fans the query out, then the
+    * merged candidate set pays one exact-cosine rerank + the standard
+    * presentation — same candidates-then-rerank contract as the
+    * LSH/SQ8/IVF search paths, so the oracle can re-derive everything
+    * downstream of the traversal. */
+  def searchTopKHnsw(spark: SparkSession, path: String, queryText: String,
+                     k: Int = 10, efSearch: Int = 48,
+                     dim: Int = Embed.DefaultDim): DataFrame = {
+    val qvec = Embed.embed(queryText, dim)
+    present(spark.read.parquet(path)
+      .join(broadcast(hnswCandidates(spark, path, queryText, k, efSearch, dim)),
+        col("chunk_id") === col("cid"))
+      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(k))
+  }
+
   /** Bucket-PARTITIONED index: one row per (table-bucket, chunk),
     * parquet-partitioned by the bucket key — the full 100 TB layout
     * where an ANN probe prunes FILES (partition pruning on

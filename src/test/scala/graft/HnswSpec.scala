@@ -128,6 +128,35 @@ class HnswSpec extends AnyFunSuite {
     assert(r.map(_._1).toSeq == Seq(42L))
   }
 
+  test("persisted HNSW index: search is deterministic and recovers the exact top-k") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_idx"
+    IndexStore.buildHnsw(spark, Tables.documents(spark, d), path)
+    val q = "spark window aggregation over sorted batches"
+    val hnsw = IndexStore.searchTopKHnsw(spark, path, q, k = 5).collect()
+    val exact = IndexStore.searchTopK(spark, path, q, k = 5).collect()
+    assert(hnsw.length == 5)
+    val overlap = hnsw.map(_.getAs[String]("chunk_id")).toSet
+      .intersect(exact.map(_.getAs[String]("chunk_id")).toSet).size
+    assert(overlap >= 4, s"persisted-graph top-5 overlaps exact top-5 in $overlap/5")
+    val again = IndexStore.searchTopKHnsw(spark, path, q, k = 5).collect()
+    assert(hnsw.toSeq == again.toSeq, "search must be reproducible from the persisted graph")
+  }
+
+  test("persisted HNSW index: rebuild is idempotent (same graph bits)") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_idx2"
+    IndexStore.buildHnsw(spark, Tables.documents(spark, d), path)
+    val first = spark.read.parquet(path)
+      .select("chunk_id", "shard", "hnsw_node", "hnsw_level", "hnsw_links")
+      .orderBy("chunk_id").collect()
+    IndexStore.buildHnsw(spark, Tables.documents(spark, d), path)
+    val second = spark.read.parquet(path)
+      .select("chunk_id", "shard", "hnsw_node", "hnsw_level", "hnsw_links")
+      .orderBy("chunk_id").collect()
+    assert(first.toSeq == second.toSeq)
+  }
+
   test("annHnsw output is deterministic across runs and matches the ANN contract") {
     val emb = Tables.embeddings(spark, d)
     val qs = emb.filter(col("vec_id") < 3)
