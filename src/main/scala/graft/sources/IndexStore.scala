@@ -279,13 +279,32 @@ object IndexStore {
                 numShards: Int = HnswShards, m: Int = HnswM,
                 efConstruction: Int = HnswEfConstruction,
                 dim: Int = Embed.DefaultDim): Unit = {
-    import spark.implicits._
-    import graft.functions.HnswGraph
     val rows = indexRows(docs, dim)
       .withColumn("shard",
         pmod(xxhash64(col("chunk_id")), lit(numShards.toLong)).cast("int"))
       .localCheckpoint()
-    val adj = rows.select(col("shard"), col("chunk_id"), col("embedding"))
+    rows.join(hnswAdjacency(rows, numShards, m, efConstruction), Seq("chunk_id"))
+      // one writer task per shard -> one file per shard directory
+      .repartition(numShards, col("shard"))
+      .write.mode(SaveMode.Overwrite)
+      // full rebuild: truncate the whole layout (see buildIvf)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard")
+      .parquet(path)
+    evictHnswShards(spark, path)
+  }
+
+  /** Per-shard deterministic graph build over (shard, chunk_id,
+    * embedding) rows -> one adjacency row per chunk (in-shard
+    * ordinal, level, level->neighbors). Shared by [[buildHnsw]] and
+    * [[appendHnsw]] so a rebuilt shard's bits can never diverge
+    * between the two paths. */
+  private def hnswAdjacency(rows: DataFrame, numShards: Int,
+                            m: Int, efConstruction: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import graft.functions.HnswGraph
+    rows.select(col("shard"), col("chunk_id"), col("embedding"))
       .repartition(numShards, col("shard"))
       .mapPartitions { it =>
         // a task may hold several shard keys (hash-of-hash): build one
@@ -303,12 +322,6 @@ object IndexStore {
         }
       }
       .toDF("chunk_id", "hnsw_node", "hnsw_level", "hnsw_links")
-    rows.join(adj, Seq("chunk_id"))
-      .write.mode(SaveMode.Overwrite)
-      // full rebuild: truncate the whole layout (see buildIvf)
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("shard")
-      .parquet(path)
   }
 
   /** [[buildHnsw]], executed at most once per (session, path) — the
@@ -323,6 +336,62 @@ object IndexStore {
     builtHnswOnce.getOrElseUpdate((System.identityHashCode(spark), path),
       buildHnsw(spark, docs, path, numShards, m, efConstruction, dim))
 
+  /** Incrementally add documents to an EXISTING HNSW index: new rows
+    * hash to their shards and ONLY those shards rebuild their graph
+    * (old rows + new rows, one deterministic build per touched
+    * shard); untouched shard directories are never rewritten (dynamic
+    * partition overwrite). Graph insertion is inherently a mutation —
+    * there is no append-only adjacency — so the honest distributed
+    * maintenance unit is the shard rebuild: with S shards an append
+    * touching one source rewrites ~|touched shards|/S of the index,
+    * and shard count bounds the blast radius. Contrast [[appendIvf]]
+    * (append-only cell files, no rewrite — the cheaper maintenance
+    * flow when rebuild cost matters more than graph recall). Caller
+    * owns dedup semantics, as with appendIvf. */
+  def appendHnsw(spark: SparkSession, docs: DataFrame, path: String,
+                 numShards: Int = HnswShards, m: Int = HnswM,
+                 efConstruction: Int = HnswEfConstruction,
+                 dim: Int = Embed.DefaultDim): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val newRows = indexRows(docs, dim)
+      .withColumn("shard",
+        pmod(xxhash64(col("chunk_id")), lit(numShards.toLong)).cast("int"))
+      .localCheckpoint()
+    val touched = newRows.select("shard").distinct()
+    val existing = spark.read.parquet(path)
+      .join(broadcast(touched), Seq("shard"), "left_semi")
+      .drop("hnsw_node", "hnsw_level", "hnsw_links")
+    val rows = existing.unionByName(newRows).localCheckpoint()
+    rows.join(hnswAdjacency(rows, numShards, m, efConstruction), Seq("chunk_id"))
+      .repartition(numShards, col("shard"))
+      .write.mode(SaveMode.Overwrite)
+      // dynamic: replace ONLY the shards present in `rows`
+      .partitionBy("shard")
+      .parquet(path)
+    evictHnswShards(spark, path)
+  }
+
+  /** Session-pinned, shard-co-located view of a persisted HNSW index:
+    * a graph traversal needs its WHOLE shard in one task, and parquet
+    * file-split packing gives no such guarantee (a shard directory
+    * with several files, e.g. after [[appendHnsw]], can land across
+    * tasks), so the first search per (session, path) pays one
+    * repartition-by-shard shuffle and localCheckpoint-pins the result
+    * — the batch analogue of a serving deployment loading its shards
+    * memory-resident once. [[buildHnsw]]/[[appendHnsw]] evict the
+    * entry so a search never traverses a stale pin. */
+  private val hnswShardCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private[graft] def hnswShards(spark: SparkSession, path: String): DataFrame =
+    hnswShardCache.getOrElseUpdate((System.identityHashCode(spark), path),
+      spark.read.parquet(path)
+        .select(col("shard"), col("chunk_id"), col("hnsw_node"),
+          col("hnsw_level"), col("hnsw_links"), col("embedding"))
+        .repartition(col("shard"))
+        .localCheckpoint())
+  private def evictHnswShards(spark: SparkSession, path: String): Unit =
+    hnswShardCache.remove((System.identityHashCode(spark), path))
+
   /** Graph-traverse the persisted shards for the candidate chunk ids
     * of `queryText` (per-shard approximate top-`k`) — the traversal
     * half of [[searchTopKHnsw]], public so the q103 oracle can dump
@@ -334,9 +403,7 @@ object IndexStore {
     import spark.implicits._
     import graft.functions.HnswGraph
     val qvec = Embed.embed(queryText, dim)
-    spark.read.parquet(path)
-      .select(col("shard"), col("chunk_id"), col("hnsw_node"),
-        col("hnsw_level"), col("hnsw_links"), col("embedding"))
+    hnswShards(spark, path)
       .mapPartitions { it =>
         it.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (shard, rws) =>
           val sorted = rws.sortBy(_.getString(1))

@@ -157,6 +157,43 @@ class HnswSpec extends AnyFunSuite {
     assert(first.toSeq == second.toSeq)
   }
 
+  test("persisted HNSW index: append rebuilds only the touched shards and finds new docs") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_idx3"
+    val docs = Tables.documents(spark, d)
+    IndexStore.buildHnsw(spark, docs.filter(col("doc_id") < 40), path)
+    val beforeByShard = spark.read.parquet(path)
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val newDocs = docs.filter(col("doc_id") >= 40 && col("doc_id") < 45)
+    IndexStore.appendHnsw(spark, newDocs, path)
+    val after = spark.read.parquet(path)
+    // every appended chunk is present exactly once
+    val appendedChunks = after.filter(col("doc_id") >= 40).count()
+    assert(appendedChunks > 0, "appended docs must be indexed")
+    assert(after.groupBy("chunk_id").count().filter(col("count") > 1).count() == 0,
+      "no duplicate chunk ids after append")
+    // shards that received no appended chunk keep their exact row
+    // count (dynamic overwrite rewrote only the touched directories);
+    // graph state everywhere stays consistent (search asserts stored
+    // ordinals while traversing)
+    val touchedShards = after.filter(col("doc_id") >= 40)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(touchedShards.nonEmpty)
+    val afterByShard = after.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    beforeByShard.foreach { case (s, n) =>
+      if (!touchedShards.contains(s))
+        assert(afterByShard(s) == n, s"untouched shard $s changed: $n -> ${afterByShard(s)}")
+      else
+        assert(afterByShard(s) > n, s"touched shard $s did not grow")
+    }
+    val res = IndexStore.searchTopKHnsw(spark, path, "document text", k = 5).collect()
+    assert(res.length == 5)
+    val res2 = IndexStore.searchTopKHnsw(spark, path, "document text", k = 5).collect()
+    assert(res.toSeq == res2.toSeq)
+  }
+
   test("annHnsw output is deterministic across runs and matches the ANN contract") {
     val emb = Tables.embeddings(spark, d)
     val qs = emb.filter(col("vec_id") < 3)

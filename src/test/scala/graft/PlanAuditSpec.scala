@@ -187,6 +187,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q103: HNSW rerank broadcasts the candidate set and the shard pin carries no text") {
+    val df = SparkEntry.queries("q103_hnsw_search")(spark, d)
+    df.collect() // finalize the adaptive plan (also builds the index)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the candidate-id rerank join must broadcast the tiny side:\n$p")
+    // the session-pinned shard frame is what a traversal holds in
+    // memory: graph state + vectors only — never the document text or
+    // the other layouts' columns (the checkpoint severs the scan from
+    // q103's plan, so audit the pin itself)
+    val pinned = graft.sources.IndexStore.hnswShards(spark,
+      "/root/repo/target/q103_hnsw_index/root_testdata_sf0.001").schema.fieldNames.toSet
+    assert(pinned("hnsw_links") && pinned("embedding"), pinned.toString)
+    assert(!pinned("chunk") && !pinned("lsh_buckets") && !pinned("sq8_code"),
+      s"shard pin must hold only traversal state: $pinned")
+  }
+
   test("q99/q100: packing and mixture sampling stay native with per-group shuffles only") {
     val pack = planStr("q99_sequence_packing")
     assert(!pack.contains("UDF("), s"packing must not run a ScalaUDF:\n$pack")
