@@ -142,13 +142,44 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
-  test("q61/q62/q65/q69: no embedding vector rides a rank/dedup exchange") {
-    Seq("q61_knn_cos_multi", "q62_ann_lsh", "q65_ann_ivf", "q69_ann_sq8").foreach { name =>
-      val df = SparkEntry.queries(name)(spark, d)
+  /** Every shuffle in an ADAPTIVE plan, descending into materialized
+    * query stages (a plain `collect` stops at stage boundaries and
+    * silently sees zero exchanges). */
+  private def allShuffles(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => return allShuffles(a.executedPlan)
+      case q: QueryStageExec => return allShuffles(q.plan)
+      case e: ShuffleExchangeLike => Seq(e)
+      case _ => Nil
+    }
+    here ++ p.children.flatMap(allShuffles)
+  }
+
+  test("kNN/LSH/IVF/SQ8: no embedding vector rides a rank/dedup exchange") {
+    // build each ANN frame DIRECTLY from the public operator: the gate
+    // queries arrive localCheckpoint-pinned (cachedFrame), whose plan
+    // is a checkpoint scan with zero exchanges — auditing those would
+    // be vacuous (and silently was, before allShuffles descended into
+    // AQE stages)
+    import org.apache.spark.sql.functions.col
+    import graft.operators.VectorSearch
+    val emb = Tables.embeddings(spark, d)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val seeds = emb.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val frames = Seq(
+      "knnCosine" -> VectorSearch.knnCosine(emb, "vec_id", "embedding", qs, 5),
+      "annLsh" -> VectorSearch.annLsh(emb, "vec_id", "embedding", qs, k = 3, dim = 64),
+      "annIvf" -> VectorSearch.annIvf(emb, "vec_id", "embedding", qs, k = 3, seeds = seeds),
+      "knnSq8" -> VectorSearch.knnSq8(emb, "vec_id", "embedding", qs, k = 3))
+    frames.foreach { case (name, df) =>
       df.collect() // finalize the adaptive plan
-      val exchanges = df.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-      }
+      val exchanges = allShuffles(df.queryExecution.executedPlan)
+      assert(exchanges.nonEmpty, s"$name: audit must actually see the exchanges")
       exchanges.foreach { e =>
         val arrays = e.output.filter(_.dataType.isInstanceOf[
           org.apache.spark.sql.types.ArrayType])
@@ -202,6 +233,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pinned("hnsw_links") && pinned("embedding"), pinned.toString)
     assert(!pinned("chunk") && !pinned("lsh_buckets") && !pinned("sq8_code"),
       s"shard pin must hold only traversal state: $pinned")
+  }
+
+  test("annHnsw: exactly one exchange carries vectors (the shard co-location)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val df = graft.operators.VectorSearch.annHnsw(emb, "vec_id", "embedding", qs, k = 3)
+    df.collect() // finalize the adaptive plan
+    val vectorExchanges = allShuffles(df.queryExecution.executedPlan)
+      .filter(_.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    // the repartition(numShards, id) that co-locates each shard's
+    // vectors with its graph build is the ONE corpus shuffle; the
+    // per-query merges downstream carry (query, shard, id, sim) only
+    assert(vectorExchanges.size == 1,
+      s"expected exactly the shard co-location shuffle to carry vectors, " +
+        s"got ${vectorExchanges.size}:\n${df.queryExecution.executedPlan}")
   }
 
   test("q99/q100: packing and mixture sampling stay native with per-group shuffles only") {
