@@ -194,6 +194,38 @@ class HnswSpec extends AnyFunSuite {
     assert(res.toSeq == res2.toSeq)
   }
 
+  test("streaming ingest maintains the persisted HNSW index via foreachBatch append") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.IndexStore
+    implicit val ctx = spark.sqlContext
+    val path = "/root/repo/target/test_hnsw_idx_stream"
+    val docs = Tables.documents(spark, d)
+    IndexStore.buildHnsw(spark, docs.filter(col("doc_id") < 30), path)
+    val before = spark.read.parquet(path).count()
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("doc_id", "text", "source")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) IndexStore.appendHnsw(spark, batch, path)
+      }.start()
+    try {
+      val newDocs = docs.filter(col("doc_id") >= 30 && col("doc_id") < 35)
+        .select(col("doc_id").cast("long"), col("text"), col("source"))
+        .as[(Long, String, String)].collect()
+      ms.addData(newDocs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val after = spark.read.parquet(path)
+      assert(after.count() > before, "streamed docs must land in the index")
+      assert(after.filter(col("doc_id") >= 30).count() > 0)
+      // the maintained graph stays searchable and deterministic
+      val r1 = IndexStore.searchTopKHnsw(spark, path, "document retrieval", k = 3).collect()
+      val r2 = IndexStore.searchTopKHnsw(spark, path, "document retrieval", k = 3).collect()
+      assert(r1.length == 3 && r1.toSeq == r2.toSeq)
+    } finally q.stop()
+  }
+
   test("annHnsw output is deterministic across runs and matches the ANN contract") {
     val emb = Tables.embeddings(spark, d)
     val qs = emb.filter(col("vec_id") < 3)

@@ -142,6 +142,23 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("dedup signature kernels themselves are one native codegen scan") {
+    // the gate queries localCheckpoint their signature tables, so the
+    // audit above sees only the post-checkpoint subtree — pin the
+    // kernel scan directly (same kernels + parameters as q50/q51/
+    // q53/q54 and materializeDedupAux)
+    import org.apache.spark.sql.functions.col
+    import graft.functions.hashExprs
+    val sig = Tables.documents(spark, d).select(col("doc_id"),
+      hashExprs.minhashBands(col("text"), 64, 3, 16).as("mb"),
+      hashExprs.simhash64(col("text")).as("sh"),
+      hashExprs.shingleHashes(col("text"), 3).as("sg"),
+      hashExprs.winnowFp(col("text"), 8, 4).as("wf"))
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF("), s"signature kernels must be native expressions:\n$p")
+    assert(p.contains("*(1)"), s"signature scan must be whole-stage codegen:\n$p")
+  }
+
   /** Every shuffle in an ADAPTIVE plan, descending into materialized
     * query stages (a plain `collect` stops at stage boundaries and
     * silently sees zero exchanges). */
