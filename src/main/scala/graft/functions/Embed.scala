@@ -125,6 +125,35 @@ object Embed {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       embed(if (s == null) "" else s.toString, dim))
 
+  /** One-time canary against split-brain embeddings: the `EmbedText`
+    * expression ships the DRIVER-resolved backend class in the plan,
+    * and the first executor-side embed asserts this JVM resolved the
+    * same one. Without it, `-Dgraft.embed.backend` set on only one
+    * side would silently mix two incompatible embedding spaces (query
+    * vectors from one model, corpus vectors from another) — every
+    * search would return garbage with no error. */
+  @volatile private var backendChecked = false
+  def assertBackend(expected: String): Unit =
+    if (!backendChecked) {
+      val actual = backend.getClass.getName
+      if (actual != expected)
+        throw new IllegalStateException(
+          s"graft.embed.backend split-brain: the plan was built with backend " +
+            s"$expected but this JVM resolved $actual — set the property " +
+            "identically on the driver and every executor")
+      backendChecked = true
+    }
+  private[graft] def resetBackendCheckForTests(): Unit = backendChecked = false
+
+  /** [[embedArray]] + the driver/executor [[assertBackend]] canary —
+    * the call the EmbedText expression generates. */
+  def embedArrayChecked(s: org.apache.spark.unsafe.types.UTF8String,
+                        dim: Int, expectedBackend: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    assertBackend(expectedBackend)
+    embedArray(s, dim)
+  }
+
   /** Native-expression column (codegen'd static call, no UDF
     * row-encoder round trip). */
   def embedCol(c: Column, dim: Int = DefaultDim): Column =

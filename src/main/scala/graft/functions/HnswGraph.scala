@@ -213,15 +213,22 @@ object HnswGraph {
       (selected ++ fill).toSeq
     }
 
+    // epoch-stamped visited marks, allocated ONCE per build: a fresh
+    // Array[Boolean](n) per insert per layer would make construction
+    // O(n^2) in shard size from zeroing alone, independent of any
+    // graph work
+    val visitedAt = new Array[Int](n)
+    var epoch = 0
+
     /** ef-beam at `level` from `ep`, returns candidates asc by
       * (dist, idx). Mirror of the search beam, over the partial
       * graph. */
     def searchLayer(q: Int, ep: Int, ef: Int, level: Int): Seq[(Double, Int)] = {
-      val visited = new Array[Boolean](n)
+      epoch += 1
       val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.Tuple2[Double, Int].reverse)
       val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.Tuple2[Double, Int])
       val d0 = dist(q, ep)
-      visited(ep) = true
+      visitedAt(ep) = epoch
       cand.enqueue((d0, ep)); res.enqueue((d0, ep))
       while (cand.nonEmpty) {
         val (cd, c) = cand.dequeue()
@@ -231,8 +238,8 @@ object HnswGraph {
           var j = 0
           while (j < nbrs.length) {
             val e = nbrs(j)
-            if (!visited(e)) {
-              visited(e) = true
+            if (visitedAt(e) != epoch) {
+              visitedAt(e) = epoch
               val de = dist(q, e)
               if (res.size < ef || de < res.head._1 ||
                   (de == res.head._1 && e < res.head._2)) {

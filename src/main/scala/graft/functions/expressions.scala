@@ -157,8 +157,17 @@ object ChunkText {
   * native expression — one static call in generated code straight to
   * the Embed kernel, instead of a ScalaUDF's encoder round trip
   * (SURVEY.md §2.5 V1; the hot scalar of every index build).
+  *
+  * `expectedBackend` defaults to the DRIVER-resolved backend class at
+  * plan construction and ships with the serialized expression; the
+  * executor-side kernel asserts its own resolution matches
+  * ([[Embed.assertBackend]]) so a `graft.embed.backend` property set
+  * on only one side fails fast instead of silently mixing embedding
+  * spaces.
   */
-case class EmbedText(child: Expression, dim: Int) extends UnaryExpression {
+case class EmbedText(child: Expression, dim: Int,
+                     expectedBackend: String = Embed.backend.getClass.getName)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def checkInputDataTypes() =
     if (child.dataType == StringType)
@@ -166,9 +175,12 @@ case class EmbedText(child: Expression, dim: Int) extends UnaryExpression {
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"embed_text needs STRING, got ${child.dataType}")
   override def nullSafeEval(v: Any): Any =
-    Embed.embedArray(v.asInstanceOf[UTF8String], dim)
+    Embed.embedArrayChecked(v.asInstanceOf[UTF8String], dim, expectedBackend)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Embed.embedArray($c, $dim)")
+    // a JVM class name is a safe Java string literal (letters, digits,
+    // '.', '$')
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.Embed.embedArrayChecked($c, $dim, "$expectedBackend")""")
   override protected def withNewChildInternal(c: Expression): EmbedText = copy(c)
 }
 

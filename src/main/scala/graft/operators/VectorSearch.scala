@@ -799,22 +799,25 @@ object VectorSearch {
         .orderBy("query_id", "rank")
     }
 
+  /** Exact top-3 baseline on the clustered corpus, computed once per
+    * session — shared by the q67b and q102 meters (one cachedFrame
+    * key, one definition: the two meters can never measure against
+    * diverged baselines). */
+  private def q67bExact3(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "q67b_exact3") {
+      val emb = clusteredEmb(s, d)
+      exactTopKOf(emb, "vec_id", "embedding", q67bQueries(emb), 3)
+    }
+
   /** q67b: [[q67]]'s recall/candidate-fraction meter on the clustered
     * corpus — the demonstration that IVF's geometry pays off the
     * moment the data has structure: probing 2 of 50 trained cells
     * (~4% of the corpus) recovers the full exact top-3, where the
     * same method on the isotropic fixture capped near 0.6 at ~20%
     * candidates. SQ8 rides along as the structure-free baseline. */
-  private def q67b(s: SparkSession, d: String): DataFrame = {
-    val corpusN = clusteredEmb(s, d).count()
-    recallMeter(
-      cachedFrame(s, d, "q67b_exact3") {
-        val emb = clusteredEmb(s, d)
-        exactTopKOf(emb, "vec_id", "embedding", q67bQueries(emb), 3)
-      },
-      "vec_id", corpusN,
+  private def q67b(s: SparkSession, d: String): DataFrame =
+    recallMeter(q67bExact3(s, d), "vec_id", clusteredEmb(s, d).count(),
       Seq("ivf" -> q67bIvf(s, d), "sq8" -> q67bSq8(s, d)))
-  }
 
   // ---- HNSW: sharded graph ANN (the reference's index structure) ----
 
@@ -928,16 +931,9 @@ object VectorSearch {
     * the Verify-materialized HNSW result set (the q62-buckets
     * pattern: the custom kernel runs in Spark once, everything
     * downstream is independently re-derived). */
-  private def q102(s: SparkSession, d: String): DataFrame = {
-    val corpusN = clusteredEmb(s, d).count()
-    recallMeter(
-      cachedFrame(s, d, "q67b_exact3") {
-        val emb = clusteredEmb(s, d)
-        exactTopKOf(emb, "vec_id", "embedding", q67bQueries(emb), 3)
-      },
-      "vec_id", corpusN,
+  private def q102(s: SparkSession, d: String): DataFrame =
+    recallMeter(q67bExact3(s, d), "vec_id", clusteredEmb(s, d).count(),
       Seq("hnsw" -> q102Hnsw(s, d)))
-  }
 
   /** Dump the q102 HNSW candidate set for the DuckDB oracle (the
     * clustered corpus itself is dumped by [[materializeClusteredAux]],

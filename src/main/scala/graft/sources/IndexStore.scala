@@ -64,9 +64,11 @@ object IndexStore {
     * partition. */
   def build(spark: SparkSession, docs: DataFrame, path: String,
             dim: Int = Embed.DefaultDim): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     indexRows(docs, dim)
       .write.mode(SaveMode.Overwrite)
+      // per-write option, NOT a session-conf mutation: a library call
+      // must never silently flip later unrelated overwrites to dynamic
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("source")
       .parquet(path)
   }
@@ -150,7 +152,6 @@ object IndexStore {
                nCells: Int = 16, lloydIters: Int = 2,
                dim: Int = Embed.DefaultDim, bitExact: Boolean = false): Unit = {
     import graft.functions.vecIndexExprs
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val rows = indexRows(docs, dim).localCheckpoint()
     // deterministic seed pick: first nCells chunks by id (offline
     // build; at scale use a sampled seed set + more Lloyd steps)
@@ -352,7 +353,6 @@ object IndexStore {
                  numShards: Int = HnswShards, m: Int = HnswM,
                  efConstruction: Int = HnswEfConstruction,
                  dim: Int = Embed.DefaultDim): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val newRows = indexRows(docs, dim)
       .withColumn("shard",
         pmod(xxhash64(col("chunk_id")), lit(numShards.toLong)).cast("int"))
@@ -365,7 +365,9 @@ object IndexStore {
     rows.join(hnswAdjacency(rows, numShards, m, efConstruction), Seq("chunk_id"))
       .repartition(numShards, col("shard"))
       .write.mode(SaveMode.Overwrite)
-      // dynamic: replace ONLY the shards present in `rows`
+      // dynamic: replace ONLY the shards present in `rows` (per-write
+      // option — see build())
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard")
       .parquet(path)
     evictHnswShards(spark, path)
@@ -449,7 +451,6 @@ object IndexStore {
     * deduplicates collisions across tables before the exact rerank. */
   def buildBucketed(spark: SparkSession, docs: DataFrame, path: String,
                     dim: Int = Embed.DefaultDim): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     indexRows(docs, dim)
       .withColumn("bucket", explode(col("lsh_buckets")))
       .drop("lsh_buckets")

@@ -51,6 +51,17 @@ class EmbedBackendSpec extends AnyFunSuite {
     assert(b.embed("anything", 3).toSeq == Seq(1f, 0f, 0f))
   }
 
+  test("the split-brain canary rejects a mismatched executor backend") {
+    Embed.resetBackendCheckForTests()
+    val e = intercept[IllegalStateException] {
+      Embed.assertBackend("com.example.SomeOtherBackend")
+    }
+    assert(e.getMessage.contains("split-brain"))
+    Embed.resetBackendCheckForTests()
+    Embed.assertBackend(Embed.backend.getClass.getName) // must not throw
+    Embed.resetBackendCheckForTests()
+  }
+
   test("a non-backend class fails fast with its name") {
     val e = intercept[IllegalArgumentException] {
       Embed.loadBackend("java.lang.StringBuilder")

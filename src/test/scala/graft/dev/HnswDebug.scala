@@ -63,32 +63,5 @@ object HnswDebug {
     run("neardup-embed", ids,
       ids.map(i => Embed.embed(s"synthetic document number $i content", dim)),
       m = 16, efC = 128)
-    val vecs = ids.map(i => Embed.embed(s"synthetic document number $i content", dim))
-    // pairwise sim distribution sample
-    val sims = for (i <- 0 until 50; j <- (i + 1) until 50) yield cosSim(vecs(i), vecs(j))
-    println(f"sim sample: min ${sims.min}%.3f max ${sims.max}%.3f mean ${sims.sum / sims.size}%.3f")
-
-    val g = HnswGraph.build(ids, vecs, 8, 64)
-    // degree distribution at layer 0
-    val degs = ids.indices.map(i => g.degree(i, 0))
-    println(s"layer0 degree: min ${degs.min} max ${degs.max} mean ${degs.sum.toDouble / n}")
-    println(s"isolated nodes (deg 0): ${degs.count(_ == 0)}")
-    // BFS connectivity from node 0 at layer 0 using search reachability:
-    // run a full-width search and see how many nodes get visited
-    val (_, nd) = g.search(vecs(0), n, n)
-    println(s"full-ef search visited-distance-computations: $nd of $n")
-
-    // recall with various ef
-    for (ef <- Seq(16, 32, 64, 128, 256)) {
-      var hit = 0; var tot = 0; var cands = 0L
-      for (qi <- 0 until 10) {
-        val q = vecs(qi * 7)
-        val exact = ids.indices.map(i => (cosSim(q, vecs(i)), ids(i)))
-          .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2).toSet
-        val (approx, ndq) = g.search(q, 5, ef)
-        hit += approx.map(_._1).count(exact.contains); tot += 5; cands += ndq
-      }
-      println(f"ef=$ef%4d recall@5 ${hit.toDouble / tot}%.2f avg_dists ${cands / 10}")
-    }
   }
 }
