@@ -63,5 +63,16 @@ object HnswDebug {
     run("neardup-embed", ids,
       ids.map(i => Embed.embed(s"synthetic document number $i content", dim)),
       m = 16, efC = 128)
+
+    // single-shard build throughput at a more scale-like node count
+    for (bn <- Seq(10000, 50000)) {
+      val bids = Array.tabulate(bn)(_.toLong)
+      val bvecs = bids.map(HnswDebug.randVec(_, 64))
+      val t0 = System.nanoTime()
+      val g = HnswGraph.build(bids, bvecs, 8, 64)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (_, nd) = g.search(bvecs(0), 10, 48)
+      println(f"build n=$bn%6d dim=64: $secs%.1f s (${bn / secs}%.0f nodes/s); search dists=$nd")
+    }
   }
 }
