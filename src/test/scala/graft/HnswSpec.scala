@@ -143,6 +143,20 @@ class HnswSpec extends AnyFunSuite {
     assert(hnsw.toSeq == again.toSeq, "search must be reproducible from the persisted graph")
   }
 
+  test("persisted HNSW index: a different session searches the artifact cold") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_idx"
+    IndexStore.buildHnsw(spark, Tables.documents(spark, d), path)
+    val q = "spark window aggregation over sorted batches"
+    val warm = IndexStore.searchTopKHnsw(spark, path, q, k = 5).collect()
+    // newSession shares the context but none of IndexStore's
+    // session-keyed memos: the persisted parquet alone must carry the
+    // graph — the build-once/search-forever claim across sessions
+    val cold = IndexStore.searchTopKHnsw(spark.newSession(), path, q, k = 5).collect()
+    assert(cold.toSeq == warm.toSeq,
+      "a cold session must reconstruct the identical graph from the artifact")
+  }
+
   test("persisted HNSW index: rebuild is idempotent (same graph bits)") {
     import graft.sources.IndexStore
     val path = "/root/repo/target/test_hnsw_idx2"
