@@ -78,19 +78,32 @@ object Embed {
     }
   }
 
-  /** Reflectively resolve a backend: a Scala `object` (MODULE$) or a
-    * class with a no-arg constructor. Fails fast with the class name
+  /** Reflectively resolve a backend: a Scala `object` (by its natural
+    * name or its '$'-suffixed module class name) or a class with a
+    * no-arg constructor. Fails fast with the property and class name
     * so a typo'd property surfaces at first embed, not as silent
     * fallback to the wrong vectors. */
   def loadBackend(className: String): EmbedBackend = {
-    val cls = Class.forName(className)
-    val inst =
+    def moduleOrNew(cls: Class[_]): AnyRef =
       try cls.getField("MODULE$").get(null)
-      catch { case _: NoSuchFieldException => cls.getDeclaredConstructor().newInstance() }
+      catch { case _: NoSuchFieldException => cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef] }
+    val inst =
+      try moduleOrNew(Class.forName(className))
+      catch {
+        // a Scala `object` named by its natural (forwarder) name has
+        // neither MODULE$ nor a public no-arg ctor — retry the
+        // '$'-suffixed module class before giving up
+        case first: ReflectiveOperationException =>
+          try moduleOrNew(Class.forName(className + "$"))
+          catch { case _: Throwable => throw new IllegalArgumentException(
+            s"$BackendProp=$className could not be instantiated: provide a Scala " +
+              "object or a class with a public no-arg constructor implementing " +
+              "graft.functions.EmbedBackend", first) }
+      }
     inst match {
       case b: EmbedBackend => b
       case other => throw new IllegalArgumentException(
-        s"$className (${other.getClass.getName}) does not implement graft.functions.EmbedBackend")
+        s"$BackendProp=$className (${other.getClass.getName}) does not implement graft.functions.EmbedBackend")
     }
   }
 
@@ -125,25 +138,28 @@ object Embed {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       embed(if (s == null) "" else s.toString, dim))
 
-  /** One-time canary against split-brain embeddings: the `EmbedText`
-    * expression ships the DRIVER-resolved backend class in the plan,
-    * and the first executor-side embed asserts this JVM resolved the
-    * same one. Without it, `-Dgraft.embed.backend` set on only one
-    * side would silently mix two incompatible embedding spaces (query
-    * vectors from one model, corpus vectors from another) — every
-    * search would return garbage with no error. */
-  @volatile private var backendChecked = false
-  def assertBackend(expected: String): Unit =
-    if (!backendChecked) {
-      val actual = backend.getClass.getName
-      if (actual != expected)
-        throw new IllegalStateException(
-          s"graft.embed.backend split-brain: the plan was built with backend " +
-            s"$expected but this JVM resolved $actual — set the property " +
-            "identically on the driver and every executor")
-      backendChecked = true
-    }
-  private[graft] def resetBackendCheckForTests(): Unit = backendChecked = false
+  /** Canary against split-brain embeddings: the `EmbedText` expression
+    * ships the DRIVER-resolved backend class in the plan, and every
+    * executor-side embed asserts this JVM resolved the same one.
+    * Without it, `-Dgraft.embed.backend` set on only one side would
+    * silently mix two incompatible embedding spaces (query vectors
+    * from one model, corpus vectors from another) — every search would
+    * return garbage with no error. The check is a cached-string
+    * equality (the JVM's resolved class name computed once), cheap
+    * enough to leave always-on: a plan built by a DIFFERENT driver
+    * (e.g. deserialized across a service boundary) carrying another
+    * expectedBackend must still trip it, so it never disarms. */
+  @volatile private var resolvedBackendName: String = null
+  def assertBackend(expected: String): Unit = {
+    var actual = resolvedBackendName
+    if (actual == null) { actual = backend.getClass.getName; resolvedBackendName = actual }
+    if (actual != expected)
+      throw new IllegalStateException(
+        s"graft.embed.backend split-brain: the plan was built with backend " +
+          s"$expected but this JVM resolved $actual — set the property " +
+          "identically on the driver and every executor")
+  }
+  private[graft] def resetBackendCheckForTests(): Unit = resolvedBackendName = null
 
   /** [[embedArray]] + the driver/executor [[assertBackend]] canary —
     * the call the EmbedText expression generates. */

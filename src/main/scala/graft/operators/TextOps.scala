@@ -100,12 +100,24 @@ object TextOps {
     // weighted dictionary only — the standard trick for expensive
     // scalar functions over low-cardinality columns, applied one
     // level earlier than the string dictionary itself.
-    // (the fixture parquet is one row group = one input split, so the
-    // scan-side partial agg runs on one task here; on a cluster, file
-    // splits parallelize it for free, and only the ~50k-combo native
-    // dictionary ever shuffles — never 5x-exploded strings)
-    li.select(col("l_linenumber"), col("l_returnflag"),
-        to_date(col("l_shipdate")).as("sd"))
+    // The sf0.1 fixture parquet is ONE row group = ONE input split, so
+    // without help the scan-side partial agg serializes on a single
+    // task (the 16.3 s q42 outlier in the r8 driver bench — a loaded
+    // box queues the whole query behind that task). Parquet cannot
+    // split inside a row group, so `maxPartitionBytes` does not fix
+    // this; a round-robin fan-out of the narrow (int, flag, date)
+    // projection (~10 MB at sf0.1) does. Guarded: on a real
+    // multi-split layout (any cluster-sized table) the scan already
+    // parallelizes and the extra full-data shuffle would be pure
+    // overhead, so fan out only when the scan gives us almost no
+    // partitions to work with.
+    val proj = li.select(col("l_linenumber"), col("l_returnflag"),
+      to_date(col("l_shipdate")).as("sd"))
+    val fanout = s.sparkContext.defaultParallelism
+    val projPar =
+      if (proj.rdd.getNumPartitions < math.min(4, fanout)) proj.repartition(fanout)
+      else proj
+    projPar
       .groupBy(col("l_linenumber"), col("l_returnflag"), col("sd"))
       .agg(count(lit(1)).as("cnt0"))
       .select(col("cnt0"), explode(array(

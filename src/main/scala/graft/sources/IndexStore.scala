@@ -182,16 +182,19 @@ object IndexStore {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_centroids")
   }
 
-  /** [[buildIvf]], executed at most once per (session, path) — the
-    * build is deterministic with bitExact = true, so Verify's aux
-    * materialization and the q98 query share one physical build
-    * instead of each paying chunk+embed+train+write. */
+  /** [[buildIvf]], executed at most once per (session, path, build
+    * parameters) — the build is deterministic with bitExact = true, so
+    * Verify's aux materialization and the q98 query share one physical
+    * build instead of each paying chunk+embed+train+write. Parameters
+    * are part of the key (see [[buildHnswOnce]]); sessions are keyed
+    * by UUID, not identity hash. */
   private val builtIvfOnce =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Unit]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int, Boolean), Unit]
   def buildIvfOnce(spark: SparkSession, docs: => DataFrame, path: String,
                    nCells: Int = 16, lloydIters: Int = 2,
                    dim: Int = Embed.DefaultDim, bitExact: Boolean = false): Unit =
-    builtIvfOnce.getOrElseUpdate((System.identityHashCode(spark), path),
+    builtIvfOnce.getOrElseUpdate(
+      (sessionKey(spark), path, nCells, lloydIters, dim, bitExact),
       buildIvf(spark, docs, path, nCells, lloydIters, dim, bitExact))
 
   /** Incrementally add documents to an EXISTING IVF index without
@@ -249,12 +252,64 @@ object IndexStore {
       .limit(k))
   }
 
-  // HNSW layout parameters — the graph is persisted per shard, so
-  // query-time loading must agree on nothing but the column names
-  // (m/efConstruction are baked into the stored adjacency)
-  val HnswShards = 4
+  // HNSW layout parameters — the graph is persisted per shard and the
+  // build parameters are persisted in the `_meta` sidecar, so append
+  // and search validate against the STORED layout instead of trusting
+  // caller defaults (a numShards mismatch would silently split hash
+  // placement between old and new sharding).
+  val HnswShards = 4 // minimum shard count (the small-corpus layout)
   val HnswM = 8
   val HnswEfConstruction = 64
+  /** Auto-sharding target: a shard's graph must be memory-resident in
+    * ONE task (`it.toArray` in [[hnswAdjacency]]/[[hnswCandidates]]),
+    * so shard count must grow with the corpus — a fixed count is a
+    * 100x-scale cliff. 50k nodes/shard keeps the resident set small
+    * (384-dim floats + an m-degree adjacency ≈ 90 MB — far inside
+    * task memory) and, at the measured ~3.2k nodes/s/core build rate,
+    * bounds a shard rebuild (the append blast radius) to ~16 s. */
+  val HnswTargetNodesPerShard = 50000L
+
+  /** Shard count for a corpus of `chunkCount` nodes: ceil(n/target),
+    * floored at [[HnswShards]] so small corpora keep fan-out (and the
+    * established small-fixture layout). */
+  def hnswNumShards(chunkCount: Long,
+                    targetNodesPerShard: Long = HnswTargetNodesPerShard): Int =
+    math.max(HnswShards,
+      ((chunkCount + targetNodesPerShard - 1) / targetNodesPerShard).toInt)
+
+  /** The persisted HNSW layout contract, written by [[buildHnsw]] as
+    * the `_meta` sidecar (underscore prefix = invisible to Spark's
+    * file index, like `_centroids`). */
+  final case class HnswMeta(numShards: Int, m: Int, efConstruction: Int, dim: Int)
+
+  private def writeHnswMeta(spark: SparkSession, path: String, meta: HnswMeta): Unit = {
+    import spark.implicits._
+    Seq((meta.numShards, meta.m, meta.efConstruction, meta.dim))
+      .toDF("num_shards", "m", "ef_construction", "dim")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_meta")
+  }
+
+  private[graft] def readHnswMeta(spark: SparkSession, path: String): HnswMeta =
+    try {
+      val r = spark.read.parquet(s"$path/_meta")
+        .select("num_shards", "m", "ef_construction", "dim").head()
+      HnswMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"$path has no readable _meta sidecar — not a graft HNSW layout " +
+            "(build it with IndexStore.buildHnsw)", e)
+    }
+
+  /** Session key for per-session memos: a UUID held in a WEAK map on
+    * the session object itself. Identity hash codes can collide after
+    * a session is GC'd (and would serve another session's pins); a
+    * weak-keyed UUID dies with its session, so a key can never be
+    * reused. (Spark's own `sessionUUID` is `private[sql]`.) */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   /** HNSW-persisted index — the graph counterpart of [[buildIvf]]:
     * rows are hash-sharded on chunk_id, each shard builds one
@@ -277,21 +332,32 @@ object IndexStore {
     * [[buildIvf]]'s cell partitioning is the recommended operating
     * point (probes open only their directories). */
   def buildHnsw(spark: SparkSession, docs: DataFrame, path: String,
-                numShards: Int = HnswShards, m: Int = HnswM,
+                numShards: Int = 0, m: Int = HnswM,
                 efConstruction: Int = HnswEfConstruction,
-                dim: Int = Embed.DefaultDim): Unit = {
-    val rows = indexRows(docs, dim)
-      .withColumn("shard",
-        pmod(xxhash64(col("chunk_id")), lit(numShards.toLong)).cast("int"))
-      .localCheckpoint()
-    rows.join(hnswAdjacency(rows, numShards, m, efConstruction), Seq("chunk_id"))
+                dim: Int = Embed.DefaultDim,
+                targetNodesPerShard: Long = HnswTargetNodesPerShard): Unit = {
+    // numShards = 0 (the default) auto-sizes from the corpus: shard
+    // count, not shard size, is the free variable — a shard must fit
+    // one task's memory. The explicit override remains for layouts
+    // tuned by hand. The count is one cheap job over the checkpointed
+    // rows (already materialized for the adjacency build).
+    val base = indexRows(docs, dim).localCheckpoint()
+    val shards =
+      if (numShards > 0) numShards
+      else hnswNumShards(base.count(), targetNodesPerShard)
+    val rows = base.withColumn("shard",
+      pmod(xxhash64(col("chunk_id")), lit(shards.toLong)).cast("int"))
+    rows.join(hnswAdjacency(rows, shards, m, efConstruction), Seq("chunk_id"))
       // one writer task per shard -> one file per shard directory
-      .repartition(numShards, col("shard"))
+      .repartition(shards, col("shard"))
       .write.mode(SaveMode.Overwrite)
       // full rebuild: truncate the whole layout (see buildIvf)
       .option("partitionOverwriteMode", "static")
       .partitionBy("shard")
       .parquet(path)
+    // after the data write: the static overwrite above truncates the
+    // whole directory, sidecar included
+    writeHnswMeta(spark, path, HnswMeta(shards, m, efConstruction, dim))
     evictHnswShards(spark, path)
   }
 
@@ -325,16 +391,20 @@ object IndexStore {
       .toDF("chunk_id", "hnsw_node", "hnsw_level", "hnsw_links")
   }
 
-  /** [[buildHnsw]], executed at most once per (session, path) — the
-    * build is deterministic, so Verify's aux materialization and the
-    * q103 query share one physical build. */
+  /** [[buildHnsw]], executed at most once per (session, path, build
+    * parameters) — the build is deterministic, so Verify's aux
+    * materialization and the q103 query share one physical build. The
+    * parameters are part of the key: a second call with DIFFERENT
+    * parameters is a real rebuild, never a silent no-op serving an
+    * index built with the old parameters. */
   private val builtHnswOnce =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Unit]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int, Int), Unit]
   def buildHnswOnce(spark: SparkSession, docs: => DataFrame, path: String,
-                    numShards: Int = HnswShards, m: Int = HnswM,
+                    numShards: Int = 0, m: Int = HnswM,
                     efConstruction: Int = HnswEfConstruction,
                     dim: Int = Embed.DefaultDim): Unit =
-    builtHnswOnce.getOrElseUpdate((System.identityHashCode(spark), path),
+    builtHnswOnce.getOrElseUpdate(
+      (sessionKey(spark), path, numShards, m, efConstruction, dim),
       buildHnsw(spark, docs, path, numShards, m, efConstruction, dim))
 
   /** Incrementally add documents to an EXISTING HNSW index: new rows
@@ -349,21 +419,30 @@ object IndexStore {
     * (append-only cell files, no rewrite — the cheaper maintenance
     * flow when rebuild cost matters more than graph recall). Caller
     * owns dedup semantics, as with appendIvf. */
-  def appendHnsw(spark: SparkSession, docs: DataFrame, path: String,
-                 numShards: Int = HnswShards, m: Int = HnswM,
-                 efConstruction: Int = HnswEfConstruction,
-                 dim: Int = Embed.DefaultDim): Unit = {
-    val newRows = indexRows(docs, dim)
+  def appendHnsw(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    // every layout parameter comes from the index's own _meta sidecar
+    // — an append can never hash new chunks with a different shard
+    // count (or rebuild touched graphs with a different m/efC) than
+    // the layout it extends
+    val meta = readHnswMeta(spark, path)
+    val newRows = indexRows(docs, meta.dim)
       .withColumn("shard",
-        pmod(xxhash64(col("chunk_id")), lit(numShards.toLong)).cast("int"))
+        pmod(xxhash64(col("chunk_id")), lit(meta.numShards.toLong)).cast("int"))
       .localCheckpoint()
     val touched = newRows.select("shard").distinct()
     val existing = spark.read.parquet(path)
       .join(broadcast(touched), Seq("shard"), "left_semi")
       .drop("hnsw_node", "hnsw_level", "hnsw_links")
+    // the localCheckpoint here is LOAD-BEARING, not an optimization:
+    // it materializes the read of the existing shards BEFORE the
+    // dynamic overwrite below starts truncating those directories —
+    // without it the write would consume its own input mid-overwrite
+    // (read-own-writes corruption). Pinned by HnswSpec's
+    // "append reads existing rows before the overwrite" case.
     val rows = existing.unionByName(newRows).localCheckpoint()
-    rows.join(hnswAdjacency(rows, numShards, m, efConstruction), Seq("chunk_id"))
-      .repartition(numShards, col("shard"))
+    rows.join(hnswAdjacency(rows, meta.numShards, meta.m, meta.efConstruction),
+        Seq("chunk_id"))
+      .repartition(meta.numShards, col("shard"))
       .write.mode(SaveMode.Overwrite)
       // dynamic: replace ONLY the shards present in `rows` (per-write
       // option — see build())
@@ -378,21 +457,61 @@ object IndexStore {
     * file-split packing gives no such guarantee (a shard directory
     * with several files, e.g. after [[appendHnsw]], can land across
     * tasks), so the first search per (session, path) pays one
-    * repartition-by-shard shuffle and localCheckpoint-pins the result
-    * — the batch analogue of a serving deployment loading its shards
+    * repartition-by-shard shuffle and persists the result eagerly —
+    * the batch analogue of a serving deployment loading its shards
     * memory-resident once. [[buildHnsw]]/[[appendHnsw]] evict the
-    * entry so a search never traverses a stale pin. */
-  private val hnswShardCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    * entry so a search never traverses a stale pin.
+    *
+    * Memory contract: each pin holds ~the index size (vectors +
+    * adjacency) in the session's storage memory. The cache is a
+    * size-bounded LRU ([[HnswPinnedMax]] entries JVM-wide) that
+    * unpersists what it evicts, so a long-lived service session
+    * searching many distinct index paths cannot accumulate pins
+    * forever; [[unpinHnsw]] releases a pin explicitly. Keys are
+    * session UUIDs, never identity hashes (which can collide after a
+    * session is GC'd and would serve another session's pins). */
+  val HnswPinnedMax = 8
+  private final case class HnswPin(frame: DataFrame, meta: HnswMeta)
+  private val hnswPinCache =
+    new java.util.LinkedHashMap[(String, String), HnswPin](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), HnswPin]): Boolean =
+        if (size > HnswPinnedMax) { e.getValue.frame.unpersist(false); true }
+        else false
+    }
+  private def hnswPin(spark: SparkSession, path: String): HnswPin =
+    hnswPinCache.synchronized {
+      val key = (sessionKey(spark), path)
+      val hit = hnswPinCache.get(key)
+      if (hit != null) hit
+      else {
+        val meta = readHnswMeta(spark, path)
+        val frame = spark.read.parquet(path)
+          .select(col("shard"), col("chunk_id"), col("hnsw_node"),
+            col("hnsw_level"), col("hnsw_links"), col("embedding"))
+          .repartition(col("shard"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        frame.count() // eager: the pin IS the serving load
+        val pin = HnswPin(frame, meta)
+        hnswPinCache.put(key, pin)
+        pin
+      }
+    }
   private[graft] def hnswShards(spark: SparkSession, path: String): DataFrame =
-    hnswShardCache.getOrElseUpdate((System.identityHashCode(spark), path),
-      spark.read.parquet(path)
-        .select(col("shard"), col("chunk_id"), col("hnsw_node"),
-          col("hnsw_level"), col("hnsw_links"), col("embedding"))
-        .repartition(col("shard"))
-        .localCheckpoint())
+    hnswPin(spark, path).frame
+  /** Release the session's pin on `path` (a no-op if none). Rebuilds
+    * and appends call this themselves; a serving loop cycling many
+    * indexes can call it to return storage memory ahead of the LRU. */
+  def unpinHnsw(spark: SparkSession, path: String): Unit =
+    hnswPinCache.synchronized {
+      val old = hnswPinCache.remove((sessionKey(spark), path))
+      if (old != null) old.frame.unpersist(false)
+    }
   private def evictHnswShards(spark: SparkSession, path: String): Unit =
-    hnswShardCache.remove((System.identityHashCode(spark), path))
+    unpinHnsw(spark, path)
+  /** Test hook: the number of live pins (across sessions). */
+  private[graft] def hnswPinnedCount: Int =
+    hnswPinCache.synchronized(hnswPinCache.size)
 
   /** Graph-traverse the persisted shards for the candidate chunk ids
     * of `queryText` (per-shard approximate top-`k`) — the traversal
@@ -400,12 +519,14 @@ object IndexStore {
     * the exact candidate set the search used (deterministic: same
     * index + query => same candidates). */
   def hnswCandidates(spark: SparkSession, path: String, queryText: String,
-                     k: Int = 10, efSearch: Int = 48,
-                     dim: Int = Embed.DefaultDim): DataFrame = {
+                     k: Int = 10, efSearch: Int = 48): DataFrame = {
     import spark.implicits._
     import graft.functions.HnswGraph
-    val qvec = Embed.embed(queryText, dim)
-    hnswShards(spark, path)
+    val pin = hnswPin(spark, path)
+    // the persisted layout is authoritative for the embedding dim —
+    // a query embedded at any other dim would silently score garbage
+    val qvec = Embed.embed(queryText, pin.meta.dim)
+    pin.frame
       .mapPartitions { it =>
         it.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (shard, rws) =>
           val sorted = rws.sortBy(_.getString(1))
@@ -432,11 +553,10 @@ object IndexStore {
     * LSH/SQ8/IVF search paths, so the oracle can re-derive everything
     * downstream of the traversal. */
   def searchTopKHnsw(spark: SparkSession, path: String, queryText: String,
-                     k: Int = 10, efSearch: Int = 48,
-                     dim: Int = Embed.DefaultDim): DataFrame = {
-    val qvec = Embed.embed(queryText, dim)
+                     k: Int = 10, efSearch: Int = 48): DataFrame = {
+    val qvec = Embed.embed(queryText, hnswPin(spark, path).meta.dim)
     present(spark.read.parquet(path)
-      .join(broadcast(hnswCandidates(spark, path, queryText, k, efSearch, dim)),
+      .join(broadcast(hnswCandidates(spark, path, queryText, k, efSearch)),
         col("chunk_id") === col("cid"))
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))

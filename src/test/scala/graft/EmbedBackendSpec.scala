@@ -46,6 +46,12 @@ class EmbedBackendSpec extends AnyFunSuite {
     assert(b.embed("x", 4).toSeq == Seq(0f, 0f, 0f, 1f))
   }
 
+  test("loadBackend resolves a Scala object by its natural (forwarder) name") {
+    val natural = ObjectBackendFixture.getClass.getName.stripSuffix("$")
+    val b = Embed.loadBackend(natural)
+    assert(b.embed("x", 4).toSeq == Seq(0f, 0f, 0f, 1f))
+  }
+
   test("resolveBackend dispatches a named backend end-to-end") {
     val b = Embed.resolveBackend(Some(classOf[ClassBackendFixture].getName))
     assert(b.embed("anything", 3).toSeq == Seq(1f, 0f, 0f))
@@ -62,13 +68,29 @@ class EmbedBackendSpec extends AnyFunSuite {
     Embed.resetBackendCheckForTests()
   }
 
-  test("a non-backend class fails fast with its name") {
+  test("the canary never disarms: a later plan with a different backend still trips") {
+    Embed.resetBackendCheckForTests()
+    Embed.assertBackend(Embed.backend.getClass.getName) // arms the cache
+    // a second plan (e.g. serialized by another driver) carrying a
+    // different expected backend must STILL be rejected
+    val e = intercept[IllegalStateException] {
+      Embed.assertBackend("com.example.AnotherDriversBackend")
+    }
+    assert(e.getMessage.contains("split-brain"))
+    Embed.assertBackend(Embed.backend.getClass.getName) // and matching still passes
+    Embed.resetBackendCheckForTests()
+  }
+
+  test("a non-backend class fails fast with the property and class name") {
     val e = intercept[IllegalArgumentException] {
       Embed.loadBackend("java.lang.StringBuilder")
     }
     assert(e.getMessage.contains("StringBuilder"))
-    intercept[ClassNotFoundException] {
+    assert(e.getMessage.contains(Embed.BackendProp))
+    val missing = intercept[IllegalArgumentException] {
       Embed.loadBackend("com.example.DoesNotExist")
     }
+    assert(missing.getMessage.contains("com.example.DoesNotExist"))
+    assert(missing.getCause.isInstanceOf[ClassNotFoundException])
   }
 }

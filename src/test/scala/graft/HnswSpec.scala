@@ -208,6 +208,98 @@ class HnswSpec extends AnyFunSuite {
     assert(res.toSeq == res2.toSeq)
   }
 
+  test("auto-sharding derives shard count from corpus size and persists it in _meta") {
+    import graft.sources.IndexStore
+    // the pure sizing rule: ceil(n/target), floored at the minimum
+    assert(IndexStore.hnswNumShards(1000) == IndexStore.HnswShards)
+    assert(IndexStore.hnswNumShards(200000) == IndexStore.HnswShards)
+    assert(IndexStore.hnswNumShards(1000000) == 20)
+    assert(IndexStore.hnswNumShards(0) == IndexStore.HnswShards)
+    // end-to-end at two corpus sizes with a test-sized target: the
+    // shard count the build picked (and persisted) scales with the
+    // corpus, and the scaled-up layout still searches
+    val docs = Tables.documents(spark, d)
+    val p1 = "/root/repo/target/test_hnsw_auto1"
+    val p2 = "/root/repo/target/test_hnsw_auto2"
+    IndexStore.buildHnsw(spark, docs.filter(col("doc_id") < 60), p1,
+      targetNodesPerShard = 10)
+    IndexStore.buildHnsw(spark, docs.filter(col("doc_id") < 120), p2,
+      targetNodesPerShard = 10)
+    val (m1, m2) = (IndexStore.readHnswMeta(spark, p1), IndexStore.readHnswMeta(spark, p2))
+    val n1 = spark.read.parquet(p1).count()
+    val n2 = spark.read.parquet(p2).count()
+    assert(m1.numShards == IndexStore.hnswNumShards(n1, 10))
+    assert(m2.numShards == IndexStore.hnswNumShards(n2, 10))
+    assert(m2.numShards > m1.numShards, s"corpus $n1->$n2 rows must raise shard count")
+    assert(IndexStore.searchTopKHnsw(spark, p2, "document text", k = 5).collect().length == 5)
+    // the default target keeps the small-fixture layout at the floor
+    val p3 = "/root/repo/target/test_hnsw_auto3"
+    IndexStore.buildHnsw(spark, docs.filter(col("doc_id") < 40), p3)
+    assert(IndexStore.readHnswMeta(spark, p3).numShards == IndexStore.HnswShards)
+  }
+
+  test("append uses the STORED layout params and reads existing rows before the overwrite") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_idx_rbw"
+    val docs = Tables.documents(spark, d)
+    IndexStore.buildHnsw(spark, docs.filter(col("doc_id") < 40), path)
+    val meta = IndexStore.readHnswMeta(spark, path)
+    val beforeIds = spark.read.parquet(path)
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    def shardFiles(shard: Int): Map[String, String] = {
+      val dir = new java.io.File(s"$path/shard=$shard")
+      if (!dir.exists) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getName -> java.util.Base64.getEncoder.encodeToString(md5)
+      }.toMap
+    }
+    val filesBefore = (0 until meta.numShards).map(s => s -> shardFiles(s)).toMap
+    IndexStore.appendHnsw(spark, docs.filter(col("doc_id") >= 40 && col("doc_id") < 45), path)
+    val after = spark.read.parquet(path)
+    val appendedIds = after.filter(col("doc_id") >= 40)
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    val afterIds = after.select("chunk_id").collect().map(_.getString(0)).toSet
+    // THE read-own-writes guard: the dynamic overwrite truncates the
+    // touched shard directories it is also reading from — only the
+    // load-bearing localCheckpoint in appendHnsw makes every
+    // pre-existing row survive. Losing it fails this set equality.
+    assert(appendedIds.nonEmpty)
+    assert(afterIds == beforeIds ++ appendedIds,
+      "append must preserve every pre-existing row (read-before-overwrite)")
+    // untouched shard directories are byte-identical, not merely same-sized
+    val touched = after.filter(col("doc_id") >= 40)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.size < meta.numShards, "fixture must leave some shard untouched")
+    (0 until meta.numShards).filterNot(touched).foreach { s =>
+      assert(shardFiles(s) == filesBefore(s), s"untouched shard $s files changed")
+    }
+    // the appended graph stays searchable
+    assert(IndexStore.searchTopKHnsw(spark, path, "document text", k = 5).collect().length == 5)
+  }
+
+  test("the shard pin cache is LRU-bounded and unpins on eviction") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_idx_lru"
+    IndexStore.buildHnsw(spark, Tables.documents(spark, d).filter(col("doc_id") < 20), path)
+    // more distinct sessions than the bound, each pinning its own
+    // shard view of the same artifact: the LRU must cap the live pin
+    // count (unpersisting what it drops) instead of growing forever
+    (0 until IndexStore.HnswPinnedMax + 3).foreach { _ =>
+      val s2 = spark.newSession()
+      assert(IndexStore.searchTopKHnsw(s2, path, "document", k = 3).collect().length == 3)
+    }
+    assert(IndexStore.hnswPinnedCount <= IndexStore.HnswPinnedMax,
+      s"live pins ${IndexStore.hnswPinnedCount} exceed the bound")
+    // explicit unpin releases immediately
+    val s3 = spark.newSession()
+    IndexStore.searchTopKHnsw(s3, path, "document", k = 3).collect()
+    val before = IndexStore.hnswPinnedCount
+    IndexStore.unpinHnsw(s3, path)
+    assert(IndexStore.hnswPinnedCount == before - 1)
+  }
+
   test("streaming ingest maintains the persisted HNSW index via foreachBatch append") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
