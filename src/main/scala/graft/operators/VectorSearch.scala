@@ -855,9 +855,26 @@ object VectorSearch {
   def annHnsw(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, numShards: Int = 4,
               m: Int = 8, efConstruction: Int = 64,
-              efSearch: Int = 48): DataFrame = {
+              efSearch: Int = 48): DataFrame =
+    annHnswSweep(corpus, idCol, vecCol, queries, k, numShards, m,
+      efConstruction, Seq(efSearch)).drop("ef")
+
+  /** [[annHnsw]] across SEVERAL efSearch operating points in one
+    * pass: each shard builds its graph ONCE and answers every beam
+    * width against it — the construction cost (which dominates: build
+    * is ~3.2k nodes/s/core, a search is ~constant distance comps)
+    * amortizes over the whole recall/cost curve. Output adds an `ef`
+    * column; rank/n_candidates are per (query, ef). This is how the
+    * q102 meter records an operating-point CURVE for the price of one
+    * index build. */
+  def annHnswSweep(corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, k: Int, numShards: Int = 4,
+                   m: Int = 8, efConstruction: Int = 64,
+                   efSearchPoints: Seq[Int] = Seq(48)): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
+    require(efSearchPoints.nonEmpty)
+    val efPoints = efSearchPoints.distinct.sorted
     // query side: explicit tiny side, closure-shipped like the IVF
     // centroid table (index metadata, never a join input)
     val qArr: Array[(Long, Array[Float])] = queries
@@ -876,21 +893,23 @@ object VectorSearch {
           val g = graft.functions.HnswGraph.build(
             rows.map(_._1), rows.map(_._2), m, efConstruction)
           qArr.iterator.flatMap { case (qid, qvec) =>
-            // k+1 locally: the query's own vector lives in exactly one
-            // shard and is filtered after the merge
-            val (top, nDist) = g.search(qvec, k + 1, efSearch)
-            top.iterator.map { case (id, sim) => (qid, shard, id, sim, nDist) }
+            efPoints.iterator.flatMap { ef =>
+              // k+1 locally: the query's own vector lives in exactly
+              // one shard and is filtered after the merge
+              val (top, nDist) = g.search(qvec, k + 1, ef)
+              top.iterator.map { case (id, sim) => (qid, ef, shard, id, sim, nDist) }
+            }
           }
         }
       }
-      .toDF("query_id", "shard", "vec_id", "sim", "n_local")
+      .toDF("query_id", "ef", "shard", "vec_id", "sim", "n_local")
     // one plan, one graph build: n_candidates = sum of each shard's
     // (constant-per-shard) n_local, summed once per shard via a
     // first-row-of-shard mark — no self-join back onto the build
-    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+    val wShard = Window.partitionBy(col("query_id"), col("ef"), col("shard"))
       .orderBy(col("sim").desc, col("vec_id"))
-    val wQuery = Window.partitionBy(col("query_id"))
-    val wRank = Window.partitionBy(col("query_id"))
+    val wQuery = Window.partitionBy(col("query_id"), col("ef"))
+    val wRank = Window.partitionBy(col("query_id"), col("ef"))
       .orderBy(col("sim").desc, col("vec_id"))
     local
       .withColumn("first_of_shard", row_number().over(wShard) === 1)
@@ -899,52 +918,66 @@ object VectorSearch {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("n_candidates"))
+      .select(col("query_id"), col("ef"), col("rank"), col("vec_id"), col("n_candidates"))
   }
 
-  /** q102's hnsw frame — searched over the q67b clustered corpus (the
+  /** The efSearch operating points the q102 meter records — the
+    * recall/cost CURVE of the graph index, like q67 records the
+    * LSH/IVF/SQ8 points. 8 is the r8 operating point (beam sized to
+    * the cluster); 4 trades recall for cost; 16 spends past the
+    * cluster size into the cross-cluster concentration regime. */
+  private val Q102EfPoints = Seq(4, 8, 16)
+
+  /** q102's hnsw sweep — searched over the q67b clustered corpus (the
     * regime real embedding corpora live in; on the isotropic fixture
     * distance concentration keeps ANY beam search near-exhaustive at
     * 500 vectors, the same measured ceiling q67 documents for
-    * LSH/IVF). Computed once per session — shared by the gate query
-    * and its aux materialization so the oracle re-derives the meter
-    * from the exact candidate set the meter measured. */
-  private def q102Hnsw(s: SparkSession, d: String): DataFrame =
+    * LSH/IVF). ONE graph build serves every ef point
+    * ([[annHnswSweep]]); computed once per session — shared by the
+    * gate query and its aux materialization so the oracle re-derives
+    * the meter from the exact candidate sets the meter measured. */
+  private def q102Sweep(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "q102") {
       val emb = clusteredEmb(s, d)
-      // 2 shards / 8-wide beam: the beam must not out-size the
-      // cluster (10 vectors) or it expands into the cross-cluster
-      // concentration regime; per-shard search cost is ~constant in
-      // corpus size (beam + descent), so the candidate FRACTION the
-      // meter reports shrinks as N grows
-      annHnsw(emb, "vec_id", "embedding", q67bQueries(emb), k = 3,
-        numShards = 2, efSearch = 8)
-        .orderBy("query_id", "rank")
+      // 2 shards: per-shard search cost is ~constant in corpus size
+      // (beam + descent), so the candidate FRACTION the meter reports
+      // shrinks as N grows
+      annHnswSweep(emb, "vec_id", "embedding", q67bQueries(emb), k = 3,
+        numShards = 2, efSearchPoints = Q102EfPoints)
+        .orderBy("ef", "query_id", "rank")
     }
 
+  private def q102HnswAt(s: SparkSession, d: String, ef: Int): DataFrame =
+    q102Sweep(s, d).filter(col("ef") === ef).drop("ef")
+
   /** q102: sharded-HNSW recall/candidate-fraction meter against the
-    * exact top-3 on the clustered corpus — the graph-index completion
-    * of the q67 ANN family (LSH/IVF/SQ8; q67b measures IVF/SQ8 on the
-    * same corpus, so the three operating points are directly
-    * comparable). Oracle: DuckDB recomputes the exact baseline and
-    * the meter arithmetic from the materialized clustered corpus plus
-    * the Verify-materialized HNSW result set (the q62-buckets
+    * exact top-3 on the clustered corpus, at efSearch ∈ {4, 8, 16} —
+    * the graph-index completion of the q67 ANN family (LSH/IVF/SQ8;
+    * q67b measures IVF/SQ8 on the same corpus, so the operating
+    * points are directly comparable), recorded as a curve the way a
+    * capacity plan needs it (what does a recall point COST?). Oracle:
+    * DuckDB recomputes the exact baseline and the meter arithmetic
+    * from the materialized clustered corpus plus the
+    * Verify-materialized per-ef HNSW result sets (the q62-buckets
     * pattern: the custom kernel runs in Spark once, everything
     * downstream is independently re-derived). */
   private def q102(s: SparkSession, d: String): DataFrame =
     recallMeter(q67bExact3(s, d), "vec_id", clusteredEmb(s, d).count(),
-      Seq("hnsw" -> q102Hnsw(s, d)))
+      Q102EfPoints.map(ef => s"hnsw_ef$ef" -> q102HnswAt(s, d, ef)))
 
-  /** Dump the q102 HNSW candidate set for the DuckDB oracle (the
-    * clustered corpus itself is dumped by [[materializeClusteredAux]],
-    * which Verify runs for q102 too). Called by Verify (never by
-    * Bench). */
+  /** Dump the q102 per-ef HNSW candidate sets for the DuckDB oracle
+    * (the clustered corpus itself is dumped by
+    * [[materializeClusteredAux]], which Verify runs for q102 too).
+    * Called by Verify (never by Bench). */
   def materializeHnswAux(s: SparkSession, d: String, auxDir: String): Unit =
-    q102Hnsw(s, d)
-      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q102_hnsw.parquet")
+    Q102EfPoints.foreach { ef =>
+      q102HnswAt(s, d, ef)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$auxDir/q102_hnsw_ef$ef.parquet")
+    }
 
-  private val AuxHnsw =
-    "read_parquet('/root/repo/target/verify_aux/q102_hnsw.parquet/*.parquet')"
+  private def auxHnsw(ef: Int) =
+    s"read_parquet('/root/repo/target/verify_aux/q102_hnsw_ef$ef.parquet/*.parquet')"
 
   /** Deterministic on-disk location of the q103 index for an sf dir —
     * one physical build per (session, sf), shared by the query, the
@@ -1047,7 +1080,8 @@ object VectorSearch {
 
   // declared after AuxQ67bCorpus: object vals initialize in order
   private val q102Sql = recallMirrorSql(AuxQ67bCorpus,
-    Seq("hnsw" -> s"SELECT query_id, vec_id, n_candidates FROM $AuxHnsw"))
+    Q102EfPoints.map(ef => s"hnsw_ef$ef" ->
+      s"SELECT query_id, vec_id, n_candidates FROM ${auxHnsw(ef)}"))
 
   /** q66: per-label centroids and dispersion, fully deterministic:
     * the centroid is the per-dimension DECIMAL mean and each member's
