@@ -42,7 +42,9 @@ object Verify {
         () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
       ("ann", Set("q62_ann_lsh", "q65_ann_ivf", "q67_ann_recall", "q69_ann_sq8"),
         () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
-      ("q98 ivf index", Set("q98_ivf_search"),
+      // q104's oracle re-derives the filtered search from the same
+      // dumped index, so it serves from the q98 aux step too
+      ("q98 ivf index", Set("q98_ivf_search", "q104_filtered_search"),
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
       // q102's oracle reads the clustered corpus dump, so its name is
       // in the clustered step's serves set too

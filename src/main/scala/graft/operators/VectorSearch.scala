@@ -600,7 +600,12 @@ object VectorSearch {
          * sqrt(list_sum(list_transform(generate_series(1, len($y)),
              i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))))"""
 
-  private val q98Sql = s"""
+  /** The q98 IVF-search mirror, parameterized on the metadata
+    * predicate (chroma `where=`): the filter lands in `pruned` —
+    * inside the probed cells, BEFORE the overfetch limit — exactly
+    * where [[graft.sources.IndexStore.searchTopKIvf]] applies it.
+    * Instantiated as TRUE for q98 and as q104's doc_id range. */
+  private def ivfSearchMirrorSql(wherePred: String) = s"""
     WITH cents AS (SELECT cent_id, cvec FROM $AuxQ98Cents),
     qv AS (SELECT qvec, qcode, qfac FROM $AuxQ98Query),
     idx AS (SELECT * FROM $AuxQ98Index),
@@ -615,7 +620,8 @@ object VectorSearch {
       ORDER BY ${l2Sql("qv.qvec", "c.cvec")}, c.cent_id LIMIT $Q98Probes),
     pruned AS (
       SELECT x.* FROM idx x
-      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell
+      WHERE $wherePred),
     cand AS (
       SELECT x.chunk_id FROM pruned x CROSS JOIN qv
       ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
@@ -631,6 +637,33 @@ object VectorSearch {
            'https://docs.google.com/spreadsheets/d/' || source ||
            '/edit#gid=0&range=A' || CAST(doc_id + 2 AS BIGINT) AS link
     FROM scored ORDER BY sim DESC, chunk_id LIMIT 10"""
+
+  private val q98Sql = ivfSearchMirrorSql("TRUE")
+
+  // ---- q104: metadata-filtered search (chroma `where=`) -------------
+
+  private val Q104MinDoc = 250
+
+  /** q104: [[q98]]'s IVF search with a metadata predicate — the
+    * chromadb `collection.query(where={"doc_id": {"$gte": 250}})`
+    * surface, the one query-API parameter the engine didn't yet
+    * mirror. The predicate applies inside the probed cells BEFORE the
+    * SQ8 overfetch (so the top-k is exact over the filtered set) and,
+    * being a plain comparison, pushes into the parquet reader of the
+    * partition-pruned cell directories (PlanAuditSpec pins both).
+    * Shares the q98 physical index via buildIvfOnce — the filtered
+    * and unfiltered searches serve from one artifact, as chroma's
+    * where= does. */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q98IndexPath(d)
+    IndexStore.buildIvfOnce(s, Tables.documents(s, d), path, bitExact = true)
+    IndexStore.searchTopKIvf(s, path, Q98QueryText, k = 10,
+      probes = Q98Probes, overfetch = Q98Overfetch,
+      where = Some(col("doc_id") >= Q104MinDoc))
+  }
+
+  private val q104Sql = ivfSearchMirrorSql(s"x.doc_id >= $Q104MinDoc")
 
   /** Exact cosine top-k of queries against a corpus — the recall
     * harness baseline. */
@@ -1230,5 +1263,6 @@ object VectorSearch {
     Query("q64_build_index",    q64, Some(q64Sql)),
     Query("q98_ivf_search",     q98, Some(q98Sql)),
     Query("q102_ann_hnsw",      q102, Some(q102Sql)),
-    Query("q103_hnsw_search",   q103, Some(q103Sql)))
+    Query("q103_hnsw_search",   q103, Some(q103Sql)),
+    Query("q104_filtered_search", q104, Some(q104Sql)))
 }

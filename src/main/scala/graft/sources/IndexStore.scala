@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,11 +82,22 @@ object IndexStore {
     .select(col("rank"), col("chunk_id"), col("doc_id"), col("source"),
       col("chunk"), col("link"))
 
-  /** Exact cosine top-k for a free-text query, with deep links. */
+  /** Exact cosine top-k for a free-text query, with deep links.
+    *
+    * `where` is the chromadb `collection.query(where=...)` surface: a
+    * metadata predicate over the index columns (source, doc_id, ...)
+    * applied BENEATH the distance computation and rank, so the top-k
+    * is exact over the filtered corpus. Declared as a plain filter on
+    * the scan, it reaches the parquet reader as a pushed filter —
+    * and, on this layout (partitioned by `source`), a source
+    * predicate prunes whole partition directories at planning time
+    * (PlanAuditSpec pins both). */
   def searchTopK(spark: SparkSession, path: String, queryText: String,
-                 k: Int = 10, dim: Int = Embed.DefaultDim): DataFrame = {
+                 k: Int = 10, dim: Int = Embed.DefaultDim,
+                 where: Option[Column] = None): DataFrame = {
     val qvec = Embed.embed(queryText, dim)
-    present(spark.read.parquet(path)
+    val idx = spark.read.parquet(path)
+    present(where.fold(idx)(idx.filter)
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
@@ -223,10 +234,19 @@ object IndexStore {
 
   /** ANN search over the IVF-partitioned layout: the cell predicate
     * resolves to partition directories at planning time; SQ8 pre-rank
-    * + exact rerank inside the probed cells. */
+    * + exact rerank inside the probed cells.
+    *
+    * `where` (chroma's `query(where=...)`): the metadata predicate
+    * composes with the probe — it applies inside the probed cells
+    * BEFORE the SQ8 candidate limit, so the `overfetch` candidates
+    * are all filter-survivors and the top-k stays exact over the
+    * filtered candidate set (a post-filter would silently return
+    * fewer than k). Comparison predicates additionally push into the
+    * parquet reader of the pruned directories. */
   def searchTopKIvf(spark: SparkSession, path: String, queryText: String,
                     k: Int = 10, probes: Int = 3, overfetch: Int = 32,
-                    dim: Int = Embed.DefaultDim): DataFrame = {
+                    dim: Int = Embed.DefaultDim,
+                    where: Option[Column] = None): DataFrame = {
     import graft.functions.vecIndexExprs
     val qvec = Embed.embed(queryText, dim)
     val centRows = spark.read.parquet(s"$path/_centroids")
@@ -238,8 +258,9 @@ object IndexStore {
       math.min(probes, ids.length)).toLongArray().toSeq
     val qCode = graft.functions.VecIndex.sq8Code(qData)
     val qFac = graft.functions.VecIndex.sq8Factor(qData)
-    val idx = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .filter(col("cell").isin(probeCells: _*))
+    val idx = where.fold(pruned)(pruned.filter)
     val candidates = idx
       .select(col("chunk_id").as("cid"),
         (vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode)) * col("sq8_factor") * lit(qFac))
@@ -552,12 +573,24 @@ object IndexStore {
     * presentation — same candidates-then-rerank contract as the
     * LSH/SQ8/IVF search paths, so the oracle can re-derive everything
     * downstream of the traversal. */
+  /** `where` on the graph path: the stored adjacency knows nothing of
+    * metadata, so the traversal cannot pre-filter — instead it
+    * overfetches 4x per shard and the predicate applies at the rerank
+    * (chroma's own where= makes the same fetch-then-filter trade on
+    * its HNSW; a highly selective predicate belongs on
+    * [[searchTopKIvf]]/[[searchTopK]], where it prunes IO instead of
+    * discarding traversal work). May return fewer than k rows when
+    * the filter kills most of the widened candidate set. */
   def searchTopKHnsw(spark: SparkSession, path: String, queryText: String,
-                     k: Int = 10, efSearch: Int = 48): DataFrame = {
+                     k: Int = 10, efSearch: Int = 48,
+                     where: Option[Column] = None): DataFrame = {
     val qvec = Embed.embed(queryText, hnswPin(spark, path).meta.dim)
-    present(spark.read.parquet(path)
-      .join(broadcast(hnswCandidates(spark, path, queryText, k, efSearch)),
+    val fetchK = if (where.isDefined) k * 4 else k
+    val fetchEf = if (where.isDefined) math.max(efSearch, fetchK) else efSearch
+    val joined = spark.read.parquet(path)
+      .join(broadcast(hnswCandidates(spark, path, queryText, fetchK, fetchEf)),
         col("chunk_id") === col("cid"))
+    present(where.fold(joined)(joined.filter)
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))

@@ -235,6 +235,64 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q104: the metadata filter pushes beneath the rerank, composing with cell pruning") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q104_filtered_search")(spark, d)
+    df.collect() // finalize the adaptive plan
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q98_ivf_index")))
+    assert(idxScans.nonEmpty, "expected scans of the shared q98 index:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      // the probe still prunes cell directories at plan time...
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"filtered search must keep the cell partition filter: $f")
+      // ...and the chroma-where predicate reaches the parquet reader
+      // of those directories instead of filtering after the rerank
+      assert(f.dataFilters.exists(_.references.exists(_.name == "doc_id")),
+        s"the doc_id predicate must sit on the scan, beneath the rerank: $f")
+      assert(f.metadata.get("PushedFilters").exists(_.contains("doc_id")),
+        s"the doc_id comparison must push into the parquet reader: ${f.metadata.get("PushedFilters")}")
+    }
+  }
+
+  test("filtered searchTopK: a source predicate prunes the source-partitioned layout") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions.col
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_filtered_idx"
+    val docs = Tables.documents(spark, d)
+    IndexStore.build(spark, docs, path)
+    val src = docs.select("source").orderBy("source").limit(1)
+      .collect().head.getString(0)
+    val df = IndexStore.searchTopK(spark, path, "document text", k = 5,
+      where = Some(col("source") === src))
+    df.collect()
+    val scans = leafScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "source")),
+        s"the where= on the partition column must prune directories: $f")
+      val total = spark.read.parquet(path).select("source").distinct().count()
+      assert(f.metrics("numPartitions").value == 1,
+        s"must open exactly the 1 matching source directory of $total: $f")
+    }
+  }
+
   test("q103: HNSW rerank broadcasts the candidate set and the shard pin carries no text") {
     val df = SparkEntry.queries("q103_hnsw_search")(spark, d)
     df.collect() // finalize the adaptive plan (also builds the index)
