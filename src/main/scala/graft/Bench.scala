@@ -37,17 +37,25 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a crashed query must fail the bench loudly (an error entry in the
     // JSON + nonzero exit), never silently bench as a fast no-op
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+    def runAll(): Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
-    }
+    // SPARK_GRAFT_RUNS > 1 repeats the whole loop in the same JVM: the
+    // first pass is the binding cold number, later passes are warm
+    // (plans compiled, session caches primed) — the separation that
+    // tells plan cost from box-load noise when a query regresses
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).filter(_ > 0).getOrElse(1)
+    val allRuns = (1 to runs).map(_ => runAll())
+    val results = allRuns.head
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -77,6 +85,19 @@ object Bench {
       System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
     }
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    // warm re-run records (never carry metric "total" — see above);
+    // emitted before the final compact line so the tail keeps the
+    // binding cold number last
+    allRuns.zipWithIndex.drop(1).foreach { case (rr, i) =>
+      val rq = rr.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val rline = s"""{"metric":"total_rerun","run":${i + 1},"value":${f3(rr.map(_._2).sum)},"unit":"sec","queries":$rq,"sf":"$sfDir"}"""
+      try {
+        val p = java.nio.file.Paths.get(s"/root/repo/target/bench_last_run${i + 1}.json")
+        java.nio.file.Files.writeString(p, rline + "\n")
+      } catch { case _: Throwable => }
+      println(s"""{"metric":"total_rerun","run":${i + 1},"value":${f3(rr.map(_._2).sum)},"unit":"sec","n_queries":${rr.size},"sf":"$sfDir"}""")
+    }
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     // cap the compact line's errors object so a mass failure can't
