@@ -665,6 +665,132 @@ object VectorSearch {
 
   private val q104Sql = ivfSearchMirrorSql(s"x.doc_id >= $Q104MinDoc")
 
+  // ---- q105: filtered-HNSW recall vs selectivity -------------------
+
+  /** The selectivity ladder q105 walks: `doc_id % m = 0` keeps ~1/m
+    * of the corpus. */
+  private val Q105Sels: Seq[(String, Int)] = Seq(("mod2", 2), ("mod4", 4), ("mod10", 10))
+
+  /** q105: the HONEST cost of `where=` on the graph path, measured.
+    * The HNSW traversal is metadata-blind, so a filtered search
+    * overfetches 4x and post-filters ([[graft.sources.IndexStore
+    * .searchTopKHnsw]]); as the predicate gets more selective, more
+    * of the traversal budget dies in the filter and recall against
+    * the filtered-exact top-10 decays — THE known failure mode of
+    * filtered graph ANN, recorded per selectivity the way q102
+    * records the efSearch curve (and the measurement behind the
+    * documented advice: highly selective predicates belong on the
+    * IVF/exact paths, where they prune IO instead). Oracle: DuckDB
+    * re-derives both the filtered-exact baseline and the
+    * post-filtered rerank from the dumped q103 index + query vector
+    * + the materialized widened candidate set, then re-computes the
+    * meter arithmetic. */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q103IndexPath(d)
+    IndexStore.buildHnswOnce(s, Tables.documents(s, d), path)
+    Q105Sels.map { case (name, m) =>
+      val pred = col("doc_id") % m === 0
+      val exact = IndexStore.searchTopK(s, path, Q103QueryText, k = 10,
+        where = Some(pred)).select(col("chunk_id"))
+      // naive = post-filter over the UNWIDENED candidate set (what a
+      // filter bolted on after the fact would do); widened = the
+      // 4x-overfetch searchTopKHnsw actually runs
+      val naive = IndexStore.searchTopKHnsw(s, path, Q103QueryText, k = 10,
+        where = Some(pred), whereOverfetch = 1).select(col("chunk_id"))
+      val widened = IndexStore.searchTopKHnsw(s, path, Q103QueryText, k = 10,
+        where = Some(pred)).select(col("chunk_id"))
+      val ex = exact.agg(count(lit(1)).as("n_exact"))
+      val nv = naive.agg(count(lit(1)).as("naive_returned"))
+      val nvHit = naive.join(exact, Seq("chunk_id"), "left_semi")
+        .agg(count(lit(1)).as("naive_hit"))
+      val wd = widened.agg(count(lit(1)).as("n_returned"))
+      val wdHit = widened.join(exact, Seq("chunk_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      ex.crossJoin(nv).crossJoin(nvHit).crossJoin(wd).crossJoin(wdHit)
+        .select(lit(name).as("selectivity"), col("n_exact"),
+          col("naive_returned"),
+          (col("naive_hit") / col("n_exact")).as("naive_recall"),
+          col("n_returned"),
+          (col("n_hit") / col("n_exact")).as("recall"))
+    }.reduce(_ unionByName _).orderBy("selectivity")
+  }
+
+  /** Dump the two candidate sets the filtered searches post-filter —
+    * widened (factor 4) and naive (factor 1); each is identical
+    * across selectivities because the traversal is filter-blind,
+    * which is the point the meter makes. Shares the q103 physical
+    * build. */
+  def materializeFilteredRecallAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import graft.sources.IndexStore
+    val path = q103IndexPath(d)
+    IndexStore.buildHnswOnce(s, Tables.documents(s, d), path)
+    IndexStore.hnswFilteredCandidates(s, path, Q103QueryText, k = 10)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q105_cands.parquet")
+    IndexStore.hnswFilteredCandidates(s, path, Q103QueryText, k = 10,
+        overfetchFactor = 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q105_cands_naive.parquet")
+  }
+
+  private val q105Sql = s"""
+    WITH q AS (SELECT qvec
+               FROM read_parquet('/root/repo/target/verify_aux/q103_query.parquet/*.parquet')),
+    idx AS (SELECT chunk_id, doc_id, embedding
+            FROM read_parquet('/root/repo/target/verify_aux/q103_index.parquet/*.parquet')),
+    candw AS (SELECT cid
+              FROM read_parquet('/root/repo/target/verify_aux/q105_cands.parquet/*.parquet')),
+    candn AS (SELECT cid
+              FROM read_parquet('/root/repo/target/verify_aux/q105_cands_naive.parquet/*.parquet')),
+    scored AS (
+      SELECT chunk_id, doc_id, ${cosColsSql("idx.embedding", "q.qvec")} AS sim
+      FROM idx, q),
+    sels AS (SELECT * FROM (VALUES ('mod2', 2), ('mod4', 4), ('mod10', 10))
+             AS t(selectivity, m)),
+    exact AS (
+      SELECT selectivity, chunk_id FROM (
+        SELECT s.selectivity, x.chunk_id,
+               row_number() OVER (PARTITION BY s.selectivity
+                 ORDER BY x.sim DESC, x.chunk_id) AS rk
+        FROM sels s JOIN scored x ON x.doc_id % s.m = 0)
+      WHERE rk <= 10),
+    hnsww AS (
+      SELECT selectivity, chunk_id FROM (
+        SELECT s.selectivity, x.chunk_id,
+               row_number() OVER (PARTITION BY s.selectivity
+                 ORDER BY x.sim DESC, x.chunk_id) AS rk
+        FROM sels s
+        JOIN scored x ON x.doc_id % s.m = 0
+        JOIN candw c ON c.cid = x.chunk_id)
+      WHERE rk <= 10),
+    hnswn AS (
+      SELECT selectivity, chunk_id FROM (
+        SELECT s.selectivity, x.chunk_id,
+               row_number() OVER (PARTITION BY s.selectivity
+                 ORDER BY x.sim DESC, x.chunk_id) AS rk
+        FROM sels s
+        JOIN scored x ON x.doc_id % s.m = 0
+        JOIN candn c ON c.cid = x.chunk_id)
+      WHERE rk <= 10),
+    ex AS (SELECT selectivity, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+    hnw AS (SELECT selectivity, COUNT(*) AS n_returned FROM hnsww GROUP BY 1),
+    hnn AS (SELECT selectivity, COUNT(*) AS naive_returned FROM hnswn GROUP BY 1),
+    hitw AS (SELECT h.selectivity, COUNT(*) AS n_hit
+             FROM hnsww h JOIN exact e
+               ON e.selectivity = h.selectivity AND e.chunk_id = h.chunk_id
+             GROUP BY 1),
+    hitn AS (SELECT h.selectivity, COUNT(*) AS naive_hit
+             FROM hnswn h JOIN exact e
+               ON e.selectivity = h.selectivity AND e.chunk_id = h.chunk_id
+             GROUP BY 1)
+    SELECT e.selectivity, e.n_exact,
+           COALESCE(hnn.naive_returned, 0) AS naive_returned,
+           CAST(COALESCE(hitn.naive_hit, 0) AS DOUBLE) / e.n_exact AS naive_recall,
+           COALESCE(hnw.n_returned, 0) AS n_returned,
+           CAST(COALESCE(hitw.n_hit, 0) AS DOUBLE) / e.n_exact AS recall
+    FROM ex e LEFT JOIN hnw USING (selectivity) LEFT JOIN hnn USING (selectivity)
+    LEFT JOIN hitw USING (selectivity) LEFT JOIN hitn USING (selectivity)
+    ORDER BY selectivity"""
+
   /** Exact cosine top-k of queries against a corpus — the recall
     * harness baseline. */
   private def exactTopKOf(corpus: DataFrame, idCol: String, vecCol: String,
@@ -1264,5 +1390,6 @@ object VectorSearch {
     Query("q98_ivf_search",     q98, Some(q98Sql)),
     Query("q102_ann_hnsw",      q102, Some(q102Sql)),
     Query("q103_hnsw_search",   q103, Some(q103Sql)),
-    Query("q104_filtered_search", q104, Some(q104Sql)))
+    Query("q104_filtered_search", q104, Some(q104Sql)),
+    Query("q105_filtered_recall", q105, Some(q105Sql)))
 }

@@ -109,12 +109,14 @@ object IndexStore {
     * recall measured by the q67 harness on the same kernel). Exact
     * rerank on the candidates, same presentation as [[searchTopK]]. */
   def searchTopKAnn(spark: SparkSession, path: String, queryText: String,
-                    k: Int = 10, dim: Int = Embed.DefaultDim): DataFrame = {
+                    k: Int = 10, dim: Int = Embed.DefaultDim,
+                    where: Option[Column] = None): DataFrame = {
     val qvec = Embed.embed(queryText, dim)
     val qBuckets = Lsh.queryBuckets(qvec, dim, LshBits, LshTables)
-    present(spark.read.parquet(path)
+    val hit = spark.read.parquet(path)
       .filter(arrays_overlap(col("lsh_buckets"),
         lit(qBuckets)))
+    present(where.fold(hit)(hit.filter)
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
@@ -129,13 +131,17 @@ object IndexStore {
     * measured 1.0 at <=3% candidate fraction by the q67 harness. */
   def searchTopKSq8(spark: SparkSession, path: String, queryText: String,
                     k: Int = 10, overfetch: Int = 32,
-                    dim: Int = Embed.DefaultDim): DataFrame = {
+                    dim: Int = Embed.DefaultDim,
+                    where: Option[Column] = None): DataFrame = {
     import graft.functions.vecIndexExprs
     val qvec = Embed.embed(queryText, dim)
     val qvecData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     val qCode = graft.functions.VecIndex.sq8Code(qvecData)
     val qFac = graft.functions.VecIndex.sq8Factor(qvecData)
-    val idx = spark.read.parquet(path)
+    val all = spark.read.parquet(path)
+    // beneath the pre-rank: candidates are filter-survivors, so the
+    // overfetch budget is spent on rows that can actually be returned
+    val idx = where.fold(all)(all.filter)
     val candidates = idx
       .select(col("chunk_id").as("cid"),
         (vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode)) * col("sq8_factor") * lit(qFac))
@@ -581,15 +587,31 @@ object IndexStore {
     * [[searchTopKIvf]]/[[searchTopK]], where it prunes IO instead of
     * discarding traversal work). May return fewer than k rows when
     * the filter kills most of the widened candidate set. */
+  /** The widened traversal a FILTERED graph search runs:
+    * `overfetchFactor` x the requested k per shard (beam at least as
+    * wide), because the metadata predicate is applied after the
+    * traversal and must be given enough survivors. Public so the q105
+    * oracle can dump the exact candidate sets the filtered search
+    * post-filters (at factor 4 and at the naive factor 1 the meter
+    * contrasts it with). */
+  def hnswFilteredCandidates(spark: SparkSession, path: String,
+                             queryText: String, k: Int = 10,
+                             efSearch: Int = 48,
+                             overfetchFactor: Int = 4): DataFrame =
+    hnswCandidates(spark, path, queryText, k * overfetchFactor,
+      math.max(efSearch, k * overfetchFactor))
+
   def searchTopKHnsw(spark: SparkSession, path: String, queryText: String,
                      k: Int = 10, efSearch: Int = 48,
-                     where: Option[Column] = None): DataFrame = {
+                     where: Option[Column] = None,
+                     whereOverfetch: Int = 4): DataFrame = {
     val qvec = Embed.embed(queryText, hnswPin(spark, path).meta.dim)
-    val fetchK = if (where.isDefined) k * 4 else k
-    val fetchEf = if (where.isDefined) math.max(efSearch, fetchK) else efSearch
+    val cands =
+      if (where.isDefined)
+        hnswFilteredCandidates(spark, path, queryText, k, efSearch, whereOverfetch)
+      else hnswCandidates(spark, path, queryText, k, efSearch)
     val joined = spark.read.parquet(path)
-      .join(broadcast(hnswCandidates(spark, path, queryText, fetchK, fetchEf)),
-        col("chunk_id") === col("cid"))
+      .join(broadcast(cands), col("chunk_id") === col("cid"))
     present(where.fold(joined)(joined.filter)
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
@@ -622,14 +644,16 @@ object IndexStore {
     * partitions read for recall. */
   def searchTopKAnnPartitioned(spark: SparkSession, path: String, queryText: String,
                                k: Int = 10, dim: Int = Embed.DefaultDim,
-                               multiprobe: Boolean = false): DataFrame = {
+                               multiprobe: Boolean = false,
+                               where: Option[Column] = None): DataFrame = {
     val qvec = Embed.embed(queryText, dim)
     val qBuckets =
       if (multiprobe) Lsh.queryBucketsMultiprobe(qvec, dim, LshBits, LshTables)
       else Lsh.queryBuckets(qvec, dim, LshBits, LshTables)
-    present(spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .filter(col("bucket").isin(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(qBuckets): _*))
+    present(where.fold(pruned)(pruned.filter)
       .dropDuplicates("chunk_id")
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
