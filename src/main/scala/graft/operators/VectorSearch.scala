@@ -1012,7 +1012,7 @@ object VectorSearch {
     * id-tie-broken heaps (HnswGraph's contract); the merge ranks on
     * (sim desc, id). Re-runs and Verify re-executions hash-match. */
   def annHnsw(corpus: DataFrame, idCol: String, vecCol: String,
-              queries: DataFrame, k: Int, numShards: Int = 4,
+              queries: DataFrame, k: Int, numShards: Int = 0,
               m: Int = 8, efConstruction: Int = 64,
               efSearch: Int = 48): DataFrame =
     annHnswSweep(corpus, idCol, vecCol, queries, k, numShards, m,
@@ -1027,13 +1027,20 @@ object VectorSearch {
     * q102 meter records an operating-point CURVE for the price of one
     * index build. */
   def annHnswSweep(corpus: DataFrame, idCol: String, vecCol: String,
-                   queries: DataFrame, k: Int, numShards: Int = 4,
+                   queries: DataFrame, k: Int, numShards: Int = 0,
                    m: Int = 8, efConstruction: Int = 64,
                    efSearchPoints: Seq[Int] = Seq(48)): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     require(efSearchPoints.nonEmpty)
     val efPoints = efSearchPoints.distinct.sorted
+    // numShards = 0 auto-sizes from the corpus (one count job): a
+    // shard's graph must be memory-resident in one task, so shard
+    // count is the variable that scales — the same rule (and the same
+    // fixed-default cliff it removes) as IndexStore.buildHnsw
+    val shards =
+      if (numShards > 0) numShards
+      else graft.sources.IndexStore.hnswNumShards(corpus.count())
     // query side: explicit tiny side, closure-shipped like the IVF
     // centroid table (index metadata, never a join input)
     val qArr: Array[(Long, Array[Float])] = queries
@@ -1042,7 +1049,7 @@ object VectorSearch {
       .sortBy(_._1)
     val local = corpus
       .select(col(idCol).cast("long"), col(vecCol))
-      .repartition(numShards, col(idCol))
+      .repartition(shards, col(idCol))
       .mapPartitions { it =>
         val shard = org.apache.spark.TaskContext.getPartitionId()
         val rows = it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

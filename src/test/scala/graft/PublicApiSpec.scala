@@ -170,6 +170,40 @@ class PublicApiSpec extends AnyFunSuite {
     assert(probes.map(_ >>> 32).toSet == keys.map(_ >>> 32).toSet)
   }
 
+  test("where= is exact filtered top-k on every search path that claims it") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_where_idx"
+    val docs = (0L until 60L).map(i =>
+        (i, s"synthetic document number $i about topic ${i % 7}", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.build(spark, docs, path)
+    val q = "synthetic document about topic"
+    val pred = col("doc_id") % 3 === 1
+    // exact path: filtered top-k == top-k of the filtered corpus
+    val filtered = IndexStore.searchTopK(spark, path, q, k = 5,
+      where = Some(pred)).collect()
+    assert(filtered.length == 5)
+    assert(filtered.forall(_.getAs[Long]("doc_id") % 3 == 1),
+      "every returned row must satisfy the predicate")
+    // the independent baseline: a search over a PHYSICALLY
+    // pre-filtered copy of the corpus must return the same ranking
+    // (post-filtering the unfiltered top-k would not — it loses rows)
+    val prePath = "/root/repo/target/test_where_idx_pre"
+    IndexStore.build(spark, docs.filter(pred), prePath)
+    val pre = IndexStore.searchTopK(spark, prePath, q, k = 5).collect()
+    assert(filtered.map(_.getAs[String]("chunk_id")).toSeq ==
+      pre.map(_.getAs[String]("chunk_id")).toSeq,
+      "where= must equal searching a pre-filtered corpus")
+    // graph path: returned rows satisfy the predicate; k survivors
+    // found thanks to the widened traversal
+    IndexStore.buildHnsw(spark, docs, path + "_h")
+    val hnsw = IndexStore.searchTopKHnsw(spark, path + "_h", q, k = 5,
+      where = Some(pred)).collect()
+    assert(hnsw.forall(_.getAs[Long]("doc_id") % 3 == 1))
+    assert(hnsw.length == 5, s"widened traversal must find k survivors, got ${hnsw.length}")
+  }
+
   test("simhashDroppedBuckets surfaces what the bucketCap guard drops") {
     import spark.implicits._
     // 300 identical docs => every band bucket holds 300 > cap
