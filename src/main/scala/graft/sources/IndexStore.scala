@@ -306,21 +306,25 @@ object IndexStore {
 
   /** The persisted HNSW layout contract, written by [[buildHnsw]] as
     * the `_meta` sidecar (underscore prefix = invisible to Spark's
-    * file index, like `_centroids`). */
-  final case class HnswMeta(numShards: Int, m: Int, efConstruction: Int, dim: Int)
+    * file index, like `_centroids`). `targetNodesPerShard` rides
+    * along so [[appendHnsw]] can tell when the layout has outgrown
+    * its sizing and must reshard. */
+  final case class HnswMeta(numShards: Int, m: Int, efConstruction: Int,
+                            dim: Int, targetNodesPerShard: Long)
 
   private def writeHnswMeta(spark: SparkSession, path: String, meta: HnswMeta): Unit = {
     import spark.implicits._
-    Seq((meta.numShards, meta.m, meta.efConstruction, meta.dim))
-      .toDF("num_shards", "m", "ef_construction", "dim")
+    Seq((meta.numShards, meta.m, meta.efConstruction, meta.dim,
+        meta.targetNodesPerShard))
+      .toDF("num_shards", "m", "ef_construction", "dim", "target_nodes")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_meta")
   }
 
   private[graft] def readHnswMeta(spark: SparkSession, path: String): HnswMeta =
     try {
       val r = spark.read.parquet(s"$path/_meta")
-        .select("num_shards", "m", "ef_construction", "dim").head()
-      HnswMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+        .select("num_shards", "m", "ef_construction", "dim", "target_nodes").head()
+      HnswMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalStateException(
@@ -384,7 +388,8 @@ object IndexStore {
       .parquet(path)
     // after the data write: the static overwrite above truncates the
     // whole directory, sidecar included
-    writeHnswMeta(spark, path, HnswMeta(shards, m, efConstruction, dim))
+    writeHnswMeta(spark, path,
+      HnswMeta(shards, m, efConstruction, dim, targetNodesPerShard))
     evictHnswShards(spark, path)
   }
 
@@ -452,11 +457,42 @@ object IndexStore {
     // count (or rebuild touched graphs with a different m/efC) than
     // the layout it extends
     val meta = readHnswMeta(spark, path)
-    val newRows = indexRows(docs, meta.dim)
-      .withColumn("shard",
-        pmod(xxhash64(col("chunk_id")), lit(meta.numShards.toLong)).cast("int"))
-      .localCheckpoint()
-    val touched = newRows.select("shard").distinct()
+    val newRows = indexRows(docs, meta.dim).localCheckpoint()
+    // Append-forever erodes the sizing invariant: the shard count was
+    // chosen for the BUILD-time corpus, and every append grows the
+    // average shard toward the task-memory cliff auto-sharding exists
+    // to prevent. When the average shard passes 2x target, reshard —
+    // a full deterministic rebuild at the count the grown corpus
+    // needs. The 2x hysteresis makes rewrites geometric (each reshard
+    // roughly doubles capacity), so total reshard IO amortizes to
+    // O(corpus) over any append history; between reshards, appends
+    // keep touching only their hash shards. (Size target accordingly:
+    // a shard may reach 2x targetNodesPerShard before resharding.)
+    val total = spark.read.parquet(path).count() + newRows.count()
+    if (total > 2L * meta.targetNodesPerShard * meta.numShards) {
+      val shards = hnswNumShards(total, meta.targetNodesPerShard)
+      val all = spark.read.parquet(path)
+        .drop("hnsw_node", "hnsw_level", "hnsw_links", "shard")
+        .unionByName(newRows)
+        .withColumn("shard",
+          pmod(xxhash64(col("chunk_id")), lit(shards.toLong)).cast("int"))
+        .localCheckpoint() // read everything before the truncating write
+      all.join(hnswAdjacency(all, shards, meta.m, meta.efConstruction),
+          Seq("chunk_id"))
+        .repartition(shards, col("shard"))
+        .write.mode(SaveMode.Overwrite)
+        // full reshard: truncate the whole layout (stale high-numbered
+        // shard directories must not survive a count change)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("shard")
+        .parquet(path)
+      writeHnswMeta(spark, path, meta.copy(numShards = shards))
+      evictHnswShards(spark, path)
+      return
+    }
+    val hashed = newRows.withColumn("shard",
+      pmod(xxhash64(col("chunk_id")), lit(meta.numShards.toLong)).cast("int"))
+    val touched = hashed.select("shard").distinct()
     val existing = spark.read.parquet(path)
       .join(broadcast(touched), Seq("shard"), "left_semi")
       .drop("hnsw_node", "hnsw_level", "hnsw_links")
@@ -466,7 +502,7 @@ object IndexStore {
     // without it the write would consume its own input mid-overwrite
     // (read-own-writes corruption). Pinned by HnswSpec's
     // "append reads existing rows before the overwrite" case.
-    val rows = existing.unionByName(newRows).localCheckpoint()
+    val rows = existing.unionByName(hashed).localCheckpoint()
     rows.join(hnswAdjacency(rows, meta.numShards, meta.m, meta.efConstruction),
         Seq("chunk_id"))
       .repartition(meta.numShards, col("shard"))

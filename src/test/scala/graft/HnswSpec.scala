@@ -279,6 +279,43 @@ class HnswSpec extends AnyFunSuite {
     assert(IndexStore.searchTopKHnsw(spark, path, "document text", k = 5).collect().length == 5)
   }
 
+  test("append-forever resharding grows the shard count geometrically, losing nothing") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_reshard"
+    val docs = Tables.documents(spark, d)
+    IndexStore.buildHnsw(spark, docs.filter(col("doc_id") < 20), path,
+      targetNodesPerShard = 10)
+    val m0 = IndexStore.readHnswMeta(spark, path)
+    assert(m0.numShards == IndexStore.HnswShards) // max(4, ceil(20/10))
+    assert(m0.targetNodesPerShard == 10, "the sizing target must persist in _meta")
+    // a small append stays under the 2x-target capacity (4 shards x
+    // 2x10 = 80 rows): shard count unchanged, only touched shards
+    // rewritten
+    IndexStore.appendHnsw(spark,
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 30), path)
+    assert(IndexStore.readHnswMeta(spark, path).numShards == m0.numShards)
+    // a big append pushes the average shard past 2x target -> full
+    // deterministic reshard at the count the grown corpus needs
+    IndexStore.appendHnsw(spark,
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 130), path)
+    val m1 = IndexStore.readHnswMeta(spark, path)
+    val n = spark.read.parquet(path).count()
+    assert(n == 130, s"every appended row must survive the reshard, got $n")
+    assert(spark.read.parquet(path).select("chunk_id").distinct().count() == n,
+      "no duplicates either")
+    assert(m1.numShards == IndexStore.hnswNumShards(n, 10) && m1.numShards > m0.numShards,
+      s"expected a reshard beyond ${m0.numShards}, got ${m1.numShards}")
+    // the resharded graph serves deterministically
+    val r1 = IndexStore.searchTopKHnsw(spark, path, "document text", k = 5).collect()
+    val r2 = IndexStore.searchTopKHnsw(spark, path, "document text", k = 5).collect()
+    assert(r1.length == 5 && r1.toSeq == r2.toSeq)
+    // and post-reshard appends are back to shard-local maintenance
+    IndexStore.appendHnsw(spark,
+      docs.filter(col("doc_id") >= 130 && col("doc_id") < 135), path)
+    assert(spark.read.parquet(path).count() == 135)
+    assert(IndexStore.readHnswMeta(spark, path).numShards == m1.numShards)
+  }
+
   test("the shard pin cache is LRU-bounded and unpins on eviction") {
     import graft.sources.IndexStore
     val path = "/root/repo/target/test_hnsw_idx_lru"
