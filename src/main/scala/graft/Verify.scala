@@ -54,10 +54,13 @@ object Verify {
         () => operators.VectorSearch.materializeHnswAux(spark, sfDir, auxDir)),
       // q105's oracle reads the q103 index/query dumps plus its own
       // widened candidate set
-      ("q103 hnsw index", Set("q103_hnsw_search", "q105_filtered_recall"),
+      ("q103 hnsw index", Set("q103_hnsw_search", "q105_filtered_recall",
+          "q106_hnsw_batch"),
         () => operators.VectorSearch.materializeHnswIndexAux(spark, sfDir, auxDir)),
       ("q105 filtered recall", Set("q105_filtered_recall"),
         () => operators.VectorSearch.materializeFilteredRecallAux(spark, sfDir, auxDir)),
+      ("q106 hnsw batch", Set("q106_hnsw_batch"),
+        () => operators.VectorSearch.materializeHnswBatchAux(spark, sfDir, auxDir)),
       ("q41 chunks", Set("q41_chunk_stats"),
         () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
       ("media", Set("q90_media_features", "q91_frame_sample"),

@@ -582,13 +582,26 @@ object IndexStore {
     * the exact candidate set the search used (deterministic: same
     * index + query => same candidates). */
   def hnswCandidates(spark: SparkSession, path: String, queryText: String,
-                     k: Int = 10, efSearch: Int = 48): DataFrame = {
+                     k: Int = 10, efSearch: Int = 48): DataFrame =
+    hnswCandidatesBatch(spark, path, Seq(0L -> queryText), k, efSearch)
+      .select(col("cid"))
+
+  /** [[hnswCandidates]] for a BATCH of queries: every query rides the
+    * plan as a constant (quantizer-sized, like annHnsw's query array)
+    * and ONE pass over the pinned shards answers them all — per shard
+    * the graph reconstructs once per task, so each additional query
+    * costs only its beam walk, never another shard load. Returns
+    * (query_id, cid). */
+  def hnswCandidatesBatch(spark: SparkSession, path: String,
+                          queries: Seq[(Long, String)],
+                          k: Int = 10, efSearch: Int = 48): DataFrame = {
     import spark.implicits._
     import graft.functions.HnswGraph
     val pin = hnswPin(spark, path)
     // the persisted layout is authoritative for the embedding dim —
     // a query embedded at any other dim would silently score garbage
-    val qvec = Embed.embed(queryText, pin.meta.dim)
+    val qArr: Array[(Long, Array[Float])] = queries.sortBy(_._1)
+      .map { case (qid, t) => (qid, Embed.embed(t, pin.meta.dim)) }.toArray
     pin.frame
       .mapPartitions { it =>
         it.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (shard, rws) =>
@@ -602,11 +615,13 @@ object IndexStore {
             sorted.map(_.getSeq[Float](5).toArray),
             sorted.map(_.getInt(3)),
             sorted.map(_.getSeq[scala.collection.Seq[Int]](4).map(_.toArray).toArray))
-          val (top, _) = g.search(qvec, k, efSearch)
-          top.iterator.map { case (ord, _) => sorted(ord.toInt).getString(1) }
+          qArr.iterator.flatMap { case (qid, qvec) =>
+            val (top, _) = g.search(qvec, k, efSearch)
+            top.iterator.map { case (ord, _) => (qid, sorted(ord.toInt).getString(1)) }
+          }
         }
       }
-      .toDF("cid")
+      .toDF("query_id", "cid")
   }
 
   /** ANN search over the HNSW-persisted layout: per-shard graph
@@ -652,6 +667,45 @@ object IndexStore {
       .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
+  }
+
+  /** Multi-query search over the persisted HNSW layout — the
+    * reference's batch surface (`query_texts=[...]`, SURVEY V4) on
+    * the persisted graph. One traversal pass serves every query
+    * ([[hnswCandidatesBatch]]); the rerank scores a NARROW
+    * (query_id, chunk_id, sim) projection so neither vectors nor
+    * document text ride the per-query rank exchange, and the
+    * presentation columns join back against the ranked top-k only.
+    * Output: (query_id, rank, chunk_id, doc_id, source, chunk, link)
+    * — [[searchTopK]]'s presentation keyed per query. */
+  def searchTopKHnswBatch(spark: SparkSession, path: String,
+                          queries: Seq[(Long, String)],
+                          k: Int = 10, efSearch: Int = 48): DataFrame = {
+    import spark.implicits._
+    val dim = hnswPin(spark, path).meta.dim
+    val qVecs = queries.sortBy(_._1)
+      .map { case (qid, t) => (qid, Embed.embed(t, dim).toSeq) }
+      .toDF("query_id", "qvec")
+    val cands = hnswCandidatesBatch(spark, path, queries, k, efSearch)
+    val idx = spark.read.parquet(path)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("chunk_id"))
+    val ranked = idx.select(col("chunk_id"), col("embedding"))
+      .join(broadcast(cands), col("chunk_id") === col("cid"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("chunk_id"),
+        VectorOps.vecCosine(col("embedding"), col("qvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    idx.select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
+        col("sheet_row"))
+      .join(broadcast(ranked), Seq("chunk_id"))
+      .withColumn("link",
+        format_string("https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=A%d",
+          col("source"), lit("0"), col("sheet_row")))
+      .select(col("query_id"), col("rank"), col("chunk_id"), col("doc_id"),
+        col("source"), col("chunk"), col("link"))
+      .orderBy("query_id", "rank")
   }
 
   /** Bucket-PARTITIONED index: one row per (table-bucket, chunk),

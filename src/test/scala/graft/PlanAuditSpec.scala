@@ -293,6 +293,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q106: the batch rank exchange carries (query_id, chunk_id, sim) only") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = SparkEntry.queries("q106_hnsw_batch")(spark, d)
+    df.collect() // finalize the adaptive plan (also builds the index)
+    val rankExchanges = allShuffles(df.queryExecution.executedPlan).filter {
+      e => e.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "query_id"))
+        case _ => false
+      }
+    }
+    assert(rankExchanges.nonEmpty,
+      s"expected the per-query rank exchange:\n${df.queryExecution.executedPlan}")
+    rankExchanges.foreach { e =>
+      val wide = e.output.filter(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          a.name == "chunk")
+      assert(wide.isEmpty,
+        s"rank exchange must stay narrow, carries ${wide.map(_.name)}")
+    }
+  }
+
   test("q103: HNSW rerank broadcasts the candidate set and the shard pin carries no text") {
     val df = SparkEntry.queries("q103_hnsw_search")(spark, d)
     df.collect() // finalize the adaptive plan (also builds the index)
