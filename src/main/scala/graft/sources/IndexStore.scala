@@ -231,6 +231,10 @@ object IndexStore {
       .collect().sortBy(_.getLong(0))
     val ids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
+    // the persisted quantizer is authoritative for the embedding dim —
+    // appending vectors of another width would silently mis-assign
+    require(cents.head.length == dim,
+      s"$path was trained at dim=${cents.head.length}, append requested dim=$dim")
     indexRows(docs, dim)
       .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
       .write.mode(SaveMode.Append)
@@ -259,6 +263,8 @@ object IndexStore {
       .collect().sortBy(_.getLong(0))
     val ids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
+    require(cents.head.length == dim,
+      s"$path was trained at dim=${cents.head.length}, query requested dim=$dim")
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
       math.min(probes, ids.length)).toLongArray().toSeq

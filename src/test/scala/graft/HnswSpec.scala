@@ -369,6 +369,31 @@ class HnswSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("edge cases: empty append is a no-op; batch-of-one equals the single-query search") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_idx_edge"
+    val docs = Tables.documents(spark, d)
+    IndexStore.buildHnsw(spark, docs.filter(col("doc_id") < 30), path)
+    val before = spark.read.parquet(path)
+      .select("chunk_id", "shard", "hnsw_node", "hnsw_level")
+      .orderBy("chunk_id").collect()
+    // an empty batch must leave every row and the meta untouched
+    IndexStore.appendHnsw(spark, docs.filter(col("doc_id") < 0), path)
+    val after = spark.read.parquet(path)
+      .select("chunk_id", "shard", "hnsw_node", "hnsw_level")
+      .orderBy("chunk_id").collect()
+    assert(after.toSeq == before.toSeq, "empty append must be a no-op")
+    assert(IndexStore.readHnswMeta(spark, path).numShards == IndexStore.HnswShards)
+    // the batch API with one query is the single-query search with a key
+    val q = "spark window aggregation over sorted batches"
+    val single = IndexStore.searchTopKHnsw(spark, path, q, k = 5).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("chunk_id")))
+    val batch = IndexStore.searchTopKHnswBatch(spark, path, Seq(7L -> q), k = 5).collect()
+    assert(batch.forall(_.getAs[Long]("query_id") == 7L))
+    assert(batch.map(r => (r.getAs[Int]("rank"), r.getAs[String]("chunk_id"))).toSeq ==
+      single.toSeq, "batch-of-one must rank identically to the single-query path")
+  }
+
   test("annHnsw output is deterministic across runs and matches the ANN contract") {
     val emb = Tables.embeddings(spark, d)
     val qs = emb.filter(col("vec_id") < 3)
