@@ -22,11 +22,12 @@ object Explain {
       "q23_top_n_global", "q60_knn_l2", "q40_grid_explode_a1",
       "q53_ngram_jaccard", "q50_dedup_minhash_lsh", "q65_ann_ivf",
       "q69_ann_sq8", "q96_decontaminate", "q99_sequence_packing",
-      // q98's printed search plan is the artifact under audit
-      // (partition pruning + broadcast rerank); q67b is intentionally
-      // absent — its meter plan reads checkpoint-pinned frames, so
-      // there is nothing to audit that q65/q69 don't already show
-      "q98_ivf_search")
+      // q98/q104's printed search plans are the artifacts under audit
+      // (partition pruning + where= pushdown + broadcast rerank); q67b
+      // is intentionally absent — its meter plan reads
+      // checkpoint-pinned frames, so there is nothing to audit that
+      // q65/q69 don't already show
+      "q98_ivf_search", "q104_filtered_search")
     names.foreach { n =>
       println(s"\n================= $n =================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
