@@ -369,6 +369,27 @@ class HnswSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("buildHnswOnce keys its memo on the build parameters, not just (session, path)") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_once"
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 25)
+    IndexStore.buildHnswOnce(spark, docs, path, m = 8)
+    assert(IndexStore.readHnswMeta(spark, path).m == 8)
+    // same session+path with DIFFERENT parameters must be a real
+    // rebuild (the r8 memo silently no-op'd here and kept serving the
+    // old layout)
+    IndexStore.buildHnswOnce(spark, docs, path, m = 16, efConstruction = 128)
+    val meta = IndexStore.readHnswMeta(spark, path)
+    assert(meta.m == 16 && meta.efConstruction == 128,
+      s"parameter change must rebuild, meta still $meta")
+    // and the exact same parameters are memoized: the docs thunk must
+    // not be re-evaluated (laziness observed via a side effect)
+    var evaluated = 0
+    def countedDocs = { evaluated += 1; docs }
+    IndexStore.buildHnswOnce(spark, countedDocs, path, m = 16, efConstruction = 128)
+    assert(evaluated == 0, "identical parameters must hit the memo")
+  }
+
   test("edge cases: empty append is a no-op; batch-of-one equals the single-query search") {
     import graft.sources.IndexStore
     val path = "/root/repo/target/test_hnsw_idx_edge"
