@@ -352,6 +352,10 @@ object VectorSearch {
     import s.implicits._
     ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q65_cents.parquet")
+    // the q67 meter's graph row: the traversal is the custom kernel,
+    // so its candidate set materializes for the oracle (q102 pattern)
+    q67Hnsw(s, d)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q67_hnsw.parquet")
   }
 
   private val AuxAnn =
@@ -825,10 +829,30 @@ object VectorSearch {
     * winner (recall 1.0 at <=3% candidates); the geometric methods
     * document their honest ceiling (~0.6 at ~20%). Approximate =>
     * rows-only. */
+  /** q67's hnsw frame — the graph method on the ISOTROPIC fixture,
+    * same shard/beam operating point as q102 runs on the clustered
+    * corpus, so the two meters complete the method x corpus matrix:
+    * the fixture documents the graph path's honest ceiling on
+    * structureless vectors (distance concentration — the same ceiling
+    * q67 records for LSH/IVF) exactly as q67b/q102 document where
+    * structure pays. Computed once per session; shared with the aux
+    * dump so the oracle re-derives the meter from the exact candidate
+    * set measured. */
+  private def q67Hnsw(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "q67hnsw") {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      annHnsw(emb, "vec_id", "embedding", qs, k = 3,
+        numShards = 2, efSearch = 8)
+        .orderBy("query_id", "rank")
+    }
+
   private def q67(s: SparkSession, d: String): DataFrame = {
     val corpusN = Tables.embeddings(s, d).count()
     recallMeter(exactTopK(s, d, 3), "vec_id", corpusN,
-      Seq("lsh" -> q62(s, d), "ivf" -> q65(s, d), "sq8" -> q69(s, d)))
+      Seq("lsh" -> q62(s, d), "ivf" -> q65(s, d), "sq8" -> q69(s, d),
+        "hnsw" -> q67Hnsw(s, d)))
   }
 
   /** Recall@k + candidate-fraction meter over already-materialized
@@ -900,7 +924,9 @@ object VectorSearch {
     ORDER BY m.method, ex.query_id"""
 
   private val q67Sql = recallMirrorSql("embeddings",
-    Seq("lsh" -> q62Sql, "ivf" -> q65Sql, "sq8" -> q69Sql))
+    Seq("lsh" -> q62Sql, "ivf" -> q65Sql, "sq8" -> q69Sql,
+      "hnsw" -> ("SELECT query_id, vec_id, n_candidates FROM " +
+        "read_parquet('/root/repo/target/verify_aux/q67_hnsw.parquet/*.parquet')")))
 
   // ---- q67b: the same meter on a CLUSTERED corpus -------------------
 
