@@ -202,6 +202,30 @@ class PublicApiSpec extends AnyFunSuite {
       where = Some(pred)).collect()
     assert(hnsw.forall(_.getAs[Long]("doc_id") % 3 == 1))
     assert(hnsw.length == 5, s"widened traversal must find k survivors, got ${hnsw.length}")
+    // LSH-overlap and SQ8 paths: per-row signatures are independent of
+    // the rest of the corpus, so where= must ALSO equal searching the
+    // pre-filtered copy (candidate generation sees only survivors)
+    val lshF = IndexStore.searchTopKAnn(spark, path, q, k = 5,
+      where = Some(pred)).collect().map(_.getAs[String]("chunk_id")).toSeq
+    val lshPre = IndexStore.searchTopKAnn(spark, prePath, q, k = 5)
+      .collect().map(_.getAs[String]("chunk_id")).toSeq
+    assert(lshF == lshPre, "LSH where= must equal the pre-filtered corpus search")
+    val sq8F = IndexStore.searchTopKSq8(spark, path, q, k = 5,
+      where = Some(pred)).collect().map(_.getAs[String]("chunk_id")).toSeq
+    val sq8Pre = IndexStore.searchTopKSq8(spark, prePath, q, k = 5)
+      .collect().map(_.getAs[String]("chunk_id")).toSeq
+    assert(sq8F == sq8Pre, "SQ8 where= must equal the pre-filtered corpus search")
+    // bucket-partitioned layout: same equivalence, plus the bucket
+    // prune still applies before the metadata filter
+    val bPath = path + "_b"
+    val bPrePath = path + "_bpre"
+    IndexStore.buildBucketed(spark, docs, bPath)
+    IndexStore.buildBucketed(spark, docs.filter(pred), bPrePath)
+    val bF = IndexStore.searchTopKAnnPartitioned(spark, bPath, q, k = 5,
+      where = Some(pred)).collect().map(_.getAs[String]("chunk_id")).toSeq
+    val bPre = IndexStore.searchTopKAnnPartitioned(spark, bPrePath, q, k = 5)
+      .collect().map(_.getAs[String]("chunk_id")).toSeq
+    assert(bF == bPre, "bucketed where= must equal the pre-filtered corpus search")
   }
 
   test("simhashDroppedBuckets surfaces what the bucketCap guard drops") {
