@@ -335,6 +335,9 @@ class HnswSpec extends AnyFunSuite {
     val before = IndexStore.hnswPinnedCount
     IndexStore.unpinHnsw(s3, path)
     assert(IndexStore.hnswPinnedCount == before - 1)
+    // a search after eviction transparently re-pins — eviction is a
+    // memory decision, never a correctness event
+    assert(IndexStore.searchTopKHnsw(s3, path, "document", k = 3).collect().length == 3)
   }
 
   test("streaming ingest maintains the persisted HNSW index via foreachBatch append") {
