@@ -107,6 +107,26 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(new java.io.File(dir).getParentFile.exists())
   }
 
+  test("a where= that kills every candidate returns empty, never errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    val docs = (0L until 30L).map(i => (i, s"edge doc $i text body", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val impossible = Some(col("doc_id") < 0)
+    val p1 = "/root/repo/target/test_edge_where_flat"
+    IndexStore.build(spark, docs, p1)
+    assert(IndexStore.searchTopK(spark, p1, "edge doc", k = 5, where = impossible).count() == 0)
+    assert(IndexStore.searchTopKAnn(spark, p1, "edge doc", k = 5, where = impossible).count() == 0)
+    assert(IndexStore.searchTopKSq8(spark, p1, "edge doc", k = 5, where = impossible).count() == 0)
+    val p2 = "/root/repo/target/test_edge_where_ivf"
+    IndexStore.buildIvf(spark, docs, p2, nCells = 4)
+    assert(IndexStore.searchTopKIvf(spark, p2, "edge doc", k = 5, where = impossible).count() == 0)
+    val p3 = "/root/repo/target/test_edge_where_hnsw"
+    IndexStore.buildHnsw(spark, docs, p3)
+    assert(IndexStore.searchTopKHnsw(spark, p3, "edge doc", k = 5, where = impossible).count() == 0)
+  }
+
   test("buildIvf with fewer chunks than requested cells still builds and searches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tinyivf").toString + "/idx"
