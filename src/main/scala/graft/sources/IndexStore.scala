@@ -242,6 +242,42 @@ object IndexStore {
       .parquet(path)
   }
 
+  /** Compact an IVF layout after many [[appendIvf]] batches: each
+    * append adds one file per touched cell, so a long append history
+    * degrades probes into many-small-file reads (open/footer cost
+    * dominates the scan). Rewrites ONLY the cells holding more than
+    * `maxFilesPerCell` parquet files — dynamic partition overwrite,
+    * one file per rewritten cell — and leaves every other cell
+    * byte-untouched. Rows, the `_centroids` quantizer, and search
+    * results are unchanged: compaction is a file-layout decision, the
+    * way [[appendHnsw]]'s reshard is a sharding decision. The segment
+    * maintenance every append-forever index needs (FAISS/Lucene merge
+    * policy, as a partition rewrite). */
+  def compactIvf(spark: SparkSession, path: String,
+                 maxFilesPerCell: Int = 4): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crowded = fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toLong)
+    if (crowded.isEmpty) return
+    val rows = spark.read.parquet(path)
+      .filter(col("cell").isin(crowded: _*))
+      // read the crowded cells BEFORE the overwrite truncates them
+      // (same read-own-writes discipline as appendHnsw)
+      .localCheckpoint()
+    rows
+      // repartition by the partition column: each cell's rows land in
+      // exactly one task -> exactly one file per rewritten directory
+      .repartition(math.max(1, crowded.size), col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(path)
+  }
+
   /** ANN search over the IVF-partitioned layout: the cell predicate
     * resolves to partition directories at planning time; SQ8 pre-rank
     * + exact rerank inside the probed cells.

@@ -144,6 +144,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.contains(cell), s"appended row landed in unknown cell $cell")
   }
 
+  test("compactIvf merges only the crowded cells and changes no row or result") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idx_cmp").toString + "/index"
+    IndexStore.buildIvf(spark, tinyDocs, dir, nCells = 2, lloydIters = 1)
+    // a stream of small appends: each adds one file to its cells
+    (10L until 16L).foreach { i =>
+      IndexStore.appendIvf(spark,
+        Seq((i, s"spark sql window aggregation batch $i", "sheetC"))
+          .toDF("doc_id", "text", "source"), dir)
+    }
+    def cellFiles(): Map[String, Seq[String]] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq)
+        .toMap
+    val before = cellFiles()
+    assert(before.values.exists(_.size > 2), s"fixture must produce a crowded cell: $before")
+    val rowsBefore = spark.read.parquet(dir)
+      .select("chunk_id", "cell").collect()
+      .map(r => (r.getString(0), r.get(1).toString)).sorted.toSeq
+    val resBefore = IndexStore.searchTopKIvf(spark, dir, "spark sql window",
+      k = 3, probes = 2, overfetch = 50).collect().map(_.getAs[String]("chunk_id")).toSeq
+    IndexStore.compactIvf(spark, dir, maxFilesPerCell = 2)
+    val after = cellFiles()
+    // crowded cells collapsed to one file; quiet cells byte-untouched
+    before.foreach { case (cell, files) =>
+      if (files.size > 2) assert(after(cell).size == 1, s"$cell not compacted: ${after(cell)}")
+      else assert(after(cell) == files, s"quiet $cell must keep its exact files")
+    }
+    // rows and search results unchanged — compaction is layout-only
+    val rowsAfter = spark.read.parquet(dir)
+      .select("chunk_id", "cell").collect()
+      .map(r => (r.getString(0), r.get(1).toString)).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    val resAfter = IndexStore.searchTopKIvf(spark, dir, "spark sql window",
+      k = 3, probes = 2, overfetch = 50).collect().map(_.getAs[String]("chunk_id")).toSeq
+    assert(resAfter == resBefore)
+    // idempotent: nothing left over the threshold -> second call no-ops
+    val snapshot = cellFiles()
+    IndexStore.compactIvf(spark, dir, maxFilesPerCell = 2)
+    assert(cellFiles() == snapshot)
+  }
+
   test("bit-exact IVF builds are bit-identical across executions") {
     // the property q98's oracle design rests on: with bitExact = true
     // the whole artifact (cell assignments, embeddings, codes,
