@@ -49,12 +49,26 @@ object Bench {
         }
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
-    // SPARK_GRAFT_RUNS > 1 repeats the whole loop in the same JVM: the
+    // SPARK_GRAFT_RUNS repeats the whole loop in the same JVM: the
     // first pass is the binding cold number, later passes are warm
     // (plans compiled, session caches primed) — the separation that
-    // tells plan cost from box-load noise when a query regresses
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).filter(_ > 0).getOrElse(1)
+    // tells plan cost from box-load noise when a query regresses.
+    // Default is 2 so EVERY capture carries its own warm signal; a
+    // malformed value falls back to the default rather than crashing
+    // the bench.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(2)
+    // box-state evidence: /proc/loadavg before and after the measured
+    // loop, emitted with the totals — a load-contaminated capture then
+    // carries its own explanation instead of needing prose
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
     val allRuns = (1 to runs).map(_ => runAll())
+    val loadEnd = loadavg()
     val results = allRuns.head
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -69,7 +83,7 @@ object Bench {
     // consumer matching the first "total" occurrence must not land on
     // this unrounded full line instead.
     val line =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
     println(line)
     // The harness that captures this output retains only a bounded tail
     // of stdout, which truncates the full per-query line above. Persist
@@ -95,7 +109,9 @@ object Bench {
       try {
         val p = java.nio.file.Paths.get(s"/root/repo/target/bench_last_run${i + 1}.json")
         java.nio.file.Files.writeString(p, rline + "\n")
-      } catch { case _: Throwable => }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_last_run${i + 1}.json write failed: ${e.getMessage}")
+      }
       println(s"""{"metric":"total_rerun","run":${i + 1},"value":${f3(rr.map(_._2).sum)},"unit":"sec","n_queries":${rr.size},"sf":"$sfDir"}""")
     }
     val slowest = results.sortBy(-_._2).take(15)
@@ -107,7 +123,12 @@ object Bench {
     val errsCompact = (errList.take(5).map { case (k, e) => s"\"" + k + "\":" + jstr(e) } ++
       (if (errList.size > 5) Seq(s"\"_truncated\":\"${errList.size - 5} more, see queries_full\"") else Nil))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"errors":$errsCompact,"queries_full":"target/bench_last.json","sf":"$sfDir"}""")
+    // BOTH totals ride the one compact line the bounded stdout tail is
+    // guaranteed to keep: cold (binding) + warm (plan-cost signal),
+    // plus the box-load evidence
+    val warmTotal =
+      if (allRuns.size > 1) f3(allRuns.last.map(_._2).sum) else "null"
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":$warmTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_queries":${results.size},"slowest":$slowest,"errors":$errsCompact,"queries_full":"target/bench_last.json","sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -95,10 +95,19 @@ object Embed {
         // '$'-suffixed module class before giving up
         case first: ReflectiveOperationException =>
           try moduleOrNew(Class.forName(className + "$"))
-          catch { case _: Throwable => throw new IllegalArgumentException(
-            s"$BackendProp=$className could not be instantiated: provide a Scala " +
-              "object or a class with a public no-arg constructor implementing " +
-              "graft.functions.EmbedBackend", first) }
+          catch {
+            // keep BOTH resolution failures diagnosable: `first` as
+            // the cause, the '$'-retry's own failure (which may be the
+            // real reason, e.g. an ExceptionInInitializerError from
+            // the object's static init) as suppressed
+            case second @ (_: ReflectiveOperationException | _: LinkageError) =>
+              val e = new IllegalArgumentException(
+                s"$BackendProp=$className could not be instantiated: provide a Scala " +
+                  "object or a class with a public no-arg constructor implementing " +
+                  "graft.functions.EmbedBackend", first)
+              e.addSuppressed(second)
+              throw e
+          }
       }
     inst match {
       case b: EmbedBackend => b

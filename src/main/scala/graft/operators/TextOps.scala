@@ -92,42 +92,38 @@ object TextOps {
   /** Type inference over strings rendered identically in both engines. */
   private def q42(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    // dictionary evaluation in two hops: the raw key space
-    // (linenumber x returnflag x shipdate) is ~50k combos for 600k
-    // rows, so aggregate counts on NATIVE types first (codegen hash
-    // agg, no string materialization for the bulk rows), then render
-    // the 5 sample strings and run the regex when-chain over the
-    // weighted dictionary only — the standard trick for expensive
-    // scalar functions over low-cardinality columns, applied one
-    // level earlier than the string dictionary itself.
-    // The sf0.1 fixture parquet is ONE row group = ONE input split, so
-    // without help the scan-side partial agg serializes on a single
-    // task (the 16.3 s q42 outlier in the r8 driver bench — a loaded
-    // box queues the whole query behind that task). Parquet cannot
-    // split inside a row group, so `maxPartitionBytes` does not fix
-    // this; a round-robin fan-out of the narrow (int, flag, date)
-    // projection (~10 MB at sf0.1) does. Guarded: on a real
-    // multi-split layout (any cluster-sized table) the scan already
-    // parallelizes and the extra full-data shuffle would be pure
-    // overhead, so fan out only when the scan gives us almost no
-    // partitions to work with.
-    val proj = li.select(col("l_linenumber"), col("l_returnflag"),
-      to_date(col("l_shipdate")).as("sd"))
-    val fanout = s.sparkContext.defaultParallelism
-    val projPar =
-      if (proj.rdd.getNumPartitions < math.min(4, fanout)) proj.repartition(fanout)
-      else proj
-    projPar
-      .groupBy(col("l_linenumber"), col("l_returnflag"), col("sd"))
-      .agg(count(lit(1)).as("cnt0"))
+    // Dictionary evaluation, decomposed PER COLUMN: every one of the 5
+    // sample expressions depends on exactly one source column, so each
+    // column aggregates its own value dictionary independently —
+    // linenumber (7 values), returnflag (3), shipdate (~2.5k) — and
+    // the regex when-chain runs over the tiny weighted union only.
+    // The shape matters twice:
+    //  - parquet is columnar, so three one-column scans read the same
+    //    total bytes as one three-column scan — no duplicated IO; and
+    //    the three scan stages are independent subtrees of one job, so
+    //    Spark schedules them CONCURRENTLY. On the single-row-group
+    //    fixture (one split — a row group cannot be split, so
+    //    maxPartitionBytes cannot help) this cuts the serial critical
+    //    path to one column's decode+agg instead of all three (the
+    //    15-16 s q42 outlier on the loaded r8/r9 driver boxes was that
+    //    serialized wide stage; the r9 round-robin fan-out only moved
+    //    the cost into a 600k-row shuffle write on the same task).
+    //  - nothing row-sized ever shuffles: each exchange carries one
+    //    column's dictionary (<=2.5k rows), not a 50k-combo dictionary
+    //    and never the 600k raw rows.
+    def dict(key: Column): DataFrame =
+      li.groupBy(key.as("kv")).agg(count(lit(1)).as("cnt0"))
+    val fromLn = dict(col("l_linenumber"))
       .select(col("cnt0"), explode(array(
-        col("l_linenumber").cast(StringType),
-        col("l_returnflag"),
-        // cast(date as string) renders yyyy-MM-dd like date_format
-        // would, without the per-row DateTimeFormatter machinery
-        col("sd").cast(StringType),
-        when(col("l_linenumber") % 2 === 0, "true").otherwise("false"),
-        concat(col("l_linenumber"), lit("."), col("l_linenumber")))).as("v"))
+        col("kv").cast(StringType),
+        when(col("kv") % 2 === 0, "true").otherwise("false"),
+        concat(col("kv"), lit("."), col("kv")))).as("v"))
+    val fromRf = dict(col("l_returnflag")).select(col("cnt0"), col("kv").as("v"))
+    // cast(date as string) renders yyyy-MM-dd like date_format would,
+    // without the per-row DateTimeFormatter machinery
+    val fromSd = dict(to_date(col("l_shipdate")))
+      .select(col("cnt0"), col("kv").cast(StringType).as("v"))
+    fromLn.unionByName(fromRf).unionByName(fromSd)
       .groupBy(col("v")).agg(sum(col("cnt0")).as("cnt"))
       .withColumn("inferred", TypeInference.suggestDataType(col("v")))
       .groupBy(col("inferred"))

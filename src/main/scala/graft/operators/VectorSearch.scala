@@ -684,40 +684,60 @@ object VectorSearch {
     * filtered graph ANN, recorded per selectivity the way q102
     * records the efSearch curve (and the measurement behind the
     * documented advice: highly selective predicates belong on the
-    * IVF/exact paths, where they prune IO instead). Oracle: DuckDB
-    * re-derives both the filtered-exact baseline and the
-    * post-filtered rerank from the dumped q103 index + query vector
-    * + the materialized widened candidate set, then re-computes the
-    * meter arithmetic. */
+    * IVF/exact paths, where they prune IO instead).
+    *
+    * Computed as ONE distributed plan, the same shape as its oracle:
+    * the index is scored against the query vector once, the
+    * selectivity ladder rides in as a broadcast 3-row table, and the
+    * per-selectivity exact / naive / widened top-10s come from window
+    * ranks over that single scored scan joined with the two
+    * (deterministic, shard-disjoint) traversal candidate sets — all
+    * six meter columns in one job, instead of 3 selectivities x 3
+    * searches x their per-search jobs dispatched sequentially from
+    * the driver (the API-level 9-search form lives in PublicApiSpec).
+    * Oracle: DuckDB re-derives the identical meter from the dumped
+    * q103 index + query vector + the two materialized candidate
+    * sets. */
   private def q105(s: SparkSession, d: String): DataFrame = {
     import graft.sources.IndexStore
+    import s.implicits._
     val path = q103IndexPath(d)
     IndexStore.buildHnswOnce(s, Tables.documents(s, d), path)
-    Q105Sels.map { case (name, m) =>
-      val pred = col("doc_id") % m === 0
-      val exact = IndexStore.searchTopK(s, path, Q103QueryText, k = 10,
-        where = Some(pred)).select(col("chunk_id"))
-      // naive = post-filter over the UNWIDENED candidate set (what a
-      // filter bolted on after the fact would do); widened = the
-      // 4x-overfetch searchTopKHnsw actually runs
-      val naive = IndexStore.searchTopKHnsw(s, path, Q103QueryText, k = 10,
-        where = Some(pred), whereOverfetch = 1).select(col("chunk_id"))
-      val widened = IndexStore.searchTopKHnsw(s, path, Q103QueryText, k = 10,
-        where = Some(pred)).select(col("chunk_id"))
-      val ex = exact.agg(count(lit(1)).as("n_exact"))
-      val nv = naive.agg(count(lit(1)).as("naive_returned"))
-      val nvHit = naive.join(exact, Seq("chunk_id"), "left_semi")
-        .agg(count(lit(1)).as("naive_hit"))
-      val wd = widened.agg(count(lit(1)).as("n_returned"))
-      val wdHit = widened.join(exact, Seq("chunk_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      ex.crossJoin(nv).crossJoin(nvHit).crossJoin(wd).crossJoin(wdHit)
-        .select(lit(name).as("selectivity"), col("n_exact"),
-          col("naive_returned"),
-          (col("naive_hit") / col("n_exact")).as("naive_recall"),
-          col("n_returned"),
-          (col("n_hit") / col("n_exact")).as("recall"))
-    }.reduce(_ unionByName _).orderBy("selectivity")
+    val qvec = Embed.embed(Q103QueryText, Embed.DefaultDim)
+    val scored = s.read.parquet(path)
+      .select(col("chunk_id"), col("doc_id"),
+        VectorOps.vecCosineConst(col("embedding"), qvec).as("sim"))
+    val sels = Q105Sels.toDF("selectivity", "m")
+    // the two candidate sets the filtered searches post-filter: one
+    // widened (4x) and one naive (1x) traversal — filter-blind, so
+    // ONE of each serves every selectivity (the point the meter makes)
+    val candw = IndexStore.hnswFilteredCandidates(s, path, Q103QueryText, k = 10)
+    val candn = IndexStore.hnswFilteredCandidates(s, path, Q103QueryText, k = 10,
+      overfetchFactor = 1)
+    val filtered = scored.join(broadcast(sels), col("doc_id") % col("m") === 0)
+    def top10(df: DataFrame): DataFrame = df
+      .withColumn("rk", row_number().over(Window.partitionBy(col("selectivity"))
+        .orderBy(col("sim").desc, col("chunk_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("selectivity"), col("chunk_id"))
+    val exact = top10(filtered)
+    val widened = top10(filtered.join(broadcast(candw), col("chunk_id") === col("cid")))
+    val naive = top10(filtered.join(broadcast(candn), col("chunk_id") === col("cid")))
+    val ex = exact.groupBy("selectivity").agg(count(lit(1)).as("n_exact"))
+    val nv = naive.groupBy("selectivity").agg(count(lit(1)).as("naive_returned"))
+    val nvHit = naive.join(exact, Seq("selectivity", "chunk_id"), "left_semi")
+      .groupBy("selectivity").agg(count(lit(1)).as("naive_hit"))
+    val wd = widened.groupBy("selectivity").agg(count(lit(1)).as("n_returned"))
+    val wdHit = widened.join(exact, Seq("selectivity", "chunk_id"), "left_semi")
+      .groupBy("selectivity").agg(count(lit(1)).as("n_hit"))
+    ex.join(nv, Seq("selectivity"), "left").join(nvHit, Seq("selectivity"), "left")
+      .join(wd, Seq("selectivity"), "left").join(wdHit, Seq("selectivity"), "left")
+      .select(col("selectivity"), col("n_exact"),
+        coalesce(col("naive_returned"), lit(0L)).as("naive_returned"),
+        (coalesce(col("naive_hit"), lit(0L)) / col("n_exact")).as("naive_recall"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        (coalesce(col("n_hit"), lit(0L)) / col("n_exact")).as("recall"))
+      .orderBy("selectivity")
   }
 
   /** Dump the two candidate sets the filtered searches post-filter —

@@ -369,10 +369,48 @@ object IndexStore {
       HnswMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalStateException(
-          s"$path has no readable _meta sidecar — not a graft HNSW layout " +
-            "(build it with IndexStore.buildHnsw)", e)
+        legacyHnswMeta(spark, path, e)
     }
+
+  /** Backward compatibility for HNSW layouts persisted before the
+    * `_meta` sidecar existed: reconstruct the meta from the layout
+    * itself — shard count from the `shard=` directory names (the
+    * stored hash placement is authoritative, whatever count the old
+    * build used), dim from a stored embedding, m/efConstruction from
+    * the fixed constants every pre-sidecar build compiled in — then
+    * write the sidecar so the fallback runs once per layout. A
+    * directory that is not an HNSW layout at all (no shard dirs / no
+    * graph columns) still fails fast. */
+  private def legacyHnswMeta(spark: SparkSession, path: String,
+                             cause: Exception): HnswMeta = {
+    val meta = try {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val shardVals = fs.listStatus(hPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+        .map(_.getPath.getName.stripPrefix("shard=").toInt)
+      require(shardVals.nonEmpty, s"$path has no shard= partition directories")
+      val dim = spark.read.parquet(path)
+        .select("embedding", "hnsw_node", "hnsw_level", "hnsw_links")
+        .head().getSeq[Float](0).length
+      HnswMeta(shardVals.max + 1, HnswM, HnswEfConstruction, dim,
+        HnswTargetNodesPerShard)
+    } catch {
+      case e: Throwable =>
+        val fail = new IllegalStateException(
+          s"$path has no readable _meta sidecar and is not a legacy graft " +
+            "HNSW layout either (build it with IndexStore.buildHnsw)", cause)
+        fail.addSuppressed(e)
+        throw fail
+    }
+    // best-effort: a read-only filesystem keeps working off the
+    // reconstructed meta, it just pays the reconstruction again
+    try writeHnswMeta(spark, path, meta)
+    catch { case e: Throwable =>
+      System.err.println(s"[graft] could not persist reconstructed _meta at $path: ${e.getMessage}")
+    }
+    meta
+  }
 
   /** Session key for per-session memos: a UUID held in a WEAK map on
     * the session object itself. Identity hash codes can collide after
@@ -577,41 +615,81 @@ object IndexStore {
     * session is GC'd and would serve another session's pins). */
   val HnswPinnedMax = 8
   private final case class HnswPin(frame: DataFrame, meta: HnswMeta)
+
+  /** One cache entry: the pin load (full Spark jobs — meta read,
+    * parquet scan, eager persist) runs under the SLOT's monitor, never
+    * the cache-wide one, so a cold load of one path cannot serialize
+    * searches of every other path behind it; only map mutation holds
+    * the global lock. Eviction and explicit unpin release the
+    * persisted frame best-effort (an unpin failure of a dead session's
+    * frame must never fail the search that triggered the eviction) —
+    * and a slot evicted WHILE its load is still running releases
+    * itself when the load completes, so the frame can't leak
+    * persisted-but-unreachable. */
+  private final class HnswPinSlot(loader: () => HnswPin) {
+    @volatile private var loaded: HnswPin = _
+    @volatile private var evicted = false
+    def get: HnswPin = {
+      val l = loaded
+      if (l != null) l
+      else this.synchronized {
+        if (loaded == null) {
+          loaded = loader()
+          if (evicted) release() // lost the race with LRU eviction
+        }
+        loaded
+      }
+    }
+    def markEvicted(): Unit = {
+      evicted = true
+      if (loaded != null) release()
+    }
+    private def release(): Unit =
+      try loaded.frame.unpersist(false)
+      catch { case e: Throwable =>
+        System.err.println(s"[graft] hnsw pin release failed (ignored): ${e.getMessage}")
+      }
+  }
   private val hnswPinCache =
-    new java.util.LinkedHashMap[(String, String), HnswPin](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String), HnswPinSlot](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), HnswPin]): Boolean =
-        if (size > HnswPinnedMax) { e.getValue.frame.unpersist(false); true }
+          e: java.util.Map.Entry[(String, String), HnswPinSlot]): Boolean =
+        if (size > HnswPinnedMax) { e.getValue.markEvicted(); true }
         else false
     }
-  private def hnswPin(spark: SparkSession, path: String): HnswPin =
-    hnswPinCache.synchronized {
+  private def hnswPin(spark: SparkSession, path: String): HnswPin = {
+    val slot = hnswPinCache.synchronized {
       val key = (sessionKey(spark), path)
       val hit = hnswPinCache.get(key)
       if (hit != null) hit
       else {
-        val meta = readHnswMeta(spark, path)
-        val frame = spark.read.parquet(path)
-          .select(col("shard"), col("chunk_id"), col("hnsw_node"),
-            col("hnsw_level"), col("hnsw_links"), col("embedding"))
-          .repartition(col("shard"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        frame.count() // eager: the pin IS the serving load
-        val pin = HnswPin(frame, meta)
-        hnswPinCache.put(key, pin)
-        pin
+        val s = new HnswPinSlot(() => {
+          val meta = readHnswMeta(spark, path)
+          val frame = spark.read.parquet(path)
+            .select(col("shard"), col("chunk_id"), col("hnsw_node"),
+              col("hnsw_level"), col("hnsw_links"), col("embedding"))
+            .repartition(col("shard"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          frame.count() // eager: the pin IS the serving load
+          HnswPin(frame, meta)
+        })
+        hnswPinCache.put(key, s)
+        s
       }
     }
+    slot.get
+  }
   private[graft] def hnswShards(spark: SparkSession, path: String): DataFrame =
     hnswPin(spark, path).frame
   /** Release the session's pin on `path` (a no-op if none). Rebuilds
     * and appends call this themselves; a serving loop cycling many
     * indexes can call it to return storage memory ahead of the LRU. */
-  def unpinHnsw(spark: SparkSession, path: String): Unit =
-    hnswPinCache.synchronized {
-      val old = hnswPinCache.remove((sessionKey(spark), path))
-      if (old != null) old.frame.unpersist(false)
+  def unpinHnsw(spark: SparkSession, path: String): Unit = {
+    val old = hnswPinCache.synchronized {
+      hnswPinCache.remove((sessionKey(spark), path))
     }
+    if (old != null) old.markEvicted()
+  }
   private def evictHnswShards(spark: SparkSession, path: String): Unit =
     unpinHnsw(spark, path)
   /** Test hook: the number of live pins (across sessions). */
