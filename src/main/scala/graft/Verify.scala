@@ -42,10 +42,20 @@ object Verify {
         () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
       ("ann", Set("q62_ann_lsh", "q65_ann_ivf", "q67_ann_recall", "q69_ann_sq8"),
         () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
-      // q104's oracle re-derives the filtered search from the same
-      // dumped index, so it serves from the q98 aux step too
-      ("q98 ivf index", Set("q98_ivf_search", "q104_filtered_search"),
+      // q104's and q104b's oracles re-derive their filtered searches
+      // from the same dumped index, so they serve from the q98 aux too
+      ("q98 ivf index", Set("q98_ivf_search", "q104_filtered_search",
+          "q104b_contains_search"),
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
+      // lifecycle oracles: each is an INDEPENDENTLY RECOMPUTED expected
+      // state (chunk/embed of the surviving or final corpus), never a
+      // dump of the mutated layout the query searches
+      ("q107 delete", Set("q107_delete_search"),
+        () => operators.VectorSearch.materializeDeleteAux(spark, sfDir, auxDir)),
+      ("q108 upsert", Set("q108_upsert_inventory"),
+        () => operators.VectorSearch.materializeUpsertAux(spark, sfDir, auxDir)),
+      ("q111 compact", Set("q111_ivf_compact_search"),
+        () => operators.VectorSearch.materializeCompactAux(spark, sfDir, auxDir)),
       // q102's oracle reads the clustered corpus dump, so its name is
       // in the clustered step's serves set too
       ("q67b clustered", Set("q67b_ann_recall_clustered", "q102_ann_hnsw"),

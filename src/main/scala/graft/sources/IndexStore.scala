@@ -278,6 +278,158 @@ object IndexStore {
       .parquet(path)
   }
 
+  // ---- delete / upsert by id: the index-maintenance surface ---------
+  // chromadb's `collection.delete(ids=...)` / `collection.upsert(...)`
+  // contract on the partitioned-parquet layouts: identify the
+  // partitions that hold the affected rows, rewrite ONLY those
+  // (read-before-overwrite checkpoint, one file per rewritten
+  // directory), leave every other partition byte-untouched — the
+  // compactIvf/appendHnsw discipline applied to row removal. A
+  // takedown touching one document rewrites one partition, never the
+  // corpus.
+
+  /** Rewrite only `touched` partition values with `out` (dynamic
+    * overwrite, one writer task per partition), then delete any
+    * touched directory that `out` writes no rows into — dynamic mode
+    * can only truncate partitions it writes, so a partition whose
+    * every row died must be removed explicitly or stale files would
+    * survive. `presentVals` = partition values present in `out`
+    * (caller computes it from a checkpointed frame so the plan isn't
+    * re-executed for it). */
+  private def rewriteTouched(spark: SparkSession, path: String, partCol: String,
+                             touched: Seq[String], presentVals: Set[String],
+                             out: DataFrame): Unit = {
+    out.repartition(math.max(1, touched.size), col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(presentVals).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partCol=$v"), true)
+    }
+  }
+
+  /** Core of the delete flavors: anti-join `ids` out of the partitions
+    * that hold them; `rebuild` post-processes the survivors of the
+    * touched partitions (identity for row layouts, graph rebuild for
+    * HNSW). Returns the touched partition values (empty = no-op). */
+  private def deleteFromPartitioned(spark: SparkSession, path: String,
+                                    partCol: String, ids: Seq[String],
+                                    rebuild: DataFrame => DataFrame): Seq[Any] = {
+    if (ids.isEmpty) return Seq.empty
+    import spark.implicits._
+    val doomed = ids.toDF("chunk_id")
+    val all = spark.read.parquet(path)
+    // NATIVE-typed partition values (never stringified in the plan):
+    // the isin below must stay a bare predicate on the partition
+    // column so it prunes directories at planning time
+    val touched = all.join(broadcast(doomed), Seq("chunk_id"), "left_semi")
+      .select(partCol).distinct()
+      .collect().map(_.get(0)).toSeq.sortBy(_.toString)
+    if (touched.isEmpty) return Seq.empty
+    val survivors = all
+      .filter(col(partCol).isin(touched: _*))
+      .join(broadcast(doomed), Seq("chunk_id"), "left_anti")
+      // read the touched partitions BEFORE the overwrite truncates them
+      .localCheckpoint()
+    val present = survivors.select(partCol).distinct()
+      .collect().map(_.get(0).toString).toSet
+    rewriteTouched(spark, path, partCol, touched.map(_.toString), present,
+      rebuild(survivors))
+    touched
+  }
+
+  /** Delete chunks by id from a [[build]] source-partitioned layout.
+    * Only the source partitions holding the ids are rewritten. */
+  def deleteIds(spark: SparkSession, path: String, ids: Seq[String]): Unit =
+    deleteFromPartitioned(spark, path, "source", ids, identity)
+
+  /** Delete chunks by id from an IVF layout: only the cells holding
+    * the ids rewrite (and a cell whose every row died is removed, so
+    * probes never open stale files). The `_centroids` quantizer is
+    * untouched — deletion never changes the trained cell geometry. */
+  def deleteIdsIvf(spark: SparkSession, path: String, ids: Seq[String]): Unit =
+    deleteFromPartitioned(spark, path, "cell", ids, identity)
+
+  /** Delete chunks by id from an HNSW layout. Adjacency stores
+    * in-shard ordinals, so removing a node invalidates its whole
+    * shard's graph — the touched shards rebuild their graphs over the
+    * survivors (the same maintenance unit [[appendHnsw]] rebuilds);
+    * untouched shards keep their bytes. */
+  def deleteIdsHnsw(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
+    val meta = readHnswMeta(spark, path)
+    val touched = deleteFromPartitioned(spark, path, "shard", ids, { survivors =>
+      val stripped = survivors.drop("hnsw_node", "hnsw_level", "hnsw_links")
+      stripped.join(
+        hnswAdjacency(stripped, meta.numShards, meta.m, meta.efConstruction),
+        Seq("chunk_id"))
+    })
+    if (touched.nonEmpty) evictHnswShards(spark, path)
+  }
+
+  /** Upsert documents into a [[build]] source-partitioned layout —
+    * chroma's `collection.upsert`: the identity of a document is
+    * (source, doc_id), and replacing it deletes ALL its existing
+    * chunks before inserting the re-chunked rows (a shorter revision
+    * must not leave stale tail chunks under the old chunk ids). Only
+    * the source partitions of the upserted documents rewrite. */
+  def upsertDocs(spark: SparkSession, docs: DataFrame, path: String,
+                 dim: Int = Embed.DefaultDim): Unit = {
+    val newRows = indexRows(docs, dim).localCheckpoint()
+    val keys = newRows.select(col("source"), col("doc_id")).distinct()
+    val touched = newRows.select("source").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return
+    val survivors = spark.read.parquet(path)
+      .filter(col("source").isin(touched: _*))
+      .join(broadcast(keys), Seq("source", "doc_id"), "left_anti")
+      .localCheckpoint()
+    // upserted partitions always receive the new rows, so no touched
+    // directory can empty out — presentVals = touched
+    rewriteTouched(spark, path, "source", touched, touched.toSet,
+      survivors.unionByName(newRows.select(survivors.columns.toIndexedSeq.map(col): _*)))
+  }
+
+  /** Upsert documents into an IVF layout: delete-by-identity then
+    * [[appendIvf]]-style insert through the persisted `_centroids`
+    * quantizer, as one touched-cell rewrite. Closes the documented
+    * appendIvf footgun (appending an existing chunk silently
+    * duplicated it — upsert replaces instead). */
+  def upsertIvf(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    import graft.functions.vecIndexExprs
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val cids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val all = spark.read.parquet(path)
+    // new rows carry the partition column in the READ schema's native
+    // type, so every cell predicate below prunes directories
+    val cellT = all.schema("cell").dataType
+    val newRows = indexRows(docs, cents.head.length)
+      .withColumn("cell",
+        vecIndexExprs.nearestCell(col("embedding"), cids, cents).cast(cellT))
+      .localCheckpoint()
+    val keys = newRows.select(col("source"), col("doc_id")).distinct()
+    // touched = cells that hold old rows of the upserted docs (their
+    // rows die) ∪ cells the new rows land in
+    val touched = all.join(broadcast(keys), Seq("source", "doc_id"), "left_semi")
+      .select("cell")
+      .union(newRows.select("cell"))
+      .distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
+    if (touched.isEmpty) return
+    val survivors = all
+      .filter(col("cell").isin(touched: _*))
+      .join(broadcast(keys), Seq("source", "doc_id"), "left_anti")
+      .localCheckpoint()
+    val out = survivors.unionByName(newRows.select(survivors.columns.toIndexedSeq.map(col): _*))
+    val present = newRows.select("cell").distinct()
+      .union(survivors.select("cell").distinct())
+      .distinct().collect().map(_.get(0).toString).toSet
+    rewriteTouched(spark, path, "cell", touched.map(_.toString), present, out)
+  }
+
   /** ANN search over the IVF-partitioned layout: the cell predicate
     * resolves to partition directories at planning time; SQ8 pre-rank
     * + exact rerank inside the probed cells.

@@ -157,6 +157,36 @@ class HnswSpec extends AnyFunSuite {
       "a cold session must reconstruct the identical graph from the artifact")
   }
 
+  test("legacy layout without _meta reconstructs its meta and persists it") {
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_legacy"
+    IndexStore.buildHnsw(spark, Tables.documents(spark, d), path)
+    val before = IndexStore.readHnswMeta(spark, path)
+    val expected = IndexStore.searchTopKHnsw(spark, path,
+      "spark window aggregation", k = 5).collect()
+    // simulate a pre-sidecar layout: remove _meta, drop the pin
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(path, "_meta"), true))
+    IndexStore.unpinHnsw(spark, path)
+    val rebuilt = IndexStore.readHnswMeta(spark, path)
+    assert(rebuilt.numShards == before.numShards, "shard count from shard= dirs")
+    assert(rebuilt.dim == before.dim, "dim from a stored embedding")
+    assert(rebuilt.m == IndexStore.HnswM &&
+      rebuilt.efConstruction == IndexStore.HnswEfConstruction,
+      "graph params fall back to the pre-sidecar constants")
+    // the sidecar was re-persisted, and search serves identically
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_meta")))
+    val served = IndexStore.searchTopKHnsw(spark, path,
+      "spark window aggregation", k = 5).collect()
+    assert(served.toSeq == expected.toSeq)
+    // a non-HNSW directory still fails fast
+    val bogus = "/root/repo/target/test_hnsw_bogus"
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(bogus)
+    val e = intercept[IllegalStateException](IndexStore.readHnswMeta(spark, bogus))
+    assert(e.getMessage.contains("not a legacy graft HNSW layout"))
+  }
+
   test("persisted HNSW index: rebuild is idempotent (same graph bits)") {
     import graft.sources.IndexStore
     val path = "/root/repo/target/test_hnsw_idx2"

@@ -188,6 +188,142 @@ class PipelineSpec extends AnyFunSuite {
     assert(cellFiles() == snapshot)
   }
 
+  private def partFiles(dir: String, part: String): Seq[(String, Long)] = {
+    val d = new java.io.File(dir, part)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length)).sortBy(_._1)
+  }
+
+  test("deleteIds rewrites only the touched source partition") {
+    val dir = Files.createTempDirectory("graft_del_src").toString + "/index"
+    IndexStore.build(spark, tinyDocs, dir)
+    val beforeB = partFiles(dir, "source=sheetB")
+    assert(beforeB.nonEmpty)
+    IndexStore.deleteIds(spark, dir, Seq("sheetA_1_0"))
+    val idx = spark.read.parquet(dir)
+    assert(idx.filter(col("chunk_id") === "sheetA_1_0").count() == 0)
+    // the doc's OTHER chunks and the other sheetA doc survive
+    assert(idx.filter(col("doc_id") === 1L).count() >= 1)
+    assert(idx.filter(col("chunk_id") === "sheetA_0_0").count() == 1)
+    // untouched partition keeps its exact files
+    assert(partFiles(dir, "source=sheetB") == beforeB)
+    // search never returns a deleted id
+    val hits = IndexStore.searchTopK(spark, dir, "long cell content", k = 10)
+      .collect().map(_.getAs[String]("chunk_id"))
+    assert(!hits.contains("sheetA_1_0"))
+    // deleting an unknown id is a no-op, not an error
+    val files = partFiles(dir, "source=sheetA")
+    IndexStore.deleteIds(spark, dir, Seq("nope_0_0"))
+    assert(partFiles(dir, "source=sheetA") == files)
+  }
+
+  test("deleteIdsIvf removes an emptied cell directory entirely") {
+    val dir = Files.createTempDirectory("graft_del_ivf").toString + "/index"
+    IndexStore.buildIvf(spark, tinyDocs, dir, nCells = 2, lloydIters = 1)
+    val byCell = spark.read.parquet(dir)
+      .select(col("cell").cast("long"), col("chunk_id")).collect()
+      .groupBy(_.getLong(0)).map { case (c, rs) => c -> rs.map(_.getString(1)).toSeq }
+    assert(byCell.size == 2, s"fixture must fill both cells: $byCell")
+    val (doomedCell, doomedIds) = byCell.minBy(_._2.size)
+    val otherCell = byCell.keys.filter(_ != doomedCell).head
+    val otherFiles = partFiles(dir, s"cell=$otherCell")
+    IndexStore.deleteIdsIvf(spark, dir, doomedIds)
+    // the emptied directory is GONE (dynamic overwrite alone cannot
+    // truncate a partition it writes no rows into)
+    assert(!new java.io.File(dir, s"cell=$doomedCell").exists(),
+      s"emptied cell=$doomedCell must be removed")
+    assert(partFiles(dir, s"cell=$otherCell") == otherFiles)
+    val left = spark.read.parquet(dir).select("chunk_id")
+      .collect().map(_.getString(0)).toSet
+    assert(left == byCell(otherCell).toSet)
+    // quantizer untouched; search still serves
+    assert(spark.read.parquet(s"$dir/_centroids").count() == 2)
+    assert(IndexStore.searchTopKIvf(spark, dir, "spark sql window",
+      k = 3, probes = 2, overfetch = 10).count() > 0)
+  }
+
+  test("deleteIdsHnsw rebuilds only the touched shard and search excludes the id") {
+    import spark.implicits._
+    val docs = (0L until 24L)
+      .map(i => (i, s"topic $i " + (s"filler words about subject $i " * 12).trim,
+        s"sheet${i % 3}"))
+      .toSeq.toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("graft_del_hnsw").toString + "/index"
+    IndexStore.buildHnsw(spark, docs, dir)
+    val target = "sheet2_5_0"
+    val before = IndexStore.searchTopKHnsw(spark, dir, "topic 5 filler words about subject 5",
+      k = 3).collect().map(_.getAs[String]("chunk_id"))
+    assert(before.head == target, s"fixture must rank the target first: ${before.toSeq}")
+    val targetShard = spark.read.parquet(dir)
+      .filter(col("chunk_id") === target).select(col("shard").cast("int"))
+      .head().getInt(0)
+    val meta = IndexStore.readHnswMeta(spark, dir)
+    val quiet = (0 until meta.numShards).filter(_ != targetShard)
+      .map(sh => sh -> partFiles(dir, s"shard=$sh"))
+    IndexStore.deleteIdsHnsw(spark, dir, Seq(target))
+    // untouched shards byte-untouched; touched shard rebuilt
+    quiet.foreach { case (sh, files) =>
+      assert(partFiles(dir, s"shard=$sh") == files, s"shard=$sh must keep its files")
+    }
+    val after = IndexStore.searchTopKHnsw(spark, dir, "topic 5 filler words about subject 5",
+      k = 3).collect().map(_.getAs[String]("chunk_id"))
+    assert(!after.contains(target), s"deleted id still returned: ${after.toSeq}")
+    assert(after.nonEmpty)
+    // the rebuilt shard's graph is traversable and complete
+    val shardRows = spark.read.parquet(dir)
+      .filter(col("shard") === targetShard).count()
+    assert(spark.read.parquet(dir).count() == 24 - 1)
+    assert(shardRows >= 1)
+  }
+
+  test("upsertDocs replaces every old chunk of a doc, including stale tails") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ups_src").toString + "/index"
+    IndexStore.build(spark, tinyDocs, dir)
+    // doc 1 is multi-chunk; its revision is ONE short chunk — the old
+    // tail chunks (pos >= 1) must not survive under their old ids
+    assert(spark.read.parquet(dir).filter(col("doc_id") === 1L).count() >= 2)
+    val beforeB = partFiles(dir, "source=sheetB")
+    val revised = Seq((1L, "revised concise content", "sheetA"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.upsertDocs(spark, revised, dir)
+    val idx = spark.read.parquet(dir)
+    val doc1 = idx.filter(col("doc_id") === 1L)
+      .select("chunk_id", "chunk").collect()
+    assert(doc1.length == 1, s"stale tail chunks survived: ${doc1.toSeq}")
+    assert(doc1.head.getString(0) == "sheetA_1_0")
+    assert(doc1.head.getString(1) == "revised concise content")
+    // sibling doc in the same partition survives; other partition untouched
+    assert(idx.filter(col("doc_id") === 0L).count() == 1)
+    assert(partFiles(dir, "source=sheetB") == beforeB)
+    assert(idx.groupBy("chunk_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("upsertIvf replaces rather than duplicates, via the persisted quantizer") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ups_ivf").toString + "/index"
+    IndexStore.buildIvf(spark, tinyDocs, dir, nCells = 2, lloydIters = 1)
+    val centsBefore = spark.read.parquet(s"$dir/_centroids").collect().toSeq
+    val revised = Seq((2L, "completely different corpus maintenance text", "sheetB"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.upsertIvf(spark, revised, dir)
+    val idx = spark.read.parquet(dir)
+    val doc2 = idx.filter(col("doc_id") === 2L).select("chunk").collect()
+    assert(doc2.length == 1)
+    assert(doc2.head.getString(0) == "completely different corpus maintenance text")
+    assert(idx.groupBy("chunk_id").count().filter(col("count") > 1).count() == 0)
+    // upsert never retrains the quantizer
+    assert(spark.read.parquet(s"$dir/_centroids").collect().toSeq == centsBefore)
+    // a second identical upsert is idempotent
+    val n = idx.count()
+    IndexStore.upsertIvf(spark, revised, dir)
+    assert(spark.read.parquet(dir).count() == n)
+    val hits = IndexStore.searchTopKIvf(spark, dir, "corpus maintenance",
+      k = 2, probes = 2, overfetch = 20).collect()
+    assert(hits.head.getAs[Long]("doc_id") == 2L)
+  }
+
   test("bit-exact IVF builds are bit-identical across executions") {
     // the property q98's oracle design rests on: with bitExact = true
     // the whole artifact (cell assignments, embeddings, codes,

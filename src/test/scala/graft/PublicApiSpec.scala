@@ -228,6 +228,37 @@ class PublicApiSpec extends AnyFunSuite {
     assert(bF == bPre, "bucketed where= must equal the pre-filtered corpus search")
   }
 
+  test("filtered graph search API: naive vs widened overfetch (q105's 9-search form)") {
+    // the per-search API shape the q105 meter contrasts (its gated
+    // query computes the same meter as ONE distributed plan): a
+    // filter-blind traversal post-filtered naively loses survivors
+    // that 4x widening recovers, and widening can never hurt recall
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_q105_api_idx"
+    val docs = (0L until 60L).map(i =>
+        (i, s"synthetic document number $i about topic ${i % 7}", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.buildHnsw(spark, docs, path)
+    val q = "synthetic document about topic"
+    val pred = col("doc_id") % 4 === 0
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.getAs[String]("chunk_id")).toSeq
+    val exact = ids(IndexStore.searchTopK(spark, path, q, k = 5, where = Some(pred)))
+    val naive = ids(IndexStore.searchTopKHnsw(spark, path, q, k = 5,
+      where = Some(pred), whereOverfetch = 1))
+    val widened = ids(IndexStore.searchTopKHnsw(spark, path, q, k = 5,
+      where = Some(pred)))
+    assert(exact.length == 5)
+    assert(naive.length <= widened.length,
+      s"widening must not lose survivors: $naive vs $widened")
+    assert(naive.toSet.intersect(exact.toSet).size <=
+      widened.toSet.intersect(exact.toSet).size,
+      "widened recall must be >= naive recall")
+    // both are post-filter exact-reranked, so both satisfy the predicate
+    assert((naive ++ widened).forall(id => id.split("_")(1).toLong % 4 == 0))
+  }
+
   test("simhashDroppedBuckets surfaces what the bucketCap guard drops") {
     import spark.implicits._
     // 300 identical docs => every band bucket holds 300 > cap
