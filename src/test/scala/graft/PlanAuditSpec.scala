@@ -263,6 +263,90 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q104b: the $contains predicate pushes into the pruned cells beneath the rerank") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q104b_contains_search")(spark, d)
+    df.collect() // finalize the adaptive plan
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q98_ivf_index")))
+    assert(idxScans.nonEmpty, "expected scans of the shared q98 index:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      // where_document composes with the probe exactly like where=:
+      // cell pruning survives...
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"contains search must keep the cell partition filter: $f")
+      // ...and the substring predicate sits on the scan (and pushes to
+      // the reader as a StringContains filter), never after the rerank
+      assert(f.dataFilters.exists(_.references.exists(_.name == "chunk")),
+        s"the chunk $$contains predicate must sit on the scan: $f")
+      assert(f.metadata.get("PushedFilters").exists(_.contains("StringContains")),
+        s"$$contains must push as StringContains: ${f.metadata.get("PushedFilters")}")
+    }
+  }
+
+  test("q111: the compacted layout serves a probe with one file per cell") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q111_ivf_compact_search")(spark, d)
+    df.collect() // runs the build→append→compact lifecycle + search
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q111_ivf_index")))
+    assert(idxScans.nonEmpty, "expected scans of the q111 index:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"compacted search must keep the cell partition filter: $f")
+      val parts = f.metrics("numPartitions").value
+      val files = f.metrics("numFiles").value
+      assert(parts > 0 && parts <= 3, s"probe must open at most 3 cells, read $parts")
+      // the point of compaction: a probed cell costs ONE file open,
+      // however many appends preceded it (maxFilesPerCell = 1)
+      assert(files == parts,
+        s"each probed compacted cell must hold exactly one file: $files files / $parts cells")
+    }
+  }
+
+  test("q105: the meter is one distributed plan, not a per-search driver job loop") {
+    // regression pin on the r9 driver outlier: the old implementation
+    // dispatched ~40 tiny sequential jobs (3 selectivities x 3
+    // searches x their per-search jobs + 5 count-aggs each); the
+    // rewrite derives the whole meter from one scored scan + two
+    // traversal broadcasts. Pin the job count well under the old
+    // shape (AQE stage materializations each count as a job here).
+    val sc = spark.sparkContext
+    // pay the shared q103 build + shard pin OUTSIDE the counted window
+    SparkEntry.queries("q103_hnsw_search")(spark, d).collect()
+    sc.setJobGroup("q105_audit", "q105 job-count audit")
+    try SparkEntry.queries("q105_filtered_recall")(spark, d).collect()
+    finally sc.clearJobGroup()
+    // the status store is listener-fed — give it a beat to drain
+    val deadline = System.nanoTime() + 10e9.toLong
+    var n = sc.statusTracker.getJobIdsForGroup("q105_audit").length
+    while (n == 0 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      n = sc.statusTracker.getJobIdsForGroup("q105_audit").length
+    }
+    assert(n > 0, "audit saw no jobs — job-group attribution broke")
+    // observed: 19 with AQE on local[4] (2 traversal broadcasts + the
+    // meter's exchange materializations); the old driver-loop shape
+    // dispatched ~40 and scaled with selectivities x searches
+    assert(n <= 24, s"q105 must stay a single-plan meter, ran $n jobs (old shape: ~40)")
+  }
+
   test("filtered searchTopK: a source predicate prunes the source-partitioned layout") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
