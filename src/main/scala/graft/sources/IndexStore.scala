@@ -222,8 +222,9 @@ object IndexStore {
     * only the touched cell partitions gain files, existing data is
     * never rewritten, and a probe keeps pruning to its cells. The
     * caller owns dedup semantics (appending an already-indexed
-    * chunk_id duplicates it — use [[build]]'s partition-overwrite
-    * flow for idempotent re-ingest of a source). */
+    * chunk_id duplicates it — use [[upsertIvf]] to replace existing
+    * documents, or [[build]]'s partition-overwrite flow for
+    * idempotent re-ingest of a source). */
   def appendIvf(spark: SparkSession, docs: DataFrame, path: String,
                 dim: Int = Embed.DefaultDim): Unit = {
     import graft.functions.vecIndexExprs
@@ -428,6 +429,39 @@ object IndexStore {
       .union(survivors.select("cell").distinct())
       .distinct().collect().map(_.get(0).toString).toSet
     rewriteTouched(spark, path, "cell", touched.map(_.toString), present, out)
+  }
+
+  /** Upsert documents into an HNSW layout: delete-by-(source, doc_id)
+    * identity + insert, rebuilding the graphs of ONLY the shards that
+    * hold old or new chunks of the upserted docs (the [[appendHnsw]]
+    * maintenance unit); untouched shard directories keep their bytes.
+    * Shard placement, m and efConstruction come from the stored
+    * `_meta` contract. Upserts roughly preserve corpus size, so no
+    * reshard check — growth belongs to [[appendHnsw]]. */
+  def upsertHnsw(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val meta = readHnswMeta(spark, path)
+    val newRows = indexRows(docs, meta.dim)
+      .withColumn("shard",
+        pmod(xxhash64(col("chunk_id")), lit(meta.numShards.toLong)).cast("int"))
+      .localCheckpoint()
+    val keys = newRows.select(col("source"), col("doc_id")).distinct()
+    val all = spark.read.parquet(path)
+    val touched = all.join(broadcast(keys), Seq("source", "doc_id"), "left_semi")
+      .select("shard").union(newRows.select("shard"))
+      .distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
+    if (touched.isEmpty) return
+    val survivors = all.filter(col("shard").isin(touched: _*))
+      .join(broadcast(keys), Seq("source", "doc_id"), "left_anti")
+      .drop("hnsw_node", "hnsw_level", "hnsw_links")
+      .localCheckpoint()
+    val rows = survivors
+      .unionByName(newRows.select(survivors.columns.toIndexedSeq.map(col): _*))
+    val present = rows.select("shard").distinct()
+      .collect().map(_.get(0).toString).toSet
+    rewriteTouched(spark, path, "shard", touched.map(_.toString), present,
+      rows.join(hnswAdjacency(rows, meta.numShards, meta.m, meta.efConstruction),
+        Seq("chunk_id")))
+    evictHnswShards(spark, path)
   }
 
   /** ANN search over the IVF-partitioned layout: the cell predicate

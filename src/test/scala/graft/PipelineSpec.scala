@@ -324,6 +324,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.head.getAs[Long]("doc_id") == 2L)
   }
 
+  test("upsertHnsw replaces a doc and rebuilds only its shard's graph") {
+    import spark.implicits._
+    val docs = (0L until 24L)
+      .map(i => (i, s"topic $i " + (s"filler words about subject $i " * 12).trim,
+        s"sheet${i % 3}"))
+      .toSeq.toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("graft_ups_hnsw").toString + "/index"
+    IndexStore.buildHnsw(spark, docs, dir)
+    val target = "sheet2_5_0"
+    val targetShard = spark.read.parquet(dir)
+      .filter(col("chunk_id") === target).select(col("shard").cast("int"))
+      .head().getInt(0)
+    val meta = IndexStore.readHnswMeta(spark, dir)
+    val quiet = (0 until meta.numShards).filter(_ != targetShard)
+      .map(sh => sh -> partFiles(dir, s"shard=$sh"))
+    val revised = Seq((5L, "entirely rewritten maintenance procedures handbook", "sheet2"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.upsertHnsw(spark, revised, dir)
+    // same chunk id, new content; corpus size unchanged; no duplicates
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() == 24)
+    assert(idx.filter(col("chunk_id") === target).select("chunk")
+      .head().getString(0) == "entirely rewritten maintenance procedures handbook")
+    assert(idx.groupBy("chunk_id").count().filter(col("count") > 1).count() == 0)
+    // only the target's shard rewrote
+    quiet.foreach { case (sh, files) =>
+      assert(partFiles(dir, s"shard=$sh") == files, s"shard=$sh must keep its files")
+    }
+    // the rebuilt graph serves the new content and forgets the old
+    val hits = IndexStore.searchTopKHnsw(spark, dir,
+      "entirely rewritten maintenance procedures handbook", k = 3).collect()
+    assert(hits.head.getAs[String]("chunk_id") == target)
+    val old = IndexStore.searchTopKHnsw(spark, dir,
+      "topic 5 filler words about subject 5", k = 3).collect()
+    assert(old.head.getAs[String]("chunk_id") != target,
+      "old content must no longer win its old query")
+  }
+
   test("bit-exact IVF builds are bit-identical across executions") {
     // the property q98's oracle design rests on: with bitExact = true
     // the whole artifact (cell assignments, embeddings, codes,
