@@ -48,6 +48,19 @@ object VectorSearch {
     frameCache.getOrElseUpdate((System.identityHashCode(s), d, key),
       mk.localCheckpoint())
 
+  /** ONE chunk+embed pass of the documents table per (session, sf):
+    * every persisted-index lifecycle (IVF q98/q104/q104b, HNSW
+    * q103/q105/q106, the q107/q108/q111 maintenance gates) builds its
+    * layout from this materialized frame — or a doc_id filter of it,
+    * which is bit-identical to re-chunking the filtered docs because
+    * chunk ids and embeddings are per-row deterministic. The embed
+    * kernel dominated the old per-query builds (five redundant
+    * passes over the same corpus, one per physical layout). */
+  private def docRowsCached(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "index_rows") {
+      graft.sources.IndexStore.indexRows(Tables.documents(s, d))
+    }
+
   /** q60: exact L2 top-10 neighbors of vec_id 0 (rank + id + label —
     * distance values intentionally not output: the ids are FP-robust,
     * the raw floats would hash-differ across engines). */
@@ -554,7 +567,7 @@ object VectorSearch {
   private def q98(s: SparkSession, d: String): DataFrame = {
     import graft.sources.IndexStore
     val path = q98IndexPath(d)
-    IndexStore.buildIvfOnce(s, Tables.documents(s, d), path, bitExact = true)
+    IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
     IndexStore.searchTopKIvf(s, path, Q98QueryText, k = 10,
       probes = Q98Probes, overfetch = Q98Overfetch)
   }
@@ -568,7 +581,7 @@ object VectorSearch {
   def materializeIvfIndexAux(s: SparkSession, d: String, auxDir: String): Unit = {
     import graft.sources.IndexStore
     val path = q98IndexPath(d)
-    IndexStore.buildIvfOnce(s, Tables.documents(s, d), path, bitExact = true)
+    IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
     s.read.parquet(path)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("cell").cast("long").as("cell"),
@@ -670,7 +683,7 @@ object VectorSearch {
   private def q104(s: SparkSession, d: String): DataFrame = {
     import graft.sources.IndexStore
     val path = q98IndexPath(d)
-    IndexStore.buildIvfOnce(s, Tables.documents(s, d), path, bitExact = true)
+    IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
     IndexStore.searchTopKIvf(s, path, Q98QueryText, k = 10,
       probes = Q98Probes, overfetch = Q98Overfetch,
       where = Some(col("doc_id") >= Q104MinDoc))
@@ -711,7 +724,7 @@ object VectorSearch {
     import graft.sources.IndexStore
     import s.implicits._
     val path = q103IndexPath(d)
-    IndexStore.buildHnswOnce(s, Tables.documents(s, d), path)
+    IndexStore.buildHnswOnceRows(s, docRowsCached(s, d), path)
     val qvec = Embed.embed(Q103QueryText, Embed.DefaultDim)
     val scored = s.read.parquet(path)
       .select(col("chunk_id"), col("doc_id"),
@@ -757,7 +770,7 @@ object VectorSearch {
   def materializeFilteredRecallAux(s: SparkSession, d: String, auxDir: String): Unit = {
     import graft.sources.IndexStore
     val path = q103IndexPath(d)
-    IndexStore.buildHnswOnce(s, Tables.documents(s, d), path)
+    IndexStore.buildHnswOnceRows(s, docRowsCached(s, d), path)
     IndexStore.hnswFilteredCandidates(s, path, Q103QueryText, k = 10)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q105_cands.parquet")
     IndexStore.hnswFilteredCandidates(s, path, Q103QueryText, k = 10,
@@ -837,7 +850,7 @@ object VectorSearch {
   private def q104b(s: SparkSession, d: String): DataFrame = {
     import graft.sources.IndexStore
     val path = q98IndexPath(d)
-    IndexStore.buildIvfOnce(s, Tables.documents(s, d), path, bitExact = true)
+    IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
     IndexStore.searchTopKIvf(s, path, Q98QueryText, k = 10,
       probes = Q98Probes, overfetch = Q98Overfetch,
       where = Some(col("chunk").contains(Q104bWord)))
@@ -866,6 +879,10 @@ object VectorSearch {
   private val SubsetMaxDoc = 200
   private def subsetDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < SubsetMaxDoc)
+  /** The lifecycle corpora as slices of the ONE shared chunk+embed
+    * pass (bit-identical to re-chunking the filtered docs). */
+  private def subsetRows(s: SparkSession, d: String): DataFrame =
+    docRowsCached(s, d).filter(col("doc_id") < SubsetMaxDoc)
 
   private val Q107QueryText = "columnar storage layout for analytical scans"
 
@@ -883,7 +900,7 @@ object VectorSearch {
     import graft.sources.IndexStore
     val path = idxPath("q107_src_index", d)
     lifecycleOnce(s, d, "q107") {
-      IndexStore.build(s, subsetDocs(s, d), path)
+      IndexStore.buildFromRows(s, subsetRows(s, d), path)
       val doomed = s.read.parquet(path)
         .filter(col("doc_id") % 10 === 7)
         .select("chunk_id").collect().map(_.getString(0)).toSeq.sorted
@@ -898,7 +915,7 @@ object VectorSearch {
     * query mutated and searches. */
   def materializeDeleteAux(s: SparkSession, d: String, auxDir: String): Unit = {
     import graft.sources.IndexStore
-    IndexStore.indexRows(subsetDocs(s, d).filter(col("doc_id") % 10 =!= 7))
+    subsetRows(s, d).filter(col("doc_id") % 10 =!= 7)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q107_index.parquet")
@@ -948,7 +965,7 @@ object VectorSearch {
     import graft.sources.IndexStore
     val path = idxPath("q108_src_index", d)
     lifecycleOnce(s, d, "q108") {
-      IndexStore.build(s, subsetDocs(s, d), path)
+      IndexStore.buildFromRows(s, subsetRows(s, d), path)
       IndexStore.upsertDocs(s, q108Revised(s, d), path)
     }
     s.read.parquet(path)
@@ -1005,11 +1022,13 @@ object VectorSearch {
     import graft.sources.IndexStore
     val path = idxPath("q111_ivf_index", d)
     lifecycleOnce(s, d, "q111") {
-      val docs = Tables.documents(s, d)
-      IndexStore.buildIvf(s, docs.filter(col("doc_id") < 150), path,
+      val rows = docRowsCached(s, d)
+      IndexStore.buildIvfFromRows(s, rows.filter(col("doc_id") < 150), path,
         nCells = Q111Cells, lloydIters = 2, bitExact = true)
-      IndexStore.appendIvf(s, docs.filter(col("doc_id") >= 150 && col("doc_id") < 175), path)
-      IndexStore.appendIvf(s, docs.filter(col("doc_id") >= 175 && col("doc_id") < 200), path)
+      IndexStore.appendIvfRows(s,
+        rows.filter(col("doc_id") >= 150 && col("doc_id") < 175), path)
+      IndexStore.appendIvfRows(s,
+        rows.filter(col("doc_id") >= 175 && col("doc_id") < 200), path)
       IndexStore.compactIvf(s, path, maxFilesPerCell = 1)
     }
     path
@@ -1029,7 +1048,7 @@ object VectorSearch {
   def materializeCompactAux(s: SparkSession, d: String, auxDir: String): Unit = {
     import graft.sources.IndexStore
     val path = q111Lifecycle(s, d)
-    IndexStore.indexRows(subsetDocs(s, d))
+    subsetRows(s, d)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         bytesToInts(col("sq8_code")).as("sq8"), col("sq8_factor").as("fac"),
         col("embedding"))
@@ -1453,7 +1472,7 @@ object VectorSearch {
   private def q103(s: SparkSession, d: String): DataFrame = {
     import graft.sources.IndexStore
     val path = q103IndexPath(d)
-    IndexStore.buildHnswOnce(s, Tables.documents(s, d), path)
+    IndexStore.buildHnswOnceRows(s, docRowsCached(s, d), path)
     IndexStore.searchTopKHnsw(s, path, Q103QueryText, k = 10)
   }
 
@@ -1465,7 +1484,7 @@ object VectorSearch {
   def materializeHnswIndexAux(s: SparkSession, d: String, auxDir: String): Unit = {
     import graft.sources.IndexStore
     val path = q103IndexPath(d)
-    IndexStore.buildHnswOnce(s, Tables.documents(s, d), path)
+    IndexStore.buildHnswOnceRows(s, docRowsCached(s, d), path)
     s.read.parquet(path)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("embedding"))
@@ -1521,7 +1540,7 @@ object VectorSearch {
   private def q106(s: SparkSession, d: String): DataFrame = {
     import graft.sources.IndexStore
     val path = q103IndexPath(d)
-    IndexStore.buildHnswOnce(s, Tables.documents(s, d), path)
+    IndexStore.buildHnswOnceRows(s, docRowsCached(s, d), path)
     IndexStore.searchTopKHnswBatch(s, path, Q106Queries, k = 5)
   }
 
@@ -1531,7 +1550,7 @@ object VectorSearch {
   def materializeHnswBatchAux(s: SparkSession, d: String, auxDir: String): Unit = {
     import graft.sources.IndexStore
     val path = q103IndexPath(d)
-    IndexStore.buildHnswOnce(s, Tables.documents(s, d), path)
+    IndexStore.buildHnswOnceRows(s, docRowsCached(s, d), path)
     IndexStore.hnswCandidatesBatch(s, path, Q106Queries, k = 5)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q106_cands.parquet")
     import s.implicits._

@@ -63,8 +63,16 @@ object IndexStore {
   /** Build (or refresh) the index at `path`. Idempotent per source
     * partition. */
   def build(spark: SparkSession, docs: DataFrame, path: String,
-            dim: Int = Embed.DefaultDim): Unit = {
-    indexRows(docs, dim)
+            dim: Int = Embed.DefaultDim): Unit =
+    buildFromRows(spark, indexRows(docs, dim), path)
+
+  /** [[build]] from already-computed [[indexRows]] — the seam that
+    * lets one chunk+embed pass feed several physical layouts (the
+    * kernel cost dominates a small-corpus build, and at any scale
+    * re-embedding the same corpus per layout is pure waste). */
+  private[graft] def buildFromRows(spark: SparkSession, rows: DataFrame,
+                                   path: String): Unit = {
+    rows
       .write.mode(SaveMode.Overwrite)
       // per-write option, NOT a session-conf mutation: a library call
       // must never silently flip later unrelated overwrites to dynamic
@@ -167,9 +175,18 @@ object IndexStore {
     * as a parquet layout. */
   def buildIvf(spark: SparkSession, docs: DataFrame, path: String,
                nCells: Int = 16, lloydIters: Int = 2,
-               dim: Int = Embed.DefaultDim, bitExact: Boolean = false): Unit = {
+               dim: Int = Embed.DefaultDim, bitExact: Boolean = false): Unit =
+    buildIvfFromRows(spark, indexRows(docs, dim).localCheckpoint(), path,
+      nCells, lloydIters, bitExact)
+
+  /** [[buildIvf]] from already-computed (and MATERIALIZED — the rows
+    * are read once for training and once for the write) [[indexRows]];
+    * the seam that lets one chunk+embed pass feed several layouts. */
+  private[graft] def buildIvfFromRows(spark: SparkSession, rows: DataFrame,
+                                      path: String, nCells: Int = 16,
+                                      lloydIters: Int = 2,
+                                      bitExact: Boolean = false): Unit = {
     import graft.functions.vecIndexExprs
-    val rows = indexRows(docs, dim).localCheckpoint()
     // deterministic seed pick: first nCells chunks by id (offline
     // build; at scale use a sampled seed set + more Lloyd steps)
     val seeds = rows.select(col("chunk_id"), col("embedding"))
@@ -214,6 +231,19 @@ object IndexStore {
       (sessionKey(spark), path, nCells, lloydIters, dim, bitExact),
       buildIvf(spark, docs, path, nCells, lloydIters, dim, bitExact))
 
+  /** [[buildIvfOnce]] fed from pre-computed materialized rows (same
+    * memo, so a rows-fed build and a docs-fed build of the same path
+    * and parameters never both run — indexRows is deterministic, the
+    * artifacts are identical). */
+  private[graft] def buildIvfOnceRows(spark: SparkSession, rows: => DataFrame,
+                                      path: String, nCells: Int = 16,
+                                      lloydIters: Int = 2,
+                                      dim: Int = Embed.DefaultDim,
+                                      bitExact: Boolean = false): Unit =
+    builtIvfOnce.getOrElseUpdate(
+      (sessionKey(spark), path, nCells, lloydIters, dim, bitExact),
+      buildIvfFromRows(spark, rows, path, nCells, lloydIters, bitExact))
+
   /** Incrementally add documents to an EXISTING IVF index without
     * retraining: new rows are assigned to cells by the persisted
     * `_centroids` quantizer (the FAISS add-with-trained-quantizer
@@ -226,7 +256,13 @@ object IndexStore {
     * documents, or [[build]]'s partition-overwrite flow for
     * idempotent re-ingest of a source). */
   def appendIvf(spark: SparkSession, docs: DataFrame, path: String,
-                dim: Int = Embed.DefaultDim): Unit = {
+                dim: Int = Embed.DefaultDim): Unit =
+    appendIvfRows(spark, indexRows(docs, dim), path, dim)
+
+  /** [[appendIvf]] from already-computed [[indexRows]]. */
+  private[graft] def appendIvfRows(spark: SparkSession, rows: DataFrame,
+                                   path: String,
+                                   dim: Int = Embed.DefaultDim): Unit = {
     import graft.functions.vecIndexExprs
     val centRows = spark.read.parquet(s"$path/_centroids")
       .collect().sortBy(_.getLong(0))
@@ -236,7 +272,7 @@ object IndexStore {
     // appending vectors of another width would silently mis-assign
     require(cents.head.length == dim,
       s"$path was trained at dim=${cents.head.length}, append requested dim=$dim")
-    indexRows(docs, dim)
+    rows
       .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
       .write.mode(SaveMode.Append)
       .partitionBy("cell")
@@ -632,13 +668,24 @@ object IndexStore {
                 numShards: Int = 0, m: Int = HnswM,
                 efConstruction: Int = HnswEfConstruction,
                 dim: Int = Embed.DefaultDim,
+                targetNodesPerShard: Long = HnswTargetNodesPerShard): Unit =
+    buildHnswFromRows(spark, indexRows(docs, dim).localCheckpoint(), path,
+      numShards, m, efConstruction, dim, targetNodesPerShard)
+
+  /** [[buildHnsw]] from already-computed MATERIALIZED [[indexRows]]
+    * (read for the count, the adjacency build and the write) — the
+    * seam that lets one chunk+embed pass feed several layouts. */
+  private[graft] def buildHnswFromRows(spark: SparkSession, base: DataFrame,
+                path: String,
+                numShards: Int = 0, m: Int = HnswM,
+                efConstruction: Int = HnswEfConstruction,
+                dim: Int = Embed.DefaultDim,
                 targetNodesPerShard: Long = HnswTargetNodesPerShard): Unit = {
     // numShards = 0 (the default) auto-sizes from the corpus: shard
     // count, not shard size, is the free variable — a shard must fit
     // one task's memory. The explicit override remains for layouts
     // tuned by hand. The count is one cheap job over the checkpointed
     // rows (already materialized for the adjacency build).
-    val base = indexRows(docs, dim).localCheckpoint()
     val shards =
       if (numShards > 0) numShards
       else hnswNumShards(base.count(), targetNodesPerShard)
@@ -704,6 +751,17 @@ object IndexStore {
     builtHnswOnce.getOrElseUpdate(
       (sessionKey(spark), path, numShards, m, efConstruction, dim),
       buildHnsw(spark, docs, path, numShards, m, efConstruction, dim))
+
+  /** [[buildHnswOnce]] fed from pre-computed materialized rows (same
+    * memo as the docs-fed form; identical artifacts either way). */
+  private[graft] def buildHnswOnceRows(spark: SparkSession, rows: => DataFrame,
+                    path: String,
+                    numShards: Int = 0, m: Int = HnswM,
+                    efConstruction: Int = HnswEfConstruction,
+                    dim: Int = Embed.DefaultDim): Unit =
+    builtHnswOnce.getOrElseUpdate(
+      (sessionKey(spark), path, numShards, m, efConstruction, dim),
+      buildHnswFromRows(spark, rows, path, numShards, m, efConstruction, dim))
 
   /** Incrementally add documents to an EXISTING HNSW index: new rows
     * hash to their shards and ONLY those shards rebuild their graph
