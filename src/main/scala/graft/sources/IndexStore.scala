@@ -378,10 +378,62 @@ object IndexStore {
     touched
   }
 
+  /** Core of the predicate-delete flavors — chroma's
+    * `collection.delete(where=...)` / `where_document`: the doomed
+    * set is `pred` instead of an id list, and only the partitions
+    * holding a matching row rewrite. */
+  private def deleteWherePartitioned(spark: SparkSession, path: String,
+                                     partCol: String, pred: Column,
+                                     rebuild: DataFrame => DataFrame): Seq[Any] = {
+    val all = spark.read.parquet(path)
+    val touched = all.filter(pred).select(partCol).distinct()
+      .collect().map(_.get(0)).toSeq.sortBy(_.toString)
+    if (touched.isEmpty) return Seq.empty
+    val survivors = all
+      .filter(col(partCol).isin(touched: _*))
+      .filter(!pred)
+      // read the touched partitions BEFORE the overwrite truncates them
+      .localCheckpoint()
+    val present = survivors.select(partCol).distinct()
+      .collect().map(_.get(0).toString).toSet
+    rewriteTouched(spark, path, partCol, touched.map(_.toString), present,
+      rebuild(survivors))
+    touched
+  }
+
   /** Delete chunks by id from a [[build]] source-partitioned layout.
     * Only the source partitions holding the ids are rewritten. */
   def deleteIds(spark: SparkSession, path: String, ids: Seq[String]): Unit =
     deleteFromPartitioned(spark, path, "source", ids, identity)
+
+  /** Delete every chunk matching a metadata/document predicate from a
+    * [[build]] source-partitioned layout — chroma's
+    * `collection.delete(where=..., where_document=...)` surface, the
+    * same Column family [[searchTopK]]'s `where` accepts (a
+    * `$contains` is `col("chunk").contains(...)`). Rows where `pred`
+    * is null are kept (three-valued logic: only a definite match is
+    * doomed). */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column): Unit =
+    deleteWherePartitioned(spark, path, "source", pred <=> lit(true), identity)
+
+  /** [[deleteWhere]] on an IVF layout (emptied cells are removed, the
+    * `_centroids` quantizer is untouched). */
+  def deleteWhereIvf(spark: SparkSession, path: String, pred: Column): Unit =
+    deleteWherePartitioned(spark, path, "cell", pred <=> lit(true), identity)
+
+  /** [[deleteWhere]] on an HNSW layout (touched shards rebuild their
+    * graphs, as in [[deleteIdsHnsw]]). */
+  def deleteWhereHnsw(spark: SparkSession, path: String, pred: Column): Unit = {
+    val meta = readHnswMeta(spark, path)
+    val touched = deleteWherePartitioned(spark, path, "shard",
+      pred <=> lit(true), { survivors =>
+        val stripped = survivors.drop("hnsw_node", "hnsw_level", "hnsw_links")
+        stripped.join(
+          hnswAdjacency(stripped, meta.numShards, meta.m, meta.efConstruction),
+          Seq("chunk_id"))
+      })
+    if (touched.nonEmpty) evictHnswShards(spark, path)
+  }
 
   /** Delete chunks by id from an IVF layout: only the cells holding
     * the ids rewrite (and a cell whose every row died is removed, so

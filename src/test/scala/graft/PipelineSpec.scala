@@ -277,6 +277,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(shardRows >= 1)
   }
 
+  test("deleteWhere dooms definite matches only (3VL) and keeps quiet partitions") {
+    import org.apache.spark.sql.functions.when
+    val dir = Files.createTempDirectory("graft_delw").toString + "/index"
+    IndexStore.build(spark, tinyDocs, dir)
+    val beforeB = partFiles(dir, "source=sheetB")
+    // null for doc 0, true for doc 1 — chroma's where= three-valued
+    // logic: only a DEFINITE match is doomed, null keeps the row
+    val pred = when(col("doc_id") === 0L, lit(null).cast("boolean"))
+      .otherwise(col("doc_id") === 1L)
+    IndexStore.deleteWhere(spark, dir, pred)
+    val left = spark.read.parquet(dir)
+    assert(left.filter(col("doc_id") === 1L).count() == 0)
+    assert(left.filter(col("doc_id") === 0L).count() == 1,
+      "a null predicate must keep the row")
+    // sheetB held no matching row: byte-untouched
+    assert(partFiles(dir, "source=sheetB") == beforeB)
+    // predicate-delete on the IVF layout, with a where_document-style
+    // substring predicate; the emptied-cell cleanup still applies
+    val ivfDir = Files.createTempDirectory("graft_delw_ivf").toString + "/index"
+    IndexStore.buildIvf(spark, tinyDocs, ivfDir, nCells = 2, lloydIters = 1)
+    IndexStore.deleteWhereIvf(spark, ivfDir, col("chunk").contains("long cell content"))
+    val ivfLeft = spark.read.parquet(ivfDir)
+    assert(ivfLeft.filter(col("doc_id") === 1L).count() == 0)
+    assert(ivfLeft.filter(col("doc_id") =!= 1L).count() == 2)
+  }
+
   test("upsertDocs replaces every old chunk of a doc, including stale tails") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ups_src").toString + "/index"
