@@ -50,7 +50,7 @@ object Verify {
       // lifecycle oracles: each is an INDEPENDENTLY RECOMPUTED expected
       // state (chunk/embed of the surviving or final corpus), never a
       // dump of the mutated layout the query searches
-      ("q107 delete", Set("q107_delete_search"),
+      ("q107 delete", Set("q107_delete_search", "q109_collection_get"),
         () => operators.VectorSearch.materializeDeleteAux(spark, sfDir, auxDir)),
       ("q108 upsert", Set("q108_upsert_inventory"),
         () => operators.VectorSearch.materializeUpsertAux(spark, sfDir, auxDir)),

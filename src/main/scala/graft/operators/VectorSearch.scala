@@ -896,7 +896,11 @@ object VectorSearch {
     * index (chunk+embed of the surviving docs — never a dump of the
     * mutated layout), so a delete that removes too much, too little,
     * or corrupts a rewritten partition hash-mismatches. */
-  private def q107(s: SparkSession, d: String): DataFrame = {
+  /** The shared q107 physical lifecycle (also the q109 `get` corpus):
+    * build the 200-doc source layout, delete every chunk of doc_id = 7
+    * (mod 10) by explicit id. Runs once per (session, sf); returns the
+    * layout path. */
+  private def q107Lifecycle(s: SparkSession, d: String): String = {
     import graft.sources.IndexStore
     val path = idxPath("q107_src_index", d)
     lifecycleOnce(s, d, "q107") {
@@ -906,8 +910,35 @@ object VectorSearch {
         .select("chunk_id").collect().map(_.getString(0)).toSeq.sorted
       IndexStore.deleteIds(s, path, doomed)
     }
-    IndexStore.searchTopK(s, path, Q107QueryText, k = 10)
+    path
   }
+
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    IndexStore.searchTopK(s, q107Lifecycle(s, d), Q107QueryText, k = 10)
+  }
+
+  // ---- q109: chroma collection.get (query-less retrieval) -----------
+
+  /** q109: chroma's `collection.get(where=..., where_document=...,
+    * limit=..., offset=...)` — retrieval WITHOUT a query vector, the
+    * other half of the read API ([[graft.sources.IndexStore.get]]).
+    * Runs against the POST-DELETE q107 layout, so the gate composes
+    * maintenance with paging: a resurrected deleted row, a wrong
+    * predicate, or an unstable page boundary all hash-mismatch
+    * against the recomputed-survivor oracle. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    IndexStore.get(s, q107Lifecycle(s, d),
+      where = Some(col("doc_id") % 3 === 1 && col("chunk").contains("the")),
+      limit = 25, offset = 5)
+  }
+
+  private val q109Sql = """
+    SELECT chunk_id, doc_id, source, chunk
+    FROM read_parquet('/root/repo/target/verify_aux/q107_index.parquet/*.parquet')
+    WHERE doc_id % 3 = 1 AND chunk LIKE '%the%'
+    ORDER BY chunk_id LIMIT 25 OFFSET 5"""
 
   /** Recomputed EXPECTED post-delete index + query vector for the
     * q107 oracle — derived from the documents table through the same
@@ -1764,6 +1795,7 @@ object VectorSearch {
     Query("q104_filtered_search", q104, Some(q104Sql)),
     Query("q104b_contains_search", q104b, Some(q104bSql)),
     Query("q107_delete_search",  q107, Some(q107Sql)),
+    Query("q109_collection_get", q109, Some(q109Sql)),
     Query("q108_upsert_inventory", q108, Some(q108Sql)),
     Query("q111_ivf_compact_search", q111, Some(q111Sql)),
     Query("q105_filtered_recall", q105, Some(q105Sql)),

@@ -378,6 +378,46 @@ object IndexStore {
     touched
   }
 
+  /** chroma `collection.get`: retrieval WITHOUT a query vector — by
+    * explicit ids and/or a metadata/document predicate (the same
+    * Column family as the search paths' `where=`), deterministically
+    * ordered by chunk_id with limit/offset paging (chroma pages its
+    * get the same way). Returns presentation columns only — a get
+    * never reads the vectors, so column pruning keeps it a narrow
+    * scan; on the source-partitioned layout a source predicate prunes
+    * directories exactly as in [[searchTopK]]. Works against any of
+    * the index layouts (the extra layout columns are projected away).
+    *
+    * At scale: offset paging is a global sort-limit (CollectLimit
+    * with offset) — fine for page-sized reads, which is what the API
+    * is for; bulk export should read the parquet directly. */
+  def get(spark: SparkSession, path: String, ids: Seq[String] = Nil,
+          where: Option[Column] = None,
+          limit: Int = 100, offset: Int = 0): DataFrame = {
+    require(limit > 0 && offset >= 0, s"bad page: limit=$limit offset=$offset")
+    val all = spark.read.parquet(path)
+    val byIds =
+      if (ids.isEmpty) all
+      else {
+        import spark.implicits._
+        all.join(broadcast(ids.toDF("chunk_id")), Seq("chunk_id"), "left_semi")
+      }
+    where.fold(byIds)(byIds.filter)
+      .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"))
+      .orderBy("chunk_id")
+      .offset(offset)
+      .limit(limit)
+  }
+
+  /** chroma `collection.count`: corpus size of the layout at `path`
+    * (parquet footer metadata — no row scan). */
+  def count(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).count()
+
+  /** chroma `collection.peek`: the first `n` chunks by id. */
+  def peek(spark: SparkSession, path: String, n: Int = 10): DataFrame =
+    get(spark, path, limit = n)
+
   /** Core of the predicate-delete flavors — chroma's
     * `collection.delete(where=...)` / `where_document`: the doomed
     * set is `pred` instead of an id list, and only the partitions

@@ -259,6 +259,40 @@ class PublicApiSpec extends AnyFunSuite {
     assert((naive ++ widened).forall(id => id.split("_")(1).toLong % 4 == 0))
   }
 
+  test("collection get/count/peek: query-less retrieval with stable paging") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_get_idx"
+    val docs = (0L until 30L).map(i =>
+        (i, s"plain document body number $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.build(spark, docs, path)
+    assert(IndexStore.count(spark, path) == 30)
+    // paging is deterministic and disjoint: two pages tile the id order
+    val p1 = IndexStore.get(spark, path, limit = 10)
+      .collect().map(_.getString(0)).toSeq
+    val p2 = IndexStore.get(spark, path, limit = 10, offset = 10)
+      .collect().map(_.getString(0)).toSeq
+    val allIds = spark.read.parquet(path).select("chunk_id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(p1 == allIds.take(10) && p2 == allIds.slice(10, 20))
+    // by ids (order normalized to chunk_id, as chroma does)
+    val byId = IndexStore.get(spark, path, ids = Seq("src1_4_0", "src0_3_0"))
+      .collect().map(_.getString(0)).toSeq
+    assert(byId == Seq("src0_3_0", "src1_4_0"))
+    // where + where_document compose; vectors are never read
+    val got = IndexStore.get(spark, path,
+      where = Some(col("doc_id") % 2 === 0 && col("chunk").contains("number 1")))
+    val gotRows = got.collect()
+    assert(gotRows.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 12L, 14L, 16L, 18L))
+    // chunk_id string order, as chroma's get pages by id
+    assert(gotRows.map(_.getString(0)).toSeq == gotRows.map(_.getString(0)).sorted.toSeq)
+    assert(!got.queryExecution.executedPlan.toString.contains("embedding"),
+      "a get must never scan the embedding column")
+    assert(IndexStore.peek(spark, path, 3).collect().map(_.getString(0)).toSeq ==
+      allIds.take(3))
+  }
+
   test("simhashDroppedBuckets surfaces what the bucketCap guard drops") {
     import spark.implicits._
     // 300 identical docs => every band bucket holds 300 > cap
