@@ -1102,6 +1102,90 @@ object VectorSearch {
     "read_parquet('/root/repo/target/verify_aux/q111_query.parquet/*.parquet')",
     probes = 3, overfetch = 32, wherePred = "TRUE")
 
+  // ---- q112: batch search over the IVF layout -----------------------
+
+  /** The q112 query batch — id 0 is q98's own query text, so the
+    * batch path must reproduce the single-query ranking for it. */
+  private val Q112Queries: Seq[(Long, String)] = Seq(
+    0L -> Q98QueryText,
+    1L -> "broadcast hash join on a small dimension table",
+    2L -> "columnar parquet scan with predicate pushdown")
+
+  /** q112: the multi-query surface (`query_texts=[...]`, SURVEY V4)
+    * on the PERSISTED IVF layout ([[graft.sources.IndexStore
+    * .searchTopKIvfBatch]]): one scan pruned to the union of every
+    * query's probe cells answers all three queries; per-query SQ8
+    * pre-rank + exact rerank, narrow rank exchanges. Shares the q98
+    * physical index. Oracle: the q98 mirror generalized per query —
+    * DuckDB re-derives assignment, per-query probing, pre-ranking and
+    * reranking from the dumped index + centroids + query batch. */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q98IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
+    IndexStore.searchTopKIvfBatch(s, path, Q112Queries, k = 5,
+      probes = Q98Probes, overfetch = Q98Overfetch)
+  }
+
+  /** Dump the q112 query batch (vectors + SQ8 codes + factors); the
+    * index and centroids come from the q98 dump. */
+  def materializeIvfBatchAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import s.implicits._
+    Q112Queries.map { case (qid, t) =>
+      val qvec = Embed.embed(t, Embed.DefaultDim)
+      val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+      (qid, qvec.toSeq,
+        graft.functions.VecIndex.sq8Code(qData).map(_.toInt).toSeq,
+        graft.functions.VecIndex.sq8Factor(qData))
+    }.toDF("query_id", "qvec", "qcode", "qfac")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q112_queries.parquet")
+  }
+
+  private val q112Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ98Cents),
+    qs AS (SELECT query_id, qvec, qcode, qfac
+           FROM read_parquet('/root/repo/target/verify_aux/q112_queries.parquet/*.parquet')),
+    idx AS (SELECT * FROM $AuxQ98Index),
+    assign AS (
+      SELECT x.chunk_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.chunk_id
+               ORDER BY ${l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM idx x, cents c),
+    assigned AS (SELECT chunk_id, cent_id AS cell FROM assign WHERE arn = 1),
+    probe AS (
+      SELECT query_id, cent_id AS cell FROM (
+        SELECT q.query_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ${l2Sql("q.qvec", "c.cvec")}, c.cent_id) AS prn
+        FROM qs q, cents c)
+      WHERE prn <= $Q98Probes),
+    pruned AS (
+      SELECT p.query_id, x.* FROM idx x
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+    cand AS (
+      SELECT query_id, chunk_id FROM (
+        SELECT x.query_id, x.chunk_id,
+               row_number() OVER (PARTITION BY x.query_id
+                 ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
+                     k -> x.sq8[k] * q.qcode[k])) AS DOUBLE) * x.fac * q.qfac DESC,
+                   x.chunk_id) AS arn
+        FROM pruned x JOIN qs q USING (query_id))
+      WHERE arn <= $Q98Overfetch),
+    scored AS (
+      SELECT x.query_id, x.chunk_id, x.doc_id, x.source, x.chunk,
+             ${cosColsSql("x.embedding", "q.qvec")} AS sim
+      FROM pruned x JOIN cand USING (query_id, chunk_id)
+      JOIN qs q ON q.query_id = x.query_id)
+    SELECT query_id, rank, chunk_id, doc_id, source, chunk,
+           'https://docs.google.com/spreadsheets/d/' || source ||
+           '/edit#gid=0&range=A' || CAST(doc_id + 2 AS BIGINT) AS link
+    FROM (
+      SELECT query_id, chunk_id, doc_id, source, chunk,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, chunk_id) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Exact cosine top-k of queries against a corpus — the recall
     * harness baseline. */
   private def exactTopKOf(corpus: DataFrame, idCol: String, vecCol: String,
@@ -1798,6 +1882,7 @@ object VectorSearch {
     Query("q109_collection_get", q109, Some(q109Sql)),
     Query("q108_upsert_inventory", q108, Some(q108Sql)),
     Query("q111_ivf_compact_search", q111, Some(q111Sql)),
+    Query("q112_ivf_batch",      q112, Some(q112Sql)),
     Query("q105_filtered_recall", q105, Some(q105Sql)),
     Query("q106_hnsw_batch",    q106, Some(q106Sql)))
 }

@@ -635,6 +635,73 @@ object IndexStore {
       .limit(k))
   }
 
+  /** Multi-query search over the IVF layout — chroma's
+    * `query(query_texts=[...])` batch surface on the partitioned
+    * index (the IVF counterpart of [[searchTopKHnswBatch]]). Each
+    * query's probe cells come from the quantizer driver-side
+    * (quantizer-sized metadata); ONE scan prunes to the UNION of all
+    * probed cells, and the broadcast (query_id, qcells, qcode, qfac,
+    * qvec) table fans each pruned row out to only the queries probing
+    * its cell. SQ8 pre-rank and exact rerank are windowed per query;
+    * the rank exchanges carry (query_id, chunk_id, approx|sim) only —
+    * codes, vectors and text never ride them. `where` applies inside
+    * the probed cells, beneath both ranks, for every query. */
+  def searchTopKIvfBatch(spark: SparkSession, path: String,
+                         queries: Seq[(Long, String)],
+                         k: Int = 10, probes: Int = 3, overfetch: Int = 32,
+                         dim: Int = Embed.DefaultDim,
+                         where: Option[Column] = None): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val cids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    require(cents.head.length == dim,
+      s"$path was trained at dim=${cents.head.length}, query requested dim=$dim")
+    val qMeta = queries.sortBy(_._1).map { case (qid, t) =>
+      val qvec = Embed.embed(t, dim)
+      val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+      val cells = graft.functions.VecIndex
+        .nearestCells(qData, cids, cents, math.min(probes, cids.length))
+        .toLongArray().toSeq
+      (qid, qvec.toSeq, graft.functions.VecIndex.sq8Code(qData),
+        graft.functions.VecIndex.sq8Factor(qData), cells)
+    }
+    import spark.implicits._
+    val qDf = qMeta.toDF("query_id", "qvec", "qcode", "qfac", "qcells")
+    val allCells = qMeta.flatMap(_._5).distinct.sorted
+    val pruned0 = spark.read.parquet(path).filter(col("cell").isin(allCells: _*))
+    val pruned = where.fold(pruned0)(pruned0.filter)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("cid"))
+    val cand = pruned
+      .join(broadcast(qDf), array_contains(col("qcells"), col("cell").cast("long")))
+      .select(col("query_id"), col("chunk_id").as("cid"),
+        (vecIndexExprs.sq8Dot(col("sq8_code"), col("qcode"))
+          * col("sq8_factor") * col("qfac")).as("approx"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= overfetch)
+      .select("query_id", "cid")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("chunk_id"))
+    val ranked = pruned.select(col("chunk_id"), col("embedding"))
+      .join(broadcast(cand), col("chunk_id") === col("cid"))
+      .join(broadcast(qDf.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("chunk_id"),
+        VectorOps.vecCosine(col("embedding"), col("qvec")).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+    pruned.select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
+        col("sheet_row"))
+      .join(broadcast(ranked), Seq("chunk_id"))
+      .withColumn("link",
+        format_string("https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=A%d",
+          col("source"), lit("0"), col("sheet_row")))
+      .select(col("query_id"), col("rank"), col("chunk_id"), col("doc_id"),
+        col("source"), col("chunk"), col("link"))
+      .orderBy("query_id", "rank")
+  }
+
   // HNSW layout parameters — the graph is persisted per shard and the
   // build parameters are persisted in the `_meta` sidecar, so append
   // and search validate against the STORED layout instead of trusting

@@ -293,6 +293,28 @@ class PublicApiSpec extends AnyFunSuite {
       allIds.take(3))
   }
 
+  test("searchTopKIvfBatch reproduces each query's single-query ranking") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_ivf_batch_idx"
+    val docs = (0L until 40L).map(i =>
+        (i, s"synthetic document number $i about topic ${i % 5}", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.buildIvf(spark, docs, path, nCells = 4, lloydIters = 1)
+    val qs = Seq(0L -> "synthetic document about topic", 1L -> "number forty two")
+    val batch = IndexStore.searchTopKIvfBatch(spark, path, qs, k = 4,
+      probes = 2, overfetch = 16).collect()
+    qs.foreach { case (qid, text) =>
+      val single = IndexStore.searchTopKIvf(spark, path, text, k = 4,
+        probes = 2, overfetch = 16).collect()
+      val batchRows = batch.filter(_.getAs[Long]("query_id") == qid)
+      assert(batchRows.map(_.getAs[String]("chunk_id")).toSeq ==
+        single.map(_.getAs[String]("chunk_id")).toSeq,
+        s"query $qid: batch ranking must equal the single-query path")
+      assert(batchRows.map(_.getAs[Int]("rank")).toSeq == (1 to batchRows.length))
+    }
+  }
+
   test("simhashDroppedBuckets surfaces what the bucketCap guard drops") {
     import spark.implicits._
     // 300 identical docs => every band bucket holds 300 > cap
