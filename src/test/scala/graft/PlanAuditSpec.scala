@@ -399,6 +399,51 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q112: the IVF batch prunes to the union of probe cells; ranks stay narrow") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q112_ivf_batch")(spark, d)
+    df.collect() // finalize the adaptive plan (also builds the shared index)
+    // every index scan still prunes cell directories at plan time — the
+    // batch opens at most |union of the 3 queries' probe cells| ≤ 9 of 16
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q98_ivf_index")))
+    assert(idxScans.nonEmpty, "expected scans of the shared q98 index:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"batch search must keep the cell partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= 9,
+        s"batch probe must open at most the probed-cell union (<=9 of 16), read $read")
+    }
+    // the per-query rank exchanges carry (query_id, id, score) only —
+    // codes, vectors and text never ride a shuffle (q106's invariant)
+    val rankExchanges = allShuffles(df.queryExecution.executedPlan).filter {
+      e => e.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "query_id"))
+        case _ => false
+      }
+    }
+    assert(rankExchanges.nonEmpty,
+      s"expected the per-query rank exchanges:\n${df.queryExecution.executedPlan}")
+    rankExchanges.foreach { e =>
+      val wide = e.output.filter(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          a.name == "chunk")
+      assert(wide.isEmpty,
+        s"batch rank exchange must stay narrow, carries ${wide.map(_.name)}")
+    }
+  }
+
   test("q103: HNSW rerank broadcasts the candidate set and the shard pin carries no text") {
     val df = SparkEntry.queries("q103_hnsw_search")(spark, d)
     df.collect() // finalize the adaptive plan (also builds the index)
