@@ -640,9 +640,14 @@ object IndexStore {
     * index (the IVF counterpart of [[searchTopKHnswBatch]]). Each
     * query's probe cells come from the quantizer driver-side
     * (quantizer-sized metadata); ONE scan prunes to the UNION of all
-    * probed cells, and the broadcast (query_id, qcells, qcode, qfac,
-    * qvec) table fans each pruned row out to only the queries probing
-    * its cell. SQ8 pre-rank and exact rerank are windowed per query;
+    * probed cells, and the broadcast (query_id, cell) probe table —
+    * the per-query cell lists EXPLODED so the fan-out is a hash
+    * equi-join on `cell`, never a nested-loop membership test — fans
+    * each pruned row out to only the queries probing its cell (at
+    * thousands of batched queries the nested loop would pay
+    * |pruned|×|queries| comparisons; the hash join stays
+    * |pruned|×avg-probes). SQ8 pre-rank and exact rerank are windowed
+    * per query;
     * the rank exchanges carry (query_id, chunk_id, approx|sim) only —
     * codes, vectors and text never ride them. `where` applies inside
     * the probed cells, beneath both ranks, for every query. */
@@ -674,8 +679,10 @@ object IndexStore {
     val pruned = where.fold(pruned0)(pruned0.filter)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("cid"))
+    val qProbe = qDf.select(col("query_id"), col("qcode"), col("qfac"),
+      explode(col("qcells")).as("qcell"))
     val cand = pruned
-      .join(broadcast(qDf), array_contains(col("qcells"), col("cell").cast("long")))
+      .join(broadcast(qProbe), col("cell").cast("long") === col("qcell"))
       .select(col("query_id"), col("chunk_id").as("cid"),
         (vecIndexExprs.sq8Dot(col("sq8_code"), col("qcode"))
           * col("sq8_factor") * col("qfac")).as("approx"))

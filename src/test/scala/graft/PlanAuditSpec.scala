@@ -442,6 +442,11 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(wide.isEmpty,
         s"batch rank exchange must stay narrow, carries ${wide.map(_.name)}")
     }
+    // the query fan-out is the exploded-probe hash equi-join, never a
+    // nested-loop membership test (|pruned|×|queries| at large batches)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"batch fan-out must be a hash join on the exploded probe cells:\n$p")
   }
 
   test("q103: HNSW rerank broadcasts the candidate set and the shard pin carries no text") {
