@@ -58,6 +58,8 @@ object Verify {
         () => operators.VectorSearch.materializeUpsertAux(spark, sfDir, auxDir)),
       ("q111 compact", Set("q111_ivf_compact_search"),
         () => operators.VectorSearch.materializeCompactAux(spark, sfDir, auxDir)),
+      ("q113 stream upsert", Set("q113_stream_ivf_upsert"),
+        () => streaming.Streams.materializeStreamUpsertAux(spark, sfDir, auxDir)),
       // q102's oracle reads the clustered corpus dump, so its name is
       // in the clustered step's serves set too
       ("q67b clustered", Set("q67b_ann_recall_clustered", "q102_ann_hnsw"),

@@ -56,7 +56,7 @@ object VectorSearch {
     * chunk ids and embeddings are per-row deterministic. The embed
     * kernel dominated the old per-query builds (five redundant
     * passes over the same corpus, one per physical layout). */
-  private def docRowsCached(s: SparkSession, d: String): DataFrame =
+  private[graft] def docRowsCached(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "index_rows") {
       graft.sources.IndexStore.indexRows(Tables.documents(s, d))
     }

@@ -320,6 +320,109 @@ object Streams {
            CAST(SUM(new_session) AS BIGINT) AS n_sessions
     FROM marked GROUP BY user_id ORDER BY user_id"""
 
+  // ---- q113: streaming vector-index maintenance ---------------------
+
+  /** The q113 stream waves, defined once so the query, the replay
+    * test, and the oracle aux derive from identical transforms.
+    * Wave 1 revises every doc_id ≡ 3 (mod 10) of the initial corpus
+    * (the q108 revision shape: shorter text, so stale tails would be
+    * caught); wave 2 delivers 25 brand-new documents. */
+  private[graft] def q113InitialDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 150)
+  private[graft] def q113Wave1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 150 && col("doc_id") % 10 === 3)
+      .withColumn("text",
+        concat(lit("revised edition "), substring(col("text"), 1, 300)))
+      .select(col("doc_id"), col("source"), col("text"))
+  private[graft] def q113Wave2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") >= 150 && col("doc_id") < 175)
+      .select(col("doc_id"), col("source"), col("text"))
+
+  /** q113: streaming vector-index maintenance — the production RAG
+    * ingestion loop, composing §2.9 (file-source stream) with §2.5
+    * V10 (upsert maintenance): an inbox of document revisions and
+    * arrivals streams through foreachBatch into
+    * [[graft.sources.IndexStore.upsertIvf]] — identity (source,
+    * doc_id), cell assignment through the persisted `_centroids`
+    * quantizer, touched-cell partition rewrite. Upsert-by-identity is
+    * what makes the sink safe under streaming's at-least-once
+    * delivery: a REPLAYED micro-batch (checkpoint recovery, upstream
+    * redelivery) re-upserts the same identities instead of
+    * duplicating them (StreamingSpec pins the replay no-op), and
+    * waves over disjoint identities commute, so file-discovery order
+    * never changes the final state. Gated by a per-source inventory
+    * over the post-stream layout vs an INDEPENDENTLY RECOMPUTED
+    * expected corpus (initial minus revised, ∪ revisions, ∪ arrivals,
+    * re-chunked) — a stale tail chunk, a duplicated id, or a lost
+    * arrival all hash-mismatch. */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val tmp = Paths.get(s"/root/repo/target/stream_tmp/${UUID.randomUUID}")
+    Files.createDirectories(tmp)
+    val index = tmp.resolve("ivf").toString
+    // initial build from the shared chunk+embed pass (bit-exact so a
+    // re-run of the whole lifecycle reproduces the same layout)
+    IndexStore.buildIvfFromRows(s,
+      graft.operators.VectorSearch.docRowsCached(s, d)
+        .filter(col("doc_id") < 150),
+      index, nCells = 8, lloydIters = 2, bitExact = true)
+    // stage the two waves as two files in the inbox; one micro-batch
+    // per file exercises two incremental maintenance rounds
+    val inbox = tmp.resolve("inbox").toString
+    q113Wave1(s, d).coalesce(1).write.mode("append").parquet(inbox)
+    q113Wave2(s, d).coalesce(1).write.mode("append").parquet(inbox)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val q = s.readStream.schema(docsSchema).parquet(inbox)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IndexStore.upsertIvf(batch.sparkSession, batch, index)
+        ()
+      }
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(index)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(length(col("chunk"))).cast(LongType).as("sum_chunk_chars"),
+        max(length(col("chunk"))).as("max_chunk_len"))
+      .orderBy("source")
+  }
+
+  /** Recomputed EXPECTED post-stream corpus for the q113 oracle:
+    * (initial docs minus the revised identities) ∪ wave-1 revisions ∪
+    * wave-2 arrivals, through the chunker — never read from the
+    * layout the stream mutated. */
+  def materializeStreamUpsertAux(s: SparkSession, d: String,
+                                 auxDir: String): Unit = {
+    import graft.sources.IndexStore
+    val expected = q113InitialDocs(s, d)
+      .filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(q113Wave1(s, d))
+      .unionByName(q113Wave2(s, d))
+    expected
+      .select(col("doc_id"), col("source"),
+        exprs.chunkText(col("text"), IndexStore.ChunkSize,
+          IndexStore.ChunkOverlap).as(Seq("pos", "chunk")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q113_chunks.parquet")
+  }
+
+  private val q113Sql = """
+    SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_chars,
+           MAX(length(chunk)) AS max_chunk_len
+    FROM read_parquet('/root/repo/target/verify_aux/q113_chunks.parquet/*.parquet')
+    GROUP BY source ORDER BY source"""
+
   val queries: Seq[Query] = Seq(
     Query("q80_stream_tumbling", q80, Some(q80Sql)),
     Query("q81_stream_sliding",  q81, Some(q81Sql)),
@@ -327,5 +430,6 @@ object Streams {
     Query("q83_incremental_index", q83, None),
     Query("q84_stream_dedup",    q84, Some(q84Sql)),
     Query("q85_stream_stream_join", q85, Some(q85Sql)),
-    Query("q86_custom_state",    q86, Some(q86Sql)))
+    Query("q86_custom_state",    q86, Some(q86Sql)),
+    Query("q113_stream_ivf_upsert", q113, Some(q113Sql)))
 }

@@ -113,4 +113,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Map("a" -> 2L, "b" -> 1L), s"redelivery must not double-count: $rows")
     } finally q.stop()
   }
+
+  test("replayed upsert micro-batch is a no-op: same identities, same inventory") {
+    // the q113 foreachBatch sink's safety argument under at-least-once
+    // delivery: re-upserting a wave that already applied must leave
+    // the layout's row algebra unchanged (identity = (source, doc_id))
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val dir = "/root/repo/target/test_stream_replay_idx"
+    val docs = (0L until 30L).map(i =>
+        (i, s"stream replay document number $i body text", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.buildIvf(spark, docs, dir, nCells = 4, lloydIters = 1)
+    val wave = (0L until 30L by 5L).map(i =>
+        (i, s"revised stream document $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    def inventory(): Map[String, (Long, Long, Long)] =
+      spark.read.parquet(dir).groupBy("source")
+        .agg(count(lit(1)), countDistinct(col("doc_id")),
+          sum(length(col("chunk"))).cast("long"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    IndexStore.upsertIvf(spark, wave, dir)
+    val first = inventory()
+    IndexStore.upsertIvf(spark, wave, dir) // the replay
+    assert(inventory() == first,
+      "replaying an applied upsert wave must not change the inventory")
+    // and the revision actually took: no stale original chunk text
+    val texts = spark.read.parquet(dir).filter(col("doc_id") === 0L)
+      .select("chunk").collect().map(_.getString(0))
+    assert(texts.toSeq == Seq("revised stream document 0"), texts.toSeq.toString)
+  }
 }
