@@ -63,7 +63,8 @@ object Bench {
     // loop, emitted with the totals — a load-contaminated capture then
     // carries its own explanation instead of needing prose
     def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).trim
         .split("\\s+").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
     val loadStart = loadavg()

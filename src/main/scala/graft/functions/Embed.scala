@@ -99,8 +99,11 @@ object Embed {
             // keep BOTH resolution failures diagnosable: `first` as
             // the cause, the '$'-retry's own failure (which may be the
             // real reason, e.g. an ExceptionInInitializerError from
-            // the object's static init) as suppressed
-            case second @ (_: ReflectiveOperationException | _: LinkageError) =>
+            // the object's static init) as suppressed. LinkageError is
+            // matched explicitly because NonFatal excludes it; only
+            // VM errors / interrupts propagate unwrapped
+            case second if scala.util.control.NonFatal(second) ||
+                second.isInstanceOf[LinkageError] =>
               val e = new IllegalArgumentException(
                 s"$BackendProp=$className could not be instantiated: provide a Scala " +
                   "object or a class with a public no-arg constructor implementing " +

@@ -344,31 +344,36 @@ object IndexStore {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(presentVals).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partCol=$v"), true)
+      // the directory name is the Hive-ESCAPED partition value (Spark
+      // escapes e.g. ':' on write) — deleting the raw value would
+      // silently miss and resurrect the "deleted" rows
+      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partCol=$dir"), true)
     }
   }
 
-  /** Core of the delete flavors: anti-join `ids` out of the partitions
-    * that hold them; `rebuild` post-processes the survivors of the
-    * touched partitions (identity for row layouts, graph rebuild for
-    * HNSW). Returns the touched partition values (empty = no-op). */
-  private def deleteFromPartitioned(spark: SparkSession, path: String,
-                                    partCol: String, ids: Seq[String],
+  /** ONE core for every delete flavor (id-list and predicate): find
+    * the partitions holding a doomed row, rewrite only those with the
+    * survivors, remove any that emptied. `doomedOf` selects the doomed
+    * rows of a frame; `survivorsOf` its complement over the touched
+    * partitions' scan (the two flavors differ ONLY here: semi/anti
+    * broadcast join on ids vs. pred/!pred); `rebuild` post-processes
+    * the survivors (identity for row layouts, graph rebuild for HNSW).
+    * Returns the touched partition values (empty = no-op). */
+  private def deletePartitionedCore(spark: SparkSession, path: String,
+                                    partCol: String,
+                                    doomedOf: DataFrame => DataFrame,
+                                    survivorsOf: DataFrame => DataFrame,
                                     rebuild: DataFrame => DataFrame): Seq[Any] = {
-    if (ids.isEmpty) return Seq.empty
-    import spark.implicits._
-    val doomed = ids.toDF("chunk_id")
     val all = spark.read.parquet(path)
     // NATIVE-typed partition values (never stringified in the plan):
     // the isin below must stay a bare predicate on the partition
     // column so it prunes directories at planning time
-    val touched = all.join(broadcast(doomed), Seq("chunk_id"), "left_semi")
-      .select(partCol).distinct()
+    val touched = doomedOf(all).select(partCol).distinct()
       .collect().map(_.get(0)).toSeq.sortBy(_.toString)
     if (touched.isEmpty) return Seq.empty
-    val survivors = all
-      .filter(col(partCol).isin(touched: _*))
-      .join(broadcast(doomed), Seq("chunk_id"), "left_anti")
+    val survivors = survivorsOf(all.filter(col(partCol).isin(touched: _*)))
       // read the touched partitions BEFORE the overwrite truncates them
       .localCheckpoint()
     val present = survivors.select(partCol).distinct()
@@ -376,6 +381,19 @@ object IndexStore {
     rewriteTouched(spark, path, partCol, touched.map(_.toString), present,
       rebuild(survivors))
     touched
+  }
+
+  /** [[deletePartitionedCore]] with the doomed set as an id list. */
+  private def deleteFromPartitioned(spark: SparkSession, path: String,
+                                    partCol: String, ids: Seq[String],
+                                    rebuild: DataFrame => DataFrame): Seq[Any] = {
+    if (ids.isEmpty) return Seq.empty
+    import spark.implicits._
+    val doomed = ids.toDF("chunk_id")
+    deletePartitionedCore(spark, path, partCol,
+      _.join(broadcast(doomed), Seq("chunk_id"), "left_semi"),
+      _.join(broadcast(doomed), Seq("chunk_id"), "left_anti"),
+      rebuild)
   }
 
   /** chroma `collection.get`: retrieval WITHOUT a query vector — by
@@ -414,32 +432,32 @@ object IndexStore {
   def count(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).count()
 
+  /** Per-source chunk inventory of a layout — the maintenance gates'
+    * shared observable (q108 batch upsert, q113 streaming upsert): a
+    * stale tail chunk, a duplicated id, or a lost sibling row all
+    * shift it, where a top-k search could miss all three. ONE
+    * definition so the gates can never drift apart. */
+  def inventoryBySource(layout: DataFrame): DataFrame =
+    layout.groupBy(col("source"))
+      // fully qualified: IndexStore.count (the chroma API) shadows
+      // functions.count inside this object
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(length(col("chunk"))).cast("long").as("sum_chunk_chars"),
+        max(length(col("chunk"))).as("max_chunk_len"))
+      .orderBy("source")
+
   /** chroma `collection.peek`: the first `n` chunks by id. */
   def peek(spark: SparkSession, path: String, n: Int = 10): DataFrame =
     get(spark, path, limit = n)
 
-  /** Core of the predicate-delete flavors — chroma's
-    * `collection.delete(where=...)` / `where_document`: the doomed
-    * set is `pred` instead of an id list, and only the partitions
-    * holding a matching row rewrite. */
+  /** [[deletePartitionedCore]] with the doomed set as a predicate —
+    * chroma's `collection.delete(where=...)` / `where_document`. */
   private def deleteWherePartitioned(spark: SparkSession, path: String,
                                      partCol: String, pred: Column,
-                                     rebuild: DataFrame => DataFrame): Seq[Any] = {
-    val all = spark.read.parquet(path)
-    val touched = all.filter(pred).select(partCol).distinct()
-      .collect().map(_.get(0)).toSeq.sortBy(_.toString)
-    if (touched.isEmpty) return Seq.empty
-    val survivors = all
-      .filter(col(partCol).isin(touched: _*))
-      .filter(!pred)
-      // read the touched partitions BEFORE the overwrite truncates them
-      .localCheckpoint()
-    val present = survivors.select(partCol).distinct()
-      .collect().map(_.get(0).toString).toSet
-    rewriteTouched(spark, path, partCol, touched.map(_.toString), present,
-      rebuild(survivors))
-    touched
-  }
+                                     rebuild: DataFrame => DataFrame): Seq[Any] =
+    deletePartitionedCore(spark, path, partCol,
+      _.filter(pred), _.filter(!pred), rebuild)
 
   /** Delete chunks by id from a [[build]] source-partitioned layout.
     * Only the source partitions holding the ids are rewritten. */
@@ -807,7 +825,7 @@ object IndexStore {
     * reused. (Spark's own `sessionUUID` is `private[sql]`.) */
   private val sessionIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
-  private def sessionKey(spark: SparkSession): String =
+  private[graft] def sessionKey(spark: SparkSession): String =
     sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   /** HNSW-persisted index — the graph counterpart of [[buildIvf]]:

@@ -330,10 +330,9 @@ object Streams {
   private[graft] def q113InitialDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < 150)
   private[graft] def q113Wave1(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .filter(col("doc_id") < 150 && col("doc_id") % 10 === 3)
-      .withColumn("text",
-        concat(lit("revised edition "), substring(col("text"), 1, 300)))
+    graft.operators.VectorSearch.reviseDocs(
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 150 && col("doc_id") % 10 === 3))
       .select(col("doc_id"), col("source"), col("text"))
   private[graft] def q113Wave2(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -376,24 +375,21 @@ object Streams {
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("text", StringType)))
-    val q = s.readStream.schema(docsSchema).parquet(inbox)
+    val q = s.readStream.schema(docsSchema)
+      // a SOURCE option: one file admitted per micro-batch, so the two
+      // waves exercise two incremental maintenance rounds
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inbox)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         IndexStore.upsertIvf(batch.sparkSession, batch, index)
         ()
       }
       .option("checkpointLocation", tmp.resolve("ckpt").toString)
-      .option("maxFilesPerTrigger", "1")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(index)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_chunks"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        sum(length(col("chunk"))).cast(LongType).as("sum_chunk_chars"),
-        max(length(col("chunk"))).as("max_chunk_len"))
-      .orderBy("source")
+    IndexStore.inventoryBySource(s.read.parquet(index))
   }
 
   /** Recomputed EXPECTED post-stream corpus for the q113 oracle:

@@ -243,6 +243,30 @@ class PipelineSpec extends AnyFunSuite {
       k = 3, probes = 2, overfetch = 10).count() > 0)
   }
 
+  test("deleteIds removes an emptied partition whose value needs path escaping") {
+    import spark.implicits._
+    // Spark Hive-escapes special chars in partition DIRECTORY names
+    // ('a:b' → 'a%3Ab'); the explicit emptied-directory delete must
+    // target the escaped name or the "deleted" rows resurrect
+    val dir = Files.createTempDirectory("graft_del_esc").toString + "/index"
+    val docs = Seq(
+      (0L, "colon source doc one", "a:b"),
+      (1L, "plain source doc two", "plain"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.build(spark, docs, dir)
+    val doomed = spark.read.parquet(dir).filter(col("source") === "a:b")
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    assert(doomed.nonEmpty)
+    IndexStore.deleteIds(spark, dir, doomed)
+    val left = spark.read.parquet(dir).select("source")
+      .collect().map(_.getString(0)).toSet
+    assert(left == Set("plain"),
+      s"every a:b row died, so the source must vanish from reads: $left")
+    assert(!new java.io.File(dir, "source=a%3Ab").exists() &&
+      !new java.io.File(dir, "source=a:b").exists(),
+      "the emptied escaped directory must be removed from disk")
+  }
+
   test("deleteIdsHnsw rebuilds only the touched shard and search excludes the id") {
     import spark.implicits._
     val docs = (0L until 24L)
