@@ -293,6 +293,31 @@ class PublicApiSpec extends AnyFunSuite {
       allIds.take(3))
   }
 
+  test("searchTopKIvfBatch where= filters every query like the single path") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_ivf_batch_where_idx"
+    val docs = (0L until 40L).map(i =>
+        (i, s"filtered batch document number $i about topic ${i % 5}", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.buildIvf(spark, docs, path, nCells = 4, lloydIters = 1)
+    val qs = Seq(0L -> "filtered batch document", 1L -> "topic three")
+    val where = Some(col("doc_id") % 2 === 1)
+    val batch = IndexStore.searchTopKIvfBatch(spark, path, qs, k = 4,
+      probes = 2, overfetch = 16, where = where).collect()
+    assert(batch.nonEmpty)
+    assert(batch.forall(_.getAs[Long]("doc_id") % 2 == 1),
+      "every batch result must satisfy the predicate")
+    qs.foreach { case (qid, text) =>
+      val single = IndexStore.searchTopKIvf(spark, path, text, k = 4,
+        probes = 2, overfetch = 16, where = where).collect()
+      val batchRows = batch.filter(_.getAs[Long]("query_id") == qid)
+      assert(batchRows.map(_.getAs[String]("chunk_id")).toSeq ==
+        single.map(_.getAs[String]("chunk_id")).toSeq,
+        s"query $qid: filtered batch ranking must equal the single-query path")
+    }
+  }
+
   test("searchTopKIvfBatch reproduces each query's single-query ranking") {
     import spark.implicits._
     import graft.sources.IndexStore
