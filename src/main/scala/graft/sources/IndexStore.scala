@@ -451,6 +451,28 @@ object IndexStore {
   def peek(spark: SparkSession, path: String, n: Int = 10): DataFrame =
     get(spark, path, limit = n)
 
+  /** chroma `collection.modify(name=...)`: rename a persisted layout.
+    * An atomic directory move — no data rewrite at ANY corpus size
+    * (the sidecars `_centroids`/`_meta` ride inside the directory, so
+    * the layout stays self-describing at its new name). Every
+    * session's pin on the old path is released first; build-once
+    * memos key by path, so lifecycles against the new path revalidate
+    * from the on-disk layout rather than trusting a stale memo. */
+  def renameCollection(spark: SparkSession, path: String, newPath: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(path)
+    val dst = new org.apache.hadoop.fs.Path(newPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"no collection at $path")
+    require(!fs.exists(dst), s"destination $newPath already exists")
+    val stale = hnswPinCache.synchronized {
+      val keys = hnswPinCache.keySet().toArray(Array.empty[(String, String)])
+        .filter(_._2 == path)
+      keys.map(hnswPinCache.remove)
+    }
+    stale.filter(_ != null).foreach(_.markEvicted())
+    require(fs.rename(src, dst), s"rename $path -> $newPath failed")
+  }
+
   /** [[deletePartitionedCore]] with the doomed set as a predicate —
     * chroma's `collection.delete(where=...)` / `where_document`. */
   private def deleteWherePartitioned(spark: SparkSession, path: String,

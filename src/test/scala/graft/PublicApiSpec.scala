@@ -293,6 +293,36 @@ class PublicApiSpec extends AnyFunSuite {
       allIds.take(3))
   }
 
+  test("renameCollection moves a layout atomically and releases its pins") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val base = java.nio.file.Files.createTempDirectory("graft_rename").toString
+    val docs = (0L until 20L).map(i =>
+        (i, s"renameable document number $i", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    // source layout: rename then read/search at the new name
+    IndexStore.build(spark, docs, s"$base/old")
+    IndexStore.renameCollection(spark, s"$base/old", s"$base/new")
+    assert(!new java.io.File(s"$base/old").exists())
+    assert(IndexStore.count(spark, s"$base/new") == 20)
+    assert(IndexStore.searchTopK(spark, s"$base/new",
+      "renameable document", k = 3).count() == 3)
+    // HNSW layout: the session pin on the old path must be released,
+    // and the _meta sidecar must serve the search at the new name
+    IndexStore.buildHnsw(spark, docs, s"$base/hold")
+    IndexStore.searchTopKHnsw(spark, s"$base/hold", "renameable", k = 3).collect()
+    val pinned = IndexStore.hnswPinnedCount
+    IndexStore.renameCollection(spark, s"$base/hold", s"$base/hnew")
+    assert(IndexStore.hnswPinnedCount == pinned - 1,
+      "the old path's pin must be evicted by the rename")
+    assert(IndexStore.searchTopKHnsw(spark, s"$base/hnew", "renameable", k = 3)
+      .count() == 3)
+    // destination collisions refuse instead of clobbering
+    intercept[IllegalArgumentException] {
+      IndexStore.renameCollection(spark, s"$base/new", s"$base/hnew")
+    }
+  }
+
   test("searchTopKIvfBatch where= filters every query like the single path") {
     import spark.implicits._
     import graft.sources.IndexStore
