@@ -114,6 +114,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger is a SOURCE option: one inbox file per micro-batch") {
+    // guards the q113 regression class: placed on the writeStream the
+    // option is silently ignored and every staged file collapses into
+    // one batch — the multi-round incremental maintenance path never runs
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mfpt")
+    val inbox = tmp.resolve("inbox").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.mode("append").parquet(inbox)
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.mode("append").parquet(inbox)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inbox)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) batches.incrementAndGet(); ()
+      }
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get() == 2,
+      s"two staged files must stream as two micro-batches, saw ${batches.get()}")
+  }
+
   test("replayed upsert micro-batch is a no-op: same identities, same inventory") {
     // the q113 foreachBatch sink's safety argument under at-least-once
     // delivery: re-upserting a wave that already applied must leave
