@@ -1247,20 +1247,33 @@ object IndexStore {
     * document text ride the per-query rank exchange, and the
     * presentation columns join back against the ranked top-k only.
     * Output: (query_id, rank, chunk_id, doc_id, source, chunk, link)
-    * — [[searchTopK]]'s presentation keyed per query. */
+    * — [[searchTopK]]'s presentation keyed per query.
+    *
+    * `where` carries [[searchTopKHnsw]]'s fetch-then-filter semantics
+    * to every query in the batch: the traversal is metadata-blind, so
+    * the candidate beams widen by `whereOverfetch` and the predicate
+    * filters the survivors BENEATH the per-query rank (the q105 meter
+    * documents the recall trade this makes). */
   def searchTopKHnswBatch(spark: SparkSession, path: String,
                           queries: Seq[(Long, String)],
-                          k: Int = 10, efSearch: Int = 48): DataFrame = {
+                          k: Int = 10, efSearch: Int = 48,
+                          where: Option[Column] = None,
+                          whereOverfetch: Int = 4): DataFrame = {
     import spark.implicits._
     val dim = hnswPin(spark, path).meta.dim
     val qVecs = queries.sortBy(_._1)
       .map { case (qid, t) => (qid, Embed.embed(t, dim).toSeq) }
       .toDF("query_id", "qvec")
-    val cands = hnswCandidatesBatch(spark, path, queries, k, efSearch)
+    val cands =
+      if (where.isDefined)
+        hnswCandidatesBatch(spark, path, queries, k * whereOverfetch,
+          math.max(efSearch, k * whereOverfetch))
+      else hnswCandidatesBatch(spark, path, queries, k, efSearch)
     val idx = spark.read.parquet(path)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("chunk_id"))
-    val ranked = idx.select(col("chunk_id"), col("embedding"))
+    val ranked = where.fold(idx)(idx.filter)
+      .select(col("chunk_id"), col("embedding"))
       .join(broadcast(cands), col("chunk_id") === col("cid"))
       .join(broadcast(qVecs), Seq("query_id"))
       .select(col("query_id"), col("chunk_id"),

@@ -293,6 +293,31 @@ class PublicApiSpec extends AnyFunSuite {
       allIds.take(3))
   }
 
+  test("searchTopKHnswBatch where= matches the single-query filtered search") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_hnsw_batch_where_idx"
+    val docs = (0L until 60L).map(i =>
+        (i, s"graph batch document number $i about topic ${i % 6}", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.buildHnsw(spark, docs, path)
+    val qs = Seq(0L -> "graph batch document", 1L -> "topic five")
+    val where = Some(col("doc_id") % 3 === 0)
+    val batch = IndexStore.searchTopKHnswBatch(spark, path, qs, k = 4,
+      where = where).collect()
+    assert(batch.nonEmpty)
+    assert(batch.forall(_.getAs[Long]("doc_id") % 3 == 0),
+      "every batch result must satisfy the predicate")
+    qs.foreach { case (qid, text) =>
+      val single = IndexStore.searchTopKHnsw(spark, path, text, k = 4,
+        where = where).collect()
+      val batchRows = batch.filter(_.getAs[Long]("query_id") == qid)
+      assert(batchRows.map(_.getAs[String]("chunk_id")).toSeq ==
+        single.map(_.getAs[String]("chunk_id")).toSeq,
+        s"query $qid: filtered batch ranking must equal the single-query path")
+    }
+  }
+
   test("renameCollection moves a layout atomically and releases its pins") {
     import spark.implicits._
     import graft.sources.IndexStore
