@@ -1189,6 +1189,140 @@ object VectorSearch {
       FROM scored)
     WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  // ---- q114: IVF probe-count operating curve ------------------------
+
+  private val Q114Budgets = Seq(1, 2, 3)
+  private val Q114K = 10
+
+  /** q114: the IVF operating-point curve — recall@10 and candidate
+    * fraction per probe budget, the [[q102]] efSearch-curve analog
+    * for the IVF family (the two persisted index families now each
+    * publish their quality/cost dial, measured). ONE distributed plan
+    * over the shared q98 index, no per-budget searches: every index
+    * row is scored once (exact cosine + SQ8 approx), carries its
+    * cell's rank in the query's centroid-distance order
+    * (quantizer-sized broadcast), and a broadcast budget ladder fans
+    * each row to the budgets probing its cell; per-budget SQ8
+    * overfetch and exact rerank are window ranks, and recall joins
+    * the budget-blind exact top-10 from the same scored scan (the
+    * q105 one-plan-meter shape). Oracle: DuckDB re-derives
+    * assignment, cell ranking, fan-out, both ranks and the recall
+    * algebra from the q98 aux dump. */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    import graft.functions.vecIndexExprs
+    import s.implicits._
+    val path = q98IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
+    val centRows = s.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val cids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Embed.embed(Q98QueryText, Embed.DefaultDim))
+    // the query's full centroid-distance order — cell -> probe rank
+    // (quantizer-sized, rides as a broadcast)
+    val cellRank = graft.functions.VecIndex
+      .nearestCells(qData, cids, cents, cids.length).toLongArray()
+      .zipWithIndex.map { case (c, i) => (c, i + 1) }.toSeq
+      .toDF("cell_l", "cell_rank")
+    val qDf = Seq((graft.functions.VecIndex.sq8Code(qData),
+        graft.functions.VecIndex.sq8Factor(qData)))
+      .toDF("qcode", "qfac")
+    val scored = s.read.parquet(path)
+      .join(broadcast(cellRank), col("cell").cast("long") === col("cell_l"))
+      .crossJoin(broadcast(qDf))
+      .select(col("chunk_id"),
+        VectorOps.vecCosineConst(col("embedding"),
+          Embed.embed(Q98QueryText, Embed.DefaultDim)).as("sim"),
+        (vecIndexExprs.sq8Dot(col("sq8_code"), col("qcode"))
+          * col("sq8_factor") * col("qfac")).as("approx"),
+        col("cell_rank"))
+    val exactTop = scored
+      .withColumn("xr", row_number().over(
+        Window.orderBy(col("sim").desc, col("chunk_id"))))
+      .filter(col("xr") <= Q114K).select(col("chunk_id"))
+    val totalDf = scored.agg(count(lit(1)).as("n_total"))
+    val fanned = scored.join(broadcast(Q114Budgets.toDF("probes")),
+      col("cell_rank") <= col("probes"))
+    val scanned = fanned.groupBy(col("probes"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val wA = Window.partitionBy(col("probes"))
+      .orderBy(col("approx").desc, col("chunk_id"))
+    val wS = Window.partitionBy(col("probes"))
+      .orderBy(col("sim").desc, col("chunk_id"))
+    val hits = fanned
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= Q98Overfetch)
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= Q114K)
+      .join(broadcast(exactTop), Seq("chunk_id"), "left_semi")
+      .groupBy(col("probes")).agg(count(lit(1)).as("n_hit"))
+    scanned.join(hits, Seq("probes"), "left")
+      .crossJoin(broadcast(totalDf))
+      .select(col("probes"), col("n_scanned"),
+        (col("n_scanned").cast("double") / col("n_total")).as("cand_frac"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(Q114K))
+          .as("recall"))
+      .orderBy("probes")
+  }
+
+  private val q114Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ98Cents),
+    q AS (SELECT qvec, qcode, qfac FROM $AuxQ98Query),
+    idx AS (SELECT * FROM $AuxQ98Index),
+    assign AS (
+      SELECT x.chunk_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.chunk_id
+               ORDER BY ${l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM idx x, cents c),
+    assigned AS (SELECT chunk_id, cent_id AS cell FROM assign WHERE arn = 1),
+    qrank AS (
+      SELECT c.cent_id AS cell,
+             row_number() OVER (ORDER BY ${l2Sql("q.qvec", "c.cvec")}, c.cent_id)
+               AS cell_rank
+      FROM cents c, q),
+    scored AS (
+      SELECT x.chunk_id, ${cosColsSql("x.embedding", "q.qvec")} AS sim,
+             CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
+                 k -> x.sq8[k] * q.qcode[k])) AS DOUBLE) * x.fac * q.qfac
+               AS approx,
+             r.cell_rank
+      FROM idx x JOIN assigned a USING (chunk_id)
+      JOIN qrank r ON r.cell = a.cell, q),
+    exact AS (
+      SELECT chunk_id FROM (
+        SELECT chunk_id,
+               row_number() OVER (ORDER BY sim DESC, chunk_id) AS xr
+        FROM scored)
+      WHERE xr <= $Q114K),
+    budgets AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(probes)),
+    fanned AS (
+      SELECT b.probes, s.* FROM scored s JOIN budgets b
+        ON s.cell_rank <= b.probes),
+    scanned AS (SELECT probes, COUNT(*) AS n_scanned FROM fanned GROUP BY 1),
+    topk AS (
+      SELECT probes, chunk_id FROM (
+        SELECT probes, chunk_id,
+               row_number() OVER (PARTITION BY probes
+                 ORDER BY sim DESC, chunk_id) AS rk
+        FROM (
+          SELECT * FROM (
+            SELECT f.*, row_number() OVER (PARTITION BY probes
+                ORDER BY approx DESC, chunk_id) AS arn
+            FROM fanned f)
+          WHERE arn <= $Q98Overfetch))
+      WHERE rk <= $Q114K),
+    hits AS (
+      SELECT t.probes, COUNT(*) AS n_hit
+      FROM topk t JOIN exact e USING (chunk_id) GROUP BY 1)
+    SELECT s.probes, s.n_scanned,
+           CAST(s.n_scanned AS DOUBLE) / (SELECT COUNT(*) FROM idx)
+             AS cand_frac,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / $Q114K AS recall
+    FROM scanned s LEFT JOIN hits h USING (probes)
+    ORDER BY probes"""
+
   /** Exact cosine top-k of queries against a corpus — the recall
     * harness baseline. */
   private def exactTopKOf(corpus: DataFrame, idCol: String, vecCol: String,
@@ -1884,6 +2018,7 @@ object VectorSearch {
     Query("q108_upsert_inventory", q108, Some(q108Sql)),
     Query("q111_ivf_compact_search", q111, Some(q111Sql)),
     Query("q112_ivf_batch",      q112, Some(q112Sql)),
+    Query("q114_ivf_probe_curve", q114, Some(q114Sql)),
     Query("q105_filtered_recall", q105, Some(q105Sql)),
     Query("q106_hnsw_batch",    q106, Some(q106Sql)))
 }
