@@ -347,6 +347,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n <= 24, s"q105 must stay a single-plan meter, ran $n jobs (old shape: ~40)")
   }
 
+  test("q114: the probe curve is one plan and no vector rides its rank exchanges") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val sc = spark.sparkContext
+    // pay the shared q98 build OUTSIDE the counted window
+    SparkEntry.queries("q98_ivf_search")(spark, d).collect()
+    sc.setJobGroup("q114_audit", "q114 job-count audit")
+    val df = SparkEntry.queries("q114_ivf_probe_curve")(spark, d)
+    try df.collect()
+    finally sc.clearJobGroup()
+    val deadline = System.nanoTime() + 10e9.toLong
+    var n = sc.statusTracker.getJobIdsForGroup("q114_audit").length
+    while (n == 0 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      n = sc.statusTracker.getJobIdsForGroup("q114_audit").length
+    }
+    assert(n > 0, "audit saw no jobs — job-group attribution broke")
+    // observed: 17 with AQE on local[4] (one scored scan + broadcast/
+    // exchange materializations); a per-budget search loop would scale
+    // jobs with the ladder (3 budgets x ~10 jobs each)
+    assert(n <= 20, s"q114 must stay a single-plan meter, ran $n jobs")
+    // the per-budget rank exchanges carry (probes, chunk_id, scores)
+    // only — embeddings and codes stay scan-side
+    val rankExchanges = allShuffles(df.queryExecution.executedPlan).filter {
+      e => e.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "probes"))
+        case _ => false
+      }
+    }
+    rankExchanges.foreach { e =>
+      val wide = e.output.filter(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          a.name == "chunk")
+      assert(wide.isEmpty,
+        s"probe-curve rank exchange must stay narrow, carries ${wide.map(_.name)}")
+    }
+  }
+
   test("filtered searchTopK: a source predicate prunes the source-partitioned layout") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
