@@ -1218,8 +1218,8 @@ object VectorSearch {
       .collect().sortBy(_.getLong(0))
     val cids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
-    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Embed.embed(Q98QueryText, Embed.DefaultDim))
+    val qvec = Embed.embed(Q98QueryText, Embed.DefaultDim)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     // the query's full centroid-distance order — cell -> probe rank
     // (quantizer-sized, rides as a broadcast)
     val cellRank = graft.functions.VecIndex
@@ -1233,8 +1233,7 @@ object VectorSearch {
       .join(broadcast(cellRank), col("cell").cast("long") === col("cell_l"))
       .crossJoin(broadcast(qDf))
       .select(col("chunk_id"),
-        VectorOps.vecCosineConst(col("embedding"),
-          Embed.embed(Q98QueryText, Embed.DefaultDim)).as("sim"),
+        VectorOps.vecCosineConst(col("embedding"), qvec).as("sim"),
         (vecIndexExprs.sq8Dot(col("sq8_code"), col("qcode"))
           * col("sq8_factor") * col("qfac")).as("approx"),
         col("cell_rank"))
@@ -1296,7 +1295,7 @@ object VectorSearch {
                row_number() OVER (ORDER BY sim DESC, chunk_id) AS xr
         FROM scored)
       WHERE xr <= $Q114K),
-    budgets AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(probes)),
+    budgets AS (SELECT * FROM (VALUES ${Q114Budgets.map(b => s"($b)").mkString(", ")}) AS t(probes)),
     fanned AS (
       SELECT b.probes, s.* FROM scored s JOIN budgets b
         ON s.cell_rank <= b.probes),

@@ -464,13 +464,21 @@ object IndexStore {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"no collection at $path")
     require(!fs.exists(dst), s"destination $newPath already exists")
+    // rename FIRST, then drop cached state: a search racing the rename
+    // then fails loudly on the missing old path instead of re-pinning
+    // pre-rename data that would silently serve stale rows later
+    require(fs.rename(src, dst), s"rename $path -> $newPath failed")
     val stale = hnswPinCache.synchronized {
       val keys = hnswPinCache.keySet().toArray(Array.empty[(String, String)])
         .filter(_._2 == path)
       keys.map(hnswPinCache.remove)
     }
     stale.filter(_ != null).foreach(_.markEvicted())
-    require(fs.rename(src, dst), s"rename $path -> $newPath failed")
+    // the old name is free again — drop every session's build-once memo
+    // for it, or a later build-once at the freed name would silently
+    // no-op against a directory that no longer exists
+    builtIvfOnce.keys.filter(_._2 == path).foreach(builtIvfOnce.remove)
+    builtHnswOnce.keys.filter(_._2 == path).foreach(builtHnswOnce.remove)
   }
 
   /** [[deletePartitionedCore]] with the doomed set as a predicate —
