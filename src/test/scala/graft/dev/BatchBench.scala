@@ -1,0 +1,43 @@
+package graft.dev
+import org.apache.spark.sql.SparkSession
+
+/** Measures the batch-search win: N queries through ONE
+  * searchTopKIvfBatch plan vs N sequential searchTopKIvf calls over
+  * the same persisted index. The single-query path re-plans, re-reads
+  * the quantizer and re-dispatches per query; the batch path pays one
+  * scan of the probed-cell union. Run:
+  *   sbt "Test/runMain graft.dev.BatchBench" (SPARK_GRAFT_SF_DIR to
+  * change scale, SPARK_GRAFT_BATCH to change N). */
+object BatchBench {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.get("SPARK_GRAFT_BATCH").flatMap(v =>
+      scala.util.Try(v.trim.toInt).toOption).filter(_ > 0).getOrElse(32)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val path = "/root/repo/target/batch_bench/index"
+    graft.sources.IndexStore.buildIvf(spark,
+      graft.Tables.documents(spark, d), path)
+    val queries = (0 until n).map(i =>
+      i.toLong -> s"query number $i about partitioned columnar scans and joins")
+    // warm both paths once (plan/codegen caches) so the loop measures
+    // steady-state dispatch cost, not first-plan compilation
+    graft.sources.IndexStore.searchTopKIvf(spark, path, queries.head._2).count()
+    graft.sources.IndexStore.searchTopKIvfBatch(spark, path, queries.take(2)).count()
+    val t0 = System.nanoTime()
+    val batchRows = graft.sources.IndexStore
+      .searchTopKIvfBatch(spark, path, queries).count()
+    val tBatch = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    var singleRows = 0L
+    queries.foreach { case (_, text) =>
+      singleRows += graft.sources.IndexStore.searchTopKIvf(spark, path, text).count()
+    }
+    val tSingle = (System.nanoTime() - t1) / 1e9
+    println(f"BATCH n=$n%d batch=$tBatch%.2fs ($batchRows%d rows) " +
+      f"sequential=$tSingle%.2fs ($singleRows%d rows) speedup=${tSingle / tBatch}%.1fx")
+    spark.stop()
+  }
+}
