@@ -36,8 +36,26 @@ object BatchBench {
       singleRows += graft.sources.IndexStore.searchTopKIvf(spark, path, text).count()
     }
     val tSingle = (System.nanoTime() - t1) / 1e9
-    println(f"BATCH n=$n%d batch=$tBatch%.2fs ($batchRows%d rows) " +
+    println(f"BATCH ivf n=$n%d batch=$tBatch%.2fs ($batchRows%d rows) " +
       f"sequential=$tSingle%.2fs ($singleRows%d rows) speedup=${tSingle / tBatch}%.1fx")
+    // same experiment on the graph family: one traversal pass vs N
+    val hPath = "/root/repo/target/batch_bench/hnsw"
+    graft.sources.IndexStore.buildHnsw(spark,
+      graft.Tables.documents(spark, d), hPath)
+    graft.sources.IndexStore.searchTopKHnsw(spark, hPath, queries.head._2).count()
+    graft.sources.IndexStore.searchTopKHnswBatch(spark, hPath, queries.take(2)).count()
+    val t2 = System.nanoTime()
+    val hBatchRows = graft.sources.IndexStore
+      .searchTopKHnswBatch(spark, hPath, queries).count()
+    val tHBatch = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    var hSingleRows = 0L
+    queries.foreach { case (_, text) =>
+      hSingleRows += graft.sources.IndexStore.searchTopKHnsw(spark, hPath, text).count()
+    }
+    val tHSingle = (System.nanoTime() - t3) / 1e9
+    println(f"BATCH hnsw n=$n%d batch=$tHBatch%.2fs ($hBatchRows%d rows) " +
+      f"sequential=$tHSingle%.2fs ($hSingleRows%d rows) speedup=${tHSingle / tHBatch}%.1fx")
     spark.stop()
   }
 }
