@@ -120,7 +120,12 @@ object Bench {
     // cap the compact line's errors object so a mass failure can't
     // grow it past the harness's 2000-char stdout tail (the full
     // errors stay in the total_full line / bench_last.json)
-    val errList = results.collect { case (k, _, Some(e)) => (k, e) }
+    // gate on EVERY run's failures: a query that only crashes on the
+    // warm pass must still surface in the compact line and exit code
+    val errList = allRuns.zipWithIndex.flatMap { case (rr, i) =>
+      rr.collect { case (k, _, Some(e)) =>
+        (if (i == 0) k else s"$k(run${i + 1})", e) }
+    }
     val errsCompact = (errList.take(5).map { case (k, e) => s"\"" + k + "\":" + jstr(e) } ++
       (if (errList.size > 5) Seq(s"\"_truncated\":\"${errList.size - 5} more, see queries_full\"") else Nil))
       .mkString("{", ",", "}")
@@ -130,7 +135,7 @@ object Bench {
     val warmTotal =
       if (allRuns.size > 1) f3(allRuns.last.map(_._2).sum) else "null"
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":$warmTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_queries":${results.size},"slowest":$slowest,"errors":$errsCompact,"queries_full":"target/bench_last.json","sf":"$sfDir"}""")
-    if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
+    if (allRuns.exists(_.exists(_._3.isDefined))) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

@@ -872,10 +872,11 @@ object VectorSearch {
     * history, so the searched layout is always exactly one
     * build + one mutation deep (deterministic, idempotent). */
   private val lifecycleDone =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Unit]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Unit]
   private def lifecycleOnce(s: SparkSession, d: String, what: String)
                            (body: => Unit): Unit =
-    lifecycleDone.getOrElseUpdate((System.identityHashCode(s), d, what), body)
+    lifecycleDone.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d, what), body)
 
   /** The maintenance-lifecycle corpus: a fixed 200-document subset, so
     * the lifecycle queries gate semantics at every sf without scaling
@@ -1237,10 +1238,12 @@ object VectorSearch {
         (vecIndexExprs.sq8Dot(col("sq8_code"), col("qcode"))
           * col("sq8_factor") * col("qfac")).as("approx"),
         col("cell_rank"))
+    // TakeOrdered (distributed heap + driver merge of 10 rows), never
+    // an unpartitioned window funneling every scored row through one
+    // task — the same rows, the scale-right shape
     val exactTop = scored
-      .withColumn("xr", row_number().over(
-        Window.orderBy(col("sim").desc, col("chunk_id"))))
-      .filter(col("xr") <= Q114K).select(col("chunk_id"))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(Q114K).select(col("chunk_id"))
     val totalDf = scored.agg(count(lit(1)).as("n_total"))
     val fanned = scored.join(broadcast(Q114Budgets.toDF("probes")),
       col("cell_rank") <= col("probes"))

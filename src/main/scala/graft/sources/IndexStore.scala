@@ -468,12 +468,7 @@ object IndexStore {
     // then fails loudly on the missing old path instead of re-pinning
     // pre-rename data that would silently serve stale rows later
     require(fs.rename(src, dst), s"rename $path -> $newPath failed")
-    val stale = hnswPinCache.synchronized {
-      val keys = hnswPinCache.keySet().toArray(Array.empty[(String, String)])
-        .filter(_._2 == path)
-      keys.map(hnswPinCache.remove)
-    }
-    stale.filter(_ != null).foreach(_.markEvicted())
+    evictHnswShards(spark, path)
     // the old name is free again — drop every session's build-once memo
     // for it, or a later build-once at the freed name would silently
     // no-op against a directory that no longer exists
@@ -829,7 +824,25 @@ object IndexStore {
       val dim = spark.read.parquet(path)
         .select("embedding", "hnsw_node", "hnsw_level", "hnsw_links")
         .head().getSeq[Float](0).length
-      HnswMeta(shardVals.max + 1, HnswM, HnswEfConstruction, dim,
+      // max(dir)+1 UNDER-counts if the original build's top shard(s)
+      // received no rows — and a wrong modulus persisted into _meta
+      // would split hash placement between old and new rows forever.
+      // Verify candidates against the stored placement itself
+      // (pmod(xxhash64(chunk_id), m) must reproduce every row's
+      // shard); the first scan passes in the common no-empty-shard
+      // case, and an unverifiable layout fails fast instead of
+      // writing a corrupting sidecar.
+      val pairs = spark.read.parquet(path)
+        .select(col("chunk_id"), col("shard").cast("int").as("shard"))
+      val base = shardVals.max + 1
+      val numShards = (base until base + 8).find { m =>
+        pairs.filter(
+          pmod(xxhash64(col("chunk_id")), lit(m.toLong)).cast("int")
+            =!= col("shard")).isEmpty
+      }.getOrElse(throw new IllegalStateException(
+        s"$path: no shard modulus in [$base, ${base + 8}) reproduces the " +
+          "stored placement — rebuild the layout with IndexStore.buildHnsw"))
+      HnswMeta(numShards, HnswM, HnswEfConstruction, dim,
         HnswTargetNodesPerShard)
     } catch {
       case e: Throwable =>
@@ -1148,8 +1161,19 @@ object IndexStore {
     }
     if (old != null) old.markEvicted()
   }
-  private def evictHnswShards(spark: SparkSession, path: String): Unit =
-    unpinHnsw(spark, path)
+  /** Mutation-side eviction: drop EVERY session's pin on `path` — a
+    * delete/append/upsert/rename changed the layout for all readers,
+    * and a surviving pin in any other session would keep serving
+    * pre-mutation rows forever (the pin contract: a search never
+    * traverses a stale pin). */
+  private def evictHnswShards(spark: SparkSession, path: String): Unit = {
+    val stale = hnswPinCache.synchronized {
+      hnswPinCache.keySet().toArray(Array.empty[(String, String)])
+        .filter(_._2 == path)
+        .map(hnswPinCache.remove)
+    }
+    stale.filter(_ != null).foreach(_.markEvicted())
+  }
   /** Test hook: the number of live pins (across sessions). */
   private[graft] def hnswPinnedCount: Int =
     hnswPinCache.synchronized(hnswPinCache.size)

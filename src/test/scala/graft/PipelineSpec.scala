@@ -243,6 +243,30 @@ class PipelineSpec extends AnyFunSuite {
       k = 3, probes = 2, overfetch = 10).count() > 0)
   }
 
+  test("an HNSW mutation evicts EVERY session's pin, not just the caller's") {
+    import spark.implicits._
+    // a pin surviving in another session would keep serving deleted
+    // rows forever — the takedown must invalidate all readers
+    val dir = Files.createTempDirectory("graft_del_pins").toString + "/index"
+    val docs = (0L until 24L).map(i =>
+        (i, s"pinned eviction document $i", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.buildHnsw(spark, docs, dir)
+    val other = spark.newSession()
+    IndexStore.searchTopKHnsw(spark, dir, "pinned eviction", k = 3).collect()
+    IndexStore.searchTopKHnsw(other, dir, "pinned eviction", k = 3).collect()
+    val pinned = IndexStore.hnswPinnedCount
+    val doomed = spark.read.parquet(dir).filter(col("doc_id") === 0L)
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    IndexStore.deleteIdsHnsw(spark, dir, doomed)
+    assert(IndexStore.hnswPinnedCount == pinned - 2,
+      "both sessions' pins on the mutated path must be evicted")
+    // the OTHER session re-pins post-delete state and no longer sees the id
+    val after = IndexStore.searchTopKHnsw(other, dir, "pinned eviction", k = 24)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!after.contains(0L), s"other session must not serve deleted rows: $after")
+  }
+
   test("deleteIds removes an emptied partition whose value needs path escaping") {
     import spark.implicits._
     // Spark Hive-escapes special chars in partition DIRECTORY names
