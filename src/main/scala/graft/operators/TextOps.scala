@@ -306,15 +306,24 @@ object TextOps {
       .select(substring_index(col("value"), "\t", 1).cast(LongType).as("t_doc_id"),
         (length(col("value"))
           - length(substring_index(col("value"), "\t", 1)) - 1).as("len_txt"))
+    // XML round-trip — Spark 4's built-in XML source (spark-xml merged
+    // upstream in 4.0): one <doc> row element per document. The writer
+    // entity-escapes markup characters; the reader restores them, so
+    // length(text) survives the trip like the other formats
+    docs.write.mode("overwrite").option("rowTag", "doc").xml(s"$base/xml")
+    val fromXml = s.read.option("rowTag", "doc").schema(schema).xml(s"$base/xml")
+      .select(col("doc_id").as("x_doc_id"), length(col("text")).as("len_xml"))
     fromCsv.join(fromJson, col("doc_id") === col("j_doc_id"))
       .join(fromOrc, col("doc_id") === col("o_doc_id"))
       .join(fromTxt, col("doc_id") === col("t_doc_id"))
+      .join(fromXml, col("doc_id") === col("x_doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("len_csv")).as("sum_chars_csv"),
         sum(col("len_json")).as("sum_chars_json"),
         sum(col("len_orc")).as("sum_chars_orc"),
-        sum(col("len_txt")).as("sum_chars_txt"))
+        sum(col("len_txt")).as("sum_chars_txt"),
+        sum(col("len_xml")).as("sum_chars_xml"))
       .orderBy("lang")
   }
 
@@ -323,7 +332,8 @@ object TextOps {
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars_csv,
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars_json,
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars_orc,
-           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_txt
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_txt,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars_xml
     FROM documents GROUP BY lang ORDER BY lang"""
 
   /** Full reference-contract grid ingestion (GridIngest) driven from
