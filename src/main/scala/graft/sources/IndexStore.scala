@@ -274,6 +274,13 @@ object IndexStore {
       s"$path was trained at dim=${cents.head.length}, append requested dim=$dim")
     rows
       .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
+      // one writer task per cell -> ONE file per touched cell per
+      // append (the documented contract). Without this every upstream
+      // task writes a sliver into every cell it holds rows for —
+      // measured: 8 small appends left 1138 files across 16 cells.
+      // The exchange carries only the appended batch; chunk+embed
+      // still computes upstream at full parallelism
+      .repartition(math.max(1, ids.length), col("cell"))
       .write.mode(SaveMode.Append)
       .partitionBy("cell")
       .parquet(path)

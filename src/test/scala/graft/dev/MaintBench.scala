@@ -47,6 +47,31 @@ object MaintBench {
     println(f"MAINT corpus=$nChunks%d chunks/$nSources%d sources " +
       f"delete_one_doc=$tDel%.2fs (dirs touched: ${changed.mkString(",")}) " +
       f"upsert_one_doc=$tUp%.2fs")
+    // segment maintenance: build + 8 append waves (one file per
+    // touched cell each), then compact every crowded cell to one file
+    val ivf = "/root/repo/target/maint_bench/ivf"
+    val waves = 8
+    val perWave = 100L
+    graft.sources.IndexStore.buildIvf(spark,
+      docs.filter(col("doc_id") < 1000), ivf)
+    (0 until waves).foreach { w =>
+      graft.sources.IndexStore.appendIvf(spark,
+        docs.filter(col("doc_id") >= 1000 + w * perWave &&
+          col("doc_id") < 1000 + (w + 1) * perWave), ivf)
+    }
+    def cellFiles(): Seq[Int] = {
+      val root = new java.io.File(ivf)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    }
+    val filesBefore = cellFiles()
+    val t2 = System.nanoTime()
+    graft.sources.IndexStore.compactIvf(spark, ivf, maxFilesPerCell = 1)
+    val tCompact = (System.nanoTime() - t2) / 1e9
+    val filesAfter = cellFiles()
+    println(f"COMPACT waves=$waves%d files/cell before=${filesBefore.max}%d(max)/" +
+      f"${filesBefore.sum}%d(total) after=${filesAfter.max}%d(max)/" +
+      f"${filesAfter.sum}%d(total) sec=$tCompact%.2f")
     spark.stop()
   }
 }
