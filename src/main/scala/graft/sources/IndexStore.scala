@@ -331,6 +331,17 @@ object IndexStore {
   // compactIvf/appendHnsw discipline applied to row removal. A
   // takedown touching one document rewrites one partition, never the
   // corpus.
+  //
+  // Concurrency contract: SINGLE WRITER per layout. Mutations
+  // (delete/upsert/append/compact/rename) assume they own the layout
+  // for their duration — two concurrent mutations of the same
+  // partition race the dynamic overwrite (last write wins, no merge),
+  // exactly as in chromadb's sqlite-backed store or a Lucene index
+  // writer. Readers are always safe: they see the partition's files
+  // before or after a rewrite, never half of one, and mutation-side
+  // pin eviction keeps every session's next graph search current.
+  // Serialize writers externally (one maintenance job per index —
+  // the natural shape of a takedown/compaction pipeline).
 
   /** Rewrite only `touched` partition values with `out` (dynamic
     * overwrite, one writer task per partition), then delete any
