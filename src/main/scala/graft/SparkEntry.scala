@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Corpus.queries ++
       operators.GridOps.queries ++
       operators.VectorSearch.queries ++
+      operators.Hybrid.queries ++
       operators.Dedup.queries ++
       operators.Multimodal.queries ++
       streaming.Streams.queries

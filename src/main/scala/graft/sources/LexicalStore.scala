@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Persisted LEXICAL (inverted) index + BM25-family scoring + RRF
+  * fusion with the vector paths — the "hybrid search" half every
+  * production vector store pairs with ANN (Elasticsearch, Vespa,
+  * Weaviate, pgvector+tsvector). The reference's chromadb engine is
+  * vector-only; `where_document $contains` (q104b) is its nearest
+  * lexical surface. This module adds the real thing in the same
+  * partitioned-parquet idiom as the IVF/HNSW layouts in
+  * [[IndexStore]]:
+  *
+  *   path/bucket=&lt;b&gt;/part-....parquet  postings: (term, doc_id, tf, df, len)
+  *   path/_stats/part-....parquet       (n_docs, sum_len)
+  *
+  * `bucket = pmod(xxhash64(term), NumBuckets)` — the term dictionary
+  * is hash-partitioned, so a query's posting reads PRUNE to the
+  * buckets of its terms at plan time (the Lucene term-dictionary
+  * segment seek, expressed as parquet partition pruning; LexicalSpec
+  * pins it). `df` (document frequency) and `len` (document token
+  * count) are denormalized into the posting row — Lucene likewise
+  * stores docFreq with the term and norms per doc — so scoring is a
+  * single pruned scan plus a broadcast of the 1-row `_stats` table:
+  * no join against a corpus-sized side at query time.
+  *
+  * Scoring is BM25 (k1 = 1.2, b = 0.75) with a RATIONAL idf:
+  * `(N - df + 0.5) / (df + 0.5)` — the classic Robertson-Sparck Jones
+  * idf WITHOUT the `ln`. Two reasons, both deliberate: (1) `ln` is
+  * only ~1-ulp-accurate and may differ between libm implementations,
+  * so a DuckDB oracle could flip a near-tie the JVM doesn't (the q56
+  * division-only-score rationale); (2) each per-term contribution is
+  * quantized to integer MICROS — `floor(1e6 * idf * tfnorm)` — and
+  * summed as a LONG, which makes the document score EXACT,
+  * order-free, and bit-identical across engines, partitionings, and
+  * runs (a plain double sum over a shuffle is none of those). The
+  * ranking this induces is a documented, deterministic BM25 variant,
+  * not an approximation of someone else's scores.
+  *
+  * At 100 TB: build is one tokenize + two aggregations (tf, then the
+  * vocabulary-sized df broadcast back); postings shuffle once on
+  * bucket and land sorted-by-term within each directory. Queries
+  * read |query-term buckets| directories of a NumBuckets-partitioned
+  * layout (raise NumBuckets with corpus size — it bounds the pruned
+  * read, and a bucket must fit a task). The rank exchange carries
+  * (doc_id, micros) pairs only.
+  */
+object LexicalStore {
+
+  /** Term-hash partition count. 16 keeps sf-fixture directories
+    * non-trivial (multi-term queries still prune); at 100 TB this is
+    * 1024+ — it bounds the per-query read and the per-task build
+    * memory, exactly like IVF's cell count. */
+  val NumBuckets = 16
+
+  /** Integer score quantum: micros of BM25 weight. 1e6 preserves ~6
+    * significant digits of each contribution — far below any rank
+    * difference BM25 can meaningfully express — while keeping a
+    * 10k-term document's score < 2^53 with headroom. */
+  val ScoreScale = 1000000.0
+
+  /** RRF quantum (1e9/(k+rank) stays integral and exact). */
+  val RrfScale = 1000000000.0
+
+  /** The standard reciprocal-rank-fusion constant (Cormack et al.). */
+  val DefaultRrfK = 60
+
+  private def bucketCol(term: Column): Column =
+    pmod(xxhash64(term), lit(NumBuckets)).cast("int")
+
+  /** Driver-side bucket of a query term — evaluates the SAME catalyst
+    * XxHash64(seed=42) the build plan used, so search prunes to
+    * exactly the directories build wrote (LexicalSpec pins parity). */
+  def bucketOf(term: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(term)), 42L).eval(null).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, NumBuckets.toLong).toInt
+  }
+
+  /** Per-(doc, term) BM25 contribution in integer micros. The
+    * expression tree is mirrored TOKEN-FOR-TOKEN by the q115 oracle
+    * SQL — IEEE +,-,*,/ are exactly specified, so identical trees over
+    * identical inputs produce identical doubles in any engine, and the
+    * floor-to-long is therefore identical too. Keep the two in sync. */
+  def bm25Micros(tf: Column, df: Column, len: Column,
+                 nDocs: Column, sumLen: Column): Column = {
+    val tfD  = tf.cast(DoubleType)
+    val dfD  = df.cast(DoubleType)
+    val lenD = len.cast(DoubleType)
+    val nD   = nDocs.cast(DoubleType)
+    val avg  = sumLen.cast(DoubleType) / nD
+    val idf  = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val tfn  = (tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(0.25) + (lit(0.75) * lenD) / avg))
+    floor(lit(ScoreScale) * (idf * tfn)).cast(LongType)
+  }
+
+  /** Build the inverted index from a (id, text) document set. Full
+    * rebuild (static overwrite) — the df/len/stats denormalization
+    * makes incremental append a re-aggregation, so this layout is
+    * rebuilt per corpus version, like a Lucene force-merge; build
+    * cost is two aggregations over one tokenize pass. */
+  def build(spark: SparkSession, docs: DataFrame, path: String,
+            idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      col(textCol).as("text"))
+    val toks = graft.operators.Corpus.tokens(base, "text", "doc_id")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one tokenize pass feeds tf, df, len, stats
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    tf.join(dfreq, "term") // vocabulary-sized -> broadcast at sf, shuffle-on-term at 100 TB
+      .join(lens, "doc_id")
+      .withColumn("bucket", bucketCol(col("term")))
+      // one task per bucket -> one file per directory
+      .repartition(NumBuckets, col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket")
+      .parquet(path)
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_stats")
+  }
+
+  private val builtOnce =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** [[build]] at most once per (session, path) — the Verify gate,
+    * spec, and bench share one physical build (the buildIvfOnce
+    * discipline; the build is deterministic up to file split, and
+    * every reader re-aggregates, so sharing is safe). */
+  def buildOnce(spark: SparkSession, docs: => DataFrame, path: String,
+                idCol: String = "doc_id", textCol: String = "text"): Unit =
+    builtOnce.getOrElseUpdate((IndexStore.sessionKey(spark), path),
+      build(spark, docs, path, idCol, textCol))
+
+  /** Lexical top-`k`: (doc_id, lex_rank, lex_micros) for the documents
+    * best matching `queryTerms` under the quantized BM25 above.
+    * Reads ONLY the buckets of the query's terms (partition pruning +
+    * a pushed `term IN (...)` row-group filter); the TakeOrdered heap
+    * and every exchange after the pruned scan carry (doc_id, micros)
+    * pairs. `where` optionally filters candidate doc_ids BENEATH the
+    * rank (the V9 `where=` composition — a predicate over the posting
+    * columns, i.e. doc_id). */
+  def searchTopKLexical(spark: SparkSession, path: String,
+                        queryTerms: Seq[String], k: Int = 10,
+                        where: Option[Column] = None): DataFrame = {
+    val terms = queryTerms.filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "lexical search needs at least one term")
+    val buckets = terms.map(bucketOf).distinct
+    val stats = spark.read.parquet(s"$path/_stats")
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+      .filter(where.getOrElse(lit(true)))
+    val scored = post.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Micros(col("tf"), col("df"), col("len"),
+          col("n_docs"), col("sum_len")).as("micros"))
+      .groupBy(col("doc_id")).agg(sum(col("micros")).as("lex_micros"))
+    scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("lex_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"), col("lex_micros"))
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a vector rank list
+    * (Cormack/Clarke/Buettcher 2009: score = sum 1/(K + rank)) —
+    * quantized to exact integer units (floor(1e9/(K+rank)), a
+    * division of small integers: deterministic, engine-independent).
+    * Inputs need (doc_id, lex_rank) / (doc_id, vec_rank); a doc
+    * missing from one list contributes 0 from it (full outer join —
+    * both lists are k-row, so this is a driver-trivial merge at any
+    * corpus size). Output: top-`k` (rank, doc_id, lex_rank, vec_rank,
+    * rrf_micros), ranks NULL where a side didn't surface the doc. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
+              rrfK: Int = DefaultRrfK): DataFrame = {
+    def part(r: Column): Column = coalesce(
+      floor(lit(RrfScale) / (lit(rrfK) + r)).cast(LongType), lit(0L))
+    val fused = lex.select(col("doc_id"), col("lex_rank"))
+      .join(vec.select(col("doc_id"), col("vec_rank")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (part(col("lex_rank")) + part(col("vec_rank"))).as("rrf_micros"))
+    fused.orderBy(col("rrf_micros").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_micros").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf_micros"))
+  }
+}
