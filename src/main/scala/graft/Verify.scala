@@ -45,7 +45,8 @@ object Verify {
       // q104's and q104b's oracles re-derive their filtered searches
       // from the same dumped index, so they serve from the q98 aux too
       ("q98 ivf index", Set("q98_ivf_search", "q104_filtered_search",
-          "q104b_contains_search", "q112_ivf_batch", "q114_ivf_probe_curve"),
+          "q104b_contains_search", "q112_ivf_batch", "q114_ivf_probe_curve",
+          "q116_where_dict"),
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
       ("q112 ivf batch", Set("q112_ivf_batch"),
         () => operators.VectorSearch.materializeIvfBatchAux(spark, sfDir, auxDir)),

@@ -861,6 +861,40 @@ object VectorSearch {
   }
   private val q104bSql = ivfSearchMirrorSql(s"x.chunk LIKE '%$Q104bWord%'")
 
+  // ---- q116: chroma where-DICT translation, gated end-to-end --------
+
+  /** The chromadb wire-format filters q116 feeds through
+    * [[graft.functions.ChromaWhere]]: a nested $or / $and / $lt /
+    * $gte / $nin metadata dict plus a $contains where_document,
+    * composed conjunctively — exactly `collection.query(where=...,
+    * where_document=...)`. */
+  private val Q116Where =
+    """{"$or": [{"doc_id": {"$lt": 60}},
+                {"$and": [{"doc_id": {"$gte": 150}},
+                          {"doc_id": {"$nin": [151, 152]}}]}]}"""
+  private val Q116WhereDoc = s"""{"$$contains": "$Q104bWord"}"""
+
+  /** q116: q104's filtered IVF search with the predicate built from
+    * chroma's literal JSON dict grammar instead of a hand-written
+    * Column — the adapter is on the gated path, so a translation bug
+    * (operator mapping, precedence, implicit-AND rule) fails the
+    * hash. The oracle mirrors the dict's MEANING as plain SQL; same
+    * shared q98 physical index. */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ChromaWhere
+    import graft.sources.IndexStore
+    val path = q98IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
+    IndexStore.searchTopKIvf(s, path, Q98QueryText, k = 10,
+      probes = Q98Probes, overfetch = Q98Overfetch,
+      where = Some(ChromaWhere.where(Q116Where) &&
+        ChromaWhere.whereDocument(Q116WhereDoc, col("chunk"))))
+  }
+
+  private val q116Sql = ivfSearchMirrorSql(
+    "(x.doc_id < 60 OR (x.doc_id >= 150 AND x.doc_id NOT IN (151, 152)))" +
+      s" AND x.chunk LIKE '%$Q104bWord%'")
+
   // ---- q107/q108: delete-by-id and upsert lifecycles ----------------
 
   private def idxPath(prefix: String, d: String): String =
@@ -2015,6 +2049,7 @@ object VectorSearch {
     Query("q103_hnsw_search",   q103, Some(q103Sql)),
     Query("q104_filtered_search", q104, Some(q104Sql)),
     Query("q104b_contains_search", q104b, Some(q104bSql)),
+    Query("q116_where_dict", q116, Some(q116Sql)),
     Query("q107_delete_search",  q107, Some(q107Sql)),
     Query("q109_collection_get", q109, Some(q109Sql)),
     Query("q108_upsert_inventory", q108, Some(q108Sql)),
