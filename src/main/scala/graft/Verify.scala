@@ -57,6 +57,8 @@ object Verify {
         () => operators.VectorSearch.materializeDeleteAux(spark, sfDir, auxDir)),
       ("q108 upsert", Set("q108_upsert_inventory"),
         () => operators.VectorSearch.materializeUpsertAux(spark, sfDir, auxDir)),
+      ("q117 update expected corpus", Set("q117_update_inventory"),
+        () => operators.VectorSearch.materializeUpdateAux(spark, sfDir, auxDir)),
       ("q111 compact", Set("q111_ivf_compact_search"),
         () => operators.VectorSearch.materializeCompactAux(spark, sfDir, auxDir)),
       ("q113 stream upsert", Set("q113_stream_ivf_upsert"),

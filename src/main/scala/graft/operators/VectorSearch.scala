@@ -1066,6 +1066,63 @@ object VectorSearch {
     FROM read_parquet('/root/repo/target/verify_aux/q108_chunks.parquet/*.parquet')
     GROUP BY source ORDER BY source"""
 
+  // ---- q117: chroma collection.update (existing-ids-only) -----------
+
+  /** The q117 update batch: doc_id ≡ 4 (mod 10) genuinely re-authored
+    * ([[reviseDocs]]), PLUS two kinds of phantom identity that chroma's
+    * `update` must SKIP, never insert: known sources with unknown
+    * doc_ids, and an entirely unknown source. A single inventory gate
+    * over the final layout catches both failure modes (an inserted
+    * phantom adds rows / a partition; a skipped real update leaves
+    * stale chunks). */
+  private def q117Updates(s: SparkSession, d: String): DataFrame = {
+    val base = subsetDocs(s, d)
+    val real = reviseDocs(base.filter(col("doc_id") % 10 === 4))
+    val ghostIds = reviseDocs(base.filter(col("doc_id") < 5))
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val ghostSrc = reviseDocs(base.filter(col("doc_id") < 5))
+      .withColumn("source", lit("ghost-source"))
+    real.unionByName(ghostIds).unionByName(ghostSrc)
+  }
+
+  /** q117: the chromadb `collection.update` lifecycle — build the
+    * 200-doc source layout, update a batch mixing real revisions with
+    * phantom identities ([[graft.sources.IndexStore.updateDocs]]:
+    * upsert restricted to already-present (source, doc_id), unknown
+    * ids silently skipped — THE semantic difference from q108's
+    * upsert, gated here). Inventory over the post-update layout;
+    * oracle: the same inventory over an independently recomputed
+    * expected corpus in which ONLY the real revisions took effect. */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = idxPath("q117_src_index", d)
+    lifecycleOnce(s, d, "q117") {
+      IndexStore.buildFromRows(s, subsetRows(s, d), path)
+      IndexStore.updateDocs(s, q117Updates(s, d), path)
+    }
+    IndexStore.inventoryBySource(s.read.parquet(path))
+  }
+
+  /** Recomputed EXPECTED post-update corpus for the q117 oracle: the
+    * phantoms contribute NOTHING; doc_id ≡ 4 (mod 10) docs appear
+    * revised, all others original. */
+  def materializeUpdateAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    val expected = subsetDocs(s, d).filter(col("doc_id") % 10 =!= 4)
+      .unionByName(reviseDocs(subsetDocs(s, d).filter(col("doc_id") % 10 === 4)))
+    expected
+      .select(col("doc_id"), col("source"),
+        exprs.chunkText(col("text"), graft.sources.IndexStore.ChunkSize,
+          graft.sources.IndexStore.ChunkOverlap).as(Seq("pos", "chunk")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q117_chunks.parquet")
+  }
+
+  private val q117Sql = """
+    SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_chars,
+           MAX(length(chunk)) AS max_chunk_len
+    FROM read_parquet('/root/repo/target/verify_aux/q117_chunks.parquet/*.parquet')
+    GROUP BY source ORDER BY source"""
+
   // ---- q111: append→compact→search lifecycle ------------------------
 
   private val Q111Cells = 8
@@ -2050,6 +2107,7 @@ object VectorSearch {
     Query("q104_filtered_search", q104, Some(q104Sql)),
     Query("q104b_contains_search", q104b, Some(q104bSql)),
     Query("q116_where_dict", q116, Some(q116Sql)),
+    Query("q117_update_inventory", q117, Some(q117Sql)),
     Query("q107_delete_search",  q107, Some(q107Sql)),
     Query("q109_collection_get", q109, Some(q109Sql)),
     Query("q108_upsert_inventory", q108, Some(q108Sql)),

@@ -653,6 +653,38 @@ object IndexStore {
     evictHnswShards(spark, path)
   }
 
+  // ---- chroma collection.update: modify EXISTING identities only ----
+
+  /** Identities of `docs` already present in the layout at `path` —
+    * the chroma `collection.update` contract, distinct from upsert:
+    * an unknown id is silently skipped (chroma logs and ignores it),
+    * never inserted. The existence probe reads only (source, doc_id)
+    * — a column-pruned metadata-cheap scan at any corpus size. */
+  private def existingOnly(spark: SparkSession, docs: DataFrame,
+                           path: String): DataFrame = {
+    val existing = spark.read.parquet(path)
+      .select(col("source"), col("doc_id")).distinct()
+    docs.join(existing, Seq("source", "doc_id"), "left_semi")
+  }
+
+  /** chroma `collection.update` on the source layout: [[upsertDocs]]
+    * restricted to already-present (source, doc_id) identities. Same
+    * touched-partition-only rewrite; a batch of entirely-new
+    * identities is a no-op. */
+  def updateDocs(spark: SparkSession, docs: DataFrame, path: String,
+                 dim: Int = Embed.DefaultDim): Unit =
+    upsertDocs(spark, existingOnly(spark, docs, path), path, dim)
+
+  /** [[updateDocs]] for the IVF layout (via [[upsertIvf]]'s
+    * touched-cell rewrite through the persisted quantizer). */
+  def updateIvf(spark: SparkSession, docs: DataFrame, path: String): Unit =
+    upsertIvf(spark, existingOnly(spark, docs, path), path)
+
+  /** [[updateDocs]] for the HNSW layout (via [[upsertHnsw]]'s
+    * touched-shard graph rebuild). */
+  def updateHnsw(spark: SparkSession, docs: DataFrame, path: String): Unit =
+    upsertHnsw(spark, existingOnly(spark, docs, path), path)
+
   /** ANN search over the IVF-partitioned layout: the cell predicate
     * resolves to partition directories at planning time; SQ8 pre-rank
     * + exact rerank inside the probed cells.

@@ -424,6 +424,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.head.getAs[Long]("doc_id") == 2L)
   }
 
+  test("updateDocs modifies existing identities and silently skips unknown ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upd_src").toString + "/index"
+    IndexStore.build(spark, tinyDocs, dir)
+    val before = spark.read.parquet(dir)
+    val nBefore = before.count()
+    val batch = Seq(
+      (0L, "updated alpha text", "sheetA"),          // exists -> replaced
+      (7L, "phantom new doc", "sheetA"),             // unknown id -> skipped
+      (0L, "phantom new source", "ghost"))           // unknown source -> skipped
+      .toDF("doc_id", "text", "source")
+    IndexStore.updateDocs(spark, batch, dir)
+    val idx = spark.read.parquet(dir)
+    assert(idx.filter(col("doc_id") === 0L).select("chunk").head().getString(0)
+      == "updated alpha text")
+    assert(idx.filter(col("doc_id") === 7L).count() == 0, "update must not insert")
+    assert(idx.filter(col("source") === "ghost").count() == 0,
+      "update must not create a partition")
+    assert(idx.count() == nBefore)
+    // an all-phantom batch is a complete no-op
+    IndexStore.updateDocs(spark,
+      Seq((9L, "x", "sheetA")).toDF("doc_id", "text", "source"), dir)
+    assert(spark.read.parquet(dir).count() == nBefore)
+  }
+
+  test("updateIvf skips unknown identities but replaces known ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upd_ivf").toString + "/index"
+    IndexStore.buildIvf(spark, tinyDocs, dir, nCells = 2, lloydIters = 1)
+    val nBefore = spark.read.parquet(dir).count()
+    val batch = Seq(
+      (2L, "updated window aggregation text", "sheetB"),
+      (5L, "phantom doc", "sheetB"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.updateIvf(spark, batch, dir)
+    val idx = spark.read.parquet(dir)
+    assert(idx.filter(col("doc_id") === 2L).select("chunk").head().getString(0)
+      == "updated window aggregation text")
+    assert(idx.filter(col("doc_id") === 5L).count() == 0)
+    assert(idx.count() == nBefore)
+  }
+
   test("upsertHnsw replaces a doc and rebuilds only its shard's graph") {
     import spark.implicits._
     val docs = (0L until 24L)
