@@ -143,6 +143,176 @@ object Hybrid {
            doc_id, lex_rank, vec_rank, rrf_micros
     FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT 10"""
 
+  // ---- q118: hybrid over the PERSISTED index families ---------------
+
+  private def lexChunksPath(d: String): String =
+    "/root/repo/target/q118_lex_chunks/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val Q118Probes = 3
+  private val Q118Overfetch = 32
+  private val Q118KLex = 20
+  private val Q118KVec = 10
+
+  /** ONE-CALL hybrid search over two on-disk indexes — the production
+    * shape: the query's terms hit the lexical layout's term-hash
+    * buckets (partition-pruned BM25 top-`kLex`), its embedding probes
+    * the IVF layout's nearest cells (partition-pruned SQ8+rerank
+    * top-`kVec`), and the two k-row rank lists merge by reciprocal
+    * rank. Both sides reuse every pruning/plan property their own
+    * gates pin; nothing corpus-sized moves at query time. */
+  def searchTopKHybrid(s: SparkSession, lexPath: String, ivfPath: String,
+                       queryText: String, k: Int = 10,
+                       kLex: Int = Q118KLex, kVec: Int = Q118KVec,
+                       probes: Int = Q118Probes,
+                       overfetch: Int = Q118Overfetch): DataFrame = {
+    import graft.sources.IndexStore
+    val terms = queryText.split(" ").filter(_.nonEmpty).toSeq
+    val lex = LexicalStore.searchTopKLexical(s, lexPath, terms, kLex)
+    val vec = IndexStore.searchTopKIvf(s, ivfPath, queryText, kVec,
+        probes, overfetch)
+      .select(col("chunk_id").as("doc_id"), col("rank").as("vec_rank"))
+    LexicalStore.rrfFuse(lex, vec, k)
+      .select(col("rank"), col("doc_id").as("chunk_id"),
+        col("lex_rank"), col("vec_rank"), col("rrf_micros"))
+  }
+
+  /** q118's query: the first 8 raw tokens of doc 0's text — on-corpus
+    * by construction (the fixture vocabulary is random words, so a
+    * hand-written query would match nothing) and re-derivable in SQL
+    * as a list slice of the same split. */
+  private def q118QueryText(s: SparkSession, d: String): String =
+    Tables.documents(s, d).filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .split(" ").take(8).filter(_.nonEmpty).mkString(" ")
+
+  /** q118: [[searchTopKHybrid]] gated end-to-end — a chunk-level
+    * lexical index built over the SAME chunk corpus the shared q98
+    * IVF index holds, so one query text drives both persisted
+    * layouts and the fusion. Oracle: DuckDB re-derives the lexical
+    * side (tokenize → tf/df/len/stats → quantized BM25) from the
+    * dumped q98 index's chunk text, the vector side through the
+    * probe → SQ8 → rerank mirror with the dumped q118 query
+    * vector/code, and the RRF merge — the whole hybrid pipeline,
+    * independently. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val rows = VectorSearch.docRowsCached(s, d)
+    val ivfPath = VectorSearch.q98IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, rows, ivfPath, bitExact = true)
+    LexicalStore.buildOnce(s, rows.select(col("chunk_id"), col("chunk")),
+      lexChunksPath(d), idCol = "chunk_id", textCol = "chunk")
+    searchTopKHybrid(s, lexChunksPath(d), ivfPath, q118QueryText(s, d))
+      .orderBy(col("rank"))
+  }
+
+  /** Dump q118's query vector + SQ8 code for the oracle's IVF mirror
+    * (the materializeIvfIndexAux query-dump shape, for THIS query). */
+  def materializeHybridAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    val qvec = graft.functions.Embed.embed(q118QueryText(s, d),
+      graft.functions.Embed.DefaultDim)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    import s.implicits._
+    Seq((qvec.toSeq,
+        graft.functions.VecIndex.sq8Code(qData).map(_.toInt).toSeq,
+        graft.functions.VecIndex.sq8Factor(qData)))
+      .toDF("qvec", "qcode", "qfac")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q118_query.parquet")
+  }
+
+  private val AuxQ98Index =
+    "read_parquet('/root/repo/target/verify_aux/q98_index.parquet/*.parquet')"
+  private val AuxQ98Cents =
+    "read_parquet('/root/repo/target/verify_aux/q98_cents.parquet/*.parquet')"
+  private val AuxQ118Query =
+    "read_parquet('/root/repo/target/verify_aux/q118_query.parquet/*.parquet')"
+
+  /** The full hybrid mirror: lexical BM25 micros over the dumped
+    * chunk corpus (the q115 expression tree, chunk-level), the IVF
+    * probe/prerank/rerank mirror (the q98 CTE shape against the q118
+    * query dump), and the integer RRF merge. */
+  private val q118Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ98Cents),
+    qv AS (SELECT qvec, qcode, qfac FROM $AuxQ118Query),
+    idx AS (SELECT * FROM $AuxQ98Index),
+    assign AS (
+      SELECT x.chunk_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.chunk_id
+               ORDER BY ${VectorSearch.l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM idx x, cents c),
+    assigned AS (SELECT chunk_id, cent_id AS cell FROM assign WHERE arn = 1),
+    probe AS (
+      SELECT c.cent_id AS cell FROM cents c, qv
+      ORDER BY ${VectorSearch.l2Sql("qv.qvec", "c.cvec")}, c.cent_id LIMIT $Q118Probes),
+    pruned AS (
+      SELECT x.* FROM idx x
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+    cand AS (
+      SELECT x.chunk_id FROM pruned x CROSS JOIN qv
+      ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
+          k -> x.sq8[k] * qv.qcode[k])) AS DOUBLE) * x.fac * qv.qfac DESC,
+        x.chunk_id
+      LIMIT $Q118Overfetch),
+    vscored AS (
+      SELECT x.chunk_id,
+             ${VectorSearch.cosColsSql("x.embedding", "qv.qvec")} AS sim
+      FROM pruned x JOIN cand USING (chunk_id) CROSS JOIN qv),
+    veck AS (
+      SELECT chunk_id, vec_rank FROM (
+        SELECT chunk_id,
+               row_number() OVER (ORDER BY sim DESC, chunk_id) AS vec_rank
+        FROM vscored)
+      WHERE vec_rank <= $Q118KVec),
+    toks AS (
+      SELECT chunk_id, unnest(string_split(chunk, ' ')) AS term FROM idx
+    ), tf AS (
+      SELECT chunk_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY chunk_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (
+      SELECT chunk_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY chunk_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), qterms AS (
+      SELECT DISTINCT term FROM (
+        SELECT unnest((string_split(text, ' '))[1:8]) AS term
+        FROM documents WHERE doc_id = 0)
+      WHERE length(term) > 0
+    ), contrib AS (
+      SELECT tf.chunk_id,
+        CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT) AS micros
+      FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (chunk_id) CROSS JOIN stats
+    ), lex AS (
+      SELECT chunk_id, CAST(SUM(micros) AS BIGINT) AS lex_micros
+      FROM contrib GROUP BY chunk_id
+    ), lexk AS (
+      SELECT chunk_id, lex_rank FROM (
+        SELECT chunk_id,
+               row_number() OVER (ORDER BY lex_micros DESC, chunk_id) AS lex_rank
+        FROM lex)
+      WHERE lex_rank <= $Q118KLex
+    ), fused AS (
+      SELECT COALESCE(l.chunk_id, v.chunk_id) AS chunk_id,
+             l.lex_rank, v.vec_rank,
+        COALESCE(CAST(floor(1000000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+        + COALESCE(CAST(floor(1000000000.0 / (60 + v.vec_rank)) AS BIGINT), 0)
+          AS rrf_micros
+      FROM lexk l FULL OUTER JOIN veck v ON l.chunk_id = v.chunk_id
+    )
+    SELECT row_number() OVER (ORDER BY rrf_micros DESC, chunk_id) AS rank,
+           chunk_id, lex_rank, vec_rank, rrf_micros
+    FROM fused ORDER BY rrf_micros DESC, chunk_id LIMIT 10"""
+
   val queries: Seq[Query] = Seq(
-    Query("q115_hybrid_rrf", q115, Some(q115Sql)))
+    Query("q115_hybrid_rrf", q115, Some(q115Sql)),
+    Query("q118_hybrid_ivf", q118, Some(q118Sql)))
 }

@@ -411,7 +411,7 @@ object VectorSearch {
     SELECT query_id, rank, vec_id, n_candidates FROM ranked
     WHERE rank <= 3 ORDER BY query_id, rank"""
 
-  private def l2Sql(vec: String, cent: String) = s"""
+  private[graft] def l2Sql(vec: String, cent: String) = s"""
         sqrt(list_sum(list_transform(generate_series(1, len($vec)),
           i -> (CAST($vec[i] AS DOUBLE) - CAST($cent[i] AS DOUBLE))
              * (CAST($vec[i] AS DOUBLE) - CAST($cent[i] AS DOUBLE)))))"""
@@ -551,7 +551,7 @@ object VectorSearch {
   /** Deterministic on-disk location of the q98 index for an sf dir —
     * one physical build per (session, sf), shared by the query, the
     * Verify aux dump, and the bench (see IndexStore.buildIvfOnce). */
-  private def q98IndexPath(d: String): String = idxPath("q98_ivf_index", d)
+  private[graft] def q98IndexPath(d: String): String = idxPath("q98_ivf_index", d)
 
   private val Q98QueryText = "grouped aggregation over partitioned batches"
   private val Q98Probes = 3
@@ -613,7 +613,7 @@ object VectorSearch {
 
   /** Generic exact-cosine SQL between two array-column expressions
     * (the [[cosSql]] arithmetic over arbitrary columns). */
-  private def cosColsSql(x: String, y: String) = s"""
+  private[graft] def cosColsSql(x: String, y: String) = s"""
         list_sum(list_transform(generate_series(1, len($x)),
           i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
         / (sqrt(list_sum(list_transform(generate_series(1, len($x)),

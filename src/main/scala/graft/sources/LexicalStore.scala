@@ -105,8 +105,9 @@ object LexicalStore {
     * cost is two aggregations over one tokenize pass. */
   def build(spark: SparkSession, docs: DataFrame, path: String,
             idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
-      col(textCol).as("text"))
+    // id keeps its native type (long doc ids, string chunk ids — the
+    // layout serves doc-level and chunk-level corpora alike)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val toks = graft.operators.Corpus.tokens(base, "text", "doc_id")
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
