@@ -263,6 +263,64 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q116: a dict-built where keeps pushdown and cell pruning like a hand-written one") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q116_where_dict")(spark, d)
+    df.collect()
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q98_ivf_index")))
+    assert(idxScans.nonEmpty, "expected scans of the shared q98 index:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"dict-filtered search must keep the cell partition filter: $f")
+      // the translated $or/$and/$nin tree is ordinary comparisons, so
+      // it reaches the parquet reader exactly like q104's Column
+      assert(f.dataFilters.exists(_.references.exists(_.name == "doc_id")),
+        s"the translated predicate must sit on the scan: $f")
+      assert(f.metadata.get("PushedFilters").exists(_.contains("doc_id")),
+        s"the translated comparisons must push into the reader: ${f.metadata.get("PushedFilters")}")
+    }
+  }
+
+  test("q118: the fused hybrid plan preserves BOTH indexes' partition pruning") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q118_hybrid_ivf")(spark, d)
+    df.collect()
+    val scans = leafScans(df.queryExecution.executedPlan)
+    val lexScans = scans.filter(_.relation.location.rootPaths.exists(p =>
+      p.toString.contains("q118_lex_chunks") && !p.toString.contains("_stats")))
+    val ivfScans = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q98_ivf_index")))
+    assert(lexScans.nonEmpty && ivfScans.nonEmpty,
+      "the one fused plan must scan both persisted layouts:\n" +
+        df.queryExecution.executedPlan)
+    lexScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"hybrid's lexical scan must keep its bucket partition filter: $f")
+      assert(f.dataFilters.exists(_.references.exists(_.name == "term")),
+        s"hybrid's lexical scan must keep the pushed term IN-list: $f")
+    }
+    ivfScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"hybrid's IVF scan must keep its cell partition filter: $f")
+    }
+  }
+
   test("q104b: the $contains predicate pushes into the pruned cells beneath the rerank") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
