@@ -46,7 +46,7 @@ object Verify {
       // from the same dumped index, so they serve from the q98 aux too
       ("q98 ivf index", Set("q98_ivf_search", "q104_filtered_search",
           "q104b_contains_search", "q112_ivf_batch", "q114_ivf_probe_curve",
-          "q116_where_dict", "q118_hybrid_ivf"),
+          "q116_where_dict", "q118_hybrid_ivf", "q119_hybrid_batch"),
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
       ("q112 ivf batch", Set("q112_ivf_batch"),
         () => operators.VectorSearch.materializeIvfBatchAux(spark, sfDir, auxDir)),
@@ -61,6 +61,8 @@ object Verify {
         () => operators.VectorSearch.materializeUpdateAux(spark, sfDir, auxDir)),
       ("q118 hybrid query vector", Set("q118_hybrid_ivf"),
         () => operators.Hybrid.materializeHybridAux(spark, sfDir, auxDir)),
+      ("q119 hybrid batch queries", Set("q119_hybrid_batch"),
+        () => operators.Hybrid.materializeHybridBatchAux(spark, sfDir, auxDir)),
       ("q111 compact", Set("q111_ivf_compact_search"),
         () => operators.VectorSearch.materializeCompactAux(spark, sfDir, auxDir)),
       ("q113 stream upsert", Set("q113_stream_ivf_upsert"),

@@ -312,7 +312,176 @@ object Hybrid {
            chunk_id, lex_rank, vec_rank, rrf_micros
     FROM fused ORDER BY rrf_micros DESC, chunk_id LIMIT 10"""
 
+  // ---- q119: BATCH hybrid over the persisted families ---------------
+
+  private val Q119K = 5
+
+  /** [[searchTopKHybrid]] for a query batch: ONE pruned postings scan
+    * answers every query's lexical side
+    * ([[LexicalStore.searchTopKLexicalBatch]]), ONE cell-pruned IVF
+    * scan answers every vector side
+    * ([[graft.sources.IndexStore.searchTopKIvfBatch]] — the measured
+    * 12.5× amortization), and the fusion windows per query. The
+    * serving shape: per extra query, only its broadcast fan-out rows
+    * and its beam of rank rows — never another index scan. */
+  def searchTopKHybridBatch(s: SparkSession, lexPath: String, ivfPath: String,
+                            queries: Seq[(Long, String)], k: Int = 10,
+                            kLex: Int = Q118KLex, kVec: Int = Q118KVec,
+                            probes: Int = Q118Probes,
+                            overfetch: Int = Q118Overfetch): DataFrame = {
+    import graft.sources.IndexStore
+    val lex = LexicalStore.searchTopKLexicalBatch(s, lexPath, queries, kLex)
+    val vec = IndexStore.searchTopKIvfBatch(s, ivfPath, queries, kVec,
+        probes, overfetch)
+      .select(col("query_id"), col("chunk_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    LexicalStore.rrfFuseBatch(lex, vec, k)
+      .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
+        col("lex_rank"), col("vec_rank"), col("rrf_micros"))
+  }
+
+  /** q119's query batch: docs 0, 1, 2 each contribute their first 8
+    * tokens (the q118 query rule per query_id = doc_id). */
+  private def q119Queries(s: SparkSession, d: String): Seq[(Long, String)] =
+    Tables.documents(s, d).filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").take(8).filter(_.nonEmpty).mkString(" "))
+      .sortBy(_._1).toSeq
+
+  /** q119: [[searchTopKHybridBatch]] gated — 3 queries × top-5 over
+    * the q118 chunk-level lexical index and the shared q98 IVF index.
+    * Oracle: the q118 mirror generalized per query (the batch query
+    * table is a CTE over documents doc_id < 3; probe / SQ8 / rerank /
+    * BM25 / RRF all window per query_id), against the dumped index
+    * and the dumped per-query vectors. */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val rows = VectorSearch.docRowsCached(s, d)
+    val ivfPath = VectorSearch.q98IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, rows, ivfPath, bitExact = true)
+    LexicalStore.buildOnce(s, rows.select(col("chunk_id"), col("chunk")),
+      lexChunksPath(d), idCol = "chunk_id", textCol = "chunk")
+    searchTopKHybridBatch(s, lexChunksPath(d), ivfPath,
+        q119Queries(s, d), k = Q119K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Dump q119's per-query vectors/codes for the oracle's batch IVF
+    * mirror. */
+  def materializeHybridBatchAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    val rows = q119Queries(s, d).map { case (qid, text) =>
+      val qvec = graft.functions.Embed.embed(text, graft.functions.Embed.DefaultDim)
+      val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+      (qid, qvec.toSeq,
+        graft.functions.VecIndex.sq8Code(qData).map(_.toInt).toSeq,
+        graft.functions.VecIndex.sq8Factor(qData))
+    }
+    import s.implicits._
+    rows.toDF("query_id", "qvec", "qcode", "qfac")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q119_queries.parquet")
+  }
+
+  private val AuxQ119Queries =
+    "read_parquet('/root/repo/target/verify_aux/q119_queries.parquet/*.parquet')"
+
+  private val q119Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ98Cents),
+    qv AS (SELECT query_id, qvec, qcode, qfac FROM $AuxQ119Queries),
+    idx AS (SELECT * FROM $AuxQ98Index),
+    assign AS (
+      SELECT x.chunk_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.chunk_id
+               ORDER BY ${VectorSearch.l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM idx x, cents c),
+    assigned AS (SELECT chunk_id, cent_id AS cell FROM assign WHERE arn = 1),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ${VectorSearch.l2Sql("q.qvec", "c.cvec")}, c.cent_id) AS prn
+        FROM qv q, cents c)
+      WHERE prn <= $Q118Probes),
+    pruned AS (
+      SELECT p.query_id, x.* FROM idx x
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+    cand AS (
+      SELECT query_id, chunk_id FROM (
+        SELECT x.query_id, x.chunk_id,
+               row_number() OVER (PARTITION BY x.query_id ORDER BY
+                 CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
+                   k -> x.sq8[k] * q.qcode[k])) AS DOUBLE) * x.fac * q.qfac DESC,
+                 x.chunk_id) AS crn
+        FROM pruned x JOIN qv q USING (query_id))
+      WHERE crn <= $Q118Overfetch),
+    vscored AS (
+      SELECT x.query_id, x.chunk_id,
+             ${VectorSearch.cosColsSql("x.embedding", "q.qvec")} AS sim
+      FROM pruned x JOIN cand USING (query_id, chunk_id) JOIN qv q USING (query_id)),
+    veck AS (
+      SELECT query_id, chunk_id, vec_rank FROM (
+        SELECT query_id, chunk_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, chunk_id) AS vec_rank
+        FROM vscored)
+      WHERE vec_rank <= $Q118KVec),
+    toks AS (
+      SELECT chunk_id, unnest(string_split(chunk, ' ')) AS term FROM idx
+    ), tf AS (
+      SELECT chunk_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY chunk_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (
+      SELECT chunk_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY chunk_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), qterms AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM (
+        SELECT doc_id, unnest((string_split(text, ' '))[1:8]) AS term
+        FROM documents WHERE doc_id < 3)
+      WHERE length(term) > 0
+    ), contrib AS (
+      SELECT q.query_id, tf.chunk_id,
+        CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT) AS micros
+      FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (chunk_id) CROSS JOIN stats
+    ), lex AS (
+      SELECT query_id, chunk_id, CAST(SUM(micros) AS BIGINT) AS lex_micros
+      FROM contrib GROUP BY query_id, chunk_id
+    ), lexk AS (
+      SELECT query_id, chunk_id, lex_rank FROM (
+        SELECT query_id, chunk_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY lex_micros DESC, chunk_id) AS lex_rank
+        FROM lex)
+      WHERE lex_rank <= $Q118KLex
+    ), fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.chunk_id, v.chunk_id) AS chunk_id,
+             l.lex_rank, v.vec_rank,
+        COALESCE(CAST(floor(1000000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+        + COALESCE(CAST(floor(1000000000.0 / (60 + v.vec_rank)) AS BIGINT), 0)
+          AS rrf_micros
+      FROM lexk l FULL OUTER JOIN veck v
+        ON l.query_id = v.query_id AND l.chunk_id = v.chunk_id
+    )
+    SELECT query_id, rank, chunk_id, lex_rank, vec_rank, rrf_micros FROM (
+      SELECT query_id, chunk_id, lex_rank, vec_rank, rrf_micros,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_micros DESC, chunk_id) AS rank
+      FROM fused)
+    WHERE rank <= $Q119K ORDER BY query_id, rank"""
+
   val queries: Seq[Query] = Seq(
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
-    Query("q118_hybrid_ivf", q118, Some(q118Sql)))
+    Query("q118_hybrid_ivf", q118, Some(q118Sql)),
+    Query("q119_hybrid_batch", q119, Some(q119Sql)))
 }

@@ -170,6 +170,44 @@ object LexicalStore {
       .select(col("doc_id"), col("lex_rank"), col("lex_micros"))
   }
 
+  /** BATCH lexical top-`k`: every query answered from ONE postings
+    * scan pruned to the UNION of all queries' term buckets — a
+    * broadcast (query_id, term) table fans each posting row to only
+    * the queries that contain its term, then per-query exact-integer
+    * aggregation and window ranks (the searchTopKIvfBatch shape:
+    * amortized scan, narrow rank exchanges carrying (query_id,
+    * doc_id, micros)). `queries` = (query_id, queryText); text is
+    * tokenized with the build's split rule. */
+  def searchTopKLexicalBatch(spark: SparkSession, path: String,
+                             queries: Seq[(Long, String)], k: Int = 10,
+                             where: Option[Column] = None): DataFrame = {
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
+    }
+    require(qTerms.nonEmpty, "batch lexical search needs at least one term")
+    val terms = qTerms.map(_._2).distinct
+    val buckets = terms.map(bucketOf).distinct
+    val stats = spark.read.parquet(s"$path/_stats")
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+      .filter(where.getOrElse(lit(true)))
+    import spark.implicits._
+    val qt = qTerms.toDF("query_id", "term")
+    val scored = post.join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        bm25Micros(col("tf"), col("df"), col("len"),
+          col("n_docs"), col("sum_len")).as("micros"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("micros")).as("lex_micros"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_micros").desc, col("doc_id"))
+    scored.withColumn("lex_rank", row_number().over(w))
+      .filter(col("lex_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("lex_micros"))
+  }
+
   /** Reciprocal-rank fusion of a lexical and a vector rank list
     * (Cormack/Clarke/Buettcher 2009: score = sum 1/(K + rank)) —
     * quantized to exact integer units (floor(1e9/(K+rank)), a
@@ -192,5 +230,25 @@ object LexicalStore {
         Window.orderBy(col("rrf_micros").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("lex_rank"),
         col("vec_rank"), col("rrf_micros"))
+  }
+
+  /** [[rrfFuse]] per query: inputs additionally carry `query_id`, the
+    * merge keys on (query_id, doc_id), and ranks window per query —
+    * two (batch × k)-row lists in, one ranked list per query out. */
+  def rrfFuseBatch(lex: DataFrame, vec: DataFrame, k: Int,
+                   rrfK: Int = DefaultRrfK): DataFrame = {
+    def part(r: Column): Column = coalesce(
+      floor(lit(RrfScale) / (lit(rrfK) + r)).cast(LongType), lit(0L))
+    val fused = lex.select(col("query_id"), col("doc_id"), col("lex_rank"))
+      .join(vec.select(col("query_id"), col("doc_id"), col("vec_rank")),
+        Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (part(col("lex_rank")) + part(col("vec_rank"))).as("rrf_micros"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("lex_rank"), col("vec_rank"), col("rrf_micros"))
   }
 }

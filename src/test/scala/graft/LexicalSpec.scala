@@ -108,6 +108,22 @@ class LexicalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("batch lexical search equals the single-query path, per query") {
+    built()
+    val texts = Tables.documents(spark, d).filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val batch = LexicalStore.searchTopKLexicalBatch(spark, path, texts, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq.sorted
+    val singles = texts.flatMap { case (qid, text) =>
+      LexicalStore.searchTopKLexical(spark, path,
+          text.split(" ").filter(_.nonEmpty).toSeq, k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1), r.getLong(2)))
+    }.sorted
+    assert(batch == singles, s"batch and sequential diverge:\n$batch\n$singles")
+  }
+
   test("rrfFuse: both-list docs outrank single-list docs at equal depth") {
     import spark.implicits._
     // doc 1 is rank 1 on both sides; docs 2/3 are rank 2 on one side
