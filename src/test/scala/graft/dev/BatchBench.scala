@@ -56,6 +56,36 @@ object BatchBench {
     val tHSingle = (System.nanoTime() - t3) / 1e9
     println(f"BATCH hnsw n=$n%d batch=$tHBatch%.2fs ($hBatchRows%d rows) " +
       f"sequential=$tHSingle%.2fs ($hSingleRows%d rows) speedup=${tHSingle / tHBatch}%.1fx")
+    // hybrid: one pruned postings scan + one IVF batch scan + fusion
+    // vs N full single-query hybrid pipelines. Queries are document
+    // prefixes so the lexical side does real posting work.
+    import org.apache.spark.sql.functions.col
+    val lexPath = "/root/repo/target/batch_bench/lex"
+    graft.sources.LexicalStore.build(spark,
+      spark.read.parquet(path).select("chunk_id", "chunk"),
+      lexPath, "chunk_id", "chunk")
+    val hyQueries = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") < n).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").take(8).filter(_.nonEmpty).mkString(" "))
+      .sortBy(_._1).toSeq
+    graft.operators.Hybrid.searchTopKHybrid(spark, lexPath, path,
+      hyQueries.head._2).count()
+    graft.operators.Hybrid.searchTopKHybridBatch(spark, lexPath, path,
+      hyQueries.take(2)).count()
+    val t4 = System.nanoTime()
+    val yBatchRows = graft.operators.Hybrid
+      .searchTopKHybridBatch(spark, lexPath, path, hyQueries).count()
+    val tYBatch = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    var ySingleRows = 0L
+    hyQueries.foreach { case (_, text) =>
+      ySingleRows += graft.operators.Hybrid
+        .searchTopKHybrid(spark, lexPath, path, text).count()
+    }
+    val tYSingle = (System.nanoTime() - t5) / 1e9
+    println(f"BATCH hybrid n=$n%d batch=$tYBatch%.2fs ($yBatchRows%d rows) " +
+      f"sequential=$tYSingle%.2fs ($ySingleRows%d rows) speedup=${tYSingle / tYBatch}%.1fx")
     spark.stop()
   }
 }
