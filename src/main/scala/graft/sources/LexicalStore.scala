@@ -58,8 +58,13 @@ object LexicalStore {
 
   /** Integer score quantum: micros of BM25 weight. 1e6 preserves ~6
     * significant digits of each contribution — far below any rank
-    * difference BM25 can meaningfully express — while keeping a
-    * 10k-term document's score < 2^53 with headroom. */
+    * difference BM25 can meaningfully express. Overflow headroom: a
+    * contribution is at most `ScoreScale * idf * (k1+1)` and rational
+    * idf is at most ~N, so at N = 1e10 docs (the 100 TB regime) a
+    * single-occurrence term contributes ≤ 2.2e16 micros and a
+    * 100-term query's document score stays ≤ 2.2e18 < 2^63. Queries
+    * are short by construction; a thousand-term "query" at that
+    * corpus size would need a smaller quantum. */
   val ScoreScale = 1000000.0
 
   /** RRF quantum (1e9/(k+rank) stays integral and exact). */
@@ -129,15 +134,18 @@ object LexicalStore {
   }
 
   private val builtOnce =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, String), Unit]
 
-  /** [[build]] at most once per (session, path) — the Verify gate,
-    * spec, and bench share one physical build (the buildIvfOnce
-    * discipline; the build is deterministic up to file split, and
-    * every reader re-aggregates, so sharing is safe). */
+  /** [[build]] at most once per (session, path, id/text columns) —
+    * the Verify gate, spec, and bench share one physical build (the
+    * buildIvfOnce discipline; the build is deterministic up to file
+    * split, and every reader re-aggregates, so sharing is safe). The
+    * column names are part of the key, as build parameters always are
+    * (buildIvfOnce/buildHnswOnce) — a same-path build over different
+    * columns must not silently no-op. */
   def buildOnce(spark: SparkSession, docs: => DataFrame, path: String,
                 idCol: String = "doc_id", textCol: String = "text"): Unit =
-    builtOnce.getOrElseUpdate((IndexStore.sessionKey(spark), path),
+    builtOnce.getOrElseUpdate((IndexStore.sessionKey(spark), path, idCol, textCol),
       build(spark, docs, path, idCol, textCol))
 
   /** Lexical top-`k`: (doc_id, lex_rank, lex_micros) for the documents
