@@ -46,7 +46,8 @@ object Verify {
       // from the same dumped index, so they serve from the q98 aux too
       ("q98 ivf index", Set("q98_ivf_search", "q104_filtered_search",
           "q104b_contains_search", "q112_ivf_batch", "q114_ivf_probe_curve",
-          "q116_where_dict", "q118_hybrid_ivf", "q119_hybrid_batch"),
+          "q116_where_dict", "q118_hybrid_ivf", "q119_hybrid_batch",
+          "q120_hybrid_filtered"),
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
       ("q112 ivf batch", Set("q112_ivf_batch"),
         () => operators.VectorSearch.materializeIvfBatchAux(spark, sfDir, auxDir)),
@@ -59,7 +60,7 @@ object Verify {
         () => operators.VectorSearch.materializeUpsertAux(spark, sfDir, auxDir)),
       ("q117 update expected corpus", Set("q117_update_inventory"),
         () => operators.VectorSearch.materializeUpdateAux(spark, sfDir, auxDir)),
-      ("q118 hybrid query vector", Set("q118_hybrid_ivf"),
+      ("q118 hybrid query vector", Set("q118_hybrid_ivf", "q120_hybrid_filtered"),
         () => operators.Hybrid.materializeHybridAux(spark, sfDir, auxDir)),
       ("q119 hybrid batch queries", Set("q119_hybrid_batch"),
         () => operators.Hybrid.materializeHybridBatchAux(spark, sfDir, auxDir)),

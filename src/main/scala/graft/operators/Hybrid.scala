@@ -161,16 +161,28 @@ object Hybrid {
     * top-`kVec`), and the two k-row rank lists merge by reciprocal
     * rank. Both sides reuse every pruning/plan property their own
     * gates pin; nothing corpus-sized moves at query time. */
+  /** `where` (chroma `query(where=...)` on the hybrid surface): the
+    * metadata lives in the IVF layout, so the predicate applies there
+    * NATIVELY (the q104 composition — inside the probed cells,
+    * beneath the rank) and reaches the metadata-less lexical side as
+    * the id-ALLOWLIST of layout rows surviving it
+    * ([[LexicalStore]]'s allow semi-join, also beneath the rank) —
+    * both rank lists are exact over the filtered set, so the fusion
+    * is too. */
   def searchTopKHybrid(s: SparkSession, lexPath: String, ivfPath: String,
                        queryText: String, k: Int = 10,
                        kLex: Int = Q118KLex, kVec: Int = Q118KVec,
                        probes: Int = Q118Probes,
-                       overfetch: Int = Q118Overfetch): DataFrame = {
+                       overfetch: Int = Q118Overfetch,
+                       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.sources.IndexStore
     val terms = queryText.split(" ").filter(_.nonEmpty).toSeq
-    val lex = LexicalStore.searchTopKLexical(s, lexPath, terms, kLex)
+    val allow = where.map(w => s.read.parquet(ivfPath).filter(w)
+      .select(col("chunk_id").as("doc_id")))
+    val lex = LexicalStore.searchTopKLexical(s, lexPath, terms, kLex,
+      allow = allow)
     val vec = IndexStore.searchTopKIvf(s, ivfPath, queryText, kVec,
-        probes, overfetch)
+        probes, overfetch, where = where)
       .select(col("chunk_id").as("doc_id"), col("rank").as("vec_rank"))
     LexicalStore.rrfFuse(lex, vec, k)
       .select(col("rank"), col("doc_id").as("chunk_id"),
@@ -230,11 +242,16 @@ object Hybrid {
   /** The full hybrid mirror: lexical BM25 micros over the dumped
     * chunk corpus (the q115 expression tree, chunk-level), the IVF
     * probe/prerank/rerank mirror (the q98 CTE shape against the q118
-    * query dump), and the integer RRF merge. */
-  private val q118Sql = s"""
+    * query dump), and the integer RRF merge. `wherePred` lands in
+    * BOTH places [[searchTopKHybrid]] applies it: the vector side's
+    * pruned cells (beneath the rerank) and the lexical side's
+    * allowlist (beneath the BM25 rank) — instantiated TRUE for q118
+    * and with the metadata predicate for q120. */
+  private def hybridMirrorSql(wherePred: String) = s"""
     WITH cents AS (SELECT cent_id, cvec FROM $AuxQ98Cents),
     qv AS (SELECT qvec, qcode, qfac FROM $AuxQ118Query),
     idx AS (SELECT * FROM $AuxQ98Index),
+    allow AS (SELECT chunk_id FROM idx x WHERE $wherePred),
     assign AS (
       SELECT x.chunk_id, c.cent_id,
              row_number() OVER (PARTITION BY x.chunk_id
@@ -246,7 +263,8 @@ object Hybrid {
       ORDER BY ${VectorSearch.l2Sql("qv.qvec", "c.cvec")}, c.cent_id LIMIT $Q118Probes),
     pruned AS (
       SELECT x.* FROM idx x
-      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell
+      WHERE $wherePred),
     cand AS (
       SELECT x.chunk_id FROM pruned x CROSS JOIN qv
       ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
@@ -290,7 +308,8 @@ object Hybrid {
                           / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
         )) AS BIGINT) AS micros
       FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
-        JOIN lens USING (chunk_id) CROSS JOIN stats
+        JOIN lens USING (chunk_id) JOIN allow USING (chunk_id)
+        CROSS JOIN stats
     ), lex AS (
       SELECT chunk_id, CAST(SUM(micros) AS BIGINT) AS lex_micros
       FROM contrib GROUP BY chunk_id
@@ -312,6 +331,34 @@ object Hybrid {
            chunk_id, lex_rank, vec_rank, rrf_micros
     FROM fused ORDER BY rrf_micros DESC, chunk_id LIMIT 10"""
 
+  private val q118Sql = hybridMirrorSql("TRUE")
+
+  // ---- q120: filtered hybrid (where= across both sides) -------------
+
+  /** ~1/3 of the corpus at every sf (an absolute doc_id bound would
+    * empty out at sf0.001). */
+  private val Q120PredSql = "x.doc_id % 3 = 1"
+
+  /** q120: [[searchTopKHybrid]] with a chroma `where=` — the
+    * predicate applies natively inside the IVF side's probed cells
+    * AND as the lexical side's id-allowlist, both beneath their
+    * ranks, so the fused top-k is exact over the filtered corpus.
+    * Same shared indexes and query as q118; the oracle is the q118
+    * mirror with the predicate landed in both places. */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val rows = VectorSearch.docRowsCached(s, d)
+    val ivfPath = VectorSearch.q98IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, rows, ivfPath, bitExact = true)
+    LexicalStore.buildOnce(s, rows.select(col("chunk_id"), col("chunk")),
+      lexChunksPath(d), idCol = "chunk_id", textCol = "chunk")
+    searchTopKHybrid(s, lexChunksPath(d), ivfPath, q118QueryText(s, d),
+        where = Some(col("doc_id") % 3 === 1))
+      .orderBy(col("rank"))
+  }
+
+  private val q120Sql = hybridMirrorSql(Q120PredSql)
+
   // ---- q119: BATCH hybrid over the persisted families ---------------
 
   private val Q119K = 5
@@ -328,11 +375,15 @@ object Hybrid {
                             queries: Seq[(Long, String)], k: Int = 10,
                             kLex: Int = Q118KLex, kVec: Int = Q118KVec,
                             probes: Int = Q118Probes,
-                            overfetch: Int = Q118Overfetch): DataFrame = {
+                            overfetch: Int = Q118Overfetch,
+                            where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.sources.IndexStore
-    val lex = LexicalStore.searchTopKLexicalBatch(s, lexPath, queries, kLex)
+    val allow = where.map(w => s.read.parquet(ivfPath).filter(w)
+      .select(col("chunk_id").as("doc_id")))
+    val lex = LexicalStore.searchTopKLexicalBatch(s, lexPath, queries, kLex,
+      allow = allow)
     val vec = IndexStore.searchTopKIvfBatch(s, ivfPath, queries, kVec,
-        probes, overfetch)
+        probes, overfetch, where = where)
       .select(col("query_id"), col("chunk_id").as("doc_id"),
         col("rank").as("vec_rank"))
     LexicalStore.rrfFuseBatch(lex, vec, k)
@@ -483,5 +534,6 @@ object Hybrid {
   val queries: Seq[Query] = Seq(
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
     Query("q118_hybrid_ivf", q118, Some(q118Sql)),
-    Query("q119_hybrid_batch", q119, Some(q119Sql)))
+    Query("q119_hybrid_batch", q119, Some(q119Sql)),
+    Query("q120_hybrid_filtered", q120, Some(q120Sql)))
 }

@@ -85,6 +85,20 @@ object LexicalStore {
     java.lang.Math.floorMod(h, NumBuckets.toLong).toInt
   }
 
+  /** Restrict posting rows to an id-ALLOWLIST — a 1-column (doc_id)
+    * frame, typically the ids surviving a metadata predicate over a
+    * metadata-bearing layout (the postings carry no metadata, so a
+    * chroma `where=` reaches the lexical side as this semi-join; see
+    * Hybrid.searchTopKHybrid). Applied BENEATH the rank, like every
+    * `where` in the engine, so the top-k is exact over the filtered
+    * set. Small allowlists broadcast; a corpus-sized one shuffles on
+    * doc_id — the honest cost of filtering an index that doesn't
+    * store the filter column. No broadcast hint: AQE sizes the
+    * allowlist at runtime and picks broadcast when it fits. */
+  private def allowFilter(post: DataFrame, allow: Option[DataFrame]): DataFrame =
+    allow.fold(post)(a =>
+      post.join(a.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+
   /** Per-(doc, term) BM25 contribution in integer micros. The
     * expression tree is mirrored TOKEN-FOR-TOKEN by the q115 oracle
     * SQL — IEEE +,-,*,/ are exactly specified, so identical trees over
@@ -158,7 +172,8 @@ object LexicalStore {
     * columns, i.e. doc_id). */
   def searchTopKLexical(spark: SparkSession, path: String,
                         queryTerms: Seq[String], k: Int = 10,
-                        where: Option[Column] = None): DataFrame = {
+                        where: Option[Column] = None,
+                        allow: Option[DataFrame] = None): DataFrame = {
     val terms = queryTerms.filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "lexical search needs at least one term")
     val buckets = terms.map(bucketOf).distinct
@@ -167,6 +182,7 @@ object LexicalStore {
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
       .filter(where.getOrElse(lit(true)))
+      .transform(p => allowFilter(p, allow))
     val scored = post.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         bm25Micros(col("tf"), col("df"), col("len"),
@@ -188,7 +204,8 @@ object LexicalStore {
     * tokenized with the build's split rule. */
   def searchTopKLexicalBatch(spark: SparkSession, path: String,
                              queries: Seq[(Long, String)], k: Int = 10,
-                             where: Option[Column] = None): DataFrame = {
+                             where: Option[Column] = None,
+                             allow: Option[DataFrame] = None): DataFrame = {
     val qTerms = queries.flatMap { case (qid, text) =>
       text.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
     }
@@ -200,6 +217,7 @@ object LexicalStore {
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
       .filter(where.getOrElse(lit(true)))
+      .transform(p => allowFilter(p, allow))
     import spark.implicits._
     val qt = qTerms.toDF("query_id", "term")
     val scored = post.join(broadcast(qt), Seq("term"))
