@@ -492,6 +492,35 @@ object IndexStore {
     // no-op against a directory that no longer exists
     builtIvfOnce.keys.filter(_._2 == path).foreach(builtIvfOnce.remove)
     builtHnswOnce.keys.filter(_._2 == path).foreach(builtHnswOnce.remove)
+    LexicalStore.dropBuildMemos(path)
+  }
+
+  /** chroma `client.delete_collection`: remove the layout directory —
+    * data, sidecars, everything under it — and release every session's
+    * pins and build-once memos for the name, so a later same-name
+    * create really builds. One recursive fs delete, no data scan. */
+  def deleteCollection(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no collection at $path")
+    evictHnswShards(spark, path)
+    require(fs.delete(p, true), s"delete of $path failed")
+    builtIvfOnce.keys.filter(_._2 == path).foreach(builtIvfOnce.remove)
+    builtHnswOnce.keys.filter(_._2 == path).foreach(builtHnswOnce.remove)
+    LexicalStore.dropBuildMemos(path)
+  }
+
+  /** chroma `client.list_collections`: the (non-hidden) child
+    * directories of a collections root, sorted — a filesystem listing,
+    * metadata-only at any corpus size. */
+  def listCollections(spark: SparkSession, rootPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
   }
 
   /** [[deletePartitionedCore]] with the doomed set as a predicate —

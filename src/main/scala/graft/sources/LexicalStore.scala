@@ -162,6 +162,12 @@ object LexicalStore {
     builtOnce.getOrElseUpdate((IndexStore.sessionKey(spark), path, idCol, textCol),
       build(spark, docs, path, idCol, textCol))
 
+  /** Drop every session's build-once memo for `path` — called by
+    * [[IndexStore.renameCollection]]/[[IndexStore.deleteCollection]]
+    * when the name frees up, so a later build at it really builds. */
+  private[sources] def dropBuildMemos(path: String): Unit =
+    builtOnce.keys.filter(_._2 == path).foreach(builtOnce.remove)
+
   /** Lexical top-`k`: (doc_id, lex_rank, lex_micros) for the documents
     * best matching `queryTerms` under the quantized BM25 above.
     * Reads ONLY the buckets of the query's terms (partition pruning +

@@ -348,6 +348,36 @@ class PublicApiSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteCollection removes the layout and frees the name; listCollections sees it") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val base = java.nio.file.Files.createTempDirectory("graft_delcol").toString
+    val docs = (0L until 12L).map(i =>
+        (i, s"deletable document number $i", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.build(spark, docs, s"$base/keep")
+    IndexStore.build(spark, docs, s"$base/drop")
+    assert(IndexStore.listCollections(spark, base) == Seq("drop", "keep"))
+    IndexStore.deleteCollection(spark, s"$base/drop")
+    assert(IndexStore.listCollections(spark, base) == Seq("keep"))
+    assert(!new java.io.File(s"$base/drop").exists())
+    // the freed name really rebuilds (memos dropped), and a lexical
+    // layout's build-once memo frees too
+    val lexPath = s"$base/lex"
+    graft.sources.LexicalStore.buildOnce(spark, docs, lexPath)
+    IndexStore.deleteCollection(spark, lexPath)
+    assert(!new java.io.File(lexPath).exists())
+    graft.sources.LexicalStore.buildOnce(spark, docs, lexPath)
+    assert(new java.io.File(lexPath).exists(),
+      "a deleted lexical collection's name must rebuild, not no-op on a stale memo")
+    // deleting a missing collection refuses loudly
+    intercept[IllegalArgumentException] {
+      IndexStore.deleteCollection(spark, s"$base/ghost")
+    }
+    // a missing root lists as empty, hidden dirs are invisible
+    assert(IndexStore.listCollections(spark, s"$base/nowhere").isEmpty)
+  }
+
   test("searchTopKIvfBatch where= filters every query like the single path") {
     import spark.implicits._
     import graft.sources.IndexStore
