@@ -117,6 +117,92 @@ object VectorSearch {
       .select(col("query_id"), col("rank"), col(idCol))
   }
 
+  /** PUBLIC space-parameterized exact kNN — chroma's `hnsw:space`
+    * collection contract as a standalone ranker over any (id, vec)
+    * corpus. Distances follow the chroma convention (l2 = squared L2,
+    * ip = 1 - dot, cosine = 1 - cos), ascending, id tie-break.
+    * Same scale shape as [[knnCosine]]: queries broadcast, distance
+    * scan-side, the rank exchange carries (query_id, id, dist) only.
+    * Dispatches on the vector column's element type — ARRAY<FLOAT>
+    * rides the codegen'd kernels, ARRAY<DOUBLE> (derived/rescaled
+    * corpora) the declarative higher-order fold; both are the same
+    * left-to-right double arithmetic, so results are bit-identical
+    * to each other and to the DuckDB oracle mirrors. */
+  def knnSpace(corpus: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, k: Int, space: String): DataFrame = {
+    val isDouble = corpus.schema(vecCol).dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val dist =
+      if (isDouble) VectorOps.spaceDistD(space, col(vecCol), col("qvec"))
+      else VectorOps.spaceDist(space, col(vecCol), col("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col(idCol))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), dist.as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol))
+  }
+
+  /** q121: the chroma `hnsw:space` contract gated where it actually
+    * bites. The unit-norm fixture would make all three spaces
+    * rank-identical, so the corpus is rescaled by (1 + vec_id % 5) —
+    * non-unit vectors on which the three spaces produce three
+    * genuinely different top-10s (cosine ignores norms, ip favors
+    * large-norm vectors, l2 favors norm-matched ones). Query = vec 0
+    * (scale 1). Rank-only output (the q60 FP-robustness rationale);
+    * the oracle re-derives the scaled vectors and all three distance
+    * folds from the raw table. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val scaled = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+        .as("vec"))
+    val q = scaled.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    Seq("cosine", "ip", "l2").map { sp =>
+      knnSpace(scaled, "vec_id", "vec", q, 10, sp)
+        .withColumn("space", lit(sp))
+    }.reduce(_ unionByName _)
+      .select(col("space"), col("rank"), col("vec_id"))
+      .orderBy(col("space"), col("rank"))
+  }
+
+  private val q121Sql = """
+    WITH scaled AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * (1.0 + vec_id % 5)) AS vec
+      FROM embeddings),
+    q AS (SELECT vec AS qv FROM scaled WHERE vec_id = 0),
+    m AS (
+      SELECT vec_id,
+        list_sum(list_transform(generate_series(1, len(vec)),
+          i -> vec[i] * qv[i])) AS dp,
+        list_sum(list_transform(generate_series(1, len(vec)),
+          i -> vec[i] * vec[i])) AS na,
+        list_sum(list_transform(generate_series(1, len(qv)),
+          i -> qv[i] * qv[i])) AS nq,
+        list_sum(list_transform(generate_series(1, len(vec)),
+          i -> (vec[i] - qv[i]) * (vec[i] - qv[i]))) AS l2s
+      FROM scaled, q WHERE vec_id <> 0),
+    ranked AS (
+      SELECT 'cosine' AS space, vec_id,
+        row_number() OVER (ORDER BY 1.0 - dp / (sqrt(na) * sqrt(nq)), vec_id) AS rank
+      FROM m
+      UNION ALL
+      SELECT 'ip', vec_id, row_number() OVER (ORDER BY 1.0 - dp, vec_id)
+      FROM m
+      UNION ALL
+      SELECT 'l2', vec_id, row_number() OVER (ORDER BY l2s, vec_id)
+      FROM m)
+    SELECT space, rank, vec_id FROM ranked WHERE rank <= 10
+    ORDER BY space, rank"""
+
   /** q61: [[knnCosine]] with queries = vec_id 0..4 of the fixture. */
   private def q61(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -2093,6 +2179,7 @@ object VectorSearch {
   val queries: Seq[Query] = Seq(
     Query("q60_knn_l2",         q60, Some(q60Sql)),
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
+    Query("q121_space_metrics", q121, Some(q121Sql)),
     Query("q62_ann_lsh",        q62, Some(q62Sql)),
     Query("q65_ann_ivf",        q65, Some(q65Sql)),
     Query("q69_ann_sq8",        q69, Some(q69Sql)),

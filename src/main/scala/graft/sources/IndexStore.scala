@@ -60,11 +60,64 @@ object IndexStore {
       .withColumn("sq8_code", graft.functions.vecIndexExprs.sq8Code(col("embedding")))
       .withColumn("sq8_factor", graft.functions.vecIndexExprs.sq8Factor(col("embedding")))
 
+  // ---- collection metadata (chroma collection contract) -----------
+
+  /** chroma metadata key selecting the collection's distance space. */
+  val SpaceKey = "hnsw:space"
+
+  /** Persist a chroma-style collection metadata dict as a `_collmeta`
+    * sidecar inside the layout (underscore prefix = invisible to
+    * Spark's file index, rides along with rename/delete like the
+    * other sidecars). `client.create_collection(metadata=...)`
+    * attaches exactly this dict in the reference's engine
+    * (chromadb 0.4.x); `hnsw:space` in it selects the distance
+    * function every query on the collection uses. */
+  def writeCollectionMetadata(spark: SparkSession, path: String,
+                              metadata: Map[String, String]): Unit =
+    if (metadata.nonEmpty) {
+      metadata.get(SpaceKey).foreach { s =>
+        require(VectorOps.Spaces(s),
+          s"$SpaceKey must be one of ${VectorOps.Spaces.mkString(", ")}, got '$s'")
+      }
+      import spark.implicits._
+      metadata.toSeq.sortBy(_._1).toDF("key", "value")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/_collmeta")
+    }
+
+  /** The collection's metadata dict; empty for layouts persisted
+    * before the sidecar existed (every pre-existing layout is a
+    * default-space collection, so absence is meaningful, not an
+    * error — unlike the HNSW `_meta` build parameters). */
+  def collectionMetadata(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_collmeta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else spark.read.parquet(s"$path/_collmeta").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** The collection's distance space: `hnsw:space` from the sidecar,
+    * defaulting to cosine exactly as chroma does. The existence check
+    * is a single local FS stat, so default-space searches pay no
+    * extra Spark job. */
+  def collectionSpace(spark: SparkSession, path: String): String = {
+    val s = collectionMetadata(spark, path).getOrElse(SpaceKey, "cosine")
+    require(VectorOps.Spaces(s),
+      s"$SpaceKey must be one of ${VectorOps.Spaces.mkString(", ")}, got '$s'")
+    s
+  }
+
   /** Build (or refresh) the index at `path`. Idempotent per source
-    * partition. */
+    * partition. `metadata` is the chroma collection metadata dict
+    * (`hnsw:space` in it switches the distance every search on this
+    * layout ranks by). */
   def build(spark: SparkSession, docs: DataFrame, path: String,
-            dim: Int = Embed.DefaultDim): Unit =
+            dim: Int = Embed.DefaultDim,
+            metadata: Map[String, String] = Map.empty): Unit = {
     buildFromRows(spark, indexRows(docs, dim), path)
+    writeCollectionMetadata(spark, path, metadata)
+  }
 
   /** [[build]] from already-computed [[indexRows]] — the seam that
     * lets one chunk+embed pass feed several physical layouts (the
@@ -104,9 +157,12 @@ object IndexStore {
                  k: Int = 10, dim: Int = Embed.DefaultDim,
                  where: Option[Column] = None): DataFrame = {
     val qvec = Embed.embed(queryText, dim)
+    // the collection's hnsw:space metadata picks the rank metric —
+    // a default-space layout pays one local fs stat, no Spark job
+    val space = collectionSpace(spark, path)
     val idx = spark.read.parquet(path)
     present(where.fold(idx)(idx.filter)
-      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
   }
@@ -125,7 +181,8 @@ object IndexStore {
       .filter(arrays_overlap(col("lsh_buckets"),
         lit(qBuckets)))
     present(where.fold(hit)(hit.filter)
-      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .withColumn("sim",
+        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
   }
@@ -157,7 +214,8 @@ object IndexStore {
       .orderBy(col("approx").desc, col("cid"))
       .limit(overfetch)
     present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
-      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .withColumn("sim",
+        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
   }
@@ -175,9 +233,12 @@ object IndexStore {
     * as a parquet layout. */
   def buildIvf(spark: SparkSession, docs: DataFrame, path: String,
                nCells: Int = 16, lloydIters: Int = 2,
-               dim: Int = Embed.DefaultDim, bitExact: Boolean = false): Unit =
+               dim: Int = Embed.DefaultDim, bitExact: Boolean = false,
+               metadata: Map[String, String] = Map.empty): Unit = {
     buildIvfFromRows(spark, indexRows(docs, dim).localCheckpoint(), path,
       nCells, lloydIters, bitExact)
+    writeCollectionMetadata(spark, path, metadata)
+  }
 
   /** [[buildIvf]] from already-computed (and MATERIALIZED — the rows
     * are read once for training and once for the write) [[indexRows]];
@@ -752,7 +813,8 @@ object IndexStore {
       .orderBy(col("approx").desc, col("cid"))
       .limit(overfetch)
     present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
-      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .withColumn("sim",
+        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
   }
@@ -817,7 +879,8 @@ object IndexStore {
       .join(broadcast(cand), col("chunk_id") === col("cid"))
       .join(broadcast(qDf.select(col("query_id"), col("qvec"))), Seq("query_id"))
       .select(col("query_id"), col("chunk_id"),
-        VectorOps.vecCosine(col("embedding"), col("qvec")).as("sim"))
+        VectorOps.spaceSim2(collectionSpace(spark, path),
+          col("embedding"), col("qvec")).as("sim"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
     pruned.select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
@@ -974,9 +1037,12 @@ object IndexStore {
                 numShards: Int = 0, m: Int = HnswM,
                 efConstruction: Int = HnswEfConstruction,
                 dim: Int = Embed.DefaultDim,
-                targetNodesPerShard: Long = HnswTargetNodesPerShard): Unit =
+                targetNodesPerShard: Long = HnswTargetNodesPerShard,
+                metadata: Map[String, String] = Map.empty): Unit = {
     buildHnswFromRows(spark, indexRows(docs, dim).localCheckpoint(), path,
       numShards, m, efConstruction, dim, targetNodesPerShard)
+    writeCollectionMetadata(spark, path, metadata)
+  }
 
   /** [[buildHnsw]] from already-computed MATERIALIZED [[indexRows]]
     * (read for the count, the adjacency build and the write) — the
@@ -1345,7 +1411,8 @@ object IndexStore {
     val joined = spark.read.parquet(path)
       .join(broadcast(cands), col("chunk_id") === col("cid"))
     present(where.fold(joined)(joined.filter)
-      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .withColumn("sim",
+        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
   }
@@ -1388,7 +1455,8 @@ object IndexStore {
       .join(broadcast(cands), col("chunk_id") === col("cid"))
       .join(broadcast(qVecs), Seq("query_id"))
       .select(col("query_id"), col("chunk_id"),
-        VectorOps.vecCosine(col("embedding"), col("qvec")).as("sim"))
+        VectorOps.spaceSim2(collectionSpace(spark, path),
+          col("embedding"), col("qvec")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
     idx.select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
@@ -1409,7 +1477,8 @@ object IndexStore {
     * multi-table LSH space/time trade); [[searchTopKAnnPartitioned]]
     * deduplicates collisions across tables before the exact rerank. */
   def buildBucketed(spark: SparkSession, docs: DataFrame, path: String,
-                    dim: Int = Embed.DefaultDim): Unit = {
+                    dim: Int = Embed.DefaultDim,
+                    metadata: Map[String, String] = Map.empty): Unit = {
     indexRows(docs, dim)
       .withColumn("bucket", explode(col("lsh_buckets")))
       .drop("lsh_buckets")
@@ -1418,6 +1487,7 @@ object IndexStore {
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket")
       .parquet(path)
+    writeCollectionMetadata(spark, path, metadata)
   }
 
   /** ANN search over the bucket-partitioned layout: the bucket
@@ -1439,7 +1509,8 @@ object IndexStore {
         scala.collection.immutable.ArraySeq.unsafeWrapArray(qBuckets): _*))
     present(where.fold(pruned)(pruned.filter)
       .dropDuplicates("chunk_id")
-      .withColumn("sim", VectorOps.vecCosineConst(col("embedding"), qvec))
+      .withColumn("sim",
+        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
       .limit(k))
   }

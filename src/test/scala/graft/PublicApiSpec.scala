@@ -425,6 +425,82 @@ class PublicApiSpec extends AnyFunSuite {
     }
   }
 
+  test("collection metadata: roundtrip, legacy default, and space validation") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_collmeta"
+    val docs = (0L until 10L).map(i => (i, s"metadata doc $i", "s0"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.build(spark, docs, path,
+      metadata = Map("hnsw:space" -> "l2", "owner" -> "spec"))
+    assert(IndexStore.collectionMetadata(spark, path) ==
+      Map("hnsw:space" -> "l2", "owner" -> "spec"))
+    assert(IndexStore.collectionSpace(spark, path) == "l2")
+    // a layout persisted without the sidecar is a default-space
+    // collection (chroma's default), not an error
+    val legacy = path + "_legacy"
+    IndexStore.build(spark, docs, legacy)
+    assert(IndexStore.collectionMetadata(spark, legacy).isEmpty)
+    assert(IndexStore.collectionSpace(spark, legacy) == "cosine")
+    // an unknown space is rejected at write time
+    intercept[IllegalArgumentException] {
+      IndexStore.writeCollectionMetadata(spark, legacy,
+        Map("hnsw:space" -> "euclidean^2"))
+    }
+  }
+
+  test("hnsw:space metadata switches the exact search path's rank metric") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_space_idx"
+    // a previous run's _collmeta sidecar survives the dynamic
+    // partition overwrite — start from a clean layout so the
+    // "no sidecar = default space" leg actually sees no sidecar
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val docs = (0L until 40L).map(i =>
+        (i, s"space contract document number $i about topic ${i % 5}", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    // non-unit embeddings: rescale each chunk's unit vector by
+    // (1 + doc_id % 4) so cosine / ip / l2 genuinely disagree (on
+    // the unit vectors embed() produces, all three spaces are
+    // rank-identical and this pin could not bite). The sq8/lsh
+    // columns go stale — only the exact path is pinned here.
+    val rows = IndexStore.indexRows(docs)
+      .withColumn("embedding", transform(col("embedding"),
+        x => (x.cast("double")
+          * (lit(1.0) + (col("doc_id") % 4).cast("double"))).cast("float")))
+    IndexStore.buildFromRows(spark, rows, path)
+    val q = "space contract document about topic"
+    val qvec = graft.functions.Embed.embed(q, graft.functions.Embed.DefaultDim)
+    // independent expected orders, computed driver-side from the layout
+    val data = spark.read.parquet(path).select("chunk_id", "embedding")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    def l2sq(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0) { (s, i) =>
+        val d = a(i).toDouble - b(i).toDouble; s + d * d
+      }
+    def expect(sim: Array[Float] => Double): Seq[String] =
+      data.sortBy { case (id, v) => (-sim(v), id) }.take(5).map(_._1).toSeq
+    val expCos = expect(v => dot(v, qvec) / (norm(v) * norm(qvec)))
+    val expIp  = expect(v => dot(v, qvec))
+    val expL2  = expect(v => -l2sq(v, qvec))
+    assert(expCos != expL2 && expCos != expIp,
+      "fixture must make the spaces disagree or the pin is vacuous")
+    def got(): Seq[String] = IndexStore.searchTopK(spark, path, q, k = 5)
+      .collect().map(_.getAs[String]("chunk_id")).toSeq
+    // no sidecar yet: default space
+    assert(got() == expCos, "default (no metadata) must rank by cosine")
+    IndexStore.writeCollectionMetadata(spark, path, Map("hnsw:space" -> "ip"))
+    assert(got() == expIp, "hnsw:space=ip must rank by dot product")
+    IndexStore.writeCollectionMetadata(spark, path, Map("hnsw:space" -> "l2"))
+    assert(got() == expL2, "hnsw:space=l2 must rank by squared L2")
+  }
+
   test("simhashDroppedBuckets surfaces what the bucketCap guard drops") {
     import spark.implicits._
     // 300 identical docs => every band bucket holds 300 > cap
