@@ -571,6 +571,27 @@ object IndexStore {
     LexicalStore.dropBuildMemos(path)
   }
 
+  /** chroma `client.get_or_create_collection`: if a layout already
+    * exists at `path`, return its STORED metadata untouched — chroma
+    * ignores the requested metadata on the get leg, and so does this
+    * (the existence probe is one fs stat; no build, no data touched).
+    * Otherwise run `create` (any build* call that writes the layout)
+    * and attach `metadata`. Returns the collection's effective
+    * metadata either way. */
+  def getOrCreateCollection(spark: SparkSession, path: String,
+                            metadata: Map[String, String] = Map.empty)
+                           (create: => Unit): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      create
+      require(fs.exists(p),
+        s"create block did not write a layout at $path")
+      writeCollectionMetadata(spark, path, metadata)
+    }
+    collectionMetadata(spark, path)
+  }
+
   /** chroma `client.list_collections`: the (non-hidden) child
     * directories of a collections root, sorted — a filesystem listing,
     * metadata-only at any corpus size. */

@@ -206,6 +206,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("knnSpace: every space keeps vectors scan-side, on both element types") {
+    // the space-parameterized ranker must keep the knnCosine scale
+    // shape in every space and on BOTH dispatch paths (float kernels
+    // and the double HOF folds): queries broadcast, distance computed
+    // scan-side, the rank exchange carries (query_id, id, dist) only
+    import org.apache.spark.sql.functions.{col, transform, lit}
+    import graft.operators.VectorSearch
+    val emb = Tables.embeddings(spark, d)
+    val dbl = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") * lit(1.5)).as("vec"))
+    val corpora = Seq(
+      "float" -> (emb, "embedding"),
+      "double" -> (dbl, "vec"))
+    corpora.foreach { case (tag, (corpus, vecCol)) =>
+      val qs = corpus.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col(vecCol).as("qvec"))
+      Seq("cosine", "ip", "l2").foreach { sp =>
+        val df = VectorSearch.knnSpace(corpus, "vec_id", vecCol, qs, 5, sp)
+        df.collect() // finalize the adaptive plan
+        val exchanges = allShuffles(df.queryExecution.executedPlan)
+        assert(exchanges.nonEmpty, s"$tag/$sp: audit must see the exchanges")
+        exchanges.foreach { e =>
+          val arrays = e.output.filter(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType])
+          assert(arrays.isEmpty,
+            s"$tag/$sp shuffles array columns ${arrays.map(_.name)}")
+        }
+      }
+    }
+  }
+
   test("q98: IVF index probes prune parquet partitions at plan time") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -501,6 +501,35 @@ class PublicApiSpec extends AnyFunSuite {
     assert(got() == expL2, "hnsw:space=l2 must rank by squared L2")
   }
 
+  test("getOrCreateCollection: creates once, then gets without rebuilding") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_get_or_create"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val docs = (0L until 8L).map(i => (i, s"goc doc $i", "s0"))
+      .toDF("doc_id", "text", "source")
+    var builds = 0
+    def create(): Unit = { builds += 1; IndexStore.build(spark, docs, path) }
+    val md1 = IndexStore.getOrCreateCollection(spark, path,
+      Map("hnsw:space" -> "ip"))(create())
+    assert(builds == 1 && md1 == Map("hnsw:space" -> "ip"))
+    val mtime = fs.getFileStatus(hp).getModificationTime
+    // the get leg: no rebuild, requested metadata ignored (chroma
+    // semantics), stored metadata returned
+    val md2 = IndexStore.getOrCreateCollection(spark, path,
+      Map("hnsw:space" -> "l2"))(create())
+    assert(builds == 1, "existing collection must not rebuild")
+    assert(md2 == Map("hnsw:space" -> "ip"), "get leg must keep stored metadata")
+    assert(fs.getFileStatus(hp).getModificationTime == mtime)
+    // a create block that writes nothing is a loud failure, not a
+    // silently-registered empty collection
+    intercept[IllegalArgumentException] {
+      IndexStore.getOrCreateCollection(spark, path + "_none")(())
+    }
+  }
+
   test("simhashDroppedBuckets surfaces what the bucketCap guard drops") {
     import spark.implicits._
     // 300 identical docs => every band bucket holds 300 > cap
