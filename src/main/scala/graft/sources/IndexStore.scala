@@ -88,13 +88,28 @@ object IndexStore {
   /** The collection's metadata dict; empty for layouts persisted
     * before the sidecar existed (every pre-existing layout is a
     * default-space collection, so absence is meaningful, not an
-    * error — unlike the HNSW `_meta` build parameters). */
+    * error — unlike the HNSW `_meta` build parameters). The dict is
+    * memoized by the sidecar directory's modification time, so a
+    * non-default collection pays the parquet read once per
+    * (re)write, not once per search — and a metadata overwrite is
+    * picked up by the very next search (the mtime moves). */
+  private val collMetaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Map[String, String]]
   def collectionMetadata(spark: SparkSession, path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_collmeta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Map.empty
-    else spark.read.parquet(s"$path/_collmeta").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    else {
+      val mtime = fs.getFileStatus(p).getModificationTime
+      collMetaCache.getOrElseUpdate((path, mtime), {
+        // drop entries for older writes of this path — the cache
+        // holds live sidecars, not collection history
+        collMetaCache.keys.filter(k => k._1 == path && k._2 != mtime)
+          .foreach(collMetaCache.remove)
+        spark.read.parquet(s"$path/_collmeta").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      })
+    }
   }
 
   /** The collection's distance space: `hnsw:space` from the sidecar,
@@ -134,14 +149,28 @@ object IndexStore {
       .parquet(path)
   }
 
-  private def present(df: DataFrame): DataFrame = df
-    .withColumn("rank", row_number().over(
-      Window.orderBy(col("sim").desc, col("chunk_id"))))
-    .withColumn("link",
-      format_string("https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=A%d",
-        col("source"), lit("0"), col("sheet_row")))
-    .select(col("rank"), col("chunk_id"), col("doc_id"), col("source"),
-      col("chunk"), col("link"))
+  /** Shared result presentation. `includeDistance` appends the
+    * chroma-convention `distance` column (`collection.query`
+    * returns distances by default) — derived from the space-sim the
+    * rank already ordered by, so it costs no extra vector work:
+    * cosine -> 1 - cos, ip -> 1 - dot, l2 -> squared L2 (= -sim,
+    * [[VectorOps.spaceSim]] negates it for the shared desc order). */
+  private def present(df: DataFrame, space: String = "cosine",
+                      includeDistance: Boolean = false): DataFrame = {
+    val base = df
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("chunk_id"))))
+      .withColumn("link",
+        format_string("https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=A%d",
+          col("source"), lit("0"), col("sheet_row")))
+    val out = Seq(col("rank"), col("chunk_id"), col("doc_id"), col("source"),
+      col("chunk"), col("link")) ++
+      (if (includeDistance)
+        Seq((if (space == "l2") -col("sim") else lit(1.0) - col("sim"))
+          .as("distance"))
+      else Nil)
+    base.select(out: _*)
+  }
 
   /** Exact cosine top-k for a free-text query, with deep links.
     *
@@ -155,7 +184,8 @@ object IndexStore {
     * (PlanAuditSpec pins both). */
   def searchTopK(spark: SparkSession, path: String, queryText: String,
                  k: Int = 10, dim: Int = Embed.DefaultDim,
-                 where: Option[Column] = None): DataFrame = {
+                 where: Option[Column] = None,
+                 includeDistance: Boolean = false): DataFrame = {
     val qvec = Embed.embed(queryText, dim)
     // the collection's hnsw:space metadata picks the rank metric —
     // a default-space layout pays one local fs stat, no Spark job
@@ -164,7 +194,7 @@ object IndexStore {
     present(where.fold(idx)(idx.filter)
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k))
+      .limit(k), space, includeDistance)
   }
 
   /** Approximate top-k: probe the persisted LSH buckets — only rows
@@ -174,17 +204,18 @@ object IndexStore {
     * rerank on the candidates, same presentation as [[searchTopK]]. */
   def searchTopKAnn(spark: SparkSession, path: String, queryText: String,
                     k: Int = 10, dim: Int = Embed.DefaultDim,
-                    where: Option[Column] = None): DataFrame = {
+                    where: Option[Column] = None,
+                    includeDistance: Boolean = false): DataFrame = {
     val qvec = Embed.embed(queryText, dim)
+    val space = collectionSpace(spark, path)
     val qBuckets = Lsh.queryBuckets(qvec, dim, LshBits, LshTables)
     val hit = spark.read.parquet(path)
       .filter(arrays_overlap(col("lsh_buckets"),
         lit(qBuckets)))
     present(where.fold(hit)(hit.filter)
-      .withColumn("sim",
-        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
+      .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k))
+      .limit(k), space, includeDistance)
   }
 
   /** Compressed-domain top-k: rank ALL chunks by the integer SQ8 dot
@@ -197,8 +228,10 @@ object IndexStore {
   def searchTopKSq8(spark: SparkSession, path: String, queryText: String,
                     k: Int = 10, overfetch: Int = 32,
                     dim: Int = Embed.DefaultDim,
-                    where: Option[Column] = None): DataFrame = {
+                    where: Option[Column] = None,
+                    includeDistance: Boolean = false): DataFrame = {
     import graft.functions.vecIndexExprs
+    val space = collectionSpace(spark, path)
     val qvec = Embed.embed(queryText, dim)
     val qvecData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     val qCode = graft.functions.VecIndex.sq8Code(qvecData)
@@ -214,10 +247,9 @@ object IndexStore {
       .orderBy(col("approx").desc, col("cid"))
       .limit(overfetch)
     present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
-      .withColumn("sim",
-        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
+      .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k))
+      .limit(k), space, includeDistance)
   }
 
   /** IVF-partitioned index — the other 100 TB layout besides LSH
@@ -810,8 +842,10 @@ object IndexStore {
   def searchTopKIvf(spark: SparkSession, path: String, queryText: String,
                     k: Int = 10, probes: Int = 3, overfetch: Int = 32,
                     dim: Int = Embed.DefaultDim,
-                    where: Option[Column] = None): DataFrame = {
+                    where: Option[Column] = None,
+                    includeDistance: Boolean = false): DataFrame = {
     import graft.functions.vecIndexExprs
+    val space = collectionSpace(spark, path)
     val qvec = Embed.embed(queryText, dim)
     val centRows = spark.read.parquet(s"$path/_centroids")
       .collect().sortBy(_.getLong(0))
@@ -834,10 +868,9 @@ object IndexStore {
       .orderBy(col("approx").desc, col("cid"))
       .limit(overfetch)
     present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
-      .withColumn("sim",
-        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
+      .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k))
+      .limit(k), space, includeDistance)
   }
 
   /** Multi-query search over the IVF layout — chroma's
@@ -1423,7 +1456,9 @@ object IndexStore {
   def searchTopKHnsw(spark: SparkSession, path: String, queryText: String,
                      k: Int = 10, efSearch: Int = 48,
                      where: Option[Column] = None,
-                     whereOverfetch: Int = 4): DataFrame = {
+                     whereOverfetch: Int = 4,
+                     includeDistance: Boolean = false): DataFrame = {
+    val space = collectionSpace(spark, path)
     val qvec = Embed.embed(queryText, hnswPin(spark, path).meta.dim)
     val cands =
       if (where.isDefined)
@@ -1432,10 +1467,9 @@ object IndexStore {
     val joined = spark.read.parquet(path)
       .join(broadcast(cands), col("chunk_id") === col("cid"))
     present(where.fold(joined)(joined.filter)
-      .withColumn("sim",
-        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
+      .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k))
+      .limit(k), space, includeDistance)
   }
 
   /** Multi-query search over the persisted HNSW layout — the
@@ -1520,7 +1554,9 @@ object IndexStore {
   def searchTopKAnnPartitioned(spark: SparkSession, path: String, queryText: String,
                                k: Int = 10, dim: Int = Embed.DefaultDim,
                                multiprobe: Boolean = false,
-                               where: Option[Column] = None): DataFrame = {
+                               where: Option[Column] = None,
+                               includeDistance: Boolean = false): DataFrame = {
+    val space = collectionSpace(spark, path)
     val qvec = Embed.embed(queryText, dim)
     val qBuckets =
       if (multiprobe) Lsh.queryBucketsMultiprobe(qvec, dim, LshBits, LshTables)
@@ -1530,9 +1566,8 @@ object IndexStore {
         scala.collection.immutable.ArraySeq.unsafeWrapArray(qBuckets): _*))
     present(where.fold(pruned)(pruned.filter)
       .dropDuplicates("chunk_id")
-      .withColumn("sim",
-        VectorOps.spaceSim(collectionSpace(spark, path), col("embedding"), qvec))
+      .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k))
+      .limit(k), space, includeDistance)
   }
 }

@@ -499,6 +499,25 @@ class PublicApiSpec extends AnyFunSuite {
     assert(got() == expIp, "hnsw:space=ip must rank by dot product")
     IndexStore.writeCollectionMetadata(spark, path, Map("hnsw:space" -> "l2"))
     assert(got() == expL2, "hnsw:space=l2 must rank by squared L2")
+    // includeDistance: the chroma-convention distance column, in the
+    // collection's space — bit-equal to the independent fold
+    val byId = data.toMap
+    val dl2 = IndexStore.searchTopK(spark, path, q, k = 5,
+        includeDistance = true).collect()
+    dl2.foreach { r =>
+      assert(r.getAs[Double]("distance") ==
+        l2sq(byId(r.getAs[String]("chunk_id")), qvec),
+        "l2 distance must be the squared L2")
+    }
+    IndexStore.writeCollectionMetadata(spark, path, Map("hnsw:space" -> "cosine"))
+    val dcos = IndexStore.searchTopK(spark, path, q, k = 5,
+        includeDistance = true).collect()
+    dcos.foreach { r =>
+      val v = byId(r.getAs[String]("chunk_id"))
+      assert(r.getAs[Double]("distance") ==
+        1.0 - dot(v, qvec) / (norm(v) * norm(qvec)),
+        "cosine distance must be 1 - cos")
+    }
   }
 
   test("getOrCreateCollection: creates once, then gets without rebuilding") {
