@@ -208,6 +208,63 @@ object VectorSearch {
     SELECT space, rank, vec_id FROM ranked WHERE rank <= 10
     ORDER BY space, rank"""
 
+  /** q122: a persisted NON-default-space collection, end to end —
+    * V13 composed with the layout lifecycle. Layout rows are
+    * synthesized from the embeddings fixture (ids, provenance, and a
+    * float re-scale by (1 + vec_id % 4) — non-unit vectors, so l2
+    * genuinely disagrees with cosine), the collection is created
+    * with `hnsw:space=l2` metadata, and the query drives
+    * `searchTopKVec` (chroma's `query_embeddings` form) with vec 0's
+    * raw vector, returning the chroma-convention distances. Every
+    * step — the scaled floats, the l2 fold, the rank, the deep link,
+    * the distance values themselves — is re-derived by the oracle
+    * from the raw table alone: the gate proves the PERSISTED space
+    * contract bit-exactly, including the returned distances. */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val emb = Tables.embeddings(s, d)
+    val path = "/root/repo/target/q122_l2_coll/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+    val rows = emb.select(
+      concat(lit("v"), lpad(col("vec_id").cast("string"), 6, "0")).as("chunk_id"),
+      col("vec_id").as("doc_id"),
+      concat(lit("s"), (col("vec_id") % 3).cast("string")).as("source"),
+      lit("").as("chunk"),
+      (col("vec_id") + 2).as("sheet_row"),
+      transform(col("embedding"),
+        x => (x.cast("double") * (lit(1.0) + (col("vec_id") % 4).cast("double")))
+          .cast("float")).as("embedding"))
+    IndexStore.buildFromRows(s, rows, path)
+    IndexStore.writeCollectionMetadata(s, path, Map(IndexStore.SpaceKey -> "l2"))
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    IndexStore.searchTopKVec(s, path, qvec, k = 10, includeDistance = true)
+      .orderBy("rank")
+  }
+
+  private val q122Sql = """
+    WITH rows0 AS (
+      SELECT 'v' || lpad(CAST(vec_id AS VARCHAR), 6, '0') AS chunk_id,
+             vec_id AS doc_id,
+             's' || CAST(vec_id % 3 AS VARCHAR) AS source,
+             vec_id + 2 AS sheet_row,
+             list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * (1.0 + vec_id % 4) AS FLOAT)) AS vec
+      FROM embeddings),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT chunk_id, doc_id, source, sheet_row,
+        list_sum(list_transform(generate_series(1, len(vec)),
+          i -> (CAST(vec[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+             * (CAST(vec[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))) AS distance
+      FROM rows0, q)
+    SELECT row_number() OVER (ORDER BY distance, chunk_id) AS rank,
+           chunk_id, doc_id, source, '' AS chunk,
+           'https://docs.google.com/spreadsheets/d/' || source ||
+           '/edit#gid=0&range=A' || CAST(sheet_row AS VARCHAR) AS link,
+           distance
+    FROM scored ORDER BY distance, chunk_id LIMIT 10"""
+
   /** q61: [[knnCosine]] with queries = vec_id 0..4 of the fixture. */
   private def q61(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -2185,6 +2242,7 @@ object VectorSearch {
     Query("q60_knn_l2",         q60, Some(q60Sql)),
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
     Query("q121_space_metrics", q121, Some(q121Sql)),
+    Query("q122_l2_collection", q122, Some(q122Sql)),
     Query("q62_ann_lsh",        q62, Some(q62Sql)),
     Query("q65_ann_ivf",        q65, Some(q65Sql)),
     Query("q69_ann_sq8",        q69, Some(q69Sql)),

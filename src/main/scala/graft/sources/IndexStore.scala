@@ -185,8 +185,19 @@ object IndexStore {
   def searchTopK(spark: SparkSession, path: String, queryText: String,
                  k: Int = 10, dim: Int = Embed.DefaultDim,
                  where: Option[Column] = None,
-                 includeDistance: Boolean = false): DataFrame = {
-    val qvec = Embed.embed(queryText, dim)
+                 includeDistance: Boolean = false): DataFrame =
+    searchTopKVec(spark, path, Embed.embed(queryText, dim), k,
+      where, includeDistance)
+
+  /** chroma `query(query_embeddings=[...])`: the exact search path
+    * for a caller-supplied query vector — [[searchTopK]] with the
+    * embed step skipped. The other half of chroma's query contract
+    * (a collection is queryable by text OR by vector); also the seam
+    * that lets externally-embedded corpora (a real model, not the
+    * hashed-n-gram stand-in) query the same layouts. */
+  def searchTopKVec(spark: SparkSession, path: String, qvec: Array[Float],
+                    k: Int = 10, where: Option[Column] = None,
+                    includeDistance: Boolean = false): DataFrame = {
     // the collection's hnsw:space metadata picks the rank metric —
     // a default-space layout pays one local fs stat, no Spark job
     val space = collectionSpace(spark, path)
