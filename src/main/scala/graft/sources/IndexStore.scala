@@ -904,7 +904,19 @@ object IndexStore {
                          queries: Seq[(Long, String)],
                          k: Int = 10, probes: Int = 3, overfetch: Int = 32,
                          dim: Int = Embed.DefaultDim,
-                         where: Option[Column] = None): DataFrame = {
+                         where: Option[Column] = None): DataFrame =
+    searchTopKIvfBatchVec(spark, path,
+      queries.map { case (qid, t) => (qid, Embed.embed(t, dim)) },
+      k, probes, overfetch, dim, where)
+
+  /** [[searchTopKIvfBatch]] for caller-supplied query vectors —
+    * chroma's `query(query_embeddings=[...])` form on the batch
+    * surface (same contract split as [[searchTopKVec]]). */
+  def searchTopKIvfBatchVec(spark: SparkSession, path: String,
+                            queries: Seq[(Long, Array[Float])],
+                            k: Int = 10, probes: Int = 3, overfetch: Int = 32,
+                            dim: Int = Embed.DefaultDim,
+                            where: Option[Column] = None): DataFrame = {
     import graft.functions.vecIndexExprs
     val centRows = spark.read.parquet(s"$path/_centroids")
       .collect().sortBy(_.getLong(0))
@@ -912,8 +924,7 @@ object IndexStore {
     val cents = centRows.map(_.getSeq[Float](1).toArray)
     require(cents.head.length == dim,
       s"$path was trained at dim=${cents.head.length}, query requested dim=$dim")
-    val qMeta = queries.sortBy(_._1).map { case (qid, t) =>
-      val qvec = Embed.embed(t, dim)
+    val qMeta = queries.sortBy(_._1).map { case (qid, qvec) =>
       val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
       val cells = graft.functions.VecIndex
         .nearestCells(qData, cids, cents, math.min(probes, cids.length))
@@ -1407,13 +1418,22 @@ object IndexStore {
   def hnswCandidatesBatch(spark: SparkSession, path: String,
                           queries: Seq[(Long, String)],
                           k: Int = 10, efSearch: Int = 48): DataFrame = {
+    // the persisted layout is authoritative for the embedding dim —
+    // a query embedded at any other dim would silently score garbage
+    val dim = hnswPin(spark, path).meta.dim
+    hnswCandidatesBatchVec(spark, path,
+      queries.map { case (qid, t) => (qid, Embed.embed(t, dim)) },
+      k, efSearch)
+  }
+
+  /** [[hnswCandidatesBatch]] for caller-supplied query vectors. */
+  def hnswCandidatesBatchVec(spark: SparkSession, path: String,
+                             queries: Seq[(Long, Array[Float])],
+                             k: Int = 10, efSearch: Int = 48): DataFrame = {
     import spark.implicits._
     import graft.functions.HnswGraph
     val pin = hnswPin(spark, path)
-    // the persisted layout is authoritative for the embedding dim —
-    // a query embedded at any other dim would silently score garbage
-    val qArr: Array[(Long, Array[Float])] = queries.sortBy(_._1)
-      .map { case (qid, t) => (qid, Embed.embed(t, pin.meta.dim)) }.toArray
+    val qArr: Array[(Long, Array[Float])] = queries.sortBy(_._1).toArray
     pin.frame
       .mapPartitions { it =>
         it.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (shard, rws) =>
@@ -1503,16 +1523,28 @@ object IndexStore {
                           k: Int = 10, efSearch: Int = 48,
                           where: Option[Column] = None,
                           whereOverfetch: Int = 4): DataFrame = {
-    import spark.implicits._
     val dim = hnswPin(spark, path).meta.dim
+    searchTopKHnswBatchVec(spark, path,
+      queries.map { case (qid, t) => (qid, Embed.embed(t, dim)) },
+      k, efSearch, where, whereOverfetch)
+  }
+
+  /** [[searchTopKHnswBatch]] for caller-supplied query vectors —
+    * the batch `query_embeddings` form on the graph layout. */
+  def searchTopKHnswBatchVec(spark: SparkSession, path: String,
+                             queries: Seq[(Long, Array[Float])],
+                             k: Int = 10, efSearch: Int = 48,
+                             where: Option[Column] = None,
+                             whereOverfetch: Int = 4): DataFrame = {
+    import spark.implicits._
     val qVecs = queries.sortBy(_._1)
-      .map { case (qid, t) => (qid, Embed.embed(t, dim).toSeq) }
+      .map { case (qid, v) => (qid, v.toSeq) }
       .toDF("query_id", "qvec")
     val cands =
       if (where.isDefined)
-        hnswCandidatesBatch(spark, path, queries, k * whereOverfetch,
+        hnswCandidatesBatchVec(spark, path, queries, k * whereOverfetch,
           math.max(efSearch, k * whereOverfetch))
-      else hnswCandidatesBatch(spark, path, queries, k, efSearch)
+      else hnswCandidatesBatchVec(spark, path, queries, k, efSearch)
     val idx = spark.read.parquet(path)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("chunk_id"))

@@ -425,6 +425,44 @@ class PublicApiSpec extends AnyFunSuite {
     }
   }
 
+  test("query_embeddings forms equal their query_texts counterparts") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    import graft.functions.Embed
+    // reuse the IVF batch fixture layout; build the graph beside it
+    val path = "/root/repo/target/test_ivf_batch_idx"
+    val hPath = "/root/repo/target/test_vecform_hnsw"
+    val docs = (0L until 40L).map(i =>
+        (i, s"synthetic document number $i about topic ${i % 5}", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.buildIvf(spark, docs, path, nCells = 4, lloydIters = 1)
+    IndexStore.buildHnsw(spark, docs, hPath)
+    val qs = Seq(0L -> "synthetic document about topic", 1L -> "number forty two")
+    val qVecs = qs.map { case (qid, t) =>
+      (qid, Embed.embed(t, Embed.DefaultDim)) }
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[String]("chunk_id"))).sortBy(r => (r._1, r._2)).toSeq
+    // exact path
+    val t1 = IndexStore.searchTopK(spark, path, qs.head._2, k = 4).collect()
+      .map(_.getAs[String]("chunk_id")).toSeq
+    val v1 = IndexStore.searchTopKVec(spark, path, qVecs.head._2, k = 4).collect()
+      .map(_.getAs[String]("chunk_id")).toSeq
+    assert(t1 == v1, "searchTopKVec must equal searchTopK on the same vector")
+    // IVF batch
+    assert(
+      ids(IndexStore.searchTopKIvfBatch(spark, path, qs, k = 4,
+        probes = 2, overfetch = 16).collect()) ==
+      ids(IndexStore.searchTopKIvfBatchVec(spark, path, qVecs, k = 4,
+        probes = 2, overfetch = 16).collect()),
+      "searchTopKIvfBatchVec must equal the text form")
+    // HNSW batch
+    assert(
+      ids(IndexStore.searchTopKHnswBatch(spark, hPath, qs, k = 4).collect()) ==
+      ids(IndexStore.searchTopKHnswBatchVec(spark, hPath, qVecs, k = 4).collect()),
+      "searchTopKHnswBatchVec must equal the text form")
+  }
+
   test("collection metadata: roundtrip, legacy default, and space validation") {
     import spark.implicits._
     import graft.sources.IndexStore
