@@ -85,6 +85,20 @@ object IndexStore {
         .parquet(s"$path/_collmeta")
     }
 
+  /** chroma `collection.modify(metadata=...)`: REPLACE the
+    * collection's metadata — including clearing it back to the
+    * default-space state when `metadata` is empty (the one thing
+    * [[writeCollectionMetadata]], which no-ops on empty so that a
+    * plain re-build never clobbers an existing dict, cannot do). */
+  def modifyCollectionMetadata(spark: SparkSession, path: String,
+                               metadata: Map[String, String]): Unit =
+    if (metadata.nonEmpty) writeCollectionMetadata(spark, path, metadata)
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_collmeta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
   /** The collection's metadata dict; empty for layouts persisted
     * before the sidecar existed (every pre-existing layout is a
     * default-space collection, so absence is meaningful, not an

@@ -485,6 +485,34 @@ class PublicApiSpec extends AnyFunSuite {
       IndexStore.writeCollectionMetadata(spark, legacy,
         Map("hnsw:space" -> "euclidean^2"))
     }
+    // modify replaces; modify-to-empty clears back to default space
+    IndexStore.modifyCollectionMetadata(spark, path, Map("owner" -> "other"))
+    assert(IndexStore.collectionMetadata(spark, path) == Map("owner" -> "other"))
+    assert(IndexStore.collectionSpace(spark, path) == "cosine",
+      "replacing metadata without hnsw:space must reset the space default")
+    IndexStore.modifyCollectionMetadata(spark, path, Map.empty)
+    assert(IndexStore.collectionMetadata(spark, path).isEmpty)
+    // clearing an already-clear collection is a no-op, not an error
+    IndexStore.modifyCollectionMetadata(spark, path, Map.empty)
+  }
+
+  test("space family edges: tiny corpora, k overshoot, filter kills all") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_space_edges"
+    val docs = (0L until 3L).map(i => (i, s"tiny corpus doc $i", "s0"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.build(spark, docs, path,
+      metadata = Map("hnsw:space" -> "ip"))
+    // k far beyond the corpus: every chunk returned once, ranks dense
+    val all = IndexStore.searchTopKVec(spark, path,
+      graft.functions.Embed.embed("tiny corpus", graft.functions.Embed.DefaultDim),
+      k = 100, includeDistance = true).collect()
+    assert(all.nonEmpty && all.map(_.getAs[Int]("rank")).toSeq ==
+      (1 to all.length), "ranks must stay dense when k > corpus")
+    // a predicate with zero survivors returns an empty frame, not an error
+    assert(IndexStore.searchTopK(spark, path, "tiny corpus", k = 5,
+      where = Some(col("doc_id") > 1000)).count() == 0)
   }
 
   test("hnsw:space metadata switches the exact search path's rank metric") {
