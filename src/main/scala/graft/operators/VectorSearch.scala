@@ -237,7 +237,7 @@ object VectorSearch {
     IndexStore.buildFromRows(s, rows, path)
     IndexStore.writeCollectionMetadata(s, path, Map(IndexStore.SpaceKey -> "l2"))
     val qvec = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head.getSeq[Float](0).toArray
+      .select(col("embedding")).head().getSeq[Float](0).toArray
     IndexStore.searchTopKVec(s, path, qvec, k = 10, includeDistance = true)
       .orderBy("rank")
   }

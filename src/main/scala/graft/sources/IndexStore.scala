@@ -113,7 +113,7 @@ object IndexStore {
     val p = new org.apache.hadoop.fs.Path(s"$path/_collmeta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Map.empty
-    else {
+    else try {
       val mtime = fs.getFileStatus(p).getModificationTime
       collMetaCache.getOrElseUpdate((path, mtime), {
         // drop entries for older writes of this path — the cache
@@ -123,6 +123,13 @@ object IndexStore {
         spark.read.parquet(s"$path/_collmeta").collect()
           .map(r => r.getString(0) -> r.getString(1)).toMap
       })
+    } catch {
+      // a concurrent deleteCollection/modify-to-clear between the
+      // exists probe and the read: the sidecar is gone, which MEANS
+      // default-space collection — not an error to surface
+      case _: java.io.FileNotFoundException => Map.empty
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => Map.empty
     }
   }
 
