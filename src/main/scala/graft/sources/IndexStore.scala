@@ -237,10 +237,18 @@ object IndexStore {
   def searchTopKAnn(spark: SparkSession, path: String, queryText: String,
                     k: Int = 10, dim: Int = Embed.DefaultDim,
                     where: Option[Column] = None,
-                    includeDistance: Boolean = false): DataFrame = {
-    val qvec = Embed.embed(queryText, dim)
+                    includeDistance: Boolean = false): DataFrame =
+    searchTopKAnnVec(spark, path, Embed.embed(queryText, dim), k,
+      where, includeDistance)
+
+  /** [[searchTopKAnn]] for a caller-supplied query vector (the
+    * `query_embeddings` form; bucket probes are computed from the
+    * given vector with the layout's LSH parameters). */
+  def searchTopKAnnVec(spark: SparkSession, path: String, qvec: Array[Float],
+                       k: Int = 10, where: Option[Column] = None,
+                       includeDistance: Boolean = false): DataFrame = {
     val space = collectionSpace(spark, path)
-    val qBuckets = Lsh.queryBuckets(qvec, dim, LshBits, LshTables)
+    val qBuckets = Lsh.queryBuckets(qvec, qvec.length, LshBits, LshTables)
     val hit = spark.read.parquet(path)
       .filter(arrays_overlap(col("lsh_buckets"),
         lit(qBuckets)))
@@ -261,10 +269,19 @@ object IndexStore {
                     k: Int = 10, overfetch: Int = 32,
                     dim: Int = Embed.DefaultDim,
                     where: Option[Column] = None,
-                    includeDistance: Boolean = false): DataFrame = {
+                    includeDistance: Boolean = false): DataFrame =
+    searchTopKSq8Vec(spark, path, Embed.embed(queryText, dim), k,
+      overfetch, where, includeDistance)
+
+  /** [[searchTopKSq8]] for a caller-supplied query vector (the
+    * `query_embeddings` form; the query's SQ8 code/factor are
+    * computed from the given vector). */
+  def searchTopKSq8Vec(spark: SparkSession, path: String, qvec: Array[Float],
+                       k: Int = 10, overfetch: Int = 32,
+                       where: Option[Column] = None,
+                       includeDistance: Boolean = false): DataFrame = {
     import graft.functions.vecIndexExprs
     val space = collectionSpace(spark, path)
-    val qvec = Embed.embed(queryText, dim)
     val qvecData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     val qCode = graft.functions.VecIndex.sq8Code(qvecData)
     val qFac = graft.functions.VecIndex.sq8Factor(qvecData)
@@ -875,16 +892,25 @@ object IndexStore {
                     k: Int = 10, probes: Int = 3, overfetch: Int = 32,
                     dim: Int = Embed.DefaultDim,
                     where: Option[Column] = None,
-                    includeDistance: Boolean = false): DataFrame = {
+                    includeDistance: Boolean = false): DataFrame =
+    searchTopKIvfVec(spark, path, Embed.embed(queryText, dim), k,
+      probes, overfetch, where, includeDistance)
+
+  /** [[searchTopKIvf]] for a caller-supplied query vector (the
+    * `query_embeddings` form; probe cells and the SQ8 code come from
+    * the given vector against the stored quantizer). */
+  def searchTopKIvfVec(spark: SparkSession, path: String, qvec: Array[Float],
+                       k: Int = 10, probes: Int = 3, overfetch: Int = 32,
+                       where: Option[Column] = None,
+                       includeDistance: Boolean = false): DataFrame = {
     import graft.functions.vecIndexExprs
     val space = collectionSpace(spark, path)
-    val qvec = Embed.embed(queryText, dim)
     val centRows = spark.read.parquet(s"$path/_centroids")
       .collect().sortBy(_.getLong(0))
     val ids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
-    require(cents.head.length == dim,
-      s"$path was trained at dim=${cents.head.length}, query requested dim=$dim")
+    require(cents.head.length == qvec.length,
+      s"$path was trained at dim=${cents.head.length}, query vector has dim=${qvec.length}")
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
       math.min(probes, ids.length)).toLongArray().toSeq
@@ -1509,13 +1535,31 @@ object IndexStore {
                      k: Int = 10, efSearch: Int = 48,
                      where: Option[Column] = None,
                      whereOverfetch: Int = 4,
-                     includeDistance: Boolean = false): DataFrame = {
+                     includeDistance: Boolean = false): DataFrame =
+    searchTopKHnswVec(spark, path,
+      Embed.embed(queryText, hnswPin(spark, path).meta.dim),
+      k, efSearch, where, whereOverfetch, includeDistance)
+
+  /** [[searchTopKHnsw]] for a caller-supplied query vector (the
+    * `query_embeddings` form on the graph layout; the vector must be
+    * at the layout's stored dim — the `_meta` sidecar is
+    * authoritative). */
+  def searchTopKHnswVec(spark: SparkSession, path: String, qvec: Array[Float],
+                        k: Int = 10, efSearch: Int = 48,
+                        where: Option[Column] = None,
+                        whereOverfetch: Int = 4,
+                        includeDistance: Boolean = false): DataFrame = {
     val space = collectionSpace(spark, path)
-    val qvec = Embed.embed(queryText, hnswPin(spark, path).meta.dim)
+    val dim = hnswPin(spark, path).meta.dim
+    require(qvec.length == dim,
+      s"$path stores dim=$dim vectors, query vector has dim=${qvec.length}")
     val cands =
       if (where.isDefined)
-        hnswFilteredCandidates(spark, path, queryText, k, efSearch, whereOverfetch)
-      else hnswCandidates(spark, path, queryText, k, efSearch)
+        hnswCandidatesBatchVec(spark, path, Seq(0L -> qvec),
+          k * whereOverfetch, math.max(efSearch, k * whereOverfetch))
+          .select(col("cid"))
+      else hnswCandidatesBatchVec(spark, path, Seq(0L -> qvec), k, efSearch)
+        .select(col("cid"))
     val joined = spark.read.parquet(path)
       .join(broadcast(cands), col("chunk_id") === col("cid"))
     present(where.fold(joined)(joined.filter)
@@ -1619,9 +1663,19 @@ object IndexStore {
                                k: Int = 10, dim: Int = Embed.DefaultDim,
                                multiprobe: Boolean = false,
                                where: Option[Column] = None,
-                               includeDistance: Boolean = false): DataFrame = {
+                               includeDistance: Boolean = false): DataFrame =
+    searchTopKAnnPartitionedVec(spark, path, Embed.embed(queryText, dim),
+      k, multiprobe, where, includeDistance)
+
+  /** [[searchTopKAnnPartitioned]] for a caller-supplied query vector
+    * (the `query_embeddings` form on the bucket-partitioned layout). */
+  def searchTopKAnnPartitionedVec(spark: SparkSession, path: String,
+                                  qvec: Array[Float],
+                                  k: Int = 10, multiprobe: Boolean = false,
+                                  where: Option[Column] = None,
+                                  includeDistance: Boolean = false): DataFrame = {
     val space = collectionSpace(spark, path)
-    val qvec = Embed.embed(queryText, dim)
+    val dim = qvec.length
     val qBuckets =
       if (multiprobe) Lsh.queryBucketsMultiprobe(qvec, dim, LshBits, LshTables)
       else Lsh.queryBuckets(qvec, dim, LshBits, LshTables)

@@ -443,12 +443,43 @@ class PublicApiSpec extends AnyFunSuite {
     def ids(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
         r.getAs[String]("chunk_id"))).sortBy(r => (r._1, r._2)).toSeq
-    // exact path
-    val t1 = IndexStore.searchTopK(spark, path, qs.head._2, k = 4).collect()
-      .map(_.getAs[String]("chunk_id")).toSeq
-    val v1 = IndexStore.searchTopKVec(spark, path, qVecs.head._2, k = 4).collect()
-      .map(_.getAs[String]("chunk_id")).toSeq
-    assert(t1 == v1, "searchTopKVec must equal searchTopK on the same vector")
+    // single-query paths: every text form must equal its vec form on
+    // the same vector (the layout serves both; exact/SQ8/IVF share
+    // the IVF layout's columns, LSH probes need the source layout)
+    val sPath = "/root/repo/target/test_vecform_src"
+    IndexStore.build(spark, docs, sPath)
+    val bPath = "/root/repo/target/test_vecform_bucketed"
+    IndexStore.buildBucketed(spark, docs, bPath)
+    def topIds(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.getAs[String]("chunk_id")).toSeq
+    val (qText, qVec) = (qs.head._2, qVecs.head._2)
+    assert(topIds(IndexStore.searchTopK(spark, sPath, qText, k = 4)) ==
+      topIds(IndexStore.searchTopKVec(spark, sPath, qVec, k = 4)),
+      "searchTopKVec must equal searchTopK")
+    assert(topIds(IndexStore.searchTopKAnn(spark, sPath, qText, k = 4)) ==
+      topIds(IndexStore.searchTopKAnnVec(spark, sPath, qVec, k = 4)),
+      "searchTopKAnnVec must equal searchTopKAnn")
+    assert(topIds(IndexStore.searchTopKSq8(spark, sPath, qText, k = 4)) ==
+      topIds(IndexStore.searchTopKSq8Vec(spark, sPath, qVec, k = 4)),
+      "searchTopKSq8Vec must equal searchTopKSq8")
+    assert(topIds(IndexStore.searchTopKIvf(spark, path, qText, k = 4,
+        probes = 2, overfetch = 16)) ==
+      topIds(IndexStore.searchTopKIvfVec(spark, path, qVec, k = 4,
+        probes = 2, overfetch = 16)),
+      "searchTopKIvfVec must equal searchTopKIvf")
+    assert(topIds(IndexStore.searchTopKHnsw(spark, hPath, qText, k = 4)) ==
+      topIds(IndexStore.searchTopKHnswVec(spark, hPath, qVec, k = 4)),
+      "searchTopKHnswVec must equal searchTopKHnsw")
+    assert(topIds(IndexStore.searchTopKAnnPartitioned(spark, bPath, qText, k = 4)) ==
+      topIds(IndexStore.searchTopKAnnPartitionedVec(spark, bPath, qVec, k = 4)),
+      "searchTopKAnnPartitionedVec must equal the text form")
+    // a wrong-dim vector fails loudly on the dim-validating layouts
+    intercept[IllegalArgumentException] {
+      IndexStore.searchTopKIvfVec(spark, path, qVec.take(8), k = 4)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.searchTopKHnswVec(spark, hPath, qVec.take(8), k = 4)
+    }
     // IVF batch
     assert(
       ids(IndexStore.searchTopKIvfBatch(spark, path, qs, k = 4,
