@@ -7,21 +7,28 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** chromadb `where` / `where_document` dict → Spark `Column`
-  * translator — the LITERAL query-filter contract of the reference's
-  * engine (chromadb 0.4.6 `Collection.query(where=...,
+  * translator — a permissive SUPERSET of the query-filter grammar of
+  * the reference's engine (chromadb 0.4.x `Collection.query(where=...,
   * where_document=...)`, `get`, `delete`), so a chroma caller's
   * filter dicts run unchanged against every `where:`-carrying path in
   * [[graft.sources.IndexStore]] and [[graft.sources.LexicalStore]].
-  * The search/get/delete paths themselves take a `Column` (V9) — this
-  * is the adapter from chroma's wire format to that surface, kept
-  * separate so the engine never depends on a serialization format.
+  * Superset, not the literal 0.4.6 contract: chromadb 0.4.x's
+  * `validate_where` REJECTS multi-key dicts ("Expected where to have
+  * exactly one operator") where we accept them as implicit AND, and
+  * `$nin` / `$not_contains` post-date 0.4.6 — every dict 0.4.6
+  * accepts translates here with identical semantics, plus those
+  * extensions. The search/get/delete paths themselves take a `Column`
+  * (V9) — this is the adapter from chroma's wire format to that
+  * surface, kept separate so the engine never depends on a
+  * serialization format.
   *
-  * Metadata `where` grammar (chromadb 0.4.6):
+  * Metadata `where` grammar (superset of chromadb 0.4.6):
   *   {"f": v}                          equality shorthand
   *   {"f": {"$eq"|"$ne"|"$gt"|"$gte"|"$lt"|"$lte": v}}
   *   {"f": {"$in"|"$nin": [v, ...]}}
   *   {"$and"|"$or": [w, ...]}          boolean composition
-  *   multiple keys in one object       implicit AND (chroma's rule)
+  *   multiple keys in one object       implicit AND (our extension —
+  *                                     chroma 0.4.x rejects these)
   *
   * Document `where_document` grammar:
   *   {"$contains": "s"} | {"$not_contains": "s"}

@@ -969,8 +969,11 @@ object IndexStore {
       .collect().sortBy(_.getLong(0))
     val cids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
-    require(cents.head.length == dim,
-      s"$path was trained at dim=${cents.head.length}, query requested dim=$dim")
+    queries.foreach { case (qid, qvec) =>
+      require(qvec.length == cents.head.length,
+        s"$path was trained at dim=${cents.head.length}, " +
+          s"batch query $qid has dim=${qvec.length}")
+    }
     val qMeta = queries.sortBy(_._1).map { case (qid, qvec) =>
       val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
       val cells = graft.functions.VecIndex

@@ -169,7 +169,12 @@ object Streams {
       StructField("n_chars", LongType)))
     // deterministic per-sf tree, wiped per lifecycle (a UUID dir per
     // run accumulated an index + checkpoint per bench/verify with
-    // nothing cleaning them); each run re-streams from scratch
+    // nothing cleaning them); each run re-streams from scratch.
+    // SINGLE WRITER PER SF assumed: two concurrent sessions on the
+    // same sf would race this wipe (one wipes under the other's
+    // active stream/checkpoint). Bench/Verify/tests run one session
+    // per JVM against a given sf, so the shared deterministic path is
+    // safe there; a concurrent harness must key the dir per session.
     val tmp = Paths.get("/root/repo/target/q83_stream/" +
       d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_"))
     val index = tmp.resolve("index")
