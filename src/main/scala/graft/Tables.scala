@@ -23,20 +23,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
-    * natively; read nanos as long and convert to a microsecond
-    * timestamp (lossless here — the fixture values are generated at
-    * microsecond precision, and DuckDB's view of the same file is
-    * micro-precision TIMESTAMP, so the oracle sees identical values).
-    */
+  /** events.parquet's `ts` physical type has varied across fixture
+    * generations — TIMESTAMP(NANOS) (unreadable natively: read nanos
+    * as long, `DIV 1000` to micros) and plain `timestamp[us]` with no
+    * UTC-adjustment flag (Spark: TIMESTAMP_NTZ; DuckDB: naive
+    * TIMESTAMP). Normalize every variant to a session-UTC TIMESTAMP
+    * carrying the same wall-clock values DuckDB reads from the same
+    * file, so `unix_micros`/watermarks/window() downstream see one
+    * type regardless of fixture vintage (the session timezone is
+    * pinned to UTC by Verify/Bench, making the NTZ→LTZ cast an
+    * identical-instant relabeling). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

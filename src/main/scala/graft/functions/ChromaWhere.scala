@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * Superset, not the literal 0.4.6 contract: chromadb 0.4.x's
   * `validate_where` REJECTS multi-key dicts ("Expected where to have
   * exactly one operator") where we accept them as implicit AND, and
-  * `$nin` / `$not_contains` post-date 0.4.6 — every dict 0.4.6
-  * accepts translates here with identical semantics, plus those
-  * extensions. The search/get/delete paths themselves take a `Column`
+  * the list operators (`$in` / `$nin`, added to chromadb together
+  * after 0.4.6) and `$not_contains` post-date the pinned release —
+  * every dict 0.4.6 accepts translates here with identical
+  * semantics, plus those extensions. The search/get/delete paths themselves take a `Column`
   * (V9) — this is the adapter from chroma's wire format to that
   * surface, kept separate so the engine never depends on a
   * serialization format.
@@ -25,8 +26,8 @@ import org.apache.spark.sql.functions._
   * Metadata `where` grammar (superset of chromadb 0.4.6):
   *   {"f": v}                          equality shorthand
   *   {"f": {"$eq"|"$ne"|"$gt"|"$gte"|"$lt"|"$lte": v}}
-  *   {"f": {"$in"|"$nin": [v, ...]}}
   *   {"$and"|"$or": [w, ...]}          boolean composition
+  *   {"f": {"$in"|"$nin": [v, ...]}}   extension (post-0.4.6 chroma)
   *   multiple keys in one object       implicit AND (our extension —
   *                                     chroma 0.4.x rejects these)
   *

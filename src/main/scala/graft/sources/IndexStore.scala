@@ -954,15 +954,17 @@ object IndexStore {
                          where: Option[Column] = None): DataFrame =
     searchTopKIvfBatchVec(spark, path,
       queries.map { case (qid, t) => (qid, Embed.embed(t, dim)) },
-      k, probes, overfetch, dim, where)
+      k, probes, overfetch, where)
 
   /** [[searchTopKIvfBatch]] for caller-supplied query vectors —
     * chroma's `query(query_embeddings=[...])` form on the batch
-    * surface (same contract split as [[searchTopKVec]]). */
+    * surface (same contract split as [[searchTopKVec]]). No `dim`
+    * parameter: the query vectors carry their own dimensionality and
+    * each is checked against the stored quantizer's trained dim, as
+    * on [[searchTopKIvfVec]]. */
   def searchTopKIvfBatchVec(spark: SparkSession, path: String,
                             queries: Seq[(Long, Array[Float])],
                             k: Int = 10, probes: Int = 3, overfetch: Int = 32,
-                            dim: Int = Embed.DefaultDim,
                             where: Option[Column] = None): DataFrame = {
     import graft.functions.vecIndexExprs
     val centRows = spark.read.parquet(s"$path/_centroids")

@@ -26,11 +26,15 @@ import graft.util.Num._
   */
 object Streams {
 
-  /** events raw parquet schema (ts is nanos-as-long, see Tables.events). */
-  private val rawEventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events raw parquet schema, parameterized on the fixture's `ts`
+    * physical type (nanos-as-long or TIMESTAMP_NTZ/TIMESTAMP micros —
+    * see Tables.events; the streaming file source needs an explicit
+    * schema, so it must match the staged file's vintage). */
+  private def rawEventsSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** The streaming file source tails a directory; stage the fixture
     * file into a fresh inbox dir (what a collector would feed). One
@@ -49,8 +53,19 @@ object Streams {
 
   private def eventsStreamFrom(s: SparkSession, inbox: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(rawEventsSchema).parquet(inbox)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // one footer read decides the staged file's ts vintage; the
+    // normalization mirrors Tables.events so every stream sees a
+    // session-UTC TIMESTAMP regardless of fixture generation
+    val tsType = s.read.parquet(inbox).schema("ts").dataType
+    val raw = s.readStream.schema(rawEventsSchema(tsType)).parquet(inbox)
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   private def eventsStream(s: SparkSession, d: String): DataFrame =
