@@ -51,6 +51,8 @@ object Verify {
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
       ("q112 ivf batch", Set("q112_ivf_batch"),
         () => operators.VectorSearch.materializeIvfBatchAux(spark, sfDir, auxDir)),
+      ("q123 pq index", Set("q123_ivfpq_search", "q124_pq_metrics"),
+        () => operators.VectorSearch.materializePqAux(spark, sfDir, auxDir)),
       // lifecycle oracles: each is an INDEPENDENTLY RECOMPUTED expected
       // state (chunk/embed of the surviving or final corpus), never a
       // dump of the mutated layout the query searches

@@ -133,6 +133,77 @@ object VecIndex {
     s
   }
 
+  // ---- PQ: product quantization (FAISS IVF-PQ's fine quantizer) ----
+
+  /** PQ-encode: for each of the `m = books.length` subspaces, the
+    * index of the L2-nearest codebook centroid of the corresponding
+    * `dsub`-dim slice of `v` (comparison on sqrt(d2) with ties to the
+    * smaller code, exactly [[nearestCell]]'s convention so the DuckDB
+    * mirror's `ORDER BY sqrt-l2, code` re-derives identical codes).
+    * One byte per subspace — m bytes/vector total (vs 1 byte/dim SQ8,
+    * 4 bytes/dim float): the memory-resident fine-quantizer scale
+    * path for corpora where even SQ8 codes outgrow RAM. */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = books.length
+    val out = new Array[Byte](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val book = books(s)
+      val dsub = if (book.length > 0) book(0).length else 0
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < book.length) {
+        val c = book(j)
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = v.getFloat(off + i).toDouble - c(i).toDouble
+          d2 += d * d
+          i += 1
+        }
+        val d = math.sqrt(d2)
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best.toByte
+      off += dsub
+      s += 1
+    }
+    out
+  }
+
+  /** Training-time sub-assignment: nearest code of `subvec` in
+    * codebook `sub` (same sqrt + smaller-code tie convention). */
+  def pqSubAssign(sub: Int, subvec: ArrayData,
+                  books: Array[Array[Array[Float]]]): Int = {
+    val book = books(sub)
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < book.length) {
+      val d = math.sqrt(l2sqTo(subvec, book(j)))
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Asymmetric-distance (ADC) score of a PQ code against a
+    * query-derived lookup table: Σ_s lut(s)(code(s)) — integer
+    * micro-units end to end (the LUT is floor-quantized once per
+    * query, so candidate ranks are exact integers that any engine
+    * reproduces; FAISS's fast-scan path quantizes its LUTs the same
+    * way). Codes read unsigned so ksub up to 256 round-trips. */
+  def pqAdc(code: Array[Byte], lut: Array[Array[Long]]): Long = {
+    val m = math.min(code.length, lut.length)
+    var s = 0
+    var acc = 0L
+    while (s < m) { acc += lut(s)(code(s) & 0xFF); s += 1 }
+    acc
+  }
+
   /** Reduction-order-free L2 distance of a float vector to a double
     * centroid: sqrt of the exact DECIMAL(18,6) sum of squared per-dim
     * deviations — bit-for-bit `sqrt(dsum((x_i - m_i)^2))` over
@@ -245,6 +316,71 @@ case class Sq8Dot(left: Expression, right: Expression) extends BinaryExpression 
     copy(l, r)
 }
 
+/** pq_encode(vec): BINARY m-byte product-quantization code (one
+  * codebook index per subspace; the codebook tensor is a plan
+  * constant, like [[NearestCell]]'s centroid table — PQ codebooks
+  * are index metadata, m×ksub×dsub floats). */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression with FloatVecInput {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = check(child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    VecIndex.pqEncode(v.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecIndex.pqEncode($v, $booksRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** pq_sub_assign(sub INT, subvec FLOAT[]): INT nearest code of the
+  * subvector in codebook `sub` — the Lloyd assignment step of PQ
+  * training, scan-side over (sub, subvec) exploded rows so one job
+  * re-assigns every subspace per iteration. */
+case class PqSubAssign(left: Expression, right: Expression,
+                       books: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (IntegerType, ArrayType(FloatType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_sub_assign needs (INT, ARRAY<FLOAT>), got $l, $r")
+  }
+  override def nullSafeEval(sub: Any, v: Any): Any =
+    VecIndex.pqSubAssign(sub.asInstanceOf[Int], v.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, (s, v) =>
+      s"graft.functions.VecIndex.pqSubAssign($s, $v, $booksRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
+/** pq_adc(code BINARY): LONG integer ADC score against a plan-constant
+  * query LUT (micro-units). The candidate-generation scan of the
+  * IVF-PQ search path reads m bytes + this lookup per row. */
+case class PqAdcMicros(child: Expression, lut: Array[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_adc needs BINARY input, got ${child.dataType}")
+  override def nullSafeEval(c: Any): Any =
+    VecIndex.pqAdc(c.asInstanceOf[Array[Byte]], lut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqLut", lut, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecIndex.pqAdc($c, $lutRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** dec_l2(vec FLOAT[], cent DOUBLE[]): DOUBLE reduction-order-free L2
   * distance to a (typically per-group decimal-mean) centroid. */
 case class DecL2(left: Expression, right: Expression) extends BinaryExpression {
@@ -278,4 +414,10 @@ object vecIndexExprs {
     shims.toColumn(Sq8Dot(shims.toExpression(a), shims.toExpression(b)))
   def decL2(v: Column, m: Column): Column =
     shims.toColumn(DecL2(shims.toExpression(v), shims.toExpression(m)))
+  def pqEncode(c: Column, books: Array[Array[Array[Float]]]): Column =
+    shims.toColumn(PqEncode(shims.toExpression(c), books))
+  def pqSubAssign(sub: Column, v: Column, books: Array[Array[Array[Float]]]): Column =
+    shims.toColumn(PqSubAssign(shims.toExpression(sub), shims.toExpression(v), books))
+  def pqAdc(c: Column, lut: Array[Array[Long]]): Column =
+    shims.toColumn(PqAdcMicros(shims.toExpression(c), lut))
 }

@@ -429,6 +429,82 @@ object VectorSearch {
     (ids, cents)
   }
 
+  /** Train PQ codebooks (FAISS IVF-PQ's fine quantizer): `m`
+    * independent k-means of `ksub` centroids, one per `dsub = dim/m`
+    * subspace. Seeds are the subvector slices of the first `ksub`
+    * corpus rows by id (deterministic offline build, like
+    * [[graft.sources.IndexStore.buildIvf]]'s seed pick); each Lloyd
+    * step re-assigns EVERY subspace in ONE narrow scan — the m
+    * subvectors posexplode scan-side (m×N short rows, never wider
+    * than the corpus read) through the plan-constant `PqSubAssign`
+    * argmin, and the re-center is one DECIMAL whole-subvector mean
+    * per (sub, code): reduction-order-free, so the trained tensor is
+    * bit-identical across executions (the correctness-gate
+    * requirement — the q123 oracle re-derives codes from an
+    * independently dumped copy). A codebook that loses every row in
+    * an iteration keeps its previous centroid (FAISS's empty-cluster
+    * convention at fixed k). Returns books[m][ksub][dsub] — index
+    * metadata (m·ksub·dsub floats), a plan constant at search time. */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, iters: Int = 2,
+                  dim: Int = graft.functions.Embed.DefaultDim)
+      : Array[Array[Array[Float]]] = {
+    import graft.functions.vecIndexExprs
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val slices = array((0 until m).map(s =>
+      slice(col(vecCol), s * dsub + 1, dsub)): _*)
+    val seedRows = emb.select(col(idCol), col(vecCol))
+      .orderBy(idCol).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(seedRows.length == ksub,
+      s"corpus has ${seedRows.length} rows, need >= ksub=$ksub for seeding")
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m, ksub) { (s, j) =>
+        java.util.Arrays.copyOfRange(seedRows(j), s * dsub, (s + 1) * dsub)
+      }
+    val subRows = emb.select(posexplode(slices).as(Seq("sub", "subvec")))
+    var it = 0
+    while (it < iters) {
+      val refreshed = subRows
+        .select(col("sub"), col("subvec"),
+          vecIndexExprs.pqSubAssign(col("sub"), col("subvec"), books).as("code"))
+        .groupBy(col("sub"), col("code"))
+        .agg(graft.functions.DecVecAgg.decVecMean(col("subvec")).as("mvec"))
+        .select(col("sub"), col("code"),
+          transform(col("mvec"), x => x.cast("float")).as("cvec"))
+        .collect()
+      val next = books.map(_.map(identity)) // empty codes keep previous
+      refreshed.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** The query-side ADC lookup table: lut(s)(j) = floor(1e6 ·
+    * dot(q_sub_s, books(s)(j))) — micro-unit integers, computed once
+    * per query from m·ksub dot products (query-sized metadata; the
+    * [[graft.functions.VecIndex.pqAdc]] scan sums these exactly, and
+    * the DuckDB mirror re-derives the identical integers via the
+    * same left-to-right double dot + floor). */
+  def pqLut(qvec: Array[Float], books: Array[Array[Array[Float]]])
+      : Array[Array[Long]] =
+    books.zipWithIndex.map { case (book, s) =>
+      val off = s * (if (book.nonEmpty) book(0).length else 0)
+      book.map { c =>
+        var dot = 0.0
+        var i = 0
+        while (i < c.length) {
+          dot += c(i).toDouble * qvec(off + i).toDouble
+          i += 1
+        }
+        math.floor(1e6 * dot).toLong
+      }
+    }
+
   def annIvf(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, seeds: DataFrame,
              lloydIters: Int = 2, probes: Int = 3): DataFrame = {
@@ -2238,6 +2314,246 @@ object VectorSearch {
       .orderBy("source")
   }
 
+  // ---- q123/q124: IVF-PQ (product-quantized candidate generation) ---
+
+  private[graft] def q123IndexPath(d: String): String = idxPath("q123_pq_index", d)
+  private val Q123QueryText = "compressed candidate scan with exact reranking"
+  private val Q123Probes = 3
+  private val Q123Overfetch = 64
+  private val PqDsub = Embed.DefaultDim / graft.sources.IndexStore.PqM
+
+  /** q123: the FAISS IVF-PQ lifecycle as one gated query — build the
+    * cell-partitioned layout with an m-byte-per-row product-quantized
+    * code column and a `_pq` codebook sidecar
+    * ([[graft.sources.IndexStore.buildIvfPq]]), then search it:
+    * probe the 3 nearest coarse cells (partition pruning), integer
+    * ADC pre-rank over the probed rows' 8-byte codes (the scan that
+    * stays RAM-resident when SQ8's 1 byte/dim no longer does), exact
+    * cosine rerank of the top-64. bitExact coarse AND fine training
+    * => the oracle re-derives cell assignment (embeddings ×
+    * centroids), PQ codes (embeddings × codebooks — a build-side
+    * encode bug fails the gate), the query LUT, the integer ADC
+    * rank, and the rerank from an independently dumped copy. */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q123IndexPath(d)
+    IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path)
+    IndexStore.searchTopKIvfPq(s, path, Q123QueryText, k = 10,
+      probes = Q123Probes, overfetch = Q123Overfetch)
+  }
+
+  /** Dump the q123 artifact (rows + both quantizer sidecars + query
+    * vector/SQ8 code) for the q123/q124 oracles. */
+  def materializePqAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import graft.sources.IndexStore
+    val path = q123IndexPath(d)
+    IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path)
+    s.read.parquet(path)
+      .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
+        col("cell").cast("long").as("cell"),
+        bytesToInts(col("pq_code")).as("pq"),
+        bytesToInts(col("sq8_code")).as("sq8"), col("sq8_factor").as("fac"),
+        col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q123_index.parquet")
+    s.read.parquet(s"$path/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q123_cents.parquet")
+    s.read.parquet(s"$path/_pq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q123_books.parquet")
+    val qvec = Embed.embed(Q123QueryText, Embed.DefaultDim)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    import s.implicits._
+    Seq((qvec.toSeq,
+        graft.functions.VecIndex.sq8Code(qData).map(_.toInt).toSeq,
+        graft.functions.VecIndex.sq8Factor(qData)))
+      .toDF("qvec", "qcode", "qfac")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q123_query.parquet")
+  }
+
+  private val AuxQ123Index =
+    "read_parquet('/root/repo/target/verify_aux/q123_index.parquet/*.parquet')"
+  private val AuxQ123Cents =
+    "read_parquet('/root/repo/target/verify_aux/q123_cents.parquet/*.parquet')"
+  private val AuxQ123Books =
+    "read_parquet('/root/repo/target/verify_aux/q123_books.parquet/*.parquet')"
+  private val AuxQ123Query =
+    "read_parquet('/root/repo/target/verify_aux/q123_query.parquet/*.parquet')"
+
+  /** The ADC LUT mirror: micro-quantized dot of each codebook entry
+    * with its query subvector slice (the [[pqLut]] integers,
+    * re-derived — same left-to-right double dot + floor). */
+  private def pqLutSql = s"""
+    lut AS (
+      SELECT b.sub, b.code_id,
+        CAST(floor(1000000.0 * list_sum(list_transform(
+          generate_series(1, len(b.cvec)),
+          i -> CAST(b.cvec[i] AS DOUBLE)
+             * CAST(qv.qvec[b.sub * $PqDsub + i] AS DOUBLE)))) AS BIGINT) AS micros
+      FROM books b CROSS JOIN qv)"""
+
+  /** The full IVF-PQ mirror: coarse assignment and probing re-derived
+    * exactly as the q98 mirror does, PQ codes RE-DERIVED per
+    * (pruned row, subspace) from embeddings × codebooks (sqrt-L2
+    * argmin, ties to the smaller code — [[graft.functions.VecIndex
+    * .pqEncode]]'s convention), then the integer ADC rank and the
+    * exact-cosine rerank. The stored `pq` column is deliberately NOT
+    * read here: a Spark-side encode defect would shift the re-derived
+    * candidate ranks and hash-mismatch the final rows. */
+  private val q123Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ123Cents),
+    qv AS (SELECT qvec FROM $AuxQ123Query),
+    books AS (SELECT sub, code_id, cvec FROM $AuxQ123Books),
+    idx AS (SELECT * FROM $AuxQ123Index),
+    assign AS (
+      SELECT x.chunk_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.chunk_id
+               ORDER BY ${l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM idx x, cents c),
+    assigned AS (SELECT chunk_id, cent_id AS cell FROM assign WHERE arn = 1),
+    probe AS (
+      SELECT c.cent_id AS cell FROM cents c, qv
+      ORDER BY ${l2Sql("qv.qvec", "c.cvec")}, c.cent_id LIMIT $Q123Probes),
+    pruned AS (
+      SELECT x.* FROM idx x
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+    $pqLutSql,
+    subcodes AS (
+      SELECT p.chunk_id, b.sub, b.code_id,
+             row_number() OVER (PARTITION BY p.chunk_id, b.sub
+               ORDER BY sqrt(list_sum(list_transform(
+                   generate_series(1, len(b.cvec)),
+                   i -> (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))
+                      * (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))))), b.code_id) AS crn
+      FROM pruned p CROSS JOIN books b),
+    codes AS (SELECT chunk_id, sub, code_id FROM subcodes WHERE crn = 1),
+    adc AS (
+      SELECT chunk_id, CAST(SUM(micros) AS BIGINT) AS adc
+      FROM codes JOIN lut USING (sub, code_id) GROUP BY chunk_id),
+    cand AS (SELECT chunk_id FROM adc
+             ORDER BY adc DESC, chunk_id LIMIT $Q123Overfetch),
+    scored AS (
+      SELECT x.chunk_id, x.doc_id, x.source, x.chunk,
+             ${cosColsSql("x.embedding", "qv.qvec")} AS sim
+      FROM pruned x JOIN cand USING (chunk_id) CROSS JOIN qv)
+    SELECT row_number() OVER (ORDER BY sim DESC, chunk_id) AS rank,
+           chunk_id, doc_id, source, chunk,
+           'https://docs.google.com/spreadsheets/d/' || source ||
+           '/edit#gid=0&range=A' || CAST(doc_id + 2 AS BIGINT) AS link
+    FROM scored ORDER BY sim DESC, chunk_id LIMIT 10"""
+
+  /** q124: the compressed-domain quality/size meter — on ONE
+    * artifact (the q123 layout carries float embeddings, SQ8 codes
+    * AND PQ codes), how many of the exact cosine top-10 does each
+    * pre-rank family recover through the same top-$Q123Overfetch
+    * candidate set + exact rerank, and at what bytes/vector scan
+    * cost? No cell probing: the meter isolates pre-rank quality from
+    * coarse-quantizer recall (q114 already meters the probe dial).
+    * Integers only — (method, bytes_per_vec, hits10). */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vecIndexExprs
+    import graft.sources.IndexStore
+    val path = q123IndexPath(d)
+    IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path)
+    val qvec = Embed.embed(Q123QueryText, Embed.DefaultDim)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    val qCode = graft.functions.VecIndex.sq8Code(qData)
+    val qFac = graft.functions.VecIndex.sq8Factor(qData)
+    val lut = pqLut(qvec, IndexStore.readPqBooks(s, path))
+    val idx = s.read.parquet(path)
+      .select(col("chunk_id"), col("embedding"), col("sq8_code"),
+        col("sq8_factor"), col("pq_code"))
+      .localCheckpoint() // three rank branches, one physical read
+    def rerankTop10(cand: DataFrame): DataFrame =
+      idx.join(broadcast(cand), col("chunk_id") === col("cid"))
+        .select(col("chunk_id"),
+          VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+        .orderBy(col("sim").desc, col("chunk_id")).limit(10)
+        .select(col("chunk_id"))
+    val exact10 = idx
+      .select(col("chunk_id"),
+        VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+      .orderBy(col("sim").desc, col("chunk_id")).limit(10)
+      .select(col("chunk_id"))
+    val sq8Top = rerankTop10(idx
+      .select(col("chunk_id").as("cid"),
+        (vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode))
+          * col("sq8_factor") * lit(qFac)).as("approx"))
+      .orderBy(col("approx").desc, col("cid")).limit(Q123Overfetch))
+    val pqTop = rerankTop10(idx
+      .select(col("chunk_id").as("cid"),
+        vecIndexExprs.pqAdc(col("pq_code"), lut).as("adc"))
+      .orderBy(col("adc").desc, col("cid")).limit(Q123Overfetch))
+    val dim = Embed.DefaultDim
+    val labeled =
+      exact10.select(lit("exact").as("method"), lit(4 * dim).as("bytes_per_vec"),
+          col("chunk_id"))
+        .unionAll(sq8Top.select(lit("sq8").as("method"), lit(dim).as("bytes_per_vec"),
+          col("chunk_id")))
+        .unionAll(pqTop.select(lit("pq").as("method"),
+          lit(graft.sources.IndexStore.PqM).as("bytes_per_vec"), col("chunk_id")))
+    labeled.join(exact10, Seq("chunk_id"))
+      .groupBy(col("method"), col("bytes_per_vec"))
+      .agg(count(lit(1)).as("hits10"))
+      .orderBy(col("method"))
+  }
+
+  /** q124 mirror: the same three candidate pipelines re-derived from
+    * the dump — exact full-scan cosine, SQ8 integer pre-rank (the
+    * dumped codes × query code), PQ ADC (the dumped codes × the
+    * re-derived LUT) — each reranked, then hit-counted against the
+    * exact top-10. */
+  private val q124Sql = s"""
+    WITH qv AS (SELECT qvec, qcode, qfac FROM $AuxQ123Query),
+    books AS (SELECT sub, code_id, cvec FROM $AuxQ123Books),
+    idx AS (SELECT * FROM $AuxQ123Index),
+    $pqLutSql,
+    exact AS (
+      SELECT chunk_id,
+             row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+               chunk_id) AS rn
+      FROM idx x CROSS JOIN qv),
+    exact10 AS (SELECT chunk_id FROM exact WHERE rn <= 10),
+    sq8cand AS (
+      SELECT chunk_id FROM idx x CROSS JOIN qv
+      ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
+          k -> x.sq8[k] * qv.qcode[k])) AS DOUBLE) * x.fac * qv.qfac DESC,
+        x.chunk_id
+      LIMIT $Q123Overfetch),
+    sq8top AS (
+      SELECT chunk_id FROM (
+        SELECT x.chunk_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.chunk_id) AS rn
+        FROM idx x JOIN sq8cand USING (chunk_id) CROSS JOIN qv)
+      WHERE rn <= 10),
+    pcodes AS (
+      SELECT chunk_id, g.s - 1 AS sub, pq[g.s] AS code_id
+      FROM idx, generate_series(1, ${graft.sources.IndexStore.PqM}) AS g(s)),
+    adc AS (
+      SELECT chunk_id, CAST(SUM(micros) AS BIGINT) AS adc
+      FROM pcodes JOIN lut USING (sub, code_id) GROUP BY chunk_id),
+    pqcand AS (SELECT chunk_id FROM adc
+               ORDER BY adc DESC, chunk_id LIMIT $Q123Overfetch),
+    pqtop AS (
+      SELECT chunk_id FROM (
+        SELECT x.chunk_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.chunk_id) AS rn
+        FROM idx x JOIN pqcand USING (chunk_id) CROSS JOIN qv)
+      WHERE rn <= 10),
+    labeled AS (
+      SELECT 'exact' AS method, ${4 * Embed.DefaultDim} AS bytes_per_vec, chunk_id
+      FROM exact10
+      UNION ALL
+      SELECT 'sq8', ${Embed.DefaultDim}, chunk_id FROM sq8top
+      UNION ALL
+      SELECT 'pq', ${graft.sources.IndexStore.PqM}, chunk_id FROM pqtop)
+    SELECT method, bytes_per_vec, COUNT(*) AS hits10
+    FROM labeled JOIN exact10 USING (chunk_id)
+    GROUP BY method, bytes_per_vec
+    ORDER BY method"""
+
   val queries: Seq[Query] = Seq(
     Query("q60_knn_l2",         q60, Some(q60Sql)),
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
@@ -2265,5 +2581,7 @@ object VectorSearch {
     Query("q112_ivf_batch",      q112, Some(q112Sql)),
     Query("q114_ivf_probe_curve", q114, Some(q114Sql)),
     Query("q105_filtered_recall", q105, Some(q105Sql)),
-    Query("q106_hnsw_batch",    q106, Some(q106Sql)))
+    Query("q106_hnsw_batch",    q106, Some(q106Sql)),
+    Query("q123_ivfpq_search",  q123, Some(q123Sql)),
+    Query("q124_pq_metrics",    q124, Some(q124Sql)))
 }

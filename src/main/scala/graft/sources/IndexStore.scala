@@ -464,6 +464,146 @@ object IndexStore {
       .parquet(path)
   }
 
+  // ---- IVF-PQ: product-quantized fine codes on the IVF layout -------
+
+  /** Default PQ geometry at the fixture dim (64): 8 subspaces × 16
+    * codes × 8 dims = 8 bytes/vector — 8× smaller than the SQ8
+    * column, 32× smaller than the float embedding. */
+  val PqM = 8
+  val PqKsub = 16
+
+  /** [[buildIvf]] plus a PQ fine quantizer (FAISS IVF-PQ as a parquet
+    * layout): rows land in their nearest-coarse-centroid cell
+    * partition as in [[buildIvf]], and each row additionally carries
+    * an m-byte `pq_code` (per-subspace codebook indices, trained by
+    * [[graft.operators.VectorSearch.pqCodebooks]] — bit-exact decimal
+    * Lloyd, so the whole artifact reproduces across executions). The
+    * codebook tensor persists as a `_pq` sidecar next to
+    * `_centroids`. Scale rationale: at 100 TB even 1 byte/dim SQ8
+    * codes outgrow executor memory for wide embeddings; m bytes/row
+    * PQ codes are the candidate-generation column that still scans
+    * from RAM, with the float rerank touching only `overfetch` rows
+    * per query. The layout keeps the SQ8 and LSH columns of
+    * [[indexRows]], so one artifact serves every pre-rank family
+    * (the q124 meter compares them on equal footing). */
+  def buildIvfPq(spark: SparkSession, docs: DataFrame, path: String,
+                 nCells: Int = 16, lloydIters: Int = 2,
+                 m: Int = PqM, ksub: Int = PqKsub, pqIters: Int = 2,
+                 dim: Int = Embed.DefaultDim,
+                 metadata: Map[String, String] = Map.empty): Unit = {
+    buildIvfPqFromRows(spark, indexRows(docs, dim).localCheckpoint(), path,
+      nCells, lloydIters, m, ksub, pqIters, dim)
+    writeCollectionMetadata(spark, path, metadata)
+  }
+
+  /** [[buildIvfPq]] from already-computed MATERIALIZED [[indexRows]]. */
+  private[graft] def buildIvfPqFromRows(spark: SparkSession, rows: DataFrame,
+                                        path: String, nCells: Int = 16,
+                                        lloydIters: Int = 2,
+                                        m: Int = PqM, ksub: Int = PqKsub,
+                                        pqIters: Int = 2,
+                                        dim: Int = Embed.DefaultDim): Unit = {
+    import graft.functions.vecIndexExprs
+    val seeds = rows.select(col("chunk_id"), col("embedding"))
+      .orderBy("chunk_id").limit(nCells)
+      .select(row_number().over(Window.orderBy(col("chunk_id"))).cast("long").as("cent_id"),
+        col("embedding").as("cvec"))
+    val (ids, cents) = graft.operators.VectorSearch.ivfCentroids(
+      rows, "chunk_id", "embedding", seeds, lloydIters, bitExact = true)
+    val books = graft.operators.VectorSearch.pqCodebooks(
+      rows, "chunk_id", "embedding", m, ksub, pqIters, dim)
+    rows
+      .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
+      .withColumn("pq_code", vecIndexExprs.pqEncode(col("embedding"), books))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell")
+      .parquet(path)
+    val s2 = spark
+    import s2.implicits._
+    ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_centroids")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("sub", "code_id", "cvec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_pq")
+  }
+
+  /** [[buildIvfPq]] executed at most once per (session, path,
+    * parameters) — the q123 gate, its aux dump, and the q124 meter
+    * share one physical build (see [[buildIvfOnce]]). */
+  private val builtIvfPqOnce =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int, Int, Int), Unit]
+  private[graft] def buildIvfPqOnceRows(spark: SparkSession, rows: => DataFrame,
+                                        path: String, nCells: Int = 16,
+                                        lloydIters: Int = 2,
+                                        m: Int = PqM, ksub: Int = PqKsub,
+                                        pqIters: Int = 2): Unit =
+    builtIvfPqOnce.getOrElseUpdate(
+      (sessionKey(spark), path, nCells, lloydIters, m, ksub, pqIters),
+      buildIvfPqFromRows(spark, rows, path, nCells, lloydIters, m, ksub, pqIters))
+
+  /** Read the `_pq` codebook sidecar back as books[m][ksub][dsub]. */
+  private[graft] def readPqBooks(spark: SparkSession, path: String)
+      : Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$path/_pq")
+      .select(col("sub"), col("code_id"), col("cvec")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = Array.ofDim[Array[Array[Float]]](m)
+    rows.groupBy(_.getInt(0)).foreach { case (s, rs) =>
+      books(s) = rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+    }
+    books
+  }
+
+  /** [[searchTopKIvf]] with PQ-ADC candidate generation: probe the
+    * `probes` nearest coarse cells (partition pruning opens only
+    * those directories), rank the pruned rows by the integer ADC
+    * score of their m-byte `pq_code` against the query's
+    * micro-quantized LUT (m lookups + adds per row — the scan reads
+    * only (chunk_id, pq_code)), then exact-rerank the top
+    * `overfetch` in the collection's distance space. `where` applies
+    * inside the probed cells, beneath both ranks. */
+  def searchTopKIvfPq(spark: SparkSession, path: String, queryText: String,
+                      k: Int = 10, probes: Int = 3, overfetch: Int = 64,
+                      dim: Int = Embed.DefaultDim,
+                      where: Option[Column] = None,
+                      includeDistance: Boolean = false): DataFrame =
+    searchTopKIvfPqVec(spark, path, Embed.embed(queryText, dim), k,
+      probes, overfetch, where, includeDistance)
+
+  /** [[searchTopKIvfPq]] for a caller-supplied query vector. */
+  def searchTopKIvfPqVec(spark: SparkSession, path: String, qvec: Array[Float],
+                         k: Int = 10, probes: Int = 3, overfetch: Int = 64,
+                         where: Option[Column] = None,
+                         includeDistance: Boolean = false): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val space = collectionSpace(spark, path)
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    require(cents.head.length == qvec.length,
+      s"$path was trained at dim=${cents.head.length}, query vector has dim=${qvec.length}")
+    val books = readPqBooks(spark, path)
+    val lut = graft.operators.VectorSearch.pqLut(qvec, books)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
+      math.min(probes, ids.length)).toLongArray().toSeq
+    val pruned = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+    val idx = where.fold(pruned)(pruned.filter)
+    val candidates = idx
+      .select(col("chunk_id").as("cid"),
+        vecIndexExprs.pqAdc(col("pq_code"), lut).as("adc"))
+      .orderBy(col("adc").desc, col("cid"))
+      .limit(overfetch)
+    present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
+      .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(k), space, includeDistance)
+  }
+
   // ---- delete / upsert by id: the index-maintenance surface ---------
   // chromadb's `collection.delete(ids=...)` / `collection.upsert(...)`
   // contract on the partitioned-parquet layouts: identify the

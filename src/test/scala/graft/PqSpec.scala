@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VecIndex
+import graft.operators.VectorSearch
+import graft.sources.IndexStore
+
+/** Product quantization (IVF-PQ fine codes): kernel conventions,
+  * deterministic training, and the persisted layout's search path. */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def vec(xs: Float*): GenericArrayData = new GenericArrayData(xs.toArray)
+
+  // two 2-dim subspaces, 2 codes each
+  private val books: Array[Array[Array[Float]]] = Array(
+    Array(Array(0f, 0f), Array(1f, 1f)),
+    Array(Array(0f, 1f), Array(1f, 0f)))
+
+  test("pqEncode picks the nearest code per subspace slice") {
+    val code = VecIndex.pqEncode(vec(0.9f, 0.8f, 0.1f, 0.9f), books)
+    assert(code.toSeq == Seq[Byte](1, 0))
+  }
+
+  test("pqEncode ties break to the smaller code (nearestCell's convention)") {
+    // equidistant from both codes in both subspaces
+    val code = VecIndex.pqEncode(vec(0.5f, 0.5f, 0.5f, 0.5f), books)
+    assert(code.toSeq == Seq[Byte](0, 0))
+  }
+
+  test("pqAdc sums the LUT entries of the code bytes, unsigned") {
+    val lut = Array(Array(10L, 20L), Array(300L, 4000L))
+    assert(VecIndex.pqAdc(Array[Byte](1, 0), lut) == 20L + 300L)
+    // a code byte of 200 must read as 200, not -56
+    val wide = Array(Array.tabulate(256)(_.toLong))
+    assert(VecIndex.pqAdc(Array(200.toByte), wide) == 200L)
+  }
+
+  test("pqLut micro-quantizes the per-subspace query dots") {
+    val lut = VectorSearch.pqLut(Array(1f, 0f, 0f, 1f), books)
+    assert(lut.length == 2 && lut.forall(_.length == 2))
+    assert(lut(0).toSeq == Seq(0L, 1000000L)) // dot with (0,0)=0, (1,1)=1
+    assert(lut(1).toSeq == Seq(1000000L, 0L)) // dot with (0,1)=1, (1,0)=0
+  }
+
+  test("pqCodebooks: deterministic across runs, shape m x ksub x dsub, " +
+       "and assignment-consistent") {
+    val emb = Tables.embeddings(spark, d)
+    val b1 = VectorSearch.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 4, iters = 2)
+    val b2 = VectorSearch.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 4, iters = 2)
+    assert(b1.length == 8 && b1.forall(_.length == 4) &&
+      b1.forall(_.forall(_.length == 8)))
+    assert(b1.flatten.flatten.toSeq == b2.flatten.flatten.toSeq,
+      "decimal Lloyd training must be bit-identical across executions")
+  }
+
+  test("buildIvfPq + searchTopKIvfPq: lifecycle, where=, and vec-form parity") {
+    val path = "/root/repo/target/test_pq_idx"
+    val docs = Tables.documents(spark, d).limit(60)
+    IndexStore.buildIvfPq(spark, docs, path, nCells = 4)
+    // the sidecars both persisted
+    assert(spark.read.parquet(s"$path/_pq").count() ==
+      IndexStore.PqM * IndexStore.PqKsub)
+    val r = IndexStore.searchTopKIvfPq(spark, path, "alpha beta", k = 5,
+      probes = 2, overfetch = 16).collect()
+    assert(r.length == 5 && r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+    // query_embeddings form returns the identical ranking
+    val qvec = graft.functions.Embed.embed("alpha beta", graft.functions.Embed.DefaultDim)
+    val rv = IndexStore.searchTopKIvfPqVec(spark, path, qvec, k = 5,
+      probes = 2, overfetch = 16).collect()
+    assert(r.map(_.getAs[String]("chunk_id")).toSeq ==
+      rv.map(_.getAs[String]("chunk_id")).toSeq)
+    // where= restricts the result set beneath the ranks
+    val rw = IndexStore.searchTopKIvfPq(spark, path, "alpha beta", k = 5,
+      probes = 2, overfetch = 16, where = Some(col("doc_id") < 10)).collect()
+    assert(rw.forall(_.getAs[Long]("doc_id") < 10))
+    // a wrong-dim query vector fails fast against the stored quantizer
+    intercept[IllegalArgumentException] {
+      IndexStore.searchTopKIvfPqVec(spark, path, qvec.take(8), k = 5)
+    }
+  }
+
+  test("q123: the PQ search scan prunes cell partitions and reads codes, not buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q123_ivfpq_search")(spark, d)
+    df.collect()
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q123_pq_index")))
+    assert(idxScans.nonEmpty, "expected scans of the q123 index:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"PQ search scan must carry a cell partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= 3,
+        s"probe must open at most probes=3 cell directories, read $read: $f")
+      assert(!f.requiredSchema.fieldNames.contains("lsh_buckets"),
+        s"PQ scan must prune the unused lsh_buckets column: ${f.requiredSchema}")
+    }
+  }
+}
