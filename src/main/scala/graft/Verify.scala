@@ -47,8 +47,10 @@ object Verify {
       ("q98 ivf index", Set("q98_ivf_search", "q104_filtered_search",
           "q104b_contains_search", "q112_ivf_batch", "q114_ivf_probe_curve",
           "q116_where_dict", "q118_hybrid_ivf", "q119_hybrid_batch",
-          "q120_hybrid_filtered"),
+          "q120_hybrid_filtered", "q125_mmr_rerank"),
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
+      ("q125 mmr query", Set("q125_mmr_rerank"),
+        () => operators.VectorSearch.materializeMmrAux(spark, sfDir, auxDir)),
       ("q112 ivf batch", Set("q112_ivf_batch"),
         () => operators.VectorSearch.materializeIvfBatchAux(spark, sfDir, auxDir)),
       ("q123 pq index", Set("q123_ivfpq_search", "q124_pq_metrics"),

@@ -2554,6 +2554,92 @@ object VectorSearch {
     GROUP BY method, bytes_per_vec
     ORDER BY method"""
 
+  // ---- q125: MMR diversity reranking ---------------------------------
+
+  private val Q125QueryText = "shuffle partitioning strategy for wide joins"
+  private val Q125K = 10
+  private val Q125FetchK = 32
+  private val Q125Lambda = 500000L
+
+  /** q125: `max_marginal_relevance_search` over the shared q98 IVF
+    * collection — fetch the top-32 by similarity, greedily rerank to
+    * 10 trading relevance against redundancy at λ=0.5
+    * ([[graft.sources.IndexStore.searchTopKMmr]]). Every score in
+    * the pipeline (query sims, pairwise sims, the MMR objective) is
+    * an integer micro-unit, so the oracle re-derives the identical
+    * greedy selection by unrolling the k steps over the dumped index
+    * + query vector. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q98IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
+    IndexStore.searchTopKMmr(s, path, Q125QueryText,
+      k = Q125K, fetchK = Q125FetchK, lambdaMicros = Q125Lambda)
+  }
+
+  /** Dump q125's query vector (the index rides the shared q98 dump). */
+  def materializeMmrAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import s.implicits._
+    Seq(Embed.embed(Q125QueryText, Embed.DefaultDim).toSeq).toDF("qvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q125_query.parquet")
+  }
+
+  private val AuxQ125Query =
+    "read_parquet('/root/repo/target/verify_aux/q125_query.parquet/*.parquet')"
+
+  /** The MMR mirror: candidate fetch (micro-quantized cosine cut),
+    * the pairwise-sim table, then the greedy selection UNROLLED as
+    * `k` chained CTE steps — step 1 takes the best query-sim, each
+    * later step argmaxes λμ·simq − (1e6−λμ)·max-sim-to-selected over
+    * the remainder (ties to the smaller id at every stage, matching
+    * [[graft.sources.IndexStore.mmrSelect]]). Every CTE is
+    * MATERIALIZED: each sel step is referenced twice by its
+    * successor, and inlining (DuckDB's default for single-reference
+    * heuristics can still cascade) would re-evaluate the chain
+    * exponentially — 2^k scans of the dumped parquet. */
+  private val q125Sql: String = {
+    val lam = Q125Lambda
+    val lamC = 1000000L - Q125Lambda
+    val steps = (2 to Q125K).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""pick$i AS MATERIALIZED (
+      SELECT chunk_id FROM (
+        SELECT c.chunk_id,
+               $lam * c.simq - $lamC * (
+                 SELECT MAX(p.m) FROM pair p
+                 WHERE p.ia = c.chunk_id
+                   AND p.ib IN (SELECT chunk_id FROM $prev)) AS score
+        FROM cand c
+        WHERE c.chunk_id NOT IN (SELECT chunk_id FROM $prev))
+      ORDER BY score DESC, chunk_id LIMIT 1),
+    sel$i AS MATERIALIZED (SELECT * FROM $prev
+              UNION ALL SELECT chunk_id, $i FROM pick$i)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH qv AS MATERIALIZED (SELECT qvec FROM $AuxQ125Query),
+    idx AS (SELECT chunk_id, doc_id, source, chunk, embedding FROM $AuxQ98Index),
+    cand AS MATERIALIZED (
+      SELECT x.chunk_id, x.doc_id, x.source, x.chunk, x.embedding,
+             CAST(floor(1000000.0 * (${cosColsSql("x.embedding", "qv.qvec")}))
+               AS BIGINT) AS simq
+      FROM idx x CROSS JOIN qv
+      ORDER BY simq DESC, chunk_id LIMIT $Q125FetchK),
+    pair AS MATERIALIZED (
+      SELECT a.chunk_id AS ia, b.chunk_id AS ib,
+             CAST(floor(1000000.0 * (${cosColsSql("a.embedding", "b.embedding")}))
+               AS BIGINT) AS m
+      FROM cand a JOIN cand b ON a.chunk_id <> b.chunk_id),
+    sel1 AS MATERIALIZED (
+      SELECT chunk_id, 1 AS rank FROM cand
+      ORDER BY simq DESC, chunk_id LIMIT 1),
+    $steps
+    SELECT s.rank, s.chunk_id, c.doc_id, c.source, c.chunk,
+           'https://docs.google.com/spreadsheets/d/' || c.source ||
+           '/edit#gid=0&range=A' || CAST(c.doc_id + 2 AS BIGINT) AS link
+    FROM sel$Q125K s JOIN cand c USING (chunk_id)
+    ORDER BY s.rank"""
+  }
+
   val queries: Seq[Query] = Seq(
     Query("q60_knn_l2",         q60, Some(q60Sql)),
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
@@ -2583,5 +2669,6 @@ object VectorSearch {
     Query("q105_filtered_recall", q105, Some(q105Sql)),
     Query("q106_hnsw_batch",    q106, Some(q106Sql)),
     Query("q123_ivfpq_search",  q123, Some(q123Sql)),
-    Query("q124_pq_metrics",    q124, Some(q124Sql)))
+    Query("q124_pq_metrics",    q124, Some(q124Sql)),
+    Query("q125_mmr_rerank",    q125, Some(q125Sql)))
 }

@@ -464,6 +464,90 @@ object IndexStore {
       .parquet(path)
   }
 
+  // ---- MMR: maximal-marginal-relevance diversity reranking ----------
+
+  /** The greedy MMR selection over a fetched candidate set — pure and
+    * integer-exact: candidates arrive as (id, simq_micros, embedding)
+    * with simq_micros = floor(1e6·sim(q,d)); step 1 picks the highest
+    * simq (ties to the smaller id), each later step picks
+    * argmax λμ·simq(c) − (1e6−λμ)·max_{s∈selected} floor(1e6·sim(c,s))
+    * (the Carbonell & Goldstein 1998 objective, micro-quantized so
+    * every engine reproduces the same ranks). O(k·|cands|) pairwise
+    * sims, computed lazily per step. */
+  def mmrSelect(cands: Seq[(String, Long, Array[Float])], k: Int,
+                lambdaMicros: Long = 500000L): Seq[(String, Int)] = {
+    def cosMicros(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.floor(1e6 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.sortBy { case (id, sm, _) => (-sm, id) }.map(c => c._1 -> c): _*)
+    while (picked.length < math.min(k, cands.length)) {
+      val best =
+        if (picked.isEmpty) remaining.valuesIterator.next() // highest simq
+        else remaining.valuesIterator.map { case c @ (id, sm, v) =>
+          val maxSim = pickedVecs.iterator.map(cosMicros(v, _)).max
+          (c, lambdaMicros * sm - (1000000L - lambdaMicros) * maxSim)
+        }.reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1._1 < a._1._1)) b else a
+        }._1
+      picked += ((best._1, picked.length + 1))
+      pickedVecs += best._3
+      remaining.remove(best._1)
+    }
+    picked.toSeq
+  }
+
+  /** Diversity-aware search — the `max_marginal_relevance_search`
+    * surface of the reference's retrieval ecosystem (langchain's
+    * Chroma wrapper: fetch `fetchK` by similarity, greedily rerank
+    * to `k` trading relevance against redundancy at `lambdaMicros`
+    * /1e6). The FETCH is the distributed part (exact scan here; any
+    * index family's candidate path composes — the selection only
+    * needs (id, simq, vector) rows); the greedy stage runs on the
+    * collected `fetchK`-row candidate set, query-sized metadata,
+    * exactly where the reference ecosystem runs it (client-side on
+    * the fetched page). Candidate CUT and all scores are integer
+    * micros, so the DuckDB mirror re-derives identical ranks. */
+  def searchTopKMmr(spark: SparkSession, path: String, queryText: String,
+                    k: Int = 10, fetchK: Int = 32,
+                    lambdaMicros: Long = 500000L,
+                    dim: Int = Embed.DefaultDim,
+                    where: Option[Column] = None): DataFrame = {
+    val qvec = Embed.embed(queryText, dim)
+    val idx0 = spark.read.parquet(path)
+    val idx = where.fold(idx0)(idx0.filter)
+    val cands = idx
+      .select(col("chunk_id"),
+        floor(VectorOps.spaceSim("cosine", col("embedding"), qvec) * lit(1000000d))
+          .cast("long").as("simq_micros"),
+        col("embedding"))
+      .orderBy(col("simq_micros").desc, col("chunk_id"))
+      .limit(fetchK)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      .toSeq
+    val sel = mmrSelect(cands, k, lambdaMicros)
+    import spark.implicits._
+    val selDf = sel.toDF("chunk_id", "rank")
+    idx.join(broadcast(selDf), Seq("chunk_id"))
+      .select(col("rank"), col("chunk_id"), col("doc_id"), col("source"),
+        col("chunk"),
+        concat(lit("https://docs.google.com/spreadsheets/d/"), col("source"),
+          lit("/edit#gid=0&range=A"), (col("doc_id") + 2).cast("long")).as("link"))
+      .orderBy(col("rank"))
+  }
+
   // ---- IVF-PQ: product-quantized fine codes on the IVF layout -------
 
   /** Default PQ geometry at the fixture dim (64): 8 subspaces × 16
