@@ -51,6 +51,8 @@ object Verify {
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
       ("q125 mmr query", Set("q125_mmr_rerank"),
         () => operators.VectorSearch.materializeMmrAux(spark, sfDir, auxDir)),
+      ("q126 fork expected states", Set("q126_fork_isolation"),
+        () => operators.VectorSearch.materializeForkAux(spark, sfDir, auxDir)),
       ("q112 ivf batch", Set("q112_ivf_batch"),
         () => operators.VectorSearch.materializeIvfBatchAux(spark, sfDir, auxDir)),
       ("q123 pq index", Set("q123_ivfpq_search", "q124_pq_metrics"),

@@ -2640,6 +2640,84 @@ object VectorSearch {
     ORDER BY s.rank"""
   }
 
+  // ---- q126: collection fork (snapshot isolation) --------------------
+
+  private val Q126QueryText = "snapshot of the corpus before a takedown pass"
+
+  /** The shared q126 physical lifecycle: build the 200-doc source
+    * layout, FORK it ([[graft.sources.IndexStore.forkCollection]] —
+    * chroma `collection.fork`), then delete every chunk of
+    * doc_id ≡ 4 (mod 10) FROM THE FORK ONLY. Runs once per
+    * (session, sf); returns (original, fork) paths. */
+  private def q126Lifecycle(s: SparkSession, d: String): (String, String) = {
+    import graft.sources.IndexStore
+    val orig = idxPath("q126_src_index", d)
+    val fork = idxPath("q126_fork_index", d)
+    lifecycleOnce(s, d, "q126") {
+      IndexStore.buildFromRows(s, subsetRows(s, d), orig)
+      // a fork dir left by a previous JVM run must not fail the fresh
+      // fork (forkCollection itself refuses to clobber)
+      val fp = new org.apache.hadoop.fs.Path(fork)
+      val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(fp)) fs.delete(fp, true)
+      IndexStore.forkCollection(s, orig, fork)
+      val doomed = s.read.parquet(fork)
+        .filter(col("doc_id") % 10 === 4)
+        .select("chunk_id").collect().map(_.getString(0)).toSeq.sorted
+      IndexStore.deleteIds(s, fork, doomed)
+    }
+    (orig, fork)
+  }
+
+  /** q126: fork isolation, gated both ways — the same search runs
+    * against the original AND the mutated fork, labeled and unioned.
+    * Oracle: both sides recomputed independently (full subset corpus
+    * vs survivors — never a dump of either layout), so a fork that
+    * shares mutable state with its source fails on the `orig` rows
+    * and a copy that missed partitions or sidecars fails on the
+    * `fork` rows. */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val (orig, fork) = q126Lifecycle(s, d)
+    val o = IndexStore.searchTopK(s, orig, Q126QueryText, k = 10)
+      .withColumn("side", lit("orig"))
+    val f = IndexStore.searchTopK(s, fork, Q126QueryText, k = 10)
+      .withColumn("side", lit("fork"))
+    o.unionAll(f)
+      .select(col("side"), col("rank"), col("chunk_id"), col("doc_id"),
+        col("source"), col("chunk"), col("link"))
+      .orderBy(col("side"), col("rank"))
+  }
+
+  /** Recomputed EXPECTED states for both q126 sides + the query
+    * vector — derived from the documents table through the
+    * deterministic chunk+embed kernel, never from the layouts the
+    * query mutated and searches. */
+  def materializeForkAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    val cols = Seq(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
+      col("embedding"))
+    subsetRows(s, d).select(cols: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q126_orig.parquet")
+    subsetRows(s, d).filter(col("doc_id") % 10 =!= 4).select(cols: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q126_fork.parquet")
+    import s.implicits._
+    Seq(Embed.embed(Q126QueryText, Embed.DefaultDim).toSeq).toDF("qvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q126_query.parquet")
+  }
+
+  private val q126Sql = {
+    val q = "read_parquet('/root/repo/target/verify_aux/q126_query.parquet/*.parquet')"
+    val orig = exactSearchMirrorSql(
+      "read_parquet('/root/repo/target/verify_aux/q126_orig.parquet/*.parquet')", q)
+    val fork = exactSearchMirrorSql(
+      "read_parquet('/root/repo/target/verify_aux/q126_fork.parquet/*.parquet')", q)
+    s"""
+    SELECT 'orig' AS side, * FROM ($orig)
+    UNION ALL
+    SELECT 'fork' AS side, * FROM ($fork)
+    ORDER BY side, rank"""
+  }
+
   val queries: Seq[Query] = Seq(
     Query("q60_knn_l2",         q60, Some(q60Sql)),
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
@@ -2670,5 +2748,6 @@ object VectorSearch {
     Query("q106_hnsw_batch",    q106, Some(q106Sql)),
     Query("q123_ivfpq_search",  q123, Some(q123Sql)),
     Query("q124_pq_metrics",    q124, Some(q124Sql)),
-    Query("q125_mmr_rerank",    q125, Some(q125Sql)))
+    Query("q125_mmr_rerank",    q125, Some(q125Sql)),
+    Query("q126_fork_isolation", q126, Some(q126Sql)))
 }

@@ -750,6 +750,17 @@ object IndexStore {
                                     doomedOf: DataFrame => DataFrame,
                                     survivorsOf: DataFrame => DataFrame,
                                     rebuild: DataFrame => DataFrame): Seq[Any] = {
+    // the wrong-verb guard: deleteIds on a cell-partitioned layout
+    // (or deleteIdsIvf on a source-partitioned one) would rewrite
+    // into partition directories of the WRONG column — corrupting
+    // the layout, not failing. One fs listing proves the layout is
+    // actually partitioned by partCol before anything rewrites.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val pfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(pfs.listStatus(hPath).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith(s"$partCol=")),
+      s"$path is not partitioned by '$partCol' — use the delete/upsert " +
+        "verb matching the layout family (source/cell/shard)")
     val all = spark.read.parquet(path)
     // NATIVE-typed partition values (never stringified in the plan):
     // the isin below must stay a bare predicate on the partition
@@ -858,7 +869,33 @@ object IndexStore {
     // no-op against a directory that no longer exists
     builtIvfOnce.keys.filter(_._2 == path).foreach(builtIvfOnce.remove)
     builtHnswOnce.keys.filter(_._2 == path).foreach(builtHnswOnce.remove)
+    builtIvfPqOnce.keys.filter(_._2 == path).foreach(builtIvfPqOnce.remove)
     LexicalStore.dropBuildMemos(path)
+  }
+
+  /** chroma `collection.fork(new_name=...)`: an independent copy of
+    * the collection at a new name — mutations to either side never
+    * touch the other (the branch-an-experiment / snapshot-before-
+    * takedown flow). Every layout family forks as-is: the copy takes
+    * the partition directories AND the underscore sidecars
+    * (`_centroids`, `_pq`, `_meta`, `_collmeta`), so the fork serves
+    * searches immediately with the same trained quantizers. Here the
+    * fork is a physical file copy (one recursive fs op, no Spark job,
+    * no data decode); at 100 TB the same contract wants a
+    * metadata-level copy — parquet files are immutable and every
+    * mutation verb rewrites whole partition files, so a fork that
+    * hardlinks/ref-counts the initial files and copies-on-rewrite
+    * serves both sides from one physical corpus (exactly how chroma
+    * 1.x implements fork on its segment files). */
+  def forkCollection(spark: SparkSession, path: String, newPath: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(path)
+    val dst = new org.apache.hadoop.fs.Path(newPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src), s"no collection at $path")
+    require(!fs.exists(dst), s"fork destination $newPath already exists")
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+      /* deleteSource = */ false, conf), s"fork copy $path -> $newPath failed")
   }
 
   /** chroma `client.delete_collection`: remove the layout directory —
@@ -873,6 +910,7 @@ object IndexStore {
     require(fs.delete(p, true), s"delete of $path failed")
     builtIvfOnce.keys.filter(_._2 == path).foreach(builtIvfOnce.remove)
     builtHnswOnce.keys.filter(_._2 == path).foreach(builtHnswOnce.remove)
+    builtIvfPqOnce.keys.filter(_._2 == path).foreach(builtIvfPqOnce.remove)
     LexicalStore.dropBuildMemos(path)
   }
 
