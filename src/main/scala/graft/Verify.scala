@@ -55,8 +55,11 @@ object Verify {
         () => operators.VectorSearch.materializeForkAux(spark, sfDir, auxDir)),
       ("q112 ivf batch", Set("q112_ivf_batch"),
         () => operators.VectorSearch.materializeIvfBatchAux(spark, sfDir, auxDir)),
-      ("q123 pq index", Set("q123_ivfpq_search", "q124_pq_metrics"),
+      ("q123 pq index", Set("q123_ivfpq_search", "q124_pq_metrics",
+          "q127_ivfpq_batch"),
         () => operators.VectorSearch.materializePqAux(spark, sfDir, auxDir)),
+      ("q127 pq batch queries", Set("q127_ivfpq_batch"),
+        () => operators.VectorSearch.materializePqBatchAux(spark, sfDir, auxDir)),
       // lifecycle oracles: each is an INDEPENDENTLY RECOMPUTED expected
       // state (chunk/embed of the surviving or final corpus), never a
       // dump of the mutated layout the query searches

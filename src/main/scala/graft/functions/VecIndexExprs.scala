@@ -204,6 +204,18 @@ object VecIndex {
     acc
   }
 
+  /** [[pqAdc]] against a row-carried FLAT lut (m·ksub longs,
+    * lut[s*ksub + code] layout) — the batch search form, where each
+    * query's LUT rides the broadcast probe table as a column instead
+    * of a plan constant. */
+  def pqAdcFlat(code: Array[Byte], lut: ArrayData, ksub: Int): Long = {
+    val m = code.length
+    var s = 0
+    var acc = 0L
+    while (s < m) { acc += lut.getLong(s * ksub + (code(s) & 0xFF)); s += 1 }
+    acc
+  }
+
   /** Reduction-order-free L2 distance of a float vector to a double
     * centroid: sqrt of the exact DECIMAL(18,6) sum of squared per-dim
     * deviations — bit-for-bit `sqrt(dsum((x_i - m_i)^2))` over
@@ -381,6 +393,28 @@ case class PqAdcMicros(child: Expression, lut: Array[Array[Long]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** pq_adc_flat(code BINARY, lut ARRAY<LONG>): LONG integer ADC score
+  * against a row-carried flat LUT — the batch form, LUTs ride the
+  * broadcast query table as a column. */
+case class PqAdcFlatMicros(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(LongType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_flat needs (BINARY, ARRAY<LONG>), got $l, $r")
+  }
+  override def nullSafeEval(c: Any, lut: Any): Any =
+    VecIndex.pqAdcFlat(c.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) =>
+      s"graft.functions.VecIndex.pqAdcFlat($c, $l, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
 /** dec_l2(vec FLOAT[], cent DOUBLE[]): DOUBLE reduction-order-free L2
   * distance to a (typically per-group decimal-mean) centroid. */
 case class DecL2(left: Expression, right: Expression) extends BinaryExpression {
@@ -420,4 +454,6 @@ object vecIndexExprs {
     shims.toColumn(PqSubAssign(shims.toExpression(sub), shims.toExpression(v), books))
   def pqAdc(c: Column, lut: Array[Array[Long]]): Column =
     shims.toColumn(PqAdcMicros(shims.toExpression(c), lut))
+  def pqAdcFlat(c: Column, lut: Column, ksub: Int): Column =
+    shims.toColumn(PqAdcFlatMicros(shims.toExpression(c), shims.toExpression(lut), ksub))
 }

@@ -2442,6 +2442,100 @@ object VectorSearch {
            '/edit#gid=0&range=A' || CAST(doc_id + 2 AS BIGINT) AS link
     FROM scored ORDER BY sim DESC, chunk_id LIMIT 10"""
 
+  /** The q127 query batch — id 0 is q123's own query text, so the
+    * batch path must reproduce the single-query ranking for it. */
+  private val Q127Queries: Seq[(Long, String)] = Seq(
+    0L -> Q123QueryText,
+    1L -> "adaptive execution resizing shuffle partitions",
+    2L -> "sorted merge of pre-bucketed relations")
+
+  /** q127: the multi-query surface (SURVEY V4) on the IVF-PQ layout
+    * ([[graft.sources.IndexStore.searchTopKIvfPqBatch]]): ONE scan
+    * pruned to the union of every query's probe cells; each query's
+    * flat ADC LUT rides the broadcast probe table as a column, so
+    * per (row, probing query) the scan does m lookups+adds; per-query
+    * exact rerank. Shares the q123 physical artifact. Oracle: the
+    * q112 batch mirror with the SQ8 pre-rank swapped for per-query
+    * LUT re-derivation + integer ADC over the dumped codes. */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q123IndexPath(d)
+    IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path)
+    IndexStore.searchTopKIvfPqBatch(s, path, Q127Queries, k = 5,
+      probes = Q123Probes, overfetch = Q123Overfetch)
+  }
+
+  /** Dump the q127 query batch (vectors only — the LUTs are
+    * re-derived by the oracle); index, codebooks and codes come from
+    * the q123 dump. */
+  def materializePqBatchAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import s.implicits._
+    Q127Queries.map { case (qid, t) =>
+      (qid, Embed.embed(t, Embed.DefaultDim).toSeq)
+    }.toDF("query_id", "qvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q127_queries.parquet")
+  }
+
+  private val q127Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ123Cents),
+    qs AS (SELECT query_id, qvec
+           FROM read_parquet('/root/repo/target/verify_aux/q127_queries.parquet/*.parquet')),
+    books AS (SELECT sub, code_id, cvec FROM $AuxQ123Books),
+    idx AS (SELECT * FROM $AuxQ123Index),
+    assign AS (
+      SELECT x.chunk_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.chunk_id
+               ORDER BY ${l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM idx x, cents c),
+    assigned AS (SELECT chunk_id, cent_id AS cell FROM assign WHERE arn = 1),
+    probe AS (
+      SELECT query_id, cent_id AS cell FROM (
+        SELECT q.query_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ${l2Sql("q.qvec", "c.cvec")}, c.cent_id) AS prn
+        FROM qs q, cents c)
+      WHERE prn <= $Q123Probes),
+    pruned AS (
+      SELECT p.query_id, x.* FROM idx x
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+    lut AS (
+      SELECT q.query_id, b.sub, b.code_id,
+        CAST(floor(1000000.0 * list_sum(list_transform(
+          generate_series(1, len(b.cvec)),
+          i -> CAST(b.cvec[i] AS DOUBLE)
+             * CAST(q.qvec[b.sub * $PqDsub + i] AS DOUBLE)))) AS BIGINT) AS micros
+      FROM books b CROSS JOIN qs q),
+    pcodes AS (
+      SELECT chunk_id, g.s - 1 AS sub, pq[g.s] AS code_id
+      FROM idx, generate_series(1, ${graft.sources.IndexStore.PqM}) AS g(s)),
+    adc AS (
+      SELECT p.query_id, p.chunk_id, CAST(SUM(l.micros) AS BIGINT) AS adc
+      FROM pruned p JOIN pcodes c USING (chunk_id)
+      JOIN lut l ON l.query_id = p.query_id
+        AND l.sub = c.sub AND l.code_id = c.code_id
+      GROUP BY p.query_id, p.chunk_id),
+    cand AS (
+      SELECT query_id, chunk_id FROM (
+        SELECT query_id, chunk_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc DESC, chunk_id) AS arn
+        FROM adc)
+      WHERE arn <= $Q123Overfetch),
+    scored AS (
+      SELECT x.query_id, x.chunk_id, x.doc_id, x.source, x.chunk,
+             ${cosColsSql("x.embedding", "q.qvec")} AS sim
+      FROM pruned x JOIN cand USING (query_id, chunk_id)
+      JOIN qs q ON q.query_id = x.query_id)
+    SELECT query_id, rank, chunk_id, doc_id, source, chunk,
+           'https://docs.google.com/spreadsheets/d/' || source ||
+           '/edit#gid=0&range=A' || CAST(doc_id + 2 AS BIGINT) AS link
+    FROM (
+      SELECT query_id, chunk_id, doc_id, source, chunk,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, chunk_id) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** q124: the compressed-domain quality/size meter — on ONE
     * artifact (the q123 layout carries float embeddings, SQ8 codes
     * AND PQ codes), how many of the exact cosine top-10 does each
@@ -2749,5 +2843,6 @@ object VectorSearch {
     Query("q123_ivfpq_search",  q123, Some(q123Sql)),
     Query("q124_pq_metrics",    q124, Some(q124Sql)),
     Query("q125_mmr_rerank",    q125, Some(q125Sql)),
-    Query("q126_fork_isolation", q126, Some(q126Sql)))
+    Query("q126_fork_isolation", q126, Some(q126Sql)),
+    Query("q127_ivfpq_batch",   q127, Some(q127Sql)))
 }

@@ -688,6 +688,88 @@ object IndexStore {
       .limit(k), space, includeDistance)
   }
 
+  /** Multi-query search over the IVF-PQ layout — the V4 batch form
+    * for the PQ family ([[searchTopKIvfBatch]]'s shape with the SQ8
+    * pre-rank swapped for per-query ADC): ONE scan prunes to the
+    * UNION of all queries' probe cells; each query's flat LUT
+    * (m·ksub micro-unit longs — query-sized metadata) rides the
+    * broadcast (query_id, cell) probe table as a column, so the
+    * fan-out stays a hash equi-join and the candidate scan reads
+    * (chunk_id, pq_code) plus m lookups+adds per (row, probing
+    * query). Exact rerank windows per query; `where` applies inside
+    * the probed cells, beneath both ranks, for every query. */
+  def searchTopKIvfPqBatch(spark: SparkSession, path: String,
+                           queries: Seq[(Long, String)],
+                           k: Int = 10, probes: Int = 3, overfetch: Int = 64,
+                           dim: Int = Embed.DefaultDim,
+                           where: Option[Column] = None): DataFrame =
+    searchTopKIvfPqBatchVec(spark, path,
+      queries.map { case (qid, t) => (qid, Embed.embed(t, dim)) },
+      k, probes, overfetch, where)
+
+  /** [[searchTopKIvfPqBatch]] for caller-supplied query vectors. */
+  def searchTopKIvfPqBatchVec(spark: SparkSession, path: String,
+                              queries: Seq[(Long, Array[Float])],
+                              k: Int = 10, probes: Int = 3, overfetch: Int = 64,
+                              where: Option[Column] = None): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val cids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    queries.foreach { case (qid, qvec) =>
+      require(qvec.length == cents.head.length,
+        s"$path was trained at dim=${cents.head.length}, " +
+          s"batch query $qid has dim=${qvec.length}")
+    }
+    val books = readPqBooks(spark, path)
+    val ksub = books.head.length
+    val qMeta = queries.sortBy(_._1).map { case (qid, qvec) =>
+      val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+      val cells = graft.functions.VecIndex
+        .nearestCells(qData, cids, cents, math.min(probes, cids.length))
+        .toLongArray().toSeq
+      val lutFlat = graft.operators.VectorSearch.pqLut(qvec, books)
+        .flatten.toSeq
+      (qid, qvec.toSeq, lutFlat, cells)
+    }
+    import spark.implicits._
+    val qDf = qMeta.toDF("query_id", "qvec", "qlut", "qcells")
+    val allCells = qMeta.flatMap(_._4).distinct.sorted
+    val pruned0 = spark.read.parquet(path).filter(col("cell").isin(allCells: _*))
+    val pruned = where.fold(pruned0)(pruned0.filter)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cid"))
+    val qProbe = qDf.select(col("query_id"), col("qlut"),
+      explode(col("qcells")).as("qcell"))
+    val cand = pruned
+      .join(broadcast(qProbe), col("cell").cast("long") === col("qcell"))
+      .select(col("query_id"), col("chunk_id").as("cid"),
+        vecIndexExprs.pqAdcFlat(col("pq_code"), col("qlut"), ksub).as("adc"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= overfetch)
+      .select("query_id", "cid")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("chunk_id"))
+    val ranked = pruned.select(col("chunk_id"), col("embedding"))
+      .join(broadcast(cand), col("chunk_id") === col("cid"))
+      .join(broadcast(qDf.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("chunk_id"),
+        VectorOps.spaceSim2(collectionSpace(spark, path),
+          col("embedding"), col("qvec")).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+    pruned.select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
+        col("sheet_row"))
+      .join(broadcast(ranked), Seq("chunk_id"))
+      .withColumn("link",
+        format_string("https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=A%d",
+          col("source"), lit("0"), col("sheet_row")))
+      .select(col("query_id"), col("rank"), col("chunk_id"), col("doc_id"),
+        col("source"), col("chunk"), col("link"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---- delete / upsert by id: the index-maintenance surface ---------
   // chromadb's `collection.delete(ids=...)` / `collection.upsert(...)`
   // contract on the partitioned-parquet layouts: identify the

@@ -93,6 +93,14 @@ class PqSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IndexStore.searchTopKIvfPqVec(spark, path, qvec.take(8), k = 5)
     }
+    // the batch path reproduces the single-query ranking per query
+    val rb = IndexStore.searchTopKIvfPqBatch(spark, path,
+      Seq(0L -> "alpha beta", 1L -> "gamma delta"), k = 5,
+      probes = 2, overfetch = 16).collect()
+    assert(rb.filter(_.getAs[Long]("query_id") == 0L)
+      .map(_.getAs[String]("chunk_id")).toSeq ==
+      r.map(_.getAs[String]("chunk_id")).toSeq,
+      "batch must equal the single-query path for the same query")
   }
 
   test("q123: the PQ search scan prunes cell partitions and reads codes, not buckets") {
