@@ -524,9 +524,45 @@ object IndexStore {
                     lambdaMicros: Long = 500000L,
                     dim: Int = Embed.DefaultDim,
                     where: Option[Column] = None): DataFrame = {
-    val qvec = Embed.embed(queryText, dim)
     val idx0 = spark.read.parquet(path)
-    val idx = where.fold(idx0)(idx0.filter)
+    mmrOverFetchSet(spark, where.fold(idx0)(idx0.filter),
+      Embed.embed(queryText, dim), k, fetchK, lambdaMicros)
+  }
+
+  /** [[searchTopKMmr]] with the fetch routed through the IVF probe
+    * path: the candidate scan prunes to the query's `probes` nearest
+    * cell partitions (the [[searchTopKIvf]] pruning) before the
+    * exact fetchK cut — the composition a 100 TB corpus needs, since
+    * MMR's fetch is just "any candidate path that yields (id, sim,
+    * vector) rows". With `probes` = the cell count it degenerates to
+    * [[searchTopKMmr]] exactly (MmrSpec pins it). */
+  def searchTopKMmrIvf(spark: SparkSession, path: String, queryText: String,
+                       k: Int = 10, fetchK: Int = 32, probes: Int = 3,
+                       lambdaMicros: Long = 500000L,
+                       dim: Int = Embed.DefaultDim,
+                       where: Option[Column] = None): DataFrame = {
+    val qvec = Embed.embed(queryText, dim)
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    require(cents.head.length == qvec.length,
+      s"$path was trained at dim=${cents.head.length}, query has dim=${qvec.length}")
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
+      math.min(probes, ids.length)).toLongArray().toSeq
+    val pruned = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+    mmrOverFetchSet(spark, where.fold(pruned)(pruned.filter),
+      qvec, k, fetchK, lambdaMicros)
+  }
+
+  /** The shared MMR tail: exact micro-quantized fetchK cut over the
+    * given candidate frame, driver-side greedy selection, and the
+    * presentation join back onto the same frame. */
+  private def mmrOverFetchSet(spark: SparkSession, idx: DataFrame,
+                              qvec: Array[Float], k: Int, fetchK: Int,
+                              lambdaMicros: Long): DataFrame = {
     val cands = idx
       .select(col("chunk_id"),
         floor(VectorOps.spaceSim("cosine", col("embedding"), qvec) * lit(1000000d))

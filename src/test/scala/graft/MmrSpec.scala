@@ -69,4 +69,21 @@ class MmrSpec extends AnyFunSuite {
     assert(rel.map(_.getAs[String]("chunk_id")).toSeq ==
       exact.map(_.getAs[String]("chunk_id")).toSeq)
   }
+
+  test("searchTopKMmrIvf: probe-pruned fetch; all-cells probing equals full scan") {
+    val path = "/root/repo/target/test_mmr_ivf_idx"
+    val docs = Tables.documents(spark, d).limit(60)
+    IndexStore.buildIvf(spark, docs, path, nCells = 4)
+    val full = IndexStore.searchTopKMmr(spark, path, "alpha beta", k = 5,
+      fetchK = 16).collect()
+    val allCells = IndexStore.searchTopKMmrIvf(spark, path, "alpha beta", k = 5,
+      fetchK = 16, probes = 4).collect()
+    assert(full.map(_.getAs[String]("chunk_id")).toSeq ==
+      allCells.map(_.getAs[String]("chunk_id")).toSeq,
+      "probing every cell must reproduce the full-scan MMR exactly")
+    val probed = IndexStore.searchTopKMmrIvf(spark, path, "alpha beta", k = 5,
+      fetchK = 16, probes = 2).collect()
+    assert(probed.length == 5 &&
+      probed.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+  }
 }
