@@ -401,8 +401,23 @@ object IndexStore {
                 dim: Int = Embed.DefaultDim): Unit =
     appendIvfRows(spark, indexRows(docs, dim), path, dim)
 
+  /** If the layout carries a `_pq` codebook sidecar (an IVF-PQ
+    * build), encode the rows' codes through the PERSISTED books —
+    * maintenance must never leave null `pq_code` columns behind (a
+    * null code silently drops the row from every ADC candidate
+    * scan). Plain IVF layouts pass through untouched. */
+  private def withPqCodeIfPresent(spark: SparkSession, path: String,
+                                  rows: DataFrame): DataFrame = {
+    val pqPath = new org.apache.hadoop.fs.Path(s"$path/_pq")
+    val fs = pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pqPath)) rows
+    else rows.withColumn("pq_code",
+      graft.functions.vecIndexExprs.pqEncode(col("embedding"),
+        readPqBooks(spark, path)))
+  }
+
   /** [[appendIvf]] from already-computed [[indexRows]]. */
-  private[graft] def appendIvfRows(spark: SparkSession, rows: DataFrame,
+  private[graft] def appendIvfRows(spark: SparkSession, rows0: DataFrame,
                                    path: String,
                                    dim: Int = Embed.DefaultDim): Unit = {
     import graft.functions.vecIndexExprs
@@ -414,6 +429,7 @@ object IndexStore {
     // appending vectors of another width would silently mis-assign
     require(cents.head.length == dim,
       s"$path was trained at dim=${cents.head.length}, append requested dim=$dim")
+    val rows = withPqCodeIfPresent(spark, path, rows0)
     rows
       .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
       // one writer task per cell -> ONE file per touched cell per
@@ -1169,7 +1185,7 @@ object IndexStore {
     // new rows carry the partition column in the READ schema's native
     // type, so every cell predicate below prunes directories
     val cellT = all.schema("cell").dataType
-    val newRows = indexRows(docs, cents.head.length)
+    val newRows = withPqCodeIfPresent(spark, path, indexRows(docs, cents.head.length))
       .withColumn("cell",
         vecIndexExprs.nearestCell(col("embedding"), cids, cents).cast(cellT))
       .localCheckpoint()

@@ -103,6 +103,40 @@ class PqSpec extends AnyFunSuite {
       "batch must equal the single-query path for the same query")
   }
 
+  test("maintenance on the PQ layout keeps codes: append and upsert encode " +
+       "through the persisted books, delete composes") {
+    val path = "/root/repo/target/test_pq_maint"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = Tables.documents(spark, d)
+    IndexStore.buildIvfPq(spark, docs.filter(col("doc_id") < 40), path, nCells = 4)
+    IndexStore.appendIvf(spark,
+      docs.filter(col("doc_id") >= 40 && col("doc_id") < 50), path)
+    IndexStore.upsertIvf(spark,
+      docs.filter(col("doc_id") === 5)
+        .withColumn("text", concat(lit("revised "), col("text"))), path)
+    val layout = spark.read.parquet(path)
+    assert(layout.filter(col("pq_code").isNull).count() == 0,
+      "no maintenance verb may leave a null pq_code behind")
+    // appended/upserted rows carry codes the persisted books would
+    // assign — re-encode and compare
+    val books = IndexStore.readPqBooks(spark, path)
+    val mismatches = layout
+      .withColumn("expect",
+        graft.functions.vecIndexExprs.pqEncode(col("embedding"), books))
+      .filter(not(col("pq_code") === col("expect"))).count()
+    assert(mismatches == 0, "stored codes must match the persisted books' encode")
+    // the ADC search path serves the maintained corpus
+    val r = IndexStore.searchTopKIvfPq(spark, path, "alpha beta", k = 5,
+      probes = 4, overfetch = 32).collect()
+    assert(r.length == 5)
+    IndexStore.deleteIdsIvf(spark, path,
+      layout.filter(col("doc_id") === 7).select("chunk_id")
+        .collect().map(_.getString(0)).toSeq)
+    assert(spark.read.parquet(path).filter(col("doc_id") === 7).count() == 0)
+  }
+
   test("q123: the PQ search scan prunes cell partitions and reads codes, not buckets") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
