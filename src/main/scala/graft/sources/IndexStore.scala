@@ -1131,6 +1131,50 @@ object IndexStore {
   def deleteIdsIvf(spark: SparkSession, path: String, ids: Seq[String]): Unit =
     deleteFromPartitioned(spark, path, "cell", ids, identity)
 
+  /** Delete chunks by id from a [[buildBucketed]] LSH layout: a chunk
+    * has one row PER LSH table, so the doomed set spans up to
+    * LshTables bucket partitions — the shared core finds and rewrites
+    * exactly those (a row surviving in ANY bucket would resurrect the
+    * chunk in probes of that bucket). */
+  def deleteIdsBucketed(spark: SparkSession, path: String, ids: Seq[String]): Unit =
+    deleteFromPartitioned(spark, path, "bucket", ids, identity)
+
+  /** [[deleteWhere]] on a bucketed LSH layout. */
+  def deleteWhereBucketed(spark: SparkSession, path: String, pred: Column): Unit =
+    deleteWherePartitioned(spark, path, "bucket", pred <=> lit(true), identity)
+
+  /** Upsert documents into a bucketed LSH layout: delete-by-
+    * (source, doc_id) identity + insert the re-chunked revision's
+    * exploded bucket rows, rewriting ONLY the buckets holding old or
+    * new rows of the upserted docs. Bucket placement is the pure
+    * LSH hash of the new embeddings — no trained state to consult. */
+  def upsertBucketed(spark: SparkSession, docs: DataFrame, path: String,
+                     dim: Int = Embed.DefaultDim): Unit = {
+    val all = spark.read.parquet(path)
+    val bucketT = all.schema("bucket").dataType
+    val newRows = indexRows(docs, dim)
+      .withColumn("bucket", explode(col("lsh_buckets")))
+      .withColumn("bucket", col("bucket").cast(bucketT))
+      .drop("lsh_buckets")
+      .localCheckpoint()
+    val keys = newRows.select(col("source"), col("doc_id")).distinct()
+    val touched = all.join(broadcast(keys), Seq("source", "doc_id"), "left_semi")
+      .select("bucket")
+      .union(newRows.select("bucket"))
+      .distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
+    if (touched.isEmpty) return
+    val survivors = all
+      .filter(col("bucket").isin(touched: _*))
+      .join(broadcast(keys), Seq("source", "doc_id"), "left_anti")
+      .localCheckpoint()
+    val out = survivors.unionByName(
+      newRows.select(survivors.columns.toIndexedSeq.map(col): _*))
+    val present = newRows.select("bucket").distinct()
+      .union(survivors.select("bucket").distinct())
+      .distinct().collect().map(_.get(0).toString).toSet
+    rewriteTouched(spark, path, "bucket", touched.map(_.toString), present, out)
+  }
+
   /** Delete chunks by id from an HNSW layout. Adjacency stores
     * in-shard ordinals, so removing a node invalidates its whole
     * shard's graph — the touched shards rebuild their graphs over the
