@@ -79,7 +79,8 @@ object Verify {
         () => streaming.Streams.materializeStreamUpsertAux(spark, sfDir, auxDir)),
       // q102's oracle reads the clustered corpus dump, so its name is
       // in the clustered step's serves set too
-      ("q67b clustered", Set("q67b_ann_recall_clustered", "q102_ann_hnsw"),
+      ("q67b clustered", Set("q67b_ann_recall_clustered", "q102_ann_hnsw",
+          "q128_semdedup"),
         () => operators.VectorSearch.materializeClusteredAux(spark, sfDir, auxDir)),
       ("q102 hnsw", Set("q102_ann_hnsw"),
         () => operators.VectorSearch.materializeHnswAux(spark, sfDir, auxDir)),

@@ -2812,6 +2812,96 @@ object VectorSearch {
     ORDER BY side, rank"""
   }
 
+  // ---- q128: SemDeDup (cluster-scoped semantic deduplication) -------
+
+  private val Q128TauMicros = 880000L
+
+  /** q128: semantic deduplication at scale, the SemDeDup method
+    * (Abbas et al. 2023, public): k-means-cluster the embeddings,
+    * then look for near-duplicate pairs ONLY within each cluster —
+    * at 100 TB the all-pairs O(N²) cosine join is impossible, while
+    * Σ|cell|² over balanced cells is the same corpus-partitioned
+    * shape every IVF probe uses. Runs on the q67b clustered corpus
+    * (the regime real embedding corpora live in) with its 50-cell
+    * bit-exact quantizer: scan-side `NearestCell` assignment (no
+    * corpus shuffle beyond the per-cell pair join), within-cell
+    * pairs at micro-quantized cosine ≥ 0.88, transitive survivor
+    * selection by the distributed label propagation of
+    * [[Dedup.clusterLabels]] (min-id representative — a documented
+    * deviation from the paper's keep-farthest-from-centroid rule:
+    * min-id is deterministic and engine-mirrorable), and a per-cell
+    * integer summary (n_vecs, n_pairs, n_survivors). Oracle: the
+    * whole flow re-derived in DuckDB from the q67b corpus + centroid
+    * dumps — assignment, micro-quantized pairs, components as the
+    * q97-style RECURSIVE min-label closure, survivors, summary. */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val cl = clusteredEmb(s, d)
+    val (ids, cents) = ivfCentroids(cl, "vec_id", "embedding", q67bSeeds(cl))
+    val assigned = cl.select(col("vec_id"), col("embedding"),
+      vecIndexExprs.nearestCell(col("embedding"), ids, cents).as("cell"))
+      .localCheckpoint()
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(floor(VectorOps.spaceSim2("cosine", col("ea"), col("eb"))
+        * lit(1000000d)).cast("long") >= Q128TauMicros)
+      .select(col("cell"), col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val surv = Dedup.survivors(assigned.select(col("vec_id")), "vec_id",
+      pairs.select(col("id_a"), col("id_b")))
+    val nv = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val np = pairs.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val ns = assigned
+      .join(surv.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left_semi")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_survivors"))
+    nv.join(np, Seq("cell"), "left").join(ns, Seq("cell"), "left")
+      .na.fill(0, Seq("n_pairs", "n_survivors"))
+      .select(col("cell"), col("n_vecs"), col("n_pairs"), col("n_survivors"))
+      .orderBy("cell")
+  }
+
+  private val q128Sql = s"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding FROM $AuxQ67bCorpus),
+    cents AS (SELECT cent_id, cvec FROM $AuxQ67bCents),
+    assign AS (
+      SELECT x.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY ${l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM corpus x, cents c),
+    assigned AS (
+      SELECT a.vec_id, cent_id AS cell, x.embedding
+      FROM assign a JOIN corpus x USING (vec_id) WHERE arn = 1),
+    pairs AS (
+      SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE CAST(floor(1000000.0 * (${cosColsSql("a.embedding", "b.embedding")}))
+              AS BIGINT) >= $Q128TauMicros),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    r(id, label) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id),
+    labels AS (SELECT id, MIN(label) AS label FROM r GROUP BY id),
+    surv AS (SELECT id AS vec_id FROM labels WHERE id = label),
+    nv AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+    np AS (SELECT cell, COUNT(*) AS n_pairs FROM pairs GROUP BY cell),
+    ns AS (SELECT a.cell, COUNT(*) AS n_survivors
+           FROM assigned a JOIN surv USING (vec_id) GROUP BY a.cell)
+    SELECT nv.cell, nv.n_vecs,
+           COALESCE(np.n_pairs, 0) AS n_pairs,
+           COALESCE(ns.n_survivors, 0) AS n_survivors
+    FROM nv LEFT JOIN np USING (cell) LEFT JOIN ns USING (cell)
+    ORDER BY nv.cell"""
+
   val queries: Seq[Query] = Seq(
     Query("q60_knn_l2",         q60, Some(q60Sql)),
     Query("q61_knn_cos_multi",  q61, Some(q61Sql)),
@@ -2844,5 +2934,6 @@ object VectorSearch {
     Query("q124_pq_metrics",    q124, Some(q124Sql)),
     Query("q125_mmr_rerank",    q125, Some(q125Sql)),
     Query("q126_fork_isolation", q126, Some(q126Sql)),
-    Query("q127_ivfpq_batch",   q127, Some(q127Sql)))
+    Query("q127_ivfpq_batch",   q127, Some(q127Sql)),
+    Query("q128_semdedup",      q128, Some(q128Sql)))
 }
