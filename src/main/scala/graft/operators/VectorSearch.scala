@@ -2812,6 +2812,176 @@ object VectorSearch {
     ORDER BY side, rank"""
   }
 
+  // ---- q129: PQ on the clustered corpus (matrix completion) ----------
+
+  /** q129: the q124 pre-rank family meter on the CLUSTERED corpus —
+    * completing the method × corpus matrix (q67 isotropic / q67b
+    * clustered measure the geometric methods; q124 measures
+    * exact/sq8/pq on the isotropic fixture; this is the pq row in
+    * the regime real embedding corpora live in). No persisted
+    * layout: codebooks train scan-side on the clustered corpus
+    * (bit-exact decimal Lloyd), codes + ADC evaluate in one codegen
+    * chain per row, query = stored vector 0 (self excluded). Output
+    * integers (method, bytes_per_vec, hits10). Oracle: books dumped;
+    * codes, LUT, both candidate cuts and the hit counts re-derived
+    * from the q67b corpus dump. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vecIndexExprs
+    import graft.sources.IndexStore.{PqM, PqKsub}
+    val cl = clusteredEmb(s, d)
+    val books = pqBooksClusteredCached(s, d)
+    val qvec = cl.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val lut = pqLut(qvec, books)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    val qCode = graft.functions.VecIndex.sq8Code(qData)
+    val qFac = graft.functions.VecIndex.sq8Factor(qData)
+    val corpus = cl.filter(col("vec_id") =!= 0).localCheckpoint()
+    def rerankTop10(cand: DataFrame): DataFrame =
+      corpus.join(broadcast(cand), col("vec_id") === col("cid"))
+        .select(col("vec_id"),
+          VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+    val exact10 = corpus
+      .select(col("vec_id"),
+        VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    val sq8Top = rerankTop10(corpus
+      .select(col("vec_id").as("cid"),
+        (vecIndexExprs.sq8Dot(vecIndexExprs.sq8Code(col("embedding")), lit(qCode))
+          * vecIndexExprs.sq8Factor(col("embedding")) * lit(qFac)).as("approx"))
+      .orderBy(col("approx").desc, col("cid")).limit(64))
+    val pqTop = rerankTop10(corpus
+      .select(col("vec_id").as("cid"),
+        vecIndexExprs.pqAdc(
+          vecIndexExprs.pqEncode(col("embedding"), books), lut).as("adc"))
+      .orderBy(col("adc").desc, col("cid")).limit(64))
+    val dim = Embed.DefaultDim
+    val labeled =
+      exact10.select(lit("exact").as("method"), lit(4 * dim).as("bytes_per_vec"),
+          col("vec_id"))
+        .unionAll(sq8Top.select(lit("sq8").as("method"), lit(dim).as("bytes_per_vec"),
+          col("vec_id")))
+        .unionAll(pqTop.select(lit("pq").as("method"),
+          lit(PqM).as("bytes_per_vec"), col("vec_id")))
+    labeled.join(exact10, Seq("vec_id"))
+      .groupBy(col("method"), col("bytes_per_vec"))
+      .agg(count(lit(1)).as("hits10"))
+      .orderBy(col("method"))
+  }
+
+  /** The clustered-corpus PQ codebooks, trained once per (session,
+    * sf) — shared by the q129 query and its aux dump (the training
+    * is bit-exact, but one physical pass is still one). */
+  private def pqBooksClusteredCached(s: SparkSession, d: String)
+      : Array[Array[Array[Float]]] =
+    booksCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d), {
+        import graft.sources.IndexStore.{PqM, PqKsub}
+        pqCodebooks(clusteredEmb(s, d), "vec_id", "embedding",
+          PqM, PqKsub, iters = 2)
+      })
+  private val booksCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), Array[Array[Array[Float]]]]
+
+  /** Dump the q129 clustered codebooks and the query row's SQ8
+    * code/factor (corpus + per-row sq8 codes ride the q67b dump; the
+    * query VECTOR is corpus row 0, which the mirror reads from that
+    * dump — only the kernel-derived query code needs dumping, the
+    * q98-query-dump convention). */
+  def materializePqClusteredAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    val books = pqBooksClusteredCached(s, d)
+    import s.implicits._
+    books.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (c, j) => (sub, j, c.toSeq) }
+    }.toSeq.toDF("sub", "code_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q129_books.parquet")
+    val qvec = clusteredEmb(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    Seq((graft.functions.VecIndex.sq8Code(qData).map(_.toInt).toSeq,
+        graft.functions.VecIndex.sq8Factor(qData)))
+      .toDF("qcode", "qfac")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q129_query.parquet")
+  }
+
+  private val AuxQ129Books =
+    "read_parquet('/root/repo/target/verify_aux/q129_books.parquet/*.parquet')"
+  private val AuxQ129Query =
+    "read_parquet('/root/repo/target/verify_aux/q129_query.parquet/*.parquet')"
+
+  /** q129 mirror: query vector = corpus row 0; PQ codes re-derived
+    * per (row, subspace) from the dumped books (the q123 subcodes
+    * idiom), LUT re-derived, SQ8 codes read from the q67b corpus
+    * dump, all three cut+rerank pipelines re-run, hits counted. */
+  private val q129Sql = s"""
+    WITH qv AS (SELECT embedding AS qvec FROM $AuxQ67bCorpus WHERE vec_id = 0),
+    corpus AS (SELECT * FROM $AuxQ67bCorpus WHERE vec_id <> 0),
+    books AS (SELECT sub, code_id, cvec FROM $AuxQ129Books),
+    qsq AS (SELECT qcode, qfac FROM $AuxQ129Query),
+    lut AS (
+      SELECT b.sub, b.code_id,
+        CAST(floor(1000000.0 * list_sum(list_transform(
+          generate_series(1, len(b.cvec)),
+          i -> CAST(b.cvec[i] AS DOUBLE)
+             * CAST(qv.qvec[b.sub * ${Embed.DefaultDim / graft.sources.IndexStore.PqM} + i] AS DOUBLE)))) AS BIGINT) AS micros
+      FROM books b CROSS JOIN qv),
+    subcodes AS (
+      SELECT p.vec_id, b.sub, b.code_id,
+             row_number() OVER (PARTITION BY p.vec_id, b.sub
+               ORDER BY sqrt(list_sum(list_transform(
+                   generate_series(1, len(b.cvec)),
+                   i -> (CAST(p.embedding[b.sub * ${Embed.DefaultDim / graft.sources.IndexStore.PqM} + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))
+                      * (CAST(p.embedding[b.sub * ${Embed.DefaultDim / graft.sources.IndexStore.PqM} + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))))), b.code_id) AS crn
+      FROM corpus p CROSS JOIN books b),
+    codes AS (SELECT vec_id, sub, code_id FROM subcodes WHERE crn = 1),
+    adc AS (
+      SELECT vec_id, CAST(SUM(micros) AS BIGINT) AS adc
+      FROM codes JOIN lut USING (sub, code_id) GROUP BY vec_id),
+    exact AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+               vec_id) AS rn
+      FROM corpus x CROSS JOIN qv),
+    exact10 AS (SELECT vec_id FROM exact WHERE rn <= 10),
+    sq8cand AS (
+      SELECT vec_id FROM corpus x CROSS JOIN qsq
+      ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
+          k -> x.sq8[k] * qsq.qcode[k])) AS DOUBLE) * x.fac * qsq.qfac DESC,
+        x.vec_id
+      LIMIT 64),
+    sq8top AS (
+      SELECT vec_id FROM (
+        SELECT x.vec_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.vec_id) AS rn
+        FROM corpus x JOIN sq8cand USING (vec_id) CROSS JOIN qv)
+      WHERE rn <= 10),
+    pqcand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 64),
+    pqtop AS (
+      SELECT vec_id FROM (
+        SELECT x.vec_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.vec_id) AS rn
+        FROM corpus x JOIN pqcand USING (vec_id) CROSS JOIN qv)
+      WHERE rn <= 10),
+    labeled AS (
+      SELECT 'exact' AS method, ${4 * Embed.DefaultDim} AS bytes_per_vec, vec_id
+      FROM exact10
+      UNION ALL
+      SELECT 'sq8', ${Embed.DefaultDim}, vec_id FROM sq8top
+      UNION ALL
+      SELECT 'pq', ${graft.sources.IndexStore.PqM}, vec_id FROM pqtop)
+    SELECT method, bytes_per_vec, COUNT(*) AS hits10
+    FROM labeled JOIN exact10 USING (vec_id)
+    GROUP BY method, bytes_per_vec
+    ORDER BY method"""
+
   // ---- q128: SemDeDup (cluster-scoped semantic deduplication) -------
 
   private val Q128TauMicros = 880000L
@@ -2935,5 +3105,6 @@ object VectorSearch {
     Query("q125_mmr_rerank",    q125, Some(q125Sql)),
     Query("q126_fork_isolation", q126, Some(q126Sql)),
     Query("q127_ivfpq_batch",   q127, Some(q127Sql)),
-    Query("q128_semdedup",      q128, Some(q128Sql)))
+    Query("q128_semdedup",      q128, Some(q128Sql)),
+    Query("q129_pq_clustered",  q129, Some(q129Sql)))
 }
