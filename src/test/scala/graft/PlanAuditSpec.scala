@@ -576,6 +576,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"batch fan-out must be a hash join on the exploded probe cells:\n$p")
   }
 
+  test("q127: the PQ batch prunes to the probe-cell union; LUTs ride the " +
+       "broadcast, never a shuffle") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q127_ivfpq_batch")(spark, d)
+    df.collect()
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q123_pq_index")))
+    assert(idxScans.nonEmpty, "expected scans of the q123 PQ index:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"PQ batch search must keep the cell partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= 9,
+        s"batch probe must open at most the probed-cell union (<=9 of 16), read $read")
+    }
+    // per-query rank exchanges carry (query_id, id, integer score)
+    // only — the array-typed LUTs ride the BROADCAST probe table and
+    // must never cross a shuffle
+    val rankExchanges = allShuffles(df.queryExecution.executedPlan).filter {
+      e => e.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "query_id"))
+        case _ => false
+      }
+    }
+    assert(rankExchanges.nonEmpty,
+      s"expected the per-query rank exchanges:\n${df.queryExecution.executedPlan}")
+    rankExchanges.foreach { e =>
+      val wide = e.output.filter(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          a.name == "chunk" || a.name == "qlut")
+      assert(wide.isEmpty,
+        s"PQ batch rank exchange must stay narrow, carries ${wide.map(_.name)}")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"batch fan-out must be a hash join on the exploded probe cells:\n$p")
+  }
+
   test("q103: HNSW rerank broadcasts the candidate set and the shard pin carries no text") {
     val df = SparkEntry.queries("q103_hnsw_search")(spark, d)
     df.collect() // finalize the adaptive plan (also builds the index)
