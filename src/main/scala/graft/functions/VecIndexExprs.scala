@@ -204,6 +204,24 @@ object VecIndex {
     acc
   }
 
+  /** Binary quantization: bit i (i < 64) set iff v[i] > 0 — the
+    * 1-bit/dim code (ONE long at the 64-dim fixture; dim/64 longs in
+    * general, here the first word). Hamming distance between codes
+    * approximates angle (the sign-random-projection bound), giving
+    * an 8-byte pre-rank the q124/q129 meters compare against PQ at
+    * EQUAL bytes. Strict `> 0`: a zero coordinate clears the bit in
+    * every engine. */
+  def signBits(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), 64)
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (v.getFloat(i) > 0f) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
   /** [[pqAdc]] against a row-carried FLAT lut (m·ksub longs,
     * lut[s*ksub + code] layout) — the batch search form, where each
     * query's LUT rides the broadcast probe table as a column instead
@@ -393,6 +411,17 @@ case class PqAdcMicros(child: Expression, lut: Array[Array[Long]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** sign_bits(vec): LONG 1-bit/dim binary quantization word. */
+case class SignBits(child: Expression) extends UnaryExpression with FloatVecInput {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = check(child.dataType)
+  override def nullSafeEval(v: Any): Any =
+    VecIndex.signBits(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecIndex.signBits($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** pq_adc_flat(code BINARY, lut ARRAY<LONG>): LONG integer ADC score
   * against a row-carried flat LUT — the batch form, LUTs ride the
   * broadcast query table as a column. */
@@ -456,4 +485,5 @@ object vecIndexExprs {
     shims.toColumn(PqAdcMicros(shims.toExpression(c), lut))
   def pqAdcFlat(c: Column, lut: Column, ksub: Int): Column =
     shims.toColumn(PqAdcFlatMicros(shims.toExpression(c), shims.toExpression(lut), ksub))
+  def signBits(c: Column): Column = shims.toColumn(SignBits(shims.toExpression(c)))
 }

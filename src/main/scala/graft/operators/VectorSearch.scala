@@ -2578,6 +2578,15 @@ object VectorSearch {
       .select(col("chunk_id").as("cid"),
         vecIndexExprs.pqAdc(col("pq_code"), lut).as("adc"))
       .orderBy(col("adc").desc, col("cid")).limit(Q123Overfetch))
+    // binary quantization: 1 bit/dim sign word (8 bytes at dim 64 —
+    // the SAME size as the PQ code, so the meter compares the two
+    // compressions at equal bytes), Hamming pre-rank ascending
+    val qBits = graft.functions.VecIndex.signBits(qData)
+    val binTop = rerankTop10(idx
+      .select(col("chunk_id").as("cid"),
+        bit_count(vecIndexExprs.signBits(col("embedding"))
+          .bitwiseXOR(lit(qBits))).as("ham"))
+      .orderBy(col("ham").asc, col("cid")).limit(Q123Overfetch))
     val dim = Embed.DefaultDim
     val labeled =
       exact10.select(lit("exact").as("method"), lit(4 * dim).as("bytes_per_vec"),
@@ -2586,9 +2595,20 @@ object VectorSearch {
           col("chunk_id")))
         .unionAll(pqTop.select(lit("pq").as("method"),
           lit(graft.sources.IndexStore.PqM).as("bytes_per_vec"), col("chunk_id")))
-    labeled.join(exact10, Seq("chunk_id"))
-      .groupBy(col("method"), col("bytes_per_vec"))
-      .agg(count(lit(1)).as("hits10"))
+        .unionAll(binTop.select(lit("bin").as("method"),
+          lit(dim / 8).as("bytes_per_vec"), col("chunk_id")))
+    // method spine + left join: a method whose top-10 misses the
+    // exact set entirely must still report hits10 = 0, not vanish
+    import s.implicits._
+    val spine = Seq(("bin", dim / 8), ("exact", 4 * dim),
+        ("pq", graft.sources.IndexStore.PqM), ("sq8", dim))
+      .toDF("method", "bytes_per_vec")
+    spine.join(
+        labeled.join(exact10, Seq("chunk_id"))
+          .groupBy(col("method"), col("bytes_per_vec"))
+          .agg(count(lit(1)).as("hits10")),
+        Seq("method", "bytes_per_vec"), "left")
+      .na.fill(0, Seq("hits10"))
       .orderBy(col("method"))
   }
 
@@ -2636,17 +2656,42 @@ object VectorSearch {
                  x.chunk_id) AS rn
         FROM idx x JOIN pqcand USING (chunk_id) CROSS JOIN qv)
       WHERE rn <= 10),
+    bincand AS (
+      SELECT chunk_id FROM idx x CROSS JOIN qv
+      ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
+          i -> CASE WHEN (CAST(x.embedding[i] AS DOUBLE) > 0)
+                     <> (CAST(qv.qvec[i] AS DOUBLE) > 0) THEN 1 ELSE 0 END))
+        AS BIGINT) ASC, x.chunk_id
+      LIMIT $Q123Overfetch),
+    bintop AS (
+      SELECT chunk_id FROM (
+        SELECT x.chunk_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.chunk_id) AS rn
+        FROM idx x JOIN bincand USING (chunk_id) CROSS JOIN qv)
+      WHERE rn <= 10),
     labeled AS (
       SELECT 'exact' AS method, ${4 * Embed.DefaultDim} AS bytes_per_vec, chunk_id
       FROM exact10
       UNION ALL
       SELECT 'sq8', ${Embed.DefaultDim}, chunk_id FROM sq8top
       UNION ALL
-      SELECT 'pq', ${graft.sources.IndexStore.PqM}, chunk_id FROM pqtop)
-    SELECT method, bytes_per_vec, COUNT(*) AS hits10
-    FROM labeled JOIN exact10 USING (chunk_id)
-    GROUP BY method, bytes_per_vec
-    ORDER BY method"""
+      SELECT 'pq', ${graft.sources.IndexStore.PqM}, chunk_id FROM pqtop
+      UNION ALL
+      SELECT 'bin', ${Embed.DefaultDim / 8}, chunk_id FROM bintop),
+    spine AS (
+      SELECT * FROM (VALUES
+        ('bin', ${Embed.DefaultDim / 8}), ('exact', ${4 * Embed.DefaultDim}),
+        ('pq', ${graft.sources.IndexStore.PqM}), ('sq8', ${Embed.DefaultDim}))
+        s(method, bytes_per_vec)),
+    hits AS (
+      SELECT method, bytes_per_vec, COUNT(*) AS hits10
+      FROM labeled JOIN exact10 USING (chunk_id)
+      GROUP BY method, bytes_per_vec)
+    SELECT s.method, s.bytes_per_vec,
+           CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10
+    FROM spine s LEFT JOIN hits h USING (method, bytes_per_vec)
+    ORDER BY s.method"""
 
   // ---- q125: MMR diversity reranking ---------------------------------
 
@@ -2858,6 +2903,12 @@ object VectorSearch {
         vecIndexExprs.pqAdc(
           vecIndexExprs.pqEncode(col("embedding"), books), lut).as("adc"))
       .orderBy(col("adc").desc, col("cid")).limit(64))
+    val qBits = graft.functions.VecIndex.signBits(qData)
+    val binTop = rerankTop10(corpus
+      .select(col("vec_id").as("cid"),
+        bit_count(vecIndexExprs.signBits(col("embedding"))
+          .bitwiseXOR(lit(qBits))).as("ham"))
+      .orderBy(col("ham").asc, col("cid")).limit(64))
     val dim = Embed.DefaultDim
     val labeled =
       exact10.select(lit("exact").as("method"), lit(4 * dim).as("bytes_per_vec"),
@@ -2866,9 +2917,18 @@ object VectorSearch {
           col("vec_id")))
         .unionAll(pqTop.select(lit("pq").as("method"),
           lit(PqM).as("bytes_per_vec"), col("vec_id")))
-    labeled.join(exact10, Seq("vec_id"))
-      .groupBy(col("method"), col("bytes_per_vec"))
-      .agg(count(lit(1)).as("hits10"))
+        .unionAll(binTop.select(lit("bin").as("method"),
+          lit(dim / 8).as("bytes_per_vec"), col("vec_id")))
+    import s.implicits._
+    val spine = Seq(("bin", dim / 8), ("exact", 4 * dim),
+        ("pq", PqM), ("sq8", dim))
+      .toDF("method", "bytes_per_vec")
+    spine.join(
+        labeled.join(exact10, Seq("vec_id"))
+          .groupBy(col("method"), col("bytes_per_vec"))
+          .agg(count(lit(1)).as("hits10")),
+        Seq("method", "bytes_per_vec"), "left")
+      .na.fill(0, Seq("hits10"))
       .orderBy(col("method"))
   }
 
@@ -2970,17 +3030,42 @@ object VectorSearch {
                  x.vec_id) AS rn
         FROM corpus x JOIN pqcand USING (vec_id) CROSS JOIN qv)
       WHERE rn <= 10),
+    bincand AS (
+      SELECT vec_id FROM corpus x CROSS JOIN qv
+      ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
+          i -> CASE WHEN (CAST(x.embedding[i] AS DOUBLE) > 0)
+                     <> (CAST(qv.qvec[i] AS DOUBLE) > 0) THEN 1 ELSE 0 END))
+        AS BIGINT) ASC, x.vec_id
+      LIMIT 64),
+    bintop AS (
+      SELECT vec_id FROM (
+        SELECT x.vec_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.vec_id) AS rn
+        FROM corpus x JOIN bincand USING (vec_id) CROSS JOIN qv)
+      WHERE rn <= 10),
     labeled AS (
       SELECT 'exact' AS method, ${4 * Embed.DefaultDim} AS bytes_per_vec, vec_id
       FROM exact10
       UNION ALL
       SELECT 'sq8', ${Embed.DefaultDim}, vec_id FROM sq8top
       UNION ALL
-      SELECT 'pq', ${graft.sources.IndexStore.PqM}, vec_id FROM pqtop)
-    SELECT method, bytes_per_vec, COUNT(*) AS hits10
-    FROM labeled JOIN exact10 USING (vec_id)
-    GROUP BY method, bytes_per_vec
-    ORDER BY method"""
+      SELECT 'pq', ${graft.sources.IndexStore.PqM}, vec_id FROM pqtop
+      UNION ALL
+      SELECT 'bin', ${Embed.DefaultDim / 8}, vec_id FROM bintop),
+    spine AS (
+      SELECT * FROM (VALUES
+        ('bin', ${Embed.DefaultDim / 8}), ('exact', ${4 * Embed.DefaultDim}),
+        ('pq', ${graft.sources.IndexStore.PqM}), ('sq8', ${Embed.DefaultDim}))
+        s(method, bytes_per_vec)),
+    hits AS (
+      SELECT method, bytes_per_vec, COUNT(*) AS hits10
+      FROM labeled JOIN exact10 USING (vec_id)
+      GROUP BY method, bytes_per_vec)
+    SELECT s.method, s.bytes_per_vec,
+           CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10
+    FROM spine s LEFT JOIN hits h USING (method, bytes_per_vec)
+    ORDER BY s.method"""
 
   // ---- q128: SemDeDup (cluster-scoped semantic deduplication) -------
 

@@ -49,6 +49,13 @@ class PqSpec extends AnyFunSuite {
     assert(VecIndex.pqAdc(Array(200.toByte), wide) == 200L)
   }
 
+  test("signBits sets bit i iff dim i is strictly positive; Hamming via xor") {
+    val bits = VecIndex.signBits(vec(1f, -1f, 0f, 0.001f))
+    assert(bits == ((1L << 0) | (1L << 3)), "zero clears the bit, sign sets it")
+    val other = VecIndex.signBits(vec(1f, 1f, 0f, -0.5f))
+    assert(java.lang.Long.bitCount(bits ^ other) == 2)
+  }
+
   test("pqLut micro-quantizes the per-subspace query dots") {
     val lut = VectorSearch.pqLut(Array(1f, 0f, 0f, 1f), books)
     assert(lut.length == 2 && lut.forall(_.length == 2))
