@@ -27,7 +27,9 @@ object Explain {
       // is intentionally absent — its meter plan reads
       // checkpoint-pinned frames, so there is nothing to audit that
       // q65/q69 don't already show
-      "q98_ivf_search", "q104_filtered_search")
+      "q98_ivf_search", "q104_filtered_search",
+      // the PQ search plan: cell pruning + ADC scan + broadcast rerank
+      "q123_ivfpq_search")
     names.foreach { n =>
       println(s"\n================= $n =================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
