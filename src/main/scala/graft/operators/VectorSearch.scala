@@ -34,6 +34,13 @@ object VectorSearch {
     * diverge. Verify-only (a UDF is fine off the hot path). */
   private lazy val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
 
+  /** UNSIGNED byte dump — for PQ codes, which [[graft.functions
+    * .VecIndex.pqAdc]] reads `& 0xFF`: a signed dump of code 200
+    * would emit -56, silently matching nothing in the oracle's LUT
+    * join for any ksub > 128 build (SQ8 codes stay signed — that IS
+    * their interpretation). */
+  private lazy val bytesToUInts = udf((b: Array[Byte]) => b.map(_ & 0xFF))
+
   /** Session-scoped memo of expensive-to-produce result frames (the
     * ANN method outputs, the exact baseline, and the shared
     * [[docRowsCached]] corpus pass). Each is computed ONCE per
@@ -2351,7 +2358,7 @@ object VectorSearch {
     s.read.parquet(path)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("cell").cast("long").as("cell"),
-        bytesToInts(col("pq_code")).as("pq"),
+        bytesToUInts(col("pq_code")).as("pq"),
         bytesToInts(col("sq8_code")).as("sq8"), col("sq8_factor").as("fac"),
         col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q123_index.parquet")
@@ -2987,16 +2994,16 @@ object VectorSearch {
         CAST(floor(1000000.0 * list_sum(list_transform(
           generate_series(1, len(b.cvec)),
           i -> CAST(b.cvec[i] AS DOUBLE)
-             * CAST(qv.qvec[b.sub * ${Embed.DefaultDim / graft.sources.IndexStore.PqM} + i] AS DOUBLE)))) AS BIGINT) AS micros
+             * CAST(qv.qvec[b.sub * $PqDsub + i] AS DOUBLE)))) AS BIGINT) AS micros
       FROM books b CROSS JOIN qv),
     subcodes AS (
       SELECT p.vec_id, b.sub, b.code_id,
              row_number() OVER (PARTITION BY p.vec_id, b.sub
                ORDER BY sqrt(list_sum(list_transform(
                    generate_series(1, len(b.cvec)),
-                   i -> (CAST(p.embedding[b.sub * ${Embed.DefaultDim / graft.sources.IndexStore.PqM} + i] AS DOUBLE)
+                   i -> (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
                        - CAST(b.cvec[i] AS DOUBLE))
-                      * (CAST(p.embedding[b.sub * ${Embed.DefaultDim / graft.sources.IndexStore.PqM} + i] AS DOUBLE)
+                      * (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
                        - CAST(b.cvec[i] AS DOUBLE))))), b.code_id) AS crn
       FROM corpus p CROSS JOIN books b),
     codes AS (SELECT vec_id, sub, code_id FROM subcodes WHERE crn = 1),

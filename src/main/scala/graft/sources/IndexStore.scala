@@ -508,7 +508,11 @@ object IndexStore {
     val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     val remaining = scala.collection.mutable.LinkedHashMap(
       cands.sortBy { case (id, sm, _) => (-sm, id) }.map(c => c._1 -> c): _*)
-    while (picked.length < math.min(k, cands.length)) {
+    // bound by DISTINCT ids — duplicate-id candidates (a
+    // multi-row-per-chunk layout) collapse in the map above, and the
+    // cands.length bound would then argmax over an empty remainder
+    val nDistinct = remaining.size
+    while (picked.length < math.min(k, nDistinct)) {
       val best =
         if (picked.isEmpty) remaining.valuesIterator.next() // highest simq
         else remaining.valuesIterator.map { case c @ (id, sm, v) =>
@@ -542,7 +546,8 @@ object IndexStore {
                     where: Option[Column] = None): DataFrame = {
     val idx0 = spark.read.parquet(path)
     mmrOverFetchSet(spark, where.fold(idx0)(idx0.filter),
-      Embed.embed(queryText, dim), k, fetchK, lambdaMicros)
+      collectionSpace(spark, path), Embed.embed(queryText, dim),
+      k, fetchK, lambdaMicros)
   }
 
   /** [[searchTopKMmr]] with the fetch routed through the IVF probe
@@ -570,18 +575,28 @@ object IndexStore {
     val pruned = spark.read.parquet(path)
       .filter(col("cell").isin(probeCells: _*))
     mmrOverFetchSet(spark, where.fold(pruned)(pruned.filter),
-      qvec, k, fetchK, lambdaMicros)
+      collectionSpace(spark, path), qvec, k, fetchK, lambdaMicros)
   }
 
   /** The shared MMR tail: exact micro-quantized fetchK cut over the
     * given candidate frame, driver-side greedy selection, and the
-    * presentation join back onto the same frame. */
+    * presentation join back onto the same frame. The frame dedups on
+    * chunk_id first — a multi-row-per-chunk layout (the bucketed LSH
+    * layout stores one row per LSH table) would otherwise spend the
+    * fetchK cut on copies and emit one presentation row per copy.
+    * The RELEVANCE metric is the collection's space (`spaceMicros` —
+    * every search surface honors `hnsw:space`); the DIVERSITY term
+    * stays cosine, the reference ecosystem's MMR convention
+    * (redundancy is an angular notion regardless of the ranking
+    * metric). */
   private def mmrOverFetchSet(spark: SparkSession, idx: DataFrame,
-                              qvec: Array[Float], k: Int, fetchK: Int,
+                              space: String, qvec: Array[Float],
+                              k: Int, fetchK: Int,
                               lambdaMicros: Long): DataFrame = {
-    val cands = idx
+    val uniq = idx.dropDuplicates("chunk_id")
+    val cands = uniq
       .select(col("chunk_id"),
-        floor(VectorOps.spaceSim("cosine", col("embedding"), qvec) * lit(1000000d))
+        floor(VectorOps.spaceSim(space, col("embedding"), qvec) * lit(1000000d))
           .cast("long").as("simq_micros"),
         col("embedding"))
       .orderBy(col("simq_micros").desc, col("chunk_id"))
@@ -592,7 +607,7 @@ object IndexStore {
     val sel = mmrSelect(cands, k, lambdaMicros)
     import spark.implicits._
     val selDf = sel.toDF("chunk_id", "rank")
-    idx.join(broadcast(selDf), Seq("chunk_id"))
+    uniq.join(broadcast(selDf), Seq("chunk_id"))
       .select(col("rank"), col("chunk_id"), col("doc_id"), col("source"),
         col("chunk"),
         concat(lit("https://docs.google.com/spreadsheets/d/"), col("source"),

@@ -28,13 +28,16 @@ class ForkSpec extends AnyFunSuite {
     * the byte-identity fingerprint of a layout. */
   private def fingerprint(root: String): Map[String, String] = {
     val base = Paths.get(root)
-    Files.walk(base).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map { p: Path =>
-        val rel = base.relativize(p).toString
-        val md = MessageDigest.getInstance("MD5")
-        rel -> md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
-      }.toMap
+    val walk = Files.walk(base)
+    try
+      walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map { p: Path =>
+          val rel = base.relativize(p).toString
+          val md = MessageDigest.getInstance("MD5")
+          rel -> md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+    finally walk.close()
   }
 
   private def rmIfExists(path: String): Unit = {

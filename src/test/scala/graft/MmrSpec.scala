@@ -70,6 +70,27 @@ class MmrSpec extends AnyFunSuite {
       exact.map(_.getAs[String]("chunk_id")).toSeq)
   }
 
+  test("mmrSelect tolerates duplicate candidate ids (multi-row layouts)") {
+    val v = Array(1f, 0f)
+    val dup = Seq(("a", 900000L, v), ("a", 900000L, v),
+      ("b", 100000L, Array(0f, 1f)))
+    // k beyond the DISTINCT count must not argmax an empty remainder
+    val sel = IndexStore.mmrSelect(dup, k = 3)
+    assert(sel == Seq(("a", 1), ("b", 2)))
+  }
+
+  test("searchTopKMmr on a one-row-per-(table,chunk) bucketed layout " +
+       "returns each chunk once") {
+    val path = "/root/repo/target/test_mmr_bucketed"
+    val docs = Tables.documents(spark, d).limit(30)
+    IndexStore.buildBucketed(spark, docs, path)
+    val r = IndexStore.searchTopKMmr(spark, path, "alpha beta", k = 5,
+      fetchK = 16).collect()
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(r.map(_.getAs[String]("chunk_id")).distinct.length == 5,
+      "the per-LSH-table row duplication must not reach the result")
+  }
+
   test("searchTopKMmrIvf: probe-pruned fetch; all-cells probing equals full scan") {
     val path = "/root/repo/target/test_mmr_ivf_idx"
     val docs = Tables.documents(spark, d).limit(60)
