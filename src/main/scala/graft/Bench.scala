@@ -68,7 +68,12 @@ object Bench {
         .split("\\s+").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
     val loadStart = loadavg()
-    val allRuns = (1 to runs).map(_ => runAll())
+    // per-run loadavg brackets: when one run of a capture is
+    // contaminated, the record itself says WHICH run, query-by-query
+    val runLoads = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val allRuns = (1 to runs).map { _ =>
+      val l0 = loadavg(); val r = runAll(); runLoads += ((l0, loadavg())); r
+    }
     val loadEnd = loadavg()
     val results = allRuns.head
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -86,34 +91,36 @@ object Bench {
     val line =
       s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
     println(line)
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     // The harness that captures this output retains only a bounded tail
     // of stdout, which truncates the full per-query line above. Persist
-    // the complete record to a file, and end stdout with a compact
-    // summary line (headline total + slowest queries) that fits whole
-    // inside a 2000-char tail.
+    // the complete record — EVERY run's per-query times plus that run's
+    // own loadavg bracket, cold and warm in ONE file — so a regressed
+    // query can be separated into plan cost (warm moved too) vs box
+    // load (warm flat, loadavg high) from the artifact alone. End
+    // stdout with a compact summary line (headline total + slowest
+    // queries) that fits whole inside a 2000-char tail.
+    val runsJson = allRuns.zipWithIndex.map { case (rr, i) =>
+      val rq = rr.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val (l0, l1) = runLoads(i)
+      s"""{"run":${i + 1},"kind":"${if (i == 0) "cold" else "warm"}","total":${f3(rr.map(_._2).sum)},"loadavg_start":"$l0","loadavg_end":"$l1","queries":$rq}"""
+    }.mkString("[", ",", "]")
+    val fullRecord =
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","runs":$runsJson,"sf":"$sfDir"}"""
     // the persistence side channel must never kill the stdout summary
     try {
       val p = java.nio.file.Paths.get("/root/repo/target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, line + "\n")
+      java.nio.file.Files.writeString(p, fullRecord + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
     }
-    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // warm re-run records (never carry metric "total" — see above);
-    // emitted before the final compact line so the tail keeps the
-    // binding cold number last
+    // warm re-run stdout records (never carry metric "total" — see
+    // above); emitted before the final compact line so the tail keeps
+    // the binding cold number last
     allRuns.zipWithIndex.drop(1).foreach { case (rr, i) =>
-      val rq = rr.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
-        .mkString("{", ",", "}")
-      val rline = s"""{"metric":"total_rerun","run":${i + 1},"value":${f3(rr.map(_._2).sum)},"unit":"sec","queries":$rq,"sf":"$sfDir"}"""
-      try {
-        val p = java.nio.file.Paths.get(s"/root/repo/target/bench_last_run${i + 1}.json")
-        java.nio.file.Files.writeString(p, rline + "\n")
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] bench_last_run${i + 1}.json write failed: ${e.getMessage}")
-      }
-      println(s"""{"metric":"total_rerun","run":${i + 1},"value":${f3(rr.map(_._2).sum)},"unit":"sec","n_queries":${rr.size},"sf":"$sfDir"}""")
+      println(s"""{"metric":"total_rerun","run":${i + 1},"value":${f3(rr.map(_._2).sum)},"unit":"sec","n_queries":${rr.size},"loadavg":"${runLoads(i)._1} -> ${runLoads(i)._2}","sf":"$sfDir"}""")
     }
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
@@ -134,7 +141,17 @@ object Bench {
     // plus the box-load evidence
     val warmTotal =
       if (allRuns.size > 1) f3(allRuns.last.map(_._2).sum) else "null"
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":$warmTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_queries":${results.size},"slowest":$slowest,"errors":$errsCompact,"queries_full":"target/bench_last.json","sf":"$sfDir"}""")
+    // the warm times of the cold run's slowest queries ride the
+    // compact line too: the one-glance cold-vs-warm split for exactly
+    // the queries a regression hunt starts from
+    val slowestWarm =
+      if (allRuns.size > 1) {
+        val warmBy = allRuns.last.map { case (k, v, _) => k -> v }.toMap
+        results.sortBy(-_._2).take(10)
+          .map { case (k, _, _) => s"\"" + k + "\":" + f3(warmBy.getOrElse(k, -1.0)) }
+          .mkString("{", ",", "}")
+      } else "null"
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":$warmTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_queries":${results.size},"slowest":$slowest,"slowest_warm":$slowestWarm,"errors":$errsCompact,"queries_full":"target/bench_last.json","sf":"$sfDir"}""")
     if (allRuns.exists(_.exists(_._3.isDefined))) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

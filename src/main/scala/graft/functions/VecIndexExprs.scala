@@ -197,10 +197,15 @@ object VecIndex {
     * reproduces; FAISS's fast-scan path quantizes its LUTs the same
     * way). Codes read unsigned so ksub up to 256 round-trips. */
   def pqAdc(code: Array[Byte], lut: Array[Array[Long]]): Long = {
-    val m = math.min(code.length, lut.length)
+    // a stored code whose m disagrees with the query LUT is a
+    // geometry mismatch (stale or foreign _pq sidecar) — fail fast
+    // rather than truncate into a plausible-but-wrong rank
+    require(code.length == lut.length,
+      s"PQ geometry mismatch: code has ${code.length} subvectors, " +
+        s"query LUT has ${lut.length}")
     var s = 0
     var acc = 0L
-    while (s < m) { acc += lut(s)(code(s) & 0xFF); s += 1 }
+    while (s < code.length) { acc += lut(s)(code(s) & 0xFF); s += 1 }
     acc
   }
 
@@ -212,7 +217,13 @@ object VecIndex {
     * EQUAL bytes. Strict `> 0`: a zero coordinate clears the bit in
     * every engine. */
   def signBits(v: ArrayData): Long = {
-    val n = math.min(v.numElements(), 64)
+    // one long holds 64 sign bits; the q124/q129 mirrors Hamming
+    // over len(embedding), so a dim > 64 would silently diverge —
+    // fail loudly until a multi-word code is actually needed
+    require(v.numElements() <= 64,
+      s"signBits encodes at most 64 dims (got ${v.numElements()}); " +
+        "emit dim/64 words before raising the embedding dim")
+    val n = v.numElements()
     var bits = 0L
     var i = 0
     while (i < n) {

@@ -2943,16 +2943,19 @@ object VectorSearch {
     * sf) — shared by the q129 query and its aux dump (the training
     * is bit-exact, but one physical pass is still one). */
   private def pqBooksClusteredCached(s: SparkSession, d: String)
-      : Array[Array[Array[Float]]] =
+      : Array[Array[Array[Float]]] = {
+    import graft.sources.IndexStore.{PqM, PqKsub}
+    val iters = 2
+    // keyed on the full PQ geometry: a future caller with different
+    // m/ksub/iters must never see a tensor trained for another shape
     booksCache.getOrElseUpdate(
-      (graft.sources.IndexStore.sessionKey(s), d), {
-        import graft.sources.IndexStore.{PqM, PqKsub}
-        pqCodebooks(clusteredEmb(s, d), "vec_id", "embedding",
-          PqM, PqKsub, iters = 2)
-      })
+      (graft.sources.IndexStore.sessionKey(s), d, PqM, PqKsub, iters),
+      pqCodebooks(clusteredEmb(s, d), "vec_id", "embedding",
+        PqM, PqKsub, iters))
+  }
   private val booksCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, String), Array[Array[Array[Float]]]]
+      .empty[(String, String, Int, Int, Int), Array[Array[Array[Float]]]]
 
   /** Dump the q129 clustered codebooks and the query row's SQ8
     * code/factor (corpus + per-row sq8 codes ride the q67b dump; the

@@ -906,8 +906,15 @@ object IndexStore {
     // actually partitioned by partCol before anything rewrites.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val pfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(pfs.listStatus(hPath).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith(s"$partCol=")),
+    // a missing path, or a layout whose every partition previously
+    // emptied (no 'col=' children left), has nothing to corrupt —
+    // a legitimate no-op delete, not a wrong-verb call
+    if (!pfs.exists(hPath)) return Seq.empty
+    val children = pfs.listStatus(hPath)
+    val partDirs = children.filter(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    if (partDirs.isEmpty) return Seq.empty
+    require(partDirs.exists(_.getPath.getName.startsWith(s"$partCol=")),
       s"$path is not partitioned by '$partCol' — use the delete/upsert " +
         "verb matching the layout family (source/cell/shard)")
     val all = spark.read.parquet(path)

@@ -56,5 +56,8 @@ class BucketedMaintSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IndexStore.deleteIds(spark, path, Seq("whatever"))
     }
+    // a missing layout path is a legitimate no-op delete, not a
+    // wrong-verb error (and never a FileNotFoundException)
+    IndexStore.deleteIds(spark, path + "_nonexistent", Seq("whatever"))
   }
 }

@@ -49,6 +49,19 @@ class PqSpec extends AnyFunSuite {
     assert(VecIndex.pqAdc(Array(200.toByte), wide) == 200L)
   }
 
+  test("pqAdc refuses a code whose m disagrees with the LUT (stale sidecar)") {
+    val lut = Array(Array(10L, 20L), Array(300L, 4000L))
+    val e = intercept[IllegalArgumentException](
+      VecIndex.pqAdc(Array[Byte](1), lut))
+    assert(e.getMessage.contains("geometry mismatch"))
+  }
+
+  test("signBits refuses dims beyond one 64-bit word (mirror divergence guard)") {
+    val big = new GenericArrayData(Array.fill(65)(1f))
+    val e = intercept[IllegalArgumentException](VecIndex.signBits(big))
+    assert(e.getMessage.contains("64"))
+  }
+
   test("signBits sets bit i iff dim i is strictly positive; Hamming via xor") {
     val bits = VecIndex.signBits(vec(1f, -1f, 0f, 0.001f))
     assert(bits == ((1L << 0) | (1L << 3)), "zero clears the bit, sign sets it")
