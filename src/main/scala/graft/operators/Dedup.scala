@@ -463,11 +463,115 @@ object Dedup {
            END AS recall
     FROM exact e LEFT JOIN found f ON e.id_a = f.id_a AND e.id_b = f.id_b"""
 
+  /** Duplicated-span detection — the distributed approximation of
+    * exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): find every maximal run of
+    * tokens that some OTHER document also contains verbatim, and
+    * report each doc's duplicated-token fraction. Where minhash asks
+    * "are these docs near-identical overall", this asks "which exact
+    * PASSAGES are copied" — the boilerplate/quotation signal a
+    * training pipeline clips rather than drops.
+    *
+    * Shape: every k-token window is hashed (md5 of the joined gram —
+    * engine-portable); an inverted index keeps grams seen in >= 2
+    * distinct docs (cross-doc duplication only; a doc repeating
+    * itself is q95's repetition signal, not copying), with a stop-gram
+    * df cap exactly like [[winnowOverlapPairs]]'s stop-fingerprint
+    * filter (a gram in > maxDf docs is boilerplate that would hot-key
+    * the shuffle); per doc, surviving window positions merge into
+    * maximal spans by gaps-and-islands (windows whose starts differ
+    * by <= k-1 share tokens, so a gap > k-1 starts a new span).
+    *
+    * 100 TB shape: windows shuffle as (doc_id, pos, 16-byte hash) —
+    * never text; the df filter is one aggregation on the gram hash;
+    * the island merge is a per-doc window over only that doc's
+    * duplicated positions (bounded by doc length). Nothing is
+    * pairwise in the corpus. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, maxDf: Int = 64): DataFrame = {
+    val s = docs.sparkSession
+    val base = signatures(s, docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w")))(
+      _.filter(size(col("w")) >= k)
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"), col("w")))
+    // one row per k-token window: (doc_id, pos, md5(gram)); slice is
+    // 1-based, pos is the 0-based token offset of the window start
+    val wins = base.select(col("doc_id"), col("n_tokens"),
+      posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+        .as(Seq("pos", "h")))
+    // grams copied across docs (>= 2 distinct), minus boilerplate
+    val wH = Window.partitionBy(col("h"))
+    val dupPos = wins
+      .withColumn("ndocs", size(collect_set(col("doc_id")).over(wH)))
+      .filter(col("ndocs").between(2, maxDf))
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+    // merge overlapping/adjacent windows into maximal spans
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= k - 1, 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg((max(col("pos")) + lit(k) - min(col("pos"))).as("span_tokens"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+      .withColumn("dup_frac_micros",
+        expr("1000000 * dup_tokens div n_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"), col("dup_frac_micros"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q130: fixture instantiation of [[duplicatedSpans]]. Oracle:
+    * DuckDB re-derives the windows, the cross-doc gram set, and the
+    * island merge from the RAW documents table — no aux; md5 over
+    * identically-joined token slices is the engine-portable gram
+    * key on both sides. */
+  private def q130(s: SparkSession, d: String): DataFrame =
+    duplicatedSpans(Tables.documents(s, d), "doc_id", "text")
+
+  private val q130Sql = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+    wins AS (
+      SELECT doc_id, n_tokens, i - 1 AS pos,
+             md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+      FROM base, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+    dup AS (SELECT h FROM wins GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    duppos AS (
+      SELECT w.doc_id, w.n_tokens, w.pos FROM wins w JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                  THEN 0 ELSE 1 END AS brk
+      FROM duppos),
+    grp AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl),
+    spans AS (
+      SELECT doc_id, n_tokens, island,
+             MAX(pos) + 8 - MIN(pos) AS span_tokens
+      FROM grp GROUP BY doc_id, n_tokens, island)
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+           n_tokens,
+           CAST((1000000 * SUM(span_tokens)) // n_tokens AS BIGINT)
+             AS dup_frac_micros
+    FROM spans GROUP BY doc_id, n_tokens
+    ORDER BY doc_id"""
+
   val queries: Seq[Query] = Seq(
     Query("q50_dedup_minhash_lsh", q50, Some(q50Sql)),
     Query("q51_dedup_simhash",     q51, Some(q51Sql)),
     Query("q52_embedding_neardup", q52, Some(q52Sql)),
     Query("q53_ngram_jaccard",     q53, Some(q53Sql)),
     Query("q54_winnow_overlap",    q54, Some(q54Sql)),
-    Query("q68_dedup_recall",      q68, Some(q68Sql)))
+    Query("q68_dedup_recall",      q68, Some(q68Sql)),
+    Query("q130_span_dedup",       q130, Some(q130Sql)))
 }

@@ -113,4 +113,27 @@ class DedupSpec extends AnyFunSuite {
       assert(cand.contains((i.toLong, 100L + i)), s"missed near dup $i")
     }
   }
+
+  test("duplicatedSpans finds the copied passage, merges overlapping " +
+      "windows, and ignores intra-doc repetition") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 and 2 share a verbatim 20-token passage at different offsets
+      (1L, "a1 a2 a3 " + passage + " a4 a5"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 " + passage),
+      // doc 3 repeats ITSELF (same 8-gram twice) but copies nobody
+      (3L, ("s1 s2 s3 s4 s5 s6 s7 s8 " * 2) + "t1 t2 t3 t4"),
+      // doc 4 shares nothing
+      (4L, (1 to 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L), "only the cross-doc copiers report")
+    // doc 1: windows at token offsets 3..15 (13 windows) merge into ONE
+    // span covering exactly the 20 copied tokens
+    assert(out(1L) == ((1L, 20L, 25L)), s"got ${out(1L)}")
+    assert(out(2L)._1 == 1L && out(2L)._2 == 20L)
+  }
 }
