@@ -524,6 +524,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental near-dup admission against a persisted LSH band
+    * store — the DAILY form of corpus dedup: yesterday's corpus is a
+    * parquet table of (doc_id, band) MinHash-LSH bands; today's
+    * arrivals are admitted iff they collide with nothing already
+    * stored and nothing smaller-id in their own batch, and the
+    * admitted docs' bands are appended so tomorrow's batch sees them.
+    *
+    * Collision = any shared band (candidate-level dedup, the
+    * aggressive production setting; an exact-verify variant composes
+    * by joining text back on the candidate pairs as [[minhashPairs]]
+    * does). The same-id exclusion in the store check is what makes a
+    * REPLAYED batch (streaming at-least-once redelivery) a no-op:
+    * an admitted doc's own stored bands never evict it, and any
+    * batchmate it didn't collide with on first delivery still
+    * doesn't collide on redelivery (DedupSpec pins this).
+    *
+    * Scale shape: bands shuffle as (doc_id, band-long) only; the
+    * store check is a semi-join on the band key against a store
+    * that at 100 TB is band-prefix-partitioned (the S4 bucketed-LSH
+    * layout family), so each batch touches only its bands'
+    * partitions. Returns the admitted (doc_id, band) rows it
+    * appended. */
+  def admitAgainstBandStore(newDocs: DataFrame, storePath: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            nHashes: Int = 64, shingleK: Int = 3,
+                            nBands: Int = 16): DataFrame = {
+    val s = newDocs.sparkSession
+    val nb = signatures(s, newDocs.select(col(idCol).as("doc_id"),
+        col(textCol).as("text")))(
+      _.select(col("doc_id"),
+        explode(hashExprs.minhashBands(col("text"), nHashes, shingleK, nBands))
+          .as("band")))
+    val store = s.read.parquet(storePath)
+    val hitStore = nb.as("n").join(store.as("s"),
+        col("n.band") === col("s.band") && col("n.doc_id") =!= col("s.doc_id"),
+        "left_semi")
+      .select(col("doc_id")).distinct()
+    val hitIntra = nb.as("a").join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") > col("b.doc_id"),
+        "left_semi")
+      .select(col("doc_id")).distinct()
+    val admitted = nb.join(hitStore.union(hitIntra).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    admitted.write.mode("append").parquet(storePath)
+    admitted
+  }
+
   /** q130: fixture instantiation of [[duplicatedSpans]]. Oracle:
     * DuckDB re-derives the windows, the cross-doc gram set, and the
     * island merge from the RAW documents table — no aux; md5 over

@@ -468,6 +468,140 @@ object Streams {
     FROM read_parquet('/root/repo/target/verify_aux/q113_chunks.parquet/*.parquet')
     GROUP BY source ORDER BY source"""
 
+  // ---- q131: streaming near-dup admission --------------------------
+
+  /** Deterministic corpus split for the q131 stream: the first half
+    * of the doc_id range is the pre-existing corpus (its bands seed
+    * the store), the third quarter arrives as stream wave 1, the
+    * last quarter as wave 2. Derived from max(doc_id), so the same
+    * fractions hold at every sf. */
+  private[graft] def q131Splits(s: SparkSession, d: String): (Long, Long) = {
+    val n = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) + 1
+    (n / 2, 3 * n / 4)
+  }
+
+  private def q131StreamBase(d: String): String =
+    "/root/repo/target/q131_stream/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+  private val q131Done =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** q131: streaming near-duplicate admission — §2.9 composed with
+    * V5: an inbox of arriving documents streams through foreachBatch
+    * into [[graft.operators.Dedup.admitAgainstBandStore]], the
+    * persisted MinHash-LSH band store (q50's exact banding
+    * parameters). Each micro-batch drops arrivals that band-collide
+    * with the stored corpus or with a smaller-id batchmate, then
+    * appends the admitted bands so the NEXT batch dedups against
+    * them — the daily incremental-dedup loop of a training pipeline,
+    * where re-running yesterday's full-corpus dedup per arrival
+    * batch would be O(corpus) per day instead of O(batch).
+    *
+    * Gate: the per-doc admission verdict over the whole stream range
+    * (doc_id, batch, kept), oracle-re-derived batch by batch from the
+    * materialized q50 band signatures. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val base = q131StreamBase(d)
+    val store = s"$base/bands"
+    val (b1, b2) = q131Splits(s, d)
+    q131Done.getOrElseUpdate((IndexStore.sessionKey(s), d), {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(new java.io.File(base))
+      Files.createDirectories(Paths.get(base))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // seed: the pre-existing corpus's bands (at 100 TB this table
+      // already exists — it IS yesterday's dedup signature table)
+      docs.filter(col("doc_id") < b1)
+        .select(col("doc_id"),
+          explode(graft.functions.hashExprs.minhashBands(
+            col("text"), 64, 3, 16)).as("band"))
+        .write.mode("overwrite").parquet(store)
+      val inbox = s"$base/inbox"
+      docs.filter(col("doc_id") >= b1 && col("doc_id") < b2)
+        .coalesce(1).write.mode("append").parquet(inbox)
+      docs.filter(col("doc_id") >= b2)
+        .coalesce(1).write.mode("append").parquet(inbox)
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val q = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inbox)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Dedup.admitAgainstBandStore(batch, store)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    })
+    // admission report: every streamed doc, kept iff its bands landed
+    // in the store
+    val keptIds = s.read.parquet(store)
+      .select(col("doc_id")).distinct()
+      .withColumn("kept", lit(true))
+    Tables.documents(s, d).filter(col("doc_id") >= b1)
+      .select(col("doc_id"),
+        when(col("doc_id") < b2, 1).otherwise(2).as("batch"))
+      .join(keptIds, Seq("doc_id"), "left")
+      .na.fill(false, Seq("kept"))
+      .select(col("doc_id"), col("batch"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q131 mirror replays the two batches from the materialized
+    * band signatures: store0 = first-half bands; each batch's drops
+    * are (band ∈ store, other id) ∪ (band ∈ batch, smaller id); the
+    * admitted bands roll into the next store. MATERIALIZED CTEs —
+    * every store is referenced by two successors. */
+  private val q131Sql = """
+    WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    bnd AS MATERIALIZED (
+      SELECT doc_id, unnest(mb) AS band
+      FROM read_parquet('/root/repo/target/verify_aux/dedup_sigs.parquet/*.parquet')),
+    s0 AS MATERIALIZED (
+      SELECT doc_id, band FROM bnd WHERE doc_id < (SELECT n // 2 FROM nn)),
+    w1 AS MATERIALIZED (
+      SELECT doc_id, band FROM bnd
+      WHERE doc_id >= (SELECT n // 2 FROM nn)
+        AND doc_id < (SELECT 3 * n // 4 FROM nn)),
+    drop1 AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id FROM w1 a
+      WHERE EXISTS (SELECT 1 FROM s0 s
+                    WHERE s.band = a.band AND s.doc_id <> a.doc_id)
+      UNION
+      SELECT DISTINCT a.doc_id FROM w1 a
+      JOIN w1 b ON a.band = b.band AND b.doc_id < a.doc_id),
+    s1 AS MATERIALIZED (
+      SELECT doc_id, band FROM s0
+      UNION ALL
+      SELECT doc_id, band FROM w1
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+    w2 AS MATERIALIZED (
+      SELECT doc_id, band FROM bnd
+      WHERE doc_id >= (SELECT 3 * n // 4 FROM nn)),
+    drop2 AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id FROM w2 a
+      WHERE EXISTS (SELECT 1 FROM s1 s
+                    WHERE s.band = a.band AND s.doc_id <> a.doc_id)
+      UNION
+      SELECT DISTINCT a.doc_id FROM w2 a
+      JOIN w2 b ON a.band = b.band AND b.doc_id < a.doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id < (SELECT 3 * n // 4 FROM nn)
+                THEN 1 ELSE 2 END AS batch,
+           CASE WHEN d.doc_id < (SELECT 3 * n // 4 FROM nn)
+                THEN d.doc_id NOT IN (SELECT doc_id FROM drop1)
+                ELSE d.doc_id NOT IN (SELECT doc_id FROM drop2) END AS kept
+    FROM documents d
+    WHERE d.doc_id >= (SELECT n // 2 FROM nn)
+    ORDER BY d.doc_id"""
+
   val queries: Seq[Query] = Seq(
     Query("q80_stream_tumbling", q80, Some(q80Sql)),
     Query("q81_stream_sliding",  q81, Some(q81Sql)),
@@ -476,5 +610,6 @@ object Streams {
     Query("q84_stream_dedup",    q84, Some(q84Sql)),
     Query("q85_stream_stream_join", q85, Some(q85Sql)),
     Query("q86_custom_state",    q86, Some(q86Sql)),
-    Query("q113_stream_ivf_upsert", q113, Some(q113Sql)))
+    Query("q113_stream_ivf_upsert", q113, Some(q113Sql)),
+    Query("q131_stream_neardup", q131, Some(q131Sql)))
 }

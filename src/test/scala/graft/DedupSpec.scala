@@ -136,4 +136,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 20L, 25L)), s"got ${out(1L)}")
     assert(out(2L)._1 == 1L && out(2L)._2 == 20L)
   }
+
+  test("admitAgainstBandStore drops collisions, admits novelty, and a " +
+      "replayed batch is a verdict no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.explode
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bandstore").toString
+    val store = s"$dir/bands"
+    val baseDoc = doc(200)
+    // seed the store with doc 1's bands
+    Seq((1L, baseDoc)).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(
+        graft.functions.hashExprs.minhashBands(col("text"), 64, 3, 16))
+        .as("band"))
+      .write.parquet(store)
+    // batch: 10 = near-dup of stored 1; 11/12 = exact dups of each
+    // other (intra-batch); 13 = novel
+    val nearDup = baseDoc.split(" ").toVector.updated(3, "ZZ").mkString(" ")
+    val intra = doc(200)
+    val batch = Seq((10L, nearDup), (11L, intra), (12L, intra),
+      (13L, doc(200))).toDF("doc_id", "text")
+    val admitted = operators.Dedup
+      .admitAgainstBandStore(batch, store)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(admitted == Set(11L, 13L),
+      s"near-dup of store and larger-id intra dup must drop: $admitted")
+    // replay the SAME batch: same verdicts (the admitted docs' own
+    // stored bands never evict them), store's distinct ids unchanged
+    val replays = operators.Dedup
+      .admitAgainstBandStore(batch, store)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(replays == Set(11L, 13L), s"replay changed verdicts: $replays")
+    val ids = spark.read.parquet(store)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 11L, 13L))
+  }
 }
