@@ -2700,6 +2700,149 @@ object VectorSearch {
     FROM spine s LEFT JOIN hits h USING (method, bytes_per_vec)
     ORDER BY s.method"""
 
+  // ---- q132: Matryoshka (prefix-dim) pre-rank meter ------------------
+
+  /** q132: dimension-truncation pre-rank on the q123 artifact — the
+    * Matryoshka-representation trick (Kusupati et al. 2022): scan
+    * only the first p dims of each embedding as the cheap pre-rank,
+    * rerank the surviving candidates full-width. MRL-trained
+    * embeddings concentrate meaning in the prefix, so p=dim/4 often
+    * holds recall; these HASHED embeddings are untrained, so the
+    * meter records the honest counterpart finding at EQUAL bytes —
+    * prefix-16 floats (64 B) vs SQ8's all-dims-coarsely (64 B) —
+    * the same structure-matters comparison q124 makes for pq-vs-bin.
+    * Same spine/rerank shape as q124: (method, bytes_per_vec,
+    * hits10) through the top-$Q123Overfetch cut + exact rerank. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vecIndexExprs
+    import graft.sources.IndexStore
+    val path = q123IndexPath(d)
+    IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path)
+    val qvec = Embed.embed(Q123QueryText, Embed.DefaultDim)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    val qCode = graft.functions.VecIndex.sq8Code(qData)
+    val qFac = graft.functions.VecIndex.sq8Factor(qData)
+    val idx = s.read.parquet(path)
+      .select(col("chunk_id"), col("embedding"), col("sq8_code"),
+        col("sq8_factor"))
+      .localCheckpoint() // four rank branches, one physical read
+    def rerankTop10(cand: DataFrame): DataFrame =
+      idx.join(broadcast(cand), col("chunk_id") === col("cid"))
+        .select(col("chunk_id"),
+          VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+        .orderBy(col("sim").desc, col("chunk_id")).limit(10)
+        .select(col("chunk_id"))
+    val exact10 = idx
+      .select(col("chunk_id"),
+        VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+      .orderBy(col("sim").desc, col("chunk_id")).limit(10)
+      .select(col("chunk_id"))
+    def prefixTop(p: Int): DataFrame = rerankTop10(idx
+      .select(col("chunk_id").as("cid"),
+        VectorOps.vecCosine(slice(col("embedding"), 1, p),
+          lit(qvec.take(p))).as("approx"))
+      .orderBy(col("approx").desc, col("cid")).limit(Q123Overfetch))
+    val sq8Top = rerankTop10(idx
+      .select(col("chunk_id").as("cid"),
+        (vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode))
+          * col("sq8_factor") * lit(qFac)).as("approx"))
+      .orderBy(col("approx").desc, col("cid")).limit(Q123Overfetch))
+    val dim = Embed.DefaultDim
+    val labeled =
+      exact10.select(lit("exact").as("method"),
+          lit(4 * dim).as("bytes_per_vec"), col("chunk_id"))
+        .unionAll(prefixTop(dim / 2).select(lit("mrl32").as("method"),
+          lit(2 * dim).as("bytes_per_vec"), col("chunk_id")))
+        .unionAll(prefixTop(dim / 4).select(lit("mrl16").as("method"),
+          lit(dim).as("bytes_per_vec"), col("chunk_id")))
+        .unionAll(sq8Top.select(lit("sq8").as("method"),
+          lit(dim).as("bytes_per_vec"), col("chunk_id")))
+    import s.implicits._
+    val spine = Seq(("exact", 4 * dim), ("mrl16", dim), ("mrl32", 2 * dim),
+        ("sq8", dim))
+      .toDF("method", "bytes_per_vec")
+    spine.join(
+        labeled.join(exact10, Seq("chunk_id"))
+          .groupBy(col("method"), col("bytes_per_vec"))
+          .agg(count(lit(1)).as("hits10")),
+        Seq("method", "bytes_per_vec"), "left")
+      .na.fill(0, Seq("hits10"))
+      .orderBy(col("method"))
+  }
+
+  /** q132 mirror: prefix-cosine candidate cuts re-derived from the
+    * dumped embeddings via list_slice (same left-to-right double
+    * sums), the SQ8 cut from the dumped codes, each reranked
+    * full-width and hit-counted against the exact top-10. */
+  private val q132Sql = s"""
+    WITH qv AS (SELECT qvec, qcode, qfac FROM $AuxQ123Query),
+    idx AS (SELECT * FROM $AuxQ123Index),
+    exact AS (
+      SELECT chunk_id,
+             row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+               chunk_id) AS rn
+      FROM idx x CROSS JOIN qv),
+    exact10 AS (SELECT chunk_id FROM exact WHERE rn <= 10),
+    m32cand AS (
+      SELECT chunk_id FROM idx x CROSS JOIN qv
+      ORDER BY ${cosColsSql("list_slice(x.embedding, 1, 32)",
+                            "list_slice(qv.qvec, 1, 32)")} DESC, x.chunk_id
+      LIMIT $Q123Overfetch),
+    m32top AS (
+      SELECT chunk_id FROM (
+        SELECT x.chunk_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.chunk_id) AS rn
+        FROM idx x JOIN m32cand USING (chunk_id) CROSS JOIN qv)
+      WHERE rn <= 10),
+    m16cand AS (
+      SELECT chunk_id FROM idx x CROSS JOIN qv
+      ORDER BY ${cosColsSql("list_slice(x.embedding, 1, 16)",
+                            "list_slice(qv.qvec, 1, 16)")} DESC, x.chunk_id
+      LIMIT $Q123Overfetch),
+    m16top AS (
+      SELECT chunk_id FROM (
+        SELECT x.chunk_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.chunk_id) AS rn
+        FROM idx x JOIN m16cand USING (chunk_id) CROSS JOIN qv)
+      WHERE rn <= 10),
+    sq8cand AS (
+      SELECT chunk_id FROM idx x CROSS JOIN qv
+      ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
+          k -> x.sq8[k] * qv.qcode[k])) AS DOUBLE) * x.fac * qv.qfac DESC,
+        x.chunk_id
+      LIMIT $Q123Overfetch),
+    sq8top AS (
+      SELECT chunk_id FROM (
+        SELECT x.chunk_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.chunk_id) AS rn
+        FROM idx x JOIN sq8cand USING (chunk_id) CROSS JOIN qv)
+      WHERE rn <= 10),
+    labeled AS (
+      SELECT 'exact' AS method, ${4 * Embed.DefaultDim} AS bytes_per_vec,
+             chunk_id FROM exact10
+      UNION ALL
+      SELECT 'mrl32', ${2 * Embed.DefaultDim}, chunk_id FROM m32top
+      UNION ALL
+      SELECT 'mrl16', ${Embed.DefaultDim}, chunk_id FROM m16top
+      UNION ALL
+      SELECT 'sq8', ${Embed.DefaultDim}, chunk_id FROM sq8top),
+    spine AS (
+      SELECT * FROM (VALUES
+        ('exact', ${4 * Embed.DefaultDim}), ('mrl16', ${Embed.DefaultDim}),
+        ('mrl32', ${2 * Embed.DefaultDim}), ('sq8', ${Embed.DefaultDim}))
+        s(method, bytes_per_vec)),
+    hits AS (
+      SELECT method, bytes_per_vec, COUNT(*) AS hits10
+      FROM labeled JOIN exact10 USING (chunk_id)
+      GROUP BY method, bytes_per_vec)
+    SELECT s.method, s.bytes_per_vec,
+           CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10
+    FROM spine s LEFT JOIN hits h USING (method, bytes_per_vec)
+    ORDER BY s.method"""
+
   // ---- q125: MMR diversity reranking ---------------------------------
 
   private val Q125QueryText = "shuffle partitioning strategy for wide joins"
@@ -3197,6 +3340,7 @@ object VectorSearch {
     Query("q106_hnsw_batch",    q106, Some(q106Sql)),
     Query("q123_ivfpq_search",  q123, Some(q123Sql)),
     Query("q124_pq_metrics",    q124, Some(q124Sql)),
+    Query("q132_matryoshka_prerank", q132, Some(q132Sql)),
     Query("q125_mmr_rerank",    q125, Some(q125Sql)),
     Query("q126_fork_isolation", q126, Some(q126Sql)),
     Query("q127_ivfpq_batch",   q127, Some(q127Sql)),
