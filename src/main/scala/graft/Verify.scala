@@ -81,10 +81,12 @@ object Verify {
       // q102's oracle reads the clustered corpus dump, so its name is
       // in the clustered step's serves set too
       ("q67b clustered", Set("q67b_ann_recall_clustered", "q102_ann_hnsw",
-          "q128_semdedup", "q129_pq_clustered"),
+          "q128_semdedup", "q129_pq_clustered", "q133_pq_residual"),
         () => operators.VectorSearch.materializeClusteredAux(spark, sfDir, auxDir)),
-      ("q129 clustered pq books", Set("q129_pq_clustered"),
+      ("q129 clustered pq books", Set("q129_pq_clustered", "q133_pq_residual"),
         () => operators.VectorSearch.materializePqClusteredAux(spark, sfDir, auxDir)),
+      ("q133 residual pq books", Set("q133_pq_residual"),
+        () => operators.VectorSearch.materializePqResidualAux(spark, sfDir, auxDir)),
       ("q102 hnsw", Set("q102_ann_hnsw"),
         () => operators.VectorSearch.materializeHnswAux(spark, sfDir, auxDir)),
       // q105's oracle reads the q103 index/query dumps plus its own

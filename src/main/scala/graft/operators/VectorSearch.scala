@@ -3220,6 +3220,269 @@ object VectorSearch {
     FROM spine s LEFT JOIN hits h USING (method, bytes_per_vec)
     ORDER BY s.method"""
 
+  // ---- q133: residual IVF-PQ (the FAISS IVFPQ encoding) --------------
+
+  private val Q133Cut = 16
+
+  /** floor(1e6 · dot(c, q)) — the micro-unit integer of a full-width
+    * dot, same left-to-right double accumulation + floor as
+    * [[pqLut]] (the mirror's list_sum reproduces it exactly). */
+  private def microsDot(q: Array[Float], c: Array[Float]): Long = {
+    var dot = 0.0
+    var i = 0
+    while (i < c.length) { dot += c(i).toDouble * q(i).toDouble; i += 1 }
+    math.floor(1e6 * dot).toLong
+  }
+
+  /** q133: RESIDUAL product quantization — the encoding FAISS's
+    * actual IVFPQ uses (Jégou et al. 2011 §III): each vector's PQ
+    * code describes v − c(cell), not v. On a clustered corpus the
+    * within-cell residual variance is a fraction of the corpus
+    * variance, so the 256 codes per subspace describe a much smaller
+    * ball — more accuracy at the SAME 8 bytes/vector. The ADC
+    * decomposes as dot(q,v) ≈ dot(q,c) + dot(q,r̂): one per-cell
+    * micro-integer constant (50 cells — query-sized, computed
+    * driver-side) plus the standard residual-LUT scan, so the scan
+    * cost is IDENTICAL to raw PQ. The meter runs raw-PQ and
+    * residual-PQ through the same top-$Q133Cut cut + exact rerank
+    * (a tighter cut than q129's 64 — at 64 both saturate; the cut
+    * where they differ is the finding). Residuals are FLOAT
+    * subtraction on both engines (DuckDB FLOAT−FLOAT stays float,
+    * bit-matching zip_with on float arrays). */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vecIndexExprs
+    import graft.sources.IndexStore.PqM
+    val cl = clusteredEmb(s, d)
+    val (ids, cents) = ivfCentroids(cl, "vec_id", "embedding", q67bSeeds(cl))
+    val qvec = cl.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    import s.implicits._
+    val centsDf = ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cell", "cvec")
+    val residAll = residualFrameCached(s, d, {
+      cl.select(col("vec_id"), col("embedding"),
+          vecIndexExprs.nearestCell(col("embedding"), ids, cents).as("cell"))
+        .join(broadcast(centsDf), "cell")
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("resid"))
+    })
+    val rbooks = pqResidualBooksCached(s, d, residAll)
+    val rawBooks = pqBooksClusteredCached(s, d)
+    val lutRes = pqLut(qvec, rbooks)
+    val lutRaw = pqLut(qvec, rawBooks)
+    val cconstDf = ids.toSeq.zip(cents.toSeq.map(c => microsDot(qvec, c)))
+      .toDF("cell", "cconst")
+    val corpus = residAll.filter(col("vec_id") =!= 0)
+    def rerankTop10(cand: DataFrame): DataFrame =
+      corpus.join(broadcast(cand), col("vec_id") === col("cid"))
+        .select(col("vec_id"),
+          VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+    val exact10 = corpus
+      .select(col("vec_id"),
+        VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    val pqrTop = rerankTop10(corpus.join(broadcast(cconstDf), "cell")
+      .select(col("vec_id").as("cid"),
+        (col("cconst") + vecIndexExprs.pqAdc(
+          vecIndexExprs.pqEncode(col("resid"), rbooks), lutRes)).as("score"))
+      .orderBy(col("score").desc, col("cid")).limit(Q133Cut))
+    val pqTop = rerankTop10(corpus
+      .select(col("vec_id").as("cid"),
+        vecIndexExprs.pqAdc(
+          vecIndexExprs.pqEncode(col("embedding"), rawBooks), lutRaw).as("score"))
+      .orderBy(col("score").desc, col("cid")).limit(Q133Cut))
+    val dim = Embed.DefaultDim
+    val labeled =
+      exact10.select(lit("exact").as("method"),
+          lit(4 * dim).as("bytes_per_vec"), col("vec_id"))
+        .unionAll(pqTop.select(lit("pq").as("method"),
+          lit(PqM).as("bytes_per_vec"), col("vec_id")))
+        .unionAll(pqrTop.select(lit("pqr").as("method"),
+          lit(PqM).as("bytes_per_vec"), col("vec_id")))
+    val spine = Seq(("exact", 4 * dim), ("pq", PqM), ("pqr", PqM))
+      .toDF("method", "bytes_per_vec")
+    spine.join(
+        labeled.join(exact10, Seq("vec_id"))
+          .groupBy(col("method"), col("bytes_per_vec"))
+          .agg(count(lit(1)).as("hits10")),
+        Seq("method", "bytes_per_vec"), "left")
+      .na.fill(0, Seq("hits10"))
+      .orderBy(col("method"))
+  }
+
+  /** The residual frame (assignment + float residuals), materialized
+    * once per (session, sf): q133 and its aux dump read one physical
+    * pass. */
+  private def residualFrameCached(s: SparkSession, d: String,
+                                  mk: => DataFrame): DataFrame =
+    residCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d), mk.localCheckpoint())
+  private val residCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Residual-trained PQ codebooks, once per (session, sf) — same
+    * training as [[pqBooksClusteredCached]] but over the residual
+    * column. */
+  private def pqResidualBooksCached(s: SparkSession, d: String,
+                                    resid: => DataFrame)
+      : Array[Array[Array[Float]]] = {
+    import graft.sources.IndexStore.{PqM, PqKsub}
+    residBooksCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d, PqM, PqKsub, 2),
+      pqCodebooks(resid, "vec_id", "resid", PqM, PqKsub, iters = 2))
+  }
+  private val residBooksCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, Int, Int, Int), Array[Array[Array[Float]]]]
+
+  /** Dump the residual codebooks for the q133 mirror (corpus,
+    * centroids and raw books ride the q67b/q129 dumps; the mirror
+    * re-derives assignment, residuals, and BOTH code families
+    * itself). */
+  def materializePqResidualAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import graft.functions.vecIndexExprs
+    val cl = clusteredEmb(s, d)
+    val (ids, cents) = ivfCentroids(cl, "vec_id", "embedding", q67bSeeds(cl))
+    import s.implicits._
+    val centsDf = ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cell", "cvec")
+    val residAll = residualFrameCached(s, d, {
+      cl.select(col("vec_id"), col("embedding"),
+          vecIndexExprs.nearestCell(col("embedding"), ids, cents).as("cell"))
+        .join(broadcast(centsDf), "cell")
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("resid"))
+    })
+    val rbooks = pqResidualBooksCached(s, d, residAll)
+    rbooks.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (c, j) => (sub, j, c.toSeq) }
+    }.toSeq.toDF("sub", "code_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q133_books.parquet")
+  }
+
+  private val AuxQ133Books =
+    "read_parquet('/root/repo/target/verify_aux/q133_books.parquet/*.parquet')"
+
+  /** q133 mirror: assignment re-derived from the q67b centroid dump,
+    * residuals re-derived as FLOAT subtraction, both code families
+    * re-derived per (row, subspace) from their dumped books, the
+    * residual rank with its per-cell micro constant, both cut+rerank
+    * pipelines re-run, hits counted. */
+  private val q133Sql = s"""
+    WITH qv AS (SELECT embedding AS qvec FROM $AuxQ67bCorpus WHERE vec_id = 0),
+    corpus AS (SELECT vec_id, embedding FROM $AuxQ67bCorpus WHERE vec_id <> 0),
+    cents AS (SELECT cent_id, cvec FROM $AuxQ67bCents),
+    books AS (SELECT sub, code_id, cvec FROM $AuxQ129Books),
+    rbooks AS (SELECT sub, code_id, cvec FROM $AuxQ133Books),
+    assign AS (
+      SELECT x.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY ${l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM corpus x, cents c),
+    assigned AS (SELECT vec_id, cent_id AS cell FROM assign WHERE arn = 1),
+    resid AS MATERIALIZED (
+      SELECT x.vec_id, a.cell,
+             list_transform(generate_series(1, len(x.embedding)),
+               i -> x.embedding[i] - c.cvec[i]) AS rv
+      FROM corpus x JOIN assigned a USING (vec_id)
+      JOIN cents c ON c.cent_id = a.cell),
+    lut AS (
+      SELECT b.sub, b.code_id,
+        CAST(floor(1000000.0 * list_sum(list_transform(
+          generate_series(1, len(b.cvec)),
+          i -> CAST(b.cvec[i] AS DOUBLE)
+             * CAST(qv.qvec[b.sub * $PqDsub + i] AS DOUBLE)))) AS BIGINT) AS micros
+      FROM books b CROSS JOIN qv),
+    rlut AS (
+      SELECT b.sub, b.code_id,
+        CAST(floor(1000000.0 * list_sum(list_transform(
+          generate_series(1, len(b.cvec)),
+          i -> CAST(b.cvec[i] AS DOUBLE)
+             * CAST(qv.qvec[b.sub * $PqDsub + i] AS DOUBLE)))) AS BIGINT) AS micros
+      FROM rbooks b CROSS JOIN qv),
+    cconst AS (
+      SELECT c.cent_id AS cell,
+        CAST(floor(1000000.0 * list_sum(list_transform(
+          generate_series(1, len(c.cvec)),
+          i -> CAST(c.cvec[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE))))
+          AS BIGINT) AS cc
+      FROM cents c CROSS JOIN qv),
+    subcodes AS (
+      SELECT p.vec_id, b.sub, b.code_id,
+             row_number() OVER (PARTITION BY p.vec_id, b.sub
+               ORDER BY sqrt(list_sum(list_transform(
+                   generate_series(1, len(b.cvec)),
+                   i -> (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))
+                      * (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))))), b.code_id) AS crn
+      FROM corpus p CROSS JOIN books b),
+    codes AS (SELECT vec_id, sub, code_id FROM subcodes WHERE crn = 1),
+    adc AS (
+      SELECT vec_id, CAST(SUM(micros) AS BIGINT) AS adc
+      FROM codes JOIN lut USING (sub, code_id) GROUP BY vec_id),
+    rsubcodes AS (
+      SELECT r.vec_id, b.sub, b.code_id,
+             row_number() OVER (PARTITION BY r.vec_id, b.sub
+               ORDER BY sqrt(list_sum(list_transform(
+                   generate_series(1, len(b.cvec)),
+                   i -> (CAST(r.rv[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))
+                      * (CAST(r.rv[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))))), b.code_id) AS crn
+      FROM resid r CROSS JOIN rbooks b),
+    rcodes AS (SELECT vec_id, sub, code_id FROM rsubcodes WHERE crn = 1),
+    radc AS (
+      SELECT vec_id, CAST(SUM(micros) AS BIGINT) AS adc
+      FROM rcodes JOIN rlut USING (sub, code_id) GROUP BY vec_id),
+    exact AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+               vec_id) AS rn
+      FROM corpus x CROSS JOIN qv),
+    exact10 AS (SELECT vec_id FROM exact WHERE rn <= 10),
+    pqcand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT $Q133Cut),
+    pqtop AS (
+      SELECT vec_id FROM (
+        SELECT x.vec_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.vec_id) AS rn
+        FROM corpus x JOIN pqcand USING (vec_id) CROSS JOIN qv)
+      WHERE rn <= 10),
+    pqrcand AS (
+      SELECT a.vec_id FROM radc a
+      JOIN resid r USING (vec_id) JOIN cconst c ON c.cell = r.cell
+      ORDER BY c.cc + a.adc DESC, a.vec_id LIMIT $Q133Cut),
+    pqrtop AS (
+      SELECT vec_id FROM (
+        SELECT x.vec_id,
+               row_number() OVER (ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                 x.vec_id) AS rn
+        FROM corpus x JOIN pqrcand USING (vec_id) CROSS JOIN qv)
+      WHERE rn <= 10),
+    labeled AS (
+      SELECT 'exact' AS method, ${4 * Embed.DefaultDim} AS bytes_per_vec, vec_id
+      FROM exact10
+      UNION ALL
+      SELECT 'pq', ${graft.sources.IndexStore.PqM}, vec_id FROM pqtop
+      UNION ALL
+      SELECT 'pqr', ${graft.sources.IndexStore.PqM}, vec_id FROM pqrtop),
+    spine AS (
+      SELECT * FROM (VALUES
+        ('exact', ${4 * Embed.DefaultDim}),
+        ('pq', ${graft.sources.IndexStore.PqM}),
+        ('pqr', ${graft.sources.IndexStore.PqM}))
+        s(method, bytes_per_vec)),
+    hits AS (
+      SELECT method, bytes_per_vec, COUNT(*) AS hits10
+      FROM labeled JOIN exact10 USING (vec_id)
+      GROUP BY method, bytes_per_vec)
+    SELECT s.method, s.bytes_per_vec,
+           CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10
+    FROM spine s LEFT JOIN hits h USING (method, bytes_per_vec)
+    ORDER BY s.method"""
+
   // ---- q128: SemDeDup (cluster-scoped semantic deduplication) -------
 
   private val Q128TauMicros = 880000L
@@ -3345,5 +3608,6 @@ object VectorSearch {
     Query("q126_fork_isolation", q126, Some(q126Sql)),
     Query("q127_ivfpq_batch",   q127, Some(q127Sql)),
     Query("q128_semdedup",      q128, Some(q128Sql)),
-    Query("q129_pq_clustered",  q129, Some(q129Sql)))
+    Query("q129_pq_clustered",  q129, Some(q129Sql)),
+    Query("q133_pq_residual",   q133, Some(q133Sql)))
 }

@@ -182,4 +182,59 @@ class PqSpec extends AnyFunSuite {
         s"PQ scan must prune the unused lsh_buckets column: ${f.requiredSchema}")
     }
   }
+
+  test("residual PQ reconstructs a clustered corpus better than raw PQ " +
+      "at equal bytes (the q133 premise)") {
+    import spark.implicits._
+    // more tight clusters than PQ codes per subspace: raw PQ cannot
+    // even place one code per cluster, residual PQ only needs to
+    // cover the within-cluster ball
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val nClusters = 8
+    val centers = Seq.fill(nClusters)(
+      Array.fill(dim)((rnd.nextInt(11) - 5).toFloat))
+    val corpus = (0 until 64).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, (i % nClusters).toLong,
+        c.zip(Array.fill(dim)(rnd.nextGaussian().toFloat * 0.3f))
+          .map { case (a, b) => a + b }.toSeq)
+    }
+    val df = corpus.toDF("vec_id", "cell", "embedding")
+    val cents = centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cell", "cvec")
+    val resid = df.join(cents, "cell")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("resid"))
+      .localCheckpoint()
+    val m = 4; val ksub = 4
+    val rawBooks = VectorSearch.pqCodebooks(df, "vec_id", "embedding",
+      m, ksub, iters = 2, dim = dim)
+    val resBooks = VectorSearch.pqCodebooks(resid, "vec_id", "resid",
+      m, ksub, iters = 2, dim = dim)
+    def sqErr(v: Array[Float], code: Array[Byte],
+              books: Array[Array[Array[Float]]], base: Array[Float]): Double =
+      v.indices.map { i =>
+        val s = i / (dim / m)
+        val rec = base(i) + books(s)(code(s) & 0xFF)(i % (dim / m))
+        val e = v(i) - rec; e * e
+      }.sum
+    val zero = Array.fill(dim)(0f)
+    val errs = corpus.map { case (_, cell, emb) =>
+      val v = emb.toArray
+      val c = centers(cell.toInt)
+      val r = v.zip(c).map { case (a, b) => a - b }
+      val raw = sqErr(v, VecIndex.pqEncode(new GenericArrayData(v), rawBooks),
+        rawBooks, zero)
+      val res = sqErr(v, VecIndex.pqEncode(new GenericArrayData(r), resBooks),
+        resBooks, c)
+      (raw, res)
+    }
+    val (rawTot, resTot) = errs.foldLeft((0.0, 0.0)) {
+      case ((a, b), (x, y)) => (a + x, b + y)
+    }
+    assert(resTot < rawTot / 2,
+      s"residual reconstruction must at least halve the error on a " +
+        s"clustered corpus: raw=$rawTot res=$resTot")
+  }
 }
