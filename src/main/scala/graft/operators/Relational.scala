@@ -941,6 +941,86 @@ object Relational {
 
   // ---- catalog -----------------------------------------------------
 
+  // ---- q134/q135: event-sequence analytics (funnel, cohorts) --------
+
+  /** q134: ordered funnel — how many users progressed
+    * view → click → purchase IN ORDER (each stage's first event must
+    * strictly follow the previous stage's first event). Stage n is
+    * computed from stage n−1's per-user frontier, so the whole
+    * funnel is three user-keyed aggregations reusing one shuffle
+    * key — no event-by-event sequence scan, no window over the full
+    * event log. At 100 TB this is the shape that works: events
+    * shuffle once on user_id, every stage is a partial-agg min. */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("t_view"))
+      .groupBy("user_id").agg(min(col("us")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("t_click"))
+      .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+    Seq((1, "view", v), (2, "click", c), (3, "purchase", p))
+      .map { case (i, name, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("stage"), lit(name).as("step"), col("n_users"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy("stage")
+  }
+
+  private val q134Sql = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, MIN(us) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(us) AS t_click FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS t_purchase FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > t_click GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+    ORDER BY stage"""
+
+  /** q135: weekly cohort retention — users bucketed by the week of
+    * their first event (relative to the corpus's first event, so the
+    * query is fixture-date-agnostic), counted as retained in every
+    * later week they were active. All integer micro/week arithmetic;
+    * one user-keyed agg for cohorts + one distinct count per
+    * (cohort, offset). */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val week = 604800000000L // microseconds
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val g0 = e.agg(min(col("us"))).head().getLong(0)
+    val cohorts = e.groupBy("user_id")
+      .agg(expr(s"(min(us) - $g0) div $week").as("cohort_week"))
+    e.withColumn("week_at", expr(s"(us - $g0) div $week"))
+      .join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week_at") - col("cohort_week")).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val q135Sql = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    g AS (SELECT MIN(us) AS g0 FROM e),
+    cohorts AS (
+      SELECT user_id, (MIN(us) - (SELECT g0 FROM g)) // 604800000000
+               AS cohort_week
+      FROM e GROUP BY user_id)
+    SELECT c.cohort_week,
+           (e.us - (SELECT g0 FROM g)) // 604800000000 - c.cohort_week
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM e JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Seq[Query] = Seq(
     Query("q01_pricing_summary", q01, Some(q01Sql)),
     Query("q02_global_stats",    q02, Some(q02Sql)),
@@ -978,5 +1058,7 @@ object Relational {
     Query("q38_map_funcs",       q38, Some(q38Sql)),
     Query("q37_window_dist",     q37, Some(q37Sql)),
     Query("q34_date_funcs",      q34, Some(q34Sql)),
-    Query("q35_array_funcs",     q35, Some(q35Sql)))
+    Query("q35_array_funcs",     q35, Some(q35Sql)),
+    Query("q134_funnel_steps",   q134, Some(q134Sql)),
+    Query("q135_cohort_retention", q135, Some(q135Sql)))
 }
