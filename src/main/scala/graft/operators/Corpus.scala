@@ -681,6 +681,136 @@ object Corpus {
     FROM cums
     GROUP BY 1, 2 ORDER BY lang, seq_id"""
 
+  // ---- q136: BPE merge training --------------------------------------
+
+  /** Train byte-pair-encoding merges on a corpus (Sennrich et al.
+    * 2016 — the tokenizer-training step of an LLM data pipeline;
+    * q48's regex splitter APPLIES a BPE-ish segmentation, this LEARNS
+    * one). Classic trainer loop over the word-count dictionary:
+    * every round counts adjacent symbol pairs weighted by word
+    * frequency, takes the most frequent pair (ties to the
+    * lexicographically smaller), and merges its non-overlapping
+    * occurrences greedily left-to-right.
+    *
+    * Distribution shape: the state is the (word, pos, symbol) table
+    * of the DISTINCT-WORD dictionary — Zipf-bounded, orders of
+    * magnitude smaller than the corpus at 100 TB (the corpus is
+    * touched once, for the word counts). Each round is one
+    * pair-count aggregation plus one window pass; only the single
+    * argmax row comes to the driver (exactly what any BPE trainer
+    * ships between rounds). The greedy left-to-right merge is
+    * closed-form distributed: matches can only be adjacent when
+    * l == r, so greedy = keep the odd-ranked matches within each
+    * run of consecutive match positions — islands + parity, no
+    * sequential scan. */
+  def bpeMerges(docs: DataFrame, textCol: String,
+                nMerges: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wc = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    var syms = wc.select(col("word"),
+        posexplode(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as(Seq("p", "sym")))
+      .select(col("word"), (col("p") + 1).as("p"), col("sym"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= nMerges) {
+      val pairs = syms.as("a").join(syms.as("b"),
+          col("a.word") === col("b.word") && col("b.p") === col("a.p") + 1)
+        .join(wc.withColumnRenamed("word", "w2"), col("a.word") === col("w2"))
+        .groupBy(col("a.sym").as("l"), col("b.sym").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val top = pairs.orderBy(col("c").desc, col("l"), col("r")).head()
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step, l, r, c))
+      val m0 = syms.as("a").join(syms.as("b"),
+          col("a.word") === col("b.word") && col("b.p") === col("a.p") + 1 &&
+          col("a.sym") === l && col("b.sym") === r)
+        .select(col("a.word").as("word"), col("a.p").as("p"))
+      val wIsl = Window.partitionBy(col("word")).orderBy(col("p"))
+      val m1 = m0.withColumn("isl", col("p") - row_number().over(wIsl))
+      val wRun = Window.partitionBy(col("word"), col("isl")).orderBy(col("p"))
+      val taken = m1.withColumn("rn", row_number().over(wRun))
+        .filter(col("rn") % 2 === 1).select(col("word"), col("p"))
+      val merged = syms
+        .join(taken.select(col("word"), col("p"), lit(1).as("hit")),
+          Seq("word", "p"), "left")
+        .join(taken.select(col("word"), (col("p") + 1).as("p"),
+          lit(1).as("absorbed")), Seq("word", "p"), "left")
+        .filter(col("absorbed").isNull)
+        .select(col("word"), col("p"),
+          when(col("hit").isNotNull, concat(col("sym"), lit(r)))
+            .otherwise(col("sym")).as("sym"))
+      val wP = Window.partitionBy(col("word")).orderBy(col("p"))
+      syms = merged
+        .select(col("word"), row_number().over(wP).as("p"), col("sym"))
+        .localCheckpoint()
+      step += 1
+    }
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "weight")
+  }
+
+  private def q136(s: SparkSession, d: String): DataFrame =
+    bpeMerges(Tables.documents(s, d), "text", nMerges = 8)
+
+  /** One oracle stage per merge round: pair counts, argmax, the
+    * islands+parity greedy match set, and the rewritten symbol
+    * table. MATERIALIZED everywhere — every stage is referenced by
+    * multiple successors and the chain is 8 deep. */
+  private def bpeStageSql(i: Int): String = {
+    val prev = if (i == 1) "syms0" else s"syms${i - 1}"
+    s"""pairs$i AS MATERIALIZED (
+      SELECT a.sym AS l, b.sym AS r, CAST(SUM(w.cnt) AS BIGINT) AS c
+      FROM $prev a JOIN $prev b ON a.word = b.word AND b.p = a.p + 1
+      JOIN wc w ON w.word = a.word
+      GROUP BY a.sym, b.sym),
+    best$i AS MATERIALIZED (
+      SELECT l, r, c FROM pairs$i ORDER BY c DESC, l, r LIMIT 1),
+    m1_$i AS (
+      SELECT word, p, p - row_number() OVER (PARTITION BY word ORDER BY p) AS isl
+      FROM (SELECT a.word, a.p
+            FROM $prev a JOIN $prev b ON a.word = b.word AND b.p = a.p + 1,
+                 best$i bb
+            WHERE a.sym = bb.l AND b.sym = bb.r)),
+    taken$i AS MATERIALIZED (
+      SELECT word, p FROM (
+        SELECT word, p,
+               row_number() OVER (PARTITION BY word, isl ORDER BY p) AS rn
+        FROM m1_$i)
+      WHERE rn % 2 = 1),
+    syms$i AS MATERIALIZED (
+      SELECT word, row_number() OVER (PARTITION BY word ORDER BY p) AS p, sym
+      FROM (
+        SELECT s.word, s.p,
+               CASE WHEN t.p IS NOT NULL THEN s.sym || (SELECT r FROM best$i)
+                    ELSE s.sym END AS sym
+        FROM $prev s
+        LEFT JOIN taken$i t ON t.word = s.word AND t.p = s.p
+        LEFT JOIN taken$i u ON u.word = s.word AND u.p = s.p - 1
+        WHERE u.p IS NULL))"""
+  }
+
+  private val q136Sql: String = s"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt FROM toks
+      WHERE length(word) > 0 GROUP BY word),
+    syms0 AS MATERIALIZED (
+      SELECT word, i AS p, substring(word, i, 1) AS sym
+      FROM wc, UNNEST(generate_series(1, length(word))) AS t(i)),
+    ${(1 to 8).map(bpeStageSql).mkString(",\n    ")}
+    SELECT * FROM (
+      ${(1 to 8).map(i =>
+        s"SELECT $i AS step, l AS left_sym, r AS right_sym, c AS weight FROM best$i")
+        .mkString("\n      UNION ALL ")})
+    ORDER BY step"""
+
   val queries: Seq[Query] = Seq(
     Query("q55_vocab_topk",    q55, Some(q55Sql)),
     Query("q56_tfidf",         q56, Some(q56Sql)),
@@ -692,5 +822,6 @@ object Corpus {
     Query("q97_prepare_pipeline", q97, Some(q97Sql)),
     Query("q99_sequence_packing", q99, Some(q99Sql)),
     Query("q100_mixture_sample", q100, Some(q100Sql)),
-    Query("q101_sample_split_compose", q101, Some(q101Sql)))
+    Query("q101_sample_split_compose", q101, Some(q101Sql)),
+    Query("q136_bpe_merges",   q136, Some(q136Sql)))
 }

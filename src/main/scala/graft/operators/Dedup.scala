@@ -573,6 +573,19 @@ object Dedup {
     admitted
   }
 
+  /** Compact a band store grown by [[admitAgainstBandStore]]'s
+    * appends (replayed batches may append duplicate (doc_id, band)
+    * rows — harmless for admission semantics, wasteful on disk):
+    * rewrite one row per distinct pair. The read-before-overwrite
+    * checkpoint is the same safety the partition-rewrite verbs use.
+    * At 100 TB the store is band-prefix-partitioned and this runs
+    * per partition, like [[graft.sources.IndexStore.compactIvf]]. */
+  def compactBandStore(spark: SparkSession, storePath: String): Unit = {
+    val distinctRows = spark.read.parquet(storePath)
+      .distinct().localCheckpoint()
+    distinctRows.write.mode("overwrite").parquet(storePath)
+  }
+
   /** q130: fixture instantiation of [[duplicatedSpans]]. Oracle:
     * DuckDB re-derives the windows, the cross-doc gram set, and the
     * island merge from the RAW documents table — no aux; md5 over

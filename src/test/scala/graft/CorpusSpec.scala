@@ -204,4 +204,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(top.head == "unique7",
       s"doc-unique term must outrank the everywhere-term: ${top.toSeq}")
   }
+
+  test("bpeMerges learns frequency-ordered merges and the greedy " +
+      "left-to-right rule for self-pairs") {
+    import spark.implicits._
+    // "aaaa" x2 -> pair (a,a) appears 3 times per instance = weight 6;
+    // "ab" x3 -> (a,b) weight 3
+    val docs = Seq("aaaa aaaa ab ab ab").toDF("text")
+    val m = operators.Corpus.bpeMerges(docs, "text", nMerges = 3)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // step 1: (a,a) wins at 6; greedy merge of "aaaa" takes positions
+    // 1 and 3 (never the overlapping middle) -> "aa"+"aa", so step 3
+    // sees (aa,aa) at weight 2, not an overlap artifact
+    assert(m == Seq((1, "a", "a", 6L), (2, "a", "b", 3L),
+      (3, "aa", "aa", 2L)), s"got $m")
+  }
 }

@@ -171,5 +171,16 @@ class DedupSpec extends AnyFunSuite {
     val ids = spark.read.parquet(store)
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(ids == Set(1L, 11L, 13L))
+    // compaction removes the replay's duplicate rows without moving
+    // any admission verdict
+    val before = spark.read.parquet(store).count()
+    val distinctBefore = spark.read.parquet(store).distinct().count()
+    assert(before > distinctBefore, "replay must have appended dups")
+    operators.Dedup.compactBandStore(spark, store)
+    assert(spark.read.parquet(store).count() == distinctBefore)
+    val again = operators.Dedup
+      .admitAgainstBandStore(batch, store)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(again == Set(11L, 13L))
   }
 }
