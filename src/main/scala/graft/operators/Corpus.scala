@@ -704,7 +704,13 @@ object Corpus {
     * run of consecutive match positions — islands + parity, no
     * sequential scan. */
   def bpeMerges(docs: DataFrame, textCol: String,
-                nMerges: Int = 8): DataFrame = {
+                nMerges: Int = 8): DataFrame =
+    bpeTrain(docs, textCol, nMerges)._1
+
+  /** [[bpeMerges]] plus the final (word, pos, symbol) segmentation
+    * table the merges imply — the encoded dictionary. */
+  private[graft] def bpeTrain(docs: DataFrame, textCol: String,
+                              nMerges: Int): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val wc = docs.select(explode(split(col(textCol), " ")).as("word"))
@@ -752,11 +758,44 @@ object Corpus {
         .localCheckpoint()
       step += 1
     }
-    merges.toSeq.toDF("step", "left_sym", "right_sym", "weight")
+    (merges.toSeq.toDF("step", "left_sym", "right_sym", "weight"), syms)
   }
 
+  /** One training run per (session, sf): q136 reports the merges,
+    * q137 the segmentation they imply — same physical rounds. */
+  private def bpeTrainedCached(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    bpeCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d),
+      bpeTrain(Tables.documents(s, d), "text", nMerges = 8))
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), (DataFrame, DataFrame)]
+
   private def q136(s: SparkSession, d: String): DataFrame =
-    bpeMerges(Tables.documents(s, d), "text", nMerges = 8)
+    bpeTrainedCached(s, d)._1
+
+  /** q137: what the 8 learned merges BUY — per-source corpus token
+    * counts under the trained segmentation vs raw characters
+    * (chars/token in integer micros; 1.0 would mean BPE learned
+    * nothing). The corpus is touched once for per-source word
+    * counts; the segmentation cost rides the dictionary. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val syms = bpeTrainedCached(s, d)._2
+    val nsyms = syms.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    val wcs = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    wcs.join(nsyms, "word")
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"),
+        sum(col("cnt") * col("n_syms")).as("n_tokens"))
+      .withColumn("chars_per_token_micros",
+        expr("1000000 * n_chars div n_tokens"))
+      .orderBy("source")
+  }
 
   /** One oracle stage per merge round: pair counts, argmax, the
     * islands+parity greedy match set, and the rewritten symbol
@@ -811,6 +850,31 @@ object Corpus {
         .mkString("\n      UNION ALL ")})
     ORDER BY step"""
 
+  private val q137Sql: String = s"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt FROM toks
+      WHERE length(word) > 0 GROUP BY word),
+    syms0 AS MATERIALIZED (
+      SELECT word, i AS p, substring(word, i, 1) AS sym
+      FROM wc, UNNEST(generate_series(1, length(word))) AS t(i)),
+    ${(1 to 8).map(bpeStageSql).mkString(",\n    ")},
+    nsyms AS (SELECT word, COUNT(*) AS n_syms FROM syms8 GROUP BY word),
+    wcs AS (
+      SELECT source, word, COUNT(*) AS cnt FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      WHERE length(word) > 0 GROUP BY source, word)
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(cnt * n_syms) AS BIGINT) AS n_tokens,
+           CAST((1000000 * SUM(cnt * length(word))) // SUM(cnt * n_syms)
+             AS BIGINT) AS chars_per_token_micros
+    FROM wcs JOIN nsyms USING (word)
+    GROUP BY source ORDER BY source"""
+
   val queries: Seq[Query] = Seq(
     Query("q55_vocab_topk",    q55, Some(q55Sql)),
     Query("q56_tfidf",         q56, Some(q56Sql)),
@@ -823,5 +887,6 @@ object Corpus {
     Query("q99_sequence_packing", q99, Some(q99Sql)),
     Query("q100_mixture_sample", q100, Some(q100Sql)),
     Query("q101_sample_split_compose", q101, Some(q101Sql)),
-    Query("q136_bpe_merges",   q136, Some(q136Sql)))
+    Query("q136_bpe_merges",   q136, Some(q136Sql)),
+    Query("q137_bpe_compression", q137, Some(q137Sql)))
 }
