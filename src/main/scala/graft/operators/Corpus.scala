@@ -708,15 +708,27 @@ object Corpus {
     bpeTrain(docs, textCol, nMerges)._1
 
   /** [[bpeMerges]] plus the final (word, pos, symbol) segmentation
-    * table the merges imply — the encoded dictionary. */
+    * table the merges imply — the encoded dictionary.
+    *
+    * Two physically different, semantically IDENTICAL merge loops
+    * (CorpusSpec pins their equality): the corpus-sized work — the
+    * word-count dictionary — is always distributed; the per-round
+    * merge state then either fits the driver (`driverThreshold`
+    * distinct words — what every single-node BPE trainer holds; 8
+    * distributed rounds on a small dict would pay ~16 job schedules
+    * for microseconds of compute) or iterates distributed,
+    * dictionary-partitioned, for vocabularies that don't fit. */
   private[graft] def bpeTrain(docs: DataFrame, textCol: String,
-                              nMerges: Int): (DataFrame, DataFrame) = {
+                              nMerges: Int,
+                              driverThreshold: Long = 100000L)
+      : (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val wc = docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    if (wc.count() <= driverThreshold) return bpeTrainDriver(s, wc, nMerges)
     var syms = wc.select(col("word"),
         posexplode(expr(
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
@@ -759,6 +771,50 @@ object Corpus {
       step += 1
     }
     (merges.toSeq.toDF("step", "left_sym", "right_sym", "weight"), syms)
+  }
+
+  /** The driver-side merge loop — bit-identical semantics to the
+    * distributed rounds: overlapping pair counts weighted by word
+    * frequency, argmax with (count desc, left, right) tie order,
+    * greedy left-to-right non-overlapping merge. */
+  private def bpeTrainDriver(s: SparkSession, wc: DataFrame,
+                             nMerges: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val dict: Array[(String, Long, Array[String])] = wc.collect().map { r =>
+      val w = r.getString(0)
+      (w, r.getLong(1), w.map(_.toString).toArray)
+    }
+    var words = dict
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (_, cnt, sy) =>
+        var i = 0
+        while (i < sy.length - 1) {
+          val k = (sy(i), sy(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      val ((l, r), c) = counts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+      merges += ((step, l, r, c))
+      words = words.map { case (w, cnt, sy) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        sy.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r)
+            out(out.length - 1) = l + r
+          else out += x
+        }
+        (w, cnt, out.toArray)
+      }
+      step += 1
+    }
+    val symRows = words.flatMap { case (w, _, sy) =>
+      sy.zipWithIndex.map { case (sym, i) => (w, i + 1, sym) }
+    }.toSeq
+    (merges.toSeq.toDF("step", "left_sym", "right_sym", "weight"),
+      symRows.toDF("word", "p", "sym"))
   }
 
   /** One training run per (session, sf): q136 reports the merges,

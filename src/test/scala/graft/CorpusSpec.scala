@@ -221,4 +221,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(m == Seq((1, "a", "a", 6L), (2, "a", "b", 3L),
       (3, "aa", "aa", 2L)), s"got $m")
   }
+
+  test("the driver-side and distributed BPE merge loops are " +
+      "bit-identical on a real corpus slice") {
+    val docs = Tables.documents(spark, d).limit(40)
+      .select("text").localCheckpoint()
+    def run(thr: Long) = {
+      val (m, sy) = operators.Corpus.bpeTrain(docs, "text", nMerges = 4,
+        driverThreshold = thr)
+      (m.orderBy("step").collect().toSeq.map(_.toSeq),
+        sy.orderBy("word", "p").collect().toSeq.map(_.toSeq))
+    }
+    val (mDriver, syDriver) = run(Long.MaxValue)
+    val (mDist, syDist) = run(0L)
+    assert(mDriver == mDist, s"merge paths diverged:\n$mDriver\n$mDist")
+    assert(syDriver == syDist, "segmentation paths diverged")
+  }
 }
