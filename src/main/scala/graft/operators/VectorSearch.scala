@@ -3227,7 +3227,7 @@ object VectorSearch {
   /** floor(1e6 · dot(c, q)) — the micro-unit integer of a full-width
     * dot, same left-to-right double accumulation + floor as
     * [[pqLut]] (the mirror's list_sum reproduces it exactly). */
-  private def microsDot(q: Array[Float], c: Array[Float]): Long = {
+  private[graft] def microsDot(q: Array[Float], c: Array[Float]): Long = {
     var dot = 0.0
     var i = 0
     while (i < c.length) { dot += c(i).toDouble * q(i).toDouble; i += 1 }
@@ -3483,6 +3483,138 @@ object VectorSearch {
     FROM spine s LEFT JOIN hits h USING (method, bytes_per_vec)
     ORDER BY s.method"""
 
+  // ---- q138: persisted residual IVF-PQ layout lifecycle --------------
+
+  private[graft] def q138IndexPath(d: String): String =
+    idxPath("q138_pqr_index", d)
+
+  /** q138: the q133-proven residual encoding as a PRODUCT — the full
+    * persisted-layout lifecycle on `buildIvfPq(residual = true)`:
+    * cell-partitioned rows whose 8-byte codes describe v − c(cell),
+    * `_pq` books trained on residuals, the `_pqmeta` encoding
+    * contract, and a probe whose ADC rank adds the per-probed-cell
+    * micro-constant dot(q,c). Search, batch and every maintenance
+    * verb read the stored contract (PqSpec pins maintenance
+    * re-encode). Gate: the searched top-10 vs a mirror that
+    * re-derives assignment, residuals, codes, LUT, constants and
+    * both ranks from independently dumped sidecars. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q138IndexPath(d)
+    IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path,
+      residual = true)
+    IndexStore.searchTopKIvfPq(s, path, Q123QueryText, k = 10,
+      probes = Q123Probes, overfetch = Q123Overfetch)
+  }
+
+  /** Dump the q138 residual artifact (rows + centroid and
+    * residual-book sidecars + query vector) for the mirror. The
+    * stored pq codes are deliberately NOT dumped — the mirror
+    * re-derives them from residuals × books, so an encode defect
+    * hash-mismatches. */
+  def materializePqrAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import graft.sources.IndexStore
+    val path = q138IndexPath(d)
+    IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path,
+      residual = true)
+    s.read.parquet(path)
+      .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
+        col("cell").cast("long").as("cell"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q138_index.parquet")
+    s.read.parquet(s"$path/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q138_cents.parquet")
+    s.read.parquet(s"$path/_pq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q138_books.parquet")
+    val qvec = Embed.embed(Q123QueryText, Embed.DefaultDim)
+    import s.implicits._
+    Seq(qvec.toSeq).toDF("qvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q138_query.parquet")
+  }
+
+  private val AuxQ138Index =
+    "read_parquet('/root/repo/target/verify_aux/q138_index.parquet/*.parquet')"
+  private val AuxQ138Cents =
+    "read_parquet('/root/repo/target/verify_aux/q138_cents.parquet/*.parquet')"
+  private val AuxQ138Books =
+    "read_parquet('/root/repo/target/verify_aux/q138_books.parquet/*.parquet')"
+  private val AuxQ138Query =
+    "read_parquet('/root/repo/target/verify_aux/q138_query.parquet/*.parquet')"
+
+  /** q138 mirror: the q123 mirror's shape with the residual pieces —
+    * assignment re-derived from the centroid dump (and CHECKED
+    * against the dumped partition cell: a build-side mis-assignment
+    * hash-mismatches), FLOAT residuals, codes re-derived from
+    * residuals × the residual books, the ADC rank with its
+    * per-probed-cell micro-constant, exact-cosine rerank. */
+  private val q138Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ138Cents),
+    qv AS (SELECT qvec FROM $AuxQ138Query),
+    books AS (SELECT sub, code_id, cvec FROM $AuxQ138Books),
+    idx AS (SELECT * FROM $AuxQ138Index),
+    assign AS (
+      SELECT x.chunk_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.chunk_id
+               ORDER BY ${l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM idx x, cents c),
+    assigned AS (
+      SELECT a.chunk_id, a.cent_id AS cell
+      FROM assign a JOIN idx x ON x.chunk_id = a.chunk_id
+      WHERE a.arn = 1 AND a.cent_id = x.cell),
+    probe AS (
+      SELECT c.cent_id AS cell FROM cents c, qv
+      ORDER BY ${l2Sql("qv.qvec", "c.cvec")}, c.cent_id LIMIT $Q123Probes),
+    pruned AS (
+      SELECT x.*, a.cell AS acell FROM idx x
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+    resid AS MATERIALIZED (
+      SELECT x.chunk_id, x.acell AS cell,
+             list_transform(generate_series(1, len(x.embedding)),
+               i -> x.embedding[i] - c.cvec[i]) AS rv
+      FROM pruned x JOIN cents c ON c.cent_id = x.acell),
+    lut AS (
+      SELECT b.sub, b.code_id,
+        CAST(floor(1000000.0 * list_sum(list_transform(
+          generate_series(1, len(b.cvec)),
+          i -> CAST(b.cvec[i] AS DOUBLE)
+             * CAST(qv.qvec[b.sub * $PqDsub + i] AS DOUBLE)))) AS BIGINT) AS micros
+      FROM books b CROSS JOIN qv),
+    cconst AS (
+      SELECT c.cent_id AS cell,
+        CAST(floor(1000000.0 * list_sum(list_transform(
+          generate_series(1, len(c.cvec)),
+          i -> CAST(c.cvec[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE))))
+          AS BIGINT) AS cc
+      FROM cents c CROSS JOIN qv),
+    subcodes AS (
+      SELECT r.chunk_id, b.sub, b.code_id,
+             row_number() OVER (PARTITION BY r.chunk_id, b.sub
+               ORDER BY sqrt(list_sum(list_transform(
+                   generate_series(1, len(b.cvec)),
+                   i -> (CAST(r.rv[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))
+                      * (CAST(r.rv[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))))), b.code_id) AS crn
+      FROM resid r CROSS JOIN books b),
+    codes AS (SELECT chunk_id, sub, code_id FROM subcodes WHERE crn = 1),
+    adc AS (
+      SELECT r.chunk_id,
+             CAST(SUM(l.micros) AS BIGINT) + MIN(k.cc) AS adc
+      FROM codes c2 JOIN lut l USING (sub, code_id)
+      JOIN resid r ON r.chunk_id = c2.chunk_id
+      JOIN cconst k ON k.cell = r.cell
+      GROUP BY r.chunk_id),
+    cand AS (SELECT chunk_id FROM adc
+             ORDER BY adc DESC, chunk_id LIMIT $Q123Overfetch),
+    scored AS (
+      SELECT x.chunk_id, x.doc_id, x.source, x.chunk,
+             ${cosColsSql("x.embedding", "qv.qvec")} AS sim
+      FROM pruned x JOIN cand USING (chunk_id) CROSS JOIN qv)
+    SELECT row_number() OVER (ORDER BY sim DESC, chunk_id) AS rank,
+           chunk_id, doc_id, source, chunk,
+           'https://docs.google.com/spreadsheets/d/' || source ||
+           '/edit#gid=0&range=A' || CAST(doc_id + 2 AS BIGINT) AS link
+    FROM scored ORDER BY sim DESC, chunk_id LIMIT 10"""
+
   // ---- q128: SemDeDup (cluster-scoped semantic deduplication) -------
 
   private val Q128TauMicros = 880000L
@@ -3609,5 +3741,6 @@ object VectorSearch {
     Query("q127_ivfpq_batch",   q127, Some(q127Sql)),
     Query("q128_semdedup",      q128, Some(q128Sql)),
     Query("q129_pq_clustered",  q129, Some(q129Sql)),
-    Query("q133_pq_residual",   q133, Some(q133Sql)))
+    Query("q133_pq_residual",   q133, Some(q133Sql)),
+    Query("q138_ivfpqr_search", q138, Some(q138Sql)))
 }

@@ -405,15 +405,36 @@ object IndexStore {
     * build), encode the rows' codes through the PERSISTED books —
     * maintenance must never leave null `pq_code` columns behind (a
     * null code silently drops the row from every ADC candidate
-    * scan). Plain IVF layouts pass through untouched. */
+    * scan). The stored `_pqmeta` encoding contract decides WHAT the
+    * books describe: raw vectors, or residuals to the persisted
+    * quantizer's cell centroid (in which case assignment happens
+    * here, through the same `_centroids` the search probes). Plain
+    * IVF layouts pass through untouched. */
   private def withPqCodeIfPresent(spark: SparkSession, path: String,
                                   rows: DataFrame): DataFrame = {
+    import graft.functions.vecIndexExprs
     val pqPath = new org.apache.hadoop.fs.Path(s"$path/_pq")
     val fs = pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(pqPath)) rows
-    else rows.withColumn("pq_code",
-      graft.functions.vecIndexExprs.pqEncode(col("embedding"),
-        readPqBooks(spark, path)))
+    else if (pqEncoding(spark, path) == "residual") {
+      val centRows = spark.read.parquet(s"$path/_centroids")
+        .collect().sortBy(_.getLong(0))
+      val ids = centRows.map(_.getLong(0))
+      val cents = centRows.map(_.getSeq[Float](1).toArray)
+      val s2 = spark
+      import s2.implicits._
+      val centsDf = ids.toSeq.zip(cents.toSeq.map(_.toSeq))
+        .toDF("enc_cell", "enc_cvec")
+      rows
+        .withColumn("enc_cell",
+          vecIndexExprs.nearestCell(col("embedding"), ids, cents))
+        .join(broadcast(centsDf), "enc_cell")
+        .withColumn("pq_code", vecIndexExprs.pqEncode(
+          zip_with(col("embedding"), col("enc_cvec"), (a, b) => a - b),
+          readPqBooks(spark, path)))
+        .drop("enc_cell", "enc_cvec")
+    } else rows.withColumn("pq_code",
+      vecIndexExprs.pqEncode(col("embedding"), readPqBooks(spark, path)))
   }
 
   /** [[appendIvf]] from already-computed [[indexRows]]. */
@@ -641,19 +662,31 @@ object IndexStore {
                  nCells: Int = 16, lloydIters: Int = 2,
                  m: Int = PqM, ksub: Int = PqKsub, pqIters: Int = 2,
                  dim: Int = Embed.DefaultDim,
-                 metadata: Map[String, String] = Map.empty): Unit = {
+                 metadata: Map[String, String] = Map.empty,
+                 residual: Boolean = false): Unit = {
     buildIvfPqFromRows(spark, indexRows(docs, dim).localCheckpoint(), path,
-      nCells, lloydIters, m, ksub, pqIters, dim)
+      nCells, lloydIters, m, ksub, pqIters, dim, residual)
     writeCollectionMetadata(spark, path, metadata)
   }
 
-  /** [[buildIvfPq]] from already-computed MATERIALIZED [[indexRows]]. */
+  /** [[buildIvfPq]] from already-computed MATERIALIZED [[indexRows]].
+    *
+    * `residual = true` builds the encoding FAISS's actual IVFPQ uses
+    * (Jégou et al. 2011 §III): codebooks train on and codes describe
+    * v − centroid(cell), not v — on clustered corpora the
+    * within-cell residual variance is a fraction of the corpus
+    * variance, so the same m bytes hold more accuracy (the q133
+    * meter measures the gap). The encoding is recorded in a
+    * `_pqmeta` sidecar; search and every maintenance verb read the
+    * STORED contract — a residual layout can never be silently
+    * scanned or re-encoded with raw semantics. */
   private[graft] def buildIvfPqFromRows(spark: SparkSession, rows: DataFrame,
                                         path: String, nCells: Int = 16,
                                         lloydIters: Int = 2,
                                         m: Int = PqM, ksub: Int = PqKsub,
                                         pqIters: Int = 2,
-                                        dim: Int = Embed.DefaultDim): Unit = {
+                                        dim: Int = Embed.DefaultDim,
+                                        residual: Boolean = false): Unit = {
     import graft.functions.vecIndexExprs
     val seeds = rows.select(col("chunk_id"), col("embedding"))
       .orderBy("chunk_id").limit(nCells)
@@ -661,38 +694,78 @@ object IndexStore {
         col("embedding").as("cvec"))
     val (ids, cents) = graft.operators.VectorSearch.ivfCentroids(
       rows, "chunk_id", "embedding", seeds, lloydIters, bitExact = true)
-    val books = graft.operators.VectorSearch.pqCodebooks(
-      rows, "chunk_id", "embedding", m, ksub, pqIters, dim)
-    rows
+    val s2 = spark
+    import s2.implicits._
+    val assigned = rows
       .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
-      .withColumn("pq_code", vecIndexExprs.pqEncode(col("embedding"), books))
+    // (books, encoded-rows); sidecars write AFTER the row overwrite —
+    // the Overwrite mode deletes the whole layout directory first
+    val (books, encoded) =
+      if (!residual) {
+        val bk = graft.operators.VectorSearch.pqCodebooks(
+          rows, "chunk_id", "embedding", m, ksub, pqIters, dim)
+        (bk, assigned.withColumn("pq_code",
+          vecIndexExprs.pqEncode(col("embedding"), bk)))
+      } else {
+        val centsDf = ids.toSeq.zip(cents.toSeq.map(_.toSeq))
+          .toDF("cell", "enc_cvec")
+        val withResid = assigned.join(broadcast(centsDf), "cell")
+          .withColumn("resid",
+            zip_with(col("embedding"), col("enc_cvec"), (a, b) => a - b))
+          .localCheckpoint()
+        val bk = graft.operators.VectorSearch.pqCodebooks(
+          withResid, "chunk_id", "resid", m, ksub, pqIters, dim)
+        (bk, withResid.withColumn("pq_code",
+            vecIndexExprs.pqEncode(col("resid"), bk))
+          .drop("enc_cvec", "resid"))
+      }
+    encoded
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell")
       .parquet(path)
-    val s2 = spark
-    import s2.implicits._
+    writePqBooks(spark, path, books)
     ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_centroids")
+    Seq((if (residual) "residual" else "raw", m, ksub))
+      .toDF("encoding", "m", "ksub")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_pqmeta")
+  }
+
+  private def writePqBooks(spark: SparkSession, path: String,
+                           books: Array[Array[Array[Float]]]): Unit = {
+    val s2 = spark
+    import s2.implicits._
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
     }.toSeq.toDF("sub", "code_id", "cvec")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_pq")
   }
 
+  /** The stored PQ encoding contract: "residual" or "raw". Layouts
+    * built before the `_pqmeta` sidecar existed are raw. */
+  private[graft] def pqEncoding(spark: SparkSession, path: String): String = {
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/_pqmeta")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mPath)) "raw"
+    else spark.read.parquet(s"$path/_pqmeta").head().getString(0)
+  }
+
   /** [[buildIvfPq]] executed at most once per (session, path,
     * parameters) — the q123 gate, its aux dump, and the q124 meter
     * share one physical build (see [[buildIvfOnce]]). */
   private val builtIvfPqOnce =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int, Int, Int), Unit]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int, Int, Int, Boolean), Unit]
   private[graft] def buildIvfPqOnceRows(spark: SparkSession, rows: => DataFrame,
                                         path: String, nCells: Int = 16,
                                         lloydIters: Int = 2,
                                         m: Int = PqM, ksub: Int = PqKsub,
-                                        pqIters: Int = 2): Unit =
+                                        pqIters: Int = 2,
+                                        residual: Boolean = false): Unit =
     builtIvfPqOnce.getOrElseUpdate(
-      (sessionKey(spark), path, nCells, lloydIters, m, ksub, pqIters),
-      buildIvfPqFromRows(spark, rows, path, nCells, lloydIters, m, ksub, pqIters))
+      (sessionKey(spark), path, nCells, lloydIters, m, ksub, pqIters, residual),
+      buildIvfPqFromRows(spark, rows, path, nCells, lloydIters, m, ksub,
+        pqIters, Embed.DefaultDim, residual))
 
   /** Read the `_pq` codebook sidecar back as books[m][ksub][dsub]. */
   private[graft] def readPqBooks(spark: SparkSession, path: String)
@@ -744,9 +817,20 @@ object IndexStore {
     val pruned = spark.read.parquet(path)
       .filter(col("cell").isin(probeCells: _*))
     val idx = where.fold(pruned)(pruned.filter)
+    // residual encoding: dot(q,v) ≈ dot(q,c) + dot(q,residual) — the
+    // per-probed-cell micro-constant rides a tiny literal map, the
+    // scan cost is identical to raw ADC
+    val adcExpr =
+      if (pqEncoding(spark, path) == "residual") {
+        val constMap = probeCells.map { c =>
+          c -> graft.operators.VectorSearch.microsDot(qvec,
+            cents(ids.indexOf(c)))
+        }.toMap
+        element_at(typedlit(constMap), col("cell").cast("long")) +
+          vecIndexExprs.pqAdc(col("pq_code"), lut)
+      } else vecIndexExprs.pqAdc(col("pq_code"), lut)
     val candidates = idx
-      .select(col("chunk_id").as("cid"),
-        vecIndexExprs.pqAdc(col("pq_code"), lut).as("adc"))
+      .select(col("chunk_id").as("cid"), adcExpr.as("adc"))
       .orderBy(col("adc").desc, col("cid"))
       .limit(overfetch)
     present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
@@ -791,6 +875,7 @@ object IndexStore {
     }
     val books = readPqBooks(spark, path)
     val ksub = books.head.length
+    val residualEnc = pqEncoding(spark, path) == "residual"
     val qMeta = queries.sortBy(_._1).map { case (qid, qvec) =>
       val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
       val cells = graft.functions.VecIndex
@@ -798,21 +883,32 @@ object IndexStore {
         .toLongArray().toSeq
       val lutFlat = graft.operators.VectorSearch.pqLut(qvec, books)
         .flatten.toSeq
-      (qid, qvec.toSeq, lutFlat, cells)
+      // residual encoding: each probed cell carries its per-(query,
+      // cell) micro-constant dot(q, centroid) on the probe row
+      val consts =
+        if (residualEnc) cells.map(c =>
+          graft.operators.VectorSearch.microsDot(qvec,
+            cents(cids.indexOf(c))))
+        else cells.map(_ => 0L)
+      (qid, qvec.toSeq, lutFlat, cells, consts)
     }
     import spark.implicits._
-    val qDf = qMeta.toDF("query_id", "qvec", "qlut", "qcells")
+    val qDf = qMeta.toDF("query_id", "qvec", "qlut", "qcells", "qconsts")
     val allCells = qMeta.flatMap(_._4).distinct.sorted
     val pruned0 = spark.read.parquet(path).filter(col("cell").isin(allCells: _*))
     val pruned = where.fold(pruned0)(pruned0.filter)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("cid"))
     val qProbe = qDf.select(col("query_id"), col("qlut"),
-      explode(col("qcells")).as("qcell"))
+      posexplode(col("qcells")).as(Seq("qpos", "qcell")),
+      col("qconsts"))
+      .select(col("query_id"), col("qlut"), col("qcell"),
+        element_at(col("qconsts"), col("qpos") + 1).as("qconst"))
     val cand = pruned
       .join(broadcast(qProbe), col("cell").cast("long") === col("qcell"))
       .select(col("query_id"), col("chunk_id").as("cid"),
-        vecIndexExprs.pqAdcFlat(col("pq_code"), col("qlut"), ksub).as("adc"))
+        (col("qconst") +
+          vecIndexExprs.pqAdcFlat(col("pq_code"), col("qlut"), ksub)).as("adc"))
       .withColumn("arn", row_number().over(wApprox))
       .filter(col("arn") <= overfetch)
       .select("query_id", "cid")

@@ -157,6 +157,47 @@ class PqSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).filter(col("doc_id") === 7).count() == 0)
   }
 
+  test("residual layout: lifecycle, maintenance re-encode through the " +
+       "stored contract, and exact rerank parity with the raw layout") {
+    val path = "/root/repo/target/test_pqr_maint"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = Tables.documents(spark, d)
+    IndexStore.buildIvfPq(spark, docs.filter(col("doc_id") < 40), path,
+      nCells = 4, residual = true)
+    assert(IndexStore.pqEncoding(spark, path) == "residual",
+      "the _pqmeta contract must record the encoding")
+    IndexStore.appendIvf(spark,
+      docs.filter(col("doc_id") >= 40 && col("doc_id") < 50), path)
+    IndexStore.upsertIvf(spark,
+      docs.filter(col("doc_id") === 5)
+        .withColumn("text", concat(lit("revised "), col("text"))), path)
+    val layout = spark.read.parquet(path)
+    assert(layout.filter(col("pq_code").isNull).count() == 0)
+    // every stored code — built, appended, upserted — must equal the
+    // books' encode of the RESIDUAL to the row's own cell centroid
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .withColumnRenamed("cent_id", "cell").withColumnRenamed("cvec", "ccvec")
+    val books = IndexStore.readPqBooks(spark, path)
+    val mismatches = layout.join(cents, "cell")
+      .withColumn("expect", graft.functions.vecIndexExprs.pqEncode(
+        zip_with(col("embedding"), col("ccvec"), (a, b) => a - b), books))
+      .filter(not(col("pq_code") === col("expect"))).count()
+    assert(mismatches == 0,
+      "stored codes must be residual encodes under the stored contract")
+    // the residual ADC search path serves the maintained corpus, and
+    // the exact rerank makes single and batch agree with each other
+    val r = IndexStore.searchTopKIvfPq(spark, path, "alpha beta", k = 5,
+      probes = 4, overfetch = 32).collect()
+    assert(r.length == 5 && r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+    val rb = IndexStore.searchTopKIvfPqBatch(spark, path,
+      Seq(0L -> "alpha beta"), k = 5, probes = 4, overfetch = 32).collect()
+    assert(rb.map(_.getAs[String]("chunk_id")).toSeq ==
+      r.map(_.getAs[String]("chunk_id")).toSeq,
+      "residual batch must equal the residual single-query path")
+  }
+
   test("q123: the PQ search scan prunes cell partitions and reads codes, not buckets") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
