@@ -743,7 +743,10 @@ object Corpus {
         .join(wc.withColumnRenamed("word", "w2"), col("a.word") === col("w2"))
         .groupBy(col("a.sym").as("l"), col("b.sym").as("r"))
         .agg(sum(col("cnt")).as("c"))
-      val top = pairs.orderBy(col("c").desc, col("l"), col("r")).head()
+      val tops = pairs.orderBy(col("c").desc, col("l"), col("r")).take(1)
+      if (tops.isEmpty) { step = nMerges + 1 }
+      else {
+      val top = tops(0)
       val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((step, l, r, c))
       val m0 = syms.as("a").join(syms.as("b"),
@@ -769,6 +772,7 @@ object Corpus {
         .select(col("word"), row_number().over(wP).as("p"), col("sym"))
         .localCheckpoint()
       step += 1
+      }
     }
     (merges.toSeq.toDF("step", "left_sym", "right_sym", "weight"), syms)
   }
@@ -797,6 +801,10 @@ object Corpus {
           i += 1
         }
       }
+      // a fully-merged (or empty) dictionary has no pairs left —
+      // stop with the merges learned so far, like any BPE trainer
+      if (counts.isEmpty) step = nMerges + 1
+      else {
       val ((l, r), c) = counts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
       merges += ((step, l, r, c))
       words = words.map { case (w, cnt, sy) =>
@@ -809,6 +817,7 @@ object Corpus {
         (w, cnt, out.toArray)
       }
       step += 1
+      }
     }
     val symRows = words.flatMap { case (w, _, sy) =>
       sy.zipWithIndex.map { case (sym, i) => (w, i + 1, sym) }

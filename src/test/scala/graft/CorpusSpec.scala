@@ -237,4 +237,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(mDriver == mDist, s"merge paths diverged:\n$mDriver\n$mDist")
     assert(syDriver == syDist, "segmentation paths diverged")
   }
+
+  test("BPE training stops gracefully when the dictionary is fully merged") {
+    import spark.implicits._
+    val docs = Seq("ab ab").toDF("text")
+    Seq(Long.MaxValue, 0L).foreach { thr =>
+      val (m, sy) = operators.Corpus.bpeTrain(docs, "text", nMerges = 5,
+        driverThreshold = thr)
+      val rows = m.orderBy("step").collect()
+      assert(rows.length == 1 && rows(0).getString(1) == "a" &&
+        rows(0).getString(2) == "b", s"thr=$thr: ${rows.toSeq}")
+      assert(sy.count() == 1, "the word is one merged symbol")
+    }
+  }
 }
