@@ -3615,6 +3615,121 @@ object VectorSearch {
            '/edit#gid=0&range=A' || CAST(doc_id + 2 AS BIGINT) AS link
     FROM scored ORDER BY sim DESC, chunk_id LIMIT 10"""
 
+  // ---- q139: cluster topics (corpus exploration) ---------------------
+
+  /** One whole-document embedding pass per (session, sf). */
+  private def docEmbCached(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "doc_emb") {
+      Tables.documents(s, d).select(col("doc_id"), col("text"),
+        graft.functions.Embed.embedCol(col("text")).as("embedding"))
+    }
+
+  private def q139Cents(s: SparkSession, d: String)
+      : (Array[Long], Array[Array[Float]]) = {
+    val emb = docEmbCached(s, d)
+    val seeds = emb.select(col("doc_id"), col("embedding"))
+      .orderBy("doc_id").limit(8)
+      .select(row_number().over(Window.orderBy(col("doc_id")))
+        .cast("long").as("cent_id"), col("embedding").as("cvec"))
+    ivfCentroids(emb, "doc_id", "embedding", seeds)
+  }
+
+  /** q139: corpus topic exploration — the look-before-you-mix step
+    * of domain balancing (what a pipeline runs before choosing q100
+    * mixture rates): embed whole documents, k-means them into 8
+    * semantic cells (the same trained-centroid machinery every IVF
+    * path uses), and characterize each cell by its top-5 terms after
+    * an integer LIFT rank (cluster per-doc term rate over the
+    * corpus's, cross-multiplied into micros). Integers end-to-end: cluster sizes, term
+    * frequencies, (ctf desc, term) rank — no floating scores.
+    * Scale shape: embedding + assignment are scan-side; the term
+    * pipeline is explode → partial agg; the only joins are against
+    * the vocabulary-sized df table and the 8-row size table. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val emb = docEmbCached(s, d)
+    val (ids, cents) = q139Cents(s, d)
+    val assigned = emb.select(col("doc_id"), col("text"),
+      vecIndexExprs.nearestCell(col("embedding"), ids, cents).as("cell"))
+    val n = Tables.documents(s, d).count()
+    val toks = assigned
+      .select(col("cell"), col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val ctf = toks.groupBy(col("cell"), col("term"))
+      .agg(count(lit(1)).as("ctf"))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    // integer lift: the cluster's per-doc term rate over the
+    // corpus's, cross-multiplied into micros — a stopword in every
+    // doc lifts to ~1e6 everywhere and never tops a cluster
+    val scored = ctf.join(dfreq, "term").join(sizes, "cell")
+      .withColumn("lift_micros",
+        expr(s"1000000 * ctf * $n div (n_docs * df)"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("lift_micros").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("cell").cast("long").as("cell"), col("n_docs"),
+        col("rank"), col("term"), col("ctf"), col("lift_micros"))
+      .orderBy("cell", "rank")
+  }
+
+  /** Dump the doc embeddings + trained centroids for the q139
+    * mirror (assignment is re-derived, text comes from the raw
+    * table). */
+  def materializeClusterTopicsAux(s: SparkSession, d: String,
+                                  auxDir: String): Unit = {
+    docEmbCached(s, d).select(col("doc_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q139_demb.parquet")
+    val (ids, cents) = q139Cents(s, d)
+    import s.implicits._
+    ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q139_cents.parquet")
+  }
+
+  private val AuxQ139Demb =
+    "read_parquet('/root/repo/target/verify_aux/q139_demb.parquet/*.parquet')"
+  private val AuxQ139Cents =
+    "read_parquet('/root/repo/target/verify_aux/q139_cents.parquet/*.parquet')"
+
+  private val q139Sql = s"""
+    WITH demb AS (SELECT doc_id, embedding FROM $AuxQ139Demb),
+    cents AS (SELECT cent_id, cvec FROM $AuxQ139Cents),
+    assign AS (
+      SELECT e.doc_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.doc_id
+               ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM demb e, cents c),
+    assigned AS (SELECT doc_id, cent_id AS cell FROM assign WHERE arn = 1),
+    toks AS (
+      SELECT a.cell, d.doc_id, t.term
+      FROM documents d JOIN assigned a USING (doc_id),
+           UNNEST(string_split(d.text, ' ')) AS t(term)
+      WHERE length(t.term) > 0),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM (
+        SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+    ctf AS (
+      SELECT cell, term, COUNT(*) AS ctf
+      FROM toks GROUP BY cell, term),
+    sizes AS (SELECT cell, COUNT(*) AS n_docs FROM assigned GROUP BY cell),
+    scored AS (
+      SELECT c.cell, c.term, c.ctf, s.n_docs,
+             CAST((1000000 * c.ctf * (SELECT COUNT(*) FROM documents))
+               // (s.n_docs * f.df) AS BIGINT) AS lift_micros
+      FROM ctf c JOIN dfreq f USING (term) JOIN sizes s USING (cell))
+    SELECT cell, n_docs, rank, term, ctf, lift_micros FROM (
+      SELECT cell, n_docs, term, ctf, lift_micros,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY lift_micros DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    ORDER BY cell, rank"""
+
   // ---- q128: SemDeDup (cluster-scoped semantic deduplication) -------
 
   private val Q128TauMicros = 880000L
@@ -3742,5 +3857,6 @@ object VectorSearch {
     Query("q128_semdedup",      q128, Some(q128Sql)),
     Query("q129_pq_clustered",  q129, Some(q129Sql)),
     Query("q133_pq_residual",   q133, Some(q133Sql)),
-    Query("q138_ivfpqr_search", q138, Some(q138Sql)))
+    Query("q138_ivfpqr_search", q138, Some(q138Sql)),
+    Query("q139_cluster_topics", q139, Some(q139Sql)))
 }
