@@ -89,7 +89,7 @@ object Verify {
         () => operators.VectorSearch.materializePqResidualAux(spark, sfDir, auxDir)),
       ("q138 residual pq layout", Set("q138_ivfpqr_search"),
         () => operators.VectorSearch.materializePqrAux(spark, sfDir, auxDir)),
-      ("q139 cluster topics", Set("q139_cluster_topics"),
+      ("q139 cluster topics", Set("q139_cluster_topics", "q140_cluster_mixture"),
         () => operators.VectorSearch.materializeClusterTopicsAux(spark, sfDir, auxDir)),
       ("q102 hnsw", Set("q102_ann_hnsw"),
         () => operators.VectorSearch.materializeHnswAux(spark, sfDir, auxDir)),

@@ -3730,6 +3730,73 @@ object VectorSearch {
     WHERE rank <= 5
     ORDER BY cell, rank"""
 
+  // ---- q140: cluster-balanced mixture sampling -----------------------
+
+  /** q140: cluster-balanced sampling — q139's semantic cells composed
+    * with q100's deterministic mixture machinery: compute per-cluster
+    * acceptance thresholds that equalize cluster mass (a dominant
+    * topic downsamples toward N/k, minority topics keep everything —
+    * the static form of distributionally-reweighted data mixing),
+    * then keep docs by the portable salted md5 bucket. Acceptance is
+    * a pure function of (doc_id, cluster sizes): reproducible
+    * run-to-run, engine-to-engine, and shuffle-free past the 8-row
+    * size join. Reports per cell: size, threshold, kept count, and
+    * realized fraction in integer micros. */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val emb = docEmbCached(s, d)
+    val (ids, cents) = q139Cents(s, d)
+    val assigned = emb.select(col("doc_id"),
+      vecIndexExprs.nearestCell(col("embedding"), ids, cents).as("cell"))
+    val n = Tables.documents(s, d).count()
+    val target = n / 8
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("thr16",
+        least(lit(65536L), expr(s"65536 * $target div n_docs")))
+    val kept = assigned.join(sizes, "cell")
+      .filter(Corpus.md5Bucket16(col("doc_id"), "clustermix:") < col("thr16"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
+    sizes.join(kept, Seq("cell"), "left")
+      .na.fill(0, Seq("n_kept"))
+      .select(col("cell").cast("long").as("cell"), col("n_docs"),
+        col("thr16"), col("n_kept"),
+        expr("1000000 * n_kept div n_docs").as("kept_frac_micros"))
+      .orderBy("cell")
+  }
+
+  private val q140Sql = s"""
+    WITH demb AS (SELECT doc_id, embedding FROM $AuxQ139Demb),
+    cents AS (SELECT cent_id, cvec FROM $AuxQ139Cents),
+    assign AS (
+      SELECT e.doc_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.doc_id
+               ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM demb e, cents c),
+    assigned AS (SELECT doc_id, cent_id AS cell FROM assign WHERE arn = 1),
+    sizes AS (
+      SELECT cell, COUNT(*) AS n_docs,
+             LEAST(65536,
+               (65536 * ((SELECT COUNT(*) FROM documents) // 8)) // COUNT(*))
+               AS thr16
+      FROM assigned GROUP BY cell),
+    b AS (
+      SELECT a.doc_id, a.cell,
+             (strpos('0123456789abcdef', substr(md5('clustermix:' || CAST(a.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5('clustermix:' || CAST(a.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5('clustermix:' || CAST(a.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('clustermix:' || CAST(a.doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket16
+      FROM assigned a),
+    kept AS (
+      SELECT b.cell, COUNT(*) AS n_kept
+      FROM b JOIN sizes s USING (cell)
+      WHERE b.bucket16 < s.thr16 GROUP BY b.cell)
+    SELECT s.cell, s.n_docs, CAST(s.thr16 AS BIGINT) AS thr16,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST((1000000 * COALESCE(k.n_kept, 0)) // s.n_docs AS BIGINT)
+             AS kept_frac_micros
+    FROM sizes s LEFT JOIN kept k USING (cell)
+    ORDER BY s.cell"""
+
   // ---- q128: SemDeDup (cluster-scoped semantic deduplication) -------
 
   private val Q128TauMicros = 880000L
@@ -3858,5 +3925,6 @@ object VectorSearch {
     Query("q129_pq_clustered",  q129, Some(q129Sql)),
     Query("q133_pq_residual",   q133, Some(q133Sql)),
     Query("q138_ivfpqr_search", q138, Some(q138Sql)),
-    Query("q139_cluster_topics", q139, Some(q139Sql)))
+    Query("q139_cluster_topics", q139, Some(q139Sql)),
+    Query("q140_cluster_mixture", q140, Some(q140Sql)))
 }
