@@ -48,10 +48,12 @@ object Verify {
       ("q98 ivf index", Set("q98_ivf_search", "q104_filtered_search",
           "q104b_contains_search", "q112_ivf_batch", "q114_ivf_probe_curve",
           "q116_where_dict", "q118_hybrid_ivf", "q119_hybrid_batch",
-          "q120_hybrid_filtered", "q125_mmr_rerank"),
+          "q120_hybrid_filtered", "q125_mmr_rerank", "q141_mmr_batch"),
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
       ("q125 mmr query", Set("q125_mmr_rerank"),
         () => operators.VectorSearch.materializeMmrAux(spark, sfDir, auxDir)),
+      ("q141 mmr batch queries", Set("q141_mmr_batch"),
+        () => operators.VectorSearch.materializeMmrBatchAux(spark, sfDir, auxDir)),
       ("q126 fork expected states", Set("q126_fork_isolation"),
         () => operators.VectorSearch.materializeForkAux(spark, sfDir, auxDir)),
       ("q112 ivf batch", Set("q112_ivf_batch"),
@@ -81,8 +83,11 @@ object Verify {
       // q102's oracle reads the clustered corpus dump, so its name is
       // in the clustered step's serves set too
       ("q67b clustered", Set("q67b_ann_recall_clustered", "q102_ann_hnsw",
-          "q128_semdedup", "q129_pq_clustered", "q133_pq_residual"),
+          "q128_semdedup", "q129_pq_clustered", "q133_pq_residual",
+          "q142_pq_drift"),
         () => operators.VectorSearch.materializeClusteredAux(spark, sfDir, auxDir)),
+      ("q142 drift books", Set("q142_pq_drift"),
+        () => operators.VectorSearch.materializePqDriftAux(spark, sfDir, auxDir)),
       ("q129 clustered pq books", Set("q129_pq_clustered", "q133_pq_residual"),
         () => operators.VectorSearch.materializePqClusteredAux(spark, sfDir, auxDir)),
       ("q133 residual pq books", Set("q133_pq_residual"),

@@ -3007,6 +3007,101 @@ object VectorSearch {
     ORDER BY side, rank"""
   }
 
+  // ---- q141: MMR diversity reranking on the batch surface ------------
+
+  /** The q141 query batch — id 0 is q125's own query text, so the
+    * batch path must reproduce the single-query greedy selection
+    * for it (MmrSpec also pins this equivalence directly). */
+  private val Q141Queries: Seq[(Long, String)] = Seq(
+    0L -> Q125QueryText,
+    1L -> "broadcast hash join on a small dimension table",
+    2L -> "columnar parquet scan with predicate pushdown")
+
+  /** q141: `max_marginal_relevance_search` on the V4 batch surface
+    * ([[graft.sources.IndexStore.searchTopKMmrBatch]]): one corpus
+    * scan scores every query's relevance (the query batch rides a
+    * broadcast as columns), one per-query window takes each fetchK
+    * cut, and the greedy stage runs per query on its own collected
+    * fetchK set. Shares the q98 physical index. Oracle: the q125
+    * unrolled-CTE mirror generalized per query_id — each greedy step
+    * is one windowed argmax per query over the remainder. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q98IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
+    IndexStore.searchTopKMmrBatch(s, path, Q141Queries,
+      k = Q125K, fetchK = Q125FetchK, lambdaMicros = Q125Lambda)
+  }
+
+  /** Dump the q141 query batch (the index rides the shared q98 dump). */
+  def materializeMmrBatchAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import s.implicits._
+    Q141Queries.map { case (qid, t) =>
+      (qid, Embed.embed(t, Embed.DefaultDim).toSeq)
+    }.toDF("query_id", "qvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q141_queries.parquet")
+  }
+
+  /** The batch-MMR mirror: q125's chained greedy CTEs, generalized
+    * per query — the fetch cut and every pick step become one
+    * windowed argmax PARTITION BY query_id (ties to the smaller id
+    * at every stage), the pairwise-sim table and the selected set
+    * carry query_id. Every CTE stays MATERIALIZED for the same
+    * reason as q125's (each sel step is referenced twice). */
+  private val q141Sql: String = {
+    val lam = Q125Lambda
+    val lamC = 1000000L - Q125Lambda
+    val steps = (2 to Q125K).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""pick$i AS MATERIALIZED (
+      SELECT query_id, chunk_id FROM (
+        SELECT c.query_id, c.chunk_id,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 ($lam * c.simq - $lamC * (
+                   SELECT MAX(p.m) FROM pair p
+                   WHERE p.query_id = c.query_id AND p.ia = c.chunk_id
+                     AND p.ib IN (SELECT s.chunk_id FROM $prev s
+                                  WHERE s.query_id = c.query_id))) DESC,
+                 c.chunk_id) AS rn
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                          WHERE s.query_id = c.query_id
+                            AND s.chunk_id = c.chunk_id))
+      WHERE rn = 1),
+    sel$i AS MATERIALIZED (SELECT * FROM $prev
+              UNION ALL SELECT query_id, chunk_id, $i FROM pick$i)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH qs AS MATERIALIZED (SELECT query_id, qvec FROM
+      read_parquet('/root/repo/target/verify_aux/q141_queries.parquet/*.parquet')),
+    idx AS (SELECT chunk_id, doc_id, source, chunk, embedding FROM $AuxQ98Index),
+    cand AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT q.query_id, x.chunk_id, x.doc_id, x.source, x.chunk, x.embedding,
+               CAST(floor(1000000.0 * (${cosColsSql("x.embedding", "q.qvec")}))
+                 AS BIGINT) AS simq,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(floor(1000000.0 * (${cosColsSql("x.embedding", "q.qvec")}))
+                   AS BIGINT) DESC, x.chunk_id) AS frn
+        FROM idx x CROSS JOIN qs q)
+      WHERE frn <= $Q125FetchK),
+    pair AS MATERIALIZED (
+      SELECT a.query_id, a.chunk_id AS ia, b.chunk_id AS ib,
+             CAST(floor(1000000.0 * (${cosColsSql("a.embedding", "b.embedding")}))
+               AS BIGINT) AS m
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.chunk_id <> b.chunk_id),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, chunk_id, 1 AS rank FROM cand WHERE frn = 1),
+    $steps
+    SELECT s.query_id, s.rank, s.chunk_id, c.doc_id, c.source, c.chunk,
+           'https://docs.google.com/spreadsheets/d/' || c.source ||
+           '/edit#gid=0&range=A' || CAST(c.doc_id + 2 AS BIGINT) AS link
+    FROM sel$Q125K s JOIN cand c
+      ON s.query_id = c.query_id AND s.chunk_id = c.chunk_id
+    ORDER BY s.query_id, s.rank"""
+  }
+
   // ---- q129: PQ on the clustered corpus (matrix completion) ----------
 
   /** q129: the q124 pre-rank family meter on the CLUSTERED corpus —
@@ -3219,6 +3314,190 @@ object VectorSearch {
            CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10
     FROM spine s LEFT JOIN hits h USING (method, bytes_per_vec)
     ORDER BY s.method"""
+
+  // ---- q142: PQ train/serve drift meter ------------------------------
+
+  /** The drifted-corpus model: the first 25 of the 50 clusters are
+    * the BASE distribution the PQ books were trained on; the other 25
+    * arrive later (the upsert waves of a growing corpus — maintenance
+    * encodes them through the persisted `_pq` books, the FAISS
+    * no-retrain convention PqSpec pins). */
+  private val Q142BaseClusters = 25
+  private val Q142OldQ = 0L  // a query from a base cluster (cluster 0)
+  private val Q142NewQ = 25L // a query from a drifted-in cluster (25)
+  private val Q142Cut = 64
+
+  /** Books trained on the BASE half of the clustered corpus — the
+    * "stale" tensor a no-retrain maintenance policy keeps serving
+    * after the drift. Cached per (session, sf) like
+    * [[pqBooksClusteredCached]] (which IS the "fresh" tensor — same
+    * geometry, trained on the full corpus). */
+  private def pqBooksBaseCached(s: SparkSession, d: String)
+      : Array[Array[Array[Float]]] = {
+    import graft.sources.IndexStore.{PqM, PqKsub}
+    booksBaseCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d, PqM, PqKsub),
+      pqCodebooks(
+        clusteredEmb(s, d).filter(col("vec_id") % ClusterCount < Q142BaseClusters),
+        "vec_id", "embedding", PqM, PqKsub, 2))
+  }
+  private val booksBaseCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, Int, Int), Array[Array[Array[Float]]]]
+
+  /** q142: the PQ RETRAIN-POLICY meter. Maintenance encodes appended
+    * rows through the books trained at build time (PqSpec pins it);
+    * nothing had measured what that convention costs as the corpus
+    * drifts from the training distribution. Here the corpus has
+    * drifted hard — half its clusters did not exist at training time
+    * — and the meter prices both halves of the policy matrix:
+    * stale-vs-fresh books × old-vs-new-cluster query, each cell the
+    * ADC-top-$Q142Cut → exact-rerank hits against the exact top-10
+    * (the q129 pipeline). The expected — and measured — shape:
+    * stale books stay near-perfect for base-cluster queries and give
+    * up recall exactly on drifted-cluster queries, which is the
+    * evidence behind "retrain on distribution shift, not on row
+    * count". One distributed plan: 4 ADC scans + 2 exact baselines
+    * over one checkpointed corpus, unioned; integers out. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val cl = clusteredEmb(s, d)
+    val qvecs = cl.filter(col("vec_id").isin(Q142OldQ, Q142NewQ))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val corpus = cl.filter(!col("vec_id").isin(Q142OldQ, Q142NewQ))
+      .localCheckpoint()
+    val kinds = Seq(("old_cluster", Q142OldQ), ("new_cluster", Q142NewQ))
+    val bookSets = Seq(("stale", pqBooksBaseCached(s, d)),
+      ("fresh", pqBooksClusteredCached(s, d)))
+    def rerankTop10(qvec: Array[Float], cand: DataFrame): DataFrame =
+      corpus.join(broadcast(cand), col("vec_id") === col("cid"))
+        .select(col("vec_id"),
+          VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+    val exactByKind = kinds.map { case (kind, qid) =>
+      val qvec = qvecs(qid)
+      corpus.select(col("vec_id"),
+          VectorOps.vecCosine(col("embedding"), lit(qvec)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .select(lit(kind).as("query_kind"), col("vec_id"))
+    }.reduce(_.unionAll(_))
+    val labeled = (for ((tag, books) <- bookSets; (kind, qid) <- kinds) yield {
+      val qvec = qvecs(qid)
+      val lut = pqLut(qvec, books)
+      val cand = corpus.select(col("vec_id").as("cid"),
+          vecIndexExprs.pqAdc(
+            vecIndexExprs.pqEncode(col("embedding"), books), lut).as("adc"))
+        .orderBy(col("adc").desc, col("cid")).limit(Q142Cut)
+      rerankTop10(qvec, cand)
+        .select(lit(tag).as("books"), lit(kind).as("query_kind"), col("vec_id"))
+    }).reduce(_.unionAll(_))
+    import s.implicits._
+    val spine = bookSets.flatMap { case (tag, _) =>
+      kinds.map { case (kind, _) => (tag, kind) }
+    }.toDF("books", "query_kind")
+    spine.join(
+        labeled.join(exactByKind, Seq("query_kind", "vec_id"))
+          .groupBy(col("books"), col("query_kind"))
+          .agg(count(lit(1)).as("hits10")),
+        Seq("books", "query_kind"), "left")
+      .na.fill(0, Seq("hits10"))
+      .orderBy(col("books"), col("query_kind"))
+  }
+
+  /** Dump BOTH q142 book tensors, tagged; corpus + query vectors ride
+    * the q67b clustered dump (queries are corpus rows 0 and 25). */
+  def materializePqDriftAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import s.implicits._
+    Seq(("stale", pqBooksBaseCached(s, d)),
+        ("fresh", pqBooksClusteredCached(s, d)))
+      .flatMap { case (tag, books) =>
+        books.zipWithIndex.flatMap { case (book, sub) =>
+          book.zipWithIndex.map { case (c, j) => (tag, sub, j, c.toSeq) }
+        }.toSeq
+      }.toDF("books", "sub", "code_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q142_books.parquet")
+  }
+
+  private val AuxQ142Books =
+    "read_parquet('/root/repo/target/verify_aux/q142_books.parquet/*.parquet')"
+
+  /** q142 mirror: the q129 re-derivation (codes from dumped books,
+    * LUT, ADC cut, exact rerank, hit count) generalized over the
+    * (books, query_kind) matrix — codes per book TENSOR, LUTs and
+    * cuts per (tensor, query). */
+  private val q142Sql = s"""
+    WITH qdef AS (SELECT * FROM (VALUES
+        ('old_cluster', $Q142OldQ), ('new_cluster', $Q142NewQ)) q(kind, qid)),
+    qv AS MATERIALIZED (
+      SELECT q.kind, x.embedding AS qvec
+      FROM $AuxQ67bCorpus x JOIN qdef q ON x.vec_id = q.qid),
+    corpus AS MATERIALIZED (
+      SELECT vec_id, embedding FROM $AuxQ67bCorpus
+      WHERE vec_id NOT IN ($Q142OldQ, $Q142NewQ)),
+    books AS (SELECT books, sub, code_id, cvec FROM $AuxQ142Books),
+    lut AS MATERIALIZED (
+      SELECT b.books, qv.kind, b.sub, b.code_id,
+        CAST(floor(1000000.0 * list_sum(list_transform(
+          generate_series(1, len(b.cvec)),
+          i -> CAST(b.cvec[i] AS DOUBLE)
+             * CAST(qv.qvec[b.sub * $PqDsub + i] AS DOUBLE)))) AS BIGINT) AS micros
+      FROM books b CROSS JOIN qv),
+    subcodes AS (
+      SELECT p.vec_id, b.books, b.sub, b.code_id,
+             row_number() OVER (PARTITION BY b.books, p.vec_id, b.sub
+               ORDER BY sqrt(list_sum(list_transform(
+                   generate_series(1, len(b.cvec)),
+                   i -> (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))
+                      * (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))))), b.code_id) AS crn
+      FROM corpus p CROSS JOIN books b),
+    codes AS MATERIALIZED (
+      SELECT vec_id, books, sub, code_id FROM subcodes WHERE crn = 1),
+    adc AS MATERIALIZED (
+      SELECT c.books, l.kind, c.vec_id, CAST(SUM(l.micros) AS BIGINT) AS adc
+      FROM codes c JOIN lut l USING (books, sub, code_id)
+      GROUP BY c.books, l.kind, c.vec_id),
+    cand AS MATERIALIZED (
+      SELECT books, kind, vec_id FROM (
+        SELECT books, kind, vec_id,
+               row_number() OVER (PARTITION BY books, kind
+                 ORDER BY adc DESC, vec_id) AS arn
+        FROM adc)
+      WHERE arn <= $Q142Cut),
+    exact10 AS MATERIALIZED (
+      SELECT kind, vec_id FROM (
+        SELECT qv.kind, x.vec_id,
+               row_number() OVER (PARTITION BY qv.kind
+                 ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                   x.vec_id) AS rn
+        FROM corpus x CROSS JOIN qv)
+      WHERE rn <= 10),
+    top10 AS (
+      SELECT books, kind, vec_id FROM (
+        SELECT c.books, c.kind, x.vec_id,
+               row_number() OVER (PARTITION BY c.books, c.kind
+                 ORDER BY ${cosColsSql("x.embedding", "qv.qvec")} DESC,
+                   x.vec_id) AS rn
+        FROM corpus x
+        JOIN cand c ON x.vec_id = c.vec_id
+        JOIN qv ON qv.kind = c.kind)
+      WHERE rn <= 10),
+    spine AS (
+      SELECT * FROM (VALUES
+        ('fresh', 'new_cluster'), ('fresh', 'old_cluster'),
+        ('stale', 'new_cluster'), ('stale', 'old_cluster'))
+        s(books, query_kind)),
+    hits AS (
+      SELECT t.books, t.kind AS query_kind, COUNT(*) AS hits10
+      FROM top10 t JOIN exact10 e ON t.kind = e.kind AND t.vec_id = e.vec_id
+      GROUP BY t.books, t.kind)
+    SELECT s.books, s.query_kind,
+           CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10
+    FROM spine s LEFT JOIN hits h USING (books, query_kind)
+    ORDER BY s.books, s.query_kind"""
 
   // ---- q133: residual IVF-PQ (the FAISS IVFPQ encoding) --------------
 
@@ -3926,5 +4205,7 @@ object VectorSearch {
     Query("q133_pq_residual",   q133, Some(q133Sql)),
     Query("q138_ivfpqr_search", q138, Some(q138Sql)),
     Query("q139_cluster_topics", q139, Some(q139Sql)),
-    Query("q140_cluster_mixture", q140, Some(q140Sql)))
+    Query("q140_cluster_mixture", q140, Some(q140Sql)),
+    Query("q141_mmr_batch",     q141, Some(q141Sql)),
+    Query("q142_pq_drift",      q142, Some(q142Sql)))
 }

@@ -636,6 +636,111 @@ object IndexStore {
       .orderBy(col("rank"))
   }
 
+  /** [[searchTopKMmr]] on the V4 batch surface: ONE corpus scan
+    * computes every query's micro-quantized relevance (the query
+    * batch rides a broadcast as columns, as on
+    * [[searchTopKIvfBatchVec]]), one per-query window takes each
+    * fetchK cut, and the greedy stage runs per query over its own
+    * collected fetchK-row set — batch×fetchK rows total,
+    * query-sized. A single-query batch reproduces [[searchTopKMmr]]
+    * exactly (MmrSpec pins it). */
+  def searchTopKMmrBatch(spark: SparkSession, path: String,
+                         queries: Seq[(Long, String)],
+                         k: Int = 10, fetchK: Int = 32,
+                         lambdaMicros: Long = 500000L,
+                         dim: Int = Embed.DefaultDim,
+                         where: Option[Column] = None): DataFrame = {
+    import spark.implicits._
+    val idx0 = spark.read.parquet(path)
+    val uniq = where.fold(idx0)(idx0.filter).dropDuplicates("chunk_id")
+    val qDf = queries.sortBy(_._1)
+      .map { case (qid, t) => (qid, Embed.embed(t, dim).toSeq) }
+      .toDF("query_id", "qvec")
+    val cands = uniq.crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("chunk_id"),
+        floor(VectorOps.spaceSim2(collectionSpace(spark, path),
+          col("embedding"), col("qvec")) * lit(1000000d))
+          .cast("long").as("simq_micros"),
+        col("embedding"))
+    mmrBatchOverFetchSet(spark, uniq, cands, k, fetchK, lambdaMicros)
+  }
+
+  /** [[searchTopKMmrIvf]] on the batch surface: the candidate scan is
+    * pruned to the UNION of every query's `probes` nearest cells (the
+    * [[searchTopKIvfBatch]] pruning), each query's fetch drawing only
+    * from ITS probe cells via the broadcast (query, cell) probe join.
+    * With `probes` = the cell count it degenerates to
+    * [[searchTopKMmrBatch]] exactly (MmrSpec pins it). */
+  def searchTopKMmrIvfBatch(spark: SparkSession, path: String,
+                            queries: Seq[(Long, String)],
+                            k: Int = 10, fetchK: Int = 32, probes: Int = 3,
+                            lambdaMicros: Long = 500000L,
+                            dim: Int = Embed.DefaultDim,
+                            where: Option[Column] = None): DataFrame = {
+    import spark.implicits._
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val cids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val qMeta = queries.sortBy(_._1).map { case (qid, t) =>
+      val qvec = Embed.embed(t, dim)
+      require(qvec.length == cents.head.length,
+        s"$path was trained at dim=${cents.head.length}, " +
+          s"batch query $qid has dim=${qvec.length}")
+      val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+      (qid, qvec.toSeq, graft.functions.VecIndex
+        .nearestCells(qData, cids, cents, math.min(probes, cids.length))
+        .toLongArray().toSeq)
+    }
+    val qDf = qMeta.toDF("query_id", "qvec", "qcells")
+    val allCells = qMeta.flatMap(_._3).distinct.sorted
+    val pruned0 = spark.read.parquet(path).filter(col("cell").isin(allCells: _*))
+    val pruned = where.fold(pruned0)(pruned0.filter)
+    val qProbe = qDf.select(col("query_id"), col("qvec"),
+      explode(col("qcells")).as("qcell"))
+    val cands = pruned
+      .join(broadcast(qProbe), col("cell").cast("long") === col("qcell"))
+      .select(col("query_id"), col("chunk_id"),
+        floor(VectorOps.spaceSim2(collectionSpace(spark, path),
+          col("embedding"), col("qvec")) * lit(1000000d))
+          .cast("long").as("simq_micros"),
+        col("embedding"))
+    mmrBatchOverFetchSet(spark, pruned.dropDuplicates("chunk_id"), cands,
+      k, fetchK, lambdaMicros)
+  }
+
+  /** The shared batch-MMR tail: one per-query window takes each
+    * query's fetchK cut (relevance already micro-quantized by the
+    * caller), the collected batch×fetchK candidate set is grouped by
+    * query on the driver — the same query-sized place the single-form
+    * greedy runs — and [[mmrSelect]] runs unchanged per query. */
+  private def mmrBatchOverFetchSet(spark: SparkSession, present: DataFrame,
+                                   cands: DataFrame, k: Int, fetchK: Int,
+                                   lambdaMicros: Long): DataFrame = {
+    val wFetch = Window.partitionBy(col("query_id"))
+      .orderBy(col("simq_micros").desc, col("chunk_id"))
+    val fetched = cands
+      .withColumn("frn", row_number().over(wFetch))
+      .filter(col("frn") <= fetchK)
+      .select(col("query_id"), col("chunk_id"), col("simq_micros"),
+        col("embedding"))
+      .collect()
+    val sel = fetched.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .flatMap { case (qid, rows) =>
+        val cs = rows.map(r =>
+          (r.getString(1), r.getLong(2), r.getSeq[Float](3).toArray)).toSeq
+        mmrSelect(cs, k, lambdaMicros).map { case (id, rank) => (qid, id, rank) }
+      }
+    import spark.implicits._
+    val selDf = sel.toDF("query_id", "chunk_id", "rank")
+    present.join(broadcast(selDf), Seq("chunk_id"))
+      .select(col("query_id"), col("rank"), col("chunk_id"), col("doc_id"),
+        col("source"), col("chunk"),
+        concat(lit("https://docs.google.com/spreadsheets/d/"), col("source"),
+          lit("/edit#gid=0&range=A"), (col("doc_id") + 2).cast("long")).as("link"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- IVF-PQ: product-quantized fine codes on the IVF layout -------
 
   /** Default PQ geometry at the fixture dim (64): 8 subspaces × 16
@@ -1043,6 +1148,27 @@ object IndexStore {
       rebuild)
   }
 
+  /** [[deleteFromPartitioned]] with the doomed ids as a DataFrame —
+    * the mass-takedown form: a 100 TB takedown list does not fit a
+    * driver `Seq`, so here the id set stays distributed end to end.
+    * No broadcast hint: the semi/anti joins are left to AQE, which
+    * broadcasts a page-sized list and shuffle-joins a corpus-sized
+    * one. The frame must carry a `chunk_id` column; extra columns are
+    * projected away. Checkpointed once so the (possibly expensive)
+    * id-producing plan runs a single time across the touched-partition
+    * probe and the survivor anti-join. */
+  private def deleteFromPartitionedDf(spark: SparkSession, path: String,
+                                      partCol: String, ids: DataFrame,
+                                      rebuild: DataFrame => DataFrame): Seq[Any] = {
+    require(ids.columns.contains("chunk_id"),
+      s"id frame must carry a chunk_id column, has [${ids.columns.mkString(",")}]")
+    val doomed = ids.select("chunk_id").distinct().localCheckpoint()
+    deletePartitionedCore(spark, path, partCol,
+      _.join(doomed, Seq("chunk_id"), "left_semi"),
+      _.join(doomed, Seq("chunk_id"), "left_anti"),
+      rebuild)
+  }
+
   /** chroma `collection.get`: retrieval WITHOUT a query vector — by
     * explicit ids and/or a metadata/document predicate (the same
     * Column family as the search paths' `where=`), deterministically
@@ -1132,13 +1258,15 @@ object IndexStore {
     * the partition directories AND the underscore sidecars
     * (`_centroids`, `_pq`, `_meta`, `_collmeta`), so the fork serves
     * searches immediately with the same trained quantizers. Here the
-    * fork is a physical file copy (one recursive fs op, no Spark job,
-    * no data decode); at 100 TB the same contract wants a
-    * metadata-level copy — parquet files are immutable and every
-    * mutation verb rewrites whole partition files, so a fork that
-    * hardlinks/ref-counts the initial files and copies-on-rewrite
-    * serves both sides from one physical corpus (exactly how chroma
-    * 1.x implements fork on its segment files). */
+    * fork is a metadata-level copy where the filesystem allows it:
+    * on a local (POSIX) fs the tree is re-created with HARDLINKS to
+    * the source's immutable files — no data bytes move at any corpus
+    * size, and since every mutation verb rewrites whole partition
+    * files (delete-old + write-new, never in-place), a later mutation
+    * of either side silently un-shares only the touched partitions —
+    * exactly the copy-on-rewrite contract chroma 1.x implements on
+    * its segment files. On filesystems without link support (object
+    * stores) the fallback is the physical recursive copy. */
   def forkCollection(spark: SparkSession, path: String, newPath: String): Unit = {
     val src = new org.apache.hadoop.fs.Path(path)
     val dst = new org.apache.hadoop.fs.Path(newPath)
@@ -1146,8 +1274,32 @@ object IndexStore {
     val fs = src.getFileSystem(conf)
     require(fs.exists(src), s"no collection at $path")
     require(!fs.exists(dst), s"fork destination $newPath already exists")
-    require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
-      /* deleteSource = */ false, conf), s"fork copy $path -> $newPath failed")
+    val linked = fs.getScheme == "file" && {
+      val from = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
+      val to = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      try { linkTree(from, to); true }
+      catch { case _: java.nio.file.FileSystemException |
+                   _: UnsupportedOperationException =>
+        // links unsupported on this mount (or a cross-device layout):
+        // remove the partial tree and fall through to the byte copy
+        fs.delete(dst, true); false
+      }
+    }
+    if (!linked)
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+        /* deleteSource = */ false, conf), s"fork copy $path -> $newPath failed")
+  }
+
+  /** Re-create `from`'s directory tree at `to`, hardlinking every
+    * regular file (data + sidecars + checksum files all share bytes
+    * with the source; parquet immutability makes that safe). */
+  private def linkTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    val stream = java.nio.file.Files.walk(from)
+    try stream.forEach { p =>
+      val t = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.createLink(t, p)
+    } finally stream.close()
   }
 
   /** chroma `client.delete_collection`: remove the layout directory —
@@ -1213,6 +1365,13 @@ object IndexStore {
   def deleteIds(spark: SparkSession, path: String, ids: Seq[String]): Unit =
     deleteFromPartitioned(spark, path, "source", ids, identity)
 
+  /** [[deleteIds]] with the id list as a DataFrame (`chunk_id`
+    * column) — the mass-takedown form for lists that don't fit a
+    * driver allocation. Same partition-scoped rewrite; the id set
+    * stays distributed (see [[deleteFromPartitionedDf]]). */
+  def deleteIds(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    deleteFromPartitionedDf(spark, path, "source", ids, identity)
+
   /** Delete every chunk matching a metadata/document predicate from a
     * [[build]] source-partitioned layout — chroma's
     * `collection.delete(where=..., where_document=...)` surface, the
@@ -1249,6 +1408,11 @@ object IndexStore {
   def deleteIdsIvf(spark: SparkSession, path: String, ids: Seq[String]): Unit =
     deleteFromPartitioned(spark, path, "cell", ids, identity)
 
+  /** [[deleteIdsIvf]] with a DataFrame id list (mass-takedown form,
+    * see the [[deleteIds]] DataFrame overload). */
+  def deleteIdsIvf(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    deleteFromPartitionedDf(spark, path, "cell", ids, identity)
+
   /** Delete chunks by id from a [[buildBucketed]] LSH layout: a chunk
     * has one row PER LSH table, so the doomed set spans up to
     * LshTables bucket partitions — the shared core finds and rewrites
@@ -1256,6 +1420,11 @@ object IndexStore {
     * chunk in probes of that bucket). */
   def deleteIdsBucketed(spark: SparkSession, path: String, ids: Seq[String]): Unit =
     deleteFromPartitioned(spark, path, "bucket", ids, identity)
+
+  /** [[deleteIdsBucketed]] with a DataFrame id list (mass-takedown
+    * form, see the [[deleteIds]] DataFrame overload). */
+  def deleteIdsBucketed(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    deleteFromPartitionedDf(spark, path, "bucket", ids, identity)
 
   /** [[deleteWhere]] on a bucketed LSH layout. */
   def deleteWhereBucketed(spark: SparkSession, path: String, pred: Column): Unit =
@@ -1301,6 +1470,20 @@ object IndexStore {
   def deleteIdsHnsw(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
     val meta = readHnswMeta(spark, path)
     val touched = deleteFromPartitioned(spark, path, "shard", ids, { survivors =>
+      val stripped = survivors.drop("hnsw_node", "hnsw_level", "hnsw_links")
+      stripped.join(
+        hnswAdjacency(stripped, meta.numShards, meta.m, meta.efConstruction),
+        Seq("chunk_id"))
+    })
+    if (touched.nonEmpty) evictHnswShards(spark, path)
+  }
+
+  /** [[deleteIdsHnsw]] with a DataFrame id list (mass-takedown form,
+    * see the [[deleteIds]] DataFrame overload). Touched shards still
+    * rebuild their graphs over the survivors. */
+  def deleteIdsHnsw(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val meta = readHnswMeta(spark, path)
+    val touched = deleteFromPartitionedDf(spark, path, "shard", ids, { survivors =>
       val stripped = survivors.drop("hnsw_node", "hnsw_level", "hnsw_links")
       stripped.join(
         hnswAdjacency(stripped, meta.numShards, meta.m, meta.efConstruction),

@@ -81,6 +81,60 @@ class ForkSpec extends AnyFunSuite {
       "the original keeps the rows the fork deleted")
   }
 
+  /** Inode of every regular file under `root`, keyed by relative
+    * path — equal inodes mean the bytes are physically shared. */
+  private def inodes(root: String): Map[String, Long] = {
+    val base = Paths.get(root)
+    val walk = Files.walk(base)
+    try
+      walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map { p: Path =>
+          base.relativize(p).toString ->
+            Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+        }.toMap
+    finally walk.close()
+  }
+
+  test("on a local fs the fork HARDLINKS the files (no data-byte copy); " +
+       "a fork-side rewrite un-shares only the touched partitions") {
+    val orig = "/root/repo/target/test_fork_ln_orig"
+    val fork = "/root/repo/target/test_fork_ln_copy"
+    rmIfExists(orig); rmIfExists(fork)
+    val docs = Tables.documents(spark, d).limit(40)
+    IndexStore.build(spark, docs, orig)
+    val before = fingerprint(orig)
+    IndexStore.forkCollection(spark, orig, fork)
+    val oi = inodes(orig)
+    val fi = inodes(fork)
+    assert(fi.keySet == oi.keySet, "fork must mirror the full tree")
+    // every file — data, sidecars, checksums — shares its inode with
+    // the source: the fork moved zero data bytes
+    fi.foreach { case (rel, ino) =>
+      assert(ino == oi(rel), s"$rel must be hardlinked, not copied")
+    }
+    // mutate ONE source partition in the fork; its files un-share,
+    // every untouched partition keeps the shared inode
+    val sources = spark.read.parquet(fork).select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(sources.length >= 2, s"fixture needs >=2 source partitions: ${sources.toSeq}")
+    val victim = sources.head
+    val doomed = spark.read.parquet(fork)
+      .filter(col("source") === victim).limit(1)
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    IndexStore.deleteIds(spark, fork, doomed)
+    val fi2 = inodes(fork)
+    fi2.foreach { case (rel, ino) =>
+      if (rel.startsWith(s"source=$victim/"))
+        assert(!oi.values.exists(_ == ino),
+          s"rewritten $rel must not share an inode with the source layout")
+      else if (oi.contains(rel))
+        assert(ino == oi(rel), s"untouched $rel must keep its shared inode")
+    }
+    // and the original is still byte-identical
+    assert(fingerprint(orig) == before)
+  }
+
   test("fork refuses a missing source or an existing destination") {
     val orig = "/root/repo/target/test_fork_orig" // exists from the test above
     intercept[IllegalArgumentException] {

@@ -91,6 +91,36 @@ class MmrSpec extends AnyFunSuite {
       "the per-LSH-table row duplication must not reach the result")
   }
 
+  test("searchTopKMmrBatch: each query's rows reproduce the single-query " +
+       "selection; IVF batch with all-cells probing equals the exact batch") {
+    val path = "/root/repo/target/test_mmr_batch_idx"
+    val docs = Tables.documents(spark, d).limit(60)
+    IndexStore.buildIvf(spark, docs, path, nCells = 4)
+    val queries = Seq(0L -> "alpha beta", 1L -> "gamma delta shuffle")
+    val batch = IndexStore.searchTopKMmrBatch(spark, path, queries, k = 5,
+      fetchK = 16).collect()
+    assert(batch.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))).toSeq ==
+      queries.flatMap { case (qid, _) => (1 to 5).map(qid -> _) })
+    queries.foreach { case (qid, text) =>
+      val single = IndexStore.searchTopKMmr(spark, path, text, k = 5,
+        fetchK = 16).collect().map(_.getAs[String]("chunk_id")).toSeq
+      val mine = batch.filter(_.getAs[Long]("query_id") == qid)
+        .map(_.getAs[String]("chunk_id")).toSeq
+      assert(mine == single, s"batch query $qid must equal the single form")
+    }
+    val ivfBatch = IndexStore.searchTopKMmrIvfBatch(spark, path, queries,
+      k = 5, fetchK = 16, probes = 4).collect()
+    assert(ivfBatch.map(r => (r.getAs[Long]("query_id"),
+        r.getAs[String]("chunk_id"))).toSeq ==
+      batch.map(r => (r.getAs[Long]("query_id"),
+        r.getAs[String]("chunk_id"))).toSeq,
+      "probing every cell must reproduce the exact batch MMR")
+    val probed = IndexStore.searchTopKMmrIvfBatch(spark, path, queries,
+      k = 5, fetchK = 16, probes = 2).collect()
+    assert(probed.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))).toSeq ==
+      queries.flatMap { case (qid, _) => (1 to 5).map(qid -> _) })
+  }
+
   test("searchTopKMmrIvf: probe-pruned fetch; all-cells probing equals full scan") {
     val path = "/root/repo/target/test_mmr_ivf_idx"
     val docs = Tables.documents(spark, d).limit(60)

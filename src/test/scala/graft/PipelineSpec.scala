@@ -269,6 +269,45 @@ class PipelineSpec extends AnyFunSuite {
       k = 3, probes = 2, overfetch = 10).count() > 0)
   }
 
+  test("deleteIds accepts a DataFrame id list (mass-takedown form) on " +
+      "source and cell layouts, matching the Seq form's end state") {
+    import spark.implicits._
+    // source layout: delete via a DataFrame (with an extra column to
+    // prove projection), compare against a Seq-form twin
+    val dirA = Files.createTempDirectory("graft_del_df_src").toString + "/index"
+    val dirB = Files.createTempDirectory("graft_del_df_src2").toString + "/index"
+    IndexStore.build(spark, tinyDocs, dirA)
+    IndexStore.build(spark, tinyDocs, dirB)
+    val beforeB = partFiles(dirA, "source=sheetB")
+    val idsDf = Seq(("sheetA_1_0", "takedown-42")).toDF("chunk_id", "reason")
+    IndexStore.deleteIds(spark, dirA, idsDf)
+    IndexStore.deleteIds(spark, dirB, Seq("sheetA_1_0"))
+    def state(d: String): Seq[String] = spark.read.parquet(d)
+      .select("chunk_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(state(dirA) == state(dirB))
+    assert(!state(dirA).contains("sheetA_1_0"))
+    // untouched partition byte-identical — the DataFrame form keeps
+    // the partition-scoped rewrite discipline
+    assert(partFiles(dirA, "source=sheetB") == beforeB)
+    // cell layout: DataFrame form removes an emptied cell directory
+    val dirC = Files.createTempDirectory("graft_del_df_ivf").toString + "/index"
+    IndexStore.buildIvf(spark, tinyDocs, dirC, nCells = 2, lloydIters = 1)
+    val byCell = spark.read.parquet(dirC)
+      .select(col("cell").cast("long"), col("chunk_id")).collect()
+      .groupBy(_.getLong(0)).map { case (c, rs) => c -> rs.map(_.getString(1)).toSeq }
+    val (doomedCell, doomedIds) = byCell.minBy(_._2.size)
+    IndexStore.deleteIdsIvf(spark, dirC,
+      doomedIds.toDF("chunk_id"))
+    assert(!new java.io.File(dirC, s"cell=$doomedCell").exists())
+    val left = spark.read.parquet(dirC).select("chunk_id")
+      .collect().map(_.getString(0)).toSet
+    assert(left == byCell.filter(_._1 != doomedCell).values.flatten.toSet)
+    // a frame without chunk_id fails loudly before touching the layout
+    intercept[IllegalArgumentException] {
+      IndexStore.deleteIds(spark, dirA, Seq("x").toDF("not_an_id"))
+    }
+  }
+
   test("an HNSW mutation evicts EVERY session's pin, not just the caller's") {
     import spark.implicits._
     // a pin surviving in another session would keep serving deleted
