@@ -257,6 +257,53 @@ object Corpus {
       FROM grams GROUP BY lang, bigram)
     WHERE rank <= 10 ORDER BY lang, rank"""
 
+  // ---- rare-n-gram document quality ---------------------------------
+
+  /** Per-document rare-bigram rate: the CCNet/Gopher-family quality
+    * heuristic that needs no trained LM — a document whose word
+    * bigrams are mostly singletons against the corpus's own bigram
+    * counts is boilerplate, mojibake, or OCR noise. Two-pass shape
+    * that scales: pass 1 builds the corpus bigram counts (explode +
+    * partial agg on the gram key — the dictionary is vocab²-bounded,
+    * never corpus-row-bounded); pass 2 joins each document's grams
+    * back to the counts ON THE GRAM KEY and aggregates per doc. Both
+    * shuffles are on keys with bounded cardinality, and the rate is
+    * an integer permille, so every engine derives identical rows. */
+  def rareNgramRate(df: DataFrame, textCol: String, idCol: String,
+                    rareBelow: Long = 3L): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val docGrams = df.select(col(idCol), explode(grams).as("bigram"))
+    val lm = docGrams.groupBy(col("bigram")).agg(count(lit(1)).as("corpus_n"))
+    docGrams.join(lm, "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("corpus_n") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_permille",
+        expr("n_rare * 1000 div n_bigrams"))
+  }
+
+  private def q144(s: SparkSession, d: String): DataFrame =
+    rareNgramRate(Tables.documents(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+
+  private val q144Sql = """
+    WITH grams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+                            i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+    lm AS (SELECT bigram, COUNT(*) AS corpus_n FROM grams GROUP BY bigram)
+    SELECT g.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN lm.corpus_n < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(SUM(CASE WHEN lm.corpus_n < 3 THEN 1 ELSE 0 END) * 1000
+             // COUNT(*) AS BIGINT) AS rare_permille
+    FROM grams g JOIN lm USING (bigram)
+    GROUP BY g.doc_id ORDER BY g.doc_id"""
+
   // ---- composed preparation pipeline --------------------------------
 
   /** Heuristic quality gate over a text column: token count bounds
@@ -946,6 +993,7 @@ object Corpus {
     Query("q57_pii_redact",    q57, Some(q57Sql)),
     Query("q58_split_sample",  q58, Some(q58Sql)),
     Query("q59_ngram_counts",  q59, Some(q59Sql)),
+    Query("q144_rare_ngram_quality", q144, Some(q144Sql)),
     Query("q95_repetition_quality", q95, Some(q95Sql)),
     Query("q96_decontaminate", q96, Some(q96Sql)),
     Query("q97_prepare_pipeline", q97, Some(q97Sql)),

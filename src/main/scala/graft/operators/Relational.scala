@@ -1021,6 +1021,56 @@ object Relational {
     FROM e JOIN cohorts c USING (user_id)
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q143: batch sessionization (gaps-and-islands) ----------------
+
+  /** q143: batch sessionization of the event log — the
+    * gaps-and-islands classic: per user, a new session opens when the
+    * gap from the previous event exceeds 30 minutes; emit per-session
+    * stats. This is the BATCH complement of q82's streaming
+    * `session_window` (backfills and reprocessing run this shape over
+    * the historical log). One shuffle on `user_id`; both window
+    * passes (the lag flag and the running session counter) and the
+    * final per-session aggregation reuse that single partitioning —
+    * Catalyst plans one Exchange for the whole query, which is what
+    * survives a 100 TB event log (per-user runs sort locally; no
+    * global sort, no second shuffle). All integer micros. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800000000L // 30 minutes
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    e.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  private val q143Sql = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    sess AS (
+      SELECT user_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events, MIN(us) AS start_us,
+           MAX(us) - MIN(us) AS duration_us
+    FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Seq[Query] = Seq(
     Query("q01_pricing_summary", q01, Some(q01Sql)),
     Query("q02_global_stats",    q02, Some(q02Sql)),
@@ -1060,5 +1110,6 @@ object Relational {
     Query("q34_date_funcs",      q34, Some(q34Sql)),
     Query("q35_array_funcs",     q35, Some(q35Sql)),
     Query("q134_funnel_steps",   q134, Some(q134Sql)),
-    Query("q135_cohort_retention", q135, Some(q135Sql)))
+    Query("q135_cohort_retention", q135, Some(q135Sql)),
+    Query("q143_sessionize",     q143, Some(q143Sql)))
 }

@@ -164,6 +164,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("UDF("), s"funnel must stay codegen:\n$p")
   }
 
+  test("q143: sessionization reuses ONE user_id hash shuffle for both " +
+       "windows and the per-session aggregation") {
+    val p = planStr("q143_sessionize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"expected a single user_id hash exchange (windows + agg reuse it), got $hashEx:\n$p")
+    assert(!p.contains("UDF("), s"sessionization must stay codegen:\n$p")
+  }
+
   test("q51/q53/q54/q62: signature scans are native codegen, no ScalaUDF before the shuffle") {
     Seq("q51_dedup_simhash", "q53_ngram_jaccard", "q54_winnow_overlap", "q62_ann_lsh")
       .foreach { name =>
