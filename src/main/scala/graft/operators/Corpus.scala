@@ -53,6 +53,96 @@ object Corpus {
       GROUP BY term)
     ORDER BY n DESC, term LIMIT 50"""
 
+  // ---- count-min sketch (approximate heavy hitters) -----------------
+
+  // Fixture-sized geometry: width 8 is DELIBERATELY tight against the
+  // fixture's 31-term vocabulary so the q145 meter shows real
+  // collision overestimates (at 64+ the sketch is exact here and the
+  // meter degenerates to the identity). Production sizing is
+  // width ≈ e/ε — millions of buckets for corpus-scale dictionaries,
+  // still kilobytes×depth of state.
+  private val CmsDepth = 4
+  private val CmsWidth = 8
+
+  /** The per-row (row, bucket) pairs of a count-min sketch: `depth`
+    * seeded xxhash64 rows × `width` buckets, built scan-side. */
+  private def cmsBuckets(depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(j =>
+      struct(lit(j).as("j"),
+        pmod(xxhash64(lit(j), col("term")), lit(width.toLong)).as("b"))): _*))
+
+  /** Count-min sketch counters over a corpus's token stream (Cormode
+    * & Muthukrishnan 2005): `depth` seeded hash rows × `width`
+    * buckets, counter(j,b) = number of token instances hashing to b
+    * in row j. ONE pass, no term dictionary: the groupBy key space is
+    * depth×width (map-side combine collapses each partition to ≤ 4096
+    * rows), so at 100 TB the full shuffle moves kilobytes per
+    * partition where the exact vocabulary count moves the dictionary.
+    * Counters are mergeable by addition — the streaming/segment form
+    * is the same frame unioned and re-aggregated. */
+  def cmsCounters(df: DataFrame, textCol: String,
+                  depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    tokens(df, textCol)
+      .select(cmsBuckets(depth, width).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.b").as("b"))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** Point estimates from the counters for the `term` column of
+    * `terms`: est(term) = min over hash rows of its bucket's counter
+    * — never an underestimate, overestimates only on collisions. The
+    * counters frame is sketch-sized, so the join broadcasts. */
+  def cmsEstimate(counters: DataFrame, terms: DataFrame,
+                  depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val keep = terms.columns.map(col).toIndexedSeq
+    terms.select(keep :+ cmsBuckets(depth, width).as("jb"): _*)
+      .select(keep :+ col("jb.j").as("j") :+ col("jb.b").as("b"): _*)
+      .join(broadcast(counters), Seq("j", "b"))
+      .groupBy(keep: _*)
+      .agg(min(col("c")).as("cms_n"))
+  }
+
+  /** q145: the heavy-hitters meter — the exact top-20 vocabulary
+    * (q55's plan) audited against its count-min estimates on the
+    * same corpus. The invariant the oracle re-derives row by row:
+    * cms_n >= true_n always, equal wherever the term's buckets are
+    * collision-free in at least one hash row. Oracle: the hash kernel
+    * runs in Spark once (dumped distinct (term, j, b) — the minhash-
+    * signature idiom); DuckDB re-derives counters, top-20, and the
+    * min-estimates from it. */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val top = vocabulary(docs, "text", 20).withColumnRenamed("n", "true_n")
+    cmsEstimate(cmsCounters(docs, "text"), top)
+      .select(col("rank"), col("term"), col("true_n"), col("cms_n"))
+      .orderBy("rank")
+  }
+
+  /** Dump each distinct token's count-min bucket row — the scan-side
+    * hash kernel output the q145 oracle re-derives everything from. */
+  def materializeCmsAux(s: SparkSession, d: String, auxDir: String): Unit =
+    tokens(Tables.documents(s, d), "text").distinct()
+      .select(col("term"), cmsBuckets(CmsDepth, CmsWidth).as("jb"))
+      .select(col("term"), col("jb.j").as("j"), col("jb.b").as("b"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q145_token_buckets.parquet")
+
+  private val q145Sql = """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    cnt AS (SELECT term, COUNT(*) AS n FROM toks
+            WHERE length(term) > 0 GROUP BY term),
+    tb AS (SELECT term, j, b FROM
+      read_parquet('/root/repo/target/verify_aux/q145_token_buckets.parquet/*.parquet')),
+    counters AS (
+      SELECT tb.j, tb.b, CAST(SUM(cnt.n) AS BIGINT) AS c
+      FROM cnt JOIN tb USING (term) GROUP BY tb.j, tb.b),
+    top AS (
+      SELECT term, n AS true_n,
+             row_number() OVER (ORDER BY n DESC, term) AS rank
+      FROM cnt ORDER BY n DESC, term LIMIT 20)
+    SELECT t.rank, t.term, t.true_n, MIN(c.c) AS cms_n
+    FROM top t JOIN tb USING (term) JOIN counters c USING (j, b)
+    GROUP BY 1, 2, 3 ORDER BY rank"""
+
   // ---- TF-IDF term ranking -----------------------------------------
 
   /** Per-document top-`k` terms by tf/df score; document frequencies
@@ -994,6 +1084,7 @@ object Corpus {
     Query("q58_split_sample",  q58, Some(q58Sql)),
     Query("q59_ngram_counts",  q59, Some(q59Sql)),
     Query("q144_rare_ngram_quality", q144, Some(q144Sql)),
+    Query("q145_cms_heavy_hitters", q145, Some(q145Sql)),
     Query("q95_repetition_quality", q95, Some(q95Sql)),
     Query("q96_decontaminate", q96, Some(q96Sql)),
     Query("q97_prepare_pipeline", q97, Some(q97Sql)),
