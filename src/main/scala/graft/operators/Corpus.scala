@@ -53,6 +53,67 @@ object Corpus {
       GROUP BY term)
     ORDER BY n DESC, term LIMIT 50"""
 
+  // ---- per-domain document caps -------------------------------------
+
+  /** Per-domain document cap — the web-curation step (RefinedWeb/
+    * FineWeb style) that stops a handful of boilerplate-heavy domains
+    * from dominating the training mix: keep the best `cap` documents
+    * per domain by `(orderKey desc, idCol)`. Scale shape: the naive
+    * per-domain rank window puts a whole domain in one task — and
+    * real crawls have million-document domains — so the window input
+    * is first pruned to the top-`cap` of each of `pruneBuckets` hash
+    * buckets of the domain's documents (the [[ngramTopK]] two-level
+    * discipline: a document lives in exactly one bucket, so every
+    * final top-`cap` member survives its bucket cut; ties break on
+    * the same total order both levels). Bounds any task's window
+    * input at `pruneBuckets * cap` rows regardless of domain size. */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+                orderKey: Column, cap: Int = 5,
+                pruneBuckets: Int = 16): DataFrame = {
+    val ranked = df.select(col(domainCol), col(idCol), orderKey.as("okey"))
+    val pruned =
+      if (pruneBuckets <= 1) ranked
+      else {
+        val lw = Window.partitionBy(col(domainCol), col("bkt"))
+          .orderBy(col("okey").desc, col(idCol))
+        ranked
+          .withColumn("bkt", pmod(xxhash64(col(idCol)), lit(pruneBuckets.toLong)))
+          .withColumn("lr", row_number().over(lw))
+          .filter(col("lr") <= cap)
+          .drop("bkt", "lr")
+      }
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("okey").desc, col(idCol))
+    pruned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+  }
+
+  /** q147: the cap applied to the documents table — domains are the
+    * `source` column, quality is the integer token count (the q43
+    * feature family's n_tokens — integer, so rank order is
+    * engine-exact by construction). */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val nTokens =
+      graft.functions.TextAnalysis.qualityCols(col("text")).toMap.apply("n_tokens")
+    domainCap(Tables.documents(s, d), "source", "doc_id",
+        nTokens.cast("long"), cap = 5)
+      .select(col("source"), col("rank"), col("doc_id"),
+        col("okey").as("n_tokens"))
+      .orderBy("source", "rank")
+  }
+
+  private val q147Sql = """
+    SELECT source, rank, doc_id, n_tokens FROM (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_tokens DESC, doc_id) AS rank
+      FROM (SELECT source, doc_id,
+              CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+                AS n_tokens
+            FROM documents))
+    WHERE rank <= 5 ORDER BY source, rank"""
+
   // ---- count-min sketch (approximate heavy hitters) -----------------
 
   // Fixture-sized geometry: width 8 is DELIBERATELY tight against the
@@ -1085,6 +1146,7 @@ object Corpus {
     Query("q59_ngram_counts",  q59, Some(q59Sql)),
     Query("q144_rare_ngram_quality", q144, Some(q144Sql)),
     Query("q145_cms_heavy_hitters", q145, Some(q145Sql)),
+    Query("q147_domain_cap",   q147, Some(q147Sql)),
     Query("q95_repetition_quality", q95, Some(q95Sql)),
     Query("q96_decontaminate", q96, Some(q96Sql)),
     Query("q97_prepare_pipeline", q97, Some(q97Sql)),

@@ -3499,6 +3499,57 @@ object VectorSearch {
     FROM spine s LEFT JOIN hits h USING (books, query_kind)
     ORDER BY s.books, s.query_kind"""
 
+  // ---- q146: hard-negative mining -----------------------------------
+
+  private val Q146Anchors = Seq(0L, 1L, 2L)
+  private val Q146K = 8
+
+  /** q146: hard-negative mining for contrastive training data — for
+    * each anchor, the top-k most SIMILAR vectors with a DIFFERENT
+    * label (here the cluster id): near-misses are the negatives that
+    * teach a bi-encoder its decision boundary (the in-batch-random
+    * alternative wastes gradient on easy negatives). One corpus scan:
+    * the anchor batch rides a broadcast as columns, the label
+    * mismatch is a scan-side filter beneath the per-anchor rank
+    * window, and only (query_id, vec_id, sim) rows reach the rank
+    * exchange — the q61/q112 batch shape with a label predicate, so
+    * any index family's candidate path composes the same way. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val cl = clusteredEmb(s, d)
+      .withColumn("cid", col("vec_id") % ClusterCount)
+    val anchors = cl.filter(col("vec_id").isin(Q146Anchors: _*))
+      .select(col("vec_id").as("query_id"), col("cid").as("qcid"),
+        col("embedding").as("qvec"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cl.crossJoin(broadcast(anchors))
+      .filter(col("cid") =!= col("qcid"))
+      .select(col("query_id"), col("qcid"), col("vec_id"), col("cid"),
+        VectorOps.vecCosine(col("embedding"), col("qvec")).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= Q146K)
+      .select(col("query_id"), col("qcid"), col("rank"), col("vec_id"),
+        col("cid").as("neg_cid"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q146 mirror over the clustered corpus dump: labels re-derived as
+    * vec_id mod 50, per-anchor rank windows over the label-mismatch
+    * remainder. */
+  private val q146Sql = s"""
+    WITH cl AS (SELECT vec_id, vec_id % $ClusterCount AS cid, embedding
+                FROM $AuxQ67bCorpus),
+    anchors AS (SELECT vec_id AS query_id, cid AS qcid, embedding AS qvec
+                FROM cl WHERE vec_id IN (${Q146Anchors.mkString(", ")}))
+    SELECT query_id, qcid, rank, vec_id, neg_cid FROM (
+      SELECT a.query_id, a.qcid, x.vec_id, x.cid AS neg_cid,
+             row_number() OVER (PARTITION BY a.query_id
+               ORDER BY ${cosColsSql("x.embedding", "a.qvec")} DESC,
+                 x.vec_id) AS rank
+      FROM cl x CROSS JOIN anchors a
+      WHERE x.cid <> a.qcid)
+    WHERE rank <= $Q146K ORDER BY query_id, rank"""
+
   // ---- q133: residual IVF-PQ (the FAISS IVFPQ encoding) --------------
 
   private val Q133Cut = 16
@@ -4207,5 +4258,6 @@ object VectorSearch {
     Query("q139_cluster_topics", q139, Some(q139Sql)),
     Query("q140_cluster_mixture", q140, Some(q140Sql)),
     Query("q141_mmr_batch",     q141, Some(q141Sql)),
-    Query("q142_pq_drift",      q142, Some(q142Sql)))
+    Query("q142_pq_drift",      q142, Some(q142Sql)),
+    Query("q146_hard_negatives", q146, Some(q146Sql)))
 }
