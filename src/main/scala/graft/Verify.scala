@@ -107,7 +107,7 @@ object Verify {
         () => operators.VectorSearch.materializeFilteredRecallAux(spark, sfDir, auxDir)),
       ("q106 hnsw batch", Set("q106_hnsw_batch"),
         () => operators.VectorSearch.materializeHnswBatchAux(spark, sfDir, auxDir)),
-      ("q145 cms token buckets", Set("q145_cms_heavy_hitters"),
+      ("q145 cms token buckets", Set("q145_cms_heavy_hitters", "q148_stream_cms"),
         () => operators.Corpus.materializeCmsAux(spark, sfDir, auxDir)),
       ("q41 chunks", Set("q41_chunk_stats"),
         () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),

@@ -602,6 +602,92 @@ object Streams {
     WHERE d.doc_id >= (SELECT n // 2 FROM nn)
     ORDER BY d.doc_id"""
 
+  // ---- q148: streaming count-min sketch maintenance ------------------
+
+  private def q148StreamBase(d: String): String =
+    "/root/repo/target/q148_stream/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+  private val q148Done =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** q148: streaming SKETCH maintenance — §2.9 composed with the
+    * count-min family (q145): arriving document batches stream
+    * through foreachBatch into a persisted counters store, and the
+    * live heavy-hitter estimates read the MERGED sketch. The monoid
+    * does the work: each micro-batch writes its own sub-sketch under
+    * `batch=<id>` (so a REPLAYED batch overwrites its own directory —
+    * idempotent under at-least-once delivery, where += merging would
+    * double-count), and merging is a sketch-sized groupBy-sum at read
+    * time. At 100 TB this is the always-on vocabulary monitor: the
+    * stream never touches the corpus, per-batch state is depth×width
+    * counters, and compaction (folding old batch dirs into one) is
+    * the same sum. Gate: the q145 meter — exact top-20 vs estimates
+    * from the STREAMED counters; the oracle is exact because the
+    * merged sub-sketches must equal the full-corpus sketch. */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val base = q148StreamBase(d)
+    val store = s"$base/cms"
+    q148Done.getOrElseUpdate((IndexStore.sessionKey(s), d), {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(new java.io.File(base))
+      Files.createDirectories(Paths.get(base))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val inbox = s"$base/inbox"
+      docs.filter(col("doc_id") < n / 2)
+        .coalesce(1).write.mode("append").parquet(inbox)
+      docs.filter(col("doc_id") >= n / 2)
+        .coalesce(1).write.mode("append").parquet(inbox)
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val q = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inbox)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Corpus.cmsCounters(batch, "text")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$store/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    })
+    val merged = s.read.parquet(store)
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+    val top = graft.operators.Corpus
+      .vocabulary(Tables.documents(s, d), "text", 20)
+      .withColumnRenamed("n", "true_n")
+    graft.operators.Corpus.cmsEstimate(merged, top)
+      .select(col("rank"), col("term"), col("true_n"), col("cms_n"))
+      .orderBy("rank")
+  }
+
+  /** The q148 oracle IS the q145 mirror (same aux): sub-sketches
+    * summed over batches must equal the one-pass corpus sketch. */
+  private val q148Sql = """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    cnt AS (SELECT term, COUNT(*) AS n FROM toks
+            WHERE length(term) > 0 GROUP BY term),
+    tb AS (SELECT term, j, b FROM
+      read_parquet('/root/repo/target/verify_aux/q145_token_buckets.parquet/*.parquet')),
+    counters AS (
+      SELECT tb.j, tb.b, CAST(SUM(cnt.n) AS BIGINT) AS c
+      FROM cnt JOIN tb USING (term) GROUP BY tb.j, tb.b),
+    top AS (
+      SELECT term, n AS true_n,
+             row_number() OVER (ORDER BY n DESC, term) AS rank
+      FROM cnt ORDER BY n DESC, term LIMIT 20)
+    SELECT t.rank, t.term, t.true_n, MIN(c.c) AS cms_n
+    FROM top t JOIN tb USING (term) JOIN counters c USING (j, b)
+    GROUP BY 1, 2, 3 ORDER BY rank"""
+
   val queries: Seq[Query] = Seq(
     Query("q80_stream_tumbling", q80, Some(q80Sql)),
     Query("q81_stream_sliding",  q81, Some(q81Sql)),
@@ -611,5 +697,6 @@ object Streams {
     Query("q85_stream_stream_join", q85, Some(q85Sql)),
     Query("q86_custom_state",    q86, Some(q86Sql)),
     Query("q113_stream_ivf_upsert", q113, Some(q113Sql)),
-    Query("q131_stream_neardup", q131, Some(q131Sql)))
+    Query("q131_stream_neardup", q131, Some(q131Sql)),
+    Query("q148_stream_cms",     q148, Some(q148Sql)))
 }
