@@ -3550,6 +3550,76 @@ object VectorSearch {
       WHERE x.cid <> a.qcid)
     WHERE rank <= $Q146K ORDER BY query_id, rank"""
 
+  // ---- q149: embedding-space outlier detection -----------------------
+
+  private val Q149Clusters = 10 // audit the first 10 clusters
+  private val Q149TopK = 2      // farthest-from-centroid rows per cluster
+
+  /** q149: embedding-space outlier detection — the curation pass that
+    * surfaces mislabeled or noise rows: per label (cluster), the rows
+    * FARTHEST from the label's centroid are the candidates a cleaning
+    * pipeline re-examines (Abbas-et-al-style semantic curation uses
+    * exactly this distance-to-prototype signal). Centroids are
+    * bit-exact decimal means ([[graft.functions.DecVecAgg]] — the
+    * same one-aggregate trainer the IVF Lloyd steps use), distances
+    * are micro-quantized double L2, the per-label top-k is a rank
+    * window over (label)-partitioned integers. One scan + one
+    * label-sized broadcast join; the oracle re-derives the CENTROIDS
+    * THEMSELVES (the decimal mean is `CAST(SUM(CAST(x AS
+    * DECIMAL(18,6))) AS DOUBLE)/COUNT` per position — no dumped
+    * trainer state at all). */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val cl = clusteredEmb(s, d)
+      .withColumn("cid", col("vec_id") % ClusterCount)
+      .filter(col("cid") < Q149Clusters)
+    val cents = cl.groupBy(col("cid"))
+      .agg(graft.functions.DecVecAgg.decVecMean(col("embedding")).as("cvec"))
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val l2Sq = aggregate(
+      zip_with(embD, col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("dist_micros").desc, col("vec_id"))
+    cl.join(broadcast(cents), "cid")
+      .select(col("cid"), col("vec_id"),
+        floor(lit(1000000d) * sqrt(l2Sq)).cast("long").as("dist_micros"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Q149TopK)
+      .select(col("cid"), col("rank"), col("vec_id"), col("dist_micros"))
+      .orderBy("cid", "rank")
+  }
+
+  /** q149 mirror: per-position decimal means re-derived from the
+    * clustered dump (parallel unnests zip position and value), packed
+    * back into an ordered list so the L2 fold runs left-to-right like
+    * the Spark `aggregate` — then the same micro floor and rank
+    * window. */
+  private val q149Sql = s"""
+    WITH cl AS (SELECT vec_id, vec_id % $ClusterCount AS cid, embedding
+                FROM $AuxQ67bCorpus WHERE vec_id % $ClusterCount < $Q149Clusters),
+    cm0 AS (SELECT cid, unnest(generate_series(1, len(embedding))) AS i,
+                   unnest(embedding) AS x
+            FROM cl),
+    cm AS (SELECT cid, i,
+                  CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS m
+           FROM cm0 GROUP BY cid, i),
+    cents AS (SELECT cid, list(m ORDER BY i) AS cvec FROM cm GROUP BY cid),
+    dists AS (
+      SELECT x.cid, x.vec_id,
+             CAST(floor(1000000.0 * sqrt(list_sum(list_transform(
+               generate_series(1, len(x.embedding)),
+               i -> (CAST(x.embedding[i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(x.embedding[i] AS DOUBLE) - c.cvec[i]))))) AS BIGINT)
+               AS dist_micros
+      FROM cl x JOIN cents c USING (cid))
+    SELECT cid, rank, vec_id, dist_micros FROM (
+      SELECT cid, vec_id, dist_micros,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY dist_micros DESC, vec_id) AS rank
+      FROM dists)
+    WHERE rank <= $Q149TopK ORDER BY cid, rank"""
+
   // ---- q133: residual IVF-PQ (the FAISS IVFPQ encoding) --------------
 
   private val Q133Cut = 16
@@ -4259,5 +4329,6 @@ object VectorSearch {
     Query("q140_cluster_mixture", q140, Some(q140Sql)),
     Query("q141_mmr_batch",     q141, Some(q141Sql)),
     Query("q142_pq_drift",      q142, Some(q142Sql)),
-    Query("q146_hard_negatives", q146, Some(q146Sql)))
+    Query("q146_hard_negatives", q146, Some(q146Sql)),
+    Query("q149_embedding_outliers", q149, Some(q149Sql)))
 }
