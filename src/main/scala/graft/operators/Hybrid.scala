@@ -531,9 +531,104 @@ object Hybrid {
       FROM fused)
     WHERE rank <= $Q119K ORDER BY query_id, rank"""
 
+  // ---- q150: late-interaction (multi-vector) retrieval ---------------
+
+  private val Q150QueryText = "stream window partition merge"
+  private val Q150MaxToks = 16
+  private val Q150K = 10
+
+  /** The per-document token-vector rows of the late-interaction
+    * layout: the first `maxToks` whitespace tokens of each document,
+    * each embedded independently — ColBERT's stored representation
+    * (one vector PER TOKEN, not per document). */
+  private def tokenVectors(docs: DataFrame, maxToks: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, maxToks))
+          .as(Seq("tpos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), col("tpos"),
+        graft.functions.Embed.embedCol(col("tok")).as("tokvec"))
+
+  /** q150: late-interaction scoring (ColBERT — Khattab & Zaharia
+    * 2020): score(q, d) = Σ over query tokens of MAX over the doc's
+    * token vectors of their similarity. Token-level matching is what
+    * single-vector retrieval loses to pooling — a document matching
+    * every query term in different sentences outranks one that
+    * matches a blurry average. Distributed shape: the stored layout
+    * IS the exploded token-vector table (rows partition like any
+    * chunk table; at 100 TB candidate generation composes with ANN
+    * over token vectors — each query token probes, matched doc ids
+    * union — and this exact scorer reranks the candidates); the
+    * query's few token vectors ride a broadcast, the MaxSim is one
+    * (doc, qtok)-keyed partial-agg max, the final sum one doc-keyed
+    * agg, and every score past the scan is an integer micro. */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokenVectors(Tables.documents(s, d), Q150MaxToks)
+    val qvecs = Q150QueryText.split(" ").toIndexedSeq.zipWithIndex.map {
+      case (t, i) =>
+        (i.toLong, graft.functions.Embed.embed(t, graft.functions.Embed.DefaultDim).toSeq)
+    }.toDF("qtok_id", "qvec")
+    val nQ = Q150QueryText.split(" ").length
+    val maxSim = toks.crossJoin(broadcast(qvecs))
+      .select(col("doc_id"), col("qtok_id"),
+        floor(VectorOps.vecCosine(col("tokvec"), col("qvec")) * lit(1000000d))
+          .cast("long").as("sim_micros"))
+      .groupBy(col("doc_id"), col("qtok_id"))
+      .agg(max(col("sim_micros")).as("max_micros"))
+    maxSim.groupBy(col("doc_id"))
+      .agg(sum(col("max_micros")).as("li_micros"),
+        count(lit(1)).as("n_qtoks"))
+      // a doc matches every query token or it doesn't score (all docs
+      // here have >= 1 token, so every (doc, qtok) pair exists)
+      .filter(col("n_qtoks") === nQ)
+      .orderBy(col("li_micros").desc, col("doc_id")).limit(Q150K)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("li_micros").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("li_micros"))
+  }
+
+  /** Dump the token-embed kernel outputs (corpus token vectors +
+    * query token vectors); the oracle re-derives cosines, MaxSim,
+    * the sum and the ranking from them. */
+  def materializeLateInteractionAux(s: SparkSession, d: String,
+                                    auxDir: String): Unit = {
+    import s.implicits._
+    tokenVectors(Tables.documents(s, d), Q150MaxToks)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q150_tokvecs.parquet")
+    Q150QueryText.split(" ").toIndexedSeq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.functions.Embed.embed(t, graft.functions.Embed.DefaultDim).toSeq)
+    }.toDF("qtok_id", "qvec")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q150_qtoks.parquet")
+  }
+
+  private val q150Sql = s"""
+    WITH toks AS (SELECT doc_id, tokvec FROM
+      read_parquet('/root/repo/target/verify_aux/q150_tokvecs.parquet/*.parquet')),
+    qs AS (SELECT qtok_id, qvec FROM
+      read_parquet('/root/repo/target/verify_aux/q150_qtoks.parquet/*.parquet')),
+    maxsim AS (
+      SELECT t.doc_id, q.qtok_id,
+             MAX(CAST(floor(1000000.0 *
+               (${VectorSearch.cosColsSql("t.tokvec", "q.qvec")})) AS BIGINT))
+               AS max_micros
+      FROM toks t CROSS JOIN qs q
+      GROUP BY t.doc_id, q.qtok_id),
+    scored AS (
+      SELECT doc_id, CAST(SUM(max_micros) AS BIGINT) AS li_micros
+      FROM maxsim GROUP BY doc_id
+      HAVING COUNT(*) = (SELECT COUNT(*) FROM qs))
+    SELECT row_number() OVER (ORDER BY li_micros DESC, doc_id) AS rank,
+           doc_id, li_micros
+    FROM scored
+    ORDER BY li_micros DESC, doc_id LIMIT $Q150K"""
+
   val queries: Seq[Query] = Seq(
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
     Query("q118_hybrid_ivf", q118, Some(q118Sql)),
     Query("q119_hybrid_batch", q119, Some(q119Sql)),
-    Query("q120_hybrid_filtered", q120, Some(q120Sql)))
+    Query("q120_hybrid_filtered", q120, Some(q120Sql)),
+    Query("q150_late_interaction", q150, Some(q150Sql)))
 }
