@@ -625,8 +625,155 @@ object Hybrid {
     FROM scored
     ORDER BY li_micros DESC, doc_id LIMIT $Q150K"""
 
+  // ---- q151: lexical-index maintenance lifecycle --------------------
+
+  private def lexMaintPath(d: String): String =
+    "/root/repo/target/q151_lex_maint/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val Q151K = 10
+
+  /** q151: the V10 maintenance-verb family for the LEXICAL layout —
+    * the other half of a takedown (a doc removed from the vector
+    * index must stop surfacing via BM25 too). Four observed states of
+    * one physical index, each top-10 for doc-0's terms:
+    * `1_built` (fresh build), `2_tombstoned` (delete doc_id%7==1 via
+    * the `_tombstones` sidecar: deleted docs vanish IMMEDIATELY while
+    * survivors keep their build-time scores — Lucene's stale-docFreq
+    * semantics, pinned observably), `3_compacted` (expungeDeletes:
+    * stats re-aggregate over survivors, scores move), `4_upserted`
+    * (doc_id%11==2 re-texted as `text || ' ' || source`; replaced ids
+    * drop, a tombstoned id that reappears is live again). The oracle
+    * re-derives all four states from the raw table — tokenization,
+    * tf/df/len/stats per corpus version, the quantized BM25, each
+    * re-rank — with no aux dump. */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = lexMaintPath(d)
+    LexicalStore.build(s, docs, path)
+    val queryTerms = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).toSeq
+    // each phase materializes BEFORE the next mutation — a lazy frame
+    // would re-read the mutated layout at union time
+    def phase(name: String): DataFrame =
+      LexicalStore.searchTopKLexical(s, path, queryTerms, Q151K)
+        .withColumn("phase", lit(name)).localCheckpoint()
+    val built = phase("1_built")
+    LexicalStore.deleteLexical(s, path,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 1).select(col("doc_id")))
+    val tombstoned = phase("2_tombstoned")
+    LexicalStore.compactLexical(s, path)
+    val compacted = phase("3_compacted")
+    LexicalStore.upsertLexical(s, path,
+      docs.filter(pmod(col("doc_id"), lit(11)) === 2)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("source")).as("text")))
+    val upserted = phase("4_upserted")
+    built.union(tombstoned).union(compacted).union(upserted)
+      .select(col("phase"), col("lex_rank"), col("doc_id"), col("lex_micros"))
+      .orderBy(col("phase"), col("lex_rank"))
+  }
+
+  /** Four corpus versions scored from scratch (the q115 mirror per
+    * version): v1 = documents (serves `1_built`, and `2_tombstoned`
+    * re-ranks v1 scores over survivors — stale stats BY DESIGN);
+    * v2 = doc_id%7!=1 with re-aggregated stats (`3_compacted`);
+    * v3 = v2 minus %11==2 plus ALL %11==2 re-texted (`4_upserted`). */
+  private val q151Sql = s"""
+    WITH tf1 AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), qterms AS (
+      SELECT DISTINCT term FROM tf1 WHERE doc_id = 0
+    ), df1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY term
+    ), len1 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf1 GROUP BY doc_id
+    ), st1 AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM len1
+    ), lex1 AS (
+      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      FROM tf1 JOIN qterms USING (term) JOIN df1 USING (term)
+        JOIN len1 USING (doc_id) CROSS JOIN st1
+      GROUP BY doc_id
+    ), p1 AS (
+      SELECT '1_built' AS phase,
+             row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS lex_rank,
+             doc_id, lex_micros
+      FROM lex1 ORDER BY lex_micros DESC, doc_id LIMIT $Q151K
+    ), p2 AS (
+      SELECT '2_tombstoned' AS phase,
+             row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS lex_rank,
+             doc_id, lex_micros
+      FROM lex1 WHERE doc_id % 7 <> 1
+      ORDER BY lex_micros DESC, doc_id LIMIT $Q151K
+    ), tf2 AS (
+      SELECT * FROM tf1 WHERE doc_id % 7 <> 1
+    ), df2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term
+    ), len2 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf2 GROUP BY doc_id
+    ), st2 AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM len2
+    ), lex2 AS (
+      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      FROM tf2 JOIN qterms USING (term) JOIN df2 USING (term)
+        JOIN len2 USING (doc_id) CROSS JOIN st2
+      GROUP BY doc_id
+    ), p3 AS (
+      SELECT '3_compacted' AS phase,
+             row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS lex_rank,
+             doc_id, lex_micros
+      FROM lex2 ORDER BY lex_micros DESC, doc_id LIMIT $Q151K
+    ), docs3 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 7 <> 1 AND doc_id % 11 <> 2
+      UNION ALL
+      SELECT doc_id, text || ' ' || source AS text FROM documents
+      WHERE doc_id % 11 = 2
+    ), tf3 AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs3)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), df3 AS (SELECT term, COUNT(*) AS df FROM tf3 GROUP BY term
+    ), len3 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf3 GROUP BY doc_id
+    ), st3 AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM len3
+    ), lex3 AS (
+      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      FROM tf3 JOIN qterms USING (term) JOIN df3 USING (term)
+        JOIN len3 USING (doc_id) CROSS JOIN st3
+      GROUP BY doc_id
+    ), p4 AS (
+      SELECT '4_upserted' AS phase,
+             row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS lex_rank,
+             doc_id, lex_micros
+      FROM lex3 ORDER BY lex_micros DESC, doc_id LIMIT $Q151K
+    )
+    SELECT * FROM (
+      SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+    ORDER BY phase, lex_rank"""
+
   val queries: Seq[Query] = Seq(
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
+    Query("q151_lexical_maintenance", q151, Some(q151Sql)),
     Query("q118_hybrid_ivf", q118, Some(q118Sql)),
     Query("q119_hybrid_batch", q119, Some(q119Sql)),
     Query("q120_hybrid_filtered", q120, Some(q120Sql)),

@@ -121,7 +121,9 @@ object LexicalStore {
     * rebuild (static overwrite) — the df/len/stats denormalization
     * makes incremental append a re-aggregation, so this layout is
     * rebuilt per corpus version, like a Lucene force-merge; build
-    * cost is two aggregations over one tokenize pass. */
+    * cost is two aggregations over one tokenize pass. A fresh build
+    * also clears any `_tombstones` left by [[deleteLexical]] — the
+    * new corpus version starts with nothing deleted. */
   def build(spark: SparkSession, docs: DataFrame, path: String,
             idCol: String = "doc_id", textCol: String = "text"): Unit = {
     // id keeps its native type (long doc ids, string chunk ids — the
@@ -131,6 +133,16 @@ object LexicalStore {
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint() // one tokenize pass feeds tf, df, len, stats
+    writePostings(spark, tf, path)
+    clearTombstones(spark, path)
+  }
+
+  /** Shared write path: (doc_id, term, tf) rows — already
+    * materialized, so overwriting a layout they were read from is
+    * safe — re-aggregated to df/len/stats and written as the
+    * bucket-partitioned layout + `_stats` sidecar. */
+  private def writePostings(spark: SparkSession, tf: DataFrame,
+                            path: String): Unit = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     tf.join(dfreq, "term") // vocabulary-sized -> broadcast at sf, shuffle-on-term at 100 TB
@@ -145,6 +157,95 @@ object LexicalStore {
       .parquet(path)
     lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_stats")
+  }
+
+  // ---- maintenance: tombstone delete, compact, upsert ---------------
+  //
+  // The Lucene model, made explicit: a delete only APPENDS doc ids to
+  // a `_tombstones` sidecar (O(ids) IO — a takedown never rewrites
+  // postings), and every search anti-joins candidates against the
+  // tombstone set BENEATH the rank, so deleted docs stop surfacing
+  // immediately. What stays stale until compaction — exactly as in
+  // Lucene, where docFreq counts deleted docs until segments merge —
+  // is df/n_docs/sum_len: surviving docs keep their build-time scores
+  // (LexicalSpec pins this). `compactLexical` is the expungeDeletes:
+  // rebuild postings from survivors with re-aggregated stats.
+  // `upsertLexical` is compact-with-adds: replaced ids drop, new
+  // (id, text) rows tokenize in, one rewrite. At 100 TB the rewrite
+  // is the honest cost of a layout that denormalizes df into the
+  // posting row for single-scan scoring; per-segment layouts trade
+  // that write cost for a per-query stats merge.
+
+  private def tombDir(path: String) = s"$path/_tombstones"
+
+  /** The tombstoned doc_id set, or None when nothing was deleted.
+    * Read distinct, so replayed deletes (at-least-once takedown
+    * queues) change nothing. */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(tombDir(path)).select(col("doc_id")).distinct())
+    else None
+  }
+
+  private def clearTombstones(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tombDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Delete-by-id: append `ids` (a 1-column doc_id frame of the
+    * layout's native id type — DataFrame-form, so a 100 TB takedown
+    * list never drives through the driver) to the tombstone sidecar.
+    * Idempotent under replay; postings untouched. */
+  def deleteLexical(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).as("doc_id")).distinct()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(tombDir(path))
+
+  /** [[deleteLexical]] for a driver-sized id list. */
+  def deleteLexical(spark: SparkSession, path: String, ids: Seq[Any]): Unit = {
+    import spark.implicits._
+    deleteLexical(spark, path,
+      ids.map(_.toString).toDF("doc_id")
+        .select(col("doc_id").cast(idType(spark, path))))
+  }
+
+  private def idType(spark: SparkSession, path: String) =
+    spark.read.parquet(path).schema("doc_id").dataType
+
+  /** Surviving (doc_id, term, tf) rows: current postings minus
+    * tombstoned ids, materialized so the caller can overwrite the
+    * layout they came from. */
+  private def survivorTf(spark: SparkSession, path: String): DataFrame = {
+    val tf = spark.read.parquet(path).select(col("doc_id"), col("term"), col("tf"))
+    tombstones(spark, path).fold(tf)(t => tf.join(t, Seq("doc_id"), "left_anti"))
+      .localCheckpoint()
+  }
+
+  /** Rewrite the layout from surviving postings with freshly
+    * re-aggregated df/len/stats, then drop the tombstones — after
+    * this, scores equal a from-scratch build over the survivors
+    * (LexicalSpec compares byte-for-value). */
+  def compactLexical(spark: SparkSession, path: String): Unit = {
+    writePostings(spark, survivorTf(spark, path), path)
+    clearTombstones(spark, path)
+  }
+
+  /** Upsert (id, text) documents: postings of the upserted ids (and
+    * any tombstoned ids) drop, the new texts tokenize in, and the
+    * merged corpus rewrites with fresh stats — compact-with-adds.
+    * An id absent from the layout inserts; a tombstoned id that
+    * reappears in `docs` is live again with its new text. */
+  def upsertLexical(spark: SparkSession, path: String, docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val newTf = graft.operators.Corpus.tokens(base, "text", "doc_id")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val survivors = survivorTf(spark, path)
+      .join(base.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    writePostings(spark, survivors.union(newTf).localCheckpoint(), path)
+    clearTombstones(spark, path)
   }
 
   private val builtOnce =
@@ -189,6 +290,8 @@ object LexicalStore {
         col("term").isin(terms: _*))
       .filter(where.getOrElse(lit(true)))
       .transform(p => allowFilter(p, allow))
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
     val scored = post.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         bm25Micros(col("tf"), col("df"), col("len"),
@@ -224,6 +327,8 @@ object LexicalStore {
         col("term").isin(terms: _*))
       .filter(where.getOrElse(lit(true)))
       .transform(p => allowFilter(p, allow))
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
     import spark.implicits._
     val qt = qTerms.toDF("query_id", "term")
     val scored = post.join(broadcast(qt), Seq("term"))

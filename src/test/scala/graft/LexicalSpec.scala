@@ -141,4 +141,66 @@ class LexicalSpec extends AnyFunSuite {
     val doc3 = rows.find(_.getLong(1) == 3L).get
     assert(doc3.isNullAt(2) && !doc3.isNullAt(3))
   }
+
+  private val maintPath = "/root/repo/target/test_lex_maint"
+
+  private def terms0: Seq[String] =
+    Tables.documents(spark, d).filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).toSeq
+
+  private def top(k: Int = 50): Map[Long, Long] =
+    LexicalStore.searchTopKLexical(spark, maintPath, terms0, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("tombstone delete hides ids immediately but keeps survivor scores (stale df)") {
+    val docs = Tables.documents(spark, d)
+    LexicalStore.build(spark, docs, maintPath)
+    // deep enough to cover every candidate, so any doc surfacing
+    // post-delete has a pre-delete score to compare against
+    val before = top(1000000)
+    val doomed = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id"))
+    LexicalStore.deleteLexical(spark, maintPath, doomed)
+    val after = top()
+    assert(after.keys.forall(_ % 3 != 0), "deleted ids must stop surfacing")
+    // Lucene semantics: df/stats are build-time until compaction, so a
+    // surviving doc's score is bit-identical before and after the delete
+    after.foreach { case (id, micros) => assert(before(id) == micros) }
+    // replayed takedown (at-least-once queue) changes nothing
+    LexicalStore.deleteLexical(spark, maintPath, doomed)
+    assert(top() == after)
+  }
+
+  test("compact equals a fresh build over the survivors; upsert over the merged corpus") {
+    val docs = Tables.documents(spark, d)
+    LexicalStore.build(spark, docs, maintPath)
+    LexicalStore.deleteLexical(spark, maintPath,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id")))
+    LexicalStore.compactLexical(spark, maintPath)
+    val survivors = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val freshPath = "/root/repo/target/test_lex_fresh"
+    LexicalStore.build(spark, survivors, freshPath)
+    val compacted = top()
+    val fresh = LexicalStore.searchTopKLexical(spark, freshPath, terms0, 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(compacted == fresh, "compaction must equal a from-scratch build")
+    // upsert: re-text doc_id%5==1 (including previously deleted ids —
+    // an upserted tombstoned id is live again with its new text)
+    val upserts = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" "), col("lang")).as("text"))
+    LexicalStore.upsertLexical(spark, maintPath, upserts)
+    val merged = survivors.filter(pmod(col("doc_id"), lit(5)) =!= 1)
+      .select(col("doc_id"), col("text"))
+      .union(upserts)
+    LexicalStore.build(spark, merged, freshPath)
+    val upserted = top()
+    val freshUp = LexicalStore.searchTopKLexical(spark, freshPath, terms0, 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(upserted == freshUp, "upsert must equal a build over the merged corpus")
+    // a fresh build at the path starts with nothing deleted
+    LexicalStore.deleteLexical(spark, maintPath, docs.limit(5).select(col("doc_id")))
+    LexicalStore.build(spark, docs, maintPath)
+    val rebuilt = top()
+    assert(rebuilt.keys.exists(_ < 5), "rebuild must clear tombstones")
+  }
 }
