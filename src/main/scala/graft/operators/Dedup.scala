@@ -628,8 +628,94 @@ object Dedup {
     FROM spans GROUP BY doc_id, n_tokens
     ORDER BY doc_id"""
 
+  // ---- q152: quality-aware canonical survivor selection -------------
+
+  /** Per-document cluster label + keep-best rank: [[clusterLabels]]
+    * joined with an integer quality column and ranked per cluster by
+    * (quality DESC, id) — rank 1 is the cluster's canonical member.
+    * Min-id survivorship ([[survivors]]) keeps an ARBITRARY member of
+    * each near-dup cluster; a training pipeline wants the best one
+    * (longest, highest-scoring — any integer quality), and the
+    * tie-break on id keeps the pick deterministic. One rank window on
+    * the label partitioning — the same shuffle the labels already
+    * have. */
+  def canonicalRank(docs: DataFrame, idCol: String, qualityCol: String,
+                    pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val labels = clusterLabels(docs.select(col(idCol)), idCol, pairs,
+      maxIter = maxIter)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("quality").desc, col("id"))
+    labels
+      .join(docs.select(col(idCol).as("id"), col(qualityCol).as("quality")), "id")
+      .withColumn("rk", row_number().over(w))
+  }
+
+  /** Ids that survive keep-best dedup (the [[survivors]] drop-in with
+    * a quality argument): each cluster's canonical member plus every
+    * isolated id. */
+  def canonicalSurvivors(docs: DataFrame, idCol: String, qualityCol: String,
+                         pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    canonicalRank(docs, idCol, qualityCol, pairs, maxIter)
+      .filter(col("rk") === 1).select(col("id"))
+
+  /** q152: keep-best dedup observed per cluster — for every
+    * non-singleton MinHash cluster (q50's pairs, threshold 0.35), the
+    * member count and the canonical pick under `n_chars` quality.
+    * `label` is the cluster's min id, i.e. exactly what min-id
+    * survivorship would keep — so each row SHOWS where quality-aware
+    * selection departs from the naive rule (canonical_id != label).
+    * Oracle: pairs re-derived from the dumped signatures (the q50
+    * mirror), clusters as a RECURSIVE min-label closure (the q97
+    * idiom), the pick as the same (quality DESC, id) argmax. */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = minhashPairs(docs, "doc_id", "text")
+    canonicalRank(docs, "doc_id", "n_chars", pairs)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("id"))).as("canonical_id"),
+        max(when(col("rk") === 1, col("quality"))).as("canonical_quality"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("label"))
+  }
+
+  private val q152Sql = s"""
+    WITH RECURSIVE sigs AS (SELECT doc_id, mb, sg FROM $AuxSigs),
+    banded AS (SELECT doc_id, unnest(mb) AS band FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.id_a
+      JOIN sigs sb ON sb.doc_id = cand.id_b
+      WHERE (len(sa.sg) = 0 AND len(sb.sg) = 0)
+         OR (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)) > 0
+             AND CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                 / (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)))
+                 >= 0.35)),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    r(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id),
+    labels AS (SELECT id, MIN(label) AS label FROM r GROUP BY id),
+    ranked AS (
+      SELECT l.label, l.id, d.n_chars AS quality,
+             row_number() OVER (PARTITION BY l.label
+                                ORDER BY d.n_chars DESC, l.id) AS rk
+      FROM labels l JOIN documents d ON d.doc_id = l.id)
+    SELECT label, COUNT(*) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN id END) AS canonical_id,
+           MAX(CASE WHEN rk = 1 THEN quality END) AS canonical_quality
+    FROM ranked GROUP BY label HAVING COUNT(*) >= 2
+    ORDER BY label"""
+
   val queries: Seq[Query] = Seq(
     Query("q50_dedup_minhash_lsh", q50, Some(q50Sql)),
+    Query("q152_canonical_pick",   q152, Some(q152Sql)),
     Query("q51_dedup_simhash",     q51, Some(q51Sql)),
     Query("q52_embedding_neardup", q52, Some(q52Sql)),
     Query("q53_ngram_jaccard",     q53, Some(q53Sql)),

@@ -143,10 +143,13 @@ object LexicalStore {
     * bucket-partitioned layout + `_stats` sidecar. */
   private def writePostings(spark: SparkSession, tf: DataFrame,
                             path: String): Unit = {
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-    tf.join(dfreq, "term") // vocabulary-sized -> broadcast at sf, shuffle-on-term at 100 TB
-      .join(lens, "doc_id")
+    // df/len denormalize via whole-partition windows (one shuffle
+    // each, no vocabulary/doc-count side tables to materialize and
+    // join back — at 100 TB the window shuffle IS the join shuffle)
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("len",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .withColumn("bucket", bucketCol(col("term")))
       // one task per bucket -> one file per directory
       .repartition(NumBuckets, col("bucket"))
@@ -155,7 +158,8 @@ object LexicalStore {
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket")
       .parquet(path)
-    lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_stats")
   }
 
@@ -244,7 +248,9 @@ object LexicalStore {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val survivors = survivorTf(spark, path)
       .join(base.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-    writePostings(spark, survivors.union(newTf).localCheckpoint(), path)
+    // survivors are already materialized and newTf never reads `path`,
+    // so the union can overwrite the layout without a second checkpoint
+    writePostings(spark, survivors.union(newTf), path)
     clearTombstones(spark, path)
   }
 

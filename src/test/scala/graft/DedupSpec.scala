@@ -183,4 +183,22 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(again == Set(11L, 13L))
   }
+
+  test("canonical survivors keep the best-quality cluster member, min-id the smallest") {
+    import spark.implicits._
+    // cluster {1,2,3} via a transitive chain, doc 9 isolated; quality
+    // favors 2 (ties on quality broken by id: 4 vs 5 both quality 7)
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 30L), (9L, 5L),
+      (4L, 7L), (5L, 7L)).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val canonical = operators.Dedup
+      .canonicalSurvivors(docs, "doc_id", "quality", pairs)
+      .as[Long].collect().toSet
+    assert(canonical == Set(2L, 9L, 4L),
+      s"keep-best must pick 2 (quality 50) and tie-break 4 over 5: $canonical")
+    val naive = operators.Dedup
+      .survivors(docs.select(col("doc_id")), "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(naive == Set(1L, 9L, 4L), s"min-id keeps 1: $naive")
+  }
 }
