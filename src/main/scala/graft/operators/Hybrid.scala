@@ -758,9 +758,179 @@ object Hybrid {
       UNION ALL SELECT * FROM p3)
     ORDER BY phase, lex_rank"""
 
+  // ---- q153: PERSISTED late-interaction layout (ColBERT at scale) ----
+
+  private def colbertPath(d: String): String =
+    "/root/repo/target/q153_colbert_index/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val Q153Cells = 16
+  private val Q153Probes = 4
+
+  /** Build the persisted late-interaction index: the exploded
+    * token-vector table ([[tokenVectors]] — one row per document
+    * token), IVF-partitioned by the token vector's nearest trained
+    * cell with the `_centroids` sidecar — ColBERTv2's actual storage
+    * plan (its IVF lists hold TOKEN ids, not document ids). The
+    * bit-exact decimal Lloyd trainer and the NearestCell scan-side
+    * assignment are the q98 machinery verbatim; what differs is only
+    * the indexed unit. Seeds: the first `kCells` token vectors in
+    * (doc_id, tpos) order, cent_id = doc_id*maxToks + tpos. */
+  def buildColbert(s: SparkSession, docs: DataFrame, path: String,
+                   maxToks: Int, kCells: Int): Unit = {
+    import graft.functions.vecIndexExprs
+    val toks = tokenVectors(docs, maxToks)
+      .localCheckpoint() // embed once: feeds training AND the write
+    val seeds = toks
+      .select((col("doc_id") * maxToks + col("tpos")).as("cent_id"),
+        col("tokvec").as("cvec"))
+      .orderBy(col("cent_id")).limit(kCells)
+    val (ids, cents) = VectorSearch.ivfCentroids(
+      toks, "doc_id", "tokvec", seeds, lloydIters = 2, bitExact = true)
+    toks.withColumn("cell",
+        vecIndexExprs.nearestCell(col("tokvec"), ids, cents))
+      .repartition(kCells, col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell")
+      .parquet(path)
+    import s.implicits._
+    ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_centroids")
+  }
+
+  private val builtColbertOnce =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int), Unit]
+
+  /** [[buildColbert]] at most once per (session, path, params) — the
+    * bit-exact build lets Verify's aux dump, the gate query, and the
+    * bench share one physical index (the buildIvfOnce discipline). */
+  def buildColbertOnce(s: SparkSession, docs: => DataFrame, path: String,
+                       maxToks: Int, kCells: Int): Unit =
+    builtColbertOnce.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), path, maxToks, kCells),
+      buildColbert(s, docs, path, maxToks, kCells))
+
+  /** Search the persisted late-interaction index: each query token
+    * multiprobes its `probes` nearest cells (the same NearestCells
+    * kernel the build assigned with), the candidate set is every
+    * document with ≥1 token vector in ≥1 probed cell — a
+    * partition-pruned read of the union of probed cell directories
+    * that projects (doc_id) only — and the exact [[q150]] MaxSim
+    * scores the candidates from a forward gather of their full
+    * token-vector rows (a doc_id semi-join; at 100 TB this gather is
+    * the doc-keyed forward index every ColBERT serving stack
+    * maintains, and the candidate list rides a broadcast). Scores
+    * are integer micros end to end. */
+  def searchColbert(s: SparkSession, path: String, queryText: String,
+                    probes: Int, k: Int): DataFrame = {
+    import graft.functions.vecIndexExprs
+    import s.implicits._
+    val cRows = s.read.parquet(s"$path/_centroids")
+      .select(col("cent_id").cast("long"), col("cvec")).collect()
+      .sortBy(_.getLong(0))
+    val ids = cRows.map(_.getLong(0))
+    val cents = cRows.map(_.getSeq[Float](1).toArray)
+    val qToks = queryText.split(" ").filter(_.nonEmpty).toIndexedSeq
+    val qvecs = qToks.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.functions.Embed.embed(t, graft.functions.Embed.DefaultDim).toSeq)
+    }.toDF("qtok_id", "qvec")
+    // probed cell VALUES (≤ nQ·probes longs) — the partition-pruning list
+    val probed = qvecs.select(
+        explode(vecIndexExprs.nearestCells(col("qvec"), ids, cents, probes))
+          .as("cell"))
+      .distinct().as[Long].collect().toSeq
+    val cand = s.read.parquet(path)
+      .filter(col("cell").isin(probed.map(Long.box): _*))
+      .select(col("doc_id")).distinct()
+    val toks = s.read.parquet(path)
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
+    val maxSim = toks.crossJoin(broadcast(qvecs))
+      .select(col("doc_id"), col("qtok_id"),
+        floor(VectorOps.vecCosine(col("tokvec"), col("qvec")) * lit(1000000d))
+          .cast("long").as("sim_micros"))
+      .groupBy(col("doc_id"), col("qtok_id"))
+      .agg(max(col("sim_micros")).as("max_micros"))
+    maxSim.groupBy(col("doc_id"))
+      .agg(sum(col("max_micros")).as("li_micros"),
+        count(lit(1)).as("n_qtoks"))
+      .filter(col("n_qtoks") === qToks.length)
+      .orderBy(col("li_micros").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("li_micros").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("li_micros"))
+  }
+
+  /** q153: [[q150]]'s scorer productized as a PERSISTED, ANN-pruned
+    * index lifecycle — build the token-vector IVF layout, probe per
+    * query token, gather candidates, exact-MaxSim rerank. Same query
+    * text and token budget as q150, so the two gates bracket the
+    * exact-vs-pruned relationship on the same corpus. The oracle
+    * re-derives the token-vector cell ASSIGNMENT from the dumped
+    * tokvec×centroid tables (a build-side assignment bug fails the
+    * gate), the per-token probe lists, the candidate union, and the
+    * MaxSim rerank. */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val path = colbertPath(d)
+    buildColbertOnce(s, Tables.documents(s, d), path, Q150MaxToks, Q153Cells)
+    searchColbert(s, path, Q150QueryText, Q153Probes, Q150K)
+  }
+
+  /** Dump the trained token-cell centroids; tokvecs/qtoks ride the
+    * q150 aux (same corpus, same token budget, same embed kernel). */
+  def materializeColbertAux(s: SparkSession, d: String,
+                            auxDir: String): Unit = {
+    val path = colbertPath(d)
+    buildColbertOnce(s, Tables.documents(s, d), path, Q150MaxToks, Q153Cells)
+    s.read.parquet(s"$path/_centroids")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q153_cents.parquet")
+  }
+
+  private val q153Sql = s"""
+    WITH toks AS (SELECT doc_id, tpos, tokvec FROM
+      read_parquet('/root/repo/target/verify_aux/q150_tokvecs.parquet/*.parquet')),
+    qs AS (SELECT qtok_id, qvec FROM
+      read_parquet('/root/repo/target/verify_aux/q150_qtoks.parquet/*.parquet')),
+    cents AS (SELECT cent_id, cvec FROM
+      read_parquet('/root/repo/target/verify_aux/q153_cents.parquet/*.parquet')),
+    assign AS (
+      SELECT t.doc_id, t.tpos, c.cent_id,
+             row_number() OVER (PARTITION BY t.doc_id, t.tpos
+               ORDER BY ${VectorSearch.l2Sql("t.tokvec", "c.cvec")}, c.cent_id)
+               AS arn
+      FROM toks t, cents c),
+    assigned AS (SELECT doc_id, tpos, cent_id AS cell FROM assign WHERE arn = 1),
+    probe AS (
+      SELECT DISTINCT cell FROM (
+        SELECT q.qtok_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.qtok_id
+                 ORDER BY ${VectorSearch.l2Sql("q.qvec", "c.cvec")}, c.cent_id)
+                 AS prn
+        FROM qs q, cents c)
+      WHERE prn <= $Q153Probes),
+    cand AS (SELECT DISTINCT a.doc_id
+             FROM assigned a JOIN probe p ON a.cell = p.cell),
+    maxsim AS (
+      SELECT t.doc_id, q.qtok_id,
+             MAX(CAST(floor(1000000.0 *
+               (${VectorSearch.cosColsSql("t.tokvec", "q.qvec")})) AS BIGINT))
+               AS max_micros
+      FROM toks t JOIN cand USING (doc_id) CROSS JOIN qs q
+      GROUP BY t.doc_id, q.qtok_id),
+    scored AS (
+      SELECT doc_id, CAST(SUM(max_micros) AS BIGINT) AS li_micros
+      FROM maxsim GROUP BY doc_id
+      HAVING COUNT(*) = (SELECT COUNT(*) FROM qs))
+    SELECT row_number() OVER (ORDER BY li_micros DESC, doc_id) AS rank,
+           doc_id, li_micros
+    FROM scored ORDER BY li_micros DESC, doc_id LIMIT $Q150K"""
+
   val queries: Seq[Query] = Seq(
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
     Query("q151_lexical_maintenance", q151, Some(q151Sql)),
+    Query("q153_colbert_index", q153, Some(q153Sql)),
     Query("q118_hybrid_ivf", q118, Some(q118Sql)),
     Query("q119_hybrid_batch", q119, Some(q119Sql)),
     Query("q120_hybrid_filtered", q120, Some(q120Sql)),

