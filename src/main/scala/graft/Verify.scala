@@ -39,7 +39,8 @@ object Verify {
         () => operators.VectorSearch.materializeSearchAux(spark, sfDir, auxDir)),
       ("dedup sigs", Set("q50_dedup_minhash_lsh", "q51_dedup_simhash",
           "q53_ngram_jaccard", "q54_winnow_overlap", "q68_dedup_recall",
-          "q131_stream_neardup", "q152_canonical_pick"),
+          "q131_stream_neardup", "q152_canonical_pick",
+          "q154_bloom_decontaminate"),
         () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
       ("ann", Set("q62_ann_lsh", "q65_ann_ivf", "q67_ann_recall", "q69_ann_sq8"),
         () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),
@@ -113,6 +114,8 @@ object Verify {
         () => operators.VectorSearch.materializeHnswBatchAux(spark, sfDir, auxDir)),
       ("q145 cms token buckets", Set("q145_cms_heavy_hitters", "q148_stream_cms"),
         () => operators.Corpus.materializeCmsAux(spark, sfDir, auxDir)),
+      ("q154 bloom positions", Set("q154_bloom_decontaminate"),
+        () => operators.Corpus.materializeBloomAux(spark, sfDir, auxDir)),
       ("q41 chunks", Set("q41_chunk_stats"),
         () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
       ("media", Set("q90_media_features", "q91_frame_sample"),

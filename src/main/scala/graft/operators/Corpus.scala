@@ -588,6 +588,148 @@ object Corpus {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  // ---- q154: Bloom-filter decontamination ---------------------------
+
+  /** Bloom geometry. 64 Ki bits × 3 hashes sits deliberately UNDER
+    * textbook sizing for the sf0.1 test split's ~17k distinct
+    * shingles (~16% FP rate there, fractions of a percent at the
+    * smaller fixtures — the CmsWidth=8 rationale: the meter must show
+    * real false positives without saturating to all-flagged at any
+    * gate SF). Production sizing is the textbook m ≈ -n·ln(p)/ln(2)²
+    * — a few GB of bitmap covers billions of benchmark shingles at
+    * p=1e-3, and that bitmap broadcasts where the exact
+    * distinct-shingle set (8 bytes × n) cannot. */
+  private val BloomBits = 65536
+  private val BloomHashes = 3
+
+  /** Bloom position `j` of a 64-bit shingle-hash column: seeded
+    * xxhash64 mod `m` — the [[cmsBuckets]] idiom on the membership
+    * side (CMS counts, Bloom remembers). */
+  private def bloomPos(h: Column, j: Int, m: Int): Column =
+    pmod(xxhash64(lit(j), h), lit(m.toLong))
+
+  /** Build the `m`-bit Bloom bitmap of a distinct shingle-hash frame
+    * as driver words (index metadata, m/64 longs): the position frame
+    * aggregates to ≤ m distinct rows before it ever reaches the
+    * driver, whatever the benchmark's size. */
+  def bloomBitmap(benchH: DataFrame, k: Int = BloomHashes,
+                  m: Int = BloomBits): Array[Long] = {
+    val s = benchH.sparkSession
+    import s.implicits._
+    val poss = benchH.select(explode(array(
+        (0 until k).map(j => bloomPos(col("h"), j, m)): _*)).as("pos"))
+      .distinct().as[Long].collect()
+    val words = new Array[Long](m / 64)
+    poss.foreach(p => words((p >> 6).toInt) |= 1L << (p & 63))
+    words
+  }
+
+  /** Add `bloom_hit`: does every Bloom position of `hCol` land on a
+    * set bit of the broadcast bitmap literal — the scan-side
+    * might-contain test (one-sided: never misses a true member). */
+  def bloomFlag(df: DataFrame, hCol: String, words: Array[Long],
+                k: Int = BloomHashes, m: Int = BloomBits): DataFrame = {
+    val hit = (0 until k).map { j =>
+      expr(s"(element_at(_bw, CAST(pmod(xxhash64($j, $hCol), $m) div 64 AS INT) + 1)" +
+        s" & shiftleft(CAST(1 AS BIGINT)," +
+        s" CAST(pmod(xxhash64($j, $hCol), $m) % 64 AS INT))) != 0")
+    }.reduce(_ && _)
+    df.withColumn("_bw", typedLit(words.toSeq))
+      .withColumn("bloom_hit", hit).drop("_bw")
+  }
+
+  /** q154: [[decontaminate]]'s scale path, metered against its exact
+    * self. q96 broadcasts the benchmark's full distinct-shingle set;
+    * at a real benchmark-suite size that broadcast is GBs where a
+    * Bloom bitmap is MBs — the standard trade: the bitmap can only
+    * FALSELY FLAG (drop a clean doc or trigger an exact re-check),
+    * never miss contamination. This meter runs BOTH paths on the q96
+    * split (train vs test, same shingle kernel) and reports, per
+    * train doc the Bloom gate would even look at: distinct shingles,
+    * exact overlaps, Bloom-flagged overlaps (≥ exact always — the
+    * one-sided-error invariant the oracle re-derives row by row), and
+    * both ≥5 drop verdicts. Oracle: the position kernel runs in Spark
+    * once (dumped distinct (h, j, pos) — the q145 idiom); DuckDB
+    * re-derives the set-bit set, per-shingle membership, and both
+    * counts from it plus the dedup_sigs shingle arrays. */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.hashExprs
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(md5Bucket(col("doc_id")) < 205)
+    val test = docs.filter(md5Bucket(col("doc_id")) >= 230)
+    val testH = test.select(
+      explode(hashExprs.shingleHashes(col("text"), 3)).as("h")).distinct()
+    val words = bloomBitmap(testH)
+    val trainH = train.select(col("doc_id"),
+      explode(hashExprs.shingleHashes(col("text"), 3)).as("h")).distinct()
+    bloomFlag(trainH, "h", words)
+      .join(broadcast(testH.withColumn("ex", lit(1L))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom"))
+      .withColumn("exact_drop", (col("n_exact") >= 5).cast("int"))
+      .withColumn("bloom_drop", (col("n_bloom") >= 5).cast("int"))
+      .filter(col("n_bloom") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_exact"),
+        col("n_bloom"), col("exact_drop"), col("bloom_drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Dump each distinct shingle hash's Bloom positions — the
+    * scan-side kernel output the q154 oracle re-derives membership
+    * from. */
+  def materializeBloomAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import graft.functions.hashExprs
+    Tables.documents(s, d)
+      .select(explode(hashExprs.shingleHashes(col("text"), 3)).as("h"))
+      .distinct()
+      .select(col("h"), explode(array((0 until BloomHashes).map(j =>
+        struct(lit(j).as("j"), bloomPos(col("h"), j, BloomBits).as("pos"))): _*))
+        .as("jp"))
+      .select(col("h"), col("jp.j").as("j"), col("jp.pos").as("pos"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q154_bloom_pos.parquet")
+  }
+
+  private val q154Sql = """
+    WITH b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      FROM documents),
+    sigs AS (SELECT doc_id, sg
+             FROM read_parquet('/root/repo/target/verify_aux/dedup_sigs.parquet/*.parquet')),
+    hp AS (SELECT h, j, pos FROM
+      read_parquet('/root/repo/target/verify_aux/q154_bloom_pos.parquet/*.parquet')),
+    test_h AS (
+      SELECT DISTINCT h FROM (
+        SELECT unnest(s.sg) AS h
+        FROM sigs s JOIN b ON b.doc_id = s.doc_id WHERE b.bucket >= 230)),
+    setbits AS (SELECT DISTINCT pos FROM hp JOIN test_h USING (h)),
+    flagged_h AS (
+      SELECT hp.h FROM hp LEFT JOIN setbits s USING (pos)
+      GROUP BY hp.h
+      HAVING SUM(CASE WHEN s.pos IS NULL THEN 1 ELSE 0 END) = 0),
+    train_sh AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT s.doc_id, unnest(s.sg) AS h
+        FROM sigs s JOIN b ON b.doc_id = s.doc_id WHERE b.bucket < 205)),
+    agg AS (
+      SELECT t.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN th.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+             CAST(SUM(CASE WHEN fh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom
+      FROM train_sh t
+      LEFT JOIN test_h th USING (h)
+      LEFT JOIN flagged_h fh USING (h)
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_shingles, n_exact, n_bloom,
+           CAST(n_exact >= 5 AS INT) AS exact_drop,
+           CAST(n_bloom >= 5 AS INT) AS bloom_drop
+    FROM agg WHERE n_bloom > 0 ORDER BY doc_id"""
+
   /** q96: decontaminate the md5-bucket train split against the test
     * split (q58's splitter thresholds), dropping train docs sharing
     * >= 5 distinct shingles with any test doc (the fixture's docs are
@@ -1149,6 +1291,7 @@ object Corpus {
     Query("q147_domain_cap",   q147, Some(q147Sql)),
     Query("q95_repetition_quality", q95, Some(q95Sql)),
     Query("q96_decontaminate", q96, Some(q96Sql)),
+    Query("q154_bloom_decontaminate", q154, Some(q154Sql)),
     Query("q97_prepare_pipeline", q97, Some(q97Sql)),
     Query("q99_sequence_packing", q99, Some(q99Sql)),
     Query("q100_mixture_sample", q100, Some(q100Sql)),

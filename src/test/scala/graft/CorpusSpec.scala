@@ -250,4 +250,22 @@ class CorpusSpec extends AnyFunSuite {
       assert(sy.count() == 1, "the word is one merged symbol")
     }
   }
+
+  test("bloom membership is one-sided: every true member flags; bitmap is deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val members = (1L to 400L).map(_ * 2654435761L).toDF("h")
+    val w1 = operators.Corpus.bloomBitmap(members)
+    val w2 = operators.Corpus.bloomBitmap(members)
+    assert(w1.toSeq == w2.toSeq, "bitmap must be deterministic")
+    val flagged = operators.Corpus.bloomFlag(members, "h", w1)
+    assert(flagged.filter(!col("bloom_hit")).isEmpty,
+      "a Bloom filter must never miss a true member")
+    // non-members may false-positive but never all of them at this
+    // occupancy (400*3 of 65536 bits)
+    val others = (1L to 400L).map(i => i * 7046029254386353L + 13L).toDF("h")
+    val fp = operators.Corpus.bloomFlag(others, "h", w1)
+      .filter(col("bloom_hit")).count()
+    assert(fp < 400, s"all $fp non-members flagged: geometry saturated")
+  }
 }
