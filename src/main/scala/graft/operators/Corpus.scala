@@ -318,6 +318,113 @@ object Corpus {
     when(b < trainUpTo, "train").when(b < validUpTo, "valid").otherwise("test")
   }
 
+  // ---- adaptive quality cutoffs + leakage-safe split ----------------
+
+  /** Per-group rank-based lower-quartile cutoff: the value at
+    * ascending position ceil(n/4) of (quality, id) order — a PURE
+    * RANK statistic over integers, no interpolation, so every engine
+    * derives the identical cutoff (the reason this is not
+    * percentile_cont). One shuffle on the group key serves the rank,
+    * the count, and the keep test. */
+  def adaptiveQualityGate(df: DataFrame, groupCol: String,
+                          qualityCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(qualityCol), col(idCol))
+    val ranked = df
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val cut = ranked.filter(col("rk") === expr("(n + 3) div 4"))
+      .select(col(groupCol), col(qualityCol).as("cutoff"))
+    df.join(cut, groupCol)
+  }
+
+  /** q155: per-source ADAPTIVE quality gating — a fixed global token
+    * cutoff over-prunes terse-by-nature sources and under-prunes
+    * verbose ones, so each source cuts its own bottom quartile by
+    * token count. Reports per source: size, the derived cutoff, and
+    * the kept count. */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")).cast(LongType))
+    adaptiveQualityGate(docs, "source", "nt", "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("cutoff")).as("cutoff"),
+        sum(when(col("nt") >= col("cutoff"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val q155Sql = """
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents),
+    r AS (
+      SELECT source, nt,
+             row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM q),
+    cut AS (SELECT source, nt AS cutoff FROM r WHERE rk = (n + 3) // 4)
+    SELECT q.source, COUNT(*) AS n_docs,
+           CAST(MIN(cutoff) AS BIGINT) AS cutoff,
+           CAST(SUM(CASE WHEN nt >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM q JOIN cut USING (source)
+    GROUP BY q.source ORDER BY q.source"""
+
+  /** q156: LEAKAGE-SAFE train/valid/test split — the q58 splitter
+    * assigns per DOCUMENT, so two near-duplicates can straddle
+    * train/test and leak evaluation text into training. Here the
+    * split hashes the near-dup CLUSTER label (q50's MinHash pairs →
+    * distributed label propagation), so every member of a cluster
+    * lands in the same split by construction; isolated docs hash
+    * their own id (label = id), degenerating to q58 exactly where no
+    * near-dup structure exists. The oracle re-derives pairs from the
+    * dumped signatures, the closure as a RECURSIVE CTE, and the
+    * md5-bucket split of the label. */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+    Dedup.clusterLabels(docs.select(col("doc_id")), "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("label"),
+        assignSplit(col("label")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q156Sql = s"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id, mb, sg FROM
+      read_parquet('/root/repo/target/verify_aux/dedup_sigs.parquet/*.parquet')),
+    banded AS (SELECT doc_id, unnest(mb) AS band FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.id_a
+      JOIN sigs sb ON sb.doc_id = cand.id_b
+      WHERE (len(sa.sg) = 0 AND len(sb.sg) = 0)
+         OR (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)) > 0
+             AND CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                 / (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)))
+                 >= 0.35)),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    r(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id),
+    labels AS (SELECT id AS doc_id, MIN(label) AS label FROM r GROUP BY id),
+    b AS (
+      SELECT doc_id, label,
+             (strpos('0123456789abcdef', substr(md5(CAST(label AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(label AS VARCHAR)), 2, 1)) - 1) AS bucket
+      FROM labels)
+    SELECT doc_id, label,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split
+    FROM b ORDER BY doc_id"""
+
   /** q58: split + ~10% stratified sample counts per language. One
     * narrow scan + one tiny agg shuffle. */
   private def q58(s: SparkSession, d: String): DataFrame =
@@ -1292,6 +1399,8 @@ object Corpus {
     Query("q95_repetition_quality", q95, Some(q95Sql)),
     Query("q96_decontaminate", q96, Some(q96Sql)),
     Query("q154_bloom_decontaminate", q154, Some(q154Sql)),
+    Query("q155_adaptive_quality", q155, Some(q155Sql)),
+    Query("q156_leakage_safe_split", q156, Some(q156Sql)),
     Query("q97_prepare_pipeline", q97, Some(q97Sql)),
     Query("q99_sequence_packing", q99, Some(q99Sql)),
     Query("q100_mixture_sample", q100, Some(q100Sql)),
