@@ -758,6 +758,71 @@ object Hybrid {
       UNION ALL SELECT * FROM p3)
     ORDER BY phase, lex_rank"""
 
+  // ---- q157: segmented lexical append (no-rewrite increments) -------
+
+  private def lexSegPath(d: String): String =
+    "/root/repo/target/q157_lex_segments/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** q157: the lexical layout's INCREMENTAL answer — the denormalized
+    * layout (q115/q151) rewrites per corpus version; the segmented
+    * layout appends each batch as a new segment (per-segment df,
+    * per-segment stats row, old segments byte-untouched —
+    * LexicalSpec pins the no-rewrite claim on the files themselves)
+    * and merges term statistics at query time, the Lucene
+    * IndexReader model. The gate appends the corpus in two batches
+    * (doc_id%3≠2, then %3=2) and searches doc-0's terms: the oracle
+    * scores a from-scratch single-corpus build — hash-equality IS the
+    * proof that merged-stats scoring equals the rebuild the
+    * denormalized layout would have paid. */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val path = lexSegPath(d)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // fresh lifecycle per call
+    val docs = Tables.documents(s, d)
+    LexicalStore.appendLexicalSegment(s,
+      docs.filter(pmod(col("doc_id"), lit(3)) =!= 2), path)
+    LexicalStore.appendLexicalSegment(s,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), path)
+    val queryTerms = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).toSeq
+    LexicalStore.searchTopKSegmented(s, path, queryTerms, Q151K)
+      .orderBy(col("lex_rank"))
+  }
+
+  /** The q115 lexical mirror over the FULL corpus (global df/stats —
+    * what the segment merge must reproduce), plus each doc's segment
+    * re-derived from the batch rule. */
+  private val q157Sql = s"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), qterms AS (
+      SELECT DISTINCT term FROM tf WHERE doc_id = 0
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), lex AS (
+      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id)
+    SELECT row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS lex_rank,
+           doc_id,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INT) AS seg,
+           lex_micros
+    FROM lex ORDER BY lex_micros DESC, doc_id LIMIT $Q151K"""
+
   // ---- q153: PERSISTED late-interaction layout (ColBERT at scale) ----
 
   private def colbertPath(d: String): String =
@@ -931,6 +996,7 @@ object Hybrid {
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
     Query("q151_lexical_maintenance", q151, Some(q151Sql)),
     Query("q153_colbert_index", q153, Some(q153Sql)),
+    Query("q157_lexical_segments", q157, Some(q157Sql)),
     Query("q118_hybrid_ivf", q118, Some(q118Sql)),
     Query("q119_hybrid_batch", q119, Some(q119Sql)),
     Query("q120_hybrid_filtered", q120, Some(q120Sql)),

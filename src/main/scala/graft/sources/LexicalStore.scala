@@ -254,6 +254,103 @@ object LexicalStore {
     clearTombstones(spark, path)
   }
 
+  // ---- segmented layout: append WITHOUT rewrite ---------------------
+  //
+  // The denormalized layout above rewrites per corpus version; this is
+  // Lucene's other answer, made explicit: each append writes a NEW
+  // SEGMENT (its own postings with PER-SEGMENT df, its own stats row),
+  // old segments stay byte-untouched (LexicalSpec pins it), and query
+  // time merges the term statistics — global df(term) = Σ segments'
+  // df, global n_docs/sum_len = Σ stats rows — exactly how a Lucene
+  // IndexReader sums docFreq across its segment readers. The trade vs
+  // the denormalized layout: append is O(batch) instead of O(corpus),
+  // search pays a |query-terms|-row stats merge (vocabulary-pruned,
+  // never corpus-sized). Layout:
+  //
+  //   path/seg=<s>/bucket=<b>/part-*.parquet  (term, doc_id, tf, df, len)
+  //   path/_segstats/part-*.parquet           (seg, n_docs, sum_len)
+  //
+  // df in-row is the SEGMENT's df; a doc lives in exactly one segment,
+  // so len is exact and the merged scoring equals a from-scratch build
+  // over the union corpus (the q157 gate proves it hash-exact).
+
+  /** Per-segment (doc_id, term, tf, df, len) rows of one document
+    * batch — the build() aggregation scoped to the batch. */
+  private def segmentRows(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val tf = graft.operators.Corpus.tokens(base, "text", "doc_id")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("len",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+  }
+
+  private def segIds(spark: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toInt).sorted
+  }
+
+  /** Append `docs` as the next segment: one batch-sized aggregation
+    * and write; no existing segment file is touched. Caller contract
+    * (as in Lucene): a doc id appears in at most one segment — upsert
+    * into a segmented layout is delete+append. */
+  def appendLexicalSegment(spark: SparkSession, docs: DataFrame, path: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): Unit = {
+    val seg = segIds(spark, path).lastOption.fold(0)(_ + 1)
+    val rows = segmentRows(docs, idCol, textCol).localCheckpoint()
+    rows.withColumn("bucket", bucketCol(col("term")))
+      .repartition(NumBuckets, col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // only this seg's dirs
+      .partitionBy("bucket")
+      .parquet(s"$path/seg=$seg")
+    rows.select(col("doc_id"), col("len")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+      .select(lit(seg).as("seg"), col("n_docs"), col("sum_len"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/_segstats")
+  }
+
+  /** Segmented top-`k`: postings pruned to the query terms' buckets
+    * ACROSS all segments, per-term global df merged from the pruned
+    * rows (a |query-terms|-row aggregate joined back — AQE
+    * broadcasts it), global stats summed from the `_segstats` rows,
+    * then the same quantized BM25 and rank as the denormalized path.
+    * Scores equal a from-scratch single-layout build over the union
+    * corpus (q157 pins it hash-exact). */
+  def searchTopKSegmented(spark: SparkSession, path: String,
+                          queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    val terms = queryTerms.filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "lexical search needs at least one term")
+    val buckets = terms.map(bucketOf).distinct
+    val stats = spark.read.parquet(s"$path/_segstats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_len")).as("sum_len"))
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+    // global df: per-segment dfs are disjoint doc sets, so they sum;
+    // one distinct (seg, term, df) row per segment contributes once
+    val gdf = post.select(col("seg"), col("term"), col("df")).distinct()
+      .groupBy(col("term")).agg(sum(col("df")).as("gdf"))
+    val scored = post.join(broadcast(gdf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("seg"),
+        bm25Micros(col("tf"), col("gdf"), col("len"),
+          col("n_docs"), col("sum_len")).as("micros"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(sum(col("micros")).as("lex_micros"))
+    scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("lex_micros").desc, col("doc_id"))))
+      .select(col("lex_rank"), col("doc_id"), col("seg"), col("lex_micros"))
+  }
+
   private val builtOnce =
     scala.collection.concurrent.TrieMap.empty[(String, String, String, String), Unit]
 

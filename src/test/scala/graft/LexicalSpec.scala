@@ -204,6 +204,42 @@ class LexicalSpec extends AnyFunSuite {
     assert(rebuilt.keys.exists(_ < 5), "rebuild must clear tombstones")
   }
 
+  test("segment append leaves existing segment files byte-untouched") {
+    import org.apache.hadoop.fs.Path
+    val segPath = "/root/repo/target/test_lex_segments"
+    val p = new Path(segPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val docs = Tables.documents(spark, d)
+    LexicalStore.appendLexicalSegment(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), segPath)
+    def files(dir: String): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new Path(dir), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += f.getPath.toString -> ((f.getLen, f.getModificationTime))
+      }
+      b.result()
+    }
+    val before = files(s"$segPath/seg=0")
+    assert(before.nonEmpty)
+    LexicalStore.appendLexicalSegment(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), segPath)
+    assert(files(s"$segPath/seg=0") == before,
+      "append must not touch existing segment files")
+    assert(fs.exists(new Path(s"$segPath/seg=1")))
+    // merged-stats scoring equals a from-scratch denormalized build
+    val freshPath = "/root/repo/target/test_lex_seg_fresh"
+    LexicalStore.build(spark, docs, freshPath)
+    val qt = terms0
+    val seg = LexicalStore.searchTopKSegmented(spark, segPath, qt, 50)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val fresh = LexicalStore.searchTopKLexical(spark, freshPath, qt, 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(seg == fresh, "segment-merged scores must equal the rebuild's")
+  }
+
   test("colbert index: probing returns full-gather-exact scores and prunes partitions") {
     import operators.Hybrid
     val path = "/root/repo/target/test_colbert_index"
