@@ -877,6 +877,31 @@ object Hybrid {
       (graft.sources.IndexStore.sessionKey(s), path, maxToks, kCells),
       buildColbert(s, docs, path, maxToks, kCells))
 
+  /** Append documents' token vectors to a persisted late-interaction
+    * layout: assign through the PERSISTED centroids (the appendIvf
+    * no-retrain convention — the stored quantizer is the layout's
+    * contract), one writer task per cell so each append adds one file
+    * per touched cell; existing files untouched. Full-probe search
+    * results are centroid-independent (candidates = all docs, scoring
+    * reads stored vectors), so LexicalSpec pins incremental ≡ rebuilt
+    * at probes = kCells. */
+  def appendColbert(s: SparkSession, docs: DataFrame, path: String,
+                    maxToks: Int): Unit = {
+    import graft.functions.vecIndexExprs
+    val cRows = s.read.parquet(s"$path/_centroids")
+      .select(col("cent_id").cast("long"), col("cvec")).collect()
+      .sortBy(_.getLong(0))
+    val ids = cRows.map(_.getLong(0))
+    val cents = cRows.map(_.getSeq[Float](1).toArray)
+    tokenVectors(docs, maxToks)
+      .withColumn("cell",
+        vecIndexExprs.nearestCell(col("tokvec"), ids, cents))
+      .repartition(math.max(1, ids.length), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(path)
+  }
+
   /** Search the persisted late-interaction index: each query token
     * multiprobes its `probes` nearest cells (the same NearestCells
     * kernel the build assigned with), the candidate set is every

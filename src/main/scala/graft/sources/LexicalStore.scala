@@ -317,6 +317,38 @@ object LexicalStore {
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/_segstats")
   }
 
+  /** Merge all segments back into one (the Lucene forceMerge):
+    * re-aggregate (doc_id, term, tf) across segments into a single
+    * seg=0 with fresh per-segment(=global) df and one stats row.
+    * Scores are unchanged by construction — the merge computes
+    * exactly the statistics the query-time merge was deriving
+    * (LexicalSpec pins it); what it buys is one directory level of
+    * fan-in and the smallest possible stats-merge at query time.
+    * Amortization policy (when to merge) is the caller's, as in
+    * Lucene. */
+  def compactSegments(spark: SparkSession, path: String): Unit = {
+    val tf = spark.read.parquet(path)
+      .select(col("doc_id"), col("term"), col("tf")).localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val rows = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("len", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    rows.withColumn("bucket", bucketCol(col("term")))
+      .repartition(NumBuckets, col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(s"$path/seg=0")
+    tf.select(col("doc_id"), col("tf"))
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+      .select(lit(0).as("seg"), col("n_docs"), col("sum_len"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_segstats")
+  }
+
   /** Segmented top-`k`: postings pruned to the query terms' buckets
     * ACROSS all segments, per-term global df merged from the pruned
     * rows (a |query-terms|-row aggregate joined back — AQE

@@ -238,6 +238,32 @@ class LexicalSpec extends AnyFunSuite {
     val fresh = LexicalStore.searchTopKLexical(spark, freshPath, qt, 50)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(seg == fresh, "segment-merged scores must equal the rebuild's")
+    // segmented search still prunes on the bucket partition column
+    // (bucket is the second partition level under seg=)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val narrow = LexicalStore.searchTopKSegmented(spark, segPath, qt.take(2), 5)
+    narrow.collect()
+    val scans = leafScans(narrow.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(rp =>
+        rp.toString.contains("test_lex_segments") && !rp.toString.contains("_segstats")))
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "bucket"))),
+      "segmented postings scan must carry a bucket partition filter")
+    // forceMerge: one segment left, scores identical
+    LexicalStore.compactSegments(spark, segPath)
+    assert(fs.listStatus(new Path(segPath)).map(_.getPath.getName)
+      .count(_.startsWith("seg=")) == 1)
+    val merged = LexicalStore.searchTopKSegmented(spark, segPath, qt, 50)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(merged == fresh, "forceMerge must not move scores")
   }
 
   test("colbert index: probing returns full-gather-exact scores and prunes partitions") {
@@ -280,5 +306,19 @@ class LexicalSpec extends AnyFunSuite {
       _.partitionFilters.exists(_.references.exists(_.name == "cell")))
     assert(prunedScan.nonEmpty,
       s"candidate scan must carry a cell partition filter:\n${scans.mkString("\n")}")
+    // incremental append through the stored centroids: full-probe
+    // results are centroid-independent, so incremental == rebuilt
+    val docs = Tables.documents(spark, d)
+    val incPath = "/root/repo/target/test_colbert_inc"
+    Hybrid.buildColbert(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), incPath,
+      maxToks = 16, kCells = 8)
+    Hybrid.appendColbert(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), incPath, maxToks = 16)
+    val inc = Hybrid.searchColbert(spark, incPath, query, probes = 8, k = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val reb = Hybrid.searchColbert(spark, path, query, probes = 8, k = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc == reb, "append-then-search must equal rebuild-then-search at full probe")
   }
 }
