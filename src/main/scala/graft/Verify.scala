@@ -77,9 +77,10 @@ object Verify {
         () => operators.Hybrid.materializeHybridAux(spark, sfDir, auxDir)),
       ("q119 hybrid batch queries", Set("q119_hybrid_batch"),
         () => operators.Hybrid.materializeHybridBatchAux(spark, sfDir, auxDir)),
-      ("q150 token vectors", Set("q150_late_interaction", "q153_colbert_index"),
+      ("q150 token vectors", Set("q150_late_interaction", "q153_colbert_index",
+          "q158_tri_hybrid"),
         () => operators.Hybrid.materializeLateInteractionAux(spark, sfDir, auxDir)),
-      ("q153 colbert centroids", Set("q153_colbert_index"),
+      ("q153 colbert centroids", Set("q153_colbert_index", "q158_tri_hybrid"),
         () => operators.Hybrid.materializeColbertAux(spark, sfDir, auxDir)),
       ("q111 compact", Set("q111_ivf_compact_search"),
         () => operators.VectorSearch.materializeCompactAux(spark, sfDir, auxDir)),
@@ -99,7 +100,8 @@ object Verify {
         () => operators.VectorSearch.materializePqResidualAux(spark, sfDir, auxDir)),
       ("q138 residual pq layout", Set("q138_ivfpqr_search"),
         () => operators.VectorSearch.materializePqrAux(spark, sfDir, auxDir)),
-      ("q139 cluster topics", Set("q139_cluster_topics", "q140_cluster_mixture"),
+      ("q139 cluster topics", Set("q139_cluster_topics", "q140_cluster_mixture",
+          "q158_tri_hybrid"),
         () => operators.VectorSearch.materializeClusterTopicsAux(spark, sfDir, auxDir)),
       ("q102 hnsw", Set("q102_ann_hnsw"),
         () => operators.VectorSearch.materializeHnswAux(spark, sfDir, auxDir)),
@@ -116,6 +118,8 @@ object Verify {
         () => operators.Corpus.materializeCmsAux(spark, sfDir, auxDir)),
       ("q154 bloom positions", Set("q154_bloom_decontaminate"),
         () => operators.Corpus.materializeBloomAux(spark, sfDir, auxDir)),
+      ("q158 tri-hybrid query", Set("q158_tri_hybrid"),
+        () => operators.Hybrid.materializeTriHybridAux(spark, sfDir, auxDir)),
       ("q41 chunks", Set("q41_chunk_stats"),
         () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
       ("media", Set("q90_media_features", "q91_frame_sample"),

@@ -1017,8 +1017,171 @@ object Hybrid {
            doc_id, li_micros
     FROM scored ORDER BY li_micros DESC, doc_id LIMIT $Q150K"""
 
+  // ---- q158: tri-hybrid fusion (BM25 + dense + late interaction) ----
+
+  private val Q158K = 10
+  private val Q158Depth = 20
+
+  /** q158: ONE query through THREE retrieval families — the
+    * denormalized BM25 layout (term match), whole-document dense
+    * cosine (semantic pooling), and the persisted ANN-pruned
+    * late-interaction index (token-level matching) — fused by
+    * three-way reciprocal rank. This is the production retrieval
+    * stack's actual shape (a lexical recaller + a bi-encoder + a
+    * ColBERT-style reranker, merged): each arm reuses a gate-pinned
+    * path (q115's layout, q139's doc embeddings, q153's index), all
+    * three rank lists are depth-20 and integer-scored, and the fusion
+    * joins three k-row lists. A term absent from the corpus
+    * ('partition') scores nothing on the lexical arm and the fusion
+    * degrades gracefully — the oracle re-derives that too. */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildOnce(s, docs, lexPath(d))
+    val terms = Q150QueryText.split(" ").toIndexedSeq
+    val lex = LexicalStore.searchTopKLexical(s, lexPath(d), terms, Q158Depth)
+      .select(col("doc_id"), col("lex_rank"))
+    val qdf = Seq(Tuple1(
+      graft.functions.Embed.embed(Q150QueryText, graft.functions.Embed.DefaultDim).toSeq))
+      .toDF("qvec")
+    val vec = VectorSearch.docEmbCached(s, d)
+      .crossJoin(broadcast(qdf))
+      .select(col("doc_id"),
+        VectorOps.vecCosine(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(Q158Depth)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+    buildColbertOnce(s, docs, colbertPath(d), Q150MaxToks, Q153Cells)
+    val li = searchColbert(s, colbertPath(d), Q150QueryText, Q153Probes, Q158Depth)
+      .select(col("doc_id"), col("rank").as("li_rank"))
+    def part(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(
+        floor(lit(LexicalStore.RrfScale) / (lit(LexicalStore.DefaultRrfK) + r))
+          .cast("long"), lit(0L))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .join(li, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("li_rank"),
+        (part(col("lex_rank")) + part(col("vec_rank")) + part(col("li_rank")))
+          .as("rrf_micros"))
+      .orderBy(col("rrf_micros").desc, col("doc_id")).limit(Q158K)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_micros").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        col("li_rank"), col("rrf_micros"))
+  }
+
+  /** Dump the whole-query embedding (the dense arm's only
+    * non-raw-table input; doc embeddings ride the q139 aux, token
+    * vectors and centroids the q150/q153 aux). */
+  def materializeTriHybridAux(s: SparkSession, d: String,
+                              auxDir: String): Unit = {
+    import s.implicits._
+    Seq(Tuple1(
+      graft.functions.Embed.embed(Q150QueryText, graft.functions.Embed.DefaultDim).toSeq))
+      .toDF("qvec")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q158_query.parquet")
+  }
+
+  private val q158Sql = s"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), qt(term) AS (
+      VALUES ('stream'), ('window'), ('partition'), ('merge')
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), lex AS (
+      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ), lexk AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS lex_rank
+        FROM lex)
+      WHERE lex_rank <= $Q158Depth
+    ), demb AS (SELECT doc_id, embedding FROM
+      read_parquet('/root/repo/target/verify_aux/q139_demb.parquet/*.parquet')
+    ), qv AS (SELECT qvec FROM
+      read_parquet('/root/repo/target/verify_aux/q158_query.parquet/*.parquet')
+    ), veck AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+        FROM (SELECT d.doc_id,
+                ${VectorSearch.cosColsSql("d.embedding", "qv.qvec")} AS sim
+              FROM demb d CROSS JOIN qv))
+      WHERE vec_rank <= $Q158Depth
+    ), toks AS (SELECT doc_id, tpos, tokvec FROM
+      read_parquet('/root/repo/target/verify_aux/q150_tokvecs.parquet/*.parquet')
+    ), qs AS (SELECT qtok_id, qvec FROM
+      read_parquet('/root/repo/target/verify_aux/q150_qtoks.parquet/*.parquet')
+    ), cents AS (SELECT cent_id, cvec FROM
+      read_parquet('/root/repo/target/verify_aux/q153_cents.parquet/*.parquet')
+    ), assign AS (
+      SELECT t.doc_id, t.tpos, c.cent_id,
+             row_number() OVER (PARTITION BY t.doc_id, t.tpos
+               ORDER BY ${VectorSearch.l2Sql("t.tokvec", "c.cvec")}, c.cent_id)
+               AS arn
+      FROM toks t, cents c
+    ), assigned AS (SELECT doc_id, tpos, cent_id AS cell FROM assign WHERE arn = 1
+    ), probe AS (
+      SELECT DISTINCT cell FROM (
+        SELECT q.qtok_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.qtok_id
+                 ORDER BY ${VectorSearch.l2Sql("q.qvec", "c.cvec")}, c.cent_id)
+                 AS prn
+        FROM qs q, cents c)
+      WHERE prn <= $Q153Probes
+    ), cand AS (SELECT DISTINCT a.doc_id
+                FROM assigned a JOIN probe p ON a.cell = p.cell
+    ), maxsim AS (
+      SELECT t.doc_id, q.qtok_id,
+             MAX(CAST(floor(1000000.0 *
+               (${VectorSearch.cosColsSql("t.tokvec", "q.qvec")})) AS BIGINT))
+               AS max_micros
+      FROM toks t JOIN cand USING (doc_id) CROSS JOIN qs q
+      GROUP BY t.doc_id, q.qtok_id
+    ), liscored AS (
+      SELECT doc_id, CAST(SUM(max_micros) AS BIGINT) AS li_micros
+      FROM maxsim GROUP BY doc_id
+      HAVING COUNT(*) = (SELECT COUNT(*) FROM qs)
+    ), lik AS (
+      SELECT doc_id, li_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY li_micros DESC, doc_id) AS li_rank
+        FROM liscored)
+      WHERE li_rank <= $Q158Depth
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id, c.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank, c.li_rank,
+             COALESCE(CAST(floor(1000000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+           + COALESCE(CAST(floor(1000000000.0 / (60 + v.vec_rank)) AS BIGINT), 0)
+           + COALESCE(CAST(floor(1000000000.0 / (60 + c.li_rank)) AS BIGINT), 0)
+               AS rrf_micros
+      FROM lexk l
+      FULL OUTER JOIN veck v ON l.doc_id = v.doc_id
+      FULL OUTER JOIN lik c ON COALESCE(l.doc_id, v.doc_id) = c.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS rank,
+           doc_id, lex_rank, vec_rank, li_rank, rrf_micros
+    FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT $Q158K"""
+
   val queries: Seq[Query] = Seq(
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
+    Query("q158_tri_hybrid", q158, Some(q158Sql)),
     Query("q151_lexical_maintenance", q151, Some(q151Sql)),
     Query("q153_colbert_index", q153, Some(q153Sql)),
     Query("q157_lexical_segments", q157, Some(q157Sql)),

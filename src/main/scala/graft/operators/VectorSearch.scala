@@ -4018,7 +4018,7 @@ object VectorSearch {
   // ---- q139: cluster topics (corpus exploration) ---------------------
 
   /** One whole-document embedding pass per (session, sf). */
-  private def docEmbCached(s: SparkSession, d: String): DataFrame =
+  private[operators] def docEmbCached(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "doc_emb") {
       Tables.documents(s, d).select(col("doc_id"), col("text"),
         graft.functions.Embed.embedCol(col("text")).as("embedding"))
