@@ -123,7 +123,9 @@ object Verify {
       ("q41 chunks", Set("q41_chunk_stats"),
         () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
       ("media", Set("q90_media_features", "q91_frame_sample"),
-        () => operators.Multimodal.materializeMediaAux(spark, sfDir, auxDir))
+        () => operators.Multimodal.materializeMediaAux(spark, sfDir, auxDir)),
+      ("q160 media planes", Set("q160_phash_neardup"),
+        () => operators.Multimodal.materializePhashAux(spark, sfDir, auxDir))
     ).foreach { case (what, serves, run) =>
       if (only.forall(names => serves.exists(names.contains))) {
         try run()

@@ -571,6 +571,79 @@ object Corpus {
     FROM grams g JOIN lm USING (bigram)
     GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  // ---- bigram-LM likelihood quality ---------------------------------
+
+  /** Per-document bigram language-model likelihood — the trained-LM
+    * step of the CCNet/KenLM perplexity filter (q144's rare-bigram
+    * rate is its model-free sibling): fit an add-one-smoothed bigram
+    * model on the corpus itself, then score each document by its mean
+    * per-bigram conditional probability
+    * `p(w2|w1) = (c(w1 w2)+1) / (c(w1 .)+V)`. A low mean probability
+    * marks boilerplate, mojibake, and OCR noise the same way high
+    * perplexity does, but every probability here is ONE integer
+    * division quantized to micros — no ln(), so Spark and the oracle
+    * derive bit-identical rows (the repo-wide float discipline,
+    * cf. tfidfTopTerms).
+    *
+    * Scale shape: the model IS two vocabulary-bounded aggregates
+    * (bigram counts, left-context counts) joined back to the gram
+    * stream on their own keys — classic two-pass count-then-join, no
+    * window over a skewed common-token partition, nothing
+    * corpus-row-sized on one node. V (distinct-token count) is a
+    * one-row broadcast. At 100 TB the two dictionary joins shuffle on
+    * bounded-cardinality keys and everything else is scan + partial
+    * agg. */
+  def lmLikelihood(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toksDf = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val grams = toksDf
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col(idCol), col("tok").as("w1"),
+        concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+    val c12 = grams.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val c1 = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toksDf.agg(countDistinct(col("tok")).as("v"))
+    grams
+      .join(c12, "bigram")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_micros", expr("(c12 + 1) * 1000000 div (c1 + v)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_micros")).as("sum_p_micros"))
+      .withColumn("avg_p_micros", expr("sum_p_micros div n_bigrams"))
+  }
+
+  private def q159(s: SparkSession, d: String): DataFrame =
+    lmLikelihood(Tables.documents(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+
+  private val q159Sql = """
+    WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i]))
+               AS w1,
+             unnest(list_transform(generate_series(1, len(l) - 1),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM lists),
+    c12 AS (SELECT bigram, COUNT(*) AS c12 FROM grams GROUP BY bigram),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM grams GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT t) AS v
+              FROM (SELECT unnest(l) AS t FROM lists)),
+    scored AS (
+      SELECT g.doc_id,
+             CAST((c12.c12 + 1) * 1000000 // (c1.c1 + vocab.v) AS BIGINT)
+               AS p_micros
+      FROM grams g JOIN c12 USING (bigram) JOIN c1 USING (w1)
+      CROSS JOIN vocab)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(p_micros) AS BIGINT) AS sum_p_micros,
+           CAST(SUM(p_micros) // COUNT(*) AS BIGINT) AS avg_p_micros
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- composed preparation pipeline --------------------------------
 
   /** Heuristic quality gate over a text column: token count bounds
@@ -1403,6 +1476,7 @@ object Corpus {
     Query("q58_split_sample",  q58, Some(q58Sql)),
     Query("q59_ngram_counts",  q59, Some(q59Sql)),
     Query("q144_rare_ngram_quality", q144, Some(q144Sql)),
+    Query("q159_lm_likelihood", q159, Some(q159Sql)),
     Query("q145_cms_heavy_hitters", q145, Some(q145Sql)),
     Query("q147_domain_cap",   q147, Some(q147Sql)),
     Query("q95_repetition_quality", q95, Some(q95Sql)),

@@ -1179,6 +1179,121 @@ object Hybrid {
            doc_id, lex_rank, vec_rank, li_rank, rrf_micros
     FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT $Q158K"""
 
+  // ---- q161: two-stage retrieve -> cross-encoder rerank -------------
+
+  private val Q161Depth = 20
+  private val Q161K = 10
+
+  /** q161: the two-stage stack every production retrieval system
+    * runs — a cheap high-recall first stage (the persisted BM25
+    * layout, depth 20, same arm as q115) followed by an expensive
+    * high-precision pairwise rerank of ONLY those candidates through
+    * the [[graft.functions.Rerank]] cross-encoder seam. The query is
+    * document 0's text ("more like this"), so the oracle re-derives
+    * both stages from the raw tables: the quantized BM25 ranking and
+    * the default backend's integer unigram+bigram overlap scores.
+    *
+    * Scale shape: stage 1 prunes to the query terms' postings buckets
+    * and exchanges (doc_id, micros) pairs; stage 2 touches exactly
+    * `depth` documents' text — the rerank cost is O(depth), never
+    * corpus-sized, which is the entire point of the architecture. The
+    * candidate collect is depth-row driver work, the same place MMR
+    * runs its greedy pass (a real ONNX cross-encoder backend slots in
+    * with no executor plumbing). */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildOnce(s, docs, lexPath(d))
+    val queryText = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+    val terms = queryText.split(" ").filter(_.nonEmpty).toSeq
+    val cand = LexicalStore.searchTopKLexical(s, lexPath(d), terms, Q161Depth)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("lex_rank"), col("text"))
+      .collect()
+    val reranked = cand.toIndexedSeq.map { r =>
+      (r.getLong(0), r.getInt(1),
+        graft.functions.Rerank.scoreMicros(queryText, r.getString(2)))
+    }.sortBy { case (id, _, ce) => (-ce, id) }.take(Q161K)
+    reranked.zipWithIndex
+      .map { case ((id, lexRank, ce), i) => (i + 1, id, lexRank, ce) }
+      .toDF("rank", "doc_id", "lex_rank", "ce_micros")
+  }
+
+  /** Mirrors stage 1's BM25 CTEs (q115Sql) and the default
+    * [[graft.functions.Rerank.TokenOverlapBackend]] exactly: distinct
+    * non-empty unigrams, distinct adjacent bigrams over the
+    * empty-filtered token list, one integer division per part. */
+  private val q161Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), qterms AS (
+      SELECT DISTINCT term FROM tf WHERE doc_id = 0
+    ), contrib AS (
+      SELECT tf.doc_id,
+        CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT) AS micros
+      FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+    ), lex AS (
+      SELECT doc_id, CAST(SUM(micros) AS BIGINT) AS lex_micros
+      FROM contrib GROUP BY doc_id
+    ), lexk AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS lex_rank
+        FROM lex)
+      WHERE lex_rank <= $Q161Depth
+    ), lf AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, term FROM tf
+    ), qn AS (SELECT COUNT(*) AS nq FROM qterms
+    ), bg AS (
+      SELECT DISTINCT doc_id, bigram FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+                              i -> l[i] || ' ' || l[i + 1])) AS bigram
+        FROM lf)
+    ), qbg AS (SELECT DISTINCT bigram FROM bg WHERE doc_id = 0
+    ), qbn AS (SELECT COUNT(*) AS nqb FROM qbg
+    ), uniov AS (
+      SELECT u.doc_id, COUNT(*) AS n_uni
+      FROM uni u JOIN qterms q ON u.term = q.term
+      GROUP BY u.doc_id
+    ), bgov AS (
+      SELECT b.doc_id, COUNT(DISTINCT b.bigram) AS n_bi
+      FROM bg b JOIN qbg q ON b.bigram = q.bigram
+      GROUP BY b.doc_id
+    ), scored AS (
+      SELECT k.doc_id, k.lex_rank,
+             CAST(COALESCE(1000000 * uo.n_uni, 0) // qn.nq AS BIGINT)
+           + CAST(CASE WHEN qbn.nqb = 0 THEN 0
+                       ELSE COALESCE(1000000 * bo.n_bi, 0) // qbn.nqb
+                  END AS BIGINT) AS ce_micros
+      FROM lexk k
+      LEFT JOIN uniov uo ON k.doc_id = uo.doc_id
+      LEFT JOIN bgov bo ON k.doc_id = bo.doc_id
+      CROSS JOIN qn CROSS JOIN qbn)
+    SELECT row_number() OVER (ORDER BY ce_micros DESC, doc_id) AS rank,
+           doc_id, lex_rank, ce_micros
+    FROM scored ORDER BY ce_micros DESC, doc_id LIMIT $Q161K"""
+
   val queries: Seq[Query] = Seq(
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
     Query("q158_tri_hybrid", q158, Some(q158Sql)),
@@ -1188,5 +1303,6 @@ object Hybrid {
     Query("q118_hybrid_ivf", q118, Some(q118Sql)),
     Query("q119_hybrid_batch", q119, Some(q119Sql)),
     Query("q120_hybrid_filtered", q120, Some(q120Sql)),
-    Query("q150_late_interaction", q150, Some(q150Sql)))
+    Query("q150_late_interaction", q150, Some(q150Sql)),
+    Query("q161_ce_rerank", q161, Some(q161Sql)))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -143,7 +144,130 @@ object Multimodal {
     FROM read_parquet('/root/repo/target/verify_aux/media_frames.parquet/*.parquet')
     GROUP BY format ORDER BY format"""
 
+  // ---- perceptual-hash near-duplicate detection ---------------------
+
+  /** Decoded fixed-size byte plane per media item — the codec-seam
+    * output the perceptual hash is computed from. Real codec: decode
+    * + grayscale + resize to 8x8; here FakeCodec.resize plays that
+    * role (deterministic, so the gate hash-matches). */
+  case class MediaPlane(media_id: Long, plane: Array[Int])
+
+  val PlaneLen = 64
+  val NBands = 4
+  val BandBits = PlaneLen / NBands
+
+  /** The codec pass: one batched mapPartitions (per-partition codec
+    * init amortized), emitting the 64-value plane. Everything after
+    * this is declarative Spark over the plane array. */
+  def mediaPlanes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).mapPartitions(_.map(m =>
+      MediaPlane(m.media_id, FakeCodec.resize(m.blob, PlaneLen).map(_ & 0xff))))
+      .toDF()
+  }
+
+  /** Near-duplicate media pairs by average-hash (aHash): bit i of the
+    * 64-bit fingerprint is `plane[i]*64 > sum(plane)` (strictly
+    * greater — integer compare, no mean division), candidate pairs
+    * come from 4x16-bit band-equality buckets (pigeonhole: hamming
+    * <= 8 over 64 bits forces at least one of 4 bands identical when
+    * the 8 flips hit <= 3 bands; like SimHash banding it is a recall
+    * heuristic made honest by the exact hamming verify step), and
+    * only candidates pay the exact 64-bit hamming check.
+    *
+    * Scale shape (the SimHash-banding shape, Dedup.scala): the band
+    * shuffle carries (media_id, band, key) only — never the plane;
+    * degenerate buckets (uniform planes all hashing to the same band
+    * key) are capped at `maxBucket` members so no reduce task goes
+    * quadratic; the plane/bits arrays join back by id only for the
+    * surviving candidate pairs. */
+  def perceptualHashPairs(planes: DataFrame, hammingMax: Int = 8,
+                          maxBucket: Int = 64): DataFrame = {
+    val withBits = planes
+      .withColumn("psum", aggregate(col("plane"), lit(0L), (a, x) => a + x))
+      .withColumn("bits", transform(col("plane"),
+        p => when(p.cast(LongType) * PlaneLen > col("psum"), 1).otherwise(0)))
+    val bandKeys = (0 until NBands).map { b =>
+      aggregate(slice(col("bits"), b * BandBits + 1, BandBits),
+        lit(0L), (acc, x) => acc * 2 + x)
+    }
+    val bands = withBits.select(col("media_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val kept = bands.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("media_id"), col("band"), col("key"))
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+      .distinct()
+    val bitsDf = withBits.select(col("media_id"), col("bits"))
+    cand
+      .join(bitsDf.select(col("media_id").as("media_a"), col("bits").as("bits_a")),
+        "media_a")
+      .join(bitsDf.select(col("media_id").as("media_b"), col("bits").as("bits_b")),
+        "media_b")
+      .withColumn("hamming", aggregate(
+        zip_with(col("bits_a"), col("bits_b"),
+          (x, y) => when(x =!= y, 1).otherwise(0)),
+        lit(0L), (a, x) => a + x))
+      .filter(col("hamming") <= hammingMax)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+  }
+
+  /** Materialize the codec output (the planes) so the oracle can
+    * re-derive the ENTIRE downstream — bit extraction, band keys,
+    * bucket cap, candidate join, exact hamming — independently in
+    * SQL. The codec stub is the only part the oracle trusts. */
+  def materializePhashAux(s: SparkSession, d: String, auxDir: String): Unit =
+    mediaPlanes(s, d)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q160_planes.parquet")
+
+  private def q160(s: SparkSession, d: String): DataFrame =
+    perceptualHashPairs(mediaPlanes(s, d))
+      .orderBy("media_a", "media_b")
+
+  private val q160Sql = s"""
+    WITH p AS (
+      SELECT media_id, plane, CAST(list_sum(plane) AS BIGINT) AS psum
+      FROM read_parquet('/root/repo/target/verify_aux/q160_planes.parquet/*.parquet')
+    ), b AS (
+      SELECT media_id,
+             list_transform(plane,
+               x -> CASE WHEN CAST(x AS BIGINT) * $PlaneLen > psum
+                         THEN 1 ELSE 0 END) AS bits
+      FROM p
+    ), bands AS (
+      SELECT media_id, band,
+             CAST(list_sum(list_transform(generate_series(1, $BandBits),
+               i -> CAST(bits[band * $BandBits + i] AS BIGINT)
+                    * (CAST(1 AS BIGINT) << ($BandBits - i)))) AS BIGINT) AS key
+      FROM b, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ), kept AS (
+      SELECT media_id, band, key FROM (
+        SELECT media_id, band, key,
+               COUNT(*) OVER (PARTITION BY band, key) AS bsz
+        FROM bands)
+      WHERE bsz <= 64
+    ), cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b
+      FROM kept a JOIN kept b2
+        ON a.band = b2.band AND a.key = b2.key AND a.media_id < b2.media_id
+    ), ham AS (
+      SELECT c.media_a, c.media_b,
+             CAST(list_sum(list_transform(generate_series(1, $PlaneLen),
+               i -> CASE WHEN ba.bits[i] <> bb.bits[i] THEN 1 ELSE 0 END))
+               AS BIGINT) AS hamming
+      FROM cand c
+      JOIN b ba ON ba.media_id = c.media_a
+      JOIN b bb ON bb.media_id = c.media_b)
+    SELECT media_a, media_b, hamming FROM ham
+    WHERE hamming <= 8 ORDER BY media_a, media_b"""
+
   val queries: Seq[Query] = Seq(
     Query("q90_media_features", q90, Some(q90Sql)),
-    Query("q91_frame_sample",   q91, Some(q91Sql)))
+    Query("q91_frame_sample",   q91, Some(q91Sql)),
+    Query("q160_phash_neardup", q160, Some(q160Sql)))
 }

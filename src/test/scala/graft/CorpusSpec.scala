@@ -268,4 +268,36 @@ class CorpusSpec extends AnyFunSuite {
       .filter(col("bloom_hit")).count()
     assert(fp < 400, s"all $fp non-members flagged: geometry saturated")
   }
+
+  test("lmLikelihood: hand-computed add-one bigram probabilities in micros") {
+    import spark.implicits._
+    // corpus: vocab {a,b,c,x} (V=4); bigram counts: "a b"x3, "b a"x1,
+    // "b c"x1; left-context counts: a->3, b->2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = operators.Corpus.lmLikelihood(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // p("a b") = (3+1)*1e6 div (3+4) = 571428
+    // p("b a") = (1+1)*1e6 div (2+4) = 333333
+    // p("b c") = (1+1)*1e6 div (2+4) = 333333
+    val d1 = (1L, 3L, 571428L + 333333L + 571428L, (571428L + 333333L + 571428L) / 3)
+    val d2 = (2L, 2L, 571428L + 333333L, (571428L + 333333L) / 2)
+    assert(got.toSeq == Seq(d1, d2), "single-token doc 3 has no bigrams and no row")
+  }
+
+  test("lmLikelihood: repeated boilerplate scores above one-off noise") {
+    import spark.implicits._
+    // ten identical fluent docs + one gibberish doc: the LM assigns the
+    // gibberish document's unseen-ish bigrams far lower probability
+    val docs = ((1L to 10L).map(i => (i, "the quick brown fox jumps")) :+
+      (11L, "zq xv qj vk wz")).toDF("doc_id", "text")
+    val scores = operators.Corpus.lmLikelihood(docs, "text", "doc_id")
+      .select("doc_id", "avg_p_micros").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (10+1)e6/(10+10) = 550000 vs (1+1)e6/(1+10) = 181818: ~3x apart
+    assert(scores(1L) > 2 * scores(11L),
+      s"boilerplate ${scores(1L)} should dominate noise ${scores(11L)}")
+  }
 }

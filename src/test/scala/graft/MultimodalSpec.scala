@@ -43,4 +43,54 @@ class MultimodalSpec extends AnyFunSuite {
     // blob shorter than a frame -> no frames, not an exception
     assert(FakeCodec.sampleFrames(blob(10), 32, 24).isEmpty)
   }
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def planesDf(rows: (Long, Seq[Int])*) = {
+    import spark.implicits._
+    rows.map { case (id, p) => (id, p) }.toDF("media_id", "plane")
+  }
+
+  // plane 0..63: sum 2016, threshold p*64 > 2016 -> bits 1 at 32..63
+  private val asc: Seq[Int] = 0 until 64
+
+  test("phash: identical planes pair at hamming 0; disjoint-band planes don't pair") {
+    import graft.operators.Multimodal.perceptualHashPairs
+    val got = perceptualHashPairs(
+      planesDf(1L -> asc, 2L -> asc, 3L -> asc.reverse))
+      .orderBy("media_a", "media_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1-2 identical (hamming 0); 3's bit pattern is 1's complement so
+    // no band key collides with 1 or 2 and the pair never forms
+    assert(got.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("phash: band collision is a recall channel, exact hamming is the gate") {
+    import graft.operators.Multimodal.perceptualHashPairs
+    // zero out values 32..43: the plane's own threshold drops to 25, so
+    // bits flip at 25..31 (7) and 32..43 (12) -> hamming 19 vs asc;
+    // band 0 (positions 0..15, all zero bits) still collides, so the
+    // pair IS a candidate — the exact check must reject it at the
+    // default max and report exactly 19 when allowed through
+    val mod = asc.zipWithIndex.map { case (v, i) => if (i >= 32 && i <= 43) 0 else v }
+    val df = planesDf(1L -> asc, 4L -> mod)
+    assert(perceptualHashPairs(df).count() == 0, "hamming 19 > default max 8")
+    val loose = perceptualHashPairs(df, hammingMax = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(loose.toSeq == Seq((1L, 4L, 19L)))
+  }
+
+  test("phash: degenerate buckets are capped, never quadratic") {
+    import graft.operators.Multimodal.perceptualHashPairs
+    val many = planesDf((1L to 5L).map(i => i -> asc): _*)
+    // 5 identical planes: 10 pairs under the default cap...
+    assert(perceptualHashPairs(many).count() == 10)
+    // ...but a cap of 4 drops every (band, key) bucket they share
+    assert(perceptualHashPairs(many, maxBucket = 4).count() == 0)
+  }
 }
