@@ -1071,6 +1071,172 @@ object Relational {
            MAX(us) - MIN(us) AS duration_us
     FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- time-series gap-fill + forward-fill --------------------------
+
+  /** q162: daily per-user activity with missing days materialized and
+    * the last observed value carried forward — the
+    * `time_bucket_gapfill` + LOCF operation every time-series store
+    * ships, expressed Spark-first: the per-user calendar comes from a
+    * `sequence()` explode of the user's own [first, last] day span
+    * (never a global calendar cross join), the fill is ONE
+    * `last(_, ignoreNulls)` running window on the same (user_id, day)
+    * partitioning the grid join already established, and the daily
+    * value is a decimal-exact dsum so the carried double is
+    * bit-identical cross-engine. Day rides as a 'yyyy-MM-dd' string
+    * (engines' DATE/py-date representations differ; strings hash
+    * stably).
+    *
+    * Scale shape: the grid explode is span-bounded per user (a user
+    * with a 2-year span adds 730 rows, not N_users x calendar), both
+    * passes share one hashpartitioning(user_id) exchange, and the
+    * fill window is a per-user running frame — no global sort, no
+    * driver calendar. */
+  def gapFillDaily(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col(valueCol)).as("day_value"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("filled", col("n_events").isNull.cast(IntegerType))
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("value_locf", last(col("day_value"), ignoreNulls = true).over(w))
+      .select(col(keyCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("filled"), col("value_locf"))
+  }
+
+  private def q162(s: SparkSession, d: String): DataFrame =
+    gapFillDaily(Tables.events(s, d), "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+
+  private val q162Sql = s"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+             ${sqlDsum("value")} AS day_value
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      FROM daily GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS DATE) AS day
+      FROM span),
+    joined AS (
+      SELECT g.user_id, g.day,
+             COALESCE(dl.n_events, 0) AS n_events,
+             CASE WHEN dl.n_events IS NULL THEN 1 ELSE 0 END AS filled,
+             dl.day_value
+      FROM grid g LEFT JOIN daily dl
+        ON g.user_id = dl.user_id AND g.day = dl.day)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events, filled,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS value_locf
+    FROM joined ORDER BY user_id, day"""
+
+  // ---- Z-order layout / data-skipping meter -------------------------
+
+  /** The 20-bit Morton (Z-order) interleave of two 10-bit columns
+    * `zx`/`zy`, as an engine-neutral arithmetic fragment: bit i of x
+    * lands at position 2i+1, bit i of y at 2i — plain div/mod/multiply
+    * so Spark (`div`) and DuckDB (`//`) evaluate it identically. */
+  private def zvalFrag(intDiv: String): String =
+    (0 until 10).map { i =>
+      val p = 1L << i
+      s"((zx $intDiv $p) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((zy $intDiv $p) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** q163: WHY a 100 TB fact table is written Z-ordered, measured.
+    * Both layouts bucket lineitem into 64 "files" — ingest order
+    * (monotone l_orderkey ranges: what a naive append produces) vs
+    * Z-order (fixed-width ranges of the Morton interleave of the two
+    * filter dims) — then the meter evaluates a 2-D box predicate the
+    * way a parquet reader does: a bucket is READ iff its per-column
+    * min/max stats overlap the box. One row per layout: buckets hit,
+    * rows scanned, rows actually matching. Ingest order gives zx/zy
+    * stats spanning the whole domain in every bucket (every file
+    * read); Z-order co-locates both dims so most buckets' stats
+    * exclude the box. The bucket ids, stats and verdicts are all
+    * integer arithmetic — the oracle re-derives the meter exactly.
+    *
+    * Scale shape: two scans + two 64-group aggregates; the Z-bucket
+    * assignment is a scan-side expression (zero shuffle beyond the
+    * stats agg), exactly how a writer would `repartitionByRange` on
+    * the z-value at ingest. */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val NBuckets = 64
+    // the two "selective dims" folded to 10 bits each
+    val base = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 1024).as("zx"),
+      (col("l_suppkey") % 1024).as("zy"),
+      col("l_orderkey"))
+    val maxOk = base.agg(max(col("l_orderkey")).as("max_ok"))
+    val bucketed = base.crossJoin(broadcast(maxOk))
+      .withColumn("zval", expr(zvalFrag("div")))
+      .withColumn("zorder", expr(s"zval * $NBuckets div 1048576"))
+      .withColumn("ingest", expr(s"l_orderkey * $NBuckets div (max_ok + 1)"))
+    // the query box: zx in [96, 160), zy in [8, 40)
+    val inBox = col("zx") >= 96 && col("zx") < 160 &&
+      col("zy") >= 8 && col("zy") < 40
+    def meter(bucketCol: String, label: String): DataFrame =
+      bucketed.groupBy(col(bucketCol).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zx")).as("min_zx"), max(col("zx")).as("max_zx"),
+          min(col("zy")).as("min_zy"), max(col("zy")).as("max_zy"),
+          sum(when(inBox, 1L).otherwise(0L)).as("n_match"))
+        .withColumn("hit",
+          (col("max_zx") >= 96 && col("min_zx") < 160 &&
+            col("max_zy") >= 8 && col("min_zy") < 40).cast(LongType))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("hit")).as("buckets_hit"),
+          sum(col("hit") * col("n")).as("rows_scanned"),
+          sum(col("n_match")).as("rows_matching"))
+        .select(lit(label).as("layout"), col("n_buckets"),
+          col("buckets_hit"), col("rows_scanned"), col("rows_matching"))
+    meter("zorder", "zorder").unionAll(meter("ingest", "ingest"))
+      .orderBy("layout")
+  }
+
+  private val q163Sql = s"""
+    WITH base AS (
+      SELECT l_partkey % 1024 AS zx, l_suppkey % 1024 AS zy, l_orderkey,
+             (SELECT MAX(l_orderkey) FROM lineitem) AS max_ok
+      FROM lineitem),
+    bucketed AS (
+      SELECT zx, zy,
+             (${zvalFrag("//")}) * 64 // 1048576 AS zorder,
+             l_orderkey * 64 // (max_ok + 1) AS ingest,
+             CASE WHEN zx >= 96 AND zx < 160 AND zy >= 8 AND zy < 40
+                  THEN 1 ELSE 0 END AS in_box
+      FROM base),
+    stats AS (
+      SELECT layout, bucket, COUNT(*) AS n,
+             MIN(zx) AS min_zx, MAX(zx) AS max_zx,
+             MIN(zy) AS min_zy, MAX(zy) AS max_zy,
+             CAST(SUM(in_box) AS BIGINT) AS n_match
+      FROM (
+        SELECT 'zorder' AS layout, zorder AS bucket, zx, zy, in_box FROM bucketed
+        UNION ALL
+        SELECT 'ingest' AS layout, ingest AS bucket, zx, zy, in_box FROM bucketed)
+      GROUP BY layout, bucket),
+    verdicts AS (
+      SELECT layout, n, n_match,
+             CASE WHEN max_zx >= 96 AND min_zx < 160
+                   AND max_zy >= 8 AND min_zy < 40
+                  THEN 1 ELSE 0 END AS hit
+      FROM stats)
+    SELECT layout, COUNT(*) AS n_buckets,
+           CAST(SUM(hit) AS BIGINT) AS buckets_hit,
+           CAST(SUM(hit * n) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching
+    FROM verdicts GROUP BY layout ORDER BY layout"""
+
   val queries: Seq[Query] = Seq(
     Query("q01_pricing_summary", q01, Some(q01Sql)),
     Query("q02_global_stats",    q02, Some(q02Sql)),
@@ -1111,5 +1277,7 @@ object Relational {
     Query("q35_array_funcs",     q35, Some(q35Sql)),
     Query("q134_funnel_steps",   q134, Some(q134Sql)),
     Query("q135_cohort_retention", q135, Some(q135Sql)),
-    Query("q143_sessionize",     q143, Some(q143Sql)))
+    Query("q143_sessionize",     q143, Some(q143Sql)),
+    Query("q162_gapfill_locf",   q162, Some(q162Sql)),
+    Query("q163_zorder_skipping", q163, Some(q163Sql)))
 }

@@ -140,4 +140,27 @@ class EdgeCasesSpec extends AnyFunSuite {
       .searchTopKIvf(spark, dir, "spark window", k = 3, probes = 3).collect()
     assert(hits.length == 1 && hits.head.getAs[Long]("doc_id") == 0L)
   }
+
+  test("gapFillDaily: per-key spans, zero-filled gaps, value carried forward") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (1L, "2024-01-01 11:00:00", 7.0),
+      (1L, "2024-01-04 09:00:00", 2.0), // 2-day gap for user 1
+      (2L, "2024-02-10 08:00:00", 9.0)) // single-day user: no gaps
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = graft.operators.Relational
+      .gapFillDaily(events, "user_id", "ts", "value")
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 2L, 0, 12.0),
+      (1L, "2024-01-02", 0L, 1, 12.0), // filled, LOCF carries 12.0
+      (1L, "2024-01-03", 0L, 1, 12.0),
+      (1L, "2024-01-04", 1L, 0, 2.0),
+      (2L, "2024-02-10", 1L, 0, 9.0)),
+      "grid spans each key's own [first, last] day; no global calendar")
+  }
 }
