@@ -713,7 +713,132 @@ object Dedup {
     FROM ranked GROUP BY label HAVING COUNT(*) >= 2
     ORDER BY label"""
 
+  // ---- fuzzy entity matching (record linkage) -----------------------
+
+  /** Fuzzy entity-matching join (record linkage, the Splink/dedupe.io
+    * op a pipeline runs to reconcile dirty catalogs): block candidate
+    * pairs on shared character trigrams, score candidates by exact
+    * set-Jaccard in integer micros, keep each dirty record's best
+    * match (score DESC, id ASC — deterministic). `maxDf` drops
+    * ultra-common trigrams from BLOCKING only (the q53 stop-shingle
+    * idea: a gram in half the catalog blocks everything and prunes
+    * nothing) — scoring still uses the full sets, so the score is
+    * exact Jaccard whenever a pair survives blocking.
+    *
+    * Scale shape: trigram extraction is scan-side; the blocking
+    * shuffle carries (id, gram) pairs with bounded-df grams; scoring
+    * joins gram-count aggregates on the candidate pair key. Nothing
+    * is all-pairs: a candidate exists only via a shared
+    * non-stopword gram. */
+  def fuzzyBestMatch(dirty: DataFrame, dirtyId: String, dirtyStr: String,
+                     clean: DataFrame, cleanId: String, cleanStr: String,
+                     maxDf: Long = 500L): DataFrame = {
+    def grams(df: DataFrame, id: String, s: String, idOut: String)
+        : DataFrame =
+      df.select(col(id).as(idOut), col(s).as("_s"))
+        .select(col(idOut), explode(
+          array_distinct(transform(
+            sequence(lit(1), greatest(length(col("_s")) - 2, lit(1))),
+            i => col("_s").substr(i, lit(3)))))
+          .as("gram"))
+        .filter(length(col("gram")) === 3)
+    val dg = grams(dirty, dirtyId, dirtyStr, "dirty_id")
+    val cg = grams(clean, cleanId, cleanStr, "clean_id")
+    val dn = dg.groupBy(col("dirty_id")).agg(count(lit(1)).as("nd"))
+    val cn = cg.groupBy(col("clean_id")).agg(count(lit(1)).as("nc"))
+    // blocking grams: drop grams too common on the clean side
+    val rare = cg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("gram"))
+    val cand = dg.join(rare, "gram").join(cg, "gram")
+      .groupBy(col("dirty_id"), col("clean_id"))
+      .agg(count(lit(1)).as("n_shared_blocking"))
+    // exact intersection over the FULL gram sets of the candidate pair
+    val inter = dg.join(cg, "gram")
+      .groupBy(col("dirty_id"), col("clean_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val w = Window.partitionBy(col("dirty_id"))
+      .orderBy(col("sim_micros").desc, col("clean_id"))
+    cand.select(col("dirty_id"), col("clean_id"))
+      .join(inter, Seq("dirty_id", "clean_id"))
+      .join(dn, "dirty_id").join(cn, "clean_id")
+      .withColumn("sim_micros",
+        expr("n_inter * 1000000 div (nd + nc - n_inter)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("dirty_id"), col("clean_id"), col("sim_micros"))
+  }
+
+  /** q164: link a deterministically corrupted catalog back to its
+    * source — every 7th part's name with the vowels deleted (the
+    * classic OCR/entry-noise shape) fuzzy-joined against the full
+    * part catalog. The corruption keeps consonant trigrams intact, so
+    * the true origin (or an identically-named part — the catalog has
+    * exact-name duplicates; ties break to the smallest key) wins the
+    * Jaccard argmax. */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey"), lower(col("p_name")).as("name"))
+    val dirty = parts.filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey").as("dirty_key"),
+        regexp_replace(col("name"), "[aeiou]", "").as("dirty_name"))
+    fuzzyBestMatch(dirty, "dirty_key", "dirty_name",
+        parts, "p_partkey", "name")
+      .withColumnRenamed("dirty_id", "dirty_key")
+      .withColumnRenamed("clean_id", "matched_key")
+      .orderBy("dirty_key")
+  }
+
+  private val q164Sql = """
+    WITH clean AS (
+      SELECT p_partkey AS clean_id, lower(p_name) AS s FROM part),
+    dirty AS (
+      SELECT p_partkey AS dirty_id,
+             regexp_replace(lower(p_name), '[aeiou]', '', 'g') AS s
+      FROM part WHERE p_partkey % 7 = 0),
+    cg AS (
+      SELECT DISTINCT clean_id, gram FROM (
+        SELECT clean_id, unnest(list_transform(
+          generate_series(1, greatest(len(s) - 2, 1)),
+          i -> s[i:i+2])) AS gram
+        FROM clean)
+      WHERE len(gram) = 3),
+    dg AS (
+      SELECT DISTINCT dirty_id, gram FROM (
+        SELECT dirty_id, unnest(list_transform(
+          generate_series(1, greatest(len(s) - 2, 1)),
+          i -> s[i:i+2])) AS gram
+        FROM dirty)
+      WHERE len(gram) = 3),
+    dn AS (SELECT dirty_id, COUNT(*) AS nd FROM dg GROUP BY dirty_id),
+    cn AS (SELECT clean_id, COUNT(*) AS nc FROM cg GROUP BY clean_id),
+    rare AS (
+      SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM cg GROUP BY gram)
+      WHERE df <= 500),
+    cand AS (
+      SELECT DISTINCT dg.dirty_id, cg.clean_id
+      FROM dg JOIN rare USING (gram) JOIN cg USING (gram)),
+    inter AS (
+      SELECT dg.dirty_id, cg.clean_id, COUNT(*) AS n_inter
+      FROM dg JOIN cg USING (gram)
+      GROUP BY dg.dirty_id, cg.clean_id),
+    scored AS (
+      SELECT c.dirty_id, c.clean_id,
+             CAST(i.n_inter * 1000000
+               // (dn.nd + cn.nc - i.n_inter) AS BIGINT) AS sim_micros
+      FROM cand c
+      JOIN inter i ON c.dirty_id = i.dirty_id AND c.clean_id = i.clean_id
+      JOIN dn ON c.dirty_id = dn.dirty_id
+      JOIN cn ON c.clean_id = cn.clean_id)
+    SELECT dirty_id AS dirty_key, clean_id AS matched_key, sim_micros
+    FROM (
+      SELECT dirty_id, clean_id, sim_micros,
+             row_number() OVER (PARTITION BY dirty_id
+               ORDER BY sim_micros DESC, clean_id) AS rnk
+      FROM scored)
+    WHERE rnk = 1 ORDER BY dirty_key"""
+
   val queries: Seq[Query] = Seq(
+    Query("q164_fuzzy_match",      q164, Some(q164Sql)),
     Query("q50_dedup_minhash_lsh", q50, Some(q50Sql)),
     Query("q152_canonical_pick",   q152, Some(q152Sql)),
     Query("q51_dedup_simhash",     q51, Some(q51Sql)),

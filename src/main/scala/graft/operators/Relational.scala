@@ -1237,6 +1237,79 @@ object Relational {
            CAST(SUM(n_match) AS BIGINT) AS rows_matching
     FROM verdicts GROUP BY layout ORDER BY layout"""
 
+  // ---- iterative graph propagation ----------------------------------
+
+  /** q165: two rounds of rank propagation over the bipartite
+    * customer-part purchase graph (orders ⋈ lineitem) — the iterative
+    * join-agg workload (PageRank/label-prop family) that stresses a
+    * distributed engine differently from any single-pass query. Each
+    * half-step sends a node's integer-micro rank split `div` its
+    * degree across its edges and re-aggregates on the other side; two
+    * full iterations are unrolled, then the top-20 parts by final
+    * rank. Integer floor-division loses mass deterministically — both
+    * engines compute bit-identical ranks, which is the point (a
+    * float PageRank would diverge in the last ulps across partition
+    * orders).
+    *
+    * Scale shape: the edge list is built once (distinct on the edge
+    * key) and each half-step is one shuffle join edge⋈rank plus one
+    * partial-agg shuffle — the Pregel superstep expressed as
+    * DataFrame ops, AQE-re-plannable per step; degrees are
+    * vocabulary-bounded aggregates. Nothing iterates on the driver
+    * except the 2-step unroll itself. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val degC = edges.groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
+    val degP = edges.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
+    val e = edges.join(degC, "c").join(degP, "p")
+    def step(pRank: DataFrame): DataFrame = {
+      val cRank = e.join(pRank, "p")
+        .groupBy(col("c"), col("deg_c"))
+        .agg(sum(expr("p_rank div deg_p")).as("c_in"))
+        .select(col("c"), expr("c_in div deg_c").as("c_rank"))
+      e.join(cRank, "c")
+        .groupBy(col("p"))
+        .agg(sum(col("c_rank")).as("p_rank"))
+    }
+    val p0 = degP.select(col("p"), lit(1000000L).as("p_rank"))
+    val p2 = step(step(p0))
+    p2.orderBy(col("p_rank").desc, col("p")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p_rank").desc, col("p"))))
+      .select(col("rank"), col("p").as("p_partkey"), col("p_rank"))
+  }
+
+  private val q165Sql = """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg_c AS (SELECT c, COUNT(*) AS deg_c FROM edges GROUP BY c),
+    deg_p AS (SELECT p, COUNT(*) AS deg_p FROM edges GROUP BY p),
+    e AS (SELECT edges.c, edges.p, deg_c.deg_c, deg_p.deg_p
+          FROM edges JOIN deg_c USING (c) JOIN deg_p USING (p)),
+    p0 AS (SELECT p, CAST(1000000 AS BIGINT) AS p_rank FROM deg_p),
+    c1 AS (
+      SELECT e.c, CAST(SUM(p0.p_rank // e.deg_p) // MIN(e.deg_c) AS BIGINT)
+               AS c_rank
+      FROM e JOIN p0 USING (p) GROUP BY e.c),
+    p1 AS (
+      SELECT e.p, CAST(SUM(c1.c_rank) AS BIGINT) AS p_rank
+      FROM e JOIN c1 USING (c) GROUP BY e.p),
+    c2 AS (
+      SELECT e.c, CAST(SUM(p1.p_rank // e.deg_p) // MIN(e.deg_c) AS BIGINT)
+               AS c_rank
+      FROM e JOIN p1 USING (p) GROUP BY e.c),
+    p2 AS (
+      SELECT e.p, CAST(SUM(c2.c_rank) AS BIGINT) AS p_rank
+      FROM e JOIN c2 USING (c) GROUP BY e.p)
+    SELECT row_number() OVER (ORDER BY p_rank DESC, p) AS rank,
+           p AS p_partkey, p_rank
+    FROM p2 ORDER BY p_rank DESC, p LIMIT 20"""
+
   val queries: Seq[Query] = Seq(
     Query("q01_pricing_summary", q01, Some(q01Sql)),
     Query("q02_global_stats",    q02, Some(q02Sql)),
@@ -1279,5 +1352,6 @@ object Relational {
     Query("q135_cohort_retention", q135, Some(q135Sql)),
     Query("q143_sessionize",     q143, Some(q143Sql)),
     Query("q162_gapfill_locf",   q162, Some(q162Sql)),
-    Query("q163_zorder_skipping", q163, Some(q163Sql)))
+    Query("q163_zorder_skipping", q163, Some(q163Sql)),
+    Query("q165_graph_rank",     q165, Some(q165Sql)))
 }

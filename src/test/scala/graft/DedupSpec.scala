@@ -201,4 +201,33 @@ class DedupSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(naive == Set(1L, 9L, 4L), s"min-id keeps 1: $naive")
   }
+
+  test("fuzzyBestMatch: corrupted names link to their origin; exact match scores 1e6") {
+    import spark.implicits._
+    val clean = Seq((1L, "spark streaming"), (2L, "parquet files"),
+      (3L, "shuffle service")).toDF("id", "name")
+    val dirty = Seq((10L, "sprk strmng"), (11L, "parquet files"))
+      .toDF("id", "name")
+    val got = operators.Dedup
+      .fuzzyBestMatch(dirty, "id", "name", clean, "id", "name")
+      .orderBy("dirty_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toSeq == Seq(10L -> 1L, 11L -> 2L),
+      s"each dirty row links to its origin: ${got.toSeq}")
+    // identical strings: identical trigram sets -> Jaccard exactly 1e6
+    assert(got(1)._3 == 1000000L)
+    assert(got(0)._3 > 0L && got(0)._3 < 1000000L,
+      "vowel-stripped variant is a partial, not exact, match")
+  }
+
+  test("fuzzyBestMatch: a dirty row sharing no non-stopword trigram gets no match row") {
+    import spark.implicits._
+    val clean = Seq((1L, "aaaa"), (2L, "aaab")).toDF("id", "name")
+    val dirty = Seq((10L, "zzzz")).toDF("id", "name")
+    // no shared trigram at all -> no candidate -> no row (callers treat
+    // absence as "unlinked", the record-linkage convention)
+    assert(operators.Dedup
+      .fuzzyBestMatch(dirty, "id", "name", clean, "id", "name")
+      .count() == 0)
+  }
 }
