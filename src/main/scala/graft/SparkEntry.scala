@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Hybrid.queries ++
       operators.Dedup.queries ++
       operators.Multimodal.queries ++
+      sources.VersionedStore.queries ++
       streaming.Streams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Query, Tables}
+
+/** Versioned segment store with snapshot-isolated time travel — the
+  * Delta/Iceberg contract re-expressed minimally (reference scope:
+  * the reference rebuilds its chromadb collection per ingest run with
+  * no history; at 100 TB a training pipeline cannot, because a
+  * 30-day-old run must be reproducible and readers must never see a
+  * half-applied compaction).
+  *
+  * Layout:
+  * {{{
+  *   <path>/data/seg=N/          immutable parquet segments
+  *   <path>/_versions/vNNNNNN.txt  manifest: one segment name per line
+  * }}}
+  *
+  * Every verb writes NEW segments and a NEW manifest; no verb ever
+  * edits or deletes a published segment, so `readVersion(path, v)`
+  * resolves any historical manifest to byte-identical data (ForkSpec
+  * precedent: immutability IS the isolation mechanism — there is no
+  * lock). The manifest commit is a single atomic file move, which is
+  * the same commit primitive Delta uses (the last writer of a version
+  * number wins; concurrent writers to the SAME next version conflict
+  * on the move and fail loudly rather than interleave).
+  *
+  * Scale shape: manifests are segment-LIST sized (driver IO, KBs);
+  * data moves only through Spark jobs. `deleteWhere` rewrites only
+  * the segments that actually contain doomed rows (per-segment
+  * predicate-hit counts decide — an anti-join-and-rewrite of the
+  * touched tail, the deletePartitionedCore idea at segment
+  * granularity); untouched segments are carried by reference into the
+  * new manifest. `vacuum` removes segments referenced by NO retained
+  * manifest — the only destructive verb, explicitly fenced by a
+  * retention floor.
+  */
+object VersionedStore {
+
+  private def dataDir(path: String, seg: String) = s"$path/data/$seg"
+  private def versionsDir(path: String) = s"$path/_versions"
+  private def manifestFile(path: String, v: Int) =
+    f"${versionsDir(path)}/v$v%06d.txt"
+
+  /** Published versions, ascending. */
+  def versions(path: String): Seq[Int] = {
+    val dir = Paths.get(versionsDir(path))
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toInt }
+      .toSeq.sorted
+  }
+
+  private def readManifest(path: String, v: Int): Seq[String] = {
+    val f = Paths.get(manifestFile(path, v))
+    require(Files.exists(f), s"version $v does not exist at $path")
+    Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Atomically publish `segs` as the next version; returns it. */
+  private def commit(path: String, segs: Seq[String]): Int = {
+    val next = versions(path).lastOption.getOrElse(0) + 1
+    val dir = Paths.get(versionsDir(path))
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp_v$next")
+    Files.writeString(tmp, segs.mkString("\n"))
+    // ATOMIC_MOVE is the commit point: two writers racing to the same
+    // version number — one move succeeds, the other throws
+    Files.move(tmp, Paths.get(manifestFile(path, next)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  private def writeSegment(df: DataFrame, path: String, seg: String): Unit =
+    df.write.mode("errorifexists").parquet(dataDir(path, seg))
+
+  private def nextSegName(existing: Seq[String]): String = {
+    val n = existing.map(_.stripPrefix("seg=").toInt).maxOption.getOrElse(-1) + 1
+    s"seg=$n"
+  }
+
+  /** Create the store: one segment, version 1. */
+  def create(spark: SparkSession, df: DataFrame, path: String): Int = {
+    require(versions(path).isEmpty, s"$path already has versions — use append")
+    writeSegment(df, path, "seg=0")
+    commit(path, Seq("seg=0"))
+  }
+
+  /** Append a batch as a new segment (no rewrite of existing data). */
+  def append(spark: SparkSession, df: DataFrame, path: String): Int = {
+    val cur = readManifest(path, versions(path).last)
+    val seg = nextSegName(cur)
+    writeSegment(df, path, seg)
+    commit(path, cur :+ seg)
+  }
+
+  /** Delete rows matching `pred`: rewrite ONLY the segments that
+    * contain matches (survivor rows go to one new segment); untouched
+    * segments carry into the new manifest by reference. Readers of
+    * prior versions are unaffected — their segments are immutable. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  pred: org.apache.spark.sql.Column): Int = {
+    val cur = readManifest(path, versions(path).last)
+    // segment-list-sized collect: which segments hold doomed rows
+    val touched = cur.filter { seg =>
+      spark.read.parquet(dataDir(path, seg)).filter(pred).limit(1).count() > 0
+    }
+    if (touched.isEmpty) commit(path, cur)
+    else {
+      val survivors = spark.read
+        .parquet(touched.map(dataDir(path, _)): _*)
+        .filter(!pred)
+      val kept = cur.filterNot(touched.contains)
+      val seg = nextSegName(cur)
+      writeSegment(survivors, path, seg)
+      commit(path, kept :+ seg)
+    }
+  }
+
+  /** Read a version (default: latest) as one DataFrame. */
+  def readVersion(spark: SparkSession, path: String,
+                  version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse {
+      val vs = versions(path)
+      require(vs.nonEmpty, s"no versions at $path")
+      vs.last
+    }
+    val segs = readManifest(path, v)
+    if (segs.isEmpty)
+      spark.read.parquet(dataDir(path, "seg=0")).limit(0)
+    else spark.read.parquet(segs.map(dataDir(path, _)): _*)
+  }
+
+  /** Remove segments referenced by no manifest among the retained
+    * versions (the last `retainLast`). The destructive verb — fenced:
+    * refuses to retain fewer than 1 version. Returns removed segs. */
+  def vacuum(path: String, retainLast: Int = 2): Seq[String] = {
+    require(retainLast >= 1, "vacuum must retain at least the latest version")
+    val vs = versions(path)
+    val retained = vs.takeRight(retainLast)
+    val live = retained.flatMap(readManifest(path, _)).toSet
+    val dataRoot = Paths.get(s"$path/data")
+    if (!Files.isDirectory(dataRoot)) return Seq.empty
+    val all = Files.list(dataRoot).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    val doomed = all.filterNot(live.contains)
+    // drop the expired manifests FIRST: a reader must never resolve a
+    // manifest whose segments are being removed under it
+    vs.dropRight(retainLast).foreach { v =>
+      Files.deleteIfExists(Paths.get(manifestFile(path, v)))
+    }
+    doomed.foreach { seg =>
+      val d = dataRoot.resolve(seg)
+      Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    doomed.sorted
+  }
+
+  // ---- q166: the time-travel gate -----------------------------------
+
+  private def storePath(d: String): String =
+    "/root/repo/target/q166_versioned/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** q166: full versioned lifecycle, then EVERY version read back and
+    * summarized — create from the even-id documents, append the odd
+    * ids, delete `source = 'src3'`. The oracle re-derives each
+    * version's expected state from the raw table alone (v1 = evens,
+    * v2 = all, v3 = all minus src3), so hash equality proves both the
+    * verbs AND the snapshots: a delete that leaked into version 1's
+    * segments, or an append that rewrote them, would shift that
+    * version's aggregate. All-integer aggregates — nothing float
+    * crosses the engine boundary. A complete lifecycle (versions
+    * exactly 1..3) from an earlier run is reread as-is — repeat runs
+    * resolving the already-published manifests IS the contract; any
+    * other on-disk state (a crashed half-run) is wiped and rebuilt. */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val path = storePath(d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (versions(path) != Seq(1, 2, 3)) {
+      val root = Paths.get(path)
+      if (Files.isDirectory(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      create(s, docs.filter(col("doc_id") % 2 === 0), path)
+      append(s, docs.filter(col("doc_id") % 2 === 1), path)
+      deleteWhere(s, path, col("source") === "src3")
+    }
+    versions(path).map { v =>
+      readVersion(s, path, Some(v))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(lit(v).as("version"), col("n_docs"), col("sum_ids"),
+          col("n_sources"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  private val q166Sql = """
+    WITH v1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    v3 AS (SELECT * FROM documents WHERE source <> 'src3')
+    SELECT 1 AS version, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           COUNT(DISTINCT source) AS n_sources FROM v1
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+           COUNT(DISTINCT source) FROM documents
+    UNION ALL
+    SELECT 3, COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+           COUNT(DISTINCT source) FROM v3
+    ORDER BY version"""
+
+  val queries: Seq[Query] = Seq(
+    Query("q166_time_travel", q166, Some(q166Sql)))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedStore
+
+/** The versioned store's contract: published segments are immutable
+  * (snapshot isolation falls out), deletes rewrite only touched
+  * segments, historical reads survive later verbs, and vacuum is the
+  * only destructive verb and is fenced.
+  */
+class VersionedStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def freshPath(name: String): String = {
+    val p = s"/root/repo/target/test_versioned/$name"
+    val root = Paths.get(p)
+    if (Files.isDirectory(root))
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(q => Files.deleteIfExists(q))
+    p
+  }
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "grp")
+  }
+
+  private def segFiles(path: String, seg: String): Set[(String, Long)] = {
+    val d = Paths.get(s"$path/data/$seg")
+    Files.walk(d).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> Files.size(p)).toSet
+  }
+
+  test("published segments are byte-untouched by later verbs; old versions replay") {
+    val p = freshPath("immutable")
+    assert(VersionedStore.create(spark, df(1L -> "a", 2L -> "b"), p) == 1)
+    val seg0Before = segFiles(p, "seg=0")
+    assert(VersionedStore.append(spark, df(3L -> "a", 4L -> "c"), p) == 2)
+    assert(VersionedStore.deleteWhere(spark, p, col("grp") === "a") == 3)
+    assert(segFiles(p, "seg=0") == seg0Before,
+      "append + delete must not rewrite a published segment")
+    def ids(v: Int): Set[Long] =
+      VersionedStore.readVersion(spark, p, Some(v))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(1) == Set(1L, 2L), "v1 replays the original snapshot")
+    assert(ids(2) == Set(1L, 2L, 3L, 4L))
+    assert(ids(3) == Set(2L, 4L), "latest excludes the deleted group")
+    assert(VersionedStore.readVersion(spark, p, None)
+      .count() == 2, "default read is the latest version")
+  }
+
+  test("deleteWhere rewrites only segments containing doomed rows") {
+    val p = freshPath("touch")
+    VersionedStore.create(spark, df(1L -> "a", 2L -> "a"), p)
+    VersionedStore.append(spark, df(3L -> "b", 4L -> "b"), p)
+    VersionedStore.deleteWhere(spark, p, col("grp") === "b" && col("id") === 3L)
+    // seg=0 (all 'a') holds no doomed rows: carried by REFERENCE into
+    // v3; only the touched seg=1 was rewritten (as seg=2)
+    val segs = Files.list(Paths.get(s"$p/data")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(segs == Set("seg=0", "seg=1", "seg=2"), s"segments: $segs")
+    val v3 = VersionedStore.readVersion(spark, p, Some(3))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(v3 == Set(1L, 2L, 4L))
+    // a no-match delete publishes a new version with the same segments
+    val v4 = VersionedStore.deleteWhere(spark, p, col("grp") === "zzz")
+    assert(v4 == 4)
+    assert(VersionedStore.readVersion(spark, p, Some(4))
+      .count() == 3)
+  }
+
+  test("vacuum removes only unreferenced segments, is fenced, and keeps the latest readable") {
+    val p = freshPath("vacuum")
+    VersionedStore.create(spark, df(1L -> "a"), p)
+    VersionedStore.append(spark, df(2L -> "b"), p)
+    VersionedStore.deleteWhere(spark, p, col("grp") === "a")
+    intercept[IllegalArgumentException] { VersionedStore.vacuum(p, 0) }
+    val removed = VersionedStore.vacuum(p, retainLast = 1)
+    assert(removed == Seq("seg=0"),
+      s"only the segment no retained manifest references goes: $removed")
+    assert(VersionedStore.versions(p) == Seq(3), "expired manifests dropped")
+    assert(VersionedStore.readVersion(spark, p, Some(3))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+    intercept[IllegalArgumentException] {
+      VersionedStore.readVersion(spark, p, Some(1))
+    }
+  }
+}
