@@ -82,8 +82,32 @@ object VersionedStore {
     df.write.mode("errorifexists").parquet(dataDir(path, seg))
 
   private def nextSegName(existing: Seq[String]): String = {
-    val n = existing.map(_.stripPrefix("seg=").toInt).maxOption.getOrElse(-1) + 1
+    val n = existing.map(_.stripPrefix("seg="))
+      .filter(_.forall(_.isDigit)).map(_.toInt)
+      .maxOption.getOrElse(-1) + 1
     s"seg=$n"
+  }
+
+  /** Idempotent (transactional) append — the streaming-sink verb: the
+    * segment name carries the caller's transaction identity (e.g.
+    * foreachBatch's batchId), so a REPLAYED micro-batch (checkpoint
+    * recovery, at-least-once redelivery) finds its transaction already
+    * in the manifest and publishes nothing — Delta's txnAppId/
+    * txnVersion mechanic, which is what turns an at-least-once stream
+    * into an exactly-once table. A segment directory left by a write
+    * that crashed BEFORE its manifest commit is overwritten (it was
+    * never published, so no reader can hold it). */
+  def appendBatch(spark: SparkSession, df: DataFrame, path: String,
+                  txnId: String): Int = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"appendBatch needs an existing store at $path")
+    val cur = readManifest(path, vs.last)
+    val seg = s"seg=txn-$txnId"
+    if (cur.contains(seg)) vs.last
+    else {
+      df.write.mode("overwrite").parquet(dataDir(path, seg))
+      commit(path, cur :+ seg)
+    }
   }
 
   /** Create the store: one segment, version 1. */
@@ -164,6 +188,67 @@ object VersionedStore {
     doomed.sorted
   }
 
+  // ---- zone maps: segment-level min/max stats + pruned reads --------
+
+  private def statsFile(path: String, seg: String) =
+    s"$path/_stats/$seg.txt"
+
+  /** Collect and persist segment-level min/max zone maps for `cols`
+    * (one tiny driver file per segment — the Iceberg manifest-stats
+    * idea; at real scale these ride inside the manifest). One Spark
+    * job per segment write, aggregating to a single row. */
+  def writeZoneMap(spark: SparkSession, path: String, seg: String,
+                   cols: Seq[String]): Unit = {
+    val row = spark.read.parquet(dataDir(path, seg))
+      .agg(lit(1).as("_one"),
+        cols.flatMap(c => Seq(min(col(c)).cast("long").as(s"min_$c"),
+          max(col(c)).cast("long").as(s"max_$c"))): _*)
+      .head()
+    val body = cols.map { c =>
+      s"$c ${row.getAs[Long](s"min_$c")} ${row.getAs[Long](s"max_$c")}"
+    }.mkString("\n")
+    val f = Paths.get(statsFile(path, seg))
+    Files.createDirectories(f.getParent)
+    Files.writeString(f, body)
+  }
+
+  /** The zone maps of a segment: col -> (min, max). Empty when the
+    * segment predates zone maps (reads then never prune it — stats
+    * absence must fail OPEN, never skip data). */
+  def zoneMap(path: String, seg: String): Map[String, (Long, Long)] = {
+    val f = Paths.get(statsFile(path, seg))
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
+      val Array(c, lo, hi) = line.split(" ")
+      c -> (lo.toLong, hi.toLong)
+    }.toMap
+  }
+
+  /** Segment-pruned range read: skip every segment whose zone map
+    * PROVES `statCol` ∉ [lo, hi] — the pruning decision is
+    * driver-side over manifest-sized metadata, exactly where Iceberg/
+    * Delta make it, and the returned plan scans only surviving
+    * segments (the row-level filter still applies: zone maps are a
+    * may-contain test). Returns (dataframe, segsRead, segsTotal). */
+  def readRangePruned(spark: SparkSession, path: String, version: Option[Int],
+                      statCol: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    val v = version.getOrElse(versions(path).last)
+    val segs = readManifest(path, v)
+    val kept = segs.filter { seg =>
+      zoneMap(path, seg).get(statCol) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats: fail open
+      }
+    }
+    val pred = col(statCol) >= lo && col(statCol) <= hi
+    val df =
+      if (kept.isEmpty)
+        readVersion(spark, path, Some(v)).filter(pred).limit(0)
+      else spark.read.parquet(kept.map(dataDir(path, _)): _*).filter(pred)
+    (df, kept.size, segs.size)
+  }
+
   // ---- q166: the time-travel gate -----------------------------------
 
   private def storePath(d: String): String =
@@ -219,6 +304,70 @@ object VersionedStore {
            COUNT(DISTINCT source) FROM v3
     ORDER BY version"""
 
+  // ---- q167: zone-map pruned range read -----------------------------
+
+  private def storePath167(d: String): String =
+    "/root/repo/target/q167_zonemap/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** q167: the zone maps EXERCISED — the corpus lands in four id-range
+    * segments (what a range-partitioned ingest produces), each with a
+    * written doc_id zone map, then a range read resolves the manifest,
+    * prunes driver-side to the 2 overlapping segments, and scans only
+    * those. ONE output row: the range aggregate (proves the pruned
+    * scan loses no rows) plus segs_read/segs_total (proves it pruned).
+    * The oracle recomputes the quartile cut, the aggregate AND the
+    * expected overlap count from the raw table — a fail-open bug
+    * (scanning everything) or an over-prune (losing rows) both break
+    * the hash. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = storePath167(d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = (maxId + 1) / 4
+    if (versions(path) != Seq(1, 2, 3, 4)) {
+      val root = Paths.get(path)
+      if (Files.isDirectory(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      (0L until 4L).foreach { b =>
+        val batch = docs.filter(
+          col("doc_id") >= b * cut &&
+            (if (b == 3) lit(true) else col("doc_id") < (b + 1) * cut))
+        if (b == 0) create(s, batch, path) else append(s, batch, path)
+        writeZoneMap(s, path, s"seg=$b", Seq("doc_id"))
+      }
+    }
+    val (hits, read, total) =
+      readRangePruned(s, path, None, "doc_id", cut + 5, 2 * cut + 5)
+    hits.agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"))
+      .select(col("n_rows"), col("sum_ids"),
+        lit(read).as("segs_read"), lit(total).as("segs_total"))
+  }
+
+  private val q167Sql = """
+    WITH cutoff AS (
+      SELECT (MAX(doc_id) + 1) // 4 AS cut, MAX(doc_id) AS max_id
+      FROM documents),
+    hits AS (
+      SELECT d.doc_id FROM documents d CROSS JOIN cutoff c
+      WHERE d.doc_id >= c.cut + 5 AND d.doc_id <= 2 * c.cut + 5),
+    segs AS (
+      SELECT b, c.cut * b AS lo,
+             CASE WHEN b = 3 THEN c.max_id ELSE c.cut * (b + 1) - 1 END AS hi,
+             c.cut
+      FROM (SELECT unnest([0, 1, 2, 3]) AS b), cutoff c),
+    pruned AS (
+      SELECT COUNT(*) AS segs_read FROM segs
+      WHERE hi >= cut + 5 AND lo <= 2 * cut + 5)
+    SELECT (SELECT COUNT(*) FROM hits) AS n_rows,
+           (SELECT CAST(SUM(doc_id) AS BIGINT) FROM hits) AS sum_ids,
+           CAST((SELECT segs_read FROM pruned) AS INTEGER) AS segs_read,
+           CAST(4 AS INTEGER) AS segs_total"""
+
   val queries: Seq[Query] = Seq(
-    Query("q166_time_travel", q166, Some(q166Sql)))
+    Query("q166_time_travel", q166, Some(q166Sql)),
+    Query("q167_zonemap_prune", q167, Some(q167Sql)))
 }

@@ -688,7 +688,79 @@ object Streams {
     FROM top t JOIN tb USING (term) JOIN counters c USING (j, b)
     GROUP BY 1, 2, 3 ORDER BY rank"""
 
+  // ---- q168: streaming ingest into the versioned store --------------
+
+  private def q168Base(d: String): String =
+    "/root/repo/target/q168_stream_versioned/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+  private val q168Done =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** q168: an at-least-once file stream feeding the versioned store
+    * through [[graft.sources.VersionedStore.appendBatch]] — each
+    * micro-batch publishes ONE new version whose segment name carries
+    * the batchId as its transaction identity, so checkpoint-replayed
+    * batches re-find their transaction in the manifest and publish
+    * nothing (the Delta txnAppId mechanic; VersionedStoreSpec pins
+    * the replay no-op). Readers meanwhile time-travel: every
+    * intermediate version stays resolvable during and after the
+    * stream. The gate reads the FINAL version plus the version count
+    * — both order-invariant under micro-batch permutation (the waves
+    * are disjoint unions), so file-discovery order can never flake
+    * the hash; intermediate snapshots are the spec's concern. */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{IndexStore, VersionedStore}
+    val base = q168Base(d)
+    val store = s"$base/store"
+    q168Done.getOrElseUpdate((IndexStore.sessionKey(s), d), {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(new java.io.File(base))
+      Files.createDirectories(Paths.get(base))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedStore.create(s, docs.filter(col("doc_id") % 3 === 0), store)
+      val inbox = s"$base/inbox"
+      docs.filter(col("doc_id") % 3 === 1)
+        .coalesce(1).write.mode("append").parquet(inbox)
+      docs.filter(col("doc_id") % 3 === 2)
+        .coalesce(1).write.mode("append").parquet(inbox)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inbox)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          VersionedStore.appendBatch(batch.sparkSession, batch, store,
+            id.toString)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    })
+    graft.sources.VersionedStore.readVersion(s, store, None)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(
+        lit(graft.sources.VersionedStore.versions(store).size).as("n_versions"),
+        col("n_docs"), col("sum_ids"), col("n_sources"))
+  }
+
+  private val q168Sql = """
+    SELECT 3 AS n_versions, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents"""
+
   val queries: Seq[Query] = Seq(
+    Query("q168_stream_versioned", q168, Some(q168Sql)),
     Query("q80_stream_tumbling", q80, Some(q80Sql)),
     Query("q81_stream_sliding",  q81, Some(q81Sql)),
     Query("q82_session_window",  q82, Some(q82Sql)),

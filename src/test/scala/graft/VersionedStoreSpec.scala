@@ -98,4 +98,51 @@ class VersionedStoreSpec extends AnyFunSuite {
       VersionedStore.readVersion(spark, p, Some(1))
     }
   }
+
+  test("zone maps prune proven-disjoint segments, fail OPEN without stats") {
+    import spark.implicits._
+    val p = freshPath("zonemap")
+    val lowDf = Seq((1L, "a"), (5L, "b")).toDF("id", "grp")
+    val hiDf = Seq((100L, "a"), (200L, "b")).toDF("id", "grp")
+    VersionedStore.create(spark, lowDf, p)
+    VersionedStore.writeZoneMap(spark, p, "seg=0", Seq("id"))
+    VersionedStore.append(spark, hiDf, p) // deliberately NO zone map
+    assert(VersionedStore.zoneMap(p, "seg=0") == Map("id" -> (1L, 5L)))
+    assert(VersionedStore.zoneMap(p, "seg=1").isEmpty)
+    // [90, 300]: seg=0 provably disjoint -> pruned; seg=1 has no stats
+    // -> MUST be read (fail open)
+    val (df, read, total) =
+      VersionedStore.readRangePruned(spark, p, None, "id", 90L, 300L)
+    assert((read, total) == (1, 2))
+    assert(df.select("id").collect().map(_.getLong(0)).toSet == Set(100L, 200L))
+    // a range covering nothing with stats everywhere prunes to zero
+    // segments and yields an empty (not failing) frame
+    VersionedStore.writeZoneMap(spark, p, "seg=1", Seq("id"))
+    val (df2, read2, _) =
+      VersionedStore.readRangePruned(spark, p, None, "id", 500L, 600L)
+    assert(read2 == 0 && df2.count() == 0)
+    // the row-level filter still applies inside surviving segments:
+    // zone maps are a may-contain test, not the predicate
+    val (df3, read3, _) =
+      VersionedStore.readRangePruned(spark, p, None, "id", 2L, 3L)
+    assert(read3 == 1 && df3.count() == 0,
+      "seg=0 overlaps [2,3] by stats but holds no matching row")
+  }
+
+  test("appendBatch: a replayed transaction publishes nothing (exactly-once)") {
+    val p = freshPath("txn")
+    VersionedStore.create(spark, df(1L -> "a"), p)
+    assert(VersionedStore.appendBatch(spark, df(2L -> "b"), p, "0") == 2)
+    // the at-least-once replay: same txn id, same (or corrupt) payload
+    // -> manifest unchanged, no new version, data not duplicated
+    assert(VersionedStore.appendBatch(spark, df(2L -> "b"), p, "0") == 2)
+    assert(VersionedStore.appendBatch(spark, df(99L -> "x"), p, "0") == 2,
+      "a replay is identified by its txn id, not its payload")
+    assert(VersionedStore.versions(p) == Seq(1, 2))
+    assert(VersionedStore.readVersion(spark, p, None)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a NEW txn id is a real append
+    assert(VersionedStore.appendBatch(spark, df(3L -> "c"), p, "1") == 3)
+    assert(VersionedStore.readVersion(spark, p, None).count() == 3)
+  }
 }
