@@ -1237,6 +1237,122 @@ object Relational {
            CAST(SUM(n_match) AS BIGINT) AS rows_matching
     FROM verdicts GROUP BY layout ORDER BY layout"""
 
+  // ---- robust outlier detection (median / MAD) ----------------------
+
+  /** q169: per-user robust anomaly flags over the event stream —
+    * |value − median| > 3·MAD, the median-absolute-deviation rule that
+    * survives the heavy tails a mean/stddev z-score drowns in. Both
+    * "medians" are DISCRETE picks (the value at 1-based ascending rank
+    * ⌈n/2⌉, ties ordered by event_id): an actual data value, never an
+    * interpolated average — so arbitrary doubles cross the engine
+    * boundary untouched and the only arithmetic is one subtraction
+    * and one multiply-by-3, bit-identical IEEE on both sides.
+    *
+    * Scale shape: two ranking passes + the flag scan, all on ONE
+    * hashpartitioning(user_id) exchange (per-user sorts are local);
+    * nothing global, nothing collected. */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val wRank = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    val n = Window.partitionBy(col("user_id"))
+    val med = e
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("is_med", col("rn") === expr("(n + 1) div 2"))
+    val medOf = med.filter(col("is_med"))
+      .select(col("user_id"), col("value").as("median_value"))
+    val dev = e.join(medOf, "user_id")
+      .withColumn("dev", abs(col("value") - col("median_value")))
+    val wDev = Window.partitionBy(col("user_id"))
+      .orderBy(col("dev"), col("event_id"))
+    val madOf = dev
+      .withColumn("rn", row_number().over(wDev))
+      .withColumn("n", count(lit(1)).over(n))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("dev").as("mad"))
+    dev.join(madOf, "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("median_value")).as("median_value"),
+        min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("user_id")
+  }
+
+  private val q169Sql = """
+    WITH e AS (SELECT user_id, event_id, value FROM events),
+    ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM e),
+    med AS (
+      SELECT user_id, value AS median_value FROM ranked
+      WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT e.user_id, e.event_id, abs(e.value - m.median_value) AS dev,
+             m.median_value
+      FROM e JOIN med m ON e.user_id = m.user_id),
+    dranked AS (
+      SELECT user_id, dev,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY dev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM dev),
+    mad AS (
+      SELECT user_id, dev AS mad FROM dranked WHERE rn = (n + 1) // 2)
+    SELECT d.user_id, COUNT(*) AS n_events,
+           MIN(d.median_value) AS median_value,
+           MIN(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.user_id = m.user_id
+    GROUP BY d.user_id ORDER BY d.user_id"""
+
+  // ---- market-basket co-occurrence ----------------------------------
+
+  /** q170: top-20 part pairs by basket co-occurrence support (the
+    * association-mining primitive behind "frequently bought
+    * together"). Baskets are the DISTINCT parts of each order; the
+    * pair explode is the within-basket self-join (a < b on the key,
+    * each unordered pair once) — quadratic only in basket SIZE, which
+    * a real pipeline caps (lineitem baskets are ≤7 rows), never in
+    * basket count; support counting is one partial-agg shuffle on the
+    * pair key; the global top-20 is a TakeOrdered heap, no full
+    * sort. */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets.as("x").join(baskets.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+    pairs.groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("support").desc, col("part_a"), col("part_b"))))
+      .select(col("rank"), col("part_a"), col("part_b"), col("support"))
+  }
+
+  private val q170Sql = """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b
+      FROM baskets x JOIN baskets y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+    SELECT row_number() OVER (ORDER BY support DESC, part_a, part_b) AS rank,
+           part_a, part_b, support
+    FROM (SELECT part_a, part_b, COUNT(*) AS support
+          FROM pairs GROUP BY part_a, part_b)
+    ORDER BY support DESC, part_a, part_b LIMIT 20"""
+
   // ---- iterative graph propagation ----------------------------------
 
   /** q165: two rounds of rank propagation over the bipartite
@@ -1353,5 +1469,7 @@ object Relational {
     Query("q143_sessionize",     q143, Some(q143Sql)),
     Query("q162_gapfill_locf",   q162, Some(q162Sql)),
     Query("q163_zorder_skipping", q163, Some(q163Sql)),
-    Query("q165_graph_rank",     q165, Some(q165Sql)))
+    Query("q165_graph_rank",     q165, Some(q165Sql)),
+    Query("q169_mad_outliers",   q169, Some(q169Sql)),
+    Query("q170_cooccurrence",   q170, Some(q170Sql)))
 }

@@ -148,6 +148,36 @@ object VersionedStore {
     }
   }
 
+  /** Merge every segment of the latest version into ONE new segment
+    * and publish it as the next version — the small-file answer to
+    * per-micro-batch appends (a day of 1-minute batches is 1440
+    * segments; scan planning and manifest IO degrade long before the
+    * data does). Readers of prior versions are untouched — their
+    * segments remain until `vacuum` — so compaction is concurrent-
+    * reader-safe by the same immutability argument as every other
+    * verb. Zone maps: the merged segment gets the union stats of its
+    * inputs when ALL inputs carry stats for a column (partial stats
+    * would under-cover and over-prune — fail open instead). */
+  def compact(spark: SparkSession, path: String): Int = {
+    val cur = readManifest(path, versions(path).last)
+    if (cur.size <= 1) return versions(path).last
+    val seg = nextSegName(cur)
+    spark.read.parquet(cur.map(dataDir(path, _)): _*)
+      .write.mode("errorifexists").parquet(dataDir(path, seg))
+    val maps = cur.map(zoneMap(path, _))
+    val commonCols = maps.map(_.keySet).reduce(_ intersect _)
+    if (commonCols.nonEmpty) {
+      val body = commonCols.toSeq.sorted.map { c =>
+        val los = maps.map(_(c)._1); val his = maps.map(_(c)._2)
+        s"$c ${los.min} ${his.max}"
+      }.mkString("\n")
+      val f = Paths.get(statsFile(path, seg))
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, body)
+    }
+    commit(path, Seq(seg))
+  }
+
   /** Read a version (default: latest) as one DataFrame. */
   def readVersion(spark: SparkSession, path: String,
                   version: Option[Int] = None): DataFrame = {

@@ -718,4 +718,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(read.contains("doc_id") && read.contains("lang") && !read.contains("text"),
       s"split must not read the text column:\n$read")
   }
+
+  test("q159: the LM is count-joins on gram keys — no cartesian, no skewed-token window") {
+    val p = planStr("q159_lm_likelihood")
+    assert(!p.contains("CartesianProduct"), p)
+    // the one-row vocab scalar must ride a broadcast, not a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"vocab scalar should broadcast:\n$p")
+    // both dictionary joins are shuffles on their own keys (bigram, w1),
+    // never a window over the raw token partition
+    assert(!p.contains("Window [count"),
+      s"corpus counts must come from aggregates, not per-token windows:\n$p")
+  }
+
+  test("q164: fuzzy blocking never goes cartesian; text stays out of the pair join") {
+    val p = planStr("q164_fuzzy_match")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must flow through the gram join:\n$p")
+  }
+
+  test("q165: each propagation step is join + partial agg, no cartesian") {
+    val p = planStr("q165_graph_rank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation must join on edge keys:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"half-step aggregates must map-side combine:\n$p")
+  }
+
+  test("q162: gap-fill reuses one user partitioning; no global window") {
+    val p = planStr("q162_gapfill_locf")
+    assert(!p.replaceAll("\\s+", " ").contains("Window [last") ||
+      p.contains("hashpartitioning(user_id"),
+      s"the LOCF window must partition by user_id:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the calendar must come from per-user sequence(), not a cross join:\n$p")
+  }
+
+  test("q160: the band self-join carries ids and keys only, never the plane") {
+    val q = qe("q160_phash_neardup")
+    val joins = q.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "key")) => j
+    }
+    assert(joins.nonEmpty, s"expected the band-key join:\n${q.analyzed}")
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(!side.output.exists(a => a.name == "plane" || a.name == "bits"),
+          s"band join sides must not carry plane/bits arrays:\n$j")
+      }
+    }
+  }
 }

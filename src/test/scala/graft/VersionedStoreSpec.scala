@@ -145,4 +145,29 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(VersionedStore.appendBatch(spark, df(3L -> "c"), p, "1") == 3)
     assert(VersionedStore.readVersion(spark, p, None).count() == 3)
   }
+
+  test("compact merges to one segment, preserves data and union zone maps, keeps history") {
+    import org.apache.spark.sql.functions.col
+    val p = freshPath("compact")
+    VersionedStore.create(spark, df(1L -> "a", 2L -> "a"), p)
+    VersionedStore.writeZoneMap(spark, p, "seg=0", Seq("id"))
+    VersionedStore.appendBatch(spark, df(10L -> "b"), p, "0")
+    VersionedStore.writeZoneMap(spark, p, "seg=txn-0", Seq("id"))
+    val before = VersionedStore.readVersion(spark, p, None)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val v = VersionedStore.compact(spark, p)
+    assert(v == 3)
+    val after = VersionedStore.readVersion(spark, p, None)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(after == before, "compaction must not change the table")
+    // one merged segment with the UNION zone map
+    assert(VersionedStore.zoneMap(p, "seg=1") == Map("id" -> (1L, 10L)))
+    val (_, read, total) =
+      VersionedStore.readRangePruned(spark, p, None, "id", 100L, 200L)
+    assert((read, total) == (0, 1), "merged stats still prune")
+    // history survives compaction until vacuum
+    assert(VersionedStore.readVersion(spark, p, Some(1)).count() == 2)
+    // compacting a single-segment table is a no-op version-wise
+    assert(VersionedStore.compact(spark, p) == 3)
+  }
 }
