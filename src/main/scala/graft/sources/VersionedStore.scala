@@ -178,7 +178,21 @@ object VersionedStore {
     commit(path, Seq(seg))
   }
 
-  /** Read a version (default: latest) as one DataFrame. */
+  /** Republish an earlier version's manifest as the NEXT version —
+    * rollback as a forward commit (the Delta RESTORE semantic): the
+    * bad version stays in history for forensics, no segment moves,
+    * and readers that pinned it are unaffected. O(manifest) driver
+    * IO. */
+  def rollback(spark: SparkSession, path: String, to: Int): Int = {
+    val segs = readManifest(path, to) // throws if `to` never existed
+    commit(path, segs)
+  }
+
+  /** Read a version (default: latest) as one DataFrame. Segments may
+    * carry different (evolved) schemas — `mergeSchema` unions them,
+    * absent columns read as null (the parquet-native schema-evolution
+    * contract; writers only ever ADD columns here, so merge is always
+    * a widening). */
   def readVersion(spark: SparkSession, path: String,
                   version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse {
@@ -189,7 +203,8 @@ object VersionedStore {
     val segs = readManifest(path, v)
     if (segs.isEmpty)
       spark.read.parquet(dataDir(path, "seg=0")).limit(0)
-    else spark.read.parquet(segs.map(dataDir(path, _)): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(dataDir(path, _)): _*)
   }
 
   /** Remove segments referenced by no manifest among the retained

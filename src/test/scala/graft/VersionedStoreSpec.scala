@@ -170,4 +170,28 @@ class VersionedStoreSpec extends AnyFunSuite {
     // compacting a single-segment table is a no-op version-wise
     assert(VersionedStore.compact(spark, p) == 3)
   }
+
+  test("rollback republishes history forward; evolved schemas merge on read") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val p = freshPath("rollback")
+    VersionedStore.create(spark, df(1L -> "a"), p)
+    // schema evolution: the second segment ADDS a column
+    val wide = Seq((2L, "b", 0.5)).toDF("id", "grp", "score")
+    VersionedStore.appendBatch(spark, wide, p, "0")
+    val merged = VersionedStore.readVersion(spark, p, None)
+    assert(merged.columns.toSet == Set("id", "grp", "score"))
+    val scores = merged.orderBy("id").select("score").collect()
+    assert(scores(0).isNullAt(0), "pre-evolution rows read the new column as null")
+    assert(scores(1).getDouble(0) == 0.5)
+    // rollback: version 3 = version 1's manifest, bad v2 kept in history
+    assert(VersionedStore.rollback(spark, p, 1) == 3)
+    assert(VersionedStore.readVersion(spark, p, None)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(VersionedStore.readVersion(spark, p, Some(2)).count() == 2,
+      "the rolled-back version remains readable for forensics")
+    intercept[IllegalArgumentException] {
+      VersionedStore.rollback(spark, p, 99)
+    }
+  }
 }
