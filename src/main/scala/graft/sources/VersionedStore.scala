@@ -294,6 +294,61 @@ object VersionedStore {
     (df, kept.size, segs.size)
   }
 
+  // ---- incremental view maintenance ----------------------------------
+
+  private def summaryDir(path: String) = s"$path/_summary"
+
+  /** Incrementally maintained per-group aggregate over an append-only
+    * store — the materialized-view refresh that makes a 100 TB
+    * "docs per source" dashboard O(new data) instead of O(table):
+    * the summary parquet remembers which segments it has absorbed
+    * (`_summary/absorbed.txt`); `refreshSummary` scans ONLY the
+    * current version's segments not yet absorbed, aggregates them,
+    * and merges counts/sums into the stored summary. Returns the
+    * number of newly absorbed segments (the incrementality meter the
+    * spec pins: a refresh after one append absorbs exactly one).
+    *
+    * Append-only IVM: count/sum merge by addition. Delete/compact
+    * change segment identity, so a manifest whose segments aren't a
+    * superset of the absorbed set fails loudly rather than silently
+    * double-counting — the caller rebuilds the summary (full refresh)
+    * after destructive verbs, which is exactly Materialize/Delta's
+    * constraint hierarchy for monotone views. */
+  def refreshSummary(spark: SparkSession, path: String,
+                     groupCol: String, sumCol: String): Int = {
+    val segs = readManifest(path, versions(path).last)
+    val absorbedFile = Paths.get(s"${summaryDir(path)}/absorbed.txt")
+    val absorbed: Seq[String] =
+      if (Files.exists(absorbedFile))
+        Files.readAllLines(absorbedFile).asScala.toSeq.filter(_.nonEmpty)
+      else Seq.empty
+    require(absorbed.forall(segs.contains),
+      s"summary absorbed segments no longer in the manifest " +
+        s"(delete/compact ran): rebuild the summary from scratch")
+    val fresh = segs.filterNot(absorbed.contains)
+    if (fresh.isEmpty) return 0
+    val delta = spark.read.parquet(fresh.map(dataDir(path, _)): _*)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col(sumCol)).as("sum_val"))
+    val summaryPq = s"${summaryDir(path)}/summary.parquet"
+    val merged =
+      if (absorbed.isEmpty) delta
+      else spark.read.parquet(summaryPq).unionByName(delta)
+        .groupBy(col(groupCol))
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_val")).as("sum_val"))
+    // stage-then-swap: the summary read above must complete before its
+    // directory is overwritten
+    val staged = merged.localCheckpoint()
+    staged.write.mode("overwrite").parquet(summaryPq)
+    Files.createDirectories(absorbedFile.getParent)
+    Files.writeString(absorbedFile, (absorbed ++ fresh).mkString("\n"))
+    fresh.size
+  }
+
+  /** The maintained summary as a DataFrame. */
+  def readSummary(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"${summaryDir(path)}/summary.parquet")
+
   // ---- q166: the time-travel gate -----------------------------------
 
   private def storePath(d: String): String =
@@ -412,7 +467,43 @@ object VersionedStore {
            CAST((SELECT segs_read FROM pruned) AS INTEGER) AS segs_read,
            CAST(4 AS INTEGER) AS segs_total"""
 
+  // ---- q171: incremental aggregate maintenance ----------------------
+
+  private def storePath171(d: String): String =
+    "/root/repo/target/q171_ivm/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** q171: the IVM lifecycle — create from half the corpus, refresh,
+    * append the rest, refresh again (the second refresh absorbs ONLY
+    * the new segment — VersionedStoreSpec pins the absorbed count),
+    * then emit the maintained summary. Hash equality with the
+    * oracle's from-scratch GROUP BY over the raw table IS the proof
+    * the delta merge is exact: a double-absorbed segment or a lost
+    * group would shift a count. */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val path = storePath171(d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (versions(path) != Seq(1, 2)) {
+      val root = Paths.get(path)
+      if (Files.isDirectory(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      create(s, docs.filter(col("doc_id") % 2 === 0), path)
+      refreshSummary(s, path, "source", "n_chars")
+      append(s, docs.filter(col("doc_id") % 2 === 1), path)
+      refreshSummary(s, path, "source", "n_chars")
+    }
+    readSummary(s, path).orderBy("source")
+  }
+
+  private val q171Sql = """
+    SELECT source, COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_val
+    FROM documents GROUP BY source ORDER BY source"""
+
   val queries: Seq[Query] = Seq(
     Query("q166_time_travel", q166, Some(q166Sql)),
-    Query("q167_zonemap_prune", q167, Some(q167Sql)))
+    Query("q167_zonemap_prune", q167, Some(q167Sql)),
+    Query("q171_incremental_agg", q171, Some(q171Sql)))
 }

@@ -194,4 +194,28 @@ class VersionedStoreSpec extends AnyFunSuite {
       VersionedStore.rollback(spark, p, 99)
     }
   }
+
+  test("refreshSummary absorbs only new segments and merges exactly; destructive verbs fence it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val p = freshPath("ivm")
+    def rows(xs: (Long, String, Long)*) = xs.toDF("id", "grp", "v")
+    VersionedStore.create(spark, rows((1L, "a", 10L), (2L, "b", 5L)), p)
+    assert(VersionedStore.refreshSummary(spark, p, "grp", "v") == 1)
+    VersionedStore.append(spark, rows((3L, "a", 7L)), p)
+    // the incrementality meter: ONE new segment absorbed, not a rescan
+    assert(VersionedStore.refreshSummary(spark, p, "grp", "v") == 1)
+    // idempotent when nothing is new
+    assert(VersionedStore.refreshSummary(spark, p, "grp", "v") == 0)
+    val sum = VersionedStore.readSummary(spark, p)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sum.toSeq == Seq(("a", 2L, 17L), ("b", 1L, 5L)))
+    // a delete invalidates absorbed segments -> loud failure, no
+    // silent double-count
+    VersionedStore.deleteWhere(spark, p, col("grp") === "b")
+    intercept[IllegalArgumentException] {
+      VersionedStore.refreshSummary(spark, p, "grp", "v")
+    }
+  }
 }
