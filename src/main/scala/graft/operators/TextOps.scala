@@ -377,7 +377,189 @@ object TextOps {
     WHERE length(trim(value)) > 0
     ORDER BY chunk_id"""
 
+  // ---- markup stripping (boilerplate removal) -----------------------
+
+  /** Strip HTML-ish markup from a string column, scan-side (the
+    * trafilatura-lite extraction step of a crawl pipeline): script
+    * and style blocks drop WITH their content, remaining tags drop,
+    * the five predefined entities decode, runs of whitespace collapse
+    * to one space, ends trimmed. Pure regexp_replace chain — one
+    * codegen'd projection, no UDF, and every pattern is shared by
+    * Java and RE2-family engines so the oracle replays it verbatim.
+    * Entity decode runs AFTER tag removal (so `&lt;b&gt;` stays the
+    * literal text `<b>` rather than becoming a tag — the lexing
+    * order browsers use), with `&amp;` last so `&amp;lt;` decodes to
+    * the literal `&lt;`. */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(c, "<script[^>]*>[^<]*</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>[^<]*</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent1 = regexp_replace(noTags, "&lt;", "<")
+    val ent2 = regexp_replace(ent1, "&gt;", ">")
+    val ent3 = regexp_replace(ent2, "&quot;", "\"")
+    val ent4 = regexp_replace(ent3, "&#39;", "'")
+    val ent5 = regexp_replace(ent4, "&amp;", "&")
+    trim(regexp_replace(ent5, "\\s+", " "))
+  }
+
+  /** q172: stripMarkup round-trip gate — each document is wrapped in
+    * a deterministic HTML page (head/title/script/style/nav
+    * boilerplate + the text inside a div, with the doc's first token
+    * entity-escaped into the title), stripped, and compared against
+    * the expected extraction. The oracle builds the SAME page and
+    * replays the SAME regexp chain in SQL, so a lexing-order or
+    * pattern divergence between engines breaks the hash, not just a
+    * flag. Output: per-source page/extract char totals + exact-match
+    * count. */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val page = concat(
+      lit("<html><head><title>Doc &amp; "), col("doc_id"),
+      lit("</title><script type=\"text/javascript\">var x = 1;</script>"),
+      lit("<style>.c { color: red }</style></head><body><nav>home</nav>"),
+      lit("<div class=\"content\">"), col("text"),
+      lit("</div><footer>(c) corp</footer></body></html>"))
+    val expected = concat(lit("Doc & "), col("doc_id"), lit(" home "),
+      trim(regexp_replace(col("text"), "\\s+", " ")), lit(" (c) corp"))
+    docs.select(col("doc_id"), col("source"),
+        length(page).as("page_chars"),
+        stripMarkup(page).as("got"), expected.as("want"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("page_chars")).as("total_page_chars"),
+        sum(length(col("got"))).as("total_extract_chars"),
+        sum(when(col("got") === col("want"), 1L).otherwise(0L))
+          .as("n_exact"))
+      .orderBy("source")
+  }
+
+  private val q172Sql = """
+    WITH pages AS (
+      SELECT source,
+             '<html><head><title>Doc &amp; ' || doc_id ||
+             '</title><script type="text/javascript">var x = 1;</script>' ||
+             '<style>.c { color: red }</style></head><body><nav>home</nav>' ||
+             '<div class="content">' || text ||
+             '</div><footer>(c) corp</footer></body></html>' AS page,
+             'Doc & ' || doc_id || ' home ' ||
+             trim(regexp_replace(text, '\s+', ' ', 'g')) || ' (c) corp'
+               AS want
+      FROM documents),
+    stripped AS (
+      SELECT source, page, want,
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(page,
+                          '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                        '<style[^>]*>[^<]*</style>', ' ', 'g'),
+                      '<[^>]*>', ' ', 'g'),
+                    '&lt;', '<', 'g'),
+                  '&gt;', '>', 'g'),
+                '&quot;', '"', 'g'),
+              '&#39;', '''', 'g'),
+            '&amp;', '&', 'g'),
+          '\s+', ' ', 'g')) AS got
+      FROM pages)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(length(page)) AS BIGINT) AS total_page_chars,
+           CAST(SUM(length(got)) AS BIGINT) AS total_extract_chars,
+           CAST(SUM(CASE WHEN got = want THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact
+    FROM stripped GROUP BY source ORDER BY source"""
+
+  // ---- URL normalization (crawl-frontier hygiene) -------------------
+
+  /** Canonicalize a URL column scan-side: lowercase scheme+host, drop
+    * the fragment, strip tracking params (utm_*, fbclid, gclid),
+    * drop a now-empty query, collapse duplicate slashes in the path,
+    * drop a trailing slash. The crawl-dedup prerequisite — two
+    * fetches of the same page must collapse BEFORE content dedup
+    * ever runs. Pure regexp chain, engine-portable. */
+  def normalizeUrl(c: Column): Column = {
+    val Track = "(utm_[a-z]+|fbclid|gclid)"
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val schemeHostLower = concat(
+      lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/]*)", 1)),
+      regexp_replace(noFrag, "^[a-zA-Z]+://[^/]*", ""))
+    // tracking params in three shapes: &-prefixed anywhere, ?-leading
+    // with a real param following (keep the '?'), ?-leading alone
+    val t1 = regexp_replace(schemeHostLower, s"&$Track=[^&#]*", "")
+    val t2 = regexp_replace(t1, s"\\?$Track=[^&#]*&", "?")
+    val t3 = regexp_replace(t2, s"\\?$Track=[^&#]*$$", "")
+    val dedupSlash = concat(
+      regexp_extract(t3, "^([a-z]+://)", 1),
+      regexp_replace(regexp_replace(t3, "^[a-z]+://", ""), "//+", "/"))
+    regexp_replace(dedupSlash, "/$", "")
+  }
+
+  /** q173: URL hygiene over a deterministic dirty-crawl synthesis —
+    * each doc yields a messy URL (mixed-case host, tracking params,
+    * fragment, doubled slashes, trailing slash variants by id class);
+    * normalization + host extraction + per-host frontier stats. The
+    * oracle rebuilds the same dirty URLs and replays the chain; the
+    * dedup ratio (distinct canonical vs raw) is the meter a crawl
+    * frontier lives on. */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // every doc fetches one of a few pages per host, each time with
+    // its own tracking params, fragment, case noise and doubled
+    // slashes — the frontier must collapse refetches to the canonical
+    // pages (7 is coprime to the fixture's source stride, so every
+    // host really gets several distinct pages)
+    val dirty = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM//docs/"),
+      pmod(col("doc_id"), lit(7)), lit("/?utm_source=feed"),
+      col("doc_id"), lit("&utm_campaign=x#sec"), col("doc_id"))
+    val canon = normalizeUrl(dirty)
+    docs.select(col("source"), dirty.as("raw_url"), canon.as("url"))
+      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]*)", 1))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_canonical"),
+        min(length(col("url"))).as("min_len"),
+        max(length(col("url"))).as("max_len"))
+      .orderBy("host")
+  }
+
+  private val q173Sql = """
+    WITH dirty AS (
+      SELECT source,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM//docs/' ||
+             (doc_id % 7) || '/?utm_source=feed' || doc_id ||
+             '&utm_campaign=x#sec' || doc_id AS raw
+      FROM documents),
+    canon AS (
+      SELECT source,
+        regexp_replace(
+          regexp_extract(u2, '^([a-z]+://)', 1) ||
+          regexp_replace(regexp_replace(u2, '^[a-z]+://', ''), '//+', '/'),
+          '/$', '') AS url
+      FROM (
+        SELECT source,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_extract(u1, '^([a-zA-Z]+://[^/]*)', 1)) ||
+                  regexp_replace(u1, '^[a-zA-Z]+://[^/]*', ''),
+                '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+              '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+            '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS u2
+        FROM (SELECT source, regexp_replace(raw, '#.*$', '') AS u1
+              FROM dirty)))
+    SELECT regexp_extract(url, '^[a-z]+://([^/]*)', 1) AS host,
+           COUNT(*) AS n_raw, COUNT(DISTINCT url) AS n_canonical,
+           MIN(length(url)) AS min_len, MAX(length(url)) AS max_len
+    FROM canon GROUP BY 1 ORDER BY 1"""
+
   val queries: Seq[Query] = Seq(
+    Query("q172_markup_strip",   q172, Some(q172Sql)),
+    Query("q173_url_normalize",  q173, Some(q173Sql)),
     Query("q40_grid_explode_a1", q40, Some(q40Sql)),
     Query("q41_chunk_stats",     q41, Some(q41Sql)),
     Query("q42_type_inference",  q42, Some(q42Sql)),

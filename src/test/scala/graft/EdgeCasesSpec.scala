@@ -141,6 +141,50 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(hits.length == 1 && hits.head.getAs[Long]("doc_id") == 0L)
   }
 
+  test("stripMarkup: tags drop, script/style drop WITH content, entities lex correctly") {
+    import spark.implicits._
+    val rows = Seq(
+      ("<p>a  b</p>", "a b"),
+      ("<script>ignore this</script>keep", "keep"),
+      ("<style a=b>.x{}</style>keep", "keep"),
+      // &amp;lt; must decode to the literal "&lt;", never to "<"
+      ("x &amp;lt; y", "x &lt; y"),
+      // already-escaped markup is TEXT, not a tag
+      ("&lt;b&gt;bold&lt;/b&gt;", "<b>bold</b>"),
+      ("a<br/>b &quot;q&quot; &#39;s&#39;", "a b \"q\" 's'"),
+      ("", ""))
+      .toDF("in", "want")
+    val got = rows.select(graft.operators.TextOps.stripMarkup(col("in"))
+      .as("got"), col("want")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"'${r.getString(0)}' != '${r.getString(1)}'"))
+  }
+
+  test("normalizeUrl: case, fragment, tracking, slashes — idempotent") {
+    import spark.implicits._
+    val rows = Seq(
+      ("HTTP://Ex.COM//a//b/?utm_source=x#f", "http://ex.com/a/b"),
+      ("https://ex.com/p?utm_source=a&id=2&utm_campaign=b", "https://ex.com/p?id=2"),
+      ("https://ex.com/p?id=2&fbclid=zz", "https://ex.com/p?id=2"),
+      ("https://ex.com/p?gclid=1", "https://ex.com/p"),
+      ("https://ex.com/clean?a=1", "https://ex.com/clean?a=1"))
+      .toDF("in", "want")
+    def norm(colName: String) =
+      rows.select(graft.operators.TextOps.normalizeUrl(col(colName)).as("got"),
+        col("want"))
+    norm("in").collect().foreach(r =>
+      assert(r.getString(0) == r.getString(1),
+        s"'${r.getString(0)}' != '${r.getString(1)}'"))
+    // normalizing an already-canonical URL changes nothing
+    val twice = rows
+      .select(graft.operators.TextOps.normalizeUrl(col("in")).as("once"))
+      .select(graft.operators.TextOps.normalizeUrl(col("once")).as("twice"),
+        col("once"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1),
+      "normalizeUrl must be idempotent"))
+  }
+
   test("gapFillDaily: per-key spans, zero-filled gaps, value carried forward") {
     import spark.implicits._
     val events = Seq(
