@@ -4330,5 +4330,80 @@ object VectorSearch {
     Query("q141_mmr_batch",     q141, Some(q141Sql)),
     Query("q142_pq_drift",      q142, Some(q142Sql)),
     Query("q146_hard_negatives", q146, Some(q146Sql)),
-    Query("q149_embedding_outliers", q149, Some(q149Sql)))
+    Query("q149_embedding_outliers", q149, Some(q149Sql)),
+    Query("q174_eval_mrr",      q174, Some(q174Sql)))
+
+  // ---- q174: retrieval evaluation (self-retrieval MRR) ---------------
+
+  private val Q174NQueries = 20
+
+  /** Deterministic query perturbation: the doc's own text with every
+    * third token dropped — a "paraphrase" whose ground-truth answer
+    * is the doc itself, which is how you get a labeled eval set from
+    * an unlabeled corpus. */
+  private def q174Queries(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < Q174NQueries)
+      .select(col("doc_id").as("query_id"),
+        array_join(
+          filter(split(col("text"), " "), (_, i) => i % 3 =!= 2),
+          " ").as("qtext"))
+      .select(col("query_id"),
+        graft.functions.Embed.embedCol(col("qtext")).as("qvec"))
+
+  /** q174: the eval harness every retrieval stack ships with —
+    * mean-reciprocal-rank of self-retrieval under perturbation. Each
+    * of 20 queries is a doc's text with every 3rd token removed;
+    * dense cosine ranks the WHOLE corpus per query and the gate
+    * reports where the true doc landed (rank, reciprocal-rank micros,
+    * hit@10). The oracle re-ranks from the dumped query vectors and
+    * the q139 doc-embedding aux — a ranking or tie-break divergence
+    * anywhere in the arm shifts a rank and breaks the hash.
+    *
+    * Scale shape: the query block is a broadcast; the corpus scans
+    * ONCE for all 20 queries (the q61/V4 batch shape); the rank
+    * window partitions by query_id. MRR over the output is one
+    * arithmetic step the caller does — the gate keeps per-query rows
+    * so a single regressed query is visible, not averaged away. */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val qs = q174Queries(s, d)
+    val scored = docEmbCached(s, d).select(col("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.VectorOps.vecCosine(col("embedding"), col("qvec"))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("rank").as("self_rank"),
+        expr("1000000 div rank").as("rr_micros"),
+        (col("rank") <= 10).cast(IntegerType).as("hit_at_10"))
+      .orderBy("query_id")
+  }
+
+  /** Dump the perturbed query vectors (the kernel boundary — the
+    * perturbation+embed run in Spark once; ranking is re-derived). */
+  def materializeEvalAux(s: SparkSession, d: String, auxDir: String): Unit =
+    q174Queries(s, d)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q174_queries.parquet")
+
+  // lazy: this val is declared BELOW the `queries` Seq, whose
+  // construction reads it during object init — a strict val would
+  // still be null at that point
+  private lazy val q174Sql = s"""
+    WITH qs AS (SELECT query_id, qvec FROM
+      read_parquet('/root/repo/target/verify_aux/q174_queries.parquet/*.parquet')
+    ), demb AS (SELECT doc_id, embedding FROM $AuxQ139Demb
+    ), ranked AS (
+      SELECT q.query_id, d.doc_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY (${cosColsSql("d.embedding", "q.qvec")}) DESC,
+                        d.doc_id) AS rank
+      FROM demb d CROSS JOIN qs q)
+    SELECT query_id, rank AS self_rank,
+           CAST(1000000 // rank AS BIGINT) AS rr_micros,
+           CAST(CASE WHEN rank <= 10 THEN 1 ELSE 0 END AS INTEGER)
+             AS hit_at_10
+    FROM ranked WHERE doc_id = query_id ORDER BY query_id"""
 }
