@@ -40,7 +40,8 @@ object Verify {
       ("dedup sigs", Set("q50_dedup_minhash_lsh", "q51_dedup_simhash",
           "q53_ngram_jaccard", "q54_winnow_overlap", "q68_dedup_recall",
           "q131_stream_neardup", "q152_canonical_pick",
-          "q154_bloom_decontaminate", "q156_leakage_safe_split"),
+          "q154_bloom_decontaminate", "q156_leakage_safe_split",
+          "q175_containment"),
         () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
       ("ann", Set("q62_ann_lsh", "q65_ann_ivf", "q67_ann_recall", "q69_ann_sq8"),
         () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),

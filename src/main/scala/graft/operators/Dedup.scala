@@ -287,6 +287,71 @@ object Dedup {
     WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2
     ORDER BY source, id_a, id_b"""
 
+  /** Containment pairs: |A∩B| / min(|A|,|B|) over shingle-hash sets —
+    * the asymmetric near-SUPERSET detector Jaccard structurally
+    * misses: a short doc quoted whole inside a long one scores
+    * containment ≈ 1 while its Jaccard (÷ the UNION) can sit under
+    * any reasonable threshold. The Broder containment measure; same
+    * posting-join shape as [[ngramJaccardPairs]] (shuffle on shingle
+    * hashes, zero-overlap pairs never materialize), one extra column
+    * `direction` naming which side is the contained one ('a_in_b'
+    * when A is the smaller set, ties 'equal'). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, shingleK: Int = 3,
+                       threshold: Double = 0.6): DataFrame = {
+    val s = docs.sparkSession
+    val base = signatures(s, docs.select(col(idCol).as("doc_id"),
+      col(blockCol).as("source"), col(textCol).as("text")))(
+      _.select(col("doc_id"), col("source"),
+        hashExprs.shingleHashes(col("text"), shingleK).as("sh")))
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val posting = base.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
+    val shared = posting.as("a").join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.source").as("source"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .withColumn("direction",
+        when(col("n_a") < col("n_b"), "a_in_b")
+          .when(col("n_b") < col("n_a"), "b_in_a")
+          .otherwise("equal"))
+      .select(col("source"), col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"), col("direction"))
+  }
+
+  /** q175: containment over the documents fixture. Same aux mirror as
+    * q53 — the shingle sets are the dumped kernel output, everything
+    * downstream (intersection, min-size normalization, direction) is
+    * re-derived. */
+  private def q175(s: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(s, d), "doc_id", "text", "source")
+      .orderBy("source", "id_a", "id_b")
+
+  private val q175Sql = s"""
+    WITH sigs AS (SELECT doc_id, source, sg FROM $AuxSigs),
+    pairs AS (
+      SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sg, b.sg)) AS n_shared,
+             len(a.sg) AS n_a, len(b.sg) AS n_b
+      FROM sigs a JOIN sigs b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sg, b.sg)) > 0)
+    SELECT source, id_a, id_b,
+           round(CAST(n_shared AS DOUBLE) / least(n_a, n_b), 4) AS containment,
+           CASE WHEN n_a < n_b THEN 'a_in_b'
+                WHEN n_b < n_a THEN 'b_in_a'
+                ELSE 'equal' END AS direction
+    FROM pairs
+    WHERE CAST(n_shared AS DOUBLE) / least(n_a, n_b) >= 0.6
+    ORDER BY source, id_a, id_b"""
+
   /** Winnowing-fingerprint overlap pairs: docs sharing >= `minOverlap`
     * of their rolling-hash fingerprints (position-robust near-dup).
     * Standard stop-fingerprint filter: hashes occurring in more than
@@ -852,6 +917,7 @@ object Dedup {
     Query("q51_dedup_simhash",     q51, Some(q51Sql)),
     Query("q52_embedding_neardup", q52, Some(q52Sql)),
     Query("q53_ngram_jaccard",     q53, Some(q53Sql)),
+    Query("q175_containment",      q175, Some(q175Sql)),
     Query("q54_winnow_overlap",    q54, Some(q54Sql)),
     Query("q68_dedup_recall",      q68, Some(q68Sql)),
     Query("q130_span_dedup",       q130, Some(q130Sql)))
