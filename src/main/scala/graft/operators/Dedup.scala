@@ -230,18 +230,25 @@ object Dedup {
       FROM pairs)
     WHERE rank <= 3 ORDER BY label, rank"""
 
-  /** Exact n-gram (word `shingleK`-shingle) Jaccard pairs above
-    * `threshold`, via an inverted shingle index: explode hashed
-    * shingles once per doc, equi-join on the shingle hash (within an
-    * optional blocking column) to count shared shingles per pair,
-    * then J = shared/(|a|+|b|-shared). Pairs with zero overlap are
-    * never materialized — at 100 TB this is a shuffle on shingle
-    * hashes, not an O(n^2) block scan. (The naive blocked crossJoin +
-    * per-pair re-tokenizing UDF was 95s at sf0.1; this form is ~2s
-    * with identical output.) */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, shingleK: Int = 3,
-                        threshold: Double = 0.2): DataFrame = {
+  /** Shared two-phase machinery of [[ngramJaccardPairs]] /
+    * [[containmentPairs]]: materialize shingle-hash signatures, then
+    * (1) generate CANDIDATE pairs only from shingles whose in-block
+    * document frequency is <= `maxDf` — the q164 blocking idea: a
+    * boilerplate shingle shared by N docs of one source would emit
+    * N^2/2 join rows, and boilerplate prunes nothing, so it never
+    * enters the pair join — and (2) count the EXACT shared-shingle
+    * intersection only for candidate pairs, by routing each
+    * candidate's grams through the near-unique (doc, block, hash)
+    * posting key. Scores downstream stay exact over the FULL sets
+    * (capped grams still count toward the intersection); only
+    * candidate generation is df-capped, so a pair can be missed only
+    * if it shares NOTHING rarer than `maxDf` — the standard
+    * inverted-index dedup contract. Per-key join fan-out is bounded
+    * by maxDf^2 (DedupSpec pins the hot-shingle case). */
+  private def shingleSharedCounts(docs: DataFrame, idCol: String,
+                                  textCol: String, blockCol: String,
+                                  shingleK: Int, maxDf: Int)
+      : (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     val base = signatures(s, docs.select(col(idCol).as("doc_id"),
       col(blockCol).as("source"), col(textCol).as("text")))(
@@ -249,12 +256,68 @@ object Dedup {
         hashExprs.shingleHashes(col("text"), shingleK).as("sh")))
     val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val posting = base.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
-    val shared = posting.as("a").join(posting.as("b"),
+    val cand = shingleCandidatePairs(posting, maxDf)
+    // exact intersection over the full gram sets, computed ONLY for
+    // candidate pairs: cand x gramsOf(a) probes the (id_b, source, h)
+    // posting key, which is near-unique — never the raw h self-join
+    val shared = cand
+      .join(posting.select(col("doc_id").as("id_a"), col("source"), col("h")),
+        Seq("id_a", "source"))
+      .join(posting.select(col("doc_id").as("id_b"), col("source"), col("h")),
+        Seq("id_b", "source", "h"))
+      .groupBy(col("source"), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    (shared, sizes)
+  }
+
+  /** Phase 1 of [[shingleSharedCounts]], exposed for the DedupSpec
+    * hot-key bound: candidate (source, id_a, id_b) pairs from the
+    * df-capped posting list. Shingles in more than `maxDf` docs of a
+    * block never enter the self-join. */
+  private[graft] def shingleCandidatePairs(posting: DataFrame, maxDf: Int): DataFrame = {
+    // partial-agg df per (block, hash); the capped posting has <= maxDf
+    // rows per join key, so the self-join fan-out is bounded
+    val rare = posting.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("source"), col("h"))
+    val capped = posting.join(rare, Seq("source", "h"))
+    capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.source").as("source"),
+      .select(col("a.source").as("source"),
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .distinct()
+  }
+
+  /** The "no silent caps" audit view for the shingle-pair family: the
+    * blocked shingles [[ngramJaccardPairs]]/[[containmentPairs]] drop
+    * from candidate generation at `maxDf`, with their document
+    * frequencies. Nonempty means boilerplate is driving the cap —
+    * strip it upstream or raise the cap deliberately. */
+  def shingleStopGrams(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, shingleK: Int = 3,
+                       maxDf: Int = 500): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(blockCol).as("source"),
+        explode(hashExprs.shingleHashes(col(textCol), shingleK)).as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
+  /** Exact n-gram (word `shingleK`-shingle) Jaccard pairs above
+    * `threshold`, via a df-capped inverted shingle index
+    * ([[shingleSharedCounts]]): candidate pairs come only from
+    * shingles in <= `maxDf` docs of a block, the exact intersection is
+    * counted on candidate pairs only, then J = shared/(|a|+|b|-shared)
+    * over the full sets. Pairs with zero overlap are never
+    * materialized, and no shingle fans out more than maxDf^2 join
+    * rows — at 100 TB this is a bounded shuffle on shingle hashes,
+    * not an O(n^2) block scan. (The naive blocked crossJoin +
+    * per-pair re-tokenizing UDF was 95s at sf0.1; this form is ~2s
+    * with identical output.) */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleK: Int = 3,
+                        threshold: Double = 0.2, maxDf: Int = 500): DataFrame = {
+    val (shared, sizes) =
+      shingleSharedCounts(docs, idCol, textCol, blockCol, shingleK, maxDf)
     shared
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
@@ -264,23 +327,39 @@ object Dedup {
       .select(col("source"), col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** The df-capped candidate CTE both shingle-pair oracles share:
+    * DuckDB re-derives phase 1 (df-capped posting self-join) from the
+    * materialized shingle-hash sets, then phase 2's exact intersection
+    * over the FULL sets via list_intersect — exactly the Spark
+    * operator's two-phase semantics, not collision-approximate. */
+  private def shinglePairCte(maxDf: Int) = s"""
+    sigs AS (SELECT doc_id, source, sg FROM $AuxSigs),
+    posting AS (SELECT doc_id, source, unnest(sg) AS h FROM sigs),
+    rare AS (SELECT source, h FROM posting
+             GROUP BY source, h HAVING COUNT(*) <= $maxDf),
+    capped AS (SELECT posting.* FROM posting JOIN rare USING (source, h)),
+    cand AS (
+      SELECT DISTINCT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.source, c.id_a, c.id_b,
+             len(list_intersect(sa.sg, sb.sg)) AS n_shared,
+             len(sa.sg) AS n_a, len(sb.sg) AS n_b
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b)"""
+
   /** q53: fixture instantiation of [[ngramJaccardPairs]]. Oracle:
-    * exact Jaccard from the materialized shingle-hash sets — the
-    * hash sets ARE what the Spark operator joins on, so this mirror
-    * is exact, not collision-approximate. */
+    * the two-phase mirror from the materialized shingle-hash sets —
+    * the hash sets ARE what the Spark operator joins on, so this
+    * mirror is exact, not collision-approximate. */
   private def q53(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "source")
       .orderBy("source", "id_a", "id_b")
 
   private val q53Sql = s"""
-    WITH sigs AS (SELECT doc_id, source, sg FROM $AuxSigs),
-    pairs AS (
-      SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.sg, b.sg)) AS n_shared,
-             len(a.sg) AS n_a, len(b.sg) AS n_b
-      FROM sigs a JOIN sigs b
-        ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sg, b.sg)) > 0)
+    WITH ${shinglePairCte(500)}
     SELECT source, id_a, id_b,
            round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 4) AS jaccard
     FROM pairs
@@ -292,26 +371,17 @@ object Dedup {
     * misses: a short doc quoted whole inside a long one scores
     * containment ≈ 1 while its Jaccard (÷ the UNION) can sit under
     * any reasonable threshold. The Broder containment measure; same
-    * posting-join shape as [[ngramJaccardPairs]] (shuffle on shingle
-    * hashes, zero-overlap pairs never materialize), one extra column
-    * `direction` naming which side is the contained one ('a_in_b'
-    * when A is the smaller set, ties 'equal'). */
+    * df-capped two-phase shape as [[ngramJaccardPairs]]
+    * ([[shingleSharedCounts]]: candidates from <=`maxDf`-df shingles,
+    * exact intersection on candidates only, zero-overlap pairs never
+    * materialize), one extra column `direction` naming which side is
+    * the contained one ('a_in_b' when A is the smaller set, ties
+    * 'equal'). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        blockCol: String, shingleK: Int = 3,
-                       threshold: Double = 0.6): DataFrame = {
-    val s = docs.sparkSession
-    val base = signatures(s, docs.select(col(idCol).as("doc_id"),
-      col(blockCol).as("source"), col(textCol).as("text")))(
-      _.select(col("doc_id"), col("source"),
-        hashExprs.shingleHashes(col("text"), shingleK).as("sh")))
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val posting = base.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
-    val shared = posting.as("a").join(posting.as("b"),
-        col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.source").as("source"),
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+                       threshold: Double = 0.6, maxDf: Int = 500): DataFrame = {
+    val (shared, sizes) =
+      shingleSharedCounts(docs, idCol, textCol, blockCol, shingleK, maxDf)
     shared
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
@@ -335,14 +405,7 @@ object Dedup {
       .orderBy("source", "id_a", "id_b")
 
   private val q175Sql = s"""
-    WITH sigs AS (SELECT doc_id, source, sg FROM $AuxSigs),
-    pairs AS (
-      SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.sg, b.sg)) AS n_shared,
-             len(a.sg) AS n_a, len(b.sg) AS n_b
-      FROM sigs a JOIN sigs b
-        ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sg, b.sg)) > 0)
+    WITH ${shinglePairCte(500)}
     SELECT source, id_a, id_b,
            round(CAST(n_shared AS DOUBLE) / least(n_a, n_b), 4) AS containment,
            CASE WHEN n_a < n_b THEN 'a_in_b'
@@ -367,19 +430,22 @@ object Dedup {
     // is just size(wf) computed scan-side before the explode — no
     // per-doc window. The stop-fingerprint filter (fps in > maxDf
     // docs are non-discriminative boilerplate that would create
-    // quadratic hot keys in the pair join) stays a single window
-    // count over fp — one exchange, cheaper than the groupBy+join
-    // formulation (measured). n_fp is computed BEFORE the filter so
-    // the overlap denominator stays honest. The checkpointed
-    // signature table is read twice by the pair self-join instead of
-    // re-running the kernel per branch.
-    val wFp = Window.partitionBy(col("fp"))
-    val fps = signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
+    // quadratic hot keys in the pair join) is a partial-agg df table
+    // reduced to the tiny OVER-cap set, broadcast-anti-joined away:
+    // a count-over-window formulation would colocate every row of a
+    // hot fingerprint in one task BEFORE it could drop it — the
+    // exact skew the filter exists to prevent. n_fp is computed
+    // BEFORE the filter so the overlap denominator stays honest. The
+    // checkpointed signature table feeds the df aggregate and both
+    // sides of the pair self-join instead of re-running the kernel
+    // per branch.
+    val raw = signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
       _.select(col("doc_id"), hashExprs.winnowFp(col("text"), kGram, window).as("wf"))
-        .select(col("doc_id"), size(col("wf")).as("n_fp"), explode(col("wf")).as("fp"))
-        .withColumn("df", count(lit(1)).over(wFp))
-        .filter(col("df") <= maxDf)
-        .select(col("doc_id"), col("fp"), col("n_fp")))
+        .select(col("doc_id"), size(col("wf")).as("n_fp"), explode(col("wf")).as("fp")))
+    val stopFps = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val fps = raw.join(broadcast(stopFps), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("n_fp"))
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -480,9 +546,13 @@ object Dedup {
     // the DuckDB oracle reproduces the exact same subcorpus
     val docs = Tables.documents(s, d)
       .filter(Corpus.md5Bucket(col("doc_id")) < 128)
+    // maxDf = MaxValue: the baseline must be the EXACT pair set — the
+    // production df cap would make the "truth" side of a recall meter
+    // itself approximate. Affordable here because the meter runs on
+    // the 50% sample, not the corpus.
     val exact = ngramJaccardPairs(
         docs.withColumn("all_block", lit("x")), "doc_id", "text", "all_block",
-        shingleK = 3, threshold = threshold)
+        shingleK = 3, threshold = threshold, maxDf = Int.MaxValue)
       .select(col("id_a"), col("id_b"))
     val found = minhashPairs(docs, "doc_id", "text", threshold = threshold)
       .select(col("id_a"), col("id_b"), lit(1).as("f"))

@@ -220,6 +220,77 @@ class DedupSpec extends AnyFunSuite {
       "vowel-stripped variant is a partial, not exact, match")
   }
 
+  test("shingle pair family: a corpus-wide hot shingle never enters the " +
+      "pair join (candidate input is df-bounded)") {
+    import spark.implicits._
+    // 60 docs that all open with the SAME 3-word boilerplate (exactly
+    // one shared trigram shingle) and continue with unique words — the
+    // mega-boilerplate shape that makes an uncapped posting self-join
+    // emit N^2/2 rows for one key
+    val n = 60
+    val docs = (0 until n).map { i =>
+      (i.toLong, "common boiler plate " +
+        (1 to 8).map(j => s"u${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text").withColumn("source", lit("s"))
+    val posting = docs.select(col("doc_id"), col("source"),
+      explode(graft.functions.hashExprs.shingleHashes(col("text"), 3)).as("h"))
+    // capped: the df-60 boilerplate shingle is excluded -> no candidates
+    assert(operators.Dedup.shingleCandidatePairs(posting, maxDf = 8).count() == 0,
+      "hot shingle must not generate candidates under the cap")
+    // uncapped: the same join materializes the full quadratic fan-out
+    assert(operators.Dedup.shingleCandidatePairs(posting, maxDf = 1000).count()
+      == n.toLong * (n - 1) / 2)
+    // the audit view names exactly the dropped gram, with its df
+    val stops = operators.Dedup.shingleStopGrams(
+      docs, "doc_id", "text", "source", 3, maxDf = 8).collect()
+    assert(stops.length == 1 && stops.head.getLong(2) == n.toLong,
+      s"audit must surface the one boilerplate shingle: ${stops.toSeq}")
+    // and the end-to-end operators stay silent instead of blowing up
+    assert(operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", "source", maxDf = 8).count() == 0)
+    assert(operators.Dedup.containmentPairs(
+      docs, "doc_id", "text", "source", maxDf = 8).count() == 0)
+  }
+
+  test("two-phase ngramJaccardPairs matches pairwise string-shingle jaccard " +
+      "on the planted corpus") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = operators.Dedup
+      .ngramJaccardPairs(df, "doc_id", "text", "source")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val expected = (for {
+      Seq((ia, ta), (ib, tb)) <- corpus.sortBy(_._1).combinations(2)
+      j = Hashes.jaccardShingles(ta, tb, 3) if j >= 0.2
+    } yield (ia, ib) -> j).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair sets differ: extra=${got.keySet -- expected.keySet} " +
+        s"missing=${expected.keySet -- got.keySet}")
+    expected.foreach { case (p, j) =>
+      assert(math.abs(got(p) - j) < 5e-5, s"$p: ${got(p)} vs $j")
+    }
+  }
+
+  test("winnow stop-fp filter drops corpus-wide boilerplate fingerprints " +
+      "via the broadcast anti-join (no hot-key window)") {
+    import spark.implicits._
+    // 30 docs: one long shared boilerplate prefix + a short unique tail
+    val boiler = (1 to 20).map(i => s"boil$i").mkString(" ")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, boiler + s" tail${i}a tail${i}b")
+    }.toDF("doc_id", "text")
+    // cap in force: every shared fp comes from the df-30 boilerplate,
+    // so nothing survives to pair up
+    assert(operators.Dedup
+      .winnowOverlapPairs(docs, "doc_id", "text", maxDf = 4).count() == 0,
+      "boilerplate-only overlap must vanish under the stop-fp cap")
+    // cap lifted: the same corpus pairs up on the shared prefix
+    assert(operators.Dedup
+      .winnowOverlapPairs(docs, "doc_id", "text", maxDf = 100).count() > 0,
+      "without the cap the shared prefix must dominate the overlap")
+  }
+
   test("fuzzyBestMatch: a dirty row sharing no non-stopword trigram gets no match row") {
     import spark.implicits._
     val clean = Seq((1L, "aaaa"), (2L, "aaab")).toDF("id", "name")
