@@ -1315,30 +1315,54 @@ object Relational {
 
   // ---- market-basket co-occurrence ----------------------------------
 
-  /** q170: top-20 part pairs by basket co-occurrence support (the
-    * association-mining primitive behind "frequently bought
-    * together"). Baskets are the DISTINCT parts of each order; the
-    * pair explode is the within-basket self-join (a < b on the key,
-    * each unordered pair once) — quadratic only in basket SIZE, which
-    * a real pipeline caps (lineitem baskets are ≤7 rows), never in
-    * basket count; support counting is one partial-agg shuffle on the
-    * pair key; the global top-20 is a TakeOrdered heap, no full
-    * sort. */
-  private def q170(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = baskets.as("x").join(baskets.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
-    pairs.groupBy(col("part_a"), col("part_b"))
+  /** Basket co-occurrence pair support (the association-mining
+    * primitive behind "frequently bought together") over any
+    * (basket, item) relation. Baskets are the DISTINCT items per
+    * basket key; the pair explode is the within-basket self-join
+    * (a < b on the item key, each unordered pair once) — quadratic
+    * only in basket SIZE, never in basket count — and the size is
+    * ENFORCED: a basket larger than `maxBasketSize` is
+    * deterministically truncated to its `maxBasketSize` smallest item
+    * keys before the explode (rank by a quality column upstream to
+    * keep the best items instead), so one degenerate mega-basket
+    * (a crawler session with 10^6 "items") can never contribute
+    * 10^12 pair rows. The truncation window is per-basket and
+    * O(basket) — linear where the join it guards is quadratic.
+    * Support counting is one partial-agg shuffle on the pair key.
+    * Returns (item_a, item_b, support). */
+  def coOccurrencePairs(items: DataFrame, basketCol: String, itemCol: String,
+                        maxBasketSize: Int = 64): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val baskets = items
+      .select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
+    val capped = baskets
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("basket")).orderBy(col("item"))))
+      .filter(col("rn") <= maxBasketSize)
+      .drop("rn")
+    capped.as("x").join(capped.as("y"),
+        col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
+      .select(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
+  }
+
+  /** q170: fixture instantiation of [[coOccurrencePairs]] — top-20
+    * part pairs by order-basket support. Lineitem baskets are ≤7
+    * parts, far under the default cap, so the capped operator's
+    * output is identical to the uncapped pair join the oracle mirrors
+    * (EdgeCasesSpec pins the mega-basket truncation the fixture can't
+    * exercise). The global top-20 is a TakeOrdered heap, no full
+    * sort. */
+  private def q170(s: SparkSession, d: String): DataFrame =
+    coOccurrencePairs(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+      .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+        col("support"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("support").desc, col("part_a"), col("part_b"))))
       .select(col("rank"), col("part_a"), col("part_b"), col("support"))
-  }
 
   private val q170Sql = """
     WITH baskets AS (

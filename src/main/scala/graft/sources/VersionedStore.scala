@@ -1,7 +1,8 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,10 +26,12 @@ import graft.{Query, Tables}
   * edits or deletes a published segment, so `readVersion(path, v)`
   * resolves any historical manifest to byte-identical data (ForkSpec
   * precedent: immutability IS the isolation mechanism — there is no
-  * lock). The manifest commit is a single atomic file move, which is
-  * the same commit primitive Delta uses (the last writer of a version
-  * number wins; concurrent writers to the SAME next version conflict
-  * on the move and fail loudly rather than interleave).
+  * lock). The manifest commit is an atomic create-if-absent (a hard
+  * link, whose link(2) fails with EEXIST on an existing target) —
+  * Delta's put-if-absent commit primitive: of two writers racing to
+  * the same next version number, exactly one publishes and the loser
+  * throws FileAlreadyExistsException instead of silently replacing
+  * the winner's manifest.
   *
   * Scale shape: manifests are segment-LIST sized (driver IO, KBs);
   * data moves only through Spark jobs. `deleteWhere` rewrites only
@@ -47,16 +50,28 @@ object VersionedStore {
   private def manifestFile(path: String, v: Int) =
     f"${versionsDir(path)}/v$v%06d.txt"
 
-  /** Published versions, ascending. */
-  def versions(path: String): Seq[Int] = {
-    val dir = Paths.get(versionsDir(path))
+  /** List a directory's entry names, CLOSING the stream (Files.list
+    * holds a directory fd until closed; versions() runs per verb and
+    * per gate, so a leak here exhausts fd limits on long runs). */
+  private def listNames(dir: Path): Seq[String] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    else Using.resource(Files.list(dir))(
+      _.iterator().asScala.map(_.getFileName.toString).toSeq)
+
+  /** Depth-first delete of a directory tree, closing the walk
+    * stream. */
+  private[graft] def deleteTree(root: Path): Unit =
+    if (Files.isDirectory(root))
+      Using.resource(Files.walk(root))(
+        _.iterator().asScala.toSeq).reverse
+        .foreach(p => Files.deleteIfExists(p))
+
+  /** Published versions, ascending. */
+  def versions(path: String): Seq[Int] =
+    listNames(Paths.get(versionsDir(path)))
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }
-      .toSeq.sorted
-  }
+      .sorted
 
   private def readManifest(path: String, v: Int): Seq[String] = {
     val f = Paths.get(manifestFile(path, v))
@@ -67,23 +82,50 @@ object VersionedStore {
   /** Atomically publish `segs` as the next version; returns it. */
   private def commit(path: String, segs: Seq[String]): Int = {
     val next = versions(path).lastOption.getOrElse(0) + 1
+    publishManifest(path, next, segs)
+    next
+  }
+
+  /** Publish `segs` as version `v` — atomic create-if-absent.
+    * Hard-link publish is the commit point: link(2) fails with EEXIST
+    * when the target exists, so two writers racing to the same version
+    * number — one wins, the LOSER throws FileAlreadyExistsException.
+    * (An ATOMIC_MOVE here would map to rename(2), which silently
+    * REPLACES an existing target on POSIX — a lost update.) Readers
+    * never see a partial manifest: the link appears with the tmp
+    * file's full content. Package-visible so the spec can drive the
+    * losing side of the race directly. */
+  private[graft] def publishManifest(path: String, v: Int,
+                                     segs: Seq[String]): Unit = {
     val dir = Paths.get(versionsDir(path))
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".tmp_v$next")
+    val tmp = dir.resolve(s".tmp_v$v-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, segs.mkString("\n"))
-    // ATOMIC_MOVE is the commit point: two writers racing to the same
-    // version number — one move succeeds, the other throws
-    Files.move(tmp, Paths.get(manifestFile(path, next)),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    next
+    val target = Paths.get(manifestFile(path, v))
+    try Files.createLink(target, tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        // no hard links on this filesystem: CREATE_NEW keeps the
+        // loser-fails contract (O_EXCL), at the cost of readers
+        // possibly glimpsing a mid-write manifest
+        Files.writeString(target, segs.mkString("\n"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def writeSegment(df: DataFrame, path: String, seg: String): Unit =
     df.write.mode("errorifexists").parquet(dataDir(path, seg))
 
-  private def nextSegName(existing: Seq[String]): String = {
-    val n = existing.map(_.stripPrefix("seg="))
-      .filter(_.forall(_.isDigit)).map(_.toInt)
+  /** The next numeric segment name — derived from the union of the
+    * current manifest AND the on-disk data/ listing: after rollback()
+    * republishes an older manifest, newer historical versions' segments
+    * still exist on disk, and naming from the manifest alone would
+    * collide with one of them (errorifexists would then fail every
+    * numeric-segment write verb after a rollback). */
+  private def nextSegName(path: String, existing: Seq[String]): String = {
+    val onDisk = listNames(Paths.get(s"$path/data"))
+    val n = (existing ++ onDisk).map(_.stripPrefix("seg="))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toInt)
       .maxOption.getOrElse(-1) + 1
     s"seg=$n"
   }
@@ -120,7 +162,7 @@ object VersionedStore {
   /** Append a batch as a new segment (no rewrite of existing data). */
   def append(spark: SparkSession, df: DataFrame, path: String): Int = {
     val cur = readManifest(path, versions(path).last)
-    val seg = nextSegName(cur)
+    val seg = nextSegName(path, cur)
     writeSegment(df, path, seg)
     commit(path, cur :+ seg)
   }
@@ -128,21 +170,27 @@ object VersionedStore {
   /** Delete rows matching `pred`: rewrite ONLY the segments that
     * contain matches (survivor rows go to one new segment); untouched
     * segments carry into the new manifest by reference. Readers of
-    * prior versions are unaffected — their segments are immutable. */
+    * prior versions are unaffected — their segments are immutable.
+    * SQL DELETE semantics: a row where `pred` evaluates to NULL did
+    * NOT match and is retained (the null-safe coalesce — a bare
+    * `!pred` would make NULL rows vanish). Touched segments are read
+    * with mergeSchema, matching [[readVersion]]: a schema-evolved
+    * store must not lose later-added columns in the rewrite. */
   def deleteWhere(spark: SparkSession, path: String,
                   pred: org.apache.spark.sql.Column): Int = {
+    val doomed = coalesce(pred, lit(false))
     val cur = readManifest(path, versions(path).last)
     // segment-list-sized collect: which segments hold doomed rows
     val touched = cur.filter { seg =>
-      spark.read.parquet(dataDir(path, seg)).filter(pred).limit(1).count() > 0
+      spark.read.parquet(dataDir(path, seg)).filter(doomed).limit(1).count() > 0
     }
     if (touched.isEmpty) commit(path, cur)
     else {
-      val survivors = spark.read
+      val survivors = spark.read.option("mergeSchema", "true")
         .parquet(touched.map(dataDir(path, _)): _*)
-        .filter(!pred)
+        .filter(!doomed)
       val kept = cur.filterNot(touched.contains)
-      val seg = nextSegName(cur)
+      val seg = nextSegName(path, cur)
       writeSegment(survivors, path, seg)
       commit(path, kept :+ seg)
     }
@@ -161,8 +209,12 @@ object VersionedStore {
   def compact(spark: SparkSession, path: String): Int = {
     val cur = readManifest(path, versions(path).last)
     if (cur.size <= 1) return versions(path).last
-    val seg = nextSegName(cur)
-    spark.read.parquet(cur.map(dataDir(path, _)): _*)
+    val seg = nextSegName(path, cur)
+    // mergeSchema, matching readVersion: without it a multi-schema
+    // store compacts to an arbitrary segment's schema, permanently
+    // dropping later-added columns once vacuum removes the originals
+    spark.read.option("mergeSchema", "true")
+      .parquet(cur.map(dataDir(path, _)): _*)
       .write.mode("errorifexists").parquet(dataDir(path, seg))
     val maps = cur.map(zoneMap(path, _))
     val commonCols = maps.map(_.keySet).reduce(_ intersect _)
@@ -217,19 +269,13 @@ object VersionedStore {
     val live = retained.flatMap(readManifest(path, _)).toSet
     val dataRoot = Paths.get(s"$path/data")
     if (!Files.isDirectory(dataRoot)) return Seq.empty
-    val all = Files.list(dataRoot).iterator().asScala
-      .map(_.getFileName.toString).toSeq
-    val doomed = all.filterNot(live.contains)
+    val doomed = listNames(dataRoot).filterNot(live.contains)
     // drop the expired manifests FIRST: a reader must never resolve a
     // manifest whose segments are being removed under it
     vs.dropRight(retainLast).foreach { v =>
       Files.deleteIfExists(Paths.get(manifestFile(path, v)))
     }
-    doomed.foreach { seg =>
-      val d = dataRoot.resolve(seg)
-      Files.walk(d).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    doomed.foreach(seg => deleteTree(dataRoot.resolve(seg)))
     doomed.sorted
   }
 
@@ -372,10 +418,7 @@ object VersionedStore {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
     if (versions(path) != Seq(1, 2, 3)) {
-      val root = Paths.get(path)
-      if (Files.isDirectory(root))
-        Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
+      deleteTree(Paths.get(path))
       create(s, docs.filter(col("doc_id") % 2 === 0), path)
       append(s, docs.filter(col("doc_id") % 2 === 1), path)
       deleteWhere(s, path, col("source") === "src3")
@@ -428,10 +471,7 @@ object VersionedStore {
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val cut = (maxId + 1) / 4
     if (versions(path) != Seq(1, 2, 3, 4)) {
-      val root = Paths.get(path)
-      if (Files.isDirectory(root))
-        Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
+      deleteTree(Paths.get(path))
       (0L until 4L).foreach { b =>
         val batch = docs.filter(
           col("doc_id") >= b * cut &&
@@ -485,10 +525,7 @@ object VersionedStore {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
     if (versions(path) != Seq(1, 2)) {
-      val root = Paths.get(path)
-      if (Files.isDirectory(root))
-        Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
+      deleteTree(Paths.get(path))
       create(s, docs.filter(col("doc_id") % 2 === 0), path)
       refreshSummary(s, path, "source", "n_chars")
       append(s, docs.filter(col("doc_id") % 2 === 1), path)

@@ -50,6 +50,28 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
   }
 
+  test("coOccurrencePairs truncates a mega-basket to maxBasketSize " +
+      "smallest items before the pair explode") {
+    import spark.implicits._
+    // one degenerate basket with 200 items, one normal 3-item basket
+    val items = ((1 to 200).map(i => (1L, i.toLong)) ++
+      Seq((2L, 501L), (2L, 502L), (2L, 503L))).toDF("basket", "item")
+    val capped = operators.Relational
+      .coOccurrencePairs(items, "basket", "item", maxBasketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // mega-basket contributes C(10,2)=45 pairs over items 1..10 only;
+    // the normal (disjoint) basket contributes its full C(3,2)=3
+    assert(capped.length == 45 + 3, s"got ${capped.length} pairs")
+    val megaItems = capped.flatMap(t => Seq(t._1, t._2))
+      .filter(_ < 500L).toSet
+    assert(megaItems == (1L to 10L).toSet,
+      s"truncation must keep the 10 smallest item keys: $megaItems")
+    // duplicates within a basket collapse before pairing (distinct)
+    val dup = Seq((1L, 8L), (1L, 8L), (1L, 9L)).toDF("basket", "item")
+    assert(operators.Relational
+      .coOccurrencePairs(dup, "basket", "item").count() == 1)
+  }
+
   test("single-document corpus yields no pairs anywhere") {
     val one = docs((7L, "just one lonely document"))
     assert(Dedup.minhashPairs(one, "doc_id", "text").count() == 0)

@@ -195,6 +195,69 @@ class VersionedStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("numeric-segment verbs keep working after rollback (names derive " +
+      "from disk, not the republished manifest)") {
+    import spark.implicits._
+    val p = freshPath("rollback_append")
+    VersionedStore.create(spark, df(1L -> "a"), p)          // v1: seg=0
+    VersionedStore.append(spark, df(2L -> "b"), p)          // v2: seg=0,seg=1
+    VersionedStore.rollback(spark, p, 1)                    // v3 = v1's manifest
+    // seg=1 still exists on disk (held by v2's manifest); the next
+    // append must NOT try to rewrite it
+    VersionedStore.append(spark, df(3L -> "c"), p)          // v4
+    assert(VersionedStore.readVersion(spark, p, None)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(VersionedStore.readVersion(spark, p, Some(2)).count() == 2,
+      "v2 history intact")
+  }
+
+  test("deleteWhere retains rows where the predicate is NULL (SQL DELETE " +
+      "semantics)") {
+    import spark.implicits._
+    val p = freshPath("null_delete")
+    val rows = Seq((1L, "keep"), (2L, null), (3L, "drop"))
+      .toDF("id", "grp")
+    VersionedStore.create(spark, rows, p)
+    VersionedStore.deleteWhere(spark, p, col("grp") === "drop")
+    // row 2's predicate is NULL -> did not match -> must survive
+    assert(VersionedStore.readVersion(spark, p, None)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("compact preserves schema-evolved columns (mergeSchema on the " +
+      "multi-segment rewrite)") {
+    import spark.implicits._
+    val p = freshPath("compact_evolved")
+    VersionedStore.create(spark, df(1L -> "a"), p)
+    VersionedStore.append(spark,
+      Seq((2L, "b", 0.5)).toDF("id", "grp", "score"), p)
+    VersionedStore.compact(spark, p)
+    val out = VersionedStore.readVersion(spark, p, None)
+    assert(out.columns.toSet == Set("id", "grp", "score"),
+      s"compaction dropped evolved columns: ${out.columns.toSeq}")
+    assert(out.filter(col("score") === 0.5).count() == 1)
+  }
+
+  test("a racing writer to the same version number fails loudly instead " +
+      "of silently replacing the winner's manifest") {
+    import spark.implicits._
+    val p = freshPath("race_commit")
+    VersionedStore.create(spark, df(1L -> "a"), p)
+    // the winner takes v2; the loser — who computed next=2 from a
+    // stale listing — publishes the same number and must throw, with
+    // the winner's bytes untouched
+    VersionedStore.publishManifest(p, 2, Seq("seg=0"))
+    val winner = Paths.get(p, "_versions", "v000002.txt")
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      VersionedStore.publishManifest(p, 2, Seq("seg=0", "seg=evil"))
+    }
+    assert(Files.readString(winner) == "seg=0",
+      "the winner's manifest must be untouched by the losing commit")
+    assert(!Files.list(Paths.get(p, "_versions")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".tmp")),
+      "the loser must clean up its tmp file")
+  }
+
   test("refreshSummary absorbs only new segments and merges exactly; destructive verbs fence it") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
