@@ -170,26 +170,55 @@ object IndexStore {
       .parquet(path)
   }
 
-  /** Shared result presentation. `includeDistance` appends the
-    * chroma-convention `distance` column (`collection.query`
-    * returns distances by default) — derived from the space-sim the
-    * rank already ordered by, so it costs no extra vector work:
-    * cosine -> 1 - cos, ip -> 1 - dot, l2 -> squared L2 (= -sim,
-    * [[VectorOps.spaceSim]] negates it for the shared desc order). */
+  /** The chroma 0.4.6 `query(include=[...])` vocabulary. `"ids"` is
+    * not a member — chroma always returns ids, as does [[present]]
+    * (rank + chunk_id are unconditional). */
+  private[graft] val QueryIncludes: Set[String] =
+    Set("documents", "metadatas", "embeddings", "distances")
+
+  /** Shared result presentation — the chroma `Collection.query`
+    * return contract. `includeDistance` appends the chroma-convention
+    * `distance` column (`collection.query` returns distances by
+    * default) — derived from the space-sim the rank already ordered
+    * by, so it costs no extra vector work: cosine -> 1 - cos, ip ->
+    * 1 - dot, l2 -> squared L2 (= -sim, [[VectorOps.spaceSim]]
+    * negates it for the shared desc order).
+    *
+    * `include` is the chroma `query(include=[...])` projection
+    * (chromadb 0.4.6 `Collection.query` signature; the reference
+    * consumes the documents+metadatas legs at app.py:58-61): empty
+    * keeps the legacy columns; nonempty returns ids (rank, chunk_id)
+    * plus exactly the requested legs — `documents` -> chunk,
+    * `metadatas` -> doc_id/source/link, `embeddings` -> the float
+    * vector, `distances` -> the distance column. Column pruning means
+    * an `include` WITHOUT `embeddings` never reads the vector bytes
+    * of the presented rows. */
   private def present(df: DataFrame, space: String = "cosine",
-                      includeDistance: Boolean = false): DataFrame = {
+                      includeDistance: Boolean = false,
+                      include: Seq[String] = Nil): DataFrame = {
+    require(include.forall(QueryIncludes),
+      s"include must be among ${QueryIncludes.mkString(", ")}, got $include")
     val base = df
       .withColumn("rank", row_number().over(
         Window.orderBy(col("sim").desc, col("chunk_id"))))
       .withColumn("link",
         format_string("https://docs.google.com/spreadsheets/d/%s/edit#gid=%s&range=A%d",
           col("source"), lit("0"), col("sheet_row")))
-    val out = Seq(col("rank"), col("chunk_id"), col("doc_id"), col("source"),
-      col("chunk"), col("link")) ++
-      (if (includeDistance)
-        Seq((if (space == "l2") -col("sim") else lit(1.0) - col("sim"))
-          .as("distance"))
-      else Nil)
+    val distCol = (if (space == "l2") -col("sim") else lit(1.0) - col("sim"))
+      .as("distance")
+    val out =
+      if (include.isEmpty)
+        Seq(col("rank"), col("chunk_id"), col("doc_id"), col("source"),
+          col("chunk"), col("link")) ++
+          (if (includeDistance) Seq(distCol) else Nil)
+      else
+        Seq(col("rank"), col("chunk_id")) ++
+          (if (include.contains("metadatas"))
+            Seq(col("doc_id"), col("source"), col("link")) else Nil) ++
+          (if (include.contains("documents")) Seq(col("chunk")) else Nil) ++
+          (if (include.contains("embeddings")) Seq(col("embedding")) else Nil) ++
+          (if (include.contains("distances") || includeDistance)
+            Seq(distCol) else Nil)
     base.select(out: _*)
   }
 
@@ -206,9 +235,10 @@ object IndexStore {
   def searchTopK(spark: SparkSession, path: String, queryText: String,
                  k: Int = 10, dim: Int = Embed.DefaultDim,
                  where: Option[Column] = None,
-                 includeDistance: Boolean = false): DataFrame =
+                 includeDistance: Boolean = false,
+                 include: Seq[String] = Nil): DataFrame =
     searchTopKVec(spark, path, Embed.embed(queryText, dim), k,
-      where, includeDistance)
+      where, includeDistance, include)
 
   /** chroma `query(query_embeddings=[...])`: the exact search path
     * for a caller-supplied query vector — [[searchTopK]] with the
@@ -218,7 +248,8 @@ object IndexStore {
     * hashed-n-gram stand-in) query the same layouts. */
   def searchTopKVec(spark: SparkSession, path: String, qvec: Array[Float],
                     k: Int = 10, where: Option[Column] = None,
-                    includeDistance: Boolean = false): DataFrame = {
+                    includeDistance: Boolean = false,
+                    include: Seq[String] = Nil): DataFrame = {
     // the collection's hnsw:space metadata picks the rank metric —
     // a default-space layout pays one local fs stat, no Spark job
     val space = collectionSpace(spark, path)
@@ -226,7 +257,7 @@ object IndexStore {
     present(where.fold(idx)(idx.filter)
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k), space, includeDistance)
+      .limit(k), space, includeDistance, include)
   }
 
   /** Approximate top-k: probe the persisted LSH buckets — only rows
@@ -237,16 +268,18 @@ object IndexStore {
   def searchTopKAnn(spark: SparkSession, path: String, queryText: String,
                     k: Int = 10, dim: Int = Embed.DefaultDim,
                     where: Option[Column] = None,
-                    includeDistance: Boolean = false): DataFrame =
+                    includeDistance: Boolean = false,
+                    include: Seq[String] = Nil): DataFrame =
     searchTopKAnnVec(spark, path, Embed.embed(queryText, dim), k,
-      where, includeDistance)
+      where, includeDistance, include)
 
   /** [[searchTopKAnn]] for a caller-supplied query vector (the
     * `query_embeddings` form; bucket probes are computed from the
     * given vector with the layout's LSH parameters). */
   def searchTopKAnnVec(spark: SparkSession, path: String, qvec: Array[Float],
                        k: Int = 10, where: Option[Column] = None,
-                       includeDistance: Boolean = false): DataFrame = {
+                       includeDistance: Boolean = false,
+                       include: Seq[String] = Nil): DataFrame = {
     val space = collectionSpace(spark, path)
     val qBuckets = Lsh.queryBuckets(qvec, qvec.length, LshBits, LshTables)
     val hit = spark.read.parquet(path)
@@ -255,7 +288,7 @@ object IndexStore {
     present(where.fold(hit)(hit.filter)
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k), space, includeDistance)
+      .limit(k), space, includeDistance, include)
   }
 
   /** Compressed-domain top-k: rank ALL chunks by the integer SQ8 dot
@@ -269,9 +302,10 @@ object IndexStore {
                     k: Int = 10, overfetch: Int = 32,
                     dim: Int = Embed.DefaultDim,
                     where: Option[Column] = None,
-                    includeDistance: Boolean = false): DataFrame =
+                    includeDistance: Boolean = false,
+                    include: Seq[String] = Nil): DataFrame =
     searchTopKSq8Vec(spark, path, Embed.embed(queryText, dim), k,
-      overfetch, where, includeDistance)
+      overfetch, where, includeDistance, include)
 
   /** [[searchTopKSq8]] for a caller-supplied query vector (the
     * `query_embeddings` form; the query's SQ8 code/factor are
@@ -279,7 +313,8 @@ object IndexStore {
   def searchTopKSq8Vec(spark: SparkSession, path: String, qvec: Array[Float],
                        k: Int = 10, overfetch: Int = 32,
                        where: Option[Column] = None,
-                       includeDistance: Boolean = false): DataFrame = {
+                       includeDistance: Boolean = false,
+                       include: Seq[String] = Nil): DataFrame = {
     import graft.functions.vecIndexExprs
     val space = collectionSpace(spark, path)
     val qvecData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
@@ -298,7 +333,7 @@ object IndexStore {
     present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k), space, includeDistance)
+      .limit(k), space, includeDistance, include)
   }
 
   /** IVF-partitioned index — the other 100 TB layout besides LSH
@@ -897,15 +932,17 @@ object IndexStore {
                       k: Int = 10, probes: Int = 3, overfetch: Int = 64,
                       dim: Int = Embed.DefaultDim,
                       where: Option[Column] = None,
-                      includeDistance: Boolean = false): DataFrame =
+                      includeDistance: Boolean = false,
+                      include: Seq[String] = Nil): DataFrame =
     searchTopKIvfPqVec(spark, path, Embed.embed(queryText, dim), k,
-      probes, overfetch, where, includeDistance)
+      probes, overfetch, where, includeDistance, include)
 
   /** [[searchTopKIvfPq]] for a caller-supplied query vector. */
   def searchTopKIvfPqVec(spark: SparkSession, path: String, qvec: Array[Float],
                          k: Int = 10, probes: Int = 3, overfetch: Int = 64,
                          where: Option[Column] = None,
-                         includeDistance: Boolean = false): DataFrame = {
+                         includeDistance: Boolean = false,
+                         include: Seq[String] = Nil): DataFrame = {
     import graft.functions.vecIndexExprs
     val space = collectionSpace(spark, path)
     val centRows = spark.read.parquet(s"$path/_centroids")
@@ -941,7 +978,7 @@ object IndexStore {
     present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k), space, includeDistance)
+      .limit(k), space, includeDistance, include)
   }
 
   /** Multi-query search over the IVF-PQ layout — the V4 batch form
@@ -1173,19 +1210,30 @@ object IndexStore {
     * explicit ids and/or a metadata/document predicate (the same
     * Column family as the search paths' `where=`), deterministically
     * ordered by chunk_id with limit/offset paging (chroma pages its
-    * get the same way). Returns presentation columns only — a get
-    * never reads the vectors, so column pruning keeps it a narrow
-    * scan; on the source-partitioned layout a source predicate prunes
-    * directories exactly as in [[searchTopK]]. Works against any of
-    * the index layouts (the extra layout columns are projected away).
+    * get the same way).
+    *
+    * `include` mirrors the chromadb 0.4.6 `Collection.get(include=)`
+    * vocabulary (documents/metadatas/embeddings — no distances: a get
+    * has no query to be distant from). Empty = the legacy projection
+    * (= chroma's documents+metadatas default). ids (chunk_id) always
+    * return. The default never reads the vectors, so column pruning
+    * keeps it a narrow scan; only an explicit `include=embeddings`
+    * pays the vector bytes — and only for the returned page. On the
+    * source-partitioned layout a source predicate prunes directories
+    * exactly as in [[searchTopK]]. Works against any of the index
+    * layouts (the extra layout columns are projected away).
     *
     * At scale: offset paging is a global sort-limit (CollectLimit
     * with offset) — fine for page-sized reads, which is what the API
     * is for; bulk export should read the parquet directly. */
   def get(spark: SparkSession, path: String, ids: Seq[String] = Nil,
           where: Option[Column] = None,
-          limit: Int = 100, offset: Int = 0): DataFrame = {
+          limit: Int = 100, offset: Int = 0,
+          include: Seq[String] = Nil): DataFrame = {
     require(limit > 0 && offset >= 0, s"bad page: limit=$limit offset=$offset")
+    val getIncludes = QueryIncludes - "distances"
+    require(include.forall(getIncludes),
+      s"get include must be among ${getIncludes.mkString(", ")}, got $include")
     val all = spark.read.parquet(path)
     val byIds =
       if (ids.isEmpty) all
@@ -1193,8 +1241,17 @@ object IndexStore {
         import spark.implicits._
         all.join(broadcast(ids.toDF("chunk_id")), Seq("chunk_id"), "left_semi")
       }
+    val cols =
+      if (include.isEmpty)
+        Seq(col("chunk_id"), col("doc_id"), col("source"), col("chunk"))
+      else
+        Seq(col("chunk_id")) ++
+          (if (include.contains("metadatas"))
+            Seq(col("doc_id"), col("source")) else Nil) ++
+          (if (include.contains("documents")) Seq(col("chunk")) else Nil) ++
+          (if (include.contains("embeddings")) Seq(col("embedding")) else Nil)
     where.fold(byIds)(byIds.filter)
-      .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"))
+      .select(cols: _*)
       .orderBy("chunk_id")
       .offset(offset)
       .limit(limit)
@@ -1633,9 +1690,10 @@ object IndexStore {
                     k: Int = 10, probes: Int = 3, overfetch: Int = 32,
                     dim: Int = Embed.DefaultDim,
                     where: Option[Column] = None,
-                    includeDistance: Boolean = false): DataFrame =
+                    includeDistance: Boolean = false,
+                    include: Seq[String] = Nil): DataFrame =
     searchTopKIvfVec(spark, path, Embed.embed(queryText, dim), k,
-      probes, overfetch, where, includeDistance)
+      probes, overfetch, where, includeDistance, include)
 
   /** [[searchTopKIvf]] for a caller-supplied query vector (the
     * `query_embeddings` form; probe cells and the SQ8 code come from
@@ -1643,7 +1701,8 @@ object IndexStore {
   def searchTopKIvfVec(spark: SparkSession, path: String, qvec: Array[Float],
                        k: Int = 10, probes: Int = 3, overfetch: Int = 32,
                        where: Option[Column] = None,
-                       includeDistance: Boolean = false): DataFrame = {
+                       includeDistance: Boolean = false,
+                       include: Seq[String] = Nil): DataFrame = {
     import graft.functions.vecIndexExprs
     val space = collectionSpace(spark, path)
     val centRows = spark.read.parquet(s"$path/_centroids")
@@ -1669,7 +1728,7 @@ object IndexStore {
     present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k), space, includeDistance)
+      .limit(k), space, includeDistance, include)
   }
 
   /** Multi-query search over the IVF layout — chroma's
@@ -2281,10 +2340,11 @@ object IndexStore {
                      k: Int = 10, efSearch: Int = 48,
                      where: Option[Column] = None,
                      whereOverfetch: Int = 4,
-                     includeDistance: Boolean = false): DataFrame =
+                     includeDistance: Boolean = false,
+                     include: Seq[String] = Nil): DataFrame =
     searchTopKHnswVec(spark, path,
       Embed.embed(queryText, hnswPin(spark, path).meta.dim),
-      k, efSearch, where, whereOverfetch, includeDistance)
+      k, efSearch, where, whereOverfetch, includeDistance, include)
 
   /** [[searchTopKHnsw]] for a caller-supplied query vector (the
     * `query_embeddings` form on the graph layout; the vector must be
@@ -2294,7 +2354,8 @@ object IndexStore {
                         k: Int = 10, efSearch: Int = 48,
                         where: Option[Column] = None,
                         whereOverfetch: Int = 4,
-                        includeDistance: Boolean = false): DataFrame = {
+                        includeDistance: Boolean = false,
+                        include: Seq[String] = Nil): DataFrame = {
     val space = collectionSpace(spark, path)
     val dim = hnswPin(spark, path).meta.dim
     require(qvec.length == dim,
@@ -2311,7 +2372,7 @@ object IndexStore {
     present(where.fold(joined)(joined.filter)
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k), space, includeDistance)
+      .limit(k), space, includeDistance, include)
   }
 
   /** Multi-query search over the persisted HNSW layout — the
@@ -2409,9 +2470,10 @@ object IndexStore {
                                k: Int = 10, dim: Int = Embed.DefaultDim,
                                multiprobe: Boolean = false,
                                where: Option[Column] = None,
-                               includeDistance: Boolean = false): DataFrame =
+                               includeDistance: Boolean = false,
+                               include: Seq[String] = Nil): DataFrame =
     searchTopKAnnPartitionedVec(spark, path, Embed.embed(queryText, dim),
-      k, multiprobe, where, includeDistance)
+      k, multiprobe, where, includeDistance, include)
 
   /** [[searchTopKAnnPartitioned]] for a caller-supplied query vector
     * (the `query_embeddings` form on the bucket-partitioned layout). */
@@ -2419,7 +2481,8 @@ object IndexStore {
                                   qvec: Array[Float],
                                   k: Int = 10, multiprobe: Boolean = false,
                                   where: Option[Column] = None,
-                                  includeDistance: Boolean = false): DataFrame = {
+                                  includeDistance: Boolean = false,
+                                  include: Seq[String] = Nil): DataFrame = {
     val space = collectionSpace(spark, path)
     val dim = qvec.length
     val qBuckets =
@@ -2432,6 +2495,6 @@ object IndexStore {
       .dropDuplicates("chunk_id")
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
-      .limit(k), space, includeDistance)
+      .limit(k), space, includeDistance, include)
   }
 }

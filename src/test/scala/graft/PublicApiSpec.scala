@@ -293,6 +293,66 @@ class PublicApiSpec extends AnyFunSuite {
       allIds.take(3))
   }
 
+  test("query/get include= toggles mirror the chroma 0.4.6 projection contract") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val path = "/root/repo/target/test_include_idx"
+    val docs = (0L until 20L).map(i =>
+        (i, s"include toggle document number $i", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.build(spark, docs, path)
+    val q = "include toggle document number 7"
+    // default (empty include): the legacy presentation, no embedding
+    val legacy = IndexStore.searchTopK(spark, path, q, k = 3)
+    assert(legacy.columns.toSeq ==
+      Seq("rank", "chunk_id", "doc_id", "source", "chunk", "link"))
+    // documents leg only: ids + chunk
+    assert(IndexStore.searchTopK(spark, path, q, k = 3,
+        include = Seq("documents")).columns.toSeq ==
+      Seq("rank", "chunk_id", "chunk"))
+    // metadatas + distances: ids + doc_id/source/link + distance
+    val md = IndexStore.searchTopK(spark, path, q, k = 3,
+      include = Seq("metadatas", "distances"))
+    assert(md.columns.toSeq ==
+      Seq("rank", "chunk_id", "doc_id", "source", "link", "distance"))
+    // the distances leg is the includeDistance column under a new name
+    val viaFlag = IndexStore.searchTopK(spark, path, q, k = 3,
+        includeDistance = true)
+      .select("chunk_id", "distance").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    md.select("chunk_id", "distance").collect().foreach { r =>
+      assert(viaFlag(r.getString(0)) == r.getDouble(1))
+    }
+    // embeddings leg returns the STORED vector of each hit
+    val emb = IndexStore.searchTopK(spark, path, q, k = 1,
+      include = Seq("embeddings"))
+    assert(emb.columns.toSeq == Seq("rank", "chunk_id", "embedding"))
+    val hit = emb.collect().head
+    val stored = spark.read.parquet(path)
+      .filter(col("chunk_id") === hit.getString(1))
+      .select("embedding").collect().head.getSeq[Float](0)
+    assert(hit.getSeq[Float](2) == stored)
+    // the ANN path shares the presentation
+    assert(IndexStore.searchTopKAnn(spark, path, q, k = 3,
+        include = Seq("documents", "distances")).columns.toSeq ==
+      Seq("rank", "chunk_id", "chunk", "distance"))
+    // unknown token fails loudly
+    intercept[IllegalArgumentException] {
+      IndexStore.searchTopK(spark, path, q, include = Seq("uris"))
+    }
+    // get: embeddings toggle reads vectors, default does not, and a
+    // get has no distances leg
+    val g = IndexStore.get(spark, path, limit = 2,
+      include = Seq("documents", "embeddings"))
+    assert(g.columns.toSeq == Seq("chunk_id", "chunk", "embedding"))
+    assert(g.collect().forall(!_.isNullAt(2)))
+    assert(IndexStore.get(spark, path, limit = 2,
+      include = Seq("metadatas")).columns.toSeq ==
+      Seq("chunk_id", "doc_id", "source"))
+    intercept[IllegalArgumentException] {
+      IndexStore.get(spark, path, include = Seq("distances"))
+    }
+  }
+
   test("searchTopKHnswBatch where= matches the single-query filtered search") {
     import spark.implicits._
     import graft.sources.IndexStore
