@@ -3499,6 +3499,174 @@ object VectorSearch {
     FROM spine s LEFT JOIN hits h USING (books, query_kind)
     ORDER BY s.books, s.query_kind"""
 
+  // ---- q176: retrain-policy decision --------------------------------
+
+  /** The retrain DECISION on top of q142's drift meter — the
+    * actionable trigger behind the FAISS train-once/append-forever
+    * convention every IVF maintenance verb follows: RETRAIN when the
+    * incoming data stops looking like the training distribution, not
+    * when a row count passes a threshold.
+    *
+    * Mechanics: each training row's assignment distance (squared L2
+    * to its nearest trained centroid, integer micros) defines the
+    * training distribution; the `quantile` rank statistic of those
+    * distances — a DISCRETE value-at-position pick (ascending
+    * position ceil(q*n), fully tie-broken by id), the engine-exact
+    * q155/q169 idiom — is the "fits the quantizer" bar. A recent
+    * upsert lands OVER the bar when its own nearest-centroid distance
+    * exceeds it; when more than `driftFrac` of the recent sample is
+    * over, the quantizer no longer describes the data and
+    * `should_retrain` fires.
+    *
+    * Scale shape: centroids ride as plan-time constants (the sidecar
+    * is collect-bounded by design, like every probe path); both
+    * distance passes are scan-side codegen kernels; the only
+    * non-scan work is the rank pick, a single window over the TRAIN
+    * side — pass a bounded deterministic sample of the corpus as
+    * `train` at 100 TB (the sample bounds the window; the meter is a
+    * statistic, not a join). Returns ONE row: (n_train, p95-like
+    * threshold, n_recent, n_over, over fraction in micros, the
+    * decision). */
+  def retrainAdvice(train: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Float]],
+                    recent: DataFrame, recentIdCol: String, recentVecCol: String,
+                    quantile: Double = 0.95,
+                    driftFrac: Double = 0.5): DataFrame = {
+    require(cents.nonEmpty, "retrainAdvice needs at least one centroid")
+    require(quantile > 0 && quantile <= 1, s"bad quantile $quantile")
+    def nearestMicros(v: Column): Column = {
+      val dists = cents.map(c => VectorOps.vecL2Sq(v, lit(c)))
+      val nearest = if (dists.length == 1) dists.head else least(dists: _*)
+      floor(lit(1e6) * nearest).cast("long")
+    }
+    val trainD = train.select(col(idCol).as("id"),
+      nearestMicros(col(vecCol)).as("micros"))
+    val nRow = trainD.agg(count(lit(1)).as("n_train"))
+    val thr = trainD
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("micros"), col("id"))))
+      .crossJoin(broadcast(nRow))
+      .filter(col("rn") === ceil(lit(quantile) * col("n_train")))
+      .select(col("n_train"), col("micros").as("threshold_micros"))
+    recent
+      .select(nearestMicros(col(recentVecCol)).as("micros"))
+      .crossJoin(broadcast(thr))
+      .groupBy(col("n_train"), col("threshold_micros"))
+      .agg(count(lit(1)).as("n_recent"),
+        sum(when(col("micros") > col("threshold_micros"), 1L).otherwise(0L))
+          .as("n_over"))
+      .withColumn("over_frac_micros",
+        expr("n_over * 1000000 div n_recent"))
+      .withColumn("should_retrain",
+        col("over_frac_micros") > math.round(driftFrac * 1e6))
+  }
+
+  /** Trained-on-the-base-half centroids for the q176 gate — the IVF
+    * analog of [[pqBooksBaseCached]]: 25 cells trained (bit-exact)
+    * on the 25 base clusters only, the quantizer a no-retrain policy
+    * would still be serving after the q142 drift. */
+  private def retrainCentsCached(s: SparkSession, d: String)
+      : (Array[Long], Array[Array[Float]]) =
+    retrainCentsCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d), {
+        val base = clusteredEmb(s, d)
+          .filter(col("vec_id") % ClusterCount < Q142BaseClusters)
+        ivfCentroids(base, "vec_id", "embedding",
+          base.filter(col("vec_id") < Q142BaseClusters)
+            .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
+      })
+  private val retrainCentsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), (Array[Long], Array[Array[Float]])]
+
+  private val Q176Quantile = 0.95
+  private val Q176DriftFrac = 0.5
+
+  /** q176: [[retrainAdvice]] exercised on the q142 drifted-corpus
+    * model. The quantizer is trained on the 25 BASE clusters; two
+    * "recent upsert" samples (the same deterministic vec_id % 7 = 1
+    * slice of each regime) are then measured against it: the
+    * in-distribution sample sits under the p95 bar (over-fraction ≈
+    * the 5% the bar defines) and must NOT trigger a retrain; the
+    * drifted sample — clusters the quantizer never saw — lands
+    * almost entirely over the bar and MUST. Hash-gated end to end
+    * (threshold, counts, fraction AND the boolean decision); the
+    * oracle re-derives nearest-centroid distances, the discrete rank
+    * pick, and both verdicts from the dumped centroid table. */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val cl = clusteredEmb(s, d)
+    val base = cl.filter(col("vec_id") % ClusterCount < Q142BaseClusters)
+    val (_, cents) = retrainCentsCached(s, d)
+    val samples = Seq(
+      ("in_distribution",
+        cl.filter(col("vec_id") % ClusterCount < Q142BaseClusters &&
+          col("vec_id") % 7 === 1)),
+      ("drifted",
+        cl.filter(col("vec_id") % ClusterCount >= Q142BaseClusters &&
+          col("vec_id") % 7 === 1)))
+    samples.map { case (kind, sample) =>
+      retrainAdvice(base, "vec_id", "embedding", cents,
+          sample, "vec_id", "embedding", Q176Quantile, Q176DriftFrac)
+        .select(lit(kind).as("sample"), col("n_train"),
+          col("threshold_micros"), col("n_recent"), col("n_over"),
+          col("over_frac_micros"), col("should_retrain"))
+    }.reduce(_ unionAll _).orderBy("sample")
+  }
+
+  /** Dump the q176 base-trained centroid table; corpus vectors ride
+    * the q67b clustered dump. */
+  def materializeRetrainAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import s.implicits._
+    val (ids, cents) = retrainCentsCached(s, d)
+    ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q176_cents.parquet")
+  }
+
+  private val AuxQ176Cents =
+    "read_parquet('/root/repo/target/verify_aux/q176_cents.parquet/*.parquet')"
+
+  /** q176 mirror: nearest-centroid squared-L2 micros per row (MIN
+    * over the dumped centroids — the same left-to-right double fold
+    * as the VecL2Sq kernel), the ceil(q*n) rank pick (0.95 cast to
+    * DOUBLE so both engines do the identical FP multiply — DuckDB
+    * would otherwise read the literal as exact DECIMAL), and the two
+    * sample verdicts. */
+  private val q176Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ176Cents),
+    corpus AS (SELECT vec_id, embedding FROM $AuxQ67bCorpus),
+    dist AS MATERIALIZED (
+      SELECT p.vec_id,
+             CAST(floor(1000000.0 * MIN(list_sum(list_transform(
+               generate_series(1, len(p.embedding)),
+               i -> (CAST(p.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                  * (CAST(p.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))))
+               AS BIGINT) AS micros
+      FROM corpus p CROSS JOIN cents c GROUP BY p.vec_id),
+    thr AS (
+      SELECT n_train, micros AS threshold_micros FROM (
+        SELECT micros,
+               row_number() OVER (ORDER BY micros, vec_id) AS rn,
+               COUNT(*) OVER () AS n_train
+        FROM dist WHERE vec_id % $ClusterCount < $Q142BaseClusters)
+      WHERE rn = CAST(ceil(CAST($Q176Quantile AS DOUBLE) * n_train) AS BIGINT)),
+    sampled AS (
+      SELECT CASE WHEN vec_id % $ClusterCount < $Q142BaseClusters
+                  THEN 'in_distribution' ELSE 'drifted' END AS sample,
+             micros
+      FROM dist WHERE vec_id % 7 = 1)
+    SELECT s.sample, t.n_train, t.threshold_micros,
+           COUNT(*) AS n_recent,
+           CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_over,
+           CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS over_frac_micros,
+           CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) > ${math.round(Q176DriftFrac * 1e6)}
+             AS BOOLEAN) AS should_retrain
+    FROM sampled s CROSS JOIN thr t
+    GROUP BY s.sample, t.n_train, t.threshold_micros
+    ORDER BY s.sample"""
+
   // ---- q146: hard-negative mining -----------------------------------
 
   private val Q146Anchors = Seq(0L, 1L, 2L)
@@ -4329,6 +4497,7 @@ object VectorSearch {
     Query("q140_cluster_mixture", q140, Some(q140Sql)),
     Query("q141_mmr_batch",     q141, Some(q141Sql)),
     Query("q142_pq_drift",      q142, Some(q142Sql)),
+    Query("q176_retrain_policy", q176, Some(q176Sql)),
     Query("q146_hard_negatives", q146, Some(q146Sql)),
     Query("q149_embedding_outliers", q149, Some(q149Sql)),
     Query("q174_eval_mrr",      q174, Some(q174Sql)))

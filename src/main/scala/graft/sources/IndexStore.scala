@@ -1610,6 +1610,38 @@ object IndexStore {
     rewriteTouched(spark, path, "cell", touched.map(_.toString), present, out)
   }
 
+  /** [[graft.operators.VectorSearch.retrainAdvice]] against a
+    * PERSISTED IVF layout — the maintenance-policy companion to
+    * [[appendIvf]]/[[upsertIvf]]'s train-once/append-forever
+    * convention: the indexed rows are the training distribution, the
+    * `_centroids` sidecar (the exact quantizer maintenance assigns
+    * through) is the model under test, and `recent` is the batch a
+    * caller is about to append. `should_retrain = true` means the
+    * sidecar no longer describes the data and the next maintenance
+    * window should be a [[buildIvf]] rebuild, not another append.
+    * At 100 TB pass a deterministic sample of the layout as the
+    * train side via `trainSample` (a fraction in (0,1]; sampling is
+    * the md5-bucket split kernel, so the same rows sample on every
+    * call). */
+  def retrainAdvice(spark: SparkSession, path: String, recent: DataFrame,
+                    recentIdCol: String = "chunk_id",
+                    recentVecCol: String = "embedding",
+                    quantile: Double = 0.95, driftFrac: Double = 0.5,
+                    trainSample: Double = 1.0): DataFrame = {
+    require(trainSample > 0 && trainSample <= 1, s"bad trainSample $trainSample")
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    val all = spark.read.parquet(path)
+    val train =
+      if (trainSample >= 1.0) all
+      else all.filter(
+        graft.operators.Corpus.md5Bucket(col("chunk_id")) <
+          math.round(trainSample * 256))
+    graft.operators.VectorSearch.retrainAdvice(
+      train, "chunk_id", "embedding", cents,
+      recent, recentIdCol, recentVecCol, quantile, driftFrac)
+  }
+
   /** Upsert documents into an HNSW layout: delete-by-(source, doc_id)
     * identity + insert, rebuilding the graphs of ONLY the shards that
     * hold old or new chunks of the upserted docs (the [[appendHnsw]]

@@ -47,6 +47,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(link == "https://docs.google.com/spreadsheets/d/sheetB/edit#gid=0&range=A4")
   }
 
+  test("retrainAdvice on a persisted IVF layout: in-distribution appends " +
+      "pass, a shifted batch triggers the retrain decision") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_retrain").toString + "/ivf"
+    val docs = (0L until 60L).map(i =>
+        (i, s"retrain policy corpus document number $i topic ${i % 5}", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    IndexStore.buildIvf(spark, docs, dir, nCells = 4)
+    // recent batch drawn from the SAME distribution: the layout's own
+    // vectors — sits under the p95 bar, no retrain
+    val layout = spark.read.parquet(dir)
+    val inDist = IndexStore.retrainAdvice(spark, dir,
+      layout.limit(20), quantile = 0.95, driftFrac = 0.5)
+    val inRow = inDist.collect().head
+    assert(!inRow.getAs[Boolean]("should_retrain"),
+      s"in-distribution sample must not trigger: $inRow")
+    assert(inRow.getAs[Long]("n_recent") == 20L)
+    // drifted batch: the same vectors shifted far outside the trained
+    // cells — every distance lands over the bar
+    val shifted = layout.limit(20)
+      .select(col("chunk_id"),
+        transform(col("embedding"), v => v + lit(10.0f)).as("embedding"))
+    val out = IndexStore.retrainAdvice(spark, dir, shifted).collect().head
+    assert(out.getAs[Boolean]("should_retrain"),
+      s"a fully drifted sample must trigger: $out")
+    assert(out.getAs[Long]("n_over") == 20L)
+    // the train-side sample knob keeps the decision stable (the rank
+    // statistic moves, the verdicts must not, on this easy geometry)
+    val sampled = IndexStore.retrainAdvice(spark, dir, shifted,
+      trainSample = 0.5).collect().head
+    assert(sampled.getAs[Boolean]("should_retrain"))
+    assert(sampled.getAs[Long]("n_train") < out.getAs[Long]("n_train"))
+  }
+
   test("ANN search probes persisted LSH buckets and finds the on-topic doc") {
     val dir = Files.createTempDirectory("graft_idx_ann").toString + "/index"
     IndexStore.build(spark, tinyDocs, dir)
