@@ -131,7 +131,9 @@ object Verify {
       ("media", Set("q90_media_features", "q91_frame_sample"),
         () => operators.Multimodal.materializeMediaAux(spark, sfDir, auxDir)),
       ("q160 media planes", Set("q160_phash_neardup"),
-        () => operators.Multimodal.materializePhashAux(spark, sfDir, auxDir))
+        () => operators.Multimodal.materializePhashAux(spark, sfDir, auxDir)),
+      ("q177 cross-modal index", Set("q177_crossmodal_search"),
+        () => operators.Multimodal.materializeCrossModalAux(spark, sfDir, auxDir))
     ).foreach { case (what, serves, run) =>
       if (only.forall(names => serves.exists(names.contains))) {
         try run()

@@ -266,8 +266,187 @@ object Multimodal {
     SELECT media_a, media_b, hamming FROM ham
     WHERE hamming <= 8 ORDER BY media_a, media_b"""
 
+  // ---- cross-modal retrieval: media vectors in the text vector space
+
+  /** A cross-modal media encoder: media blob -> a vector in the SAME
+    * space the text tower ([[graft.functions.Embed]]) embeds queries
+    * into — the CLIP contract (one shared space, two towers). Loaded
+    * reflectively like [[graft.functions.EmbedBackend]]; a real ONNX
+    * image tower swaps in via `-D`[[MediaEmbed.BackendProp]] with no
+    * call-site changes. */
+  trait MediaEmbedBackend extends Serializable {
+    def embed(format: String, blob: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** The image-tower seam ([[graft.functions.Embed]]'s loader
+    * pattern, cross-modal edition). The default STUB exploits the
+    * synthetic fixture's construction — the media blob IS its own
+    * caption bytes ([[mediaTable]]) — so "decode + caption + embed
+    * through the text tower" is implementable deterministically and
+    * gives exactly the aligned-space behavior a TRAINED two-tower
+    * model provides: a text query and its matching media land on the
+    * same point. On a real corpus this stub is wrong by definition
+    * (captioning needs a model); the seam is the product, the stub
+    * is the environment-blocked stand-in, same status as
+    * `EmbedBackend`'s MiniLM slot. */
+  object MediaEmbed {
+    val BackendProp = "graft.media.embed.backend"
+
+    object CaptionRecoveryStub extends MediaEmbedBackend {
+      override def embed(format: String, blob: Array[Byte], dim: Int): Array[Float] =
+        graft.functions.Embed.embed(
+          new String(blob, java.nio.charset.StandardCharsets.UTF_8), dim)
+    }
+
+    /** Fail-fast reflective load — a typo'd property must surface at
+      * first embed, never fall back silently to the stub's vectors. */
+    def loadBackend(className: String): MediaEmbedBackend = {
+      def moduleOrNew(cls: Class[_]): AnyRef =
+        try cls.getField("MODULE$").get(null)
+        catch { case _: NoSuchFieldException =>
+          cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef] }
+      val inst =
+        try moduleOrNew(Class.forName(className))
+        catch {
+          case first: ReflectiveOperationException =>
+            try moduleOrNew(Class.forName(className + "$"))
+            catch {
+              case second if scala.util.control.NonFatal(second) ||
+                  second.isInstanceOf[LinkageError] =>
+                val e = new IllegalArgumentException(
+                  s"$BackendProp=$className could not be instantiated: provide a " +
+                    "Scala object or a class with a public no-arg constructor " +
+                    "implementing graft.operators.Multimodal.MediaEmbedBackend", first)
+                e.addSuppressed(second)
+                throw e
+            }
+        }
+      inst match {
+        case b: MediaEmbedBackend => b
+        case other => throw new IllegalArgumentException(
+          s"$BackendProp=$className (${other.getClass.getName}) does not " +
+            "implement graft.operators.Multimodal.MediaEmbedBackend")
+      }
+    }
+
+    private[graft] def resolveBackend(prop: Option[String]): MediaEmbedBackend =
+      prop.map(_.trim).filter(_.nonEmpty).map(loadBackend)
+        .getOrElse(CaptionRecoveryStub)
+
+    /** The active image tower, resolved once per JVM. */
+    lazy val backend: MediaEmbedBackend = resolveBackend(sys.props.get(BackendProp))
+  }
+
+  /** Media corpus as STANDARD index rows — media vectors ride the
+    * same physical layout family as text chunks, so every persisted
+    * machine (IVF partitioning + `_centroids`, SQ8 pre-rank columns,
+    * LSH buckets, the search paths, the maintenance verbs, the
+    * pruning plan audits) applies unchanged: chunk_id = `media_<id>`,
+    * doc_id = media_id, source = format (the partition/metadata key),
+    * chunk = '' (the payload is the media — callers join back to the
+    * media table by id). The encoder runs per-partition (a real
+    * image tower loads its weights once per task, not per row). */
+  def mediaIndexRows(s: SparkSession, d: String,
+                     dim: Int = graft.functions.Embed.DefaultDim): DataFrame = {
+    import s.implicits._
+    import graft.functions.{hashExprs, vecIndexExprs}
+    import graft.sources.IndexStore
+    val vecs = mediaTable(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val tower = MediaEmbed.backend
+        it.map(m => (m.media_id, m.format, tower.embed(m.format, m.blob, dim).toSeq))
+      }.toDF("media_id", "format", "embedding")
+    vecs.select(
+      concat(lit("media_"), col("media_id")).as("chunk_id"),
+      col("media_id").as("doc_id"),
+      col("format").as("source"),
+      lit("").as("chunk"),
+      (col("media_id") + 2).as("sheet_row"),
+      col("embedding"))
+      .withColumn("lsh_buckets", hashExprs.lshBuckets(col("embedding"), dim,
+        IndexStore.LshBits, IndexStore.LshTables))
+      .withColumn("sq8_code", vecIndexExprs.sq8Code(col("embedding")))
+      .withColumn("sq8_factor", vecIndexExprs.sq8Factor(col("embedding")))
+  }
+
+  private val mediaRowsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def mediaRowsCached(s: SparkSession, d: String): DataFrame =
+    mediaRowsCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d),
+      mediaIndexRows(s, d).localCheckpoint())
+
+  private def q177IndexPath(d: String): String =
+    VectorSearch.idxPath("q177_media_ivf", d)
+
+  private val Q177QueryDoc = 7L
+  private val Q177Probes = 3
+  private val Q177Overfetch = 32
+
+  /** q177: TEXT -> IMAGE retrieval over a persisted IVF layout of
+    * cross-modal media vectors — the q98 lifecycle with the corpus
+    * side swapped to the image tower: media embedded through the
+    * [[MediaEmbed]] seam, IVF-partitioned (bit-exact build,
+    * `_centroids` sidecar, SQ8 codes), then ONE free-text query (a
+    * document's text — the "describe what you want" box) searched by
+    * the UNMODIFIED [[graft.sources.IndexStore.searchTopKIvf]]: the
+    * text tower embeds the query, partition pruning opens only the
+    * probed cells (the q98 plan-audit machinery, inherited — same
+    * layout, same path), SQ8 pre-ranks, exact cosine reranks. The
+    * matching media lands at rank 1 (the aligned-space contract the
+    * stub provides deterministically). Oracle: the parameterized
+    * persisted-IVF mirror over the dumped media-vector index. */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q177IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, mediaRowsCached(s, d), path, bitExact = true)
+    IndexStore.searchTopKIvf(s, path, q177QueryText(s, d), k = 10,
+      probes = Q177Probes, overfetch = Q177Overfetch)
+  }
+
+  /** The gate's query text: document 7's own text — driver-side
+    * single-row fetch, metadata-bounded. */
+  private def q177QueryText(s: SparkSession, d: String): String =
+    Tables.documents(s, d).filter(col("doc_id") === Q177QueryDoc)
+      .select(col("text")).head().getString(0)
+
+  /** Dump the media-vector index (rows + centroids + query
+    * vector/code) — the q98 aux idiom pointed at the cross-modal
+    * layout. */
+  def materializeCrossModalAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import graft.sources.IndexStore
+    val path = q177IndexPath(d)
+    IndexStore.buildIvfOnceRows(s, mediaRowsCached(s, d), path, bitExact = true)
+    s.read.parquet(path)
+      .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
+        col("cell").cast("long").as("cell"),
+        VectorSearch.bytesToInts(col("sq8_code")).as("sq8"),
+        col("sq8_factor").as("fac"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q177_index.parquet")
+    s.read.parquet(s"$path/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q177_cents.parquet")
+    val qvec = graft.functions.Embed.embed(q177QueryText(s, d),
+      graft.functions.Embed.DefaultDim)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    import s.implicits._
+    Seq((qvec.toSeq,
+        graft.functions.VecIndex.sq8Code(qData).map(_.toInt).toSeq,
+        graft.functions.VecIndex.sq8Factor(qData)))
+      .toDF("qvec", "qcode", "qfac")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q177_query.parquet")
+  }
+
+  private def auxT(name: String) =
+    s"read_parquet('/root/repo/target/verify_aux/$name.parquet/*.parquet')"
+
+  private val q177Sql = VectorSearch.ivfSearchMirrorSqlFor(
+    auxT("q177_index"), auxT("q177_cents"), auxT("q177_query"),
+    Q177Probes, Q177Overfetch, "TRUE")
+
   val queries: Seq[Query] = Seq(
     Query("q90_media_features", q90, Some(q90Sql)),
     Query("q91_frame_sample",   q91, Some(q91Sql)),
-    Query("q160_phash_neardup", q160, Some(q160Sql)))
+    Query("q160_phash_neardup", q160, Some(q160Sql)),
+    Query("q177_crossmodal_search", q177, Some(q177Sql)))
 }

@@ -32,7 +32,7 @@ object VectorSearch {
     * no signed-byte list type) — ONE definition shared by the
     * q69/q98/q67b materializations so their interpretation can never
     * diverge. Verify-only (a UDF is fine off the hot path). */
-  private lazy val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
+  private[graft] lazy val bytesToInts = udf((b: Array[Byte]) => b.map(_.toInt))
 
   /** UNSIGNED byte dump — for PQ codes, which [[graft.functions
     * .VecIndex.pqAdc]] reads `& 0xFF`: a signed dump of code 200
@@ -860,7 +860,7 @@ object VectorSearch {
     * [[graft.sources.IndexStore.searchTopKIvf]] applies it.
     * Instantiated for q98 (TRUE), q104 (doc_id range), q104b
     * ($contains LIKE) and q111 (compacted lifecycle index). */
-  private def ivfSearchMirrorSqlFor(idxT: String, centsT: String, queryT: String,
+  private[graft] def ivfSearchMirrorSqlFor(idxT: String, centsT: String, queryT: String,
                                     probes: Int, overfetch: Int,
                                     wherePred: String) = s"""
     WITH cents AS (SELECT cent_id, cvec FROM $centsT),
@@ -1128,7 +1128,7 @@ object VectorSearch {
 
   // ---- q107/q108: delete-by-id and upsert lifecycles ----------------
 
-  private def idxPath(prefix: String, d: String): String =
+  private[graft] def idxPath(prefix: String, d: String): String =
     s"/root/repo/target/$prefix/" +
       d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
 

@@ -93,4 +93,25 @@ class MultimodalSpec extends AnyFunSuite {
     // ...but a cap of 4 drops every (band, key) bucket they share
     assert(perceptualHashPairs(many, maxBucket = 4).count() == 0)
   }
+
+  test("cross-modal seam: the stub aligns media with its caption's text " +
+      "vector; a typo'd backend property fails fast") {
+    import graft.operators.Multimodal.MediaEmbed
+    val caption = "a chart of quarterly aggregation throughput"
+    val blob = caption.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val viaTower = MediaEmbed.CaptionRecoveryStub.embed("png", blob, 64)
+    val viaText = graft.functions.Embed.embed(caption, 64)
+    assert(viaTower.toSeq == viaText.toSeq,
+      "the stub's image embedding must equal the text tower's on the caption")
+    // fail-fast loader: never silently fall back to the stub's vectors
+    val e = intercept[IllegalArgumentException] {
+      MediaEmbed.loadBackend("graft.NoSuchTower")
+    }
+    assert(e.getMessage.contains("graft.media.embed.backend"))
+    // a wrong-type class is rejected too
+    val e2 = intercept[IllegalArgumentException] {
+      MediaEmbed.loadBackend("graft.functions.Embed")
+    }
+    assert(e2.getMessage.contains("does not"))
+  }
 }

@@ -305,6 +305,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q177: the cross-modal media layout inherits q98's partition pruning") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q177_crossmodal_search")(spark, d)
+    df.collect()
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q177_media_ivf")))
+    assert(idxScans.nonEmpty, "expected scans of the media index:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"media index scan must carry a cell partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= 3,
+        s"probe must open at most `probes`=3 of 16 cell directories, read $read: $f")
+    }
+  }
+
   test("q104: the metadata filter pushes beneath the rerank, composing with cell pruning") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
