@@ -636,11 +636,18 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
         .as(Seq("pos", "h")))
-    // grams copied across docs (>= 2 distinct), minus boilerplate
-    val wH = Window.partitionBy(col("h"))
-    val dupPos = wins
-      .withColumn("ndocs", size(collect_set(col("doc_id")).over(wH)))
+    // grams copied across docs (>= 2 distinct), minus boilerplate —
+    // a partial-agg df table joined back on the gram key, never a
+    // per-gram window: a window would colocate EVERY position of a
+    // corpus-wide boilerplate gram in one task (and materialize its
+    // doc set per row) before the cap could drop it. The join is
+    // skew-free by construction: the kept set excludes every gram in
+    // more than maxDf docs, so no join key fans out past maxDf.
+    val copied = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs").between(2, maxDf))
+      .select(col("h"))
+    val dupPos = wins.join(copied, "h")
       .select(col("doc_id"), col("n_tokens"), col("pos"))
     // merge overlapping/adjacent windows into maximal spans
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -193,9 +193,16 @@ object Multimodal {
     }
     val bands = withBits.select(col("media_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-    val kept = bands.withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+    // bucket cap as a partial-agg size table joined back, never a
+    // per-bucket window: a window would colocate a degenerate
+    // bucket's full membership in one task before the cap could drop
+    // it (the Dedup stop-fingerprint lesson). The join is skew-free:
+    // kept keys carry <= maxBucket rows by construction.
+    val smallBuckets = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("key"))
+    val kept = bands.join(smallBuckets, Seq("band", "key"))
       .select(col("media_id"), col("band"), col("key"))
     val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
