@@ -1469,7 +1469,52 @@ object Corpus {
     FROM wcs JOIN nsyms USING (word)
     GROUP BY source ORDER BY source"""
 
+  // ---- q178: length-bucketed batching efficiency --------------------
+
+  /** Length-bucket assignment for padded batching — the inference/SFT
+    * sibling of [[packSequences]]'s concat-and-split (q99): documents
+    * that must stay WHOLE (instruction tuning, eval, serving) batch
+    * with same-length neighbors and pad to the bucket cap, so the
+    * padding bill is the batching policy's cost. Buckets are
+    * round-up-to-multiple-of-`bucketWidth` token caps (integer
+    * arithmetic — engine-exact, unlike pow-of-2 via float log2);
+    * per bucket the report prices exactly what the accelerator pays:
+    * real tokens, padded slots, and the waste fraction in micros.
+    * One scan (token count is scan-side) + one partial-agg shuffle
+    * on the bucket key — nothing else, at any corpus size. */
+  def lengthBuckets(docs: DataFrame, textCol: String,
+                    bucketWidth: Int = 32): DataFrame = {
+    require(bucketWidth >= 1, s"bad bucketWidth $bucketWidth")
+    docs
+      .select(size(split(col(textCol), " ")).cast(LongType).as("nt"))
+      .withColumn("bucket_cap",
+        expr(s"((nt + ${bucketWidth - 1}) div $bucketWidth) * $bucketWidth"))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_cap"))
+      .withColumn("waste_micros",
+        expr("(padded_tokens - sum_tokens) * 1000000 div padded_tokens"))
+  }
+
+  /** q178: [[lengthBuckets]] over the documents corpus, width 32. */
+  private def q178(s: SparkSession, d: String): DataFrame =
+    lengthBuckets(Tables.documents(s, d), "text")
+      .orderBy("bucket_cap")
+
+  private val q178Sql = """
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents),
+    b AS (SELECT ((nt + 31) // 32) * 32 AS bucket_cap, nt FROM t)
+    SELECT bucket_cap, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_tokens,
+           CAST((COUNT(*) * bucket_cap - SUM(nt)) * 1000000
+             // (COUNT(*) * bucket_cap) AS BIGINT) AS waste_micros
+    FROM b GROUP BY bucket_cap ORDER BY bucket_cap"""
+
   val queries: Seq[Query] = Seq(
+    Query("q178_length_buckets", q178, Some(q178Sql)),
     Query("q55_vocab_topk",    q55, Some(q55Sql)),
     Query("q56_tfidf",         q56, Some(q56Sql)),
     Query("q57_pii_redact",    q57, Some(q57Sql)),

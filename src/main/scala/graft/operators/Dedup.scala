@@ -255,18 +255,36 @@ object Dedup {
       _.select(col("doc_id"), col("source"),
         hashExprs.shingleHashes(col("text"), shingleK).as("sh")))
     val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    // materialized once: the df aggregate and both self-join sides
+    // read the exploded posting list, not a re-explode per consumer
     val posting = base.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
-    val cand = shingleCandidatePairs(posting, maxDf)
-    // exact intersection over the full gram sets, computed ONLY for
-    // candidate pairs: cand x gramsOf(a) probes the (id_b, source, h)
-    // posting key, which is near-unique — never the raw h self-join
-    val shared = cand
-      .join(posting.select(col("doc_id").as("id_a"), col("source"), col("h")),
-        Seq("id_a", "source"))
-      .join(posting.select(col("doc_id").as("id_b"), col("source"), col("h")),
-        Seq("id_b", "source", "h"))
-      .groupBy(col("source"), col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint()
+    val shared =
+      if (maxDf == Int.MaxValue)
+        // uncapped (the q68 exact-baseline setting): the direct
+        // posting self-join + pair count IS the exact intersection —
+        // the two-phase detour below would recompute it for the same
+        // money twice
+        posting.as("a").join(posting.as("b"),
+            col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.source").as("source"),
+            col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+      else {
+        val cand = shingleCandidatePairs(posting, maxDf)
+        // exact intersection over the full gram SETS, computed only
+        // for candidate pairs: the (small) candidate table joins the
+        // checkpointed signature sets back by id and intersects
+        // scan-side — shingleHashes emits distinct hashes, so
+        // |array_intersect| is exactly the shared-gram count, with no
+        // second pass over the exploded posting list
+        cand
+          .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .select(col("source"), col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_shared"))
+      }
     (shared, sizes)
   }
 
@@ -631,11 +649,16 @@ object Dedup {
         .select(col("doc_id"),
           size(col("w")).cast("long").as("n_tokens"), col("w")))
     // one row per k-token window: (doc_id, pos, md5(gram)); slice is
-    // 1-based, pos is the 0-based token offset of the window start
+    // 1-based, pos is the 0-based token offset of the window start.
+    // Checkpointed: the window table feeds the cross-doc df aggregate
+    // AND the join back — without it each consumer re-runs the md5
+    // window kernel over the corpus. (At 100 TB this is the inverted
+    // gram index a pipeline persists to storage between stages.)
     val wins = base.select(col("doc_id"), col("n_tokens"),
       posexplode(expr(
         s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
         .as(Seq("pos", "h")))
+      .localCheckpoint()
     // grams copied across docs (>= 2 distinct), minus boilerplate —
     // a partial-agg df table joined back on the gram key, never a
     // per-gram window: a window would colocate EVERY position of a

@@ -183,10 +183,14 @@ object Multimodal {
     * surviving candidate pairs. */
   def perceptualHashPairs(planes: DataFrame, hammingMax: Int = 8,
                           maxBucket: Int = 64): DataFrame = {
+    // materialize once: the codec pass + bit extraction feed the band
+    // aggregate, the band join, and both sides of the candidate
+    // verify — without the checkpoint each consumer re-runs the codec
     val withBits = planes
       .withColumn("psum", aggregate(col("plane"), lit(0L), (a, x) => a + x))
       .withColumn("bits", transform(col("plane"),
         p => when(p.cast(LongType) * PlaneLen > col("psum"), 1).otherwise(0)))
+      .localCheckpoint()
     val bandKeys = (0 until NBands).map { b =>
       aggregate(slice(col("bits"), b * BandBits + 1, BandBits),
         lit(0L), (acc, x) => acc * 2 + x)
@@ -198,11 +202,13 @@ object Multimodal {
     // bucket's full membership in one task before the cap could drop
     // it (the Dedup stop-fingerprint lesson). The join is skew-free:
     // kept keys carry <= maxBucket rows by construction.
+    // the size table is key-space-bounded (4 bands x 2^16 keys) at ANY
+    // corpus size, so the join side broadcasts
     val smallBuckets = bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
       .select(col("band"), col("key"))
-    val kept = bands.join(smallBuckets, Seq("band", "key"))
+    val kept = bands.join(broadcast(smallBuckets), Seq("band", "key"))
       .select(col("media_id"), col("band"), col("key"))
     val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -1469,7 +1469,84 @@ object Relational {
            p AS p_partkey, p_rank
     FROM p2 ORDER BY p_rank DESC, p LIMIT 20"""
 
+  // ---- q179: event-mix drift monitor --------------------------------
+
+  /** Distribution drift between two halves of an event stream — the
+    * pipeline-monitoring primitive behind "did the incoming data
+    * change shape" (the categorical sibling of q176's vector-space
+    * drift trigger): split the stream at its time midpoint, compare
+    * each category's share of the two halves, and score the shift
+    * with an integer micro-proportion divergence,
+    * `(p1 - p2)^2 div (p1 + p2)` over per-mille-of-a-million shares —
+    * the two-sample chi-square shape with proportions pre-quantized
+    * to micros so every term is exact BIGINT arithmetic in any
+    * engine (a float chi-square diverges in last ulps; a raw-count
+    * chi-square overflows 64 bits at corpus scale). A category
+    * present in only one half still scores (shares are micros, the
+    * denominator never hits zero when either count is positive).
+    *
+    * Scale shape: the time bounds are ONE 1-row aggregate broadcast
+    * back (the q167 cutoff idiom); the half flag is scan-side integer
+    * arithmetic (2t < min+max — no division, no timezone); counting
+    * is one partial-agg shuffle on the category key, category-
+    * cardinality-bounded from there on. */
+  def distributionDrift(events: DataFrame, categoryCol: String,
+                        tsCol: String): DataFrame = {
+    val e = events.select(col(categoryCol).as("category"),
+      unix_micros(col(tsCol)).as("t"))
+    val bounds = e.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    val halves = e.crossJoin(broadcast(bounds))
+      .withColumn("early",
+        when(col("t") * 2 < col("tmin") + col("tmax"), 1L).otherwise(0L))
+      .groupBy(col("category"))
+      .agg(sum(col("early")).as("o_early"),
+        sum(lit(1L) - col("early")).as("o_late"))
+    val totals = halves.agg(sum(col("o_early")).as("n_early"),
+      sum(col("o_late")).as("n_late"))
+    halves.crossJoin(broadcast(totals))
+      .withColumn("p_early_micros", expr("o_early * 1000000 div n_early"))
+      .withColumn("p_late_micros", expr("o_late * 1000000 div n_late"))
+      .withColumn("drift_micros", expr(
+        """CASE WHEN p_early_micros + p_late_micros = 0 THEN 0
+           ELSE (p_early_micros - p_late_micros) * (p_early_micros - p_late_micros)
+                div (p_early_micros + p_late_micros) END"""))
+      .select(col("category"), col("o_early"), col("o_late"),
+        col("p_early_micros"), col("p_late_micros"), col("drift_micros"))
+  }
+
+  /** q179: event-type mix drift across the events fixture's two time
+    * halves. */
+  private def q179(s: SparkSession, d: String): DataFrame =
+    distributionDrift(Tables.events(s, d), "event_type", "ts")
+      .withColumnRenamed("category", "event_type")
+      .orderBy("event_type")
+
+  private val q179Sql = """
+    WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+    bounds AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM e),
+    halves AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN t * 2 < tmin + tmax THEN 1 ELSE 0 END)
+               AS BIGINT) AS o_early,
+             CAST(SUM(CASE WHEN t * 2 < tmin + tmax THEN 0 ELSE 1 END)
+               AS BIGINT) AS o_late
+      FROM e CROSS JOIN bounds GROUP BY event_type),
+    totals AS (SELECT CAST(SUM(o_early) AS BIGINT) AS n_early,
+                      CAST(SUM(o_late) AS BIGINT) AS n_late FROM halves),
+    scored AS (
+      SELECT event_type, o_early, o_late,
+             o_early * 1000000 // n_early AS p_early_micros,
+             o_late * 1000000 // n_late AS p_late_micros
+      FROM halves CROSS JOIN totals)
+    SELECT event_type, o_early, o_late, p_early_micros, p_late_micros,
+           CASE WHEN p_early_micros + p_late_micros = 0 THEN 0
+                ELSE (p_early_micros - p_late_micros)
+                     * (p_early_micros - p_late_micros)
+                     // (p_early_micros + p_late_micros) END AS drift_micros
+    FROM scored ORDER BY event_type"""
+
   val queries: Seq[Query] = Seq(
+    Query("q179_distribution_drift", q179, Some(q179Sql)),
     Query("q01_pricing_summary", q01, Some(q01Sql)),
     Query("q02_global_stats",    q02, Some(q02Sql)),
     Query("q03_rollup",          q03, Some(q03Sql)),
