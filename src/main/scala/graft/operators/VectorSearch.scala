@@ -1782,7 +1782,7 @@ object VectorSearch {
 
   // ---- q67b: the same meter on a CLUSTERED corpus -------------------
 
-  private val ClusterCount = 50
+  private[graft] val ClusterCount = 50
   private val ClusterAlpha = 0.2
 
   /** Cluster-structured corpus synthesized deterministically from the
@@ -1793,7 +1793,7 @@ object VectorSearch {
     * models that regime so q67b can document the IVF operating point
     * scale users actually get. 50 clusters => one cluster is 2% of
     * the corpus at any sf. */
-  private def clusteredEmb(s: SparkSession, d: String): DataFrame =
+  private[graft] def clusteredEmb(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "q67b_corpus") {
       import s.implicits._
       val centers = (0 until ClusterCount).map(c =>
@@ -3322,7 +3322,7 @@ object VectorSearch {
     * arrive later (the upsert waves of a growing corpus — maintenance
     * encodes them through the persisted `_pq` books, the FAISS
     * no-retrain convention PqSpec pins). */
-  private val Q142BaseClusters = 25
+  private[graft] val Q142BaseClusters = 25
   private val Q142OldQ = 0L  // a query from a base cluster (cluster 0)
   private val Q142NewQ = 25L // a query from a drifted-in cluster (25)
   private val Q142Cut = 64
@@ -3565,7 +3565,7 @@ object VectorSearch {
     * analog of [[pqBooksBaseCached]]: 25 cells trained (bit-exact)
     * on the 25 base clusters only, the quantizer a no-retrain policy
     * would still be serving after the q142 drift. */
-  private def retrainCentsCached(s: SparkSession, d: String)
+  private[graft] def retrainCentsCached(s: SparkSession, d: String)
       : (Array[Long], Array[Array[Float]]) =
     retrainCentsCache.getOrElseUpdate(
       (graft.sources.IndexStore.sessionKey(s), d), {

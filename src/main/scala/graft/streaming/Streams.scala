@@ -759,7 +759,144 @@ object Streams {
            COUNT(DISTINCT source) AS n_sources
     FROM documents"""
 
+  // ---- q180: streaming retrain trigger -------------------------------
+
+  private def q180StreamBase(d: String): String =
+    "/root/repo/target/q180_stream/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+  private val q180Done =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** q180: the retrain DECISION wired into the maintenance stream —
+    * §2.9 composed with q176's `retrainAdvice`: every arriving
+    * micro-batch of vectors is measured against the serving IVF
+    * layout's persisted quantizer BEFORE it would be appended, and
+    * the per-batch verdict lands in a decisions store — the always-on
+    * monitor that tells the maintenance loop "keep appending" vs
+    * "schedule a rebuild". Two waves arrive: an in-distribution batch
+    * (verdict: keep appending) and a drifted batch from clusters the
+    * quantizer never saw (verdict: retrain). Each batch's decision
+    * row writes under its own `wave=` directory (the q148 sub-sketch
+    * idiom: a REPLAYED batch overwrites its own verdict — idempotent
+    * under at-least-once delivery, and verdicts are pure functions of
+    * batch content, so rewriting is a no-op).
+    *
+    * The layout is built from the SAME base-cluster corpus and the
+    * SAME trained centroids as q176 (retrainCentsCached), so the
+    * oracle re-derives every threshold and verdict from the q176
+    * centroid dump + the clustered-corpus dump — no new aux. */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorSearch
+    import graft.sources.IndexStore
+    import graft.functions.vecIndexExprs
+    val base = q180StreamBase(d)
+    val index = s"$base/ivf"
+    val decisions = s"$base/decisions"
+    q180Done.getOrElseUpdate((IndexStore.sessionKey(s), d), {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(new java.io.File(base))
+      Files.createDirectories(Paths.get(base))
+      val cl = VectorSearch.clusteredEmb(s, d)
+      val (ids, cents) = VectorSearch.retrainCentsCached(s, d)
+      // the serving layout: base-cluster vectors cell-partitioned by
+      // the q176-trained quantizer, with its `_centroids` sidecar —
+      // the buildIvfFromRows layout shape, quantizer supplied instead
+      // of retrained so gate and oracle share one centroid table
+      cl.filter(col("vec_id") % VectorSearch.ClusterCount <
+          VectorSearch.Q142BaseClusters)
+        .select(col("vec_id").cast(StringType).as("chunk_id"), col("embedding"))
+        .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
+        .write.mode("overwrite").partitionBy("cell").parquet(index)
+      import s.implicits._
+      ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$index/_centroids")
+      // two waves into the inbox: the %7==2 slice of each regime
+      // (disjoint from q176's %7==1 gate sample — a different day's
+      // arrivals measured against the same quantizer)
+      val inbox = s"$base/inbox"
+      val arrivals = cl.filter(col("vec_id") % 7 === 2)
+        .withColumn("wave",
+          when(col("vec_id") % VectorSearch.ClusterCount <
+            VectorSearch.Q142BaseClusters, "in_distribution")
+            .otherwise("drifted"))
+      arrivals.filter(col("wave") === "in_distribution")
+        .coalesce(1).write.mode("append").parquet(inbox)
+      arrivals.filter(col("wave") === "drifted")
+        .coalesce(1).write.mode("append").parquet(inbox)
+      val vecSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("wave", StringType)))
+      val q = s.readStream.schema(vecSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inbox)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint()
+          val wave = b.select(col("wave")).head().getString(0)
+          IndexStore.retrainAdvice(b.sparkSession, index, b,
+              recentIdCol = "vec_id", recentVecCol = "embedding")
+            .write.mode("overwrite").parquet(s"$decisions/wave=$wave")
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    })
+    s.read.parquet(decisions)
+      .select(col("wave"), col("n_train"), col("threshold_micros"),
+        col("n_recent"), col("n_over"), col("over_frac_micros"),
+        col("should_retrain"))
+      .orderBy("wave")
+  }
+
+  /** q180 mirror: the q176 re-derivation (nearest-centroid micros
+    * over the dumped q176 centroids, the ceil(0.95·n) rank pick) with
+    * the sample slice moved to vec_id % 7 = 2 and the label renamed
+    * to `wave`. */
+  private val q180Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM
+      read_parquet('/root/repo/target/verify_aux/q176_cents.parquet/*.parquet')),
+    corpus AS (SELECT vec_id, embedding FROM
+      read_parquet('/root/repo/target/verify_aux/q67b_corpus.parquet/*.parquet')),
+    dist AS MATERIALIZED (
+      SELECT p.vec_id,
+             CAST(floor(1000000.0 * MIN(list_sum(list_transform(
+               generate_series(1, len(p.embedding)),
+               i -> (CAST(p.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                  * (CAST(p.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))))
+               AS BIGINT) AS micros
+      FROM corpus p CROSS JOIN cents c GROUP BY p.vec_id),
+    thr AS (
+      SELECT n_train, micros AS threshold_micros FROM (
+        SELECT micros,
+               row_number() OVER (ORDER BY micros, vec_id) AS rn,
+               COUNT(*) OVER () AS n_train
+        FROM dist WHERE vec_id % 50 < 25)
+      WHERE rn = CAST(ceil(CAST(0.95 AS DOUBLE) * n_train) AS BIGINT)),
+    sampled AS (
+      SELECT CASE WHEN vec_id % 50 < 25
+                  THEN 'in_distribution' ELSE 'drifted' END AS wave,
+             micros
+      FROM dist WHERE vec_id % 7 = 2)
+    SELECT s.wave, t.n_train, t.threshold_micros,
+           COUNT(*) AS n_recent,
+           CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_over,
+           CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS over_frac_micros,
+           CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) > 500000 AS BOOLEAN) AS should_retrain
+    FROM sampled s CROSS JOIN thr t
+    GROUP BY s.wave, t.n_train, t.threshold_micros
+    ORDER BY s.wave"""
+
   val queries: Seq[Query] = Seq(
+    Query("q180_stream_retrain", q180, Some(q180Sql)),
     Query("q168_stream_versioned", q168, Some(q168Sql)),
     Query("q80_stream_tumbling", q80, Some(q80Sql)),
     Query("q81_stream_sliding",  q81, Some(q81Sql)),
