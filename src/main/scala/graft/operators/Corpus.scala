@@ -1492,8 +1492,13 @@ object Corpus {
       .groupBy(col("bucket_cap"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
       .withColumn("padded_tokens", col("n_docs") * col("bucket_cap"))
-      .withColumn("waste_micros",
-        expr("(padded_tokens - sum_tokens) * 1000000 div padded_tokens"))
+      // the x1e6 product rides DECIMAL(38,0): a dominant bucket past
+      // ~9.2e12 padded tokens (real at the corpus sizes this targets)
+      // would overflow the BIGINT product — the quotient itself always
+      // fits (< 1e6)
+      .withColumn("waste_micros", expr(
+        """CAST((CAST(padded_tokens AS DECIMAL(38,0)) - sum_tokens) * 1000000
+           div padded_tokens AS BIGINT)"""))
   }
 
   /** q178: [[lengthBuckets]] over the documents corpus, width 32. */
@@ -1509,7 +1514,7 @@ object Corpus {
     SELECT bucket_cap, COUNT(*) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS sum_tokens,
            CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_tokens,
-           CAST((COUNT(*) * bucket_cap - SUM(nt)) * 1000000
+           CAST(CAST(COUNT(*) * bucket_cap - SUM(nt) AS HUGEINT) * 1000000
              // (COUNT(*) * bucket_cap) AS BIGINT) AS waste_micros
     FROM b GROUP BY bucket_cap ORDER BY bucket_cap"""
 

@@ -1483,7 +1483,10 @@ object Relational {
     * engine (a float chi-square diverges in last ulps; a raw-count
     * chi-square overflows 64 bits at corpus scale). A category
     * present in only one half still scores (shares are micros, the
-    * denominator never hits zero when either count is positive).
+    * denominator never hits zero when either count is positive), and
+    * a degenerate single-instant stream — tmin = tmax, every row
+    * "late" — scores each category's full share as drift instead of
+    * dividing by the empty half.
     *
     * Scale shape: the time bounds are ONE 1-row aggregate broadcast
     * back (the q167 cutoff idiom); the half flag is scan-side integer
@@ -1504,8 +1507,12 @@ object Relational {
     val totals = halves.agg(sum(col("o_early")).as("n_early"),
       sum(col("o_late")).as("n_late"))
     halves.crossJoin(broadcast(totals))
-      .withColumn("p_early_micros", expr("o_early * 1000000 div n_early"))
-      .withColumn("p_late_micros", expr("o_late * 1000000 div n_late"))
+      // an empty half (all events at one instant) contributes zero
+      // shares instead of dividing by zero
+      .withColumn("p_early_micros",
+        expr("CASE WHEN n_early = 0 THEN 0 ELSE o_early * 1000000 div n_early END"))
+      .withColumn("p_late_micros",
+        expr("CASE WHEN n_late = 0 THEN 0 ELSE o_late * 1000000 div n_late END"))
       .withColumn("drift_micros", expr(
         """CASE WHEN p_early_micros + p_late_micros = 0 THEN 0
            ELSE (p_early_micros - p_late_micros) * (p_early_micros - p_late_micros)
@@ -1535,8 +1542,10 @@ object Relational {
                       CAST(SUM(o_late) AS BIGINT) AS n_late FROM halves),
     scored AS (
       SELECT event_type, o_early, o_late,
-             o_early * 1000000 // n_early AS p_early_micros,
-             o_late * 1000000 // n_late AS p_late_micros
+             CASE WHEN n_early = 0 THEN 0
+                  ELSE o_early * 1000000 // n_early END AS p_early_micros,
+             CASE WHEN n_late = 0 THEN 0
+                  ELSE o_late * 1000000 // n_late END AS p_late_micros
       FROM halves CROSS JOIN totals)
     SELECT event_type, o_early, o_late, p_early_micros, p_late_micros,
            CASE WHEN p_early_micros + p_late_micros = 0 THEN 0

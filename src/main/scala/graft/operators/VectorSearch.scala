@@ -3526,10 +3526,14 @@ object VectorSearch {
     * `train` at 100 TB (the sample bounds the window; the meter is a
     * statistic, not a join). Returns ONE row: (n_train, p95-like
     * threshold, n_recent, n_over, over fraction in micros, the
-    * decision). */
+    * decision) — and ZERO rows when either input is empty (no
+    * threshold can exist without training rows, no verdict without a
+    * sample; callers guard their sample fractions — see
+    * [[graft.sources.IndexStore.retrainAdvice]]'s trainSample
+    * validation). */
   def retrainAdvice(train: DataFrame, idCol: String, vecCol: String,
                     cents: Array[Array[Float]],
-                    recent: DataFrame, recentIdCol: String, recentVecCol: String,
+                    recent: DataFrame, recentVecCol: String,
                     quantile: Double = 0.95,
                     driftFrac: Double = 0.5): DataFrame = {
     require(cents.nonEmpty, "retrainAdvice needs at least one centroid")
@@ -3579,8 +3583,8 @@ object VectorSearch {
     scala.collection.concurrent.TrieMap
       .empty[(String, String), (Array[Long], Array[Array[Float]])]
 
-  private val Q176Quantile = 0.95
-  private val Q176DriftFrac = 0.5
+  private[graft] val Q176Quantile = 0.95
+  private[graft] val Q176DriftFrac = 0.5
 
   /** q176: [[retrainAdvice]] exercised on the q142 drifted-corpus
     * model. The quantizer is trained on the 25 BASE clusters; two
@@ -3606,7 +3610,7 @@ object VectorSearch {
           col("vec_id") % 7 === 1)))
     samples.map { case (kind, sample) =>
       retrainAdvice(base, "vec_id", "embedding", cents,
-          sample, "vec_id", "embedding", Q176Quantile, Q176DriftFrac)
+          sample, "embedding", Q176Quantile, Q176DriftFrac)
         .select(lit(kind).as("sample"), col("n_train"),
           col("threshold_micros"), col("n_recent"), col("n_over"),
           col("over_frac_micros"), col("should_retrain"))
@@ -3625,13 +3629,16 @@ object VectorSearch {
   private val AuxQ176Cents =
     "read_parquet('/root/repo/target/verify_aux/q176_cents.parquet/*.parquet')"
 
-  /** q176 mirror: nearest-centroid squared-L2 micros per row (MIN
-    * over the dumped centroids — the same left-to-right double fold
-    * as the VecL2Sq kernel), the ceil(q*n) rank pick (0.95 cast to
-    * DOUBLE so both engines do the identical FP multiply — DuckDB
-    * would otherwise read the literal as exact DECIMAL), and the two
-    * sample verdicts. */
-  private val q176Sql = s"""
+  /** The retrain-policy mirror, shared by q176 and q180 (which runs
+    * the SAME quantizer against a different sample slice through the
+    * streaming trigger): nearest-centroid squared-L2 micros per row
+    * (MIN over the dumped centroids — the same left-to-right double
+    * fold as the VecL2Sq kernel), the ceil(q*n) rank pick (the
+    * quantile cast to DOUBLE so both engines do the identical FP
+    * multiply — DuckDB would otherwise read the literal as exact
+    * DECIMAL), and the per-slice verdicts. `sampleFilter` picks the
+    * recent-upsert slice; `label` names the regime column. */
+  private[graft] def retrainMirrorSql(sampleFilter: String, label: String) = s"""
     WITH cents AS (SELECT cent_id, cvec FROM $AuxQ176Cents),
     corpus AS (SELECT vec_id, embedding FROM $AuxQ67bCorpus),
     dist AS MATERIALIZED (
@@ -3651,10 +3658,10 @@ object VectorSearch {
       WHERE rn = CAST(ceil(CAST($Q176Quantile AS DOUBLE) * n_train) AS BIGINT)),
     sampled AS (
       SELECT CASE WHEN vec_id % $ClusterCount < $Q142BaseClusters
-                  THEN 'in_distribution' ELSE 'drifted' END AS sample,
+                  THEN 'in_distribution' ELSE 'drifted' END AS $label,
              micros
-      FROM dist WHERE vec_id % 7 = 1)
-    SELECT s.sample, t.n_train, t.threshold_micros,
+      FROM dist WHERE $sampleFilter)
+    SELECT s.$label, t.n_train, t.threshold_micros,
            COUNT(*) AS n_recent,
            CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
              AS BIGINT) AS n_over,
@@ -3664,8 +3671,10 @@ object VectorSearch {
              * 1000000 // COUNT(*) > ${math.round(Q176DriftFrac * 1e6)}
              AS BOOLEAN) AS should_retrain
     FROM sampled s CROSS JOIN thr t
-    GROUP BY s.sample, t.n_train, t.threshold_micros
-    ORDER BY s.sample"""
+    GROUP BY s.$label, t.n_train, t.threshold_micros
+    ORDER BY s.$label"""
+
+  private val q176Sql = retrainMirrorSql("vec_id % 7 = 1", "sample")
 
   // ---- q146: hard-negative mining -----------------------------------
 

@@ -187,12 +187,16 @@ object IndexStore {
     * `include` is the chroma `query(include=[...])` projection
     * (chromadb 0.4.6 `Collection.query` signature; the reference
     * consumes the documents+metadatas legs at app.py:58-61): empty
-    * keeps the legacy columns; nonempty returns ids (rank, chunk_id)
-    * plus exactly the requested legs — `documents` -> chunk,
-    * `metadatas` -> doc_id/source/link, `embeddings` -> the float
-    * vector, `distances` -> the distance column. Column pruning means
-    * an `include` WITHOUT `embeddings` never reads the vector bytes
-    * of the presented rows. */
+    * keeps the legacy columns (where `includeDistance` appends the
+    * distance leg); nonempty returns ids (rank, chunk_id) plus
+    * EXACTLY the requested legs — `documents` -> chunk, `metadatas`
+    * -> doc_id/source/link, `embeddings` -> the float vector,
+    * `distances` -> the distance column — and ignores
+    * `includeDistance` (chroma's include list is the whole
+    * projection contract; an extra unrequested column would break
+    * positional consumers). Column pruning means an `include`
+    * WITHOUT `embeddings` never reads the vector bytes of the
+    * presented rows. */
   private def present(df: DataFrame, space: String = "cosine",
                       includeDistance: Boolean = false,
                       include: Seq[String] = Nil): DataFrame = {
@@ -217,8 +221,7 @@ object IndexStore {
             Seq(col("doc_id"), col("source"), col("link")) else Nil) ++
           (if (include.contains("documents")) Seq(col("chunk")) else Nil) ++
           (if (include.contains("embeddings")) Seq(col("embedding")) else Nil) ++
-          (if (include.contains("distances") || includeDistance)
-            Seq(distCol) else Nil)
+          (if (include.contains("distances")) Seq(distCol) else Nil)
     base.select(out: _*)
   }
 
@@ -1624,22 +1627,26 @@ object IndexStore {
     * the md5-bucket split kernel, so the same rows sample on every
     * call). */
   def retrainAdvice(spark: SparkSession, path: String, recent: DataFrame,
-                    recentIdCol: String = "chunk_id",
                     recentVecCol: String = "embedding",
                     quantile: Double = 0.95, driftFrac: Double = 0.5,
                     trainSample: Double = 1.0): DataFrame = {
     require(trainSample > 0 && trainSample <= 1, s"bad trainSample $trainSample")
+    val buckets = math.round(trainSample * 256)
+    // a fraction under 1/512 rounds to zero md5 buckets — an empty
+    // train side has no threshold and retrainAdvice returns no rows;
+    // fail loudly instead
+    require(trainSample >= 1.0 || buckets >= 1,
+      s"trainSample $trainSample selects zero of 256 md5 buckets")
     val cents = spark.read.parquet(s"$path/_centroids")
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
     val all = spark.read.parquet(path)
     val train =
       if (trainSample >= 1.0) all
       else all.filter(
-        graft.operators.Corpus.md5Bucket(col("chunk_id")) <
-          math.round(trainSample * 256))
+        graft.operators.Corpus.md5Bucket(col("chunk_id")) < buckets)
     graft.operators.VectorSearch.retrainAdvice(
       train, "chunk_id", "embedding", cents,
-      recent, recentIdCol, recentVecCol, quantile, driftFrac)
+      recent, recentVecCol, quantile, driftFrac)
   }
 
   /** Upsert documents into an HNSW layout: delete-by-(source, doc_id)

@@ -401,11 +401,7 @@ object Streams {
     val base = q113StreamBase(d)
     val index = s"$base/ivf"
     q113Done.getOrElseUpdate((IndexStore.sessionKey(s), d), {
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      wipe(new java.io.File(base))
+      graft.sources.VersionedStore.deleteTree(Paths.get(base))
       Files.createDirectories(Paths.get(base))
       // initial build from the shared chunk+embed pass. The gate is the
       // per-source INVENTORY — cell assignment never appears in it — so
@@ -506,11 +502,7 @@ object Streams {
     val store = s"$base/bands"
     val (b1, b2) = q131Splits(s, d)
     q131Done.getOrElseUpdate((IndexStore.sessionKey(s), d), {
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      wipe(new java.io.File(base))
+      graft.sources.VersionedStore.deleteTree(Paths.get(base))
       Files.createDirectories(Paths.get(base))
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       // seed: the pre-existing corpus's bands (at 100 TB this table
@@ -629,11 +621,7 @@ object Streams {
     val base = q148StreamBase(d)
     val store = s"$base/cms"
     q148Done.getOrElseUpdate((IndexStore.sessionKey(s), d), {
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      wipe(new java.io.File(base))
+      graft.sources.VersionedStore.deleteTree(Paths.get(base))
       Files.createDirectories(Paths.get(base))
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
@@ -713,11 +701,7 @@ object Streams {
     val base = q168Base(d)
     val store = s"$base/store"
     q168Done.getOrElseUpdate((IndexStore.sessionKey(s), d), {
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      wipe(new java.io.File(base))
+      graft.sources.VersionedStore.deleteTree(Paths.get(base))
       Files.createDirectories(Paths.get(base))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -793,11 +777,7 @@ object Streams {
     val index = s"$base/ivf"
     val decisions = s"$base/decisions"
     q180Done.getOrElseUpdate((IndexStore.sessionKey(s), d), {
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      wipe(new java.io.File(base))
+      graft.sources.VersionedStore.deleteTree(Paths.get(base))
       Files.createDirectories(Paths.get(base))
       val cl = VectorSearch.clusteredEmb(s, d)
       val (ids, cents) = VectorSearch.retrainCentsCached(s, d)
@@ -838,7 +818,7 @@ object Streams {
           val b = batch.localCheckpoint()
           val wave = b.select(col("wave")).head().getString(0)
           IndexStore.retrainAdvice(b.sparkSession, index, b,
-              recentIdCol = "vec_id", recentVecCol = "embedding")
+              recentVecCol = "embedding")
             .write.mode("overwrite").parquet(s"$decisions/wave=$wave")
           ()
         }
@@ -854,46 +834,8 @@ object Streams {
       .orderBy("wave")
   }
 
-  /** q180 mirror: the q176 re-derivation (nearest-centroid micros
-    * over the dumped q176 centroids, the ceil(0.95·n) rank pick) with
-    * the sample slice moved to vec_id % 7 = 2 and the label renamed
-    * to `wave`. */
-  private val q180Sql = s"""
-    WITH cents AS (SELECT cent_id, cvec FROM
-      read_parquet('/root/repo/target/verify_aux/q176_cents.parquet/*.parquet')),
-    corpus AS (SELECT vec_id, embedding FROM
-      read_parquet('/root/repo/target/verify_aux/q67b_corpus.parquet/*.parquet')),
-    dist AS MATERIALIZED (
-      SELECT p.vec_id,
-             CAST(floor(1000000.0 * MIN(list_sum(list_transform(
-               generate_series(1, len(p.embedding)),
-               i -> (CAST(p.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-                  * (CAST(p.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))))
-               AS BIGINT) AS micros
-      FROM corpus p CROSS JOIN cents c GROUP BY p.vec_id),
-    thr AS (
-      SELECT n_train, micros AS threshold_micros FROM (
-        SELECT micros,
-               row_number() OVER (ORDER BY micros, vec_id) AS rn,
-               COUNT(*) OVER () AS n_train
-        FROM dist WHERE vec_id % 50 < 25)
-      WHERE rn = CAST(ceil(CAST(0.95 AS DOUBLE) * n_train) AS BIGINT)),
-    sampled AS (
-      SELECT CASE WHEN vec_id % 50 < 25
-                  THEN 'in_distribution' ELSE 'drifted' END AS wave,
-             micros
-      FROM dist WHERE vec_id % 7 = 2)
-    SELECT s.wave, t.n_train, t.threshold_micros,
-           COUNT(*) AS n_recent,
-           CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_over,
-           CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
-             * 1000000 // COUNT(*) AS BIGINT) AS over_frac_micros,
-           CAST(SUM(CASE WHEN s.micros > t.threshold_micros THEN 1 ELSE 0 END)
-             * 1000000 // COUNT(*) > 500000 AS BOOLEAN) AS should_retrain
-    FROM sampled s CROSS JOIN thr t
-    GROUP BY s.wave, t.n_train, t.threshold_micros
-    ORDER BY s.wave"""
+  private val q180Sql =
+    graft.operators.VectorSearch.retrainMirrorSql("vec_id % 7 = 2", "wave")
 
   val queries: Seq[Query] = Seq(
     Query("q180_stream_retrain", q180, Some(q180Sql)),

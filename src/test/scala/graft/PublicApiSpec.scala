@@ -335,6 +335,12 @@ class PublicApiSpec extends AnyFunSuite {
     assert(IndexStore.searchTopKAnn(spark, path, q, k = 3,
         include = Seq("documents", "distances")).columns.toSeq ==
       Seq("rank", "chunk_id", "chunk", "distance"))
+    // a nonempty include is the WHOLE projection contract: it ignores
+    // the legacy includeDistance flag rather than appending an
+    // unrequested leg
+    assert(IndexStore.searchTopK(spark, path, q, k = 3,
+        includeDistance = true, include = Seq("documents")).columns.toSeq ==
+      Seq("rank", "chunk_id", "chunk"))
     // unknown token fails loudly
     intercept[IllegalArgumentException] {
       IndexStore.searchTopK(spark, path, q, include = Seq("uris"))
