@@ -79,10 +79,12 @@ object Verify {
       ("q119 hybrid batch queries", Set("q119_hybrid_batch"),
         () => operators.Hybrid.materializeHybridBatchAux(spark, sfDir, auxDir)),
       ("q150 token vectors", Set("q150_late_interaction", "q153_colbert_index",
-          "q158_tri_hybrid"),
+          "q158_tri_hybrid", "q181_colbert_takedown"),
         () => operators.Hybrid.materializeLateInteractionAux(spark, sfDir, auxDir)),
       ("q153 colbert centroids", Set("q153_colbert_index", "q158_tri_hybrid"),
         () => operators.Hybrid.materializeColbertAux(spark, sfDir, auxDir)),
+      ("q181 takedown sub-corpus", Set("q181_colbert_takedown"),
+        () => operators.Hybrid.materializeColbertTdAux(spark, sfDir, auxDir)),
       ("q111 compact", Set("q111_ivf_compact_search"),
         () => operators.VectorSearch.materializeCompactAux(spark, sfDir, auxDir)),
       ("q113 stream upsert", Set("q113_stream_ivf_upsert"),

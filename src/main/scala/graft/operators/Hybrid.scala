@@ -862,16 +862,20 @@ object Hybrid {
     * the indexed unit. Seeds: the first `kCells` token vectors in
     * (doc_id, tpos) order, cent_id = doc_id*maxToks + tpos. */
   def buildColbert(s: SparkSession, docs: DataFrame, path: String,
-                   maxToks: Int, kCells: Int): Unit = {
+                   maxToks: Int, kCells: Int,
+                   pretrained: Option[(Array[Long], Array[Array[Float]])] = None)
+      : Unit = {
     import graft.functions.vecIndexExprs
     val toks = tokenVectors(docs, maxToks)
       .localCheckpoint() // embed once: feeds training AND the write
-    val seeds = toks
-      .select((col("doc_id") * maxToks + col("tpos")).as("cent_id"),
-        col("tokvec").as("cvec"))
-      .orderBy(col("cent_id")).limit(kCells)
-    val (ids, cents) = VectorSearch.ivfCentroids(
-      toks, "doc_id", "tokvec", seeds, lloydIters = 2, bitExact = true)
+    val (ids, cents) = pretrained.getOrElse {
+      val seeds = toks
+        .select((col("doc_id") * maxToks + col("tpos")).as("cent_id"),
+          col("tokvec").as("cvec"))
+        .orderBy(col("cent_id")).limit(kCells)
+      VectorSearch.ivfCentroids(
+        toks, "doc_id", "tokvec", seeds, lloydIters = 2, bitExact = true)
+    }
     toks.withColumn("cell",
         vecIndexExprs.nearestCell(col("tokvec"), ids, cents))
       .repartition(kCells, col("cell"))
@@ -922,6 +926,62 @@ object Hybrid {
       .parquet(path)
   }
 
+  /** Delete documents from a persisted late-interaction layout — the
+    * V10 takedown verb for the ColBERT family (a doc removed from the
+    * vector and lexical indexes must stop surfacing via token-level
+    * retrieval too). A doc's token vectors scatter across MANY cells
+    * (they partition by token geometry, not doc identity), so a
+    * physical delete would rewrite most of the layout; the
+    * ColBERTv2-scale answer is the q151 lexical shape: O(ids) append
+    * to a `_tombstones` sidecar, [[searchColbert]] anti-joins it
+    * beneath candidate generation, [[compactColbert]] reclaims the
+    * bytes. Unlike BM25, MaxSim scores carry NO corpus statistics,
+    * so a tombstoned search is EXACTLY the fresh-build-without-doc
+    * search — no stale-stats caveat (LexicalSpec pins it). */
+  def deleteColbert(s: SparkSession, path: String, docIds: DataFrame): Unit =
+    docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/_tombstones")
+
+  private def colbertTombstones(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(s"$path/_tombstones")) else None
+  }
+
+  /** Physically reclaim tombstoned documents: rewrite ONLY the cell
+    * directories that hold a doomed doc's token vectors (identified
+    * by a semi-join — the touched-partition discipline every other
+    * maintenance verb follows), then clear the sidecar. Quiet cells
+    * keep their bytes; search results are unchanged by construction
+    * (scores carry no corpus statistics). */
+  def compactColbert(s: SparkSession, path: String): Unit =
+    colbertTombstones(s, path).foreach { t0 =>
+      val t = t0.select(col("doc_id")).distinct().localCheckpoint()
+      val all = s.read.parquet(path)
+      val touched = all.join(broadcast(t), Seq("doc_id"), "left_semi")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (touched.nonEmpty) {
+        val survivors = all
+          .filter(col("cell").isin(touched.map(Long.box): _*))
+          .join(broadcast(t), Seq("doc_id"), "left_anti")
+          .localCheckpoint() // read completes before its dirs are dropped
+        touched.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+        }
+        survivors
+          .repartition(touched.length, col("cell"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("cell")
+          .parquet(path)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+      ()
+    }
+
   /** Search the persisted late-interaction index: each query token
     * multiprobes its `probes` nearest cells (the same NearestCells
     * kernel the build assigned with), the candidate set is every
@@ -932,7 +992,9 @@ object Hybrid {
     * token-vector rows (a doc_id semi-join; at 100 TB this gather is
     * the doc-keyed forward index every ColBERT serving stack
     * maintains, and the candidate list rides a broadcast). Scores
-    * are integer micros end to end. */
+    * are integer micros end to end. Tombstoned docs
+    * ([[deleteColbert]]) are anti-joined out of the candidate set
+    * BEFORE the gather, so a takedown is effective immediately. */
   def searchColbert(s: SparkSession, path: String, queryText: String,
                     probes: Int, k: Int): DataFrame = {
     import graft.functions.vecIndexExprs
@@ -951,9 +1013,14 @@ object Hybrid {
         explode(vecIndexExprs.nearestCells(col("qvec"), ids, cents, probes))
           .as("cell"))
       .distinct().as[Long].collect().toSeq
-    val cand = s.read.parquet(path)
+    val cand0 = s.read.parquet(path)
       .filter(col("cell").isin(probed.map(Long.box): _*))
       .select(col("doc_id")).distinct()
+    val cand = colbertTombstones(s, path) match {
+      case Some(t) => cand0.join(
+        broadcast(t.select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+      case None => cand0
+    }
     val toks = s.read.parquet(path)
       .join(broadcast(cand), Seq("doc_id"), "left_semi")
     val maxSim = toks.crossJoin(broadcast(qvecs))
@@ -998,13 +1065,17 @@ object Hybrid {
       .parquet(s"$auxDir/q153_cents.parquet")
   }
 
-  private val q153Sql = s"""
-    WITH toks AS (SELECT doc_id, tpos, tokvec FROM
-      read_parquet('/root/repo/target/verify_aux/q150_tokvecs.parquet/*.parquet')),
-    qs AS (SELECT qtok_id, qvec FROM
-      read_parquet('/root/repo/target/verify_aux/q150_qtoks.parquet/*.parquet')),
-    cents AS (SELECT cent_id, cvec FROM
-      read_parquet('/root/repo/target/verify_aux/q153_cents.parquet/*.parquet')),
+  /** The persisted late-interaction mirror through `scored`
+    * (doc_id, li_micros): token-cell assignment from the dumped
+    * tokvec×centroid tables, per-query-token probe lists, candidate
+    * union, exact MaxSim with the all-query-tokens guard. Shared by
+    * q153 (search) and q181 (takedown lifecycle — same pipeline,
+    * different corpus/centroid dumps). */
+  private def colbertScoredCte(toksT: String, centsT: String,
+                               qsT: String, probes: Int) = s"""
+    toks AS (SELECT doc_id, tpos, tokvec FROM $toksT),
+    qs AS (SELECT qtok_id, qvec FROM $qsT),
+    cents AS (SELECT cent_id, cvec FROM $centsT),
     assign AS (
       SELECT t.doc_id, t.tpos, c.cent_id,
              row_number() OVER (PARTITION BY t.doc_id, t.tpos
@@ -1019,7 +1090,7 @@ object Hybrid {
                  ORDER BY ${VectorSearch.l2Sql("q.qvec", "c.cvec")}, c.cent_id)
                  AS prn
         FROM qs q, cents c)
-      WHERE prn <= $Q153Probes),
+      WHERE prn <= $probes),
     cand AS (SELECT DISTINCT a.doc_id
              FROM assigned a JOIN probe p ON a.cell = p.cell),
     maxsim AS (
@@ -1032,10 +1103,139 @@ object Hybrid {
     scored AS (
       SELECT doc_id, CAST(SUM(max_micros) AS BIGINT) AS li_micros
       FROM maxsim GROUP BY doc_id
-      HAVING COUNT(*) = (SELECT COUNT(*) FROM qs))
+      HAVING COUNT(*) = (SELECT COUNT(*) FROM qs))"""
+
+  private def auxPq(name: String) =
+    s"read_parquet('/root/repo/target/verify_aux/$name.parquet/*.parquet')"
+
+  private val q153Sql = s"""
+    WITH ${colbertScoredCte(auxPq("q150_tokvecs"), auxPq("q153_cents"),
+      auxPq("q150_qtoks"), Q153Probes)}
     SELECT row_number() OVER (ORDER BY li_micros DESC, doc_id) AS rank,
            doc_id, li_micros
     FROM scored ORDER BY li_micros DESC, doc_id LIMIT $Q150K"""
+
+  // ---- q181: late-interaction takedown lifecycle ---------------------
+
+  private def colbertTdPath(d: String): String =
+    "/root/repo/target/q181_colbert_td/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val Q181Docs = 120L
+  private val Q181Cells = 8
+  private val Q181Probes = 3
+  private val Q181K = 5
+
+  /** The q181 layout's trained centroids, computed ONCE per
+    * (session, sf) from the sub-corpus token vectors — the single
+    * source both the gate's build and the aux dump read, so the
+    * oracle's assignment re-derivation uses exactly the quantizer
+    * the layout was written with. */
+  private val q181CentsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Array[Long], Array[Array[Float]])]
+  private def q181Cents(s: SparkSession, d: String)
+      : (Array[Long], Array[Array[Float]]) =
+    q181CentsCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d), {
+        val toks = tokenVectors(
+          Tables.documents(s, d).filter(col("doc_id") < Q181Docs), Q150MaxToks)
+        val seeds = toks
+          .select((col("doc_id") * Q150MaxToks + col("tpos")).as("cent_id"),
+            col("tokvec").as("cvec"))
+          .orderBy(col("cent_id")).limit(Q181Cells)
+        VectorSearch.ivfCentroids(toks, "doc_id", "tokvec", seeds,
+          lloydIters = 2, bitExact = true)
+      })
+
+  private val q181Memo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  /** q181: the takedown lifecycle for the LATE-INTERACTION family —
+    * the last retrieval index a removed document could still surface
+    * through (vector: q107/q111, lexical: q151; this closes the set).
+    * Three observed states of one physical token-vector layout on a
+    * bounded sub-corpus (the q151/q126 lifecycle-gate discipline),
+    * each the top-5 for the q150 query: `1_built`; `2_tombstoned`
+    * after [[deleteColbert]] of the built top-1 doc (it vanishes
+    * IMMEDIATELY; every survivor keeps its exact score — MaxSim
+    * carries no corpus statistics, so there is no lexical-style
+    * stale-stats caveat to document); `3_compacted` after
+    * [[compactColbert]]'s physical rewrite of only the touched cells
+    * (identical ranking — the rewrite must not move a single score).
+    * The oracle re-derives assignment, probes, candidates, MaxSim,
+    * the data-dependent takedown target (the mirror's own rank-1),
+    * and all three rankings from the dumped sub-corpus
+    * tokvec×centroid tables. */
+  private def q181(s: SparkSession, d: String): DataFrame =
+    q181Memo.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d), q181Lifecycle(s, d))
+
+  private def q181Lifecycle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = colbertTdPath(d)
+    graft.sources.VersionedStore.deleteTree(java.nio.file.Paths.get(path))
+    val docs = Tables.documents(s, d).filter(col("doc_id") < Q181Docs)
+    buildColbert(s, docs, path, Q150MaxToks, Q181Cells,
+      pretrained = Some(q181Cents(s, d)))
+    def phase(name: String): DataFrame =
+      searchColbert(s, path, Q150QueryText, Q181Probes, Q181K)
+        .withColumn("phase", lit(name)).localCheckpoint()
+    val built = phase("1_built")
+    val target = built.filter(col("rank") === 1)
+      .select(col("doc_id")).head().getLong(0)
+    deleteColbert(s, path, Seq(target).toDF("doc_id"))
+    val tombstoned = phase("2_tombstoned")
+    compactColbert(s, path)
+    val compacted = phase("3_compacted")
+    built.union(tombstoned).union(compacted)
+      .select(col("phase"), col("rank"), col("doc_id"), col("li_micros"))
+      .orderBy(col("phase"), col("rank"))
+  }
+
+  /** Dump the q181 sub-corpus token vectors + the shared trained
+    * centroids (query tokens ride the q150 dump — same query). */
+  def materializeColbertTdAux(s: SparkSession, d: String,
+                              auxDir: String): Unit = {
+    import s.implicits._
+    tokenVectors(Tables.documents(s, d).filter(col("doc_id") < Q181Docs),
+        Q150MaxToks)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q181_tokvecs.parquet")
+    val (ids, cents) = q181Cents(s, d)
+    ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q181_cents.parquet")
+  }
+
+  /** The three q181 states from one `scored` CTE: deleting a doc
+    * changes NO other score (MaxSim is per-doc), so tombstoned and
+    * compacted are re-ranks of `scored` minus the mirror's own
+    * rank-1 pick. */
+  private val q181Sql = s"""
+    WITH ${colbertScoredCte(auxPq("q181_tokvecs"), auxPq("q181_cents"),
+      auxPq("q150_qtoks"), Q181Probes)},
+    p1 AS (
+      SELECT '1_built' AS phase,
+             row_number() OVER (ORDER BY li_micros DESC, doc_id) AS rank,
+             doc_id, li_micros
+      FROM scored ORDER BY li_micros DESC, doc_id LIMIT $Q181K),
+    survivors AS (
+      SELECT doc_id, li_micros FROM scored
+      WHERE doc_id <> (SELECT doc_id FROM p1 WHERE rank = 1)),
+    p2 AS (
+      SELECT '2_tombstoned' AS phase,
+             row_number() OVER (ORDER BY li_micros DESC, doc_id) AS rank,
+             doc_id, li_micros
+      FROM survivors ORDER BY li_micros DESC, doc_id LIMIT $Q181K),
+    p3 AS (
+      SELECT '3_compacted' AS phase,
+             row_number() OVER (ORDER BY li_micros DESC, doc_id) AS rank,
+             doc_id, li_micros
+      FROM survivors ORDER BY li_micros DESC, doc_id LIMIT $Q181K)
+    SELECT phase, rank, doc_id, li_micros FROM p1
+    UNION ALL SELECT phase, rank, doc_id, li_micros FROM p2
+    UNION ALL SELECT phase, rank, doc_id, li_micros FROM p3
+    ORDER BY phase, rank"""
 
   // ---- q158: tri-hybrid fusion (BM25 + dense + late interaction) ----
 
@@ -1319,6 +1519,7 @@ object Hybrid {
     Query("q158_tri_hybrid", q158, Some(q158Sql)),
     Query("q151_lexical_maintenance", q151, Some(q151Sql)),
     Query("q153_colbert_index", q153, Some(q153Sql)),
+    Query("q181_colbert_takedown", q181, Some(q181Sql)),
     Query("q157_lexical_segments", q157, Some(q157Sql)),
     Query("q118_hybrid_ivf", q118, Some(q118Sql)),
     Query("q119_hybrid_batch", q119, Some(q119Sql)),

@@ -321,4 +321,62 @@ class LexicalSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(inc == reb, "append-then-search must equal rebuild-then-search at full probe")
   }
+
+  test("colbert takedown: tombstone equals fresh-build-without-doc exactly; " +
+      "compact reclaims rows touching only the doomed doc's cells") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    import operators.Hybrid
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 40)
+    val tdPath = "/root/repo/target/test_colbert_td"
+    graft.sources.VersionedStore.deleteTree(JPaths.get(tdPath))
+    Hybrid.buildColbert(spark, docs, tdPath, maxToks = 16, kCells = 8)
+    val query = "window aggregation over sorted batches"
+    def top(p: String) = Hybrid.searchColbert(spark, p, query, probes = 8, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = top(tdPath)
+    val doomed = before.head._2
+    import spark.implicits._
+    Hybrid.deleteColbert(spark, tdPath, Seq(doomed).toDF("doc_id"))
+    // tombstoned search == fresh build over the survivors, EXACTLY:
+    // MaxSim carries no corpus statistics, so unlike BM25 there is no
+    // stale-stats caveat
+    val freshPath = "/root/repo/target/test_colbert_td_fresh"
+    graft.sources.VersionedStore.deleteTree(JPaths.get(freshPath))
+    Hybrid.buildColbert(spark,
+      docs.filter(col("doc_id") =!= doomed), freshPath,
+      maxToks = 16, kCells = 8)
+    assert(top(tdPath) == top(freshPath),
+      "tombstoned search must equal the fresh-build-without-doc search")
+    // compact: physically removes the doc's rows, rewrites ONLY its
+    // cells, clears the sidecar, changes no result
+    val tombstonedTop = top(tdPath)
+    val cellsBefore = spark.read.parquet(tdPath)
+      .filter(col("doc_id") === doomed)
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val untouched = spark.read.parquet(tdPath)
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet -- cellsBefore
+    def cellFiles(c: Long) = {
+      val dir = JPaths.get(s"$tdPath/cell=$c")
+      scala.util.Using.resource(JFiles.list(dir))(
+        _.iterator().asScala.map(p =>
+          p.getFileName.toString ->
+            JFiles.getLastModifiedTime(p).toMillis).toSet)
+    }
+    val quietBefore = untouched.map(c => c -> cellFiles(c)).toMap
+    Hybrid.compactColbert(spark, tdPath)
+    assert(spark.read.parquet(tdPath)
+      .filter(col("doc_id") === doomed).count() == 0,
+      "compaction must physically remove the doomed rows")
+    assert(!JFiles.exists(JPaths.get(s"$tdPath/_tombstones")),
+      "compaction must clear the tombstone sidecar")
+    untouched.foreach { c =>
+      assert(cellFiles(c) == quietBefore(c),
+        s"quiet cell $c must keep its exact files")
+    }
+    assert(top(tdPath) == tombstonedTop,
+      "the physical rewrite must not move a single score")
+  }
 }
