@@ -982,6 +982,22 @@ object Hybrid {
       ()
     }
 
+  /** Upsert documents into a persisted late-interaction layout:
+    * replace-by-doc_id identity. The tombstone CANNOT express an
+    * upsert (it hides the doc_id wholesale — the replacement rows
+    * would vanish with the stale ones), so upsert follows q151's
+    * "upsert implies the compaction rewrite" convention: tombstone
+    * the incoming ids, physically reclaim them (touched cells only),
+    * then append the new token vectors through the stored quantizer.
+    * Idempotent by identity — re-upserting the same docs replaces
+    * rather than duplicates. */
+  def upsertColbert(s: SparkSession, docs: DataFrame, path: String,
+                    maxToks: Int): Unit = {
+    deleteColbert(s, path, docs.select(col("doc_id")))
+    compactColbert(s, path)
+    appendColbert(s, docs, path, maxToks)
+  }
+
   /** Search the persisted late-interaction index: each query token
     * multiprobes its `probes` nearest cells (the same NearestCells
     * kernel the build assigned with), the candidate set is every

@@ -378,5 +378,21 @@ class LexicalSpec extends AnyFunSuite {
     }
     assert(top(tdPath) == tombstonedTop,
       "the physical rewrite must not move a single score")
+    // upsert = replace-by-identity: re-texting a doc replaces its
+    // token vectors (no duplicates), and upserting it again with the
+    // ORIGINAL text restores the fresh-build ranking exactly
+    val victim = tombstonedTop.head._2
+    val revised = docs.filter(col("doc_id") === victim)
+      .select(col("doc_id"), lit("entirely unrelated replacement text").as("text"))
+    Hybrid.upsertColbert(spark, revised, tdPath, maxToks = 16)
+    assert(spark.read.parquet(tdPath)
+      .filter(col("doc_id") === victim).count() <= 16,
+      "upsert must replace, not duplicate, the doc's token vectors")
+    assert(top(tdPath).head._2 != victim,
+      "the re-texted doc must stop matching the query")
+    Hybrid.upsertColbert(spark,
+      docs.filter(col("doc_id") === victim), tdPath, maxToks = 16)
+    assert(top(tdPath) == tombstonedTop,
+      "re-upserting the original text must restore the exact ranking")
   }
 }
