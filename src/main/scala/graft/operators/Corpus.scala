@@ -1056,6 +1056,127 @@ object Corpus {
     docs.filter(md5Bucket16(col(idCol), SampleSalt) < thr)
   }
 
+  /** Salt for [[mixturePlan]]'s fractional-epoch acceptance hash —
+    * the distinct-purposes-distinct-salts rule ([[md5Bucket16]]). */
+  val EpochSalt = "epoch:"
+
+  /** Token-budget mixture PLANNING — the step that PRODUCES the rates
+    * [[sampleAtRates]] consumes (the LLaMA/Gopher-recipe arithmetic):
+    * given per-key token targets, compute each key's sampling rate
+    * against its available tokens; a rate over 1.0 means UPSAMPLING —
+    * `full_epochs` whole passes over the key's data plus a
+    * deterministic fractional epoch (salted 16-bit md5 acceptance, so
+    * the fractional pass is the same documents every run and engine).
+    * The report prices the plan exactly: available vs target vs
+    * achieved tokens per key, with the achieved/target ratio in
+    * micros. All arithmetic is integer (the ×1e6 products ride
+    * DECIMAL(38,0) so 100-trillion-token budgets cannot overflow the
+    * BIGINT product); everything is key-cardinality-bounded after one
+    * partial-agg shuffle plus one scan-side acceptance filter. */
+  def mixturePlan(docs: DataFrame, keyCol: String, idCol: String,
+                  tokensCol: String, targets: Map[String, Long]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val avail = docs.groupBy(col(keyCol).as("key"))
+      .agg(sum(col(tokensCol)).cast("long").as("avail_tokens"))
+    val tgt = targets.toSeq.sortBy(_._1).toDF("key", "target_tokens")
+    val planned = avail.join(broadcast(tgt), Seq("key"))
+      .withColumn("rate_micros", expr(
+        "CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000 div avail_tokens AS BIGINT)"))
+      .withColumn("full_epochs", expr("rate_micros div 1000000"))
+      .withColumn("frac_micros", expr("rate_micros % 1000000"))
+    val accepted = docs
+      .select(col(keyCol).as("key"), col(tokensCol).cast("long").as("nt"),
+        md5Bucket16(col(idCol), EpochSalt).as("b"))
+      .join(broadcast(planned.select(col("key"), col("frac_micros"))), Seq("key"))
+      // cross-multiplied integer compare: bucket/65536 < frac/1e6
+      .filter(col("b") * lit(1000000L) < col("frac_micros") * lit(65536L))
+      .groupBy(col("key")).agg(sum(col("nt")).as("sampled_tokens"))
+    planned.join(accepted, Seq("key"), "left")
+      .na.fill(0L, Seq("sampled_tokens"))
+      .withColumn("achieved_tokens",
+        expr("full_epochs * avail_tokens + sampled_tokens"))
+      .withColumn("achieved_vs_target_micros", expr(
+        "CAST(CAST(achieved_tokens AS DECIMAL(38,0)) * 1000000 div target_tokens AS BIGINT)"))
+      .select(col("key"), col("avail_tokens"), col("target_tokens"),
+        col("rate_micros"), col("full_epochs"), col("sampled_tokens"),
+        col("achieved_tokens"), col("achieved_vs_target_micros"))
+  }
+
+  /** q182: [[mixturePlan]] with deterministically skewed targets —
+    * source i (1-based in name order) gets weight i of a full-corpus
+    * token budget, so the heaviest-weighted sources plan MULTIPLE
+    * epochs (upsampling) while the lightest downsample; the achieved
+    * totals land within one document of target by construction.
+    * Targets are a k-sized driver map (domain mixing is
+    * vocabulary-bounded); the oracle re-derives weights, targets,
+    * rates, the salted fractional-epoch membership, and the achieved
+    * accounting from the raw table. */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")).cast(LongType))
+    val availRows = docs.groupBy(col("source"))
+      .agg(sum(col("nt")).as("avail")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = availRows.map(_._2).sum
+    val k = availRows.length
+    val denom = k.toLong * (k + 1) / 2
+    val targets = availRows.zipWithIndex.map { case ((src, _), i) =>
+      src -> total * (i + 1) / denom
+    }.toMap
+    mixturePlan(docs, "source", "doc_id", "nt", targets)
+      .withColumnRenamed("key", "source")
+      .orderBy("source")
+  }
+
+  private val q182Sql = s"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents),
+    avail AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS avail_tokens
+      FROM d GROUP BY source),
+    sized AS (
+      SELECT source, avail_tokens,
+             row_number() OVER (ORDER BY source) AS i,
+             COUNT(*) OVER () AS k,
+             CAST((SELECT SUM(nt) FROM d) AS BIGINT) AS total
+      FROM avail),
+    planned AS (
+      SELECT source, avail_tokens,
+             total * i // (k * (k + 1) // 2) AS target_tokens,
+             CAST(CAST(total * i // (k * (k + 1) // 2) AS HUGEINT) * 1000000
+               // avail_tokens AS BIGINT) AS rate_micros
+      FROM sized),
+    p2 AS (
+      SELECT source, avail_tokens, target_tokens, rate_micros,
+             rate_micros // 1000000 AS full_epochs,
+             rate_micros % 1000000 AS frac_micros
+      FROM planned),
+    bucketed AS (
+      SELECT source, nt,
+             (strpos('0123456789abcdef', substr(md5('${EpochSalt}' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5('${EpochSalt}' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5('${EpochSalt}' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('${EpochSalt}' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS b
+      FROM d),
+    accepted AS (
+      SELECT b2.source, CAST(SUM(b2.nt) AS BIGINT) AS sampled_tokens
+      FROM bucketed b2 JOIN p2 USING (source)
+      WHERE b2.b * 1000000 < p2.frac_micros * 65536
+      GROUP BY b2.source)
+    SELECT p2.source, p2.avail_tokens, p2.target_tokens, p2.rate_micros,
+           p2.full_epochs,
+           COALESCE(a.sampled_tokens, 0) AS sampled_tokens,
+           CAST(p2.full_epochs * p2.avail_tokens
+             + COALESCE(a.sampled_tokens, 0) AS BIGINT) AS achieved_tokens,
+           CAST(CAST(p2.full_epochs * p2.avail_tokens
+               + COALESCE(a.sampled_tokens, 0) AS HUGEINT) * 1000000
+             // p2.target_tokens AS BIGINT) AS achieved_vs_target_micros
+    FROM p2 LEFT JOIN accepted a USING (source)
+    ORDER BY p2.source"""
+
   private val Q100Rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
   private val Q100Default = 0.1
 
@@ -1537,6 +1658,7 @@ object Corpus {
     Query("q97_prepare_pipeline", q97, Some(q97Sql)),
     Query("q99_sequence_packing", q99, Some(q99Sql)),
     Query("q100_mixture_sample", q100, Some(q100Sql)),
+    Query("q182_mixture_plan", q182, Some(q182Sql)),
     Query("q101_sample_split_compose", q101, Some(q101Sql)),
     Query("q136_bpe_merges",   q136, Some(q136Sql)),
     Query("q137_bpe_compression", q137, Some(q137Sql)))

@@ -300,4 +300,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(scores(1L) > 2 * scores(11L),
       s"boilerplate ${scores(1L)} should dominate noise ${scores(11L)}")
   }
+
+  test("mixturePlan: exact epoch arithmetic, deterministic fractional " +
+      "pass, and a sub-1.0 rate plans zero epochs") {
+    import spark.implicits._
+    val docs = ((0L until 10L).map(i => ("up", i, 100L)) ++
+      (100L until 110L).map(i => ("down", i, 100L)))
+      .toDF("src", "doc_id", "nt")
+    // up: target 2.5x avail -> 2 full epochs + a 0.5 fractional pass;
+    // down: target 0.3x avail -> 0 epochs, pure downsample
+    val plan = operators.Corpus
+      .mixturePlan(docs, "src", "doc_id", "nt",
+        Map("up" -> 2500L, "down" -> 300L))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = plan("up")
+    assert(up.getAs[Long]("avail_tokens") == 1000L)
+    assert(up.getAs[Long]("rate_micros") == 2500000L)
+    assert(up.getAs[Long]("full_epochs") == 2L)
+    assert(up.getAs[Long]("achieved_tokens") ==
+      2000L + up.getAs[Long]("sampled_tokens"),
+      "achieved = full epochs + the fractional pass, exactly")
+    val down = plan("down")
+    assert(down.getAs[Long]("full_epochs") == 0L)
+    assert(down.getAs[Long]("rate_micros") == 300000L)
+    assert(down.getAs[Long]("achieved_tokens") ==
+      down.getAs[Long]("sampled_tokens"))
+    // the fractional pass is a pure function of the ids: re-planning
+    // yields the identical sampled set
+    val again = operators.Corpus
+      .mixturePlan(docs, "src", "doc_id", "nt",
+        Map("up" -> 2500L, "down" -> 300L))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("sampled_tokens")).toMap
+    assert(again("up") == up.getAs[Long]("sampled_tokens"))
+    assert(again("down") == down.getAs[Long]("sampled_tokens"))
+  }
 }
