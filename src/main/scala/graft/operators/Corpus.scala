@@ -1072,7 +1072,13 @@ object Corpus {
     * micros. All arithmetic is integer (the ×1e6 products ride
     * DECIMAL(38,0) so 100-trillion-token budgets cannot overflow the
     * BIGINT product); everything is key-cardinality-bounded after one
-    * partial-agg shuffle plus one scan-side acceptance filter. */
+    * partial-agg shuffle plus one scan-side acceptance filter.
+    *
+    * Planned keys are the INTERSECTION of the data's keys and
+    * `targets`: a target for a key with no data has nothing to
+    * sample, and a key without a target is unplanned (rate 0) — both
+    * drop from the report rather than emitting divide-by-zero rows;
+    * reconcile key sets upstream if absence should be loud. */
   def mixturePlan(docs: DataFrame, keyCol: String, idCol: String,
                   tokensCol: String, targets: Map[String, Long]): DataFrame = {
     val s = docs.sparkSession

@@ -1412,6 +1412,46 @@ object IndexStore {
       .map(_.getPath.getName).sorted
   }
 
+  /** Operational description of a persisted collection — the verb an
+    * on-call engineer (or an orchestrator deciding which maintenance
+    * path applies) runs first: layout family inferred from the
+    * partition column, which trained sidecars ride along
+    * (`_centroids`/`_pq`/`_meta`/`_collmeta`/`_tombstones`), the
+    * collection's distance space, row/partition counts and stored
+    * vector dim. Footer/driver metadata only — the single row scan is
+    * the one head() for the dim; no corpus pass. */
+  def describeCollection(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no collection at $path")
+    def has(side: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$side"))
+    val df = spark.read.parquet(path)
+    val partCol = Seq("source", "cell", "bucket", "shard")
+      .find(c => fs.listStatus(p).exists(_.getPath.getName.startsWith(c + "=")))
+    val family = partCol match {
+      case Some("cell") if has("_pq") => "ivf-pq"
+      case Some("cell")               => "ivf-sq"
+      case Some("bucket")             => "lsh-bucketed"
+      case Some("shard")              => "hnsw-sharded"
+      case Some("source")             => "source-partitioned"
+      case _                          => "flat"
+    }
+    val nParts = partCol.map(c =>
+      df.select(col(c)).distinct().count()).getOrElse(1L)
+    val dim =
+      if (df.columns.contains("embedding"))
+        df.select(size(col("embedding"))).head().getInt(0).toLong
+      else 0L
+    Seq((path, family, partCol.getOrElse(""), count(spark, path), nParts,
+        dim, collectionSpace(spark, path),
+        has("_centroids"), has("_pq"), has("_meta"), has("_tombstones")))
+      .toDF("path", "family", "partition_col", "n_rows", "n_partitions",
+        "dim", "space", "has_centroids", "has_pq", "has_hnsw_meta",
+        "has_tombstones")
+  }
+
   /** [[deletePartitionedCore]] with the doomed set as a predicate —
     * chroma's `collection.delete(where=...)` / `where_document`. */
   private def deleteWherePartitioned(spark: SparkSession, path: String,

@@ -359,6 +359,32 @@ class PublicApiSpec extends AnyFunSuite {
     }
   }
 
+  test("describeCollection names the layout family, sidecars and shape") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val docs = (0L until 30L).map(i =>
+        (i, s"describe verb document number $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val srcPath = "/root/repo/target/test_describe_src"
+    IndexStore.build(spark, docs, srcPath)
+    val src = IndexStore.describeCollection(spark, srcPath).collect().head
+    assert(src.getAs[String]("family") == "source-partitioned")
+    assert(src.getAs[String]("partition_col") == "source")
+    assert(src.getAs[Long]("n_partitions") == 3L)
+    assert(src.getAs[Long]("dim") == 64L)
+    assert(src.getAs[Long]("n_rows") == 30L)
+    assert(src.getAs[Boolean]("has_centroids") == false)
+    val ivfPath = "/root/repo/target/test_describe_ivf"
+    IndexStore.buildIvf(spark, docs, ivfPath, nCells = 4)
+    val ivf = IndexStore.describeCollection(spark, ivfPath).collect().head
+    assert(ivf.getAs[String]("family") == "ivf-sq")
+    assert(ivf.getAs[Boolean]("has_centroids"))
+    assert(ivf.getAs[String]("space") == "cosine")
+    intercept[IllegalArgumentException] {
+      IndexStore.describeCollection(spark, "/root/repo/target/no_such_coll")
+    }
+  }
+
   test("searchTopKHnswBatch where= matches the single-query filtered search") {
     import spark.implicits._
     import graft.sources.IndexStore
