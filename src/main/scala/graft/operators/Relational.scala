@@ -1326,20 +1326,33 @@ object Relational {
     * keys before the explode (rank by a quality column upstream to
     * keep the best items instead), so one degenerate mega-basket
     * (a crawler session with 10^6 "items") can never contribute
-    * 10^12 pair rows. The truncation window is per-basket and
-    * O(basket) — linear where the join it guards is quadratic.
-    * Support counting is one partial-agg shuffle on the pair key.
-    * Returns (item_a, item_b, support). */
+    * 10^12 pair rows. The truncation window runs ONLY over the
+    * over-cap baskets (a partial-agg size table finds them, a
+    * broadcast join routes them — degenerate baskets are few by
+    * definition); the normal-path rows never pay a per-basket
+    * window, and the window that does run is O(basket) — linear
+    * where the join it guards is quadratic. Support counting is one
+    * partial-agg shuffle on the pair key. Returns (item_a, item_b,
+    * support). */
   def coOccurrencePairs(items: DataFrame, basketCol: String, itemCol: String,
                         maxBasketSize: Int = 64): DataFrame = {
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    // materialized once: the size aggregate, the normal-path
+    // anti-join, and the truncation branch all read the deduplicated
+    // basket table rather than re-running the distinct per consumer
     val baskets = items
       .select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
-    val capped = baskets
+      .localCheckpoint()
+    val big = baskets.groupBy(col("basket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBasketSize).select(col("basket"))
+    val truncated = baskets.join(broadcast(big), Seq("basket"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("basket")).orderBy(col("item"))))
       .filter(col("rn") <= maxBasketSize)
       .drop("rn")
+    val capped = baskets.join(broadcast(big), Seq("basket"), "left_anti")
+      .unionByName(truncated)
     capped.as("x").join(capped.as("y"),
         col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
       .select(col("x.item").as("item_a"), col("y.item").as("item_b"))
