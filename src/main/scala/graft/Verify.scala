@@ -41,7 +41,7 @@ object Verify {
           "q53_ngram_jaccard", "q54_winnow_overlap", "q68_dedup_recall",
           "q131_stream_neardup", "q152_canonical_pick",
           "q154_bloom_decontaminate", "q156_leakage_safe_split",
-          "q175_containment"),
+          "q175_containment", "q183_dedup_report"),
         () => operators.Dedup.materializeDedupAux(spark, sfDir, auxDir)),
       ("ann", Set("q62_ann_lsh", "q65_ann_ivf", "q67_ann_recall", "q69_ann_sq8"),
         () => operators.VectorSearch.materializeAnnAux(spark, sfDir, auxDir)),

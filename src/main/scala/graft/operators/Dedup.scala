@@ -844,8 +844,13 @@ object Dedup {
       .orderBy(col("label"))
   }
 
-  private val q152Sql = s"""
-    WITH RECURSIVE sigs AS (SELECT doc_id, mb, sg FROM $AuxSigs),
+  /** The MinHash cluster-closure CTE chain (q50's banding + exact
+    * verify, symmetrized edges, RECURSIVE min-label propagation —
+    * ends at `labels(id, label)`), shared by the q152 canonical-pick
+    * and q183 dedup-report oracles. Must follow a `WITH RECURSIVE`
+    * keyword at the call site. */
+  private val minhashClusterCte = s"""
+    sigs AS (SELECT doc_id, mb, sg FROM $AuxSigs),
     banded AS (SELECT doc_id, unnest(mb) AS band FROM sigs),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -866,7 +871,10 @@ object Dedup {
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id),
-    labels AS (SELECT id, MIN(label) AS label FROM r GROUP BY id),
+    labels AS (SELECT id, MIN(label) AS label FROM r GROUP BY id)"""
+
+  private val q152Sql = s"""
+    WITH RECURSIVE $minhashClusterCte,
     ranked AS (
       SELECT l.label, l.id, d.n_chars AS quality,
              row_number() OVER (PARTITION BY l.label
@@ -877,6 +885,67 @@ object Dedup {
            MAX(CASE WHEN rk = 1 THEN quality END) AS canonical_quality
     FROM ranked GROUP BY label HAVING COUNT(*) >= 2
     ORDER BY label"""
+
+  // ---- q183: per-source dedup observability -------------------------
+
+  /** Per-group dedup accounting over any pair set — the observability
+    * report a pipeline publishes after its dedup stage ("what did
+    * dedup cost each domain"): cluster the pairs
+    * ([[clusterLabels]]), size the clusters, and report per group:
+    * document count, how many sit in a non-singleton near-dup
+    * cluster, how many survive min-id survivorship, and the removal
+    * rate in micros. A cluster may span groups; each member is
+    * attributed to its OWN group (so a boilerplate page duplicated
+    * across two domains charges both). Shuffles: the label
+    * propagation's (edge-list-sized) plus one cluster-size aggregate
+    * and one group aggregate — nothing corpus-pairwise. */
+  def dedupReport(docs: DataFrame, idCol: String, groupCol: String,
+                  pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val labels = clusterLabels(docs.select(col(idCol)), idCol, pairs,
+      maxIter = maxIter)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    docs.select(col(idCol).as("id"), col(groupCol).as("grp"))
+      .join(labels, "id")
+      .join(sizes, "label")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") >= 2, 1L).otherwise(0L)).as("n_dup_members"),
+        sum(when(col("id") === col("label"), 1L).otherwise(0L)).as("n_survivors"))
+      .withColumn("n_removed", col("n_docs") - col("n_survivors"))
+      .withColumn("removed_micros",
+        expr("n_removed * 1000000 div n_docs"))
+  }
+
+  /** q183: [[dedupReport]] over the q50 MinHash pair set, per source
+    * — the dedup-stage dashboard. Oracle: the shared cluster-closure
+    * mirror (pairs from dumped signatures, RECURSIVE min-label
+    * propagation) sized and re-aggregated per source. */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupReport(docs, "doc_id", "source",
+        minhashPairs(docs, "doc_id", "text"))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+  }
+
+  private val q183Sql = s"""
+    WITH RECURSIVE $minhashClusterCte,
+    sizes AS (SELECT label, COUNT(*) AS csize FROM labels GROUP BY label),
+    member AS (
+      SELECT d.source, l.id, l.label, s.csize
+      FROM documents d
+      JOIN labels l ON l.id = d.doc_id
+      JOIN sizes s USING (label))
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_members,
+           CAST(SUM(CASE WHEN id = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           CAST(COUNT(*) - SUM(CASE WHEN id = label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed,
+           CAST((COUNT(*) - SUM(CASE WHEN id = label THEN 1 ELSE 0 END))
+             * 1000000 // COUNT(*) AS BIGINT) AS removed_micros
+    FROM member GROUP BY source ORDER BY source"""
 
   // ---- fuzzy entity matching (record linkage) -----------------------
 
@@ -1014,6 +1083,7 @@ object Dedup {
     Query("q164_fuzzy_match",      q164, Some(q164Sql)),
     Query("q50_dedup_minhash_lsh", q50, Some(q50Sql)),
     Query("q152_canonical_pick",   q152, Some(q152Sql)),
+    Query("q183_dedup_report",     q183, Some(q183Sql)),
     Query("q51_dedup_simhash",     q51, Some(q51Sql)),
     Query("q52_embedding_neardup", q52, Some(q52Sql)),
     Query("q53_ngram_jaccard",     q53, Some(q53Sql)),
