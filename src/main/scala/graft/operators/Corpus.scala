@@ -1078,13 +1078,20 @@ object Corpus {
     * `targets`: a target for a key with no data has nothing to
     * sample, and a key without a target is unplanned (rate 0) — both
     * drop from the report rather than emitting divide-by-zero rows;
-    * reconcile key sets upstream if absence should be loud. */
+    * reconcile key sets upstream if absence should be loud. Targets
+    * must be positive (exclude a key by omitting it, not by
+    * budgeting it zero), and a key whose tokens sum to zero drops
+    * with the same no-divide rationale. */
   def mixturePlan(docs: DataFrame, keyCol: String, idCol: String,
                   tokensCol: String, targets: Map[String, Long]): DataFrame = {
+    require(targets.values.forall(_ > 0),
+      s"targets must be positive (omit a key to exclude it): " +
+        targets.filter(_._2 <= 0).keys.mkString(", "))
     val s = docs.sparkSession
     import s.implicits._
     val avail = docs.groupBy(col(keyCol).as("key"))
       .agg(sum(col(tokensCol)).cast("long").as("avail_tokens"))
+      .filter(col("avail_tokens") > 0)
     val tgt = targets.toSeq.sortBy(_._1).toDF("key", "target_tokens")
     val planned = avail.join(broadcast(tgt), Seq("key"))
       .withColumn("rate_micros", expr(

@@ -949,35 +949,43 @@ object Hybrid {
     if (fs.exists(p)) Some(s.read.parquet(s"$path/_tombstones")) else None
   }
 
-  /** Physically reclaim tombstoned documents: rewrite ONLY the cell
-    * directories that hold a doomed doc's token vectors (identified
-    * by a semi-join — the touched-partition discipline every other
-    * maintenance verb follows), then clear the sidecar. Quiet cells
-    * keep their bytes; search results are unchanged by construction
-    * (scores carry no corpus statistics). */
+  /** The physical-reclaim core: rewrite ONLY the cell directories
+    * that hold a doomed doc's token vectors (identified by a
+    * semi-join — the touched-partition discipline every other
+    * maintenance verb follows). Quiet cells keep their bytes. */
+  private def reclaimColbert(s: SparkSession, path: String,
+                             doomed: DataFrame): Unit = {
+    val t = doomed.select(col("doc_id")).distinct().localCheckpoint()
+    val all = s.read.parquet(path)
+    val touched = all.join(broadcast(t), Seq("doc_id"), "left_semi")
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (touched.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val survivors = all
+      .filter(col("cell").isin(touched.map(Long.box): _*))
+      .join(broadcast(t), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // read completes before its dirs are dropped
+    touched.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+    }
+    survivors
+      .repartition(touched.length, col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(path)
+  }
+
+  /** Physically reclaim ALL tombstoned documents ([[reclaimColbert]]
+    * over the sidecar's ids), then clear the sidecar — the off-peak
+    * expunge. Search results are unchanged by construction (scores
+    * carry no corpus statistics). */
   def compactColbert(s: SparkSession, path: String): Unit =
     colbertTombstones(s, path).foreach { t0 =>
-      val t = t0.select(col("doc_id")).distinct().localCheckpoint()
-      val all = s.read.parquet(path)
-      val touched = all.join(broadcast(t), Seq("doc_id"), "left_semi")
-        .select(col("cell").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted
+      reclaimColbert(s, path, t0)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (touched.nonEmpty) {
-        val survivors = all
-          .filter(col("cell").isin(touched.map(Long.box): _*))
-          .join(broadcast(t), Seq("doc_id"), "left_anti")
-          .localCheckpoint() // read completes before its dirs are dropped
-        touched.foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
-        }
-        survivors
-          .repartition(touched.length, col("cell"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .partitionBy("cell")
-          .parquet(path)
-      }
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
       ()
     }
@@ -985,16 +993,31 @@ object Hybrid {
   /** Upsert documents into a persisted late-interaction layout:
     * replace-by-doc_id identity. The tombstone CANNOT express an
     * upsert (it hides the doc_id wholesale — the replacement rows
-    * would vanish with the stale ones), so upsert follows q151's
-    * "upsert implies the compaction rewrite" convention: tombstone
-    * the incoming ids, physically reclaim them (touched cells only),
-    * then append the new token vectors through the stored quantizer.
-    * Idempotent by identity — re-upserting the same docs replaces
-    * rather than duplicates. */
+    * would vanish with the stale ones), so upsert physically reclaims
+    * the INCOMING ids' rows (their touched cells only —
+    * [[reclaimColbert]]; unrelated pending tombstones stay queued for
+    * the off-peak [[compactColbert]], never a surprise full expunge
+    * on the foreground upsert path), drops the incoming ids from the
+    * tombstone sidecar (a previously-deleted id that reappears is
+    * live again — the q151 convention), then appends the new token
+    * vectors through the stored quantizer. Idempotent by identity —
+    * re-upserting the same docs replaces rather than duplicates. */
   def upsertColbert(s: SparkSession, docs: DataFrame, path: String,
                     maxToks: Int): Unit = {
-    deleteColbert(s, path, docs.select(col("doc_id")))
-    compactColbert(s, path)
+    val incoming = docs.select(col("doc_id")).distinct().localCheckpoint()
+    reclaimColbert(s, path, incoming)
+    colbertTombstones(s, path).foreach { t =>
+      val remaining = t.select(col("doc_id")).distinct()
+        .join(broadcast(incoming), Seq("doc_id"), "left_anti")
+        .localCheckpoint() // read completes before the overwrite
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (remaining.isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+      else remaining.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/_tombstones")
+      ()
+    }
     appendColbert(s, docs, path, maxToks)
   }
 

@@ -1337,21 +1337,26 @@ object Relational {
   def coOccurrencePairs(items: DataFrame, basketCol: String, itemCol: String,
                         maxBasketSize: Int = 64): DataFrame = {
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    // materialized once: the size aggregate, the normal-path
-    // anti-join, and the truncation branch all read the deduplicated
-    // basket table rather than re-running the distinct per consumer
+    // materialized once (an EAGER job at call time — the signatures()
+    // discipline): the size aggregate, the normal-path anti-join, and
+    // the truncation branch all read the deduplicated basket table
+    // rather than re-running the distinct per consumer
     val baskets = items
       .select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
       .localCheckpoint()
+    // plain (unhinted) joins: the over-cap set is small on sane data,
+    // and AQE will broadcast it when it is — but nothing guarantees
+    // it (an adversarial corpus could be ALL mega-baskets), so it
+    // must never be forced driver-side
     val big = baskets.groupBy(col("basket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBasketSize).select(col("basket"))
-    val truncated = baskets.join(broadcast(big), Seq("basket"))
+    val truncated = baskets.join(big, Seq("basket"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("basket")).orderBy(col("item"))))
       .filter(col("rn") <= maxBasketSize)
       .drop("rn")
-    val capped = baskets.join(broadcast(big), Seq("basket"), "left_anti")
+    val capped = baskets.join(big, Seq("basket"), "left_anti")
       .unionByName(truncated)
     capped.as("x").join(capped.as("y"),
         col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))

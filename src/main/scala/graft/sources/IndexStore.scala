@@ -1428,9 +1428,15 @@ object IndexStore {
     def has(side: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$side"))
     val df = spark.read.parquet(path)
+    val entries = fs.listStatus(p).map(_.getPath.getName)
     val partCol = Seq("source", "cell", "bucket", "shard")
-      .find(c => fs.listStatus(p).exists(_.getPath.getName.startsWith(c + "=")))
+      .find(c => entries.exists(_.startsWith(c + "=")))
+    // the token-vector (ColBERT) layout also cell-partitions but its
+    // rows are per-TOKEN (tokvec column) and its maintenance verbs
+    // differ (deleteColbert family) — misrouting it to the IVF verbs
+    // is exactly what this report exists to prevent
     val family = partCol match {
+      case Some("cell") if df.columns.contains("tokvec") => "colbert-token-ivf"
       case Some("cell") if has("_pq") => "ivf-pq"
       case Some("cell")               => "ivf-sq"
       case Some("bucket")             => "lsh-bucketed"
@@ -1438,18 +1444,21 @@ object IndexStore {
       case Some("source")             => "source-partitioned"
       case _                          => "flat"
     }
+    // partition count from the directory listing the fs already
+    // returned — the distinct-count alternative is a corpus-sized scan
     val nParts = partCol.map(c =>
-      df.select(col(c)).distinct().count()).getOrElse(1L)
-    val dim =
-      if (df.columns.contains("embedding"))
-        df.select(size(col("embedding"))).head().getInt(0).toLong
-      else 0L
+      entries.count(_.startsWith(c + "=")).toLong).getOrElse(1L)
+    val vecCol = Seq("embedding", "tokvec").find(df.columns.contains)
+    val dim = vecCol.flatMap(c =>
+      df.select(size(col(c))).head(1).headOption.map(_.getInt(0).toLong))
+      .getOrElse(0L)
     Seq((path, family, partCol.getOrElse(""), count(spark, path), nParts,
         dim, collectionSpace(spark, path),
-        has("_centroids"), has("_pq"), has("_meta"), has("_tombstones")))
+        has("_centroids"), has("_pq"), has("_meta"), has("_collmeta"),
+        has("_tombstones")))
       .toDF("path", "family", "partition_col", "n_rows", "n_partitions",
         "dim", "space", "has_centroids", "has_pq", "has_hnsw_meta",
-        "has_tombstones")
+        "has_collmeta", "has_tombstones")
   }
 
   /** [[deletePartitionedCore]] with the doomed set as a predicate —

@@ -394,5 +394,25 @@ class LexicalSpec extends AnyFunSuite {
       docs.filter(col("doc_id") === victim), tdPath, maxToks = 16)
     assert(top(tdPath) == tombstonedTop,
       "re-upserting the original text must restore the exact ranking")
+    // an upsert must NOT expunge unrelated pending tombstones: delete
+    // doc A, upsert doc B -> A stays hidden (sidecar intact) and A's
+    // rows stay on disk awaiting the off-peak compact
+    val pendingId = tombstonedTop.head._2
+    val otherId = tombstonedTop(1)._2
+    Hybrid.deleteColbert(spark, tdPath, Seq(pendingId).toDF("doc_id"))
+    Hybrid.upsertColbert(spark,
+      docs.filter(col("doc_id") === otherId), tdPath, maxToks = 16)
+    assert(!top(tdPath).exists(_._2 == pendingId),
+      "the pending tombstone must survive an unrelated upsert")
+    assert(spark.read.parquet(tdPath)
+      .filter(col("doc_id") === pendingId).count() > 0,
+      "an unrelated upsert must not physically reclaim pending tombstones")
+    // and upserting the tombstoned id itself revives it
+    Hybrid.upsertColbert(spark,
+      docs.filter(col("doc_id") === pendingId), tdPath, maxToks = 16)
+    assert(top(tdPath).exists(_._2 == pendingId),
+      "upserting a tombstoned id must make it live again")
+    assert(!JFiles.exists(JPaths.get(s"$tdPath/_tombstones")),
+      "reviving the only tombstoned id empties and removes the sidecar")
   }
 }

@@ -380,6 +380,16 @@ class PublicApiSpec extends AnyFunSuite {
     assert(ivf.getAs[String]("family") == "ivf-sq")
     assert(ivf.getAs[Boolean]("has_centroids"))
     assert(ivf.getAs[String]("space") == "cosine")
+    assert(ivf.getAs[Long]("n_partitions") == 4L,
+      "partition count must come from the directory listing")
+    // the token-vector layout routes to the colbert verbs, never ivf
+    val cbPath = "/root/repo/target/test_describe_cb"
+    graft.sources.VersionedStore.deleteTree(java.nio.file.Paths.get(cbPath))
+    graft.operators.Hybrid.buildColbert(spark, docs, cbPath,
+      maxToks = 8, kCells = 4)
+    val cb = IndexStore.describeCollection(spark, cbPath).collect().head
+    assert(cb.getAs[String]("family") == "colbert-token-ivf")
+    assert(cb.getAs[Long]("dim") == 64L)
     intercept[IllegalArgumentException] {
       IndexStore.describeCollection(spark, "/root/repo/target/no_such_coll")
     }
