@@ -533,24 +533,35 @@ object Corpus {
     // higher-order functions don't participate in whole-stage codegen,
     // and the interpreted per-element lambda measured 3.4 s for the
     // sf0.1 gram stream where this fully-codegen'd shape (one doc-key
-    // shuffle + lead) costs ~0.6 s. corpus_n rides a whole-partition
-    // window on the gram key (no aggregate-and-join-back, no second
-    // explode). Net: 6 -> ~1 s warm at sf0.1.
+    // shuffle + lead) costs ~0.6 s.
     val toksDf = df.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // materialized once (the signatures discipline): the per-doc
+    // count, the df aggregate and the common-set join all read it
     val docGrams = toksDf
       .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
       .filter(col("nxt").isNotNull)
       .select(col(idCol), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
-    docGrams
-      .withColumn("corpus_n",
-        count(lit(1)).over(Window.partitionBy(col("bigram"))))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("corpus_n") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+      .localCheckpoint()
+    // rare = total minus COMMON: only the (Zipf-head, far smaller)
+    // common-gram set joins back, with partial aggregation on both
+    // sides — a per-bigram count WINDOW would sort-and-buffer every
+    // occurrence of a hot gram ("of the") in one task before the
+    // comparison could run (the q54 stop-fp lesson)
+    val common = docGrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("corpus_n"))
+      .filter(col("corpus_n") >= rareBelow).select(col("bigram"))
+    val perDoc = docGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"))
+    val nCommon = docGrams.join(common, "bigram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
+    perDoc.join(nCommon, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_common"))
+      .withColumn("n_rare", col("n_bigrams") - col("n_common"))
       .withColumn("rare_permille",
         expr("n_rare * 1000 div n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("n_rare"), col("rare_permille"))
   }
 
   private def q144(s: SparkSession, d: String): DataFrame =
