@@ -1145,8 +1145,16 @@ object Corpus {
     val total = availRows.map(_._2).sum
     val k = availRows.length
     val denom = k.toLong * (k + 1) / 2
+    // BigInt product: total * (i+1) overflows Long once total exceeds
+    // ~Long.Max/k (a 100 TB corpus is ~2e13 tokens — close enough to
+    // matter at large k); the quotient always fits (≤ total). The
+    // 1-token floor keeps the weight-1 target positive on a corpus
+    // smaller than denom tokens, where integer division would round
+    // it to 0 and trip mixturePlan's positive-target require with a
+    // misleading message for a derived target. Both mirror the SQL
+    // (HUGEINT product, GREATEST(1, ...)).
     val targets = availRows.zipWithIndex.map { case ((src, _), i) =>
-      src -> total * (i + 1) / denom
+      src -> math.max(1L, (BigInt(total) * (i + 1) / denom).toLong)
     }.toMap
     mixturePlan(docs, "source", "doc_id", "nt", targets)
       .withColumnRenamed("key", "source")
@@ -1168,9 +1176,13 @@ object Corpus {
              CAST((SELECT SUM(nt) FROM d) AS BIGINT) AS total
       FROM avail),
     planned AS (
+      -- HUGEINT product + GREATEST(1,...) floor: mirrors the gate's
+      -- BigInt target arithmetic and its 1-token minimum
       SELECT source, avail_tokens,
-             total * i // (k * (k + 1) // 2) AS target_tokens,
-             CAST(CAST(total * i // (k * (k + 1) // 2) AS HUGEINT) * 1000000
+             GREATEST(1, CAST(CAST(total AS HUGEINT) * i
+               // (k * (k + 1) // 2) AS BIGINT)) AS target_tokens,
+             CAST(GREATEST(1, CAST(CAST(total AS HUGEINT) * i
+                 // (k * (k + 1) // 2) AS BIGINT)) * CAST(1000000 AS HUGEINT)
                // avail_tokens AS BIGINT) AS rate_micros
       FROM sized),
     p2 AS (

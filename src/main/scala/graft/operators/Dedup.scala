@@ -22,6 +22,16 @@ import graft.functions.{hashExprs, Hashes}
   */
 object Dedup {
 
+  /** The default document-frequency cap of the shingle-pair family
+    * (q53 n-gram Jaccard / q175 containment): shingles in more than
+    * this many docs of a block are dropped from candidate generation.
+    * ONE constant shared by the operator defaults
+    * ([[ngramJaccardPairs]]/[[containmentPairs]]/[[shingleStopGrams]])
+    * and the oracle CTE (`shinglePairCte`) — changing either side
+    * alone would desynchronize gate and oracle and surface only as a
+    * verify-time hash mismatch. */
+  val DefaultShingleMaxDf = 500
+
   /** Build a materialized signature table: spread the docs across
     * cores FIRST (the fixture parquet is one row group, so the scan
     * alone is a single task and would run the per-doc hash kernel
@@ -314,7 +324,7 @@ object Dedup {
     * strip it upstream or raise the cap deliberately. */
   def shingleStopGrams(docs: DataFrame, idCol: String, textCol: String,
                        blockCol: String, shingleK: Int = 3,
-                       maxDf: Int = 500): DataFrame =
+                       maxDf: Int = DefaultShingleMaxDf): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(blockCol).as("source"),
         explode(hashExprs.shingleHashes(col(textCol), shingleK)).as("h"))
       .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
@@ -333,7 +343,7 @@ object Dedup {
     * with identical output.) */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleK: Int = 3,
-                        threshold: Double = 0.2, maxDf: Int = 500): DataFrame = {
+                        threshold: Double = 0.2, maxDf: Int = DefaultShingleMaxDf): DataFrame = {
     val (shared, sizes) =
       shingleSharedCounts(docs, idCol, textCol, blockCol, shingleK, maxDf)
     shared
@@ -377,7 +387,7 @@ object Dedup {
       .orderBy("source", "id_a", "id_b")
 
   private val q53Sql = s"""
-    WITH ${shinglePairCte(500)}
+    WITH ${shinglePairCte(DefaultShingleMaxDf)}
     SELECT source, id_a, id_b,
            round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 4) AS jaccard
     FROM pairs
@@ -397,7 +407,7 @@ object Dedup {
     * 'equal'). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        blockCol: String, shingleK: Int = 3,
-                       threshold: Double = 0.6, maxDf: Int = 500): DataFrame = {
+                       threshold: Double = 0.6, maxDf: Int = DefaultShingleMaxDf): DataFrame = {
     val (shared, sizes) =
       shingleSharedCounts(docs, idCol, textCol, blockCol, shingleK, maxDf)
     shared
@@ -423,7 +433,7 @@ object Dedup {
       .orderBy("source", "id_a", "id_b")
 
   private val q175Sql = s"""
-    WITH ${shinglePairCte(500)}
+    WITH ${shinglePairCte(DefaultShingleMaxDf)}
     SELECT source, id_a, id_b,
            round(CAST(n_shared AS DOUBLE) / least(n_a, n_b), 4) AS containment,
            CASE WHEN n_a < n_b THEN 'a_in_b'

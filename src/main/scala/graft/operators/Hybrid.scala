@@ -961,20 +961,30 @@ object Hybrid {
       .select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     if (touched.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val survivors = all
       .filter(col("cell").isin(touched.map(Long.box): _*))
       .join(broadcast(t), Seq("doc_id"), "left_anti")
-      .localCheckpoint() // read completes before its dirs are dropped
-    touched.foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
-    }
+      .localCheckpoint() // read completes before its cells are rewritten
+    // dynamic partition overwrite: each touched cell is truncated and
+    // replaced atomically-per-partition by the writer — the survivors
+    // are durably on disk in the layout before any old file is
+    // dropped, so a writer crash leaves the cell whole (old or new),
+    // never empty. Cells whose every row died are written by nothing
+    // (dynamic mode only truncates partitions it writes), so they are
+    // removed explicitly afterwards — the rewriteTouched discipline.
+    val present = survivors.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
     survivors
       .repartition(touched.length, col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
       .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    touched.filterNot(present).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+    }
   }
 
   /** Physically reclaim ALL tombstoned documents ([[reclaimColbert]]

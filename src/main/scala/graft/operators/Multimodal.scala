@@ -321,7 +321,11 @@ object Multimodal {
       val inst =
         try moduleOrNew(Class.forName(className))
         catch {
-          case first: ReflectiveOperationException =>
+          // LinkageError too: a backend whose static initializer
+          // throws (ExceptionInInitializerError / NoClassDefFoundError)
+          // must get the same diagnostic wrapper as a missing class,
+          // not escape raw — mirrors the second attempt's handler
+          case first @ (_: ReflectiveOperationException | _: LinkageError) =>
             try moduleOrNew(Class.forName(className + "$"))
             catch {
               case second if scala.util.control.NonFatal(second) ||

@@ -816,10 +816,20 @@ object Streams {
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val b = batch.localCheckpoint()
-          val wave = b.select(col("wave")).head().getString(0)
-          IndexStore.retrainAdvice(b.sparkSession, index, b,
-              recentVecCol = "embedding")
-            .write.mode("overwrite").parquet(s"$decisions/wave=$wave")
+          // maxFilesPerTrigger=1 over one-file-per-wave writes makes
+          // each micro-batch single-wave in practice, but the verdict
+          // is grouped by wave rather than assuming it: an empty
+          // batch writes nothing, a mixed batch (e.g. after a restart
+          // coalesced triggers) gets one verdict per wave it carries
+          if (!b.isEmpty) {
+            b.select(col("wave")).distinct().collect()
+              .map(_.getString(0)).foreach { wave =>
+                IndexStore.retrainAdvice(b.sparkSession, index,
+                    b.filter(col("wave") === wave),
+                    recentVecCol = "embedding")
+                  .write.mode("overwrite").parquet(s"$decisions/wave=$wave")
+              }
+          }
           ()
         }
         .option("checkpointLocation", s"$base/ckpt")
