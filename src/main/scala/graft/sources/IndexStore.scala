@@ -1159,6 +1159,17 @@ object IndexStore {
       s"$path is not partitioned by '$partCol' — use the delete/upsert " +
         "verb matching the layout family (source/cell/shard)")
     val all = spark.read.parquet(path)
+    // the bucket= column probe: LexicalStore postings ALSO partition
+    // by bucket=, so the directory check above cannot tell them from
+    // an LSH row layout. A vector verb run against postings would
+    // semi-join on columns the layout doesn't have (or worse, a
+    // where-flavor predicate could silently match) — fail loudly with
+    // the routing fix instead. describeCollection reports the same
+    // disambiguation as family=lexical-postings.
+    require(!(all.columns.contains("term") && !all.columns.contains("chunk_id")),
+      s"$path is a lexical-postings layout (term column, no chunk_id) — " +
+        "use the LexicalStore verbs (deleteLexical/upsertLexical/" +
+        "compactLexical), not the vector-index maintenance family")
     // NATIVE-typed partition values (never stringified in the plan):
     // the isin below must stay a bare predicate on the partition
     // column so it prunes directories at planning time
@@ -1435,10 +1446,18 @@ object IndexStore {
     // rows are per-TOKEN (tokvec column) and its maintenance verbs
     // differ (deleteColbert family) — misrouting it to the IVF verbs
     // is exactly what this report exists to prevent
+    // `bucket=` is ambiguous between two families: LSH row layouts
+    // (chunk_id + embedding rows) and LexicalStore postings (term +
+    // doc_id rows, no vectors at all). The `term` column is the
+    // disambiguator — an orchestrator routed by this report must send
+    // lexical layouts to the LexicalStore verbs, never the vector
+    // maintenance family (deletePartitionedCore enforces the same
+    // probe loudly on the verb side).
     val family = partCol match {
       case Some("cell") if df.columns.contains("tokvec") => "colbert-token-ivf"
       case Some("cell") if has("_pq") => "ivf-pq"
       case Some("cell")               => "ivf-sq"
+      case Some("bucket") if df.columns.contains("term") => "lexical-postings"
       case Some("bucket")             => "lsh-bucketed"
       case Some("shard")              => "hnsw-sharded"
       case Some("source")             => "source-partitioned"
@@ -1452,8 +1471,14 @@ object IndexStore {
     val dim = vecCol.flatMap(c =>
       df.select(size(col(c))).head(1).headOption.map(_.getInt(0).toLong))
       .getOrElse(0L)
+    // a postings layout ranks by BM25, not a vector distance — the
+    // _collmeta-derived space (with its cosine default) is a vector-
+    // family concept and would misreport here
+    val space =
+      if (family == "lexical-postings") "bm25"
+      else collectionSpace(spark, path)
     Seq((path, family, partCol.getOrElse(""), count(spark, path), nParts,
-        dim, collectionSpace(spark, path),
+        dim, space,
         has("_centroids"), has("_pq"), has("_meta"), has("_collmeta"),
         has("_tombstones")))
       .toDF("path", "family", "partition_col", "n_rows", "n_partitions",

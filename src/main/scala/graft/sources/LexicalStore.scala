@@ -137,19 +137,32 @@ object LexicalStore {
     clearTombstones(spark, path)
   }
 
+  /** Denormalize df(term) and len(doc_id) into each posting row via
+    * partial-agg joins: a vocabulary-sized `groupBy(term).count` and
+    * a doc-count-sized `groupBy(doc_id).sum(tf)`, joined back to the
+    * postings. Hot-term note (the q53/q144 lesson): the previous
+    * whole-partition windows buffered EVERY posting of a key in one
+    * task's window frame — a stopword present in most documents made
+    * that single task corpus-sized. The aggregates here combine
+    * map-side to one row per key before their shuffle, and the joins
+    * back stream (sort-merge or AQE-broadcast of the vocabulary-sized
+    * side, skew-splittable) — no per-key buffering anywhere, so the
+    * hottest term costs one streamed join partition, not one
+    * buffering task. */
+  private def withDfLen(tf: DataFrame): DataFrame = {
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lenTab = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    tf.join(dfTab, "term").join(lenTab, "doc_id")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("len"))
+  }
+
   /** Shared write path: (doc_id, term, tf) rows — already
     * materialized, so overwriting a layout they were read from is
     * safe — re-aggregated to df/len/stats and written as the
     * bucket-partitioned layout + `_stats` sidecar. */
   private def writePostings(spark: SparkSession, tf: DataFrame,
                             path: String): Unit = {
-    // df/len denormalize via whole-partition windows (one shuffle
-    // each, no vocabulary/doc-count side tables to materialize and
-    // join back — at 100 TB the window shuffle IS the join shuffle)
-    tf.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("term"))))
-      .withColumn("len",
-        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    withDfLen(tf)
       .withColumn("bucket", bucketCol(col("term")))
       // one task per bucket -> one file per directory
       .repartition(NumBuckets, col("bucket"))
@@ -246,6 +259,7 @@ object LexicalStore {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val newTf = graft.operators.Corpus.tokens(base, "text", "doc_id")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one tokenize pass feeds the df/len joins + stats
     val survivors = survivorTf(spark, path)
       .join(base.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     // survivors are already materialized and newTf never reads `path`,
@@ -281,10 +295,8 @@ object LexicalStore {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val tf = graft.operators.Corpus.tokens(base, "text", "doc_id")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    tf.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("term"))))
-      .withColumn("len",
-        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint() // one tokenize pass feeds the df/len joins
+    withDfLen(tf)
   }
 
   private def segIds(spark: SparkSession, path: String): Seq[Int] = {
@@ -332,9 +344,7 @@ object LexicalStore {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val rows = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-      .withColumn("len", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    val rows = withDfLen(tf)
     rows.withColumn("bucket", bucketCol(col("term")))
       .repartition(NumBuckets, col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))

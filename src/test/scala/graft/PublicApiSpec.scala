@@ -390,6 +390,23 @@ class PublicApiSpec extends AnyFunSuite {
     val cb = IndexStore.describeCollection(spark, cbPath).collect().head
     assert(cb.getAs[String]("family") == "colbert-token-ivf")
     assert(cb.getAs[Long]("dim") == 64L)
+    // lexical postings ALSO partition by bucket= — the term column
+    // must disambiguate them from the LSH row family, and a vector
+    // maintenance verb aimed at the postings must fail loudly on the
+    // column probe (not corrupt or silently no-op)
+    val lexPath = "/root/repo/target/test_describe_lex"
+    graft.sources.VersionedStore.deleteTree(java.nio.file.Paths.get(lexPath))
+    graft.sources.LexicalStore.build(spark, docs, lexPath)
+    val lex = IndexStore.describeCollection(spark, lexPath).collect().head
+    assert(lex.getAs[String]("family") == "lexical-postings")
+    assert(lex.getAs[String]("partition_col") == "bucket")
+    assert(lex.getAs[String]("space") == "bm25")
+    assert(lex.getAs[Long]("dim") == 0L)
+    val wrongVerb = intercept[IllegalArgumentException] {
+      IndexStore.deleteIdsBucketed(spark, lexPath, Seq("0"))
+    }
+    assert(wrongVerb.getMessage.contains("lexical-postings"))
+    assert(wrongVerb.getMessage.contains("LexicalStore"))
     intercept[IllegalArgumentException] {
       IndexStore.describeCollection(spark, "/root/repo/target/no_such_coll")
     }
