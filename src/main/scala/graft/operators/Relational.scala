@@ -143,36 +143,71 @@ object Relational {
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     ORDER BY rflag, lstatus"""
 
-  /** HLL approximate distinct next to the exact value (no SQL oracle —
-    * HLL implementations differ across engines; rows-only check). */
+  /** HLL approximate distinct as a bounded verdict. HLL estimates are
+    * engine-specific, so the raw sketch value can't be hash-compared —
+    * instead the query emits the exact count (oracle-recomputable) and
+    * a deterministic within-bound boolean: |HLL − exact| ≤ 5% · exact,
+    * generous vs the sketch's 2% rsd. The boolean is stable across
+    * runs because HLL merge is a register-wise max — fully
+    * order-independent — so the estimate itself is deterministic for a
+    * fixed dataset regardless of task completion order. The oracle
+    * asserts the bound as a literal TRUE; a sketch regression breaks
+    * the hash. */
   private def q06(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        approx_count_distinct(col("l_partkey"), 0.02).as("_hll"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("_hll") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.05)).as("hll_ok"))
       .orderBy("l_returnflag")
 
-  /** Sketch-based approximate percentiles next to the exact values
-    * (same pattern as q06's HLL: approximate implementations differ
-    * across engines => rows-only check; the exact columns and the
-    * (approx - exact) gap are covered by q07's oracle and the
-    * rows-only sanity of this query). At 100 TB approx_percentile's
-    * mergeable sketch is the only way to get quantiles in one pass. */
+  private val q06Sql = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n,
+           TRUE AS hll_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Approximate percentiles as a bounded verdict (the q06 pattern).
+    * The GK sketch's estimates depend on partial-merge order, so the
+    * raw values can't be hash-compared; interpolated exact percentiles
+    * of a non-integer-valued double can differ in the last ulp across
+    * engines, so they can't either. Instead the sketch is judged
+    * entirely Spark-side — |approx − exact| ≤ 5% · exact per
+    * percentile, generous vs the sketch's 0.1% rank error at accuracy
+    * 1000 — and the verdict row carries oracle-recomputable anchors
+    * (n and the decimal-trick mean). The oracle asserts the bounds as
+    * literal TRUEs; a sketch regression breaks the hash. At 100 TB
+    * approx_percentile's mergeable sketch is the only way to get
+    * quantiles in one pass; the exact aggregate here is the
+    * verification harness, not the production path. */
   private def q08(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("approx_p"),
         expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact_p"),
+        davg(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
-        col("approx_p").getItem(0).as("ap50"), col("approx_p").getItem(1).as("ap90"),
-        col("approx_p").getItem(2).as("ap99"),
-        col("exact_p").getItem(0).as("p50"), col("exact_p").getItem(1).as("p90"),
-        col("exact_p").getItem(2).as("p99"),
-        col("n"))
+      .select(col("l_returnflag"), col("avg_price"), col("n"),
+        (abs(col("approx_p").getItem(0) - col("exact_p").getItem(0)) <=
+          col("exact_p").getItem(0) * lit(0.05)).as("ap50_ok"),
+        (abs(col("approx_p").getItem(1) - col("exact_p").getItem(1)) <=
+          col("exact_p").getItem(1) * lit(0.05)).as("ap90_ok"),
+        (abs(col("approx_p").getItem(2) - col("exact_p").getItem(2)) <=
+          col("exact_p").getItem(2) * lit(0.05)).as("ap99_ok"))
       .orderBy("l_returnflag")
+
+  private val q08Sql = s"""
+    SELECT l_returnflag,
+           ${sqlDavg("l_extendedprice")} AS avg_price,
+           COUNT(*) AS n,
+           TRUE AS ap50_ok, TRUE AS ap90_ok, TRUE AS ap99_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Exact interpolated percentiles (median/p90) per group. Inputs
     * are integer-valued doubles and both engines use the standard
@@ -1579,9 +1614,9 @@ object Relational {
     Query("q03_rollup",          q03, Some(q03Sql)),
     Query("q04_cube",            q04, Some(q04Sql)),
     Query("q05_grouping_sets",   q05, Some(q05Sql)),
-    Query("q06_approx_distinct", q06, None),
+    Query("q06_approx_distinct", q06, Some(q06Sql)),
     Query("q07_percentiles",     q07, Some(q07Sql)),
-    Query("q08_approx_percentiles", q08, None),
+    Query("q08_approx_percentiles", q08, Some(q08Sql)),
     Query("q10_join_broadcast",  q10, Some(q10Sql)),
     Query("q11_join_sortmerge",  q11, Some(q11Sql)),
     Query("q12_join_star",       q12, Some(q12Sql)),
