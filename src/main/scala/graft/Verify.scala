@@ -89,6 +89,8 @@ object Verify {
         () => operators.VectorSearch.materializeCompactAux(spark, sfDir, auxDir)),
       ("q113 stream upsert", Set("q113_stream_ivf_upsert"),
         () => streaming.Streams.materializeStreamUpsertAux(spark, sfDir, auxDir)),
+      ("q83 incremental index", Set("q83_incremental_index"),
+        () => streaming.Streams.materializeIncrementalIndexAux(spark, sfDir, auxDir)),
       // q102's oracle reads the clustered corpus dump, so its name is
       // in the clustered step's serves set too
       ("q67b clustered", Set("q67b_ann_recall_clustered", "q102_ann_hnsw",

@@ -176,7 +176,13 @@ object Streams {
     * S10): stream new document files from an inbox, chunk+embed them,
     * merge idempotently into a partitioned parquet index via
     * foreachBatch dynamic partition overwrite, and summarize the
-    * resulting index. Rows-only (custom kernels inside). */
+    * resulting index. Oracle (the q113 convention): the expected
+    * chunk set is INDEPENDENTLY recomputed batch-side into an aux
+    * parquet and the oracle aggregates it — so the hash proves the
+    * streamed foreachBatch/partition-overwrite pipeline lands exactly
+    * the inventory a one-shot batch chunking of the same corpus
+    * would, down to per-source chunk counts, char mass and the
+    * longest chunk. */
   private def q83(s: SparkSession, d: String): DataFrame = {
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -236,9 +242,28 @@ object Streams {
     s.read.parquet(index.toString)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"),
-        countDistinct(col("doc_id")).as("n_docs"))
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(length(col("chunk"))).cast(LongType).as("sum_chunk_chars"),
+        max(length(col("chunk"))).as("max_chunk_len"))
       .orderBy("source")
   }
+
+  /** Batch-side recomputation of q83's expected chunk inventory —
+    * the oracle's independent ground truth for the streamed index. */
+  def materializeIncrementalIndexAux(s: SparkSession, d: String,
+                                     auxDir: String): Unit =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        exprs.chunkText(col("text"), 200, 40).as(Seq("pos", "chunk")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q83_chunks.parquet")
+
+  private val q83Sql = """
+    SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_chars,
+           MAX(length(chunk)) AS max_chunk_len
+    FROM read_parquet('/root/repo/target/verify_aux/q83_chunks.parquet/*.parquet')
+    GROUP BY source ORDER BY source"""
 
   /** q84: streaming exactly-once ingest dedup — dropDuplicates on the
     * event id with a watermark bounding the dedup state (the standard
@@ -853,7 +878,7 @@ object Streams {
     Query("q80_stream_tumbling", q80, Some(q80Sql)),
     Query("q81_stream_sliding",  q81, Some(q81Sql)),
     Query("q82_session_window",  q82, Some(q82Sql)),
-    Query("q83_incremental_index", q83, None),
+    Query("q83_incremental_index", q83, Some(q83Sql)),
     Query("q84_stream_dedup",    q84, Some(q84Sql)),
     Query("q85_stream_stream_join", q85, Some(q85Sql)),
     Query("q86_custom_state",    q86, Some(q86Sql)),
