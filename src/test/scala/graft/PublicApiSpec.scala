@@ -412,6 +412,56 @@ class PublicApiSpec extends AnyFunSuite {
     }
   }
 
+  test("describeStore reports manifest metadata through the whole lifecycle") {
+    import spark.implicits._
+    import graft.sources.VersionedStore._
+    val path = "/root/repo/target/test_describe_store"
+    deleteTree(java.nio.file.Paths.get(path))
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}", i * 10))
+      .toDF("doc_id", "source", "n_chars")
+    create(spark, docs.filter(col("doc_id") < 20), path)
+    writeZoneMap(spark, path, "seg=0", Seq("doc_id"))
+    append(spark, docs.filter(col("doc_id") >= 20), path)
+    writeZoneMap(spark, path, "seg=1", Seq("doc_id"))
+    refreshSummary(spark, path, "source", "n_chars")
+    val d1 = describeStore(spark, path, "t").collect().head
+    assert(d1.getAs[Int]("current_version") == 2)
+    assert(d1.getAs[Int]("oldest_version") == 1)
+    assert(d1.getAs[Int]("n_versions") == 2)
+    assert(d1.getAs[Int]("n_segs_current") == 2)
+    assert(d1.getAs[Int]("n_segs_live") == 2)
+    assert(d1.getAs[Int]("n_segs_disk") == 2)
+    assert(d1.getAs[Int]("zm_segs") == 2)
+    assert(d1.getAs[String]("zm_cols") == "doc_id")
+    assert(d1.getAs[Long]("zm_min") == 0L && d1.getAs[Long]("zm_max") == 39L)
+    assert(d1.getAs[Int]("n_absorbed") == 2)
+    // delete rewrites only the touched segment; history stays live
+    deleteWhere(spark, path, col("doc_id") >= 30)
+    val d2 = describeStore(spark, path, "t").collect().head
+    assert(d2.getAs[Int]("current_version") == 3)
+    assert(d2.getAs[Int]("n_segs_current") == 2,
+      "kept seg=0 by reference + one survivor segment")
+    assert(d2.getAs[Int]("n_segs_live") == 3)
+    assert(d2.getAs[Int]("n_segs_disk") == 3)
+    // the survivor segment has no stats: coverage drops, span
+    // follows only the covered segment
+    assert(d2.getAs[Int]("zm_segs") == 1)
+    assert(d2.getAs[Long]("zm_max") == 19L)
+    // compact + vacuum: horizon advances to the only retained version
+    compact(spark, path)
+    vacuum(path, retainLast = 1)
+    val d3 = describeStore(spark, path, "t").collect().head
+    assert(d3.getAs[Int]("current_version") == 4)
+    assert(d3.getAs[Int]("oldest_version") == 4)
+    assert(d3.getAs[Int]("n_versions") == 1)
+    assert(d3.getAs[Int]("n_segs_current") == 1)
+    assert(d3.getAs[Int]("n_segs_live") == 1)
+    assert(d3.getAs[Int]("n_segs_disk") == 1)
+    intercept[IllegalArgumentException] {
+      describeStore(spark, "/root/repo/target/no_such_store", "t")
+    }
+  }
+
   test("searchTopKHnswBatch where= matches the single-query filtered search") {
     import spark.implicits._
     import graft.sources.IndexStore
