@@ -204,6 +204,49 @@ class LexicalSpec extends AnyFunSuite {
     assert(rebuilt.keys.exists(_ < 5), "rebuild must clear tombstones")
   }
 
+  test("colbert upsert equals a fresh build over the replaced corpus") {
+    // the q151 convention applied to the token-vector layout: after
+    // upsertColbert (re-texted docs + a brand-new doc), searchColbert
+    // must equal a from-scratch build over the corpus-with-
+    // replacements. Exhaustive probes (= kCells) make the candidate
+    // set complete on both layouts, so the comparison is over exact
+    // MaxSim scores — the upserted layout quantizes the new vectors
+    // through its STORED centroids while the fresh build retrains, and
+    // the ranking still may not move (cells affect only pruning).
+    import java.nio.file.{Paths => JPaths}
+    import operators.Hybrid
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+    val upPath = "/root/repo/target/test_colbert_up"
+    graft.sources.VersionedStore.deleteTree(JPaths.get(upPath))
+    Hybrid.buildColbert(spark, docs, upPath, maxToks = 16, kCells = 8)
+    val retexted = docs.filter(col("doc_id").isin(3L, 7L))
+      .select(col("doc_id"),
+        concat(lit("replacement body about windowed aggregation "),
+          col("text")).as("text"))
+    val brandNew = Seq((900L,
+      "a brand new document about windowed aggregation over sorted batches"))
+      .toDF("doc_id", "text")
+    Hybrid.upsertColbert(spark, retexted.unionByName(brandNew), upPath,
+      maxToks = 16)
+    val freshPath = "/root/repo/target/test_colbert_up_fresh"
+    graft.sources.VersionedStore.deleteTree(JPaths.get(freshPath))
+    Hybrid.buildColbert(spark,
+      docs.filter(!col("doc_id").isin(3L, 7L))
+        .unionByName(retexted).unionByName(brandNew),
+      freshPath, maxToks = 16, kCells = 8)
+    Seq("windowed aggregation over sorted batches",
+        "replacement body about windowed aggregation",
+        "grouped partitioned batches").foreach { q =>
+      def top(p: String) = Hybrid.searchColbert(spark, p, q,
+          probes = 8, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(top(upPath) == top(freshPath),
+        s"upserted search must equal the fresh-build search for '$q'")
+    }
+  }
+
   test("segment append leaves existing segment files byte-untouched") {
     import org.apache.hadoop.fs.Path
     val segPath = "/root/repo/target/test_lex_segments"
