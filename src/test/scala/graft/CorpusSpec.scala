@@ -236,6 +236,17 @@ class CorpusSpec extends AnyFunSuite {
     val (mDist, syDist) = run(0L)
     assert(mDriver == mDist, s"merge paths diverged:\n$mDriver\n$mDist")
     assert(syDriver == syDist, "segmentation paths diverged")
+    // straddle the exact routing boundary: a dictionary of n distinct
+    // words takes the driver loop at threshold n (<=) and the
+    // distributed loop at n-1 — same tables either side
+    val n = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).select("w").distinct().count()
+    val (mAt, syAt) = run(n)
+    val (mBelow, syBelow) = run(n - 1)
+    assert(mAt == mDriver && syAt == syDriver,
+      "threshold == dictionary size must still take the driver loop")
+    assert(mBelow == mDriver && syBelow == syDriver,
+      "threshold == dictionary size - 1 must distribute, identically")
   }
 
   test("BPE training stops gracefully when the dictionary is fully merged") {
