@@ -777,6 +777,125 @@ object VectorSearch {
         .orderBy("query_id", "rank")
     }
 
+  // ---- q185: 1-bit binary-quantization kNN ---------------------------
+
+  /** Sign-bit binary code of a float vector: bit i set iff v[i] > 0,
+    * packed into ONE 64-bit long (requires dim <= 64; the engine's
+    * embedding dim is exactly 64, so a vector is one BIGINT — 32x
+    * smaller than its float32 form). The 2024-25 vector-DB staple
+    * (binary quantization with exact rerank, e.g. Yamada et al.'s
+    * hashing-retrieval lineage): Hamming distance over sign bits is a
+    * monotone-enough proxy for cosine on roughly centered embeddings
+    * that a modest overfetch recovers exact top-k. Built-in HOF +
+    * shift/or only — whole-stage-codegen friendly, no UDF. */
+  private def binaryCode(vecCol: String, dim: Int = 64): Column = {
+    require(dim >= 1 && dim <= 64, s"binary code packs into one long, got dim=$dim")
+    expr(s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
+      s"acc | IF(element_at($vecCol, i + 1) > 0F, shiftleft(1L, i), 0L))")
+  }
+
+  /** Binary-quantized kNN: Hamming pre-rank over 8-byte sign codes,
+    * exact cosine rerank of the top-`overfetch`. The scale arithmetic
+    * is the point — at 100 TB of float32 embeddings the code table is
+    * ~3 TB, RAM-resident across a modest fleet, and the pre-rank
+    * scan moves only (query_id, id, hamming) into the rank exchange;
+    * codes never leave the scan and full vectors surface only for the
+    * candidate gather (a broadcast-joined, overfetch-bounded set).
+    *
+    * Operating envelope, measured honestly: 1 bit/dim retains rank
+    * signal only where SIGNS carry the geometry. On the isotropic
+    * fixture recall@3 vs exact cosine is 14/15 (sf0.001), 13/15
+    * (sf0.01), 5/15 (sf0.1) at overfetch=64 — the same
+    * dimensionality-curse ceiling q67 documents for every geometric
+    * method, hit harder by the 1-bit budget. On the q67b clustered
+    * corpus it is WORSE (2-6/15): all of a cluster's members share
+    * the center's sign pattern, so flat binary codes cannot separate
+    * within-cluster neighbors — there the method composes UNDER a
+    * cell prune (IVF cells first, binary residual pre-rank inside
+    * the cell), never replaces it. ExpressionsSpec pins exact top-k
+    * recovery on a sign-structured corpus (the regime the method is
+    * for) and the q185 oracle pins the full pipeline bit-for-bit.
+    * The practical role at 100 TB: the cheapest first-pass filter
+    * when the embedding model was trained with binarization in mind
+    * (sign-structured by construction), with `overfetch` as the
+    * recall dial. */
+  def knnBinary(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, k: Int, overfetch: Int = 64,
+                dim: Int = 64): DataFrame = {
+    val coded = corpus.select(col(idCol), binaryCode(vecCol, dim).as("bcode"))
+    val qcoded = queries.select(col("query_id"),
+      binaryCode("qvec", dim).as("qbcode"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col(idCol))
+    val candidates = coded.crossJoin(broadcast(qcoded))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        bit_count(col("bcode").bitwiseXOR(col("qbcode"))).as("hamming"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= overfetch)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    candidates
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col(idCol), cos(col(vecCol), col("qvec")).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_candidates"))
+  }
+
+  /** q185: [[knnBinary]] with the fixture queries (the q62/q65/q69
+    * shape). The oracle re-derives the sign-bit packing itself from
+    * the raw float table (HUGEINT shift-sum wrapped to the signed
+    * 64-bit value), then Hamming pre-rank, overfetch cut, and exact
+    * rerank — no aux dump, the whole compressed-domain pipeline is
+    * recomputed from first principles. */
+  private def q185(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "q185") {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      knnBinary(emb, "vec_id", "embedding", qs, k = 3)
+        .orderBy("query_id", "rank")
+    }
+
+  private val q185Sql = s"""
+    WITH codes AS (
+      SELECT vec_id,
+        CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+          AS bcode
+      FROM (
+        SELECT vec_id, list_sum(list_transform(generate_series(0, 63),
+          i -> CASE WHEN embedding[i+1] > 0 THEN (1::HUGEINT << i)
+               ELSE 0::HUGEINT END)) AS h
+        FROM embeddings)),
+    q AS (SELECT vec_id AS query_id, bcode AS qcode FROM codes WHERE vec_id < 5),
+    hams AS (
+      SELECT q.query_id, c.vec_id, bit_count(xor(c.bcode, q.qcode)) AS hamming
+      FROM codes c, q WHERE c.vec_id <> q.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming, vec_id) AS arn
+        FROM hams)
+      WHERE arn <= 64),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, ${cosSql("e", "qe")} AS sim
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings qe ON qe.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
+             COUNT(*) OVER (PARTITION BY query_id) AS n_candidates
+      FROM scored)
+    SELECT query_id, rank, vec_id, n_candidates FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank"""
+
   // ---- q98: the persisted IVF-SQ index, gated end-to-end ------------
 
   /** Deterministic on-disk location of the q98 index for an sf dir —
@@ -4472,6 +4591,7 @@ object VectorSearch {
     Query("q62_ann_lsh",        q62, Some(q62Sql)),
     Query("q65_ann_ivf",        q65, Some(q65Sql)),
     Query("q69_ann_sq8",        q69, Some(q69Sql)),
+    Query("q185_ann_binary",    q185, Some(q185Sql)),
     Query("q66_label_centroids", q66, Some(q66Sql)),
     Query("q67_ann_recall",      q67, Some(q67Sql)),
     Query("q67b_ann_recall_clustered", q67b, Some(q67bSql)),

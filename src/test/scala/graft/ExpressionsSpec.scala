@@ -259,6 +259,59 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(topE.subsetOf(topA))
   }
 
+  test("binary sign code packs the expected bits; knnBinary recalls exact top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.VectorSearch
+    // known pattern: bits 0, 2, 63 positive -> exactly those bits set
+    // (bit 63 makes the code negative — the signed wrap the oracle
+    // mirrors in HUGEINT)
+    val v = Array.tabulate(64)(i =>
+      if (i == 0 || i == 2) 1.0f else if (i == 63) 0.5f else -1.0f)
+    val code = Seq(Tuple1(v.toSeq)).toDF("embedding")
+      .select(expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc | IF(element_at(embedding, i + 1) > 0F, shiftleft(1L, i), 0L))"))
+      .head().getLong(0)
+    assert(code == (1L | (1L << 2) | (1L << 63)), s"got $code")
+    // a zero coordinate is NOT positive: contributes no bit
+    val z = Seq(Tuple1(Array.fill(64)(0.0f).toSeq)).toDF("embedding")
+      .select(expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc | IF(element_at(embedding, i + 1) > 0F, shiftleft(1L, i), 0L))"))
+      .head().getLong(0)
+    assert(z == 0L)
+    // exact top-k recovery in the regime the method is FOR: a
+    // sign-structured corpus (every coordinate decisively + or -,
+    // the shape binarization-aware embedding models produce). Each
+    // vector is a deterministic ±1 pattern with small magnitude
+    // jitter; cosine neighbors are exactly the low-Hamming codes, so
+    // the binary pre-rank at a tiny overfetch must recover the exact
+    // cosine top-3. (On the isotropic fixture the same call is
+    // oracle-pinned by q185 but recall vs exact degrades with corpus
+    // size — the operator doc records the measured curve.)
+    val rnd = new scala.util.Random(97)
+    val base = Array.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val corpus = (0L until 120L).map { id =>
+      val flips = (0 until (id % 24).toInt)
+        .map(j => (id * 31 + j * 7) % 64).toSet
+      val v = base.indices.map { i =>
+        val sign = if (flips.contains(i.toLong)) -base(i) else base(i)
+        sign * (0.8f + 0.4f * (((id + i) % 5) / 5.0f))
+      }.toArray
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exactTop = tops(VectorSearch.knnCosine(corpus, "vec_id", "embedding", qs, 3)
+      .select(col("query_id"), col("rank").cast("int"), col("vec_id")))
+    val binTop = tops(VectorSearch.knnBinary(corpus, "vec_id", "embedding", qs,
+        k = 3, overfetch = 8)
+      .select(col("query_id"), col("rank").cast("int"), col("vec_id")))
+    assert(binTop == exactTop,
+      "binary pre-rank must recover the exact top-3 on sign-structured vectors")
+  }
+
   test("suggest_data_type classifies like the reference") {
     import spark.implicits._
     val df = Seq(

@@ -231,7 +231,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "knnCosine" -> VectorSearch.knnCosine(emb, "vec_id", "embedding", qs, 5),
       "annLsh" -> VectorSearch.annLsh(emb, "vec_id", "embedding", qs, k = 3, dim = 64),
       "annIvf" -> VectorSearch.annIvf(emb, "vec_id", "embedding", qs, k = 3, seeds = seeds),
-      "knnSq8" -> VectorSearch.knnSq8(emb, "vec_id", "embedding", qs, k = 3))
+      "knnSq8" -> VectorSearch.knnSq8(emb, "vec_id", "embedding", qs, k = 3),
+      "knnBinary" -> VectorSearch.knnBinary(emb, "vec_id", "embedding", qs, k = 3))
     frames.foreach { case (name, df) =>
       df.collect() // finalize the adaptive plan
       val exchanges = allShuffles(df.queryExecution.executedPlan)
