@@ -1675,7 +1675,122 @@ object Corpus {
              // (COUNT(*) * bucket_cap) AS BIGINT) AS waste_micros
     FROM b GROUP BY bucket_cap ORDER BY bucket_cap"""
 
+  // ---- q186: hashed n-gram importance selection (DSIR-style) --------
+
+  private[graft] val DsirBuckets = 4096
+
+  /** One row per gram OCCURRENCE (unigrams + adjacent bigrams over
+    * the space-compacted word list) with its hash bucket — the
+    * feature stream both distribution estimation and per-doc scoring
+    * consume. Carried columns ride along (`keep`). The word list is
+    * compacted (empties dropped) BEFORE bigram pairing so runs of
+    * separators don't mint phantom grams — the oracle mirrors this
+    * with list_filter before pairing. */
+  private[graft] def dsirGrams(docs: DataFrame, textCol: String,
+                               keep: String*): DataFrame = {
+    val fws = filter(split(col(textCol), " "), w => length(w) > 0)
+    docs.select(keep.map(col) :+ fws.as("ws"): _*)
+      .select(keep.map(col) :+ explode(concat(col("ws"),
+        when(size(col("ws")) >= 2, expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .otherwise(array().cast("array<string>")))).as("gram"): _*)
+      .withColumn("bucket",
+        pmod(xxhash64(col("gram")), lit(DsirBuckets)).cast("int"))
+  }
+
+  /** Data Selection via Importance Resampling, the hashed-n-gram
+    * variant (Xie et al. 2023, arXiv:2302.03169), integer-exact:
+    * estimate target and raw feature distributions over `DsirBuckets`
+    * hashed unigram+bigram buckets, weight each bucket by the
+    * add-1-smoothed count ratio in integer micros
+    * ((tgt+1)·1e6 ÷ (raw+1), floor), and score every document by the
+    * sum of its gram occurrences' bucket weights. Deviation from the
+    * paper, deliberate: the paper sums LOG ratios (so a doc's score
+    * is the log importance weight) and then Gumbel-samples; log and
+    * Gumbel are float, engine-divergent and non-reproducible, so this
+    * variant ranks by the micros ratio sum — the SELECTION ORDER is
+    * the deliverable, and it is bit-identical on every engine and
+    * every rerun. Returns (doc_id, n_grams, score_micros, avg_micros)
+    * with avg = floor(score/n_grams), the length-normalized rank key
+    * (the raw sum favors long documents).
+    *
+    * Scale shape: two passes over the gram stream (one groupBy bucket
+    * -> a 4096-row weight table that BROADCASTS, one groupBy doc_id),
+    * both with map-side partial aggregation; nothing corpus-pairwise,
+    * no window, the weight join is broadcast. At 100 TB the gram
+    * stream is scan-fused both times — the only shuffles carry
+    * (bucket, counts) and (doc_id, partial sums). */
+  def dsirScores(docs: DataFrame, textCol: String,
+                 isTarget: Column): DataFrame = {
+    val grams = dsirGrams(docs.withColumn("_tgt", isTarget),
+      textCol, "doc_id", "_tgt")
+    val weights = grams.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("raw_cnt"),
+        count(when(col("_tgt"), lit(1))).as("tgt_cnt"))
+      // integer `div`, not `/`: float division then truncation drifts
+      // from exact floor division once the numerator passes 2^53 —
+      // real at corpus scale, and DuckDB's // is exact integer floor
+      .select(col("bucket"),
+        expr("(tgt_cnt + 1) * 1000000L div (raw_cnt + 1)").as("w_micros"))
+    grams.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("w_micros")).as("score_micros"))
+      .select(col("doc_id"), col("n_grams"), col("score_micros"),
+        expr("score_micros div n_grams").as("avg_micros"))
+  }
+
+  /** q186: [[dsirScores]] against the English subset as the target
+    * domain, top 15 by length-normalized importance. The oracle
+    * re-derives distributions, smoothing, integer weights, doc sums
+    * and the cut from the raw table plus the vocab-sized gram->bucket
+    * hash mapping (the one Spark-side kernel, dumped like q145's CMS
+    * buckets). */
+  private def q186(s: SparkSession, d: String): DataFrame =
+    dsirScores(Tables.documents(s, d), "text", col("lang") === "en")
+      .orderBy(col("avg_micros").desc, col("doc_id"))
+      .limit(15)
+
+  def materializeDsirAux(s: SparkSession, d: String, auxDir: String): Unit =
+    dsirGrams(Tables.documents(s, d), "text")
+      .select(col("gram"), col("bucket")).distinct()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q186_gram_buckets.parquet")
+
+  private val q186Sql = """
+    WITH ws AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS fw
+      FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(fw) AS gram FROM ws),
+    big AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(fw) - 1),
+               i -> fw[i] || ' ' || fw[i + 1])) AS gram
+      FROM ws),
+    grams AS (
+      SELECT g.doc_id, g.lang, gb.bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) g
+      JOIN read_parquet('/root/repo/target/verify_aux/q186_gram_buckets.parquet/*.parquet') gb
+        ON g.gram = gb.gram),
+    wts AS (
+      SELECT bucket,
+             ((COUNT(*) FILTER (WHERE lang = 'en') + 1) * 1000000)
+               // (COUNT(*) + 1) AS w_micros
+      FROM grams GROUP BY bucket),
+    scored AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(w.w_micros) AS BIGINT) AS score_micros
+      FROM grams g JOIN wts w USING (bucket)
+      GROUP BY g.doc_id)
+    SELECT doc_id, n_grams, score_micros,
+           CAST(score_micros // n_grams AS BIGINT) AS avg_micros
+    FROM scored
+    ORDER BY avg_micros DESC, doc_id LIMIT 15"""
+
   val queries: Seq[Query] = Seq(
+    Query("q186_dsir_select", q186, Some(q186Sql)),
     Query("q178_length_buckets", q178, Some(q178Sql)),
     Query("q55_vocab_topk",    q55, Some(q55Sql)),
     Query("q56_tfidf",         q56, Some(q56Sql)),

@@ -20,6 +20,45 @@ class CorpusSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("dsir scoring ranks target-like documents first, integer-exactly") {
+    import spark.implicits._
+    // target docs speak "alpha beta"; off-target docs speak "gamma
+    // delta"; the probe docs mix the dialects in different ratios —
+    // importance order must follow target-gram share
+    val docs = (
+      (0L until 8L).map(i => (i, "alpha beta alpha beta alpha beta", true)) ++
+      (8L until 16L).map(i => (i, "gamma delta gamma delta gamma delta", false)) ++
+      Seq((100L, "alpha beta alpha beta gamma delta", false),
+          (101L, "alpha beta gamma delta gamma delta", false),
+          (102L, "gamma delta gamma delta gamma delta", false))
+    ).toDF("doc_id", "text", "is_tgt")
+    val scored = operators.Corpus.dsirScores(docs, "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(scored(100L)._3 > scored(101L)._3,
+      "more target grams must mean a higher length-normalized score")
+    assert(scored(101L)._3 > scored(102L)._3)
+    // probe docs share the pure-target docs' length: 6 words ->
+    // 6 unigrams + 5 bigrams = 11 gram occurrences
+    assert(scored(100L)._1 == 11L)
+    // a single-word doc produces exactly one gram (no phantom bigram)
+    val one = operators.Corpus.dsirScores(
+      Seq((0L, "alpha", true), (1L, "solo", false)).toDF("doc_id", "text", "t"),
+      "text", col("t")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(0L) == 1L && one(1L) == 1L)
+    // consecutive separators never mint empty or phantom grams: the
+    // compacted word list pairs across the gap
+    val gap = operators.Corpus.dsirGrams(
+      Seq((0L, "a  b")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("gram").collect().map(_.getString(0)).sorted.toSeq
+    assert(gap == Seq("a", "a b", "b"), s"got $gap")
+    // deterministic run-to-run
+    val again = operators.Corpus.dsirScores(docs, "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == scored)
+  }
+
   test("split assignment is identical run-to-run and sums to the corpus") {
     val a = SparkEntry.queries("q58_split_sample")(spark, d).collect()
     val b = SparkEntry.queries("q58_split_sample")(spark, d).collect()
