@@ -557,9 +557,67 @@ object TextOps {
            MIN(length(url)) AS min_len, MAX(length(url)) AS max_len
     FROM canon GROUP BY 1 ORDER BY 1"""
 
+  // ---- q187: consecutive-duplicate-word collapse ---------------------
+
+  /** Collapse runs of the same word ("batch batch batch" -> "batch")
+    * — the intra-document half of the repetition cleanup whose
+    * detection side is q95's Gopher signals (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1 flag repetitious documents; the cleanup
+    * variant keeps the document and drops the stutter). Entirely
+    * scan-side: a higher-order filter against the compacted word
+    * list, ZERO shuffles before the final per-source aggregate — at
+    * 100 TB this is a narrow map over the corpus, the cheapest
+    * possible shape. The index lambda is 0-based in Spark and the
+    * previous word is element_at(ws, i) (1-based); the IF keeps the
+    * i=0 probe lazy so element_at never sees index 0. */
+  def collapseWordRuns(docs: DataFrame, textCol: String,
+                       keep: String*): DataFrame =
+    docs.select(keep.map(col) :+
+        filter(split(col(textCol), " "), w => length(w) > 0).as("ws"): _*)
+      .select(keep.map(col) ++ Seq(size(col("ws")).as("words_before"),
+        expr("filter(ws, (x, i) -> IF(i = 0, true, element_at(ws, i) <> x))")
+          .as("kept")): _*)
+      .select(keep.map(col) ++ Seq(col("words_before"),
+        size(col("kept")).as("words_after"),
+        array_join(col("kept"), " ").as("text")): _*)
+
+  /** q187: [[collapseWordRuns]] over the corpus, summarized per
+    * source — document counts, word mass before/after, how many
+    * documents the collapse touched, and the surviving char mass
+    * (hash-sensitive to every kept word and separator). */
+  private def q187(s: SparkSession, d: String): DataFrame =
+    collapseWordRuns(Tables.documents(s, d), "text", "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words_before")).cast(LongType).as("words_before"),
+        sum(col("words_after")).cast(LongType).as("words_after"),
+        sum(when(col("words_before") =!= col("words_after"), 1L)
+          .otherwise(0L)).as("docs_changed"),
+        sum(length(col("text"))).cast(LongType).as("chars_after"))
+      .orderBy("source")
+
+  private val q187Sql = """
+    WITH ws AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS fw
+      FROM documents),
+    kept AS (
+      SELECT source, len(fw) AS nb,
+             list_filter(fw, (x, i) -> i = 1 OR fw[i-1] <> x) AS k
+      FROM ws)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS words_before,
+           CAST(SUM(len(k)) AS BIGINT) AS words_after,
+           CAST(SUM(CASE WHEN nb <> len(k) THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_changed,
+           CAST(SUM(COALESCE(length(array_to_string(k, ' ')), 0)) AS BIGINT)
+             AS chars_after
+    FROM kept GROUP BY source ORDER BY source"""
+
   val queries: Seq[Query] = Seq(
     Query("q172_markup_strip",   q172, Some(q172Sql)),
     Query("q173_url_normalize",  q173, Some(q173Sql)),
+    Query("q187_collapse_runs",  q187, Some(q187Sql)),
     Query("q40_grid_explode_a1", q40, Some(q40Sql)),
     Query("q41_chunk_stats",     q41, Some(q41Sql)),
     Query("q42_type_inference",  q42, Some(q42Sql)),

@@ -182,6 +182,35 @@ class EdgeCasesSpec extends AnyFunSuite {
       s"'${r.getString(0)}' != '${r.getString(1)}'"))
   }
 
+  test("collapseWordRuns drops stutter only, idempotently, across separator runs") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "batch batch batch stream", "batch stream"),
+      // alternation is NOT a run — period-2 repetition survives
+      (1L, "the cat the cat", "the cat the cat"),
+      // separator runs compact first, so the run spans the gap
+      (2L, "a  a b", "a b"),
+      (3L, "solo", "solo"),
+      (4L, "", ""))
+      .toDF("doc_id", "text", "want")
+    val got = graft.operators.TextOps
+      .collapseWordRuns(rows, "text", "doc_id", "want")
+      .select("doc_id", "text", "want", "words_before", "words_after")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4)))
+    got.foreach { case (id, t, want, _, _) =>
+      assert(t == want, s"doc $id: '$t' != '$want'") }
+    assert(got.find(_._1 == 0L).get._4 == 4 &&
+      got.find(_._1 == 0L).get._5 == 2)
+    // idempotent: collapsing collapsed text changes nothing
+    val once = graft.operators.TextOps.collapseWordRuns(rows, "text", "doc_id")
+      .select(col("doc_id"), col("text"))
+    val twice = graft.operators.TextOps.collapseWordRuns(once, "text", "doc_id")
+      .select(col("doc_id"), col("text"))
+    assert(once.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("normalizeUrl: case, fragment, tracking, slashes — idempotent") {
     import spark.implicits._
     val rows = Seq(
