@@ -1789,7 +1789,70 @@ object Corpus {
     FROM scored
     ORDER BY avg_micros DESC, doc_id LIMIT 15"""
 
+  // ---- q188: distinct-n diversity report -----------------------------
+
+  /** Corpus n-gram diversity per group — the distinct-1/2/3 metric
+    * (Li et al. 2016, arXiv:1510.03055: distinct n-gram count over
+    * total n-gram count, the standard repetitiveness/diversity meter
+    * for generated and scraped text alike). One row per (group, n):
+    * occurrences, distinct grams, and the type-token ratio in integer
+    * micros (distinct·1e6 div occurrences — exact on both engines).
+    * A source whose distinct-2 micros sag against its peers is the
+    * template-spam signal quality pipelines act on.
+    *
+    * Scale shape: one gram stream per n, union-tagged, then a single
+    * two-phase aggregate — Spark's partial distinct aggregation hashes
+    * (group, n, gram) map-side, so the only full-width shuffle carries
+    * already-deduplicated gram keys; nothing pairwise, no window. */
+  def ngramDiversity(docs: DataFrame, textCol: String,
+                     groupCol: String): DataFrame = {
+    val fws = filter(split(col(textCol), " "), w => length(w) > 0)
+    def gramsOf(n: Int): DataFrame = {
+      val g =
+        if (n == 1) explode(col("ws"))
+        else explode(when(size(col("ws")) >= n, expr(
+          s"transform(sequence(1, size(ws) - ${n - 1}), i -> " +
+            (0 until n).map(j => s"element_at(ws, i + $j)")
+              .mkString("concat_ws(' ', ", ", ", ")") + ")"))
+          .otherwise(array().cast("array<string>")))
+      docs.select(col(groupCol), fws.as("ws"))
+        .select(col(groupCol), lit(n).as("n"), g.as("gram"))
+    }
+    gramsOf(1).unionByName(gramsOf(2)).unionByName(gramsOf(3))
+      .groupBy(col(groupCol), col("n"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("gram")).as("n_distinct"))
+      .select(col(groupCol), col("n"), col("n_occurrences"), col("n_distinct"),
+        expr("n_distinct * 1000000L div n_occurrences").as("ttr_micros"))
+  }
+
+  /** q188: [[ngramDiversity]] per source over the corpus. */
+  private def q188(s: SparkSession, d: String): DataFrame =
+    ngramDiversity(Tables.documents(s, d), "text", "source")
+      .orderBy("source", "n")
+
+  private val q188Sql = """
+    WITH ws AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS fw
+      FROM documents),
+    grams AS (
+      SELECT source, 1 AS n, unnest(fw) AS gram FROM ws
+      UNION ALL
+      SELECT source, 2, unnest(list_transform(generate_series(1, len(fw) - 1),
+        i -> fw[i] || ' ' || fw[i+1])) FROM ws
+      UNION ALL
+      SELECT source, 3, unnest(list_transform(generate_series(1, len(fw) - 2),
+        i -> fw[i] || ' ' || fw[i+1] || ' ' || fw[i+2])) FROM ws)
+    SELECT source, CAST(n AS INTEGER) AS n,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT gram) AS n_distinct,
+           CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT)
+             AS ttr_micros
+    FROM grams GROUP BY source, n ORDER BY source, n"""
+
   val queries: Seq[Query] = Seq(
+    Query("q188_ngram_diversity", q188, Some(q188Sql)),
     Query("q186_dsir_select", q186, Some(q186Sql)),
     Query("q178_length_buckets", q178, Some(q178Sql)),
     Query("q55_vocab_topk",    q55, Some(q55Sql)),

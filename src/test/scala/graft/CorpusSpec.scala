@@ -59,6 +59,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == scored)
   }
 
+  test("ngramDiversity counts occurrences, types and micros ratios exactly") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a b", "s"), (1L, "c", "s"), (2L, "", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.Corpus.ngramDiversity(docs, "text", "source")
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // unigrams: a a b c -> 4 occurrences, 3 types, ttr 750000
+    assert(got(1) == ((4L, 3L, 750000L)), s"got ${got(1)}")
+    // bigrams: "a a", "a b" -> 2 occurrences, 2 types (the single-word
+    // and empty docs mint none)
+    assert(got(2) == ((2L, 2L, 1000000L)))
+    // trigrams: "a a b" only
+    assert(got(3) == ((1L, 1L, 1000000L)))
+  }
+
   test("split assignment is identical run-to-run and sums to the corpus") {
     val a = SparkEntry.queries("q58_split_sample")(spark, d).collect()
     val b = SparkEntry.queries("q58_split_sample")(spark, d).collect()
