@@ -128,7 +128,7 @@ object Verify {
         () => operators.Corpus.materializeCmsAux(spark, sfDir, auxDir)),
       ("q154 bloom positions", Set("q154_bloom_decontaminate"),
         () => operators.Corpus.materializeBloomAux(spark, sfDir, auxDir)),
-      ("q186 dsir gram buckets", Set("q186_dsir_select"),
+      ("q186 dsir gram buckets", Set("q186_dsir_select", "q189_stream_dsir"),
         () => operators.Corpus.materializeDsirAux(spark, sfDir, auxDir)),
       ("q158 tri-hybrid query", Set("q158_tri_hybrid"),
         () => operators.Hybrid.materializeTriHybridAux(spark, sfDir, auxDir)),

@@ -1721,11 +1721,8 @@ object Corpus {
     * no window, the weight join is broadcast. At 100 TB the gram
     * stream is scan-fused both times — the only shuffles carry
     * (bucket, counts) and (doc_id, partial sums). */
-  def dsirScores(docs: DataFrame, textCol: String,
-                 isTarget: Column): DataFrame = {
-    val grams = dsirGrams(docs.withColumn("_tgt", isTarget),
-      textCol, "doc_id", "_tgt")
-    val weights = grams.groupBy(col("bucket"))
+  private def dsirWeightsOf(grams: DataFrame): DataFrame =
+    grams.groupBy(col("bucket"))
       .agg(count(lit(1)).as("raw_cnt"),
         count(when(col("_tgt"), lit(1))).as("tgt_cnt"))
       // integer `div`, not `/`: float division then truncation drifts
@@ -1733,13 +1730,54 @@ object Corpus {
       // real at corpus scale, and DuckDB's // is exact integer floor
       .select(col("bucket"),
         expr("(tgt_cnt + 1) * 1000000L div (raw_cnt + 1)").as("w_micros"))
-    grams.join(broadcast(weights), Seq("bucket"))
+
+  /** The trained bucket weight table alone — `DsirBuckets` rows, the
+    * artifact a streaming admission gate ships (see q189): train once
+    * on the batch corpus, broadcast forever. An UNSEEN bucket scores
+    * the smoothing floor (0+1)·1e6÷(0+1) = 1e6 — [[dsirScoreRowwise]]
+    * coalesces to that same value so batch and stream agree. */
+  def dsirWeights(docs: DataFrame, textCol: String,
+                  isTarget: Column): DataFrame =
+    dsirWeightsOf(dsirGrams(docs.withColumn("_tgt", isTarget),
+      textCol, "_tgt"))
+
+  def dsirScores(docs: DataFrame, textCol: String,
+                 isTarget: Column): DataFrame = {
+    val grams = dsirGrams(docs.withColumn("_tgt", isTarget),
+      textCol, "doc_id", "_tgt")
+    grams.join(broadcast(dsirWeightsOf(grams)), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("w_micros")).as("score_micros"))
       .select(col("doc_id"), col("n_grams"), col("score_micros"),
         expr("score_micros div n_grams").as("avg_micros"))
   }
+
+  /** Per-ROW DSIR scoring against a pre-trained weight map literal —
+    * zero shuffles, zero state: the gram stream never explodes, the
+    * whole score is one projection (HOF transform + aggregate over
+    * the in-row gram list, map lookup per gram). This is what makes
+    * the op streamable (q189): admission is a pure function of (row,
+    * broadcast weights), so micro-batch boundaries, replays and
+    * arrival order cannot change a verdict. Buckets absent from the
+    * training corpus coalesce to the add-1 smoothing floor (1e6),
+    * matching [[dsirWeights]]' closed form for a 0-count bucket. */
+  def dsirScoreRowwise(docs: DataFrame, textCol: String, wmap: Column,
+                       keep: String*): DataFrame =
+    docs.select(keep.map(col) :+
+        filter(split(col(textCol), " "), w => length(w) > 0).as("ws"): _*)
+      .select(keep.map(col) :+ concat(col("ws"),
+        when(size(col("ws")) >= 2, expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("grams"): _*)
+      .select(keep.map(col) ++ Seq(size(col("grams")).as("n_grams"),
+        aggregate(
+          transform(col("grams"), g => coalesce(
+            element_at(wmap,
+              pmod(xxhash64(g), lit(DsirBuckets)).cast("int")),
+            lit(1000000L))),
+          lit(0L), (acc, x) => acc + x).as("score_micros")): _*)
 
   /** q186: [[dsirScores]] against the English subset as the target
     * domain, top 15 by length-normalized importance. The oracle

@@ -872,7 +872,97 @@ object Streams {
   private val q180Sql =
     graft.operators.VectorSearch.retrainMirrorSql("vec_id % 7 = 2", "wave")
 
+  // ---- q189: streaming DSIR admission gate ---------------------------
+
+  /** q189: the q186 importance model deployed as a streaming
+    * admission gate — the online half of data selection: train the
+    * bucket weight table ONCE on the batch corpus (4096 rows,
+    * shipped as one map literal — the broadcast-forever artifact),
+    * pick the admission threshold as the batch corpus's discrete
+    * median length-normalized score (the rank-⌈n/2⌉ order statistic
+    * — an actual data value, engine-exact), then score every
+    * arriving document with the shuffle-free row-wise scorer and
+    * admit those at or above the bar. Admission is a pure function
+    * of (row, weights, threshold): micro-batch boundaries, replays
+    * and arrival order cannot change a verdict, so the bounded-run
+    * summary is deterministic and the oracle re-derives the whole
+    * thing — weights, median, verdicts, summary — from the raw table
+    * plus the q186 gram->bucket mapping. At 100 TB the stream side
+    * is a narrow map per micro-batch; only the per-source summary
+    * aggregates. */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, d)
+    val isTarget = col("lang") === "en"
+    // bucket-table-sized collect (<= 4096 rows): the trained model
+    val wmap = typedLit(Corpus.dsirWeights(docs, "text", isTarget)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    val scored = Corpus.dsirScores(docs, "text", isTarget)
+      .localCheckpoint() // scored twice below (count + rank pick)
+    val kRank = ((scored.count() + 1) / 2).toInt
+    // k-th order statistic via distributed sort + bounded limit: the
+    // one global sort in the op, paid once at train time, never on
+    // the stream path
+    val thr = scored.select(col("avg_micros")).orderBy(col("avg_micros"))
+      .limit(kRank).agg(max(col("avg_micros"))).head().getLong(0)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val incoming = s.readStream.schema(docsSchema)
+      .parquet(stageInbox(d, "documents.parquet"))
+    val admitted = Corpus
+      .dsirScoreRowwise(incoming, "text", wmap, "doc_id", "source")
+      .filter(col("n_grams") > 0 &&
+        expr("score_micros div n_grams") >= thr)
+    val agg = admitted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(expr("score_micros div n_grams")).as("sum_avg_micros"))
+    runToMemory(agg, "complete").orderBy("source")
+  }
+
+  private val q189Sql = """
+    WITH ws AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS fw
+      FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(fw) AS gram FROM ws),
+    big AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(fw) - 1),
+               i -> fw[i] || ' ' || fw[i + 1])) AS gram
+      FROM ws),
+    grams AS (
+      SELECT g.doc_id, g.lang, gb.bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) g
+      JOIN read_parquet('/root/repo/target/verify_aux/q186_gram_buckets.parquet/*.parquet') gb
+        ON g.gram = gb.gram),
+    wts AS (
+      SELECT bucket,
+             ((COUNT(*) FILTER (WHERE lang = 'en') + 1) * 1000000)
+               // (COUNT(*) + 1) AS w_micros
+      FROM grams GROUP BY bucket),
+    scored AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(w.w_micros) AS score_micros
+      FROM grams g JOIN wts w USING (bucket)
+      GROUP BY g.doc_id),
+    avgd AS (
+      SELECT doc_id, score_micros // n_grams AS avg_micros FROM scored),
+    thr AS (
+      SELECT avg_micros AS t FROM (
+        SELECT avg_micros, row_number() OVER (ORDER BY avg_micros) AS rn,
+               COUNT(*) OVER () AS n
+        FROM avgd)
+      WHERE rn = (n + 1) // 2)
+    SELECT d.source, COUNT(*) AS n_admitted,
+           CAST(SUM(a.avg_micros) AS BIGINT) AS sum_avg_micros
+    FROM avgd a JOIN documents d USING (doc_id), thr
+    WHERE a.avg_micros >= thr.t
+    GROUP BY d.source ORDER BY d.source"""
+
   val queries: Seq[Query] = Seq(
+    Query("q189_stream_dsir", q189, Some(q189Sql)),
     Query("q180_stream_retrain", q180, Some(q180Sql)),
     Query("q168_stream_versioned", q168, Some(q168Sql)),
     Query("q80_stream_tumbling", q80, Some(q80Sql)),

@@ -142,6 +142,36 @@ class StreamingSpec extends AnyFunSuite {
       s"two staged files must stream as two micro-batches, saw ${batches.get()}")
   }
 
+  test("row-wise dsir scorer equals the batch join scorer doc-for-doc") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val isTarget = col("lang") === "en"
+    val wmap = typedLit(Corpus.dsirWeights(docs, "text", isTarget)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    val batch = Corpus.dsirScores(docs, "text", isTarget)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rowwise = Corpus.dsirScoreRowwise(docs, "text", wmap, "doc_id")
+      .filter(col("n_grams") > 0)
+      .collect().map(r => (r.getLong(0), (r.getInt(1).toLong, r.getLong(2))))
+      .toMap
+    assert(rowwise == batch,
+      "the streaming scorer must reproduce the batch join score exactly")
+    // a bucket ABSENT from the weight table scores the smoothing
+    // floor (0+1)*1e6/(0+1) — the closed form dsirWeights would give
+    // a 0-count bucket. (A merely-unseen GRAM usually hashes into an
+    // occupied bucket and takes that bucket's trained weight — that
+    // is DSIR's hashing semantics, not a fallback case.)
+    val emptyMap = typedLit(Map.empty[Int, Long])
+    val a = Corpus.dsirScoreRowwise(
+        Seq((0L, "any words here")).toDF("doc_id", "text"),
+        "text", emptyMap, "doc_id")
+      .collect().head
+    assert(a.getInt(1) == 5 && a.getLong(2) == 5000000L,
+      s"empty-bucket grams must score the 1e6 floor each, got ${a.getLong(2)}")
+  }
+
   test("replayed upsert micro-batch is a no-op: same identities, same inventory") {
     // the q113 foreachBatch sink's safety argument under at-least-once
     // delivery: re-upserting a wave that already applied must leave
