@@ -1607,7 +1607,87 @@ object Relational {
                      // (p_early_micros + p_late_micros) END AS drift_micros
     FROM scored ORDER BY event_type"""
 
+  // ---- q190: join-key skew diagnostics -------------------------------
+
+  /** Key-skew report for a prospective shuffle key — the diagnostic a
+    * 100 TB pipeline runs BEFORE a join melts an executor: per-key row
+    * counts reduced to a count-of-counts histogram (two partial-agg
+    * shuffles: groupBy(key) then groupBy(count) — the histogram has
+    * one row per DISTINCT multiplicity, Zipf-tiny next to the key
+    * space, so the driver-side percentile walk is metadata-bounded at
+    * any corpus size). Reports key cardinality, row mass, the hottest
+    * key's absolute size and corpus share in micros, discrete
+    * p50/p90/p99 of per-key multiplicity (smallest value whose
+    * cumulative key count reaches ⌈q·n⌉ — actual data values), and a
+    * salt verdict (hot key > 4× p99): exactly the inputs to choosing
+    * between a plain shuffle, a broadcast, and salting. */
+  def skewReport(df: DataFrame, keyCol: String,
+                 label: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val hist = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nKeys = hist.map(_._2).sum
+    val nRows = hist.map { case (c, k) => c * k }.sum
+    val maxRows = hist.last._1
+    def pct(q: Double): Long = {
+      val target = math.ceil(q * nKeys).toLong
+      var cum = 0L
+      hist.find { case (_, k) => cum += k; cum >= target }.get._1
+    }
+    val (p50, p90, p99) = (pct(0.50), pct(0.90), pct(0.99))
+    Seq((label, nKeys, nRows, maxRows,
+      maxRows * 1000000L / math.max(nRows, 1L), p50, p90, p99,
+      maxRows > 4L * p99))
+      .toDF("key", "n_keys", "n_rows", "max_rows", "top1_micros",
+        "p50", "p90", "p99", "salt_advice")
+  }
+
+  /** q190: [[skewReport]] over four representative shuffle keys — a
+    * near-unique key (orderkey), a mid-fanout key (partkey), a
+    * behavioral key (user_id), and a deliberately hot low-cardinality
+    * key (source). The oracle rebuilds every histogram walk in SQL:
+    * cumulative key counts over the count-of-counts, the same ⌈q·n⌉
+    * discrete ranks, the same salt rule. */
+  private def q190(s: SparkSession, d: String): DataFrame =
+    skewReport(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(skewReport(Tables.lineitem(s, d), "l_partkey",
+        "lineitem.l_partkey"))
+      .unionByName(skewReport(Tables.events(s, d), "user_id",
+        "events.user_id"))
+      .unionByName(skewReport(Tables.documents(s, d), "source",
+        "documents.source"))
+      .orderBy("key")
+
+  private def skewMirror(table: String, key: String, label: String) = s"""
+    SELECT '$label' AS key, n_keys, n_rows, max_rows,
+           max_rows * 1000000 // greatest(n_rows, 1) AS top1_micros,
+           p50, p90, p99, max_rows > 4 * p99 AS salt_advice
+    FROM (
+      SELECT CAST(SUM(nk) AS BIGINT) AS n_keys,
+             CAST(SUM(c * nk) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_rows,
+             CAST(MIN(CASE WHEN cum >= CEIL(0.50 * tot) THEN c END) AS BIGINT) AS p50,
+             CAST(MIN(CASE WHEN cum >= CEIL(0.90 * tot) THEN c END) AS BIGINT) AS p90,
+             CAST(MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN c END) AS BIGINT) AS p99
+      FROM (
+        SELECT c, nk, SUM(nk) OVER (ORDER BY c) AS cum,
+               SUM(nk) OVER () AS tot
+        FROM (SELECT c, COUNT(*) AS nk FROM
+                (SELECT $key, COUNT(*) AS c FROM $table GROUP BY 1)
+              GROUP BY c)))"""
+
+  private val q190Sql = s"""
+    ${skewMirror("lineitem", "l_orderkey", "lineitem.l_orderkey")}
+    UNION ALL ${skewMirror("lineitem", "l_partkey", "lineitem.l_partkey")}
+    UNION ALL ${skewMirror("events", "user_id", "events.user_id")}
+    UNION ALL ${skewMirror("documents", "source", "documents.source")}
+    ORDER BY key"""
+
   val queries: Seq[Query] = Seq(
+    Query("q190_skew_report",    q190, Some(q190Sql)),
     Query("q179_distribution_drift", q179, Some(q179Sql)),
     Query("q01_pricing_summary", q01, Some(q01Sql)),
     Query("q02_global_stats",    q02, Some(q02Sql)),

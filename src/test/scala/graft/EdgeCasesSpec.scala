@@ -182,6 +182,33 @@ class EdgeCasesSpec extends AnyFunSuite {
       s"'${r.getString(0)}' != '${r.getString(1)}'"))
   }
 
+  test("skewReport: exact histogram walk, hot-key verdict, uniform non-verdict") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // 9 singleton keys + one 100-row hot key: n=10 keys, ranks
+    // ceil(.5*10)=5 -> 1, ceil(.9*10)=9 -> 1, ceil(.99*10)=10 -> 100
+    val hot = ((0 until 9).map(i => s"k$i") ++ Seq.fill(100)("hotkey"))
+      .toDF("k")
+    val r = Relational.skewReport(hot, "k", "t").collect().head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 109L &&
+      r.getLong(3) == 100L)
+    assert(r.getLong(4) == 100L * 1000000L / 109L)
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((1L, 1L, 100L)))
+    assert(!r.getBoolean(8),
+      "p99 IS the hot key here - no salt advice against itself")
+    // make the hot key exceed 4x a non-hot p99: 100 singletons + hot
+    val wide = ((0 until 100).map(i => s"k$i") ++ Seq.fill(100)("hotkey"))
+      .toDF("k")
+    val w = Relational.skewReport(wide, "k", "t").collect().head
+    assert((w.getLong(5), w.getLong(6), w.getLong(7)) == ((1L, 1L, 1L)))
+    assert(w.getBoolean(8), "100x the p99 multiplicity must advise salting")
+    // uniform multiplicity: percentiles collapse, no advice
+    val uni = (0 until 30).flatMap(i => Seq.fill(3)(s"k$i")).toDF("k")
+    val u = Relational.skewReport(uni, "k", "t").collect().head
+    assert((u.getLong(5), u.getLong(6), u.getLong(7)) == ((3L, 3L, 3L)))
+    assert(!u.getBoolean(8))
+  }
+
   test("collapseWordRuns drops stutter only, idempotently, across separator runs") {
     import spark.implicits._
     val rows = Seq(
