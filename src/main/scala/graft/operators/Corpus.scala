@@ -1679,25 +1679,38 @@ object Corpus {
 
   private[graft] val DsirBuckets = 4096
 
+  /** The space-compacted word list of `text` (empties dropped, so
+    * runs of separators never mint phantom grams) — THE shared
+    * tokenization every word-gram operator builds on; the oracles
+    * mirror it with list_filter before any pairing. */
+  private[graft] def compactWords(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Adjacent n-grams of an already-compacted word list `ws`, space-
+    * joined — shared by the DSIR feature stream, the row-wise scorer
+    * and the diversity meter so their gram definitions cannot drift
+    * (the DefaultShingleMaxDf lesson applied to gram construction).
+    * Guarded: a list shorter than n yields the empty array (Spark's
+    * sequence(1, 0) would DESCEND, not return empty). */
+  private[graft] def adjacentGrams(ws: Column, n: Int): Column =
+    if (n == 1) ws
+    else when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(ws, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** One row per gram OCCURRENCE (unigrams + adjacent bigrams over
     * the space-compacted word list) with its hash bucket — the
     * feature stream both distribution estimation and per-doc scoring
-    * consume. Carried columns ride along (`keep`). The word list is
-    * compacted (empties dropped) BEFORE bigram pairing so runs of
-    * separators don't mint phantom grams — the oracle mirrors this
-    * with list_filter before pairing. */
+    * consume. Carried columns ride along (`keep`). */
   private[graft] def dsirGrams(docs: DataFrame, textCol: String,
-                               keep: String*): DataFrame = {
-    val fws = filter(split(col(textCol), " "), w => length(w) > 0)
-    docs.select(keep.map(col) :+ fws.as("ws"): _*)
+                               keep: String*): DataFrame =
+    docs.select(keep.map(col) :+ compactWords(col(textCol)).as("ws"): _*)
       .select(keep.map(col) :+ explode(concat(col("ws"),
-        when(size(col("ws")) >= 2, expr(
-          "transform(sequence(1, size(ws) - 1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-          .otherwise(array().cast("array<string>")))).as("gram"): _*)
+        adjacentGrams(col("ws"), 2))).as("gram"): _*)
       .withColumn("bucket",
         pmod(xxhash64(col("gram")), lit(DsirBuckets)).cast("int"))
-  }
 
   /** Data Selection via Importance Resampling, the hashed-n-gram
     * variant (Xie et al. 2023, arXiv:2302.03169), integer-exact:
@@ -1764,13 +1777,9 @@ object Corpus {
     * matching [[dsirWeights]]' closed form for a 0-count bucket. */
   def dsirScoreRowwise(docs: DataFrame, textCol: String, wmap: Column,
                        keep: String*): DataFrame =
-    docs.select(keep.map(col) :+
-        filter(split(col(textCol), " "), w => length(w) > 0).as("ws"): _*)
+    docs.select(keep.map(col) :+ compactWords(col(textCol)).as("ws"): _*)
       .select(keep.map(col) :+ concat(col("ws"),
-        when(size(col("ws")) >= 2, expr(
-          "transform(sequence(1, size(ws) - 1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-          .otherwise(array().cast("array<string>"))).as("grams"): _*)
+        adjacentGrams(col("ws"), 2)).as("grams"): _*)
       .select(keep.map(col) ++ Seq(size(col("grams")).as("n_grams"),
         aggregate(
           transform(col("grams"), g => coalesce(
@@ -1796,8 +1805,11 @@ object Corpus {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$auxDir/q186_gram_buckets.parquet")
 
-  private val q186Sql = """
-    WITH ws AS (
+  /** The oracle's DSIR pipeline as one shared CTE block (ws -> grams
+    * -> weights -> per-doc scores) — q186 and q189 both build on it,
+    * so the gate/oracle gram and smoothing definitions cannot drift
+    * apart (the DefaultShingleMaxDf lesson, SQL side). */
+  private[graft] val DsirScoredCte = """ws AS (
       SELECT doc_id, lang,
              list_filter(string_split(text, ' '), w -> length(w) > 0) AS fw
       FROM documents),
@@ -1821,7 +1833,10 @@ object Corpus {
       SELECT g.doc_id, COUNT(*) AS n_grams,
              CAST(SUM(w.w_micros) AS BIGINT) AS score_micros
       FROM grams g JOIN wts w USING (bucket)
-      GROUP BY g.doc_id)
+      GROUP BY g.doc_id)"""
+
+  private val q186Sql = s"""
+    WITH $DsirScoredCte
     SELECT doc_id, n_grams, score_micros,
            CAST(score_micros // n_grams AS BIGINT) AS avg_micros
     FROM scored
@@ -1844,18 +1859,10 @@ object Corpus {
     * already-deduplicated gram keys; nothing pairwise, no window. */
   def ngramDiversity(docs: DataFrame, textCol: String,
                      groupCol: String): DataFrame = {
-    val fws = filter(split(col(textCol), " "), w => length(w) > 0)
-    def gramsOf(n: Int): DataFrame = {
-      val g =
-        if (n == 1) explode(col("ws"))
-        else explode(when(size(col("ws")) >= n, expr(
-          s"transform(sequence(1, size(ws) - ${n - 1}), i -> " +
-            (0 until n).map(j => s"element_at(ws, i + $j)")
-              .mkString("concat_ws(' ', ", ", ", ")") + ")"))
-          .otherwise(array().cast("array<string>")))
-      docs.select(col(groupCol), fws.as("ws"))
-        .select(col(groupCol), lit(n).as("n"), g.as("gram"))
-    }
+    def gramsOf(n: Int): DataFrame =
+      docs.select(col(groupCol), compactWords(col(textCol)).as("ws"))
+        .select(col(groupCol), lit(n).as("n"),
+          explode(adjacentGrams(col("ws"), n)).as("gram"))
     gramsOf(1).unionByName(gramsOf(2)).unionByName(gramsOf(3))
       .groupBy(col(groupCol), col("n"))
       .agg(count(lit(1)).as("n_occurrences"),

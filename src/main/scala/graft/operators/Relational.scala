@@ -1629,6 +1629,9 @@ object Relational {
       .groupBy(col("c")).agg(count(lit(1)).as("n_keys"))
       .orderBy(col("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(hist.nonEmpty,
+      s"skewReport('$label'): the input relation is empty — " +
+        "there is no key distribution to report")
     val nKeys = hist.map(_._2).sum
     val nRows = hist.map { case (c, k) => c * k }.sum
     val maxRows = hist.last._1

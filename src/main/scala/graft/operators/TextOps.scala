@@ -573,7 +573,7 @@ object TextOps {
   def collapseWordRuns(docs: DataFrame, textCol: String,
                        keep: String*): DataFrame =
     docs.select(keep.map(col) :+
-        filter(split(col(textCol), " "), w => length(w) > 0).as("ws"): _*)
+        Corpus.compactWords(col(textCol)).as("ws"): _*)
       .select(keep.map(col) ++ Seq(size(col("ws")).as("words_before"),
         expr("filter(ws, (x, i) -> IF(i = 0, true, element_at(ws, i) <> x))")
           .as("kept")): _*)

@@ -420,9 +420,12 @@ object VersionedStore {
     val disk = listNames(Paths.get(s"$path/data"))
     val zms = cur.map(seg => zoneMap(path, seg)).filter(_.nonEmpty)
     val zmCols = zms.flatMap(_.keySet).distinct.sorted
-    // span of the first stat column covered by EVERY zone-mapped
-    // segment (a partially covered column has no trustworthy span)
-    val span = zmCols.headOption.filter(c => zms.forall(_.contains(c)))
+    // span of the FIRST stat column covered by EVERY zone-mapped
+    // segment (a partially covered column has no trustworthy span —
+    // but a later fully-covered column must not be masked by an
+    // earlier partial one, so this searches rather than filters the
+    // head)
+    val span = zmCols.find(c => zms.forall(_.contains(c)))
       .map(c => (zms.map(_(c)._1).min, zms.map(_(c)._2).max))
     val absorbedFile = Paths.get(s"${summaryDir(path)}/absorbed.txt")
     val nAbsorbed =

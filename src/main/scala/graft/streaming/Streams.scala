@@ -897,14 +897,27 @@ object Streams {
     // bucket-table-sized collect (<= 4096 rows): the trained model
     val wmap = typedLit(Corpus.dsirWeights(docs, "text", isTarget)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-    val scored = Corpus.dsirScores(docs, "text", isTarget)
-      .localCheckpoint() // scored twice below (count + rank pick)
-    val kRank = ((scored.count() + 1) / 2).toInt
-    // k-th order statistic via distributed sort + bounded limit: the
-    // one global sort in the op, paid once at train time, never on
-    // the stream path
-    val thr = scored.select(col("avg_micros")).orderBy(col("avg_micros"))
-      .limit(kRank).agg(max(col("avg_micros"))).head().getLong(0)
+    // the threshold is the discrete median of the batch corpus's
+    // length-normalized scores. avg_micros is VALUE-SPACE-BOUNDED
+    // ([0, 1e6]: every bucket weight is (tgt+1)*1e6 div (raw+1) with
+    // tgt <= raw), so the median comes from a count-per-value
+    // histogram — <= 1e6+1 rows at ANY corpus size — walked on the
+    // driver, never a global sort or a corpus-sized limit. The
+    // scoring pass itself is the shuffle-free row-wise scorer (the
+    // spec pins its doc-for-doc equality with the join-based
+    // dsirScores), so training costs exactly two corpus scans: the
+    // weight aggregate and this histogram.
+    val hist = Corpus.dsirScoreRowwise(docs, "text", wmap, "doc_id")
+      .filter(col("n_grams") > 0)
+      .select(expr("score_micros div n_grams").as("avg_micros"))
+      .groupBy(col("avg_micros")).agg(count(lit(1)).as("nk"))
+      .orderBy(col("avg_micros"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kRank = (hist.map(_._2).sum + 1) / 2
+    val thr = {
+      var cum = 0L
+      hist.find { case (_, nk) => cum += nk; cum >= kRank }.get._1
+    }
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -921,32 +934,8 @@ object Streams {
     runToMemory(agg, "complete").orderBy("source")
   }
 
-  private val q189Sql = """
-    WITH ws AS (
-      SELECT doc_id, lang,
-             list_filter(string_split(text, ' '), w -> length(w) > 0) AS fw
-      FROM documents),
-    uni AS (SELECT doc_id, lang, unnest(fw) AS gram FROM ws),
-    big AS (
-      SELECT doc_id, lang,
-             unnest(list_transform(generate_series(1, len(fw) - 1),
-               i -> fw[i] || ' ' || fw[i + 1])) AS gram
-      FROM ws),
-    grams AS (
-      SELECT g.doc_id, g.lang, gb.bucket
-      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) g
-      JOIN read_parquet('/root/repo/target/verify_aux/q186_gram_buckets.parquet/*.parquet') gb
-        ON g.gram = gb.gram),
-    wts AS (
-      SELECT bucket,
-             ((COUNT(*) FILTER (WHERE lang = 'en') + 1) * 1000000)
-               // (COUNT(*) + 1) AS w_micros
-      FROM grams GROUP BY bucket),
-    scored AS (
-      SELECT g.doc_id, COUNT(*) AS n_grams,
-             SUM(w.w_micros) AS score_micros
-      FROM grams g JOIN wts w USING (bucket)
-      GROUP BY g.doc_id),
+  private val q189Sql = s"""
+    WITH ${graft.operators.Corpus.DsirScoredCte},
     avgd AS (
       SELECT doc_id, score_micros // n_grams AS avg_micros FROM scored),
     thr AS (

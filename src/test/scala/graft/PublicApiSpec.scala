@@ -460,6 +460,20 @@ class PublicApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       describeStore(spark, "/root/repo/target/no_such_store", "t")
     }
+    // a later-sorted column covered by EVERY zone-mapped segment must
+    // not be masked by an earlier-sorted partially-covered one
+    val p2 = "/root/repo/target/test_describe_store_span"
+    deleteTree(java.nio.file.Paths.get(p2))
+    val docs2 = (0L until 20L).map(i => (i, i * 2, i * 10))
+      .toDF("doc_id", "a_rank", "n_chars")
+    create(spark, docs2.filter(col("doc_id") < 10), p2)
+    writeZoneMap(spark, p2, "seg=0", Seq("doc_id"))
+    append(spark, docs2.filter(col("doc_id") >= 10), p2)
+    writeZoneMap(spark, p2, "seg=1", Seq("a_rank", "doc_id"))
+    val sp = describeStore(spark, p2, "t").collect().head
+    assert(sp.getAs[String]("zm_cols") == "a_rank,doc_id")
+    assert(sp.getAs[Long]("zm_min") == 0L && sp.getAs[Long]("zm_max") == 19L,
+      "the span must come from doc_id, the column every segment covers")
   }
 
   test("searchTopKHnswBatch where= matches the single-query filtered search") {
