@@ -1766,27 +1766,43 @@ object Corpus {
         expr("score_micros div n_grams").as("avg_micros"))
   }
 
-  /** Per-ROW DSIR scoring against a pre-trained weight map literal —
-    * zero shuffles, zero state: the gram stream never explodes, the
+  /** The trained weight table as ONE dense `DsirBuckets`-length array
+    * literal, indexed by bucket — the shippable form of the model.
+    * Dense on purpose: Catalyst's map-literal lookup (GetMapValue) is
+    * a LINEAR scan of the map per call — 4096 comparisons × every
+    * gram occurrence turned q189's stream into seconds of pure lookup
+    * — while array element_at is O(1). Buckets the training corpus
+    * never hit carry the add-1 smoothing floor ((0+1)·1e6÷(0+1) =
+    * 1e6), dsirWeights' own closed form for a 0-count bucket. */
+  def dsirWeightArray(docs: DataFrame, textCol: String,
+                      isTarget: Column): Column = {
+    val dense = Array.fill(DsirBuckets)(1000000L)
+    dsirWeights(docs, textCol, isTarget).collect()
+      .foreach(r => dense(r.getInt(0)) = r.getLong(1))
+    typedLit(dense.toSeq)
+  }
+
+  /** Per-ROW DSIR scoring against the pre-trained dense weight array
+    * — zero shuffles, zero state: the gram stream never explodes, the
     * whole score is one projection (HOF transform + aggregate over
-    * the in-row gram list, map lookup per gram). This is what makes
-    * the op streamable (q189): admission is a pure function of (row,
-    * broadcast weights), so micro-batch boundaries, replays and
-    * arrival order cannot change a verdict. Buckets absent from the
-    * training corpus coalesce to the add-1 smoothing floor (1e6),
-    * matching [[dsirWeights]]' closed form for a 0-count bucket. */
-  def dsirScoreRowwise(docs: DataFrame, textCol: String, wmap: Column,
-                       keep: String*): DataFrame =
+    * the in-row gram list, an O(1) array index per gram). This is
+    * what makes the op streamable (q189): admission is a pure
+    * function of (row, broadcast weights), so micro-batch boundaries,
+    * replays and arrival order cannot change a verdict. */
+  def dsirScoreRowwise(docs: DataFrame, textCol: String,
+                       weights: Column, keep: String*): DataFrame =
     docs.select(keep.map(col) :+ compactWords(col(textCol)).as("ws"): _*)
       .select(keep.map(col) :+ concat(col("ws"),
         adjacentGrams(col("ws"), 2)).as("grams"): _*)
       .select(keep.map(col) ++ Seq(size(col("grams")).as("n_grams"),
-        aggregate(
-          transform(col("grams"), g => coalesce(
-            element_at(wmap,
-              pmod(xxhash64(g), lit(DsirBuckets)).cast("int")),
-            lit(1000000L))),
-          lit(0L), (acc, x) => acc + x).as("score_micros")): _*)
+        // one fused fold — no intermediate transformed array; HOF
+        // lambdas are interpreted per element, so the avoided
+        // allocation/copy is a real constant-factor win on the
+        // per-gram hot path
+        aggregate(col("grams"), lit(0L), (acc, g) => acc +
+          element_at(weights,
+            (pmod(xxhash64(g), lit(DsirBuckets)) + 1).cast("int")))
+          .as("score_micros")): _*)
 
   /** q186: [[dsirScores]] against the English subset as the target
     * domain, top 15 by length-normalized importance. The oracle

@@ -148,28 +148,31 @@ class StreamingSpec extends AnyFunSuite {
     val d = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, d)
     val isTarget = col("lang") === "en"
-    val wmap = typedLit(Corpus.dsirWeights(docs, "text", isTarget)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    val weights = Corpus.dsirWeightArray(docs, "text", isTarget)
     val batch = Corpus.dsirScores(docs, "text", isTarget)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val rowwise = Corpus.dsirScoreRowwise(docs, "text", wmap, "doc_id")
+    val rowwise = Corpus.dsirScoreRowwise(docs, "text", weights, "doc_id")
       .filter(col("n_grams") > 0)
       .collect().map(r => (r.getLong(0), (r.getInt(1).toLong, r.getLong(2))))
       .toMap
     assert(rowwise == batch,
       "the streaming scorer must reproduce the batch join score exactly")
-    // a bucket ABSENT from the weight table scores the smoothing
-    // floor (0+1)*1e6/(0+1) — the closed form dsirWeights would give
-    // a 0-count bucket. (A merely-unseen GRAM usually hashes into an
-    // occupied bucket and takes that bucket's trained weight — that
-    // is DSIR's hashing semantics, not a fallback case.)
-    val emptyMap = typedLit(Map.empty[Int, Long])
+    // a bucket the training corpus never hit carries the smoothing
+    // floor (0+1)*1e6/(0+1) in the dense array — dsirWeights' closed
+    // form for a 0-count bucket. (A merely-unseen GRAM usually hashes
+    // into an occupied bucket and takes that bucket's trained weight
+    // — that is DSIR's hashing semantics, not a fallback case.)
+    val tinyW = Corpus.dsirWeightArray(
+      Seq((0L, "onlyword", true)).toDF("doc_id", "text", "t"),
+      "text", col("t"))
     val a = Corpus.dsirScoreRowwise(
-        Seq((0L, "any words here")).toDF("doc_id", "text"),
-        "text", emptyMap, "doc_id")
+        Seq((0L, "five brand new gram words")).toDF("doc_id", "text"),
+        "text", tinyW, "doc_id")
       .collect().head
-    assert(a.getInt(1) == 5 && a.getLong(2) == 5000000L,
-      s"empty-bucket grams must score the 1e6 floor each, got ${a.getLong(2)}")
+    // the one trained bucket also weighs (1+1)*1e6/(1+1) = 1e6, so
+    // every gram scores exactly the floor
+    assert(a.getInt(1) == 9 && a.getLong(2) == 9 * 1000000L,
+      s"untrained buckets must score the 1e6 floor each: ${a.getLong(2)}")
   }
 
   test("replayed upsert micro-batch is a no-op: same identities, same inventory") {
