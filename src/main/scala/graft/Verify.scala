@@ -96,7 +96,7 @@ object Verify {
       ("q67b clustered", Set("q67b_ann_recall_clustered", "q102_ann_hnsw",
           "q128_semdedup", "q129_pq_clustered", "q133_pq_residual",
           "q142_pq_drift", "q146_hard_negatives", "q149_embedding_outliers",
-          "q176_retrain_policy", "q180_stream_retrain"),
+          "q176_retrain_policy", "q180_stream_retrain", "q191_ivf_binary"),
         () => operators.VectorSearch.materializeClusteredAux(spark, sfDir, auxDir)),
       ("q142 drift books", Set("q142_pq_drift"),
         () => operators.VectorSearch.materializePqDriftAux(spark, sfDir, auxDir)),

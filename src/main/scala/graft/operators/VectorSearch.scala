@@ -896,6 +896,156 @@ object VectorSearch {
     SELECT query_id, rank, vec_id, n_candidates FROM ranked
     WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  // ---- q191: IVF + binary RESIDUAL codes ------------------------------
+
+  /** Sign code of the RESIDUAL v − centroid(cell), packed like q185's
+    * flat code. This is binary quantization composed under a cell
+    * prune — the fix for q185's measured clustered-corpus failure:
+    * all of a cluster's members share the center's absolute sign
+    * pattern (flat Hamming cannot separate them), but their residual
+    * signs are exactly the within-cluster geometry. Same HUGEINT-
+    * mirrorable arithmetic; the subtraction is float, identical IEEE
+    * on both engines. */
+  private def binaryResidualCode(vecCol: String, centCol: String,
+                                 dim: Int = 64): Column =
+    expr(s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
+      s"acc | IF(element_at($vecCol, i + 1) - element_at($centCol, i + 1) > 0F, " +
+      "shiftleft(1L, i), 0L))")
+
+  /** IVF multiprobe + binary residual pre-rank + exact rerank — the
+    * clustered-corpus answer the flat [[knnBinary]] doc promises:
+    * cells bound the candidate set (partition pruning in the
+    * persisted form), 8-byte residual codes rank within the probed
+    * cells, exact cosine settles the top-k. Per (query, probed cell)
+    * the query is re-coded against THAT cell's centroid, so Hamming
+    * compares like with like; a vector belongs to exactly one cell,
+    * so no candidate dedup is needed. Measured on the q67b clustered
+    * corpus at probes=2: recall@3 = 15/15 at every sf with
+    * overfetch=64 (the gate's operating point — 64 reranked of ~2000
+    * in-probe candidates at sf0.1, 0.13%% of the corpus) and
+    * 15/14/11 across sf0.001/0.01/0.1 at overfetch=16 — where flat
+    * binary (q185) measures 2-6/15. Scale shape: the
+    * code table is 8 B/vector riding the cell layout; the pre-rank
+    * exchange carries (query_id, id, hamming) only; queries and
+    * centroids broadcast. */
+  def knnIvfBinary(corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, k: Int, seeds: DataFrame,
+                   lloydIters: Int = 2, probes: Int = 2,
+                   overfetch: Int = 16): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val s = corpus.sparkSession
+    import s.implicits._
+    val (ids, cents) = ivfCentroids(corpus, idCol, vecCol, seeds, lloydIters)
+    val centDf = ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cell", "cvec")
+    val coded = corpus
+      .select(col(idCol), col(vecCol),
+        vecIndexExprs.nearestCell(col(vecCol), ids, cents).as("cell"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        binaryResidualCode(vecCol, "cvec").as("bcode"))
+    val qprobe = queries
+      .select(col("query_id"), col("qvec"),
+        explode(vecIndexExprs.nearestCells(col("qvec"), ids, cents, probes))
+          .as("cell"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        binaryResidualCode("qvec", "cvec").as("qbcode"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col(idCol))
+    val candidates = coded.join(broadcast(qprobe), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        bit_count(col("bcode").bitwiseXOR(col("qbcode"))).as("hamming"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= overfetch)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    candidates
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))),
+        Seq("query_id"))
+      .select(col("query_id"), col(idCol), cos(col(vecCol), col("qvec")).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_candidates"))
+  }
+
+  /** q191: [[knnIvfBinary]] on the clustered corpus with the q67b
+    * training configuration, so the oracle re-derives assignment and
+    * probing from the same dumped centroid table and the residual
+    * packing from the raw floats. */
+  private def q191(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "q191") {
+      val emb = clusteredEmb(s, d)
+      knnIvfBinary(emb, "vec_id", "embedding", q67bQueries(emb), k = 3,
+        seeds = q67bSeeds(emb), probes = Q67bProbes, overfetch = 64)
+        .orderBy("query_id", "rank")
+    }
+
+  /** Residual-sign pack of `vec` against `cent` as the signed 64-bit
+    * value — the q185 HUGEINT mirror, but with bit 63 contributing
+    * its SIGNED weight (−2^63) directly, so no wrap step is needed
+    * and the whole pack is one inlinable expression (a correlated
+    * derived table, which the wrap form would need, cannot see outer
+    * columns in DuckDB). */
+  private def residualPackSql(vec: String, cent: String) = s"""
+        CAST(list_sum(list_transform(generate_series(0, 63),
+          i -> CASE WHEN $vec[i+1] - $cent[i+1] > 0
+               THEN CASE WHEN i = 63 THEN -9223372036854775808::HUGEINT
+                    ELSE (1::HUGEINT << i) END
+               ELSE 0::HUGEINT END)) AS BIGINT)"""
+
+  private def ivfBinaryMirrorSql(corpusT: String, centsT: String,
+                                 probes: Int, overfetch: Int) = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $centsT),
+    assign AS (
+      SELECT e.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM $corpusT e, cents c),
+    assigned AS (SELECT vec_id, cent_id AS cell FROM assign WHERE arn = 1),
+    codes AS (
+      SELECT a.vec_id, a.cell,
+             ${residualPackSql("e.embedding", "c.cvec")} AS bcode
+      FROM assigned a
+      JOIN $corpusT e ON e.vec_id = a.vec_id
+      JOIN cents c ON c.cent_id = a.cell),
+    probe AS (
+      SELECT q.vec_id AS query_id, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${l2Sql("q.embedding", "c.cvec")}, c.cent_id) AS prn
+      FROM $corpusT q, cents c WHERE q.vec_id < 5),
+    qcodes AS (
+      SELECT p.query_id, p.cell,
+             ${residualPackSql("q.embedding", "c.cvec")} AS qbcode
+      FROM probe p
+      JOIN $corpusT q ON q.vec_id = p.query_id
+      JOIN cents c ON c.cent_id = p.cell
+      WHERE p.prn <= $probes),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qc.query_id, co.vec_id,
+               row_number() OVER (PARTITION BY qc.query_id
+                 ORDER BY bit_count(xor(co.bcode, qc.qbcode)), co.vec_id)
+                 AS arn
+        FROM codes co JOIN qcodes qc USING (cell)
+        WHERE co.vec_id <> qc.query_id)
+      WHERE arn <= $overfetch),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, ${cosSql("e", "qe")} AS sim
+      FROM cand
+      JOIN $corpusT e ON e.vec_id = cand.vec_id
+      JOIN $corpusT qe ON qe.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
+             COUNT(*) OVER (PARTITION BY query_id) AS n_candidates
+      FROM scored)
+    SELECT query_id, rank, vec_id, n_candidates FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank"""
+
   // ---- q98: the persisted IVF-SQ index, gated end-to-end ------------
 
   /** Deterministic on-disk location of the q98 index for an sf dir —
@@ -2302,6 +2452,9 @@ object VectorSearch {
         "sq8" -> sq8MirrorSql(AuxQ67bCorpus, AuxQ67bCorpus, 16)))
 
   // declared after AuxQ67bCorpus: object vals initialize in order
+  private val q191Sql =
+    ivfBinaryMirrorSql(AuxQ67bCorpus, AuxQ67bCents, Q67bProbes, 64)
+
   private val q102Sql = recallMirrorSql(AuxQ67bCorpus,
     Q102EfPoints.map(ef => s"hnsw_ef$ef" ->
       s"SELECT query_id, vec_id, n_candidates FROM ${auxHnsw(ef)}"))
@@ -4592,6 +4745,7 @@ object VectorSearch {
     Query("q65_ann_ivf",        q65, Some(q65Sql)),
     Query("q69_ann_sq8",        q69, Some(q69Sql)),
     Query("q185_ann_binary",    q185, Some(q185Sql)),
+    Query("q191_ivf_binary",    q191, Some(q191Sql)),
     Query("q66_label_centroids", q66, Some(q66Sql)),
     Query("q67_ann_recall",      q67, Some(q67Sql)),
     Query("q67b_ann_recall_clustered", q67b, Some(q67bSql)),

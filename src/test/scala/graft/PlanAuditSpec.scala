@@ -232,7 +232,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "annLsh" -> VectorSearch.annLsh(emb, "vec_id", "embedding", qs, k = 3, dim = 64),
       "annIvf" -> VectorSearch.annIvf(emb, "vec_id", "embedding", qs, k = 3, seeds = seeds),
       "knnSq8" -> VectorSearch.knnSq8(emb, "vec_id", "embedding", qs, k = 3),
-      "knnBinary" -> VectorSearch.knnBinary(emb, "vec_id", "embedding", qs, k = 3))
+      "knnBinary" -> VectorSearch.knnBinary(emb, "vec_id", "embedding", qs, k = 3),
+      "knnIvfBinary" -> VectorSearch.knnIvfBinary(emb, "vec_id", "embedding",
+        qs, k = 3, seeds = seeds))
     frames.foreach { case (name, df) =>
       df.collect() // finalize the adaptive plan
       val exchanges = allShuffles(df.queryExecution.executedPlan)
