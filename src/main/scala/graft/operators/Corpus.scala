@@ -1912,7 +1912,95 @@ object Corpus {
              AS ttr_micros
     FROM grams GROUP BY source, n ORDER BY source, n"""
 
+  // ---- q192: temperature-smoothed mixture targets --------------------
+
+  /** α-smoothed multilingual sampling targets (the mT5/XLM-R
+    * rebalancing: sample language l proportional to p_l^α so
+    * low-resource languages are upweighted; Conneau et al. 2020
+    * arXiv:1911.02116 §3.1, Xue et al. 2021 arXiv:2010.11934 use
+    * α ∈ [0.2, 0.7]) at the standard α = 1/2, which is the ONE
+    * exponent with an exact integer form: weight_l = ⌊√n_l⌋ via a
+    * boundary-corrected floor(sqrt) (float sqrt can be off by one ulp
+    * AT a perfect square; the ±1 correction makes it exact for any
+    * BIGINT on both engines — general α needs float pow, which is
+    * engine-divergent, so this op fixes the standard point rather
+    * than ship irreproducible targets). Doc targets allocate the
+    * budget by largest remainder — floor(budget·w_l / Σw) plus one
+    * extra to the largest remainders (ties to the first group) — so
+    * they sum EXACTLY to the budget. Feed the targets to
+    * [[mixturePlan]] / [[sampleAtRates]] to execute the sample.
+    *
+    * Scale shape: one partial-agg count per group, then every
+    * derivation on the GROUP-CARDINALITY-bounded table (a window
+    * over ≤ #languages rows — the q179 convention). */
+  def temperatureTargets(docs: DataFrame, groupCol: String,
+                         budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val isq = // exact ⌊√n⌋: float floor(sqrt) ± boundary correction
+      "CAST(floor(sqrt(CAST(n_total AS DOUBLE))) AS BIGINT)"
+    val wAll = Window.partitionBy()
+    val wRem = Window.partitionBy()
+      .orderBy(col("rem").desc, col(groupCol))
+    docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_total"))
+      .withColumn("t", expr(isq))
+      .withColumn("weight", expr(
+        "t + IF((t + 1) * (t + 1) <= n_total, 1L, 0L)" +
+          " - IF(t * t > n_total, 1L, 0L)"))
+      .withColumn("wsum", sum(col("weight")).over(wAll))
+      .withColumn("share_micros", expr("weight * 1000000L div wsum"))
+      .withColumn("floor_target", expr(s"${budget}L * weight div wsum"))
+      .withColumn("rem", expr(s"${budget}L * weight % wsum"))
+      .withColumn("slots",
+        lit(budget) - sum(col("floor_target")).over(wAll))
+      .withColumn("target_docs",
+        col("floor_target") +
+          when(row_number().over(wRem) <= col("slots"), 1L).otherwise(0L))
+      .select(col(groupCol), col("n_total"), col("weight"),
+        col("share_micros"), col("target_docs"))
+  }
+
+  /** q192: [[temperatureTargets]] per lang at a half-corpus budget —
+    * the oracle re-derives the corrected isqrt, shares and the
+    * largest-remainder fill, and the target column itself proves
+    * Σ targets = budget. */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val budget = Tables.documents(s, d).count() / 2
+    temperatureTargets(Tables.documents(s, d), "lang", budget)
+      .orderBy("lang")
+  }
+
+  private val q192Sql = """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+    budget AS (SELECT COUNT(*) // 2 AS b FROM documents),
+    w AS (
+      SELECT lang, n_total,
+             t + CASE WHEN (t + 1) * (t + 1) <= n_total THEN 1 ELSE 0 END
+               - CASE WHEN t * t > n_total THEN 1 ELSE 0 END AS weight
+      FROM (SELECT lang, n_total,
+              CAST(floor(sqrt(CAST(n_total AS DOUBLE))) AS BIGINT) AS t
+            FROM counts)),
+    shares AS (
+      SELECT lang, n_total, weight,
+             weight * 1000000 // SUM(weight) OVER () AS share_micros,
+             b.b * weight // SUM(weight) OVER () AS floor_target,
+             b.b * weight % SUM(weight) OVER () AS rem,
+             b.b AS b
+      FROM w, budget b),
+    filled AS (
+      SELECT lang, n_total, weight, share_micros,
+             floor_target + CASE WHEN
+               row_number() OVER (ORDER BY rem DESC, lang)
+                 <= b - SUM(floor_target) OVER () THEN 1 ELSE 0 END
+               AS target_docs
+      FROM shares)
+    SELECT lang, n_total, CAST(weight AS BIGINT) AS weight,
+           CAST(share_micros AS BIGINT) AS share_micros,
+           CAST(target_docs AS BIGINT) AS target_docs
+    FROM filled ORDER BY lang"""
+
   val queries: Seq[Query] = Seq(
+    Query("q192_temperature_mixture", q192, Some(q192Sql)),
     Query("q188_ngram_diversity", q188, Some(q188Sql)),
     Query("q186_dsir_select", q186, Some(q186Sql)),
     Query("q178_length_buckets", q178, Some(q178Sql)),

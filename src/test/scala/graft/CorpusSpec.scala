@@ -59,6 +59,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == scored)
   }
 
+  test("temperatureTargets: exact isqrt at boundaries, budget-exact fill, upweighting") {
+    import spark.implicits._
+    // groups sized at perfect squares and one-off-boundaries: the
+    // corrected floor(sqrt) must be exact at n = k^2 and k^2 - 1
+    val sizes = Map("a" -> 100L, "b" -> 99L, "c" -> 121L, "d" -> 1L)
+    val docs = sizes.toSeq.flatMap { case (g, n) =>
+      (0L until n).map(i => (g, i)) }.toDF("lang", "doc_id")
+    val budget = 160L
+    val rows = operators.Corpus.temperatureTargets(docs, "lang", budget)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("a")._2 == 10L && rows("b")._2 == 9L &&
+      rows("c")._2 == 11L && rows("d")._2 == 1L,
+      s"isqrt weights wrong: $rows")
+    // targets sum EXACTLY to the budget (largest-remainder fill)
+    assert(rows.values.map(_._4).sum == budget)
+    // alpha=1/2 upweights the low-resource group: d is 1/321 of the
+    // corpus but gets 1/31 of the weight mass
+    assert(rows("d")._3 > 1000000L * 1 / 321,
+      "low-resource share must exceed its proportional share")
+    // and never hands a group more than proportional-to-weight + 1
+    rows.values.foreach { case (_, w, _, t) =>
+      assert((t - budget * w / 31).abs <= 1L)
+    }
+  }
+
   test("ngramDiversity counts occurrences, types and micros ratios exactly") {
     import spark.implicits._
     val docs = Seq((0L, "a a b", "s"), (1L, "c", "s"), (2L, "", "s"))
