@@ -109,7 +109,7 @@ object Verify {
       ("q138 residual pq layout", Set("q138_ivfpqr_search"),
         () => operators.VectorSearch.materializePqrAux(spark, sfDir, auxDir)),
       ("q139 cluster topics", Set("q139_cluster_topics", "q140_cluster_mixture",
-          "q158_tri_hybrid", "q174_eval_mrr"),
+          "q158_tri_hybrid", "q174_eval_mrr", "q193_ranker_agreement"),
         () => operators.VectorSearch.materializeClusterTopicsAux(spark, sfDir, auxDir)),
       ("q174 eval queries", Set("q174_eval_mrr"),
         () => operators.VectorSearch.materializeEvalAux(spark, sfDir, auxDir)),
@@ -130,7 +130,7 @@ object Verify {
         () => operators.Corpus.materializeBloomAux(spark, sfDir, auxDir)),
       ("q186 dsir gram buckets", Set("q186_dsir_select", "q189_stream_dsir"),
         () => operators.Corpus.materializeDsirAux(spark, sfDir, auxDir)),
-      ("q158 tri-hybrid query", Set("q158_tri_hybrid"),
+      ("q158 tri-hybrid query", Set("q158_tri_hybrid", "q193_ranker_agreement"),
         () => operators.Hybrid.materializeTriHybridAux(spark, sfDir, auxDir)),
       ("q41 chunks", Set("q41_chunk_stats"),
         () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),

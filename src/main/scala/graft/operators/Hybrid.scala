@@ -1303,24 +1303,39 @@ object Hybrid {
     * joins three k-row lists. A term absent from the corpus
     * ('partition') scores nothing on the lexical arm and the fusion
     * degrades gracefully — the oracle re-derives that too. */
-  private def q158(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    LexicalStore.buildOnce(s, docs, lexPath(d))
-    val terms = Q150QueryText.split(" ").toIndexedSeq
-    val lex = LexicalStore.searchTopKLexical(s, lexPath(d), terms, Q158Depth)
+  /** The q158 lexical arm at `depth`: the gate-pinned q115 layout
+    * path, `(doc_id, lex_rank)` — shared with q193 so the gate and
+    * the agreement meter rank with ONE definition. */
+  private def lexArm(s: SparkSession, d: String, depth: Int): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.searchTopKLexical(s, lexPath(d),
+        Q150QueryText.split(" ").toIndexedSeq, depth)
       .select(col("doc_id"), col("lex_rank"))
+  }
+
+  /** The q158 dense arm at `depth`: q139's doc embeddings vs the
+    * whole-query vector, `(doc_id, vec_rank)` — shared with q193. */
+  private def vecArm(s: SparkSession, d: String, depth: Int): DataFrame = {
+    val sess = s
+    import sess.implicits._
     val qdf = Seq(Tuple1(
       graft.functions.Embed.embed(Q150QueryText, graft.functions.Embed.DefaultDim).toSeq))
       .toDF("qvec")
-    val vec = VectorSearch.docEmbCached(s, d)
+    VectorSearch.docEmbCached(s, d)
       .crossJoin(broadcast(qdf))
       .select(col("doc_id"),
         VectorOps.vecCosine(col("embedding"), col("qvec")).as("sim"))
-      .orderBy(col("sim").desc, col("doc_id")).limit(Q158Depth)
+      .orderBy(col("sim").desc, col("doc_id")).limit(depth)
       .withColumn("vec_rank", row_number().over(
         Window.orderBy(col("sim").desc, col("doc_id"))))
       .select(col("doc_id"), col("vec_rank"))
+  }
+
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val lex = lexArm(s, d, Q158Depth)
+    val vec = vecArm(s, d, Q158Depth)
     buildColbertOnce(s, docs, colbertPath(d), Q150MaxToks, Q153Cells)
     val li = searchColbert(s, colbertPath(d), Q150QueryText, Q153Probes, Q158Depth)
       .select(col("doc_id"), col("rank").as("li_rank"))
@@ -1353,8 +1368,10 @@ object Hybrid {
       .parquet(s"$auxDir/q158_query.parquet")
   }
 
-  private val q158Sql = s"""
-    WITH tf AS (
+  /** The q158 oracle's lexical-arm CTE chain (raw-table BM25 at
+    * `depth` → `lexk(doc_id, lex_rank)`) — shared with q193 so the
+    * two oracles' ranking definitions cannot drift. */
+  private def lexRankCte(depth: Int) = s"""tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
       WHERE length(term) > 0 GROUP BY doc_id, term
@@ -1380,8 +1397,13 @@ object Hybrid {
         SELECT doc_id,
                row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS lex_rank
         FROM lex)
-      WHERE lex_rank <= $Q158Depth
-    ), demb AS (SELECT doc_id, embedding FROM
+      WHERE lex_rank <= $depth
+    )"""
+
+  /** The q158 oracle's dense-arm CTE chain (dumped doc embeddings ×
+    * dumped query vector at `depth` → `veck(doc_id, vec_rank)`) —
+    * shared with q193. */
+  private def vecRankCte(depth: Int) = s"""demb AS (SELECT doc_id, embedding FROM
       read_parquet('/root/repo/target/verify_aux/q139_demb.parquet/*.parquet')
     ), qv AS (SELECT qvec FROM
       read_parquet('/root/repo/target/verify_aux/q158_query.parquet/*.parquet')
@@ -1392,8 +1414,11 @@ object Hybrid {
         FROM (SELECT d.doc_id,
                 ${VectorSearch.cosColsSql("d.embedding", "qv.qvec")} AS sim
               FROM demb d CROSS JOIN qv))
-      WHERE vec_rank <= $Q158Depth
-    ), toks AS (SELECT doc_id, tpos, tokvec FROM
+      WHERE vec_rank <= $depth
+    )"""
+
+  private val q158Sql = s"""
+    WITH ${lexRankCte(Q158Depth)}, ${vecRankCte(Q158Depth)}, toks AS (SELECT doc_id, tpos, tokvec FROM
       read_parquet('/root/repo/target/verify_aux/q150_tokvecs.parquet/*.parquet')
     ), qs AS (SELECT qtok_id, qvec FROM
       read_parquet('/root/repo/target/verify_aux/q150_qtoks.parquet/*.parquet')
@@ -1563,7 +1588,78 @@ object Hybrid {
            doc_id, lex_rank, ce_micros
     FROM scored ORDER BY ce_micros DESC, doc_id LIMIT $Q161K"""
 
+  // ---- q193: ranker-agreement profile (prefix overlap + RBO) ---------
+
+  private val RboP = 0.9
+
+  /** Truncated rank-biased-overlap weights (1−p)·p^(d−1) in micros,
+    * p = 0.9 (Webber, Moffat & Zobel 2010, "A similarity measure for
+    * indefinite rankings", TOIS 28(4)). Computed ONCE driver-side and
+    * embedded as literals in BOTH the Spark plan and the oracle SQL —
+    * no cross-engine float pow ever runs. */
+  private val RboWeightsMicros: IndexedSeq[Long] =
+    (1 to Q158Depth).map(dd =>
+      math.floor(1e6 * (1 - RboP) * math.pow(RboP, dd - 1)).toLong)
+
+  /** q193: how much do the lexical and dense rankers AGREE on this
+    * corpus — the eval-family meter a retrieval stack consults before
+    * spending on fusion (high agreement = RRF adds little; low =
+    * the arms see different relevance and fusion or an interleaved
+    * experiment is worth it). One row per depth d ≤ 20 over the two
+    * q158 arms: list sizes, prefix overlap |A_d ∩ B_d|, agreement
+    * overlap·1e6 div d, and the running truncated RBO at p=0.9 in
+    * micros. Everything after the two depth-bounded arm searches is
+    * arithmetic on ≤ 2·depth rows (the cross with the 20-row depth
+    * table and the running-sum window are depth-bounded, never
+    * corpus-sized). */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val ranks = lexArm(s, d, Q158Depth)
+      .join(vecArm(s, d, Q158Depth), Seq("doc_id"), "full_outer")
+    val depths = (1 to Q158Depth).map(i => (i, RboWeightsMicros(i - 1)))
+      .toDF("d", "w_micros")
+    ranks.crossJoin(broadcast(depths))
+      .groupBy(col("d"), col("w_micros"))
+      .agg(
+        count(when(col("lex_rank") <= col("d"), 1)).as("n_lex"),
+        count(when(col("vec_rank") <= col("d"), 1)).as("n_vec"),
+        count(when(col("lex_rank") <= col("d") &&
+          col("vec_rank") <= col("d"), 1)).as("overlap"))
+      .select(col("d"), col("n_lex"), col("n_vec"), col("overlap"),
+        expr("overlap * 1000000L div d").as("agreement_micros"),
+        expr("w_micros * overlap div d").as("term_micros"))
+      .withColumn("rbo_cum_micros", sum(col("term_micros")).over(
+        Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d"), col("n_lex"), col("n_vec"), col("overlap"),
+        col("agreement_micros"), col("rbo_cum_micros"))
+      .orderBy("d")
+  }
+
+  private val q193Sql = s"""
+    WITH ${lexRankCte(Q158Depth)}, ${vecRankCte(Q158Depth)},
+    ranks AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank
+      FROM lexk l FULL OUTER JOIN veck v ON l.doc_id = v.doc_id),
+    wts(d, w_micros) AS (VALUES ${
+      RboWeightsMicros.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")}),
+    pro AS (
+      SELECT w.d, w.w_micros,
+             COUNT(*) FILTER (WHERE r.lex_rank <= w.d) AS n_lex,
+             COUNT(*) FILTER (WHERE r.vec_rank <= w.d) AS n_vec,
+             COUNT(*) FILTER (WHERE r.lex_rank <= w.d
+                                AND r.vec_rank <= w.d) AS overlap
+      FROM wts w CROSS JOIN ranks r GROUP BY w.d, w.w_micros)
+    SELECT CAST(d AS INTEGER) AS d, n_lex, n_vec, overlap,
+           CAST(overlap * 1000000 // d AS BIGINT) AS agreement_micros,
+           CAST(SUM(w_micros * overlap // d) OVER (ORDER BY d) AS BIGINT)
+             AS rbo_cum_micros
+    FROM pro ORDER BY d"""
+
   val queries: Seq[Query] = Seq(
+    Query("q193_ranker_agreement", q193, Some(q193Sql)),
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
     Query("q158_tri_hybrid", q158, Some(q158Sql)),
     Query("q151_lexical_maintenance", q151, Some(q151Sql)),

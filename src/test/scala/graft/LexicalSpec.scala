@@ -204,6 +204,23 @@ class LexicalSpec extends AnyFunSuite {
     assert(rebuilt.keys.exists(_ < 5), "rebuild must clear tombstones")
   }
 
+  test("ranker agreement profile: bounded counts, exact ratios, monotone RBO") {
+    val rows = SparkEntry.queries("q193_ranker_agreement")(spark, d)
+      .collect()
+    assert(rows.length == 20, "one row per depth 1..20")
+    var prev = -1L
+    rows.foreach { r =>
+      val (dd, nl, nv, ov) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nl <= dd && nv <= dd, "a depth-d prefix holds at most d docs")
+      assert(ov <= math.min(nl, nv), "overlap is bounded by both prefixes")
+      assert(r.getLong(4) == ov * 1000000L / dd, "agreement = overlap/d micros")
+      assert(r.getLong(5) >= prev, "truncated RBO accumulates monotonically")
+      prev = r.getLong(5)
+    }
+    assert(prev <= 1000000L, "truncated RBO mass cannot exceed 1")
+  }
+
   test("colbert upsert equals a fresh build over the replaced corpus") {
     // the q151 convention applied to the token-vector layout: after
     // upsertColbert (re-texted docs + a brand-new doc), searchColbert
