@@ -109,9 +109,10 @@ object Verify {
       ("q138 residual pq layout", Set("q138_ivfpqr_search"),
         () => operators.VectorSearch.materializePqrAux(spark, sfDir, auxDir)),
       ("q139 cluster topics", Set("q139_cluster_topics", "q140_cluster_mixture",
-          "q158_tri_hybrid", "q174_eval_mrr", "q193_ranker_agreement"),
+          "q158_tri_hybrid", "q174_eval_mrr", "q193_ranker_agreement",
+          "q194_eval_ndcg"),
         () => operators.VectorSearch.materializeClusterTopicsAux(spark, sfDir, auxDir)),
-      ("q174 eval queries", Set("q174_eval_mrr"),
+      ("q174 eval queries", Set("q174_eval_mrr", "q194_eval_ndcg"),
         () => operators.VectorSearch.materializeEvalAux(spark, sfDir, auxDir)),
       ("q102 hnsw", Set("q102_ann_hnsw"),
         () => operators.VectorSearch.materializeHnswAux(spark, sfDir, auxDir)),

@@ -4466,10 +4466,11 @@ object VectorSearch {
 
   // ---- q139: cluster topics (corpus exploration) ---------------------
 
-  /** One whole-document embedding pass per (session, sf). */
+  /** One whole-document embedding pass per (session, sf). Carries
+    * `source` so downstream label joins (q194) stay scan-side. */
   private[operators] def docEmbCached(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "doc_emb") {
-      Tables.documents(s, d).select(col("doc_id"), col("text"),
+      Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"),
         graft.functions.Embed.embedCol(col("text")).as("embedding"))
     }
 
@@ -4783,7 +4784,8 @@ object VectorSearch {
     Query("q176_retrain_policy", q176, Some(q176Sql)),
     Query("q146_hard_negatives", q146, Some(q146Sql)),
     Query("q149_embedding_outliers", q149, Some(q149Sql)),
-    Query("q174_eval_mrr",      q174, Some(q174Sql)))
+    Query("q174_eval_mrr",      q174, Some(q174Sql)),
+    Query("q194_eval_ndcg",     q194, Some(q194Sql)))
 
   // ---- q174: retrieval evaluation (self-retrieval MRR) ---------------
 
@@ -4858,4 +4860,126 @@ object VectorSearch {
            CAST(CASE WHEN rank <= 10 THEN 1 ELSE 0 END AS INTEGER)
              AS hit_at_10
     FROM ranked WHERE doc_id = query_id ORDER BY query_id"""
+
+  // ---- q194: graded nDCG@k retrieval evaluation ----------------------
+
+  // `final` = compile-time constant: q194Sql is forced during object
+  // init (the queries Seq), BEFORE a plain val this far down would
+  // have been assigned
+  private final val NdcgK = 10
+
+  /** DCG rank discounts ⌊10^6 / log2(r+1)⌋ for r = 1..k (Järvelin &
+    * Kekäläinen 2002, "Cumulated gain-based evaluation of IR
+    * techniques", TOIS 20(4)). Computed ONCE driver-side and embedded
+    * as identical dense-ARRAY literals in both the Spark plan and the
+    * oracle SQL (the q193 RBO-weights discipline) — no cross-engine
+    * float log ever runs, and lookup is an O(1) array index, not a
+    * MAP-literal linear scan. */
+  private[graft] def ndcgWeightsMicros(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Graded nDCG@k over a labeled corpus: `docs` carries (doc_id,
+    * source, embedding), `queries` carries (query_id, qvec) where
+    * query_id is the doc the query was derived from. Relevance is
+    * graded — 3 for the source doc itself, 1 for any doc from the
+    * SAME source (topically related in this corpus's generative
+    * model), 0 otherwise — which is what separates nDCG from q174's
+    * binary MRR: a ranker that misses the exact doc but fills the
+    * prefix with its source-mates still scores. All arithmetic past
+    * the rank window is integer: DCG sums rel·w(r) micros, the ideal
+    * DCG places the single 3 first and min(k−1, n_src−1) ones after
+    * it, ndcg_micros = 10^6·dcg div idcg.
+    *
+    * Scale shape: the query block broadcasts and the corpus scans
+    * ONCE for all queries (the q174/q61 batch shape); the rank filter
+    * becomes a WindowGroupLimit partial top-k; the label join runs
+    * scan-side against the broadcast k·|queries|-row prefix table. */
+  def evalNdcg(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = ndcgWeightsMicros(k)
+    val cum = w.drop(1).scanLeft(0L)(_ + _) // cum(j) = Σ_{i=2..j} w(i)
+    val wArr = expr(s"array(${w.mkString("L,")}L)")
+    val cumArr = expr(s"array(${cum.mkString("L,")}L)")
+    val srcN = docs.groupBy(col("source").as("qsource"))
+      .agg(count(lit(1)).as("n_src"))
+    val qmeta = docs.select(col("doc_id").as("query_id"),
+        col("source").as("qsource"))
+      .join(queries.select("query_id"), "query_id")
+      .join(srcN, "qsource")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val top = docs.select(col("doc_id"), col("embedding"))
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.VectorOps.vecCosine(col("embedding"), col("qvec"))
+          .as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+    docs.select(col("doc_id"), col("source").as("dsource"))
+      .join(broadcast(top.select(col("query_id"), col("doc_id"), col("rank"))),
+        "doc_id")
+      .join(broadcast(qmeta), "query_id")
+      .withColumn("rel",
+        when(col("doc_id") === col("query_id"), 3L)
+          .when(col("dsource") === col("qsource"), 1L).otherwise(0L))
+      .groupBy(col("query_id"), col("n_src"))
+      .agg(sum(col("rel") * element_at(wArr, col("rank"))).as("dcg_micros"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("hits_at_k"))
+      .withColumn("ideal_len", least(lit(k.toLong), col("n_src")))
+      .withColumn("idcg_micros",
+        lit(3L * w.head) + element_at(cumArr, col("ideal_len").cast("int")))
+      .select(col("query_id"), (col("n_src") - 1L).as("n_rel"),
+        col("hits_at_k"), col("dcg_micros"), col("idcg_micros"),
+        expr("1000000L * dcg_micros div idcg_micros").as("ndcg_micros"))
+      .orderBy("query_id")
+  }
+
+  /** q194: [[evalNdcg]] at k=10 over the q174 perturbed self-queries
+    * — the graded companion the eval harness reports next to MRR.
+    * The oracle re-ranks from the dumped query vectors + q139 doc
+    * embeddings and re-derives labels, discounts (same literals) and
+    * every integer step from the raw documents table. */
+  private def q194(s: SparkSession, d: String): DataFrame =
+    evalNdcg(docEmbCached(s, d), q174Queries(s, d), NdcgK)
+
+  private lazy val q194Sql = {
+    val w = ndcgWeightsMicros(NdcgK)
+    val cum = w.drop(1).scanLeft(0L)(_ + _)
+    s"""
+    WITH qs AS (SELECT query_id, qvec FROM
+      read_parquet('/root/repo/target/verify_aux/q174_queries.parquet/*.parquet')
+    ), demb AS (SELECT doc_id, embedding FROM $AuxQ139Demb
+    ), ranked AS (
+      SELECT q.query_id, d.doc_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY (${cosColsSql("d.embedding", "q.qvec")}) DESC,
+                        d.doc_id) AS rank
+      FROM demb d CROSS JOIN qs q),
+    top AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= $NdcgK),
+    srcn AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+    qmeta AS (
+      SELECT d.doc_id AS query_id, d.source AS qsource, s.n_src
+      FROM documents d JOIN srcn s USING (source)
+      WHERE d.doc_id IN (SELECT query_id FROM qs)),
+    labeled AS (
+      SELECT t.query_id, q.n_src,
+             CASE WHEN t.doc_id = t.query_id THEN 3
+                  WHEN dd.source = q.qsource THEN 1 ELSE 0 END AS rel,
+             ([${w.mkString(",")}])[t.rank] AS w
+      FROM top t JOIN qmeta q USING (query_id)
+           JOIN documents dd ON dd.doc_id = t.doc_id),
+    agg AS (
+      SELECT query_id, n_src, SUM(rel * w) AS dcg_micros,
+             SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits_at_k
+      FROM labeled GROUP BY query_id, n_src)
+    SELECT query_id, CAST(n_src - 1 AS BIGINT) AS n_rel,
+           CAST(hits_at_k AS BIGINT) AS hits_at_k,
+           CAST(dcg_micros AS BIGINT) AS dcg_micros,
+           CAST(${3L * w.head} + ([${cum.mkString(",")}])[LEAST($NdcgK, n_src)]
+             AS BIGINT) AS idcg_micros,
+           CAST(1000000 * dcg_micros
+             // (${3L * w.head} + ([${cum.mkString(",")}])[LEAST($NdcgK, n_src)])
+             AS BIGINT) AS ndcg_micros
+    FROM agg ORDER BY query_id"""
+  }
 }
