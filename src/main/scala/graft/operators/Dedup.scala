@@ -803,6 +803,135 @@ object Dedup {
     FROM spans GROUP BY doc_id, n_tokens
     ORDER BY doc_id"""
 
+  // ---- q195: duplicated-span scrub (the rewrite half of q130) --------
+
+  /** Cut non-first occurrences of cross-document duplicated spans —
+    * the REWRITE half of span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499
+    * removes all-but-one occurrence of long repeated substrings;
+    * [[duplicatedSpans]]/q130 is the detection half that only
+    * reports them). The pairing mirrors q95→q187 for intra-doc
+    * repetition: detect, then actually clean.
+    *
+    * Semantics: over the same k-token gram stream as q130 (same df
+    * band [2, maxDf] — intra-doc-only repeats have one distinct doc
+    * and are q187's business, not this operator's; grams above the
+    * cap are the boilerplate q130 also excludes), each duplicated
+    * gram's KEEPER is its lexicographic-min (doc_id, pos) occurrence
+    * corpus-wide. A token is dropped iff some non-keeper duplicated
+    * window covers it and no keeper window does — so exactly one
+    * copy of every duplicated span survives, and the keeper's tokens
+    * are immune even where other removable windows overlap them.
+    * Dropping is deterministic: replays and partitioning cannot move
+    * a keeper.
+    *
+    * Scale shape: the gram table is checkpointed once (the q130
+    * inverted-index discipline); the df band comes from a partial-agg
+    * table joined back (never a per-gram window — the join fans out
+    * at most maxDf per gram by construction); the keeper is a
+    * partial-agg struct MIN on the gram key; coverage is ONE shuffle
+    * of (doc_id, token, flag) ids; and the rewrite itself is
+    * scan-side — a per-doc drop-list array joins back to the corpus
+    * and a higher-order filter cuts the tokens, so no token-level
+    * word data ever shuffles. Returns one row PER CHANGED DOC:
+    * (doc_id, n_tokens, removed_tokens, kept_tokens, clean_md5) —
+    * md5 of the rebuilt text makes the gate hash-sensitive to every
+    * surviving token and separator. */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, maxDf: Int = 64): DataFrame = {
+    val s = docs.sparkSession
+    val base = signatures(s, docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w")))(
+      _.filter(size(col("w")) >= k)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          col("w")))
+    val wins = base.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+        .as(Seq("pos", "h")))
+      .localCheckpoint()
+    val copied = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs").between(2, maxDf))
+      .select(col("h"))
+    // duplicated occurrences only — checkpointed because both the
+    // keeper MIN and the coverage explode read it
+    val occ = wins.join(copied, "h")
+      .select(col("h"), col("doc_id"), col("pos"))
+      .localCheckpoint()
+    val winners = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("wn"))
+    val marked = occ.join(winners, "h")
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") =!= col("wn.d") || col("pos") =!= col("wn.p"))
+          .as("removable"))
+    val cover = marked
+      .select(col("doc_id"), col("removable"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(max(when(!col("removable"), 1).otherwise(0)).as("keep"),
+        max(when(col("removable"), 1).otherwise(0)).as("rem"))
+    val drops = cover.filter(col("rem") === 1 && col("keep") === 0)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("dl"),
+        count(lit(1)).as("removed_tokens"))
+    base.join(drops, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
+        (col("n_tokens") - col("removed_tokens")).as("kept_tokens"),
+        md5(array_join(
+          expr("filter(w, (x, i) -> NOT array_contains(dl, i))"), " "))
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q195: fixture instantiation of [[scrubSpans]]. Oracle: DuckDB
+    * re-derives the gram stream, df band, struct-MIN keepers,
+    * coverage verdicts, drop lists and the md5 of the rebuilt text
+    * from the RAW documents table — no aux; both engines order the
+    * keeper struct (doc_id, pos) lexicographically and both lambdas
+    * filter on the 0-based token index (DuckDB's is 1-based, hence
+    * the i - 1). The COALESCE matters: DuckDB's array_to_string of
+    * an EMPTY list is NULL, not '' — without it an all-tokens-removed
+    * doc hashes on the Spark side only. */
+  private def q195(s: SparkSession, d: String): DataFrame =
+    scrubSpans(Tables.documents(s, d), "doc_id", "text")
+
+  private val q195Sql = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+      FROM base, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+    copied AS (SELECT h FROM wins GROUP BY h
+               HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    occ AS (SELECT w.doc_id, w.pos, w.h FROM wins w JOIN copied USING (h)),
+    winners AS (
+      SELECT h, MIN({'d': doc_id, 'p': pos}) AS wn FROM occ GROUP BY h),
+    marked AS (
+      SELECT o.doc_id, o.pos,
+             (o.doc_id <> struct_extract(wn, 'd')
+              OR o.pos <> struct_extract(wn, 'p')) AS removable
+      FROM occ o JOIN winners USING (h)),
+    cover AS (
+      SELECT doc_id, pos + j AS tok,
+             MAX(CASE WHEN removable THEN 0 ELSE 1 END) AS keep,
+             MAX(CASE WHEN removable THEN 1 ELSE 0 END) AS rem
+      FROM marked, UNNEST(generate_series(0, 7)) AS u(j)
+      GROUP BY doc_id, tok),
+    drops AS (
+      SELECT doc_id, list_sort(list(tok)) AS dl, COUNT(*) AS removed
+      FROM cover WHERE rem = 1 AND keep = 0 GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(d.removed AS BIGINT) AS removed_tokens,
+           CAST(b.n_tokens - d.removed AS BIGINT) AS kept_tokens,
+           md5(COALESCE(array_to_string(
+             list_filter(w, (x, i) -> NOT list_contains(dl, i - 1)), ' '),
+             '')) AS clean_md5
+    FROM base b JOIN drops d USING (doc_id) ORDER BY doc_id"""
+
   // ---- q152: quality-aware canonical survivor selection -------------
 
   /** Per-document cluster label + keep-best rank: [[clusterLabels]]
@@ -1100,5 +1229,6 @@ object Dedup {
     Query("q175_containment",      q175, Some(q175Sql)),
     Query("q54_winnow_overlap",    q54, Some(q54Sql)),
     Query("q68_dedup_recall",      q68, Some(q68Sql)),
-    Query("q130_span_dedup",       q130, Some(q130Sql)))
+    Query("q130_span_dedup",       q130, Some(q130Sql)),
+    Query("q195_span_scrub",       q195, Some(q195Sql)))
 }

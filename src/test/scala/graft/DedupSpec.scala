@@ -137,6 +137,57 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L)._1 == 1L && out(2L)._2 == 20L)
   }
 
+  private def md5hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("scrubSpans cuts the non-first occurrence, leaves the keeper doc " +
+      "unreported, and ignores intra-doc-only repetition") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a1 a2 a3 " + passage + " a4 a5"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 " + passage),
+      (3L, ("s1 s2 s3 s4 s5 s6 s7 s8 " * 2) + "t1 t2 t3 t4"),
+      (4L, (1 to 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.scrubSpans(docs, "doc_id", "text", k = 8)
+      .collect()
+    // doc 1 holds every gram's (min doc_id, min pos) keeper => untouched
+    // and therefore ABSENT; docs 3 (self-repeat, one distinct doc) and 4
+    // (unique) are not this operator's business
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    val r = out.head
+    assert(r.getLong(1) == 27L && r.getLong(2) == 20L && r.getLong(3) == 7L)
+    assert(r.getString(4) == md5hex("b1 b2 b3 b4 b5 b6 b7"))
+  }
+
+  test("scrubSpans: keeper tokens are immune inside their own doc, a " +
+      "doc reduced to nothing hashes the empty string") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val exact = (1 to 20).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      // passage twice in doc 5 (keeper at pos 0, removable at pos 21)
+      // plus once in doc 6 => cross-doc, df = 2
+      (5L, passage + " m1 " + passage),
+      (6L, "c1 c2 " + passage),
+      // docs 7/8 are verbatim-identical: 8 keeps nothing
+      (7L, exact),
+      (8L, exact)
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.scrubSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet == Set(5L, 6L, 8L))
+    // doc 5: its SECOND passage copy (tokens 21..40) is cut; the keeper
+    // occurrence (tokens 0..19) survives untouched
+    assert(out(5L) == ((41L, 20L, 21L, md5hex(passage + " m1"))))
+    assert(out(6L) == ((22L, 20L, 2L, md5hex("c1 c2"))))
+    // doc 8: every token sat under a removable window => empty rebuild
+    assert(out(8L) == ((20L, 20L, 0L, md5hex(""))))
+  }
+
   test("admitAgainstBandStore drops collisions, admits novelty, and a " +
       "replayed batch is a verdict no-op") {
     import spark.implicits._
