@@ -1658,7 +1658,98 @@ object Hybrid {
              AS rbo_cum_micros
     FROM pro ORDER BY d"""
 
+  // ---- q196: pseudo-relevance-feedback expansion search --------------
+
+  private val PrfFbDocs = 5
+  private val PrfFbTerms = 5
+
+  /** The quantized BM25 contribution, token-for-token the
+    * [[LexicalStore.bm25Micros]] tree over columns named
+    * tf/df/len/n_docs/sum_len — the q115Sql fragment, factored so the
+    * q196 oracle's three scoring stages (seed, term mining, weighted
+    * final) provably share one definition. */
+  private val bm25Sql = """CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT)"""
+
+  /** q196: [[LexicalStore.searchTopKPrf]] over the gate-pinned q115
+    * layout with the q150 query — the classic recall lever the
+    * lexical stack was missing (BM25 matches only literal query
+    * terms; Rocchio expansion recalls docs that share the TOPIC's
+    * vocabulary without sharing the query's). Seed top-5, five
+    * expansion terms mined by summed BM25 contribution over the
+    * feedback docs, one weighted re-search (originals 1e6, expansion
+    * [[LexicalStore.PrfExpandMicros]]). The oracle re-derives seed
+    * ranking, mining, selection and the overflow-split weighted
+    * floor from the raw table — a divergence in ANY stage shifts a
+    * rank and breaks the hash. */
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildOnce(s, docs, lexPath(d))
+    LexicalStore.searchTopKPrf(s, lexPath(d), docs,
+      Q150QueryText.split(" ").toIndexedSeq, k = Q150K,
+      fbDocs = PrfFbDocs, fbTerms = PrfFbTerms)
+  }
+
+  private val q196Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), qt(term) AS (
+      VALUES ('stream'), ('window'), ('partition'), ('merge')
+    ), seedsum AS (
+      SELECT tf.doc_id, SUM($bm25Sql) AS lex_micros
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), seed AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS rn
+        FROM seedsum) WHERE rn <= $PrfFbDocs
+    ), wts AS (
+      SELECT tf.term, SUM($bm25Sql) AS w
+      FROM tf JOIN seed USING (doc_id) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.term NOT IN (SELECT term FROM qt)
+      GROUP BY tf.term
+    ), expn AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY w DESC, term) AS rn
+        FROM wts) WHERE rn <= $PrfFbTerms
+    ), allt AS (
+      SELECT term, CAST(1000000 AS BIGINT) AS w FROM qt
+      UNION ALL
+      SELECT term, CAST(${LexicalStore.PrfExpandMicros} AS BIGINT) FROM expn
+    ), fc AS (
+      SELECT tf.doc_id, a.w, $bm25Sql AS m
+      FROM tf JOIN allt a USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+    ), sc AS (
+      SELECT doc_id,
+             CAST(SUM(w * (m // 1000000)
+                      + (w * (m % 1000000)) // 1000000) AS BIGINT)
+               AS prf_micros
+      FROM fc GROUP BY doc_id)
+    SELECT doc_id, CAST(prf_rank AS INTEGER) AS prf_rank, prf_micros
+    FROM (SELECT doc_id, prf_micros,
+                 row_number() OVER (ORDER BY prf_micros DESC, doc_id)
+                   AS prf_rank
+          FROM sc)
+    WHERE prf_rank <= $Q150K ORDER BY prf_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q196_prf_search", q196, Some(q196Sql)),
     Query("q193_ranker_agreement", q193, Some(q193Sql)),
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),
     Query("q158_tri_hybrid", q158, Some(q158Sql)),

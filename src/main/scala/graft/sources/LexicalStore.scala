@@ -448,6 +448,104 @@ object LexicalStore {
       .select(col("doc_id"), col("lex_rank"), col("lex_micros"))
   }
 
+  /** Weight an expansion term carries in [[searchTopKPrf]]'s final
+    * pass, in micros of an original term's weight (Rocchio's β/α).
+    * The flat-λ (binary Rocchio) variant: mined weights SELECT the
+    * expansion terms, the final query carries them all at this one
+    * deterministic weight — the graded-interpolation variant (RM3)
+    * needs a float normalization that would diverge across engines. */
+  val PrfExpandMicros = 500000L
+
+  /** Pseudo-relevance-feedback search (Rocchio 1971 SMART; the RM
+    * family's query-expansion step): seed BM25 top-`fbDocs`, mine
+    * `fbTerms` expansion terms from the feedback docs, re-search once
+    * with original terms at 1e6 micros and expansion terms at
+    * [[PrfExpandMicros]]. Expansion terms are scored by the SAME
+    * quantized [[bm25Micros]] kernel summed over the feedback set
+    * (tf·idf with length normalization — the Robertson term-selection
+    * value, integer-exact here), ranked (weight DESC, term ASC), and
+    * never include an original query term.
+    *
+    * `docs` is the FORWARD source the index was built from: an
+    * inverted layout cannot enumerate a document's terms without a
+    * full scan, so the feedback docs' term vectors come from
+    * re-tokenizing exactly `fbDocs` rows of the id-keyed corpus (an
+    * id-pruned scan — the cheap direction at 100 TB) with the same
+    * [[graft.operators.Corpus.tokens]] kernel build() used; their
+    * candidate terms' df comes from the bucket-pruned postings, so
+    * both stages read |term buckets| directories, never the corpus.
+    * Driver round-trips are metadata-bounded: fbDocs ids, the
+    * feedback docs' distinct candidate terms, fbTerms weights — the
+    * "query rows" convention.
+    *
+    * Weighted scoring is overflow-safe without DECIMAL: with w ≤ 1e6
+    * and a contribution m ≤ 2.2e16 (see [[ScoreScale]]), w·m can pass
+    * 2^63, so both engines compute the EXACT floor((w·m)/1e6) by the
+    * split w·(m div 1e6) + (w·(m mod 1e6)) div 1e6 — each part ≤
+    * 2.2e16, all non-negative, identical integer ops everywhere. */
+  def searchTopKPrf(spark: SparkSession, path: String, docs: DataFrame,
+                    queryTerms: Seq[String], k: Int = 10, fbDocs: Int = 5,
+                    fbTerms: Int = 5, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val qTerms = queryTerms.filter(_.nonEmpty).distinct
+    val seedIds = searchTopKLexical(spark, path, qTerms, fbDocs)
+      .select(col("doc_id")).collect().map(_.get(0)).toSeq
+    val fbTfAll = graft.operators.Corpus.tokens(
+        docs.filter(col(idCol).isInCollection(seedIds))
+          .select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        "text", "doc_id")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // bounded: fbDocs docs' distinct terms
+    // len must count the WHOLE doc (query terms included) — compute it
+    // before the candidate exclusion
+    val fbLens = fbTfAll.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("len"))
+    val fbTf = fbTfAll.filter(!col("term").isin(qTerms: _*))
+    val cands = fbTf.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val stats = spark.read.parquet(s"$path/_stats")
+    val expansion: Seq[String] =
+      if (cands.isEmpty) Seq.empty
+      else {
+        val dfTbl = spark.read.parquet(path)
+          .filter(col("bucket").isin(
+              cands.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
+            col("term").isin(cands: _*))
+          .groupBy(col("term")).agg(max(col("df")).as("df"))
+        fbTf.join(fbLens, "doc_id").join(dfTbl, "term")
+          .crossJoin(broadcast(stats))
+          .select(col("term"),
+            bm25Micros(col("tf"), col("df"), col("len"),
+              col("n_docs"), col("sum_len")).as("m"))
+          .groupBy(col("term")).agg(sum(col("m")).as("w"))
+          .orderBy(col("w").desc, col("term")).limit(fbTerms)
+          .collect().map(_.getString(0)).toSeq
+      }
+    val weighted = qTerms.map((_, 1000000L)) ++
+      expansion.map((_, PrfExpandMicros))
+    val wdf = spark.createDataFrame(weighted).toDF("term", "w")
+    val allTerms = weighted.map(_._1)
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(
+          allTerms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(allTerms: _*))
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
+    val scored = post.join(broadcast(wdf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"),
+        bm25Micros(col("tf"), col("df"), col("len"),
+          col("n_docs"), col("sum_len")).as("m"))
+      .select(col("doc_id"),
+        expr("w * (m div 1000000L) + (w * (m % 1000000L)) div 1000000L")
+          .as("wm"))
+      .groupBy(col("doc_id")).agg(sum(col("wm")).as("prf_micros"))
+    scored.orderBy(col("prf_micros").desc, col("doc_id")).limit(k)
+      .withColumn("prf_rank", row_number().over(
+        Window.orderBy(col("prf_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("prf_rank"), col("prf_micros"))
+  }
+
   /** BATCH lexical top-`k`: every query answered from ONE postings
     * scan pruned to the UNION of all queries' term buckets — a
     * broadcast (query_id, term) table fans each posting row to only

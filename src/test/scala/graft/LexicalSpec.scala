@@ -221,6 +221,58 @@ class LexicalSpec extends AnyFunSuite {
     assert(prev <= 1000000L, "truncated RBO mass cannot exceed 1")
   }
 
+  test("PRF expansion recalls a doc sharing NO query term, and never " +
+      "expands with a query term") {
+    import spark.implicits._
+    // seed docs (0,1) match the query and carry the topic word "salmon";
+    // doc 5 shares ONLY the topic vocabulary — invisible to plain BM25,
+    // exactly what expansion exists to recall. Filler docs keep
+    // "salmon" rare (high idf => it wins the mining rank).
+    val docs = (Seq(
+      (0L, "stream window salmon river"),
+      (1L, "stream window salmon bend"),
+      (5L, "salmon salmon ladder")) ++
+      (10L to 29L).map(i => (i, s"filler$i pad$i pad$i noise")))
+      .toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_prf"
+    LexicalStore.build(spark, docs, p)
+    val q = Seq("stream", "window")
+    val plain = LexicalStore.searchTopKLexical(spark, p, q, 10)
+      .select("doc_id").as[Long].collect().toSet
+    val prf = LexicalStore.searchTopKPrf(spark, p, docs, q, k = 10,
+      fbDocs = 2, fbTerms = 3)
+    val prfIds = prf.select("doc_id").as[Long].collect().toSet
+    assert(!plain.contains(5L), "plain BM25 cannot see doc 5")
+    assert(prfIds.contains(5L), "expansion must recall doc 5")
+    assert(plain.subsetOf(prfIds), "original-term matches still rank")
+    // determinism: two runs, same rows
+    val again = LexicalStore.searchTopKPrf(spark, p, docs, q, k = 10,
+      fbDocs = 2, fbTerms = 3)
+    assert(prf.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("PRF with nothing to expand degenerates to the plain ranking, " +
+      "scores EXACTLY equal") {
+    import spark.implicits._
+    // feedback docs contain only query terms => empty candidate set;
+    // the 1e6-weighted split w*(m div 1e6)+(w*(m mod 1e6)) div 1e6
+    // must reproduce m exactly, not approximately
+    val docs = Seq(
+      (0L, "stream window stream"),
+      (1L, "window stream"),
+      (2L, "stream"),
+      (3L, "window window window")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_prf_empty"
+    LexicalStore.build(spark, docs, p)
+    val q = Seq("stream", "window")
+    val plain = LexicalStore.searchTopKLexical(spark, p, q, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val prf = LexicalStore.searchTopKPrf(spark, p, docs, q, k = 4,
+      fbDocs = 2, fbTerms = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(prf.toSeq == plain.toSeq)
+  }
+
   test("colbert upsert equals a fresh build over the replaced corpus") {
     // the q151 convention applied to the token-vector layout: after
     // upsertColbert (re-texted docs + a brand-new doc), searchColbert
