@@ -650,25 +650,41 @@ object Dedup {
     * the island merge is a per-doc window over only that doc's
     * duplicated positions (bounded by doc length). Nothing is
     * pairwise in the corpus. */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8, maxDf: Int = 64): DataFrame = {
+  /** Gram size and document-frequency cap of the span family (q130
+    * detection, q195 scrub) — ONE pair of constants shared by the
+    * operator defaults, the fixture gates and BOTH oracle SQL strings
+    * (the [[DefaultShingleMaxDf]] discipline: changing either side
+    * alone would desynchronize gate and oracle). */
+  val SpanGramK = 8
+  val SpanMaxDf = 64
+
+  /** One (doc_id, n_tokens, pos, gram-md5) row per k-token window —
+    * the inverted gram stream the span family runs on; slice is
+    * 1-based, pos is the 0-based token offset of the window start.
+    * Checkpointed (via [[signatures]]): it feeds the cross-doc df
+    * aggregate AND the join back — without that each consumer re-runs
+    * the md5 window kernel over the corpus. (At 100 TB this is the
+    * inverted gram index a pipeline persists to storage between
+    * stages — which is also why the q130/q195 gates share one
+    * session-memoized instance.) */
+  private[operators] def gramWindows(docs: DataFrame, idCol: String,
+                                     textCol: String, k: Int): DataFrame = {
     val s = docs.sparkSession
-    val base = signatures(s, docs.select(col(idCol).as("doc_id"),
+    signatures(s, docs.select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("w")))(
       _.filter(size(col("w")) >= k)
-        .select(col("doc_id"),
-          size(col("w")).cast("long").as("n_tokens"), col("w")))
-    // one row per k-token window: (doc_id, pos, md5(gram)); slice is
-    // 1-based, pos is the 0-based token offset of the window start.
-    // Checkpointed: the window table feeds the cross-doc df aggregate
-    // AND the join back — without it each consumer re-runs the md5
-    // window kernel over the corpus. (At 100 TB this is the inverted
-    // gram index a pipeline persists to storage between stages.)
-    val wins = base.select(col("doc_id"), col("n_tokens"),
-      posexplode(expr(
-        s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
-        .as(Seq("pos", "h")))
-      .localCheckpoint()
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          posexplode(expr(
+            s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+            .as(Seq("pos", "h"))))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = SpanGramK, maxDf: Int = SpanMaxDf): DataFrame =
+    spansFromWins(gramWindows(docs, idCol, textCol, k), k, maxDf)
+
+  private[operators] def spansFromWins(wins: DataFrame, k: Int,
+                                       maxDf: Int): DataFrame = {
     // grams copied across docs (>= 2 distinct), minus boilerplate —
     // a partial-agg df table joined back on the gram key, never a
     // per-gram window: a window would colocate EVERY position of a
@@ -766,25 +782,35 @@ object Dedup {
     * island merge from the RAW documents table — no aux; md5 over
     * identically-joined token slices is the engine-portable gram
     * key on both sides. */
-  private def q130(s: SparkSession, d: String): DataFrame =
-    duplicatedSpans(Tables.documents(s, d), "doc_id", "text")
+  /** (session, sf)-memoized fixture gram stream shared by the q130
+    * and q195 gates — one md5 window kernel pass serves detection and
+    * rewrite, the same reuse docEmbCached gives the embedding gates. */
+  private val winsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def fixtureWins(s: SparkSession, d: String): DataFrame =
+    winsCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d),
+      gramWindows(Tables.documents(s, d), "doc_id", "text", SpanGramK))
 
-  private val q130Sql = """
+  private def q130(s: SparkSession, d: String): DataFrame =
+    spansFromWins(fixtureWins(s, d), SpanGramK, SpanMaxDf)
+
+  private val q130Sql = s"""
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS w,
              len(string_split(text, ' ')) AS n_tokens
-      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      FROM documents WHERE len(string_split(text, ' ')) >= $SpanGramK),
     wins AS (
       SELECT doc_id, n_tokens, i - 1 AS pos,
-             md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
-      FROM base, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+             md5(array_to_string(list_slice(w, i, i + ${SpanGramK - 1}), ' ')) AS h
+      FROM base, UNNEST(generate_series(1, len(w) - ${SpanGramK - 1})) AS t(i)),
     dup AS (SELECT h FROM wins GROUP BY h
-            HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+            HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $SpanMaxDf),
     duppos AS (
       SELECT w.doc_id, w.n_tokens, w.pos FROM wins w JOIN dup USING (h)),
     isl AS (
       SELECT doc_id, n_tokens, pos,
-             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= ${SpanGramK - 1}
                   THEN 0 ELSE 1 END AS brk
       FROM duppos),
     grp AS (
@@ -793,7 +819,7 @@ object Dedup {
       FROM isl),
     spans AS (
       SELECT doc_id, n_tokens, island,
-             MAX(pos) + 8 - MIN(pos) AS span_tokens
+             MAX(pos) + $SpanGramK - MIN(pos) AS span_tokens
       FROM grp GROUP BY doc_id, n_tokens, island)
     SELECT doc_id, COUNT(*) AS n_spans,
            CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
@@ -838,18 +864,17 @@ object Dedup {
     * md5 of the rebuilt text makes the gate hash-sensitive to every
     * surviving token and separator. */
   def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 8, maxDf: Int = 64): DataFrame = {
-    val s = docs.sparkSession
-    val base = signatures(s, docs.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("w")))(
-      _.filter(size(col("w")) >= k)
-        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-          col("w")))
-    val wins = base.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
-        .as(Seq("pos", "h")))
-      .localCheckpoint()
+                 k: Int = SpanGramK, maxDf: Int = SpanMaxDf): DataFrame =
+    scrubFromWins(docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w")),
+      gramWindows(docs, idCol, textCol, k), k, maxDf)
+
+  /** The scrub over a prebuilt gram stream: `base` is the (doc_id, w
+    * token-array) rebuild source — a plain scan, re-derived rather
+    * than checkpointed because only the CHANGED docs' rows survive
+    * the final join. */
+  private[operators] def scrubFromWins(base: DataFrame, wins: DataFrame,
+                                       k: Int, maxDf: Int): DataFrame = {
     val copied = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs").between(2, maxDf))
@@ -876,6 +901,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("tok"))).as("dl"),
         count(lit(1)).as("removed_tokens"))
     base.join(drops, "doc_id")
+      .withColumn("n_tokens", size(col("w")).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
         (col("n_tokens") - col("removed_tokens")).as("kept_tokens"),
         md5(array_join(
@@ -894,19 +920,21 @@ object Dedup {
     * an EMPTY list is NULL, not '' — without it an all-tokens-removed
     * doc hashes on the Spark side only. */
   private def q195(s: SparkSession, d: String): DataFrame =
-    scrubSpans(Tables.documents(s, d), "doc_id", "text")
+    scrubFromWins(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w")),
+      fixtureWins(s, d), SpanGramK, SpanMaxDf)
 
-  private val q195Sql = """
+  private val q195Sql = s"""
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS w,
              len(string_split(text, ' ')) AS n_tokens
-      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      FROM documents WHERE len(string_split(text, ' ')) >= $SpanGramK),
     wins AS (
       SELECT doc_id, i - 1 AS pos,
-             md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
-      FROM base, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+             md5(array_to_string(list_slice(w, i, i + ${SpanGramK - 1}), ' ')) AS h
+      FROM base, UNNEST(generate_series(1, len(w) - ${SpanGramK - 1})) AS t(i)),
     copied AS (SELECT h FROM wins GROUP BY h
-               HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+               HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $SpanMaxDf),
     occ AS (SELECT w.doc_id, w.pos, w.h FROM wins w JOIN copied USING (h)),
     winners AS (
       SELECT h, MIN({'d': doc_id, 'p': pos}) AS wn FROM occ GROUP BY h),
@@ -919,7 +947,7 @@ object Dedup {
       SELECT doc_id, pos + j AS tok,
              MAX(CASE WHEN removable THEN 0 ELSE 1 END) AS keep,
              MAX(CASE WHEN removable THEN 1 ELSE 0 END) AS rem
-      FROM marked, UNNEST(generate_series(0, 7)) AS u(j)
+      FROM marked, UNNEST(generate_series(0, ${SpanGramK - 1})) AS u(j)
       GROUP BY doc_id, tok),
     drops AS (
       SELECT doc_id, list_sort(list(tok)) AS dl, COUNT(*) AS removed
