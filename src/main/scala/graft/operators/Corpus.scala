@@ -1924,7 +1924,13 @@ object Corpus {
     * AT a perfect square; the ±1 correction makes it exact for any
     * BIGINT on both engines — general α needs float pow, which is
     * engine-divergent, so this op fixes the standard point rather
-    * than ship irreproducible targets). Doc targets allocate the
+    * than ship irreproducible targets). The corrections compare in
+    * DIVISION form — t+1 ≤ n div (t+1), t > n div t — because the
+    * squared form (t±1)² overflows signed 64-bit when n approaches
+    * Long.Max (Spark would wrap to a wrong weight, DuckDB would
+    * abort); floor-division compares are overflow-free and equivalent
+    * for positive operands, and GREATEST(t, 1) keeps the degenerate
+    * n = 0 row division-safe. Doc targets allocate the
     * budget by largest remainder — floor(budget·w_l / Σw) plus one
     * extra to the largest remainders (ties to the first group) — so
     * they sum EXACTLY to the budget. Feed the targets to
@@ -1944,8 +1950,8 @@ object Corpus {
     docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_total"))
       .withColumn("t", expr(isq))
       .withColumn("weight", expr(
-        "t + IF((t + 1) * (t + 1) <= n_total, 1L, 0L)" +
-          " - IF(t * t > n_total, 1L, 0L)"))
+        "t + IF(t + 1 <= n_total div (t + 1), 1L, 0L)" +
+          " - IF(t > n_total div GREATEST(t, 1L), 1L, 0L)"))
       .withColumn("wsum", sum(col("weight")).over(wAll))
       .withColumn("share_micros", expr("weight * 1000000L div wsum"))
       .withColumn("floor_target", expr(s"${budget}L * weight div wsum"))
@@ -1975,8 +1981,9 @@ object Corpus {
     budget AS (SELECT COUNT(*) // 2 AS b FROM documents),
     w AS (
       SELECT lang, n_total,
-             t + CASE WHEN (t + 1) * (t + 1) <= n_total THEN 1 ELSE 0 END
-               - CASE WHEN t * t > n_total THEN 1 ELSE 0 END AS weight
+             t + CASE WHEN t + 1 <= n_total // (t + 1) THEN 1 ELSE 0 END
+               - CASE WHEN t > n_total // GREATEST(t, 1) THEN 1 ELSE 0 END
+                 AS weight
       FROM (SELECT lang, n_total,
               CAST(floor(sqrt(CAST(n_total AS DOUBLE))) AS BIGINT) AS t
             FROM counts)),

@@ -28,6 +28,20 @@ import graft.sources.LexicalStore
   */
 object Hybrid {
 
+  /** The quantized BM25 contribution, token-for-token the
+    * [[LexicalStore.bm25Micros]] tree over columns named
+    * tf/df/len/n_docs/sum_len — the q115Sql fragment, factored so the
+    * q196 oracle's three scoring stages (seed, term mining, weighted
+    * final) provably share one definition. */
+  private val bm25Sql = """CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT)"""
+
   private def lexPath(d: String): String =
     "/root/repo/target/q115_lex_index/" +
       d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
@@ -80,7 +94,7 @@ object Hybrid {
     * cross-engine exact) and [[LexicalStore.rrfFuse]]'s integer RRF.
     * `lens`/`stats` are derived from `tf` exactly as build() derives
     * them. */
-  private val q115Sql = """
+  private val q115Sql = s"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ), tf AS (
@@ -96,14 +110,7 @@ object Hybrid {
       SELECT DISTINCT term FROM tf WHERE doc_id = 0
     ), contrib AS (
       SELECT tf.doc_id,
-        CAST(floor(1000000.0 * (
-          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
-                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        )) AS BIGINT) AS micros
+        $bm25Sql AS micros
       FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
         JOIN lens USING (doc_id) CROSS JOIN stats
     ), lex AS (
@@ -299,14 +306,7 @@ object Hybrid {
       WHERE length(term) > 0
     ), contrib AS (
       SELECT tf.chunk_id,
-        CAST(floor(1000000.0 * (
-          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
-                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        )) AS BIGINT) AS micros
+        $bm25Sql AS micros
       FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
         JOIN lens USING (chunk_id) JOIN allow USING (chunk_id)
         CROSS JOIN stats
@@ -494,14 +494,7 @@ object Hybrid {
       WHERE length(term) > 0
     ), contrib AS (
       SELECT q.query_id, tf.chunk_id,
-        CAST(floor(1000000.0 * (
-          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
-                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        )) AS BIGINT) AS micros
+        $bm25Sql AS micros
       FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
         JOIN lens USING (chunk_id) CROSS JOIN stats
     ), lex AS (
@@ -712,14 +705,7 @@ object Hybrid {
     ), len1 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf1 GROUP BY doc_id
     ), st1 AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM len1
     ), lex1 AS (
-      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
-          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
-                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      SELECT doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
       FROM tf1 JOIN qterms USING (term) JOIN df1 USING (term)
         JOIN len1 USING (doc_id) CROSS JOIN st1
       GROUP BY doc_id
@@ -748,14 +734,7 @@ object Hybrid {
     ), len3 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf3 GROUP BY doc_id
     ), st3 AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM len3
     ), lex3 AS (
-      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
-          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
-                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      SELECT doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
       FROM tf3 JOIN qterms USING (term) JOIN df3 USING (term)
         JOIN len3 USING (doc_id) CROSS JOIN st3
       GROUP BY doc_id
@@ -826,14 +805,7 @@ object Hybrid {
     ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
     ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
     ), lex AS (
-      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
-          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
-                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      SELECT doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
       FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
         JOIN lens USING (doc_id) CROSS JOIN stats
       GROUP BY doc_id)
@@ -1303,19 +1275,31 @@ object Hybrid {
     * joins three k-row lists. A term absent from the corpus
     * ('partition') scores nothing on the lexical arm and the fusion
     * degrades gracefully — the oracle re-derives that too. */
+  /** (session, sf, depth, side)-memoized arm results: q158 and q193
+    * both rank with these, so the postings search and the full-corpus
+    * cosine pass run once per verify session, not once per consumer.
+    * The cached frames are `depth` rows — the memo is free. */
+  private val armCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, String), DataFrame]
+
   /** The q158 lexical arm at `depth`: the gate-pinned q115 layout
     * path, `(doc_id, lex_rank)` — shared with q193 so the gate and
     * the agreement meter rank with ONE definition. */
-  private def lexArm(s: SparkSession, d: String, depth: Int): DataFrame = {
-    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
-    LexicalStore.searchTopKLexical(s, lexPath(d),
-        Q150QueryText.split(" ").toIndexedSeq, depth)
-      .select(col("doc_id"), col("lex_rank"))
-  }
+  private def lexArm(s: SparkSession, d: String, depth: Int): DataFrame =
+    armCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d, depth, "lex"), {
+        LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+        LexicalStore.searchTopKLexical(s, lexPath(d),
+            Q150QueryText.split(" ").toIndexedSeq, depth)
+          .select(col("doc_id"), col("lex_rank"))
+          .localCheckpoint()
+      })
 
   /** The q158 dense arm at `depth`: q139's doc embeddings vs the
     * whole-query vector, `(doc_id, vec_rank)` — shared with q193. */
-  private def vecArm(s: SparkSession, d: String, depth: Int): DataFrame = {
+  private def vecArm(s: SparkSession, d: String, depth: Int): DataFrame =
+   armCache.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d, depth, "vec"), {
     val sess = s
     import sess.implicits._
     val qdf = Seq(Tuple1(
@@ -1329,10 +1313,10 @@ object Hybrid {
       .withColumn("vec_rank", row_number().over(
         Window.orderBy(col("sim").desc, col("doc_id"))))
       .select(col("doc_id"), col("vec_rank"))
-  }
+      .localCheckpoint()
+  })
 
   private def q158(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, d)
     val lex = lexArm(s, d, Q158Depth)
     val vec = vecArm(s, d, Q158Depth)
@@ -1381,14 +1365,7 @@ object Hybrid {
     ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
     ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
     ), lex AS (
-      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
-          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
-                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      SELECT doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
       FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
         JOIN lens USING (doc_id) CROSS JOIN stats
       GROUP BY doc_id
@@ -1534,14 +1511,7 @@ object Hybrid {
       SELECT DISTINCT term FROM tf WHERE doc_id = 0
     ), contrib AS (
       SELECT tf.doc_id,
-        CAST(floor(1000000.0 * (
-          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
-                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        )) AS BIGINT) AS micros
+        $bm25Sql AS micros
       FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
         JOIN lens USING (doc_id) CROSS JOIN stats
     ), lex AS (
@@ -1596,10 +1566,17 @@ object Hybrid {
     * p = 0.9 (Webber, Moffat & Zobel 2010, "A similarity measure for
     * indefinite rankings", TOIS 28(4)). Computed ONCE driver-side and
     * embedded as literals in BOTH the Spark plan and the oracle SQL —
-    * no cross-engine float pow ever runs. */
-  private val RboWeightsMicros: IndexedSeq[Long] =
+    * no cross-engine float pow ever runs. Floored from the EXACT
+    * decimal 100000·0.9^(d−1), not from a double: IEEE `1 - 0.9` is
+    * 0.09999…8, and floor-after-float lands every weight 1 micro
+    * under the formula's value (99999/89999/80999 for the first
+    * three, where the formula says 100000/90000/81000). */
+  private val RboWeightsMicros: IndexedSeq[Long] = {
+    val pExact = BigDecimal(9, 1) // 0.9, exactly
     (1 to Q158Depth).map(dd =>
-      math.floor(1e6 * (1 - RboP) * math.pow(RboP, dd - 1)).toLong)
+      (BigDecimal(1000000) * (BigDecimal(1) - pExact) * pExact.pow(dd - 1))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+  }
 
   /** q193: how much do the lexical and dense rankers AGREE on this
     * corpus — the eval-family meter a retrieval stack consults before
@@ -1662,20 +1639,6 @@ object Hybrid {
 
   private val PrfFbDocs = 5
   private val PrfFbTerms = 5
-
-  /** The quantized BM25 contribution, token-for-token the
-    * [[LexicalStore.bm25Micros]] tree over columns named
-    * tf/df/len/n_docs/sum_len — the q115Sql fragment, factored so the
-    * q196 oracle's three scoring stages (seed, term mining, weighted
-    * final) provably share one definition. */
-  private val bm25Sql = """CAST(floor(1000000.0 * (
-          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
-                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        )) AS BIGINT)"""
 
   /** q196: [[LexicalStore.searchTopKPrf]] over the gate-pinned q115
     * layout with the q150 query — the classic recall lever the

@@ -907,10 +907,12 @@ object VectorSearch {
     * mirrorable arithmetic; the subtraction is float, identical IEEE
     * on both engines. */
   private def binaryResidualCode(vecCol: String, centCol: String,
-                                 dim: Int = 64): Column =
+                                 dim: Int = 64): Column = {
+    require(dim >= 1 && dim <= 64, s"binary code packs into one long, got dim=$dim")
     expr(s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
       s"acc | IF(element_at($vecCol, i + 1) - element_at($centCol, i + 1) > 0F, " +
       "shiftleft(1L, i), 0L))")
+  }
 
   /** IVF multiprobe + binary residual pre-rank + exact rerank — the
     * clustered-corpus answer the flat [[knnBinary]] doc promises:
@@ -927,11 +929,14 @@ object VectorSearch {
     * binary (q185) measures 2-6/15. Scale shape: the
     * code table is 8 B/vector riding the cell layout; the pre-rank
     * exchange carries (query_id, id, hamming) only; queries and
-    * centroids broadcast. */
+    * centroids broadcast. `dim` bounds the packed residual components
+    * (≤ 64 — one long per code, the [[knnBinary]] knob; wider
+    * embeddings pre-rank on their first `dim` dims and the exact
+    * rerank settles the rest). */
   def knnIvfBinary(corpus: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, k: Int, seeds: DataFrame,
                    lloydIters: Int = 2, probes: Int = 2,
-                   overfetch: Int = 16): DataFrame = {
+                   overfetch: Int = 16, dim: Int = 64): DataFrame = {
     import graft.functions.vecIndexExprs
     val s = corpus.sparkSession
     import s.implicits._
@@ -942,14 +947,14 @@ object VectorSearch {
         vecIndexExprs.nearestCell(col(vecCol), ids, cents).as("cell"))
       .join(broadcast(centDf), Seq("cell"))
       .select(col(idCol), col("cell"),
-        binaryResidualCode(vecCol, "cvec").as("bcode"))
+        binaryResidualCode(vecCol, "cvec", dim).as("bcode"))
     val qprobe = queries
       .select(col("query_id"), col("qvec"),
         explode(vecIndexExprs.nearestCells(col("qvec"), ids, cents, probes))
           .as("cell"))
       .join(broadcast(centDf), Seq("cell"))
       .select(col("query_id"), col("cell"),
-        binaryResidualCode("qvec", "cvec").as("qbcode"))
+        binaryResidualCode("qvec", "cvec", dim).as("qbcode"))
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col(idCol))
     val candidates = coded.join(broadcast(qprobe), Seq("cell"))
