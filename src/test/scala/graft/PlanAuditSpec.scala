@@ -154,6 +154,55 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty || true) // structure probe only
   }
 
+  test("q195: no document text or token arrays inside the scrub's " +
+      "shuffled subtrees") {
+    // the scrub's shuffles are the gram df aggregate, the keeper MIN,
+    // the coverage flags and the drop lists — all ids-only; the token
+    // array w re-enters ONLY at the final scan-side rebuild join (its
+    // corpus scan never moves). Same discipline as the q130 pin.
+    val q = qe("q195_span_scrub")
+    q.optimizedPlan.foreach { node =>
+      val isWindowOrAgg =
+        node.nodeName == "Window" || node.nodeName == "Aggregate"
+      if (isWindowOrAgg)
+        assert(!node.output.exists(o =>
+            o.name == "text" || o.name == "w"),
+          s"wide column in the shuffled subtree: ${node.output.map(_.name)}")
+    }
+  }
+
+  test("q196: the PRF final search prunes the postings read to the " +
+      "weighted terms' buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    // the returned frame IS the weighted final stage (seed + mining
+    // already ran inside the builder); 4 query + <= 5 expansion terms
+    // bound the bucket count
+    val df = SparkEntry.queries("q196_prf_search")(spark, d)
+    df.collect()
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(p =>
+        p.toString.contains("q115_lex_index") && !p.toString.contains("_stats")))
+    assert(idxScans.nonEmpty, "expected scans of the q115 postings:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"postings scan must carry a bucket partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= 9,
+        s"PRF final search with <= 9 terms read $read of " +
+          "16 bucket directories: $f")
+      assert(f.dataFilters.exists(_.references.exists(_.name == "term")),
+        s"term IN-list must reach the postings scan: $f")
+    }
+  }
+
   test("q134: funnel stage aggregations reuse the user_id shuffle key") {
     // every join and aggregation in the funnel is keyed on user_id —
     // no event-log window, no cartesian; the physical plan must
