@@ -1711,7 +1711,57 @@ object Hybrid {
           FROM sc)
     WHERE prf_rank <= $Q150K ORDER BY prf_rank"""
 
+  // ---- q197: exact phrase search over positional postings ------------
+
+  private def posPath(d: String): String =
+    "/root/repo/target/q197_pos_index/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** q197: [[LexicalStore.searchPhrase]] over a positional layout of
+    * the corpus — the Lucene-class feature the frequency postings
+    * cannot answer (tf knows a doc HAS the words; positions know
+    * they're ADJACENT). The phrase is doc 0's first two tokens, so
+    * the whole query is re-derivable by the oracle from the raw
+    * table (the q115 more-like-this convention); the oracle
+    * re-derives compacted token offsets, the per-(doc, term)
+    * position lists, the adjacency count and the ranking. */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildPositionalOnce(s, docs, posPath(d))
+    val phrase = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).take(2).toSeq
+    LexicalStore.searchPhrase(s, posPath(d), phrase, k = 10)
+  }
+
+  private val q197Sql = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS fw
+      FROM documents),
+    qp AS (SELECT fw[1] AS t0, fw[2] AS t1 FROM base WHERE doc_id = 0),
+    tokpos AS (
+      SELECT doc_id, fw[i] AS term, i - 1 AS pos
+      FROM base, UNNEST(generate_series(1, len(fw))) AS u(i)),
+    p0 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+           FROM tokpos JOIN qp ON term = t0 GROUP BY doc_id),
+    p1 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+           FROM tokpos JOIN qp ON term = t1 GROUP BY doc_id),
+    mat AS (
+      SELECT p0.doc_id,
+             len(list_filter(p0.ps, x -> list_contains(p1.ps, x + 1)))
+               AS phrase_tf
+      FROM p0 JOIN p1 USING (doc_id))
+    SELECT doc_id, CAST(phrase_rank AS INTEGER) AS phrase_rank,
+           CAST(phrase_tf AS INTEGER) AS phrase_tf
+    FROM (SELECT doc_id, phrase_tf,
+                 row_number() OVER (ORDER BY phrase_tf DESC, doc_id)
+                   AS phrase_rank
+          FROM mat WHERE phrase_tf > 0)
+    WHERE phrase_rank <= 10 ORDER BY phrase_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q197_phrase_search", q197, Some(q197Sql)),
     Query("q196_prf_search", q196, Some(q196Sql)),
     Query("q193_ranker_agreement", q193, Some(q193Sql)),
     Query("q115_hybrid_rrf", q115, Some(q115Sql)),

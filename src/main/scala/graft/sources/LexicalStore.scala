@@ -408,6 +408,16 @@ object LexicalStore {
     builtOnce.getOrElseUpdate((IndexStore.sessionKey(spark), path, idCol, textCol),
       build(spark, docs, path, idCol, textCol))
 
+  /** [[buildPositional]] under the same once-per-(session, path) memo
+    * as [[buildOnce]] — gate paths build each layout once per verify
+    * session. */
+  def buildPositionalOnce(spark: SparkSession, docs: => DataFrame,
+                          path: String, idCol: String = "doc_id",
+                          textCol: String = "text"): Unit =
+    builtOnce.getOrElseUpdate(
+      (IndexStore.sessionKey(spark), path, idCol, textCol),
+      buildPositional(spark, docs, path, idCol, textCol))
+
   /** Drop every session's build-once memo for `path` — called by
     * [[IndexStore.renameCollection]]/[[IndexStore.deleteCollection]]
     * when the name frees up, so a later build at it really builds. */
@@ -544,6 +554,69 @@ object LexicalStore {
       .withColumn("prf_rank", row_number().over(
         Window.orderBy(col("prf_micros").desc, col("doc_id"))))
       .select(col("doc_id"), col("prf_rank"), col("prf_micros"))
+  }
+
+  /** Build a POSITIONAL postings layout: one row per (doc, term) with
+    * the sorted 0-based offsets of that term in the doc's compacted
+    * token sequence (empty tokens dropped first, so offsets are
+    * dense and both engines derive them identically). Same
+    * term-bucket partitioning as [[build]] — phrase search prunes to
+    * its terms' buckets exactly like scoring search does. Positions
+    * are the Lucene-class addition the frequency layout cannot
+    * express: tf says a doc HAS the words, positions say they are
+    * ADJACENT. Kept as a sibling layout rather than a column on the
+    * scoring postings so the q115 family's bytes and hashes are
+    * untouched; a production deployment would fold both into one
+    * layout. Row width is bounded by per-doc term frequency; the
+    * build is one tokenize pass + one (doc, term) partial agg. */
+  def buildPositional(spark: SparkSession, docs: DataFrame, path: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(expr(
+        s"filter(split($textCol, ' '), w -> length(w) > 0)"))
+        .as(Seq("pos", "term")))
+    toks.groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", bucketCol(col("term")))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+  }
+
+  /** Exact phrase search over a [[buildPositional]] layout: a doc
+    * matches where the phrase's terms occur at CONSECUTIVE offsets,
+    * `phrase_tf` counts the occurrences, ranking is (phrase_tf DESC,
+    * doc_id) — all integers. Each phrase slot reads only its term's
+    * bucket directory; the m−1 doc_id equi-joins intersect candidate
+    * sets that are bounded by the rarest term's document frequency
+    * (AQE broadcast-sizes them at runtime), and the adjacency test is
+    * a scan-side higher-order filter over the joined position arrays
+    * — offsets never explode into rows. A repeated-word phrase
+    * ("the the") works unchanged: both slots read the same rows and
+    * the filter counts overlapping runs. */
+  def searchPhrase(spark: SparkSession, path: String,
+                   phrase: Seq[String], k: Int = 10): DataFrame = {
+    val terms = phrase.filter(_.nonEmpty)
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(
+          terms.distinct.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(terms.distinct: _*))
+    val slots = terms.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"p$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
+    val adjacency = (1 until terms.size)
+      .map(i => s"array_contains(p$i, x + $i)").mkString(" AND ")
+    joined
+      .select(col("doc_id"),
+        expr(s"size(filter(p0, x -> $adjacency))").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("doc_id")).limit(k)
+      .withColumn("phrase_rank", row_number().over(
+        Window.orderBy(col("phrase_tf").desc, col("doc_id"))))
+      .select(col("doc_id"), col("phrase_rank"), col("phrase_tf"))
   }
 
   /** BATCH lexical top-`k`: every query answered from ONE postings

@@ -273,6 +273,37 @@ class LexicalSpec extends AnyFunSuite {
     assert(prf.toSeq == plain.toSeq)
   }
 
+  test("phrase search: adjacency only — scattered, reversed and " +
+      "overlapping-run cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),        // "a b" twice, adjacent
+      (2L, "a c b a z b"),      // both words, never adjacent
+      (3L, "b a b a"),          // "a b" once (pos 1-2); "b a" twice
+      (4L, "x x x y"),          // overlapping run: "x x" counts 2
+      (5L, "c z q")             // neither word
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_pos"
+    LexicalStore.buildPositional(spark, docs, p)
+    def run(phrase: String*) =
+      LexicalStore.searchPhrase(spark, p, phrase, k = 10)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(run("a", "b") == Map(1L -> 2, 3L -> 1),
+      "adjacent occurrences only; scattered doc 2 must not match")
+    // reversed phrase: doc 1 has "a b" twice but "b a" never; docs 3
+    // (b@0 a@1, b@2 a@3) and 2 (b@2 a@3) match — order matters
+    assert(run("b", "a") == Map(3L -> 2, 2L -> 1),
+      "phrase order matters: reversed is a different phrase")
+    assert(run("x", "x") == Map(4L -> 2),
+      "a repeated-word phrase counts overlapping runs")
+    // three-term phrase: only doc 1 has "a b c"
+    assert(run("a", "b", "c") == Map(1L -> 1))
+    // ranking: higher phrase_tf first, then doc_id
+    val ranked = LexicalStore.searchPhrase(spark, p, Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(ranked == Seq((1L, 1), (3L, 2)))
+  }
+
   test("colbert upsert equals a fresh build over the replaced corpus") {
     // the q151 convention applied to the token-vector layout: after
     // upsertColbert (re-texted docs + a brand-new doc), searchColbert

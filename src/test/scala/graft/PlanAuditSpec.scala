@@ -203,6 +203,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q197: phrase search prunes the positional read to the phrase " +
+      "terms' buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+      case q: QueryStageExec => leafScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val df = SparkEntry.queries("q197_phrase_search")(spark, d)
+    df.collect()
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q197_pos_index")))
+    assert(idxScans.nonEmpty, "expected scans of the positional layout:\n" +
+      df.queryExecution.executedPlan)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"positional scan must carry a bucket partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= 2,
+        s"a two-term phrase must open at most 2 bucket directories, read $read: $f")
+    }
+  }
+
   test("q134: funnel stage aggregations reuse the user_id shuffle key") {
     // every join and aggregation in the funnel is keyed on user_id —
     // no event-log window, no cartesian; the physical plan must
