@@ -1760,7 +1760,62 @@ object Hybrid {
           FROM mat WHERE phrase_tf > 0)
     WHERE phrase_rank <= 10 ORDER BY phrase_rank"""
 
+  // ---- q198: proximity (NEAR/slop) search -----------------------------
+
+  private val NearSlop = 3
+
+  /** q198: [[LexicalStore.searchNear]] over the q197 positional
+    * layout — the unordered companion to exact phrase match (Lucene's
+    * slop): the query terms are doc 0's first two DISTINCT tokens, a
+    * pair the oracle re-derives from the raw table, and a doc ranks
+    * by how close together it ever puts them (min |offset delta|,
+    * any order) within slop 3. */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildPositionalOnce(s, docs, posPath(d))
+    val toks = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty)
+    val t0 = toks.head
+    val t1 = toks.find(_ != t0).getOrElse(
+      sys.error("doc 0 has a single distinct token"))
+    LexicalStore.searchNear(s, posPath(d), t0, t1, NearSlop, k = 10)
+  }
+
+  private val q198Sql = s"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS fw
+      FROM documents),
+    tokpos AS (
+      SELECT doc_id, fw[i] AS term, i - 1 AS pos
+      FROM base, UNNEST(generate_series(1, len(fw))) AS u(i)),
+    q0 AS (SELECT fw[1] AS t0 FROM base WHERE doc_id = 0),
+    q1 AS (
+      SELECT term AS t1 FROM (
+        SELECT term, row_number() OVER (ORDER BY pos) AS rn
+        FROM tokpos, q0 WHERE doc_id = 0 AND term <> t0)
+      WHERE rn = 1),
+    pa AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+           FROM tokpos, q0 WHERE term = t0 GROUP BY doc_id),
+    pb AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+           FROM tokpos, q1 WHERE term = t1 GROUP BY doc_id),
+    mat AS (
+      SELECT pa.doc_id,
+             list_min(list_transform(pa.ps, x ->
+               list_min(list_transform(pb.ps, y -> abs(x - y)))))
+               AS min_dist
+      FROM pa JOIN pb USING (doc_id))
+    SELECT doc_id, CAST(near_rank AS INTEGER) AS near_rank,
+           CAST(min_dist AS INTEGER) AS min_dist
+    FROM (SELECT doc_id, min_dist,
+                 row_number() OVER (ORDER BY min_dist ASC, doc_id)
+                   AS near_rank
+          FROM mat WHERE min_dist <= $NearSlop)
+    WHERE near_rank <= 10 ORDER BY near_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q198_near_search", q198, Some(q198Sql)),
     Query("q197_phrase_search", q197, Some(q197Sql)),
     Query("q196_prf_search", q196, Some(q196Sql)),
     Query("q193_ranker_agreement", q193, Some(q193Sql)),

@@ -619,6 +619,39 @@ object LexicalStore {
       .select(col("doc_id"), col("phrase_rank"), col("phrase_tf"))
   }
 
+  /** Pairwise proximity search — the NEAR/slop operator, the other
+    * positional query [[buildPositional]] unlocks: docs where `a` and
+    * `b` occur within `slop` tokens of each other IN ANY ORDER,
+    * scored by the minimum absolute offset distance (1 = adjacent
+    * somewhere, in either order). Same bucket-pruned read as
+    * [[searchPhrase]]; the distance is a scan-side nested
+    * higher-order fold over the two position arrays — O(tf_a · tf_b)
+    * per doc on in-row arrays, no row explosion, nothing pairwise in
+    * the corpus. Ranking (min_dist ASC, doc_id) is all integers. */
+  def searchNear(spark: SparkSession, path: String, a: String, b: String,
+                 slop: Int, k: Int = 10): DataFrame = {
+    require(a.nonEmpty && b.nonEmpty && a != b,
+      "NEAR takes two distinct non-empty terms")
+    require(slop >= 1, s"slop must be >= 1, got $slop")
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(
+          Seq(a, b).map(bucketOf).distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(a, b))
+    val pa = post.filter(col("term") === a)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val pb = post.filter(col("term") === b)
+      .select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, "doc_id")
+      .select(col("doc_id"), expr(
+        "array_min(transform(pa, x -> array_min(transform(pb, y -> abs(x - y)))))")
+        .as("min_dist"))
+      .filter(col("min_dist") <= slop)
+      .orderBy(col("min_dist").asc, col("doc_id")).limit(k)
+      .withColumn("near_rank", row_number().over(
+        Window.orderBy(col("min_dist").asc, col("doc_id"))))
+      .select(col("doc_id"), col("near_rank"), col("min_dist"))
+  }
+
   /** BATCH lexical top-`k`: every query answered from ONE postings
     * scan pruned to the UNION of all queries' term buckets — a
     * broadcast (query_id, term) table fans each posting row to only

@@ -304,6 +304,26 @@ class LexicalSpec extends AnyFunSuite {
     assert(ranked == Seq((1L, 1), (3L, 2)))
   }
 
+  test("NEAR search: any order, slop-bounded, min over every occurrence pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a z z b"),      // min |0-3| = 3
+      (2L, "b a"),          // reversed adjacency: min 1
+      (3L, "a z z z z b a"),// occurrences a@{0,6} b@5: min |6-5| = 1
+      (4L, "a z z z z b"),  // min 5 > slop 3: filtered out
+      (5L, "a a a")         // no b: never joins
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_near"
+    LexicalStore.buildPositional(spark, docs, p)
+    val got = LexicalStore.searchNear(spark, p, "a", "b", slop = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // rank by (min_dist asc, doc_id): docs 2 and 3 at dist 1, doc 1 at 3
+    assert(got == Seq((2L, 1, 1), (3L, 2, 1), (1L, 3, 3)), got.toString)
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchNear(spark, p, "a", "a", slop = 3)
+    }
+  }
+
   test("colbert upsert equals a fresh build over the replaced corpus") {
     // the q151 convention applied to the token-vector layout: after
     // upsertColbert (re-texted docs + a brand-new doc), searchColbert
