@@ -1814,7 +1814,52 @@ object Hybrid {
           FROM mat WHERE min_dist <= $NearSlop)
     WHERE near_rank <= 10 ORDER BY near_rank"""
 
+  // ---- q199: boolean (must/should/must_not) search --------------------
+
+  /** q199: [[LexicalStore.searchBoolean]] over the q115 layout —
+    * Lucene's BooleanQuery semantics: candidates contain BOTH must
+    * terms and no excluded term, ranked by BM25 over must + should.
+    * Literal clause terms, mirrored verbatim in the oracle (the q158
+    * VALUES convention). */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.searchBoolean(s, lexPath(d),
+      must = Seq("stream", "window"), should = Seq("merge"),
+      mustNot = Seq("slow"), k = 10)
+  }
+
+  private val q199Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), mustt(term) AS (VALUES ('stream'), ('window')
+    ), scoret(term) AS (VALUES ('stream'), ('window'), ('merge')
+    ), nott(term) AS (VALUES ('slow')
+    ), gate AS (
+      SELECT doc_id FROM tf JOIN mustt USING (term)
+      GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+    ), banned AS (SELECT DISTINCT doc_id FROM tf JOIN nott USING (term)
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN scoret USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.doc_id IN (SELECT doc_id FROM gate)
+        AND tf.doc_id NOT IN (SELECT doc_id FROM banned)
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(bool_rank AS INTEGER) AS bool_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS bool_rank
+          FROM scored)
+    WHERE bool_rank <= 10 ORDER BY bool_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q199_boolean_search", q199, Some(q199Sql)),
     Query("q198_near_search", q198, Some(q198Sql)),
     Query("q197_phrase_search", q197, Some(q197Sql)),
     Query("q196_prf_search", q196, Some(q196Sql)),

@@ -652,6 +652,62 @@ object LexicalStore {
       .select(col("doc_id"), col("near_rank"), col("min_dist"))
   }
 
+  /** Boolean query — Lucene's BooleanQuery shape over the scoring
+    * layout: candidates must contain EVERY `must` term, no `mustNot`
+    * term, and rank by summed [[bm25Micros]] over the must+should
+    * terms (a should term matched adds score; a must term both gates
+    * and scores — the standard semantics). One bucket-pruned read
+    * serves all three clauses; the must gate is a (doc_id,
+    * distinct-term-count) partial agg equal-to-|must| filter, the
+    * mustNot gate an anti-join, both ids-only. Tombstoned docs never
+    * surface, like every search verb on this layout. */
+  def searchBoolean(spark: SparkSession, path: String,
+                    must: Seq[String], should: Seq[String] = Seq.empty,
+                    mustNot: Seq[String] = Seq.empty,
+                    k: Int = 10): DataFrame = {
+    val mustT = must.filter(_.nonEmpty).distinct
+    val shouldT = should.filter(_.nonEmpty).distinct
+    val notT = mustNot.filter(_.nonEmpty).distinct
+    require(mustT.nonEmpty || shouldT.nonEmpty,
+      "boolean search needs at least one must or should term")
+    require(notT.intersect(mustT ++ shouldT).isEmpty,
+      s"terms cannot be both required/scored and excluded: " +
+        notT.intersect(mustT ++ shouldT).mkString(", "))
+    val allTerms = (mustT ++ shouldT ++ notT).distinct
+    val stats = spark.read.parquet(s"$path/_stats")
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(
+          allTerms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(allTerms: _*))
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
+      .localCheckpoint() // one pruned read feeds all three clauses
+    val gated0 = post.filter(col("term").isin((mustT ++ shouldT): _*))
+    val gated1 =
+      if (mustT.isEmpty) gated0
+      else gated0.join(
+        post.filter(col("term").isin(mustT: _*))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("term")).as("nmust"))
+          .filter(col("nmust") === mustT.size)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val gated =
+      if (notT.isEmpty) gated1
+      else gated1.join(
+        post.filter(col("term").isin(notT: _*)).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val scored = gated.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Micros(col("tf"), col("df"), col("len"),
+          col("n_docs"), col("sum_len")).as("micros"))
+      .groupBy(col("doc_id")).agg(sum(col("micros")).as("lex_micros"))
+    scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
+      .withColumn("bool_rank", row_number().over(
+        Window.orderBy(col("lex_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("bool_rank"), col("lex_micros"))
+  }
+
   /** BATCH lexical top-`k`: every query answered from ONE postings
     * scan pruned to the UNION of all queries' term buckets — a
     * broadcast (query_id, term) table fans each posting row to only

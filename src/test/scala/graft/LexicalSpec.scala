@@ -324,6 +324,33 @@ class LexicalSpec extends AnyFunSuite {
     }
   }
 
+  test("boolean search: must gates, mustNot excludes, should only scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),       // must pair + should: top
+      (2L, "alpha beta"),             // must pair only
+      (3L, "alpha gamma gamma"),      // missing beta: gated out
+      (4L, "alpha beta gamma toxic"), // both musts but banned
+      (5L, "gamma gamma gamma")       // should-only doc: gated out
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_bool"
+    LexicalStore.build(spark, docs, p)
+    val got = LexicalStore.searchBoolean(spark, p,
+        must = Seq("alpha", "beta"), should = Seq("gamma"),
+        mustNot = Seq("toxic"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), got.toString)
+    // should-only query: no gate, every gamma doc scores
+    val shouldOnly = LexicalStore.searchBoolean(spark, p,
+        must = Seq.empty, should = Seq("gamma"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(shouldOnly == Set(1L, 3L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchBoolean(spark, p, must = Seq("alpha"),
+        mustNot = Seq("alpha"))
+    }
+  }
+
   test("colbert upsert equals a fresh build over the replaced corpus") {
     // the q151 convention applied to the token-vector layout: after
     // upsertColbert (re-texted docs + a brand-new doc), searchColbert
