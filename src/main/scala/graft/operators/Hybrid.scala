@@ -1858,7 +1858,50 @@ object Hybrid {
           FROM scored)
     WHERE bool_rank <= 10 ORDER BY bool_rank"""
 
+  // ---- q200: prefix search via the term-dictionary sidecar -----------
+
+  private val PrefixMaxExp = 8
+
+  /** q200: [[LexicalStore.searchPrefix]] over the q115 layout —
+    * PrefixQuery with the maxExpansions rewrite cap: 's%' expands
+    * against the `_vocab` sidecar to the 8 highest-df terms, which
+    * then score through the ordinary bucket-pruned BM25 path. The
+    * oracle re-derives dictionary, df ranking, the cap and the
+    * scoring from the raw table. */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.searchPrefix(s, lexPath(d), "s", k = 10,
+      maxExpansions = PrefixMaxExp)
+  }
+
+  private val q200Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), expn AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+        FROM dfreq WHERE term LIKE 's%')
+      WHERE rn <= $PrefixMaxExp
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN expn USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS lex_rank
+          FROM scored)
+    WHERE lex_rank <= 10 ORDER BY lex_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q200_prefix_search", q200, Some(q200Sql)),
     Query("q199_boolean_search", q199, Some(q199Sql)),
     Query("q198_near_search", q198, Some(q198Sql)),
     Query("q197_phrase_search", q197, Some(q197Sql)),

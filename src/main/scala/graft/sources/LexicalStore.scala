@@ -174,6 +174,15 @@ object LexicalStore {
     tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_stats")
+    // `_vocab` sidecar (term, df) — the term dictionary prefix/
+    // wildcard expansion reads (Lucene's terms index): bucket =
+    // hash(term) makes the postings unprunable BY DESIGN for a
+    // prefix, so [[searchPrefix]] scans this vocabulary-sized
+    // sidecar instead of the corpus-sized postings. Rewritten by
+    // every postings rewrite (build/compact/upsert), so dictionary
+    // and postings can't drift.
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_vocab")
   }
 
   // ---- maintenance: tombstone delete, compact, upsert ---------------
@@ -706,6 +715,29 @@ object LexicalStore {
       .withColumn("bool_rank", row_number().over(
         Window.orderBy(col("lex_micros").desc, col("doc_id"))))
       .select(col("doc_id"), col("bool_rank"), col("lex_micros"))
+  }
+
+  /** Prefix query — Lucene's PrefixQuery with its maxExpansions
+    * guard: expand `prefix` against the `_vocab` term dictionary
+    * (vocabulary-sized scan, the honest cost of a hash-bucketed
+    * layout that CANNOT prune a prefix), keep the `maxExpansions`
+    * highest-df matches (df DESC, term ASC — the rewrite cap that
+    * stops `a%` from becoming a thousand-term query), then score the
+    * expanded terms through [[searchTopKLexical]]'s bucket-pruned
+    * path. The expansion round-trips the driver (bounded by
+    * maxExpansions — the query-rows convention) because the final
+    * search prunes buckets from literal terms. */
+  def searchPrefix(spark: SparkSession, path: String, prefix: String,
+                   k: Int = 10, maxExpansions: Int = 16): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    require(maxExpansions >= 1, s"maxExpansions must be >= 1")
+    val expanded = spark.read.parquet(s"$path/_vocab")
+      .filter(col("term").startsWith(prefix))
+      .orderBy(col("df").desc, col("term")).limit(maxExpansions)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    require(expanded.nonEmpty,
+      s"no indexed term starts with '$prefix' — nothing to search")
+    searchTopKLexical(spark, path, expanded, k)
   }
 
   /** BATCH lexical top-`k`: every query answered from ONE postings

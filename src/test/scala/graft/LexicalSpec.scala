@@ -351,6 +351,38 @@ class LexicalSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix search: dictionary expansion honors the df-ranked cap " +
+      "and equals the expanded-term search") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "star star star alpha"),
+      (2L, "stone star beta"),
+      (3L, "steel stone gamma"),
+      (4L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_prefix"
+    LexicalStore.build(spark, docs, p)
+    // dfs: star 2, stone 2, steel 1 => cap 2 keeps (star, stone) —
+    // df DESC then term ASC
+    val capped = LexicalStore.searchPrefix(spark, p, "st", k = 10,
+        maxExpansions = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val manual = LexicalStore.searchTopKLexical(spark, p,
+        Seq("star", "stone"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(capped == manual, s"$capped vs $manual")
+    assert(!capped.map(_._1).contains(4L), "no st-term doc can surface")
+    // uncapped expansion reaches steel => doc 3 gains its contribution
+    val full = LexicalStore.searchPrefix(spark, p, "st", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val doc3Capped = capped.find(_._1 == 3L).get._3
+    assert(full(3L) > doc3Capped,
+      "steel must add score once inside the expansion")
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchPrefix(spark, p, "zz")
+    }
+  }
+
   test("colbert upsert equals a fresh build over the replaced corpus") {
     // the q151 convention applied to the token-vector layout: after
     // upsertColbert (re-texted docs + a brand-new doc), searchColbert
