@@ -1900,7 +1900,67 @@ object Hybrid {
           FROM scored)
     WHERE lex_rank <= 10 ORDER BY lex_rank"""
 
+  // ---- q201: snippet extraction for the ranked results ----------------
+
+  private val SnippetW = 12
+  private val SnippetK = 5
+
+  /** q201: [[LexicalStore.snippetBest]] over the top-5 lexical
+    * results of the q150 query — the presentation step every search
+    * stack ships (the best 12-token fragment per hit, most distinct
+    * query terms, earliest on ties), rendered from the forward table
+    * and hashed so the gate is sensitive to every snippet token. */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildOnce(s, docs, lexPath(d))
+    LexicalStore.buildPositionalOnce(s, docs, posPath(d))
+    val qTerms = Q150QueryText.split(" ").toIndexedSeq
+    val cands = LexicalStore.searchTopKLexical(s, lexPath(d), qTerms,
+      SnippetK)
+    LexicalStore.snippetBest(s, posPath(d), qTerms, cands, SnippetW)
+      .join(cands.select(col("doc_id"), col("lex_rank")), "doc_id")
+      .join(docs.select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("fw")),
+        "doc_id")
+      .select(col("lex_rank"), col("doc_id"), col("win_start"),
+        col("n_terms"),
+        md5(array_join(expr(s"slice(fw, win_start + 1, $SnippetW)"), " "))
+          .as("snippet_md5"))
+      .orderBy("lex_rank")
+  }
+
+  private val q201Sql = s"""
+    WITH ${lexRankCte(SnippetK)}, sb AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS fw
+      FROM documents),
+    tokpos AS (
+      SELECT doc_id, fw[i] AS term, i - 1 AS pos
+      FROM sb, UNNEST(generate_series(1, len(fw))) AS u(i)),
+    hits AS (
+      SELECT t.doc_id, t.term, t.pos
+      FROM tokpos t JOIN qt USING (term) JOIN lexk USING (doc_id)),
+    wins AS (
+      SELECT h1.doc_id, h1.pos AS p, COUNT(DISTINCT h2.term) AS n
+      FROM hits h1 JOIN hits h2
+        ON h1.doc_id = h2.doc_id
+       AND h2.pos >= h1.pos AND h2.pos < h1.pos + $SnippetW
+      GROUP BY h1.doc_id, h1.pos),
+    best AS (
+      SELECT doc_id, p, n FROM (
+        SELECT doc_id, p, n,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, p)
+                 AS rn
+        FROM wins) WHERE rn = 1)
+    SELECT l.lex_rank, b.doc_id, CAST(b.p AS INTEGER) AS win_start,
+           CAST(b.n AS INTEGER) AS n_terms,
+           md5(array_to_string(list_slice(fw, b.p + 1, b.p + $SnippetW),
+             ' ')) AS snippet_md5
+    FROM best b JOIN lexk l USING (doc_id) JOIN sb USING (doc_id)
+    ORDER BY l.lex_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q201_snippets", q201, Some(q201Sql)),
     Query("q200_prefix_search", q200, Some(q200Sql)),
     Query("q199_boolean_search", q199, Some(q199Sql)),
     Query("q198_near_search", q198, Some(q198Sql)),

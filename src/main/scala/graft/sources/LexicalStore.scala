@@ -740,6 +740,56 @@ object LexicalStore {
     searchTopKLexical(spark, path, expanded, k)
   }
 
+  /** Best snippet window per candidate doc — the highlighter half of
+    * search-result presentation (Lucene's FastVectorHighlighter runs
+    * on exactly this: term positions + a fragment size): for each doc
+    * in `cands` (a 1-column doc_id frame, typically the ranked
+    * top-k), find the `w`-token window covering the most DISTINCT
+    * query terms; ties break to the EARLIEST window. An optimal
+    * window can always start at a term occurrence, so anchors are the
+    * occurrence positions themselves, and the (count, start) argmax
+    * is a scan-side fold over in-row arrays — O(m·occ²) per doc on
+    * query-term occurrences only, no row explosion. Reads the
+    * positional layout pruned to the query terms' buckets, semi-joins
+    * the candidate spine (broadcast-sized by construction), and never
+    * touches the corpus text — the caller renders the winning
+    * [start, start+w) slice from its forward table. Returns
+    * (doc_id, win_start, n_terms). */
+  def snippetBest(spark: SparkSession, path: String,
+                  queryTerms: Seq[String], cands: DataFrame,
+                  w: Int): DataFrame = {
+    val terms = queryTerms.filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "snippets need at least one query term")
+    require(w >= 1, s"window must be >= 1 token, got $w")
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(
+          terms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+      .join(broadcast(cands.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi")
+    val spine = cands.select(col("doc_id"))
+    val slotted = terms.zipWithIndex.foldLeft(spine) { case (acc, (t, i)) =>
+      acc.join(post.filter(col("term") === t)
+          .select(col("doc_id"), col("positions").as(s"p$i")),
+        Seq("doc_id"), "left_outer")
+        .withColumn(s"p$i",
+          coalesce(col(s"p$i"), expr("CAST(array() AS ARRAY<INT>)")))
+    }
+    val slots = terms.indices.map(i => s"p$i")
+    val anchors = s"array_sort(concat(${slots.mkString(", ")}))"
+    def score(p: String) = slots.map(s =>
+      s"IF(exists($s, t -> t >= $p AND t < $p + $w), 1, 0)").mkString(" + ")
+    // anchors ascend, strict > keeps the first (earliest) maximum
+    val best = s"""aggregate($anchors,
+      named_struct('n', 0, 'p', -1),
+      (acc, x) -> IF((${score("x")}) > acc.n,
+        named_struct('n', ${score("x")}, 'p', x), acc))"""
+    slotted.select(col("doc_id"), expr(best).as("best"))
+      .filter(col("best.n") > 0)
+      .select(col("doc_id"), col("best.p").as("win_start"),
+        col("best.n").as("n_terms"))
+  }
+
   /** BATCH lexical top-`k`: every query answered from ONE postings
     * scan pruned to the UNION of all queries' term buckets — a
     * broadcast (query_id, term) table fans each posting row to only

@@ -383,6 +383,34 @@ class LexicalSpec extends AnyFunSuite {
     }
   }
 
+  test("snippetBest: densest window wins, ties go earliest, " +
+      "partial-term docs still fragment") {
+    import spark.implicits._
+    val docs = Seq(
+      // "red" at 0 alone; {red, blue, green} packed at 10..12 — the
+      // 3-term window must beat the earlier 1-term one
+      (1L, "red z z z z z z z z z red blue green z"),
+      // only "blue" present, twice: 1-term window at the FIRST hit
+      (2L, "z blue z z blue"),
+      (3L, "z z z")
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_snip"
+    LexicalStore.buildPositional(spark, docs, p)
+    val cands = Seq(1L, 2L, 3L).toDF("doc_id")
+    val got = LexicalStore.snippetBest(spark, p,
+        Seq("red", "blue", "green"), cands, w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    // doc 3 has no query term: no fragment row at all
+    assert(got == Map(1L -> ((10, 3)), 2L -> ((1, 1))), got.toString)
+    // a 1-token window degenerates to the first occurrence
+    val w1 = LexicalStore.snippetBest(spark, p,
+        Seq("red", "blue", "green"), cands, w = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(w1(1L) == ((0, 1)))
+  }
+
   test("colbert upsert equals a fresh build over the replaced corpus") {
     // the q151 convention applied to the token-vector layout: after
     // upsertColbert (re-texted docs + a brand-new doc), searchColbert
