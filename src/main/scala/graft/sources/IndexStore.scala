@@ -1446,10 +1446,12 @@ object IndexStore {
     // rows are per-TOKEN (tokvec column) and its maintenance verbs
     // differ (deleteColbert family) — misrouting it to the IVF verbs
     // is exactly what this report exists to prevent
-    // `bucket=` is ambiguous between two families: LSH row layouts
-    // (chunk_id + embedding rows) and LexicalStore postings (term +
-    // doc_id rows, no vectors at all). The `term` column is the
-    // disambiguator — an orchestrator routed by this report must send
+    // `bucket=` is ambiguous between THREE families: LSH row layouts
+    // (chunk_id + embedding rows), LexicalStore scoring postings
+    // (term + tf/df/len rows) and LexicalStore POSITIONAL postings
+    // (term + positions rows — phrase/NEAR/snippet land here, and the
+    // scoring verbs would misroute on it). `positions` then `term`
+    // are the disambiguators — an orchestrator routed by this report must send
     // lexical layouts to the LexicalStore verbs, never the vector
     // maintenance family (deletePartitionedCore enforces the same
     // probe loudly on the verb side).
@@ -1457,6 +1459,8 @@ object IndexStore {
       case Some("cell") if df.columns.contains("tokvec") => "colbert-token-ivf"
       case Some("cell") if has("_pq") => "ivf-pq"
       case Some("cell")               => "ivf-sq"
+      case Some("bucket") if df.columns.contains("positions") =>
+        "lexical-positional"
       case Some("bucket") if df.columns.contains("term") => "lexical-postings"
       case Some("bucket")             => "lsh-bucketed"
       case Some("shard")              => "hnsw-sharded"
@@ -1476,6 +1480,7 @@ object IndexStore {
     // family concept and would misreport here
     val space =
       if (family == "lexical-postings") "bm25"
+      else if (family == "lexical-positional") "positional"
       else collectionSpace(spark, path)
     Seq((path, family, partCol.getOrElse(""), count(spark, path), nParts,
         dim, space,

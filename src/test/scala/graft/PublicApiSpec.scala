@@ -407,6 +407,17 @@ class PublicApiSpec extends AnyFunSuite {
     }
     assert(wrongVerb.getMessage.contains("lexical-postings"))
     assert(wrongVerb.getMessage.contains("LexicalStore"))
+    // the POSITIONAL postings also carry bucket= AND term — the
+    // positions column must separate them from the scoring family
+    // (their verbs differ: phrase/NEAR/snippets, no tf/df to score)
+    val posIdx = "/root/repo/target/test_describe_pos"
+    graft.sources.VersionedStore.deleteTree(java.nio.file.Paths.get(posIdx))
+    graft.sources.LexicalStore.buildPositional(spark, docs, posIdx)
+    val pos = IndexStore.describeCollection(spark, posIdx).collect().head
+    assert(pos.getAs[String]("family") == "lexical-positional")
+    assert(pos.getAs[String]("partition_col") == "bucket")
+    assert(pos.getAs[String]("space") == "positional")
+    assert(pos.getAs[Long]("dim") == 0L)
     intercept[IllegalArgumentException] {
       IndexStore.describeCollection(spark, "/root/repo/target/no_such_coll")
     }
