@@ -1915,8 +1915,11 @@ object Hybrid {
     LexicalStore.buildOnce(s, docs, lexPath(d))
     LexicalStore.buildPositionalOnce(s, docs, posPath(d))
     val qTerms = Q150QueryText.split(" ").toIndexedSeq
+    // checkpointed: the 5-row rank list feeds the snippet semi-join,
+    // the candidate spine AND the final lex_rank join — without it
+    // each consumer re-runs the BM25 scan-and-sort
     val cands = LexicalStore.searchTopKLexical(s, lexPath(d), qTerms,
-      SnippetK)
+      SnippetK).localCheckpoint()
     LexicalStore.snippetBest(s, posPath(d), qTerms, cands, SnippetW)
       .join(cands.select(col("doc_id"), col("lex_rank")), "doc_id")
       .join(docs.select(col("doc_id"),

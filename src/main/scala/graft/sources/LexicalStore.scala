@@ -402,8 +402,12 @@ object LexicalStore {
       .select(col("lex_rank"), col("doc_id"), col("seg"), col("lex_micros"))
   }
 
-  private val builtOnce =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String, String), Unit]
+  // key includes the LAYOUT KIND: the scoring and positional builders
+  // share one memo map, and without the discriminator the second
+  // builder aimed at the same path would silently no-op, leaving the
+  // wrong layout on disk
+  private val builtOnce = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String, String, String), Unit]
 
   /** [[build]] at most once per (session, path, id/text columns) —
     * the Verify gate, spec, and bench share one physical build (the
@@ -414,7 +418,8 @@ object LexicalStore {
     * columns must not silently no-op. */
   def buildOnce(spark: SparkSession, docs: => DataFrame, path: String,
                 idCol: String = "doc_id", textCol: String = "text"): Unit =
-    builtOnce.getOrElseUpdate((IndexStore.sessionKey(spark), path, idCol, textCol),
+    builtOnce.getOrElseUpdate(
+      (IndexStore.sessionKey(spark), path, idCol, textCol, "scoring"),
       build(spark, docs, path, idCol, textCol))
 
   /** [[buildPositional]] under the same once-per-(session, path) memo
@@ -424,7 +429,7 @@ object LexicalStore {
                           path: String, idCol: String = "doc_id",
                           textCol: String = "text"): Unit =
     builtOnce.getOrElseUpdate(
-      (IndexStore.sessionKey(spark), path, idCol, textCol),
+      (IndexStore.sessionKey(spark), path, idCol, textCol, "positional"),
       buildPositional(spark, docs, path, idCol, textCol))
 
   /** Drop every session's build-once memo for `path` — called by
@@ -589,7 +594,13 @@ object LexicalStore {
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", bucketCol(col("term")))
       .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      .write.mode(SaveMode.Overwrite)
+      // static even when a session-level conf says dynamic (the q83
+      // stream sets it): a rebuild over a smaller corpus must not
+      // leave phantom buckets from the previous build behind
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(path)
+    clearTombstones(spark, path)
   }
 
   /** Exact phrase search over a [[buildPositional]] layout: a doc
@@ -611,6 +622,8 @@ object LexicalStore {
       .filter(col("bucket").isin(
           terms.distinct.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(terms.distinct: _*))
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
     val slots = terms.zipWithIndex.map { case (t, i) =>
       post.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"p$i"))
@@ -646,6 +659,8 @@ object LexicalStore {
       .filter(col("bucket").isin(
           Seq(a, b).map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(a, b))
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
     val pa = post.filter(col("term") === a)
       .select(col("doc_id"), col("positions").as("pa"))
     val pb = post.filter(col("term") === b)
@@ -767,6 +782,8 @@ object LexicalStore {
         col("term").isin(terms: _*))
       .join(broadcast(cands.select(col("doc_id"))), Seq("doc_id"),
         "left_semi")
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
     val spine = cands.select(col("doc_id"))
     val slotted = terms.zipWithIndex.foldLeft(spine) { case (acc, (t, i)) =>
       acc.join(post.filter(col("term") === t)
@@ -779,11 +796,12 @@ object LexicalStore {
     val anchors = s"array_sort(concat(${slots.mkString(", ")}))"
     def score(p: String) = slots.map(s =>
       s"IF(exists($s, t -> t >= $p AND t < $p + $w), 1, 0)").mkString(" + ")
-    // anchors ascend, strict > keeps the first (earliest) maximum
-    val best = s"""aggregate($anchors,
+    // score each anchor ONCE, then argmax; anchors ascend and the
+    // strict > keeps the first (earliest) maximum
+    val best = s"""aggregate(
+      transform($anchors, p -> named_struct('n', ${score("p")}, 'p', p)),
       named_struct('n', 0, 'p', -1),
-      (acc, x) -> IF((${score("x")}) > acc.n,
-        named_struct('n', ${score("x")}, 'p', x), acc))"""
+      (acc, x) -> IF(x.n > acc.n, x, acc))"""
     slotted.select(col("doc_id"), expr(best).as("best"))
       .filter(col("best.n") > 0)
       .select(col("doc_id"), col("best.p").as("win_start"),

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.LexicalStore
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Pins for the persisted lexical (inverted) index + hybrid fusion:
   * driver/plan bucket parity, partition pruning to the query terms'
@@ -22,6 +24,13 @@ class LexicalSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val d = "/root/testdata/sf0.001"
+
+  private def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+    case q: QueryStageExec => leafScans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(leafScans)
+  }
   private val path = "/root/repo/target/test_lex_index"
 
   private def built(): Unit =
@@ -43,14 +52,6 @@ class LexicalSpec extends AnyFunSuite {
 
   test("search prunes the postings read to the query terms' buckets") {
     built()
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     // terms that actually occur in the fixture: the first two distinct
     // tokens of doc 0 (an absent term's scan folds to EmptyRelation,
     // which would vacuously pass)
@@ -411,6 +412,28 @@ class LexicalSpec extends AnyFunSuite {
     assert(w1(1L) == ((0, 1)))
   }
 
+  test("positional verbs honor tombstones; a rebuild clears them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b d"),
+      (3L, "a z b")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_pos_tomb"
+    LexicalStore.buildPositional(spark, docs, p)
+    LexicalStore.deleteLexical(spark, p, Seq(1L))
+    def phraseIds() = LexicalStore.searchPhrase(spark, p, Seq("a", "b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(phraseIds() == Set(2L), "tombstoned doc 1 must stop surfacing")
+    assert(LexicalStore.searchNear(spark, p, "a", "b", slop = 2)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(LexicalStore.snippetBest(spark, p, Seq("a", "b"),
+        Seq(1L, 2L).toDF("doc_id"), w = 3)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // rebuild = new corpus version: the sidecar must not survive it
+    LexicalStore.buildPositional(spark, docs, p)
+    assert(phraseIds() == Set(1L, 2L))
+  }
+
   test("colbert upsert equals a fresh build over the replaced corpus") {
     // the q151 convention applied to the token-vector layout: after
     // upsertColbert (re-texted docs + a brand-new doc), searchColbert
@@ -490,14 +513,6 @@ class LexicalSpec extends AnyFunSuite {
     assert(seg == fresh, "segment-merged scores must equal the rebuild's")
     // segmented search still prunes on the bucket partition column
     // (bucket is the second partition level under seg=)
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val narrow = LexicalStore.searchTopKSegmented(spark, segPath, qt.take(2), 5)
     narrow.collect()
     val scans = leafScans(narrow.queryExecution.executedPlan).filter(
@@ -535,14 +550,6 @@ class LexicalSpec extends AnyFunSuite {
         s"doc ${r.getLong(1)} scored differently under narrow probing")
     }
     // the candidate-generation scan must prune to the probed cells
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val res = Hybrid.searchColbert(spark, path, query, probes = 2, k = 10)
     res.collect()
     val scans = leafScans(res.queryExecution.executedPlan).filter(

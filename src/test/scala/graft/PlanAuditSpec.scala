@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan property assertions — the scale invariants that
@@ -26,6 +27,16 @@ class PlanAuditSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, d).queryExecution
 
   private def planStr(name: String): String = qe(name).executedPlan.toString
+
+  /** Every parquet leaf scan under an (adaptive) physical plan — ONE
+    * definition for every pruning/pushdown audit below, so a Spark
+    * upgrade that wraps plans in a new AQE node is a one-line fix. */
+  private def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+    case q: QueryStageExec => leafScans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(leafScans)
+  }
 
   test("q10: the part dimension joins via broadcast, never a shuffle") {
     val p = planStr("q10_join_broadcast")
@@ -173,14 +184,6 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q196: the PRF final search prunes the postings read to the " +
       "weighted terms' buckets") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     // the returned frame IS the weighted final stage (seed + mining
     // already ran inside the builder); 4 query + <= 5 expansion terms
     // bound the bucket count
@@ -197,7 +200,7 @@ class PlanAuditSpec extends AnyFunSuite {
       val read = f.metrics("numPartitions").value
       assert(read > 0 && read <= 9,
         s"PRF final search with <= 9 terms read $read of " +
-          "16 bucket directories: $f")
+          s"16 bucket directories: $f")
       assert(f.dataFilters.exists(_.references.exists(_.name == "term")),
         s"term IN-list must reach the postings scan: $f")
     }
@@ -205,14 +208,6 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q197: phrase search prunes the positional read to the phrase " +
       "terms' buckets") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q197_phrase_search")(spark, d)
     df.collect()
     val idxScans = leafScans(df.queryExecution.executedPlan).filter(
@@ -354,14 +349,6 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q98: IVF index probes prune parquet partitions at plan time") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q98_ivf_search")(spark, d)
     df.collect() // finalize the adaptive plan + populate scan metrics
     val idxScans = leafScans(df.queryExecution.executedPlan).filter(
@@ -383,14 +370,6 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q177: the cross-modal media layout inherits q98's partition pruning") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q177_crossmodal_search")(spark, d)
     df.collect()
     val idxScans = leafScans(df.queryExecution.executedPlan).filter(
@@ -407,14 +386,6 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q104: the metadata filter pushes beneath the rerank, composing with cell pruning") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q104_filtered_search")(spark, d)
     df.collect() // finalize the adaptive plan
     val idxScans = leafScans(df.queryExecution.executedPlan).filter(
@@ -435,14 +406,6 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q116: a dict-built where keeps pushdown and cell pruning like a hand-written one") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q116_where_dict")(spark, d)
     df.collect()
     val idxScans = leafScans(df.queryExecution.executedPlan).filter(
@@ -462,14 +425,6 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q118: the fused hybrid plan preserves BOTH indexes' partition pruning") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q118_hybrid_ivf")(spark, d)
     df.collect()
     val scans = leafScans(df.queryExecution.executedPlan)
@@ -493,14 +448,6 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q104b: the $contains predicate pushes into the pruned cells beneath the rerank") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q104b_contains_search")(spark, d)
     df.collect() // finalize the adaptive plan
     val idxScans = leafScans(df.queryExecution.executedPlan).filter(
@@ -522,14 +469,6 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q111: the compacted layout serves a probe with one file per cell") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q111_ivf_compact_search")(spark, d)
     df.collect() // runs the build→append→compact lifecycle + search
     val idxScans = leafScans(df.queryExecution.executedPlan).filter(
@@ -615,15 +554,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("filtered searchTopK: a source predicate prunes the source-partitioned layout") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.functions.col
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     import graft.sources.IndexStore
     val path = "/root/repo/target/test_filtered_idx"
     val docs = Tables.documents(spark, d)
@@ -668,14 +599,6 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q112: the IVF batch prunes to the union of probe cells; ranks stay narrow") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q112_ivf_batch")(spark, d)
     df.collect() // finalize the adaptive plan (also builds the shared index)
     // every index scan still prunes cell directories at plan time — the
@@ -719,14 +642,6 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q127: the PQ batch prunes to the probe-cell union; LUTs ride the " +
        "broadcast, never a shuffle") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-      case q: QueryStageExec => leafScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
     val df = SparkEntry.queries("q127_ivfpq_batch")(spark, d)
     df.collect()
     val idxScans = leafScans(df.queryExecution.executedPlan).filter(
