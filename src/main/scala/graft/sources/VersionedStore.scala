@@ -677,7 +677,79 @@ object VersionedStore {
     SELECT 'vacuumed', 3, 3, 1, 1, 1, 1, 0, '', NULL, NULL, 0
     ORDER BY store"""
 
+  // ---- q202: version diff -------------------------------------------
+
+  /** Diff two versions of a store: per `groupCol`, how many rows
+    * APPEARED, DISAPPEARED, CHANGED (same id, different content) and
+    * survived UNCHANGED between `from` and `to` — the audit a
+    * pipeline publishes when a corpus version ships ("what did this
+    * release do to each source"), and the precondition check before
+    * an incremental index maintenance pass (the changed+added set IS
+    * the upsert workload, the removed set the tombstone workload).
+    * Content equality is an md5 over the non-id columns in sorted
+    * column order (cast to string; a NULL and an empty string
+    * compare equal under concat_ws — acceptable for an audit verb,
+    * documented). One full-outer join on the id; everything else is
+    * a per-source partial agg — ids and 32-char hashes shuffle,
+    * never row bodies. */
+  def diffVersions(spark: SparkSession, path: String, from: Int, to: Int,
+                   idCol: String = "doc_id",
+                   groupCol: String = "source"): DataFrame = {
+    def keyed(v: Int, side: String) = {
+      val df = readVersion(spark, path, Some(v))
+      val content = df.columns.filterNot(_ == idCol).sorted
+      df.select(col(idCol).as("id"), col(groupCol).as(s"grp_$side"),
+        md5(concat_ws("",
+          content.map(c => col(c).cast("string")): _*)).as(s"h_$side"))
+    }
+    keyed(from, "a").join(keyed(to, "b"), Seq("id"), "full_outer")
+      .select(coalesce(col("grp_b"), col("grp_a")).as(groupCol),
+        when(col("h_a").isNull, 1L).otherwise(0L).as("added"),
+        when(col("h_b").isNull, 1L).otherwise(0L).as("removed"),
+        when(col("h_a").isNotNull && col("h_b").isNotNull &&
+          col("h_a") =!= col("h_b"), 1L).otherwise(0L).as("changed"),
+        when(col("h_a") === col("h_b"), 1L).otherwise(0L).as("unchanged"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("added")).as("added"),
+        sum(col("removed")).as("removed"),
+        sum(col("changed")).as("changed"),
+        sum(col("unchanged")).as("unchanged"))
+      .orderBy(groupCol)
+  }
+
+  /** q202: [[diffVersions]] v1 → v3 of the q166 lifecycle store —
+    * the odd-id append shows per-source adds, the src3 takedown shows
+    * removals, surviving evens are unchanged. The oracle re-derives
+    * both version snapshots from the raw table (the q166 CTEs) and
+    * compares content DIRECTLY (source, n_chars) — equivalent truth
+    * to the md5, so no hash mirroring is needed. */
+  private def q202(s: SparkSession, d: String): DataFrame =
+    diffVersions(s, ensureTimeTravelStore(s, d), from = 1, to = 3)
+
+  private val q202Sql = """
+    WITH a AS (SELECT doc_id, source, n_chars FROM documents
+               WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id, source, n_chars FROM documents
+          WHERE source <> 'src3'),
+    d AS (
+      SELECT COALESCE(b.source, a.source) AS source,
+             CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END AS added,
+             CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS removed,
+             CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                   AND (a.source <> b.source OR a.n_chars <> b.n_chars)
+                  THEN 1 ELSE 0 END AS changed,
+             CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                   AND a.source = b.source AND a.n_chars = b.n_chars
+                  THEN 1 ELSE 0 END AS unchanged
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT source, CAST(SUM(added) AS BIGINT) AS added,
+           CAST(SUM(removed) AS BIGINT) AS removed,
+           CAST(SUM(changed) AS BIGINT) AS changed,
+           CAST(SUM(unchanged) AS BIGINT) AS unchanged
+    FROM d GROUP BY source ORDER BY source"""
+
   val queries: Seq[Query] = Seq(
+    Query("q202_version_diff", q202, Some(q202Sql)),
     Query("q166_time_travel", q166, Some(q166Sql)),
     Query("q167_zonemap_prune", q167, Some(q167Sql)),
     Query("q171_incremental_agg", q171, Some(q171Sql)),

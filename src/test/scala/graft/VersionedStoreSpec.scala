@@ -224,6 +224,31 @@ class VersionedStoreSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("diffVersions: added, removed, CHANGED (delete+re-append same id) " +
+      "and unchanged, per group") {
+    val p = freshPath("diff")
+    // v1: ids 1 (A), 2 (A), 3 (B)
+    VersionedStore.create(spark, df(1L -> "A", 2L -> "A", 3L -> "B"), p)
+    // v2: drop id 2 entirely and id 1 (to re-add it mutated)
+    VersionedStore.deleteWhere(spark, p, col("id") <= 2)
+    // v3: id 1 returns under a NEW group (the changed row) + id 4 appears
+    VersionedStore.append(spark, df(1L -> "B", 4L -> "B"), p)
+    val got = VersionedStore.diffVersions(spark, p, from = 1, to = 3,
+        idCol = "id", groupCol = "grp")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // changed rows charge the TO-side group (coalesce(grp_b, grp_a));
+    // id 2's removal charges its only group A; id 3 survives B intact
+    assert(got == Map(
+      "A" -> ((0L, 1L, 0L, 0L)),
+      "B" -> ((1L, 0L, 1L, 1L))), got.toString)
+    // identity diff: everything unchanged
+    val self = VersionedStore.diffVersions(spark, p, 3, 3, "id", "grp")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(self.forall(_ == ((0L, 0L, 0L))))
+  }
+
   test("compact preserves schema-evolved columns (mergeSchema on the " +
       "multi-segment rewrite)") {
     import spark.implicits._
