@@ -1962,7 +1962,37 @@ object Hybrid {
     FROM best b JOIN lexk l USING (doc_id) JOIN sb USING (doc_id)
     ORDER BY l.lex_rank"""
 
+  // ---- q203: did-you-mean term suggestion -----------------------------
+
+  /** q203: [[LexicalStore.suggestTerms]] for the misspelling
+    * 'streem' — the spell-correction step ahead of every lexical
+    * query (Lucene DirectSpellChecker). Levenshtein is exact-integer
+    * in both engines, so ranks, distances and dfs all hash. */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.suggestTerms(s, lexPath(d), "streem", maxDist = 2, k = 5)
+  }
+
+  private val q203Sql = """
+    WITH tf AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      WHERE length(term) > 0 GROUP BY doc_id, term),
+    vocab AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    cand AS (
+      SELECT term, df, levenshtein(term, 'streem') AS dist
+      FROM vocab)
+    SELECT CAST(sugg_rank AS INTEGER) AS sugg_rank, term,
+           CAST(dist AS INTEGER) AS dist, CAST(df AS BIGINT) AS df
+    FROM (SELECT term, df, dist,
+                 row_number() OVER (ORDER BY dist ASC, df DESC, term)
+                   AS sugg_rank
+          FROM cand WHERE dist <= 2)
+    WHERE sugg_rank <= 5 ORDER BY sugg_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q203_did_you_mean", q203, Some(q203Sql)),
     Query("q201_snippets", q201, Some(q201Sql)),
     Query("q200_prefix_search", q200, Some(q200Sql)),
     Query("q199_boolean_search", q199, Some(q199Sql)),

@@ -808,6 +808,32 @@ object LexicalStore {
         col("best.n").as("n_terms"))
   }
 
+  /** Did-you-mean — term suggestion against the `_vocab` dictionary
+    * (Lucene's DirectSpellChecker contract): candidates within
+    * `maxDist` Levenshtein edits of `term`, ranked (distance ASC,
+    * df DESC, term ASC) so the closest, most-attested correction
+    * wins deterministically. Levenshtein is an exact integer in any
+    * engine — nothing here can drift. The scan is vocabulary-sized
+    * (Zipf-bounded, orders of magnitude under the corpus); at a
+    * billion-term dictionary the scale path is a SymSpell
+    * deletion-neighborhood index over `_vocab`, which changes the
+    * candidate read, not these semantics. An exact dictionary hit
+    * still reports at distance 0, so the caller can tell "correctly
+    * spelled" from "unknown word". */
+  def suggestTerms(spark: SparkSession, path: String, term: String,
+                   maxDist: Int = 2, k: Int = 5): DataFrame = {
+    require(term.nonEmpty, "suggest needs a non-empty term")
+    require(maxDist >= 0 && k >= 1, s"bad maxDist=$maxDist / k=$k")
+    spark.read.parquet(s"$path/_vocab")
+      .select(col("term"), col("df"),
+        levenshtein(col("term"), lit(term)).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("dist").asc, col("df").desc, col("term")).limit(k)
+      .withColumn("sugg_rank", row_number().over(
+        Window.orderBy(col("dist").asc, col("df").desc, col("term"))))
+      .select(col("sugg_rank"), col("term"), col("dist"), col("df"))
+  }
+
   /** BATCH lexical top-`k`: every query answered from ONE postings
     * scan pruned to the UNION of all queries' term buckets — a
     * broadcast (query_id, term) table fans each posting row to only

@@ -434,6 +434,26 @@ class LexicalSpec extends AnyFunSuite {
     assert(phraseIds() == Set(1L, 2L))
   }
 
+  test("suggestTerms: distance then attestation then term; exact hit at 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream stream stream steam"),
+      (2L, "steam scream z"),
+      (3L, "stream x y")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_sugg"
+    LexicalStore.build(spark, docs, p)
+    val got = LexicalStore.suggestTerms(spark, p, "streem", maxDist = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    // dist 1: stream; dist 2: steam (df 2) beats scream (df 1) on
+    // attestation; z/x/y beyond maxDist
+    assert(got == Seq((1, "stream", 1), (2, "steam", 2), (3, "scream", 2)),
+      got.toString)
+    // a correctly spelled word reports itself at distance 0, rank 1
+    val exact = LexicalStore.suggestTerms(spark, p, "stream", maxDist = 1)
+      .collect().head
+    assert(exact.getString(1) == "stream" && exact.getInt(2) == 0)
+  }
+
   test("colbert upsert equals a fresh build over the replaced corpus") {
     // the q151 convention applied to the token-vector layout: after
     // upsertColbert (re-texted docs + a brand-new doc), searchColbert
