@@ -699,7 +699,9 @@ object VersionedStore {
       val df = readVersion(spark, path, Some(v))
       val content = df.columns.filterNot(_ == idCol).sorted
       df.select(col(idCol).as("id"), col(groupCol).as(s"grp_$side"),
-        md5(concat_ws("",
+        // the \u0001 separator keeps ("ab", "") and ("a", "b") from
+        // hashing as the same content
+        md5(concat_ws("\u0001",
           content.map(c => col(c).cast("string")): _*)).as(s"h_$side"))
     }
     keyed(from, "a").join(keyed(to, "b"), Seq("id"), "full_outer")
