@@ -1159,17 +1159,22 @@ object IndexStore {
       s"$path is not partitioned by '$partCol' — use the delete/upsert " +
         "verb matching the layout family (source/cell/shard)")
     val all = spark.read.parquet(path)
-    // the bucket= column probe: LexicalStore postings ALSO partition
-    // by bucket=, so the directory check above cannot tell them from
-    // an LSH row layout. A vector verb run against postings would
-    // semi-join on columns the layout doesn't have (or worse, a
-    // where-flavor predicate could silently match) — fail loudly with
-    // the routing fix instead. describeCollection reports the same
-    // disambiguation as family=lexical-postings.
-    require(!(all.columns.contains("term") && !all.columns.contains("chunk_id")),
-      s"$path is a lexical-postings layout (term column, no chunk_id) — " +
-        "use the LexicalStore verbs (deleteLexical/upsertLexical/" +
-        "compactLexical), not the vector-index maintenance family")
+    // the bucket= column probe: LexicalStore layouts (scoring postings
+    // AND positional postings) also partition by bucket=, so the
+    // directory check above cannot tell them from an LSH row layout.
+    // A vector verb run against them would semi-join on columns the
+    // layout doesn't have (or worse, a where-flavor predicate could
+    // silently match) — fail loudly with the routing fix instead.
+    // describeCollection reports the same disambiguation as
+    // family=lexical-postings / lexical-positional.
+    require(!(all.columns.contains("term") && !all.columns.contains("chunk_id")), {
+      val fam = if (all.columns.contains("positions")) "lexical-positional"
+                else "lexical-postings"
+      s"$path is a $fam layout (term column, no chunk_id) — " +
+        "use the LexicalStore verbs (deleteLexical and, for the scoring " +
+        "layout, upsertLexical/compactLexical), not the vector-index " +
+        "maintenance family"
+    })
     // NATIVE-typed partition values (never stringified in the plan):
     // the isin below must stay a bare predicate on the partition
     // column so it prunes directories at planning time

@@ -687,22 +687,31 @@ object VersionedStore {
     * an incremental index maintenance pass (the changed+added set IS
     * the upsert workload, the removed set the tombstone workload).
     * Content equality is an md5 over the non-id columns in sorted
-    * column order (cast to string; a NULL and an empty string
-    * compare equal under concat_ws — acceptable for an audit verb,
-    * documented). One full-outer join on the id; everything else is
-    * a per-source partial agg — ids and 32-char hashes shuffle,
-    * never row bodies. */
+    * column order, each column null-coalesced to its own sentinel so
+    * a NULL keeps its slot (concat_ws DROPS null args — without the
+    * coalesce, (NULL, "x") and ("x", NULL) would hash equal).
+    * The store's verbs don't enforce id uniqueness, so each side
+    * first reduces to ONE row per id — the lexicographically least
+    * (group, content-hash) pair, a deterministic partial agg — and
+    * the diff counts DOCUMENTS, not physical rows. One full-outer
+    * join on the id; everything else is a per-source partial agg —
+    * ids and 32-char hashes shuffle, never row bodies. */
   def diffVersions(spark: SparkSession, path: String, from: Int, to: Int,
                    idCol: String = "doc_id",
                    groupCol: String = "source"): DataFrame = {
     def keyed(v: Int, side: String) = {
       val df = readVersion(spark, path, Some(v))
       val content = df.columns.filterNot(_ == idCol).sorted
-      df.select(col(idCol).as("id"), col(groupCol).as(s"grp_$side"),
-        // the \u0001 separator keeps ("ab", "") and ("a", "b") from
-        // hashing as the same content
+      df.select(col(idCol).as("id"), col(groupCol).as("g"),
+        // \u0001 separates slots (("ab", "") vs ("a", "b")); \u0002
+        // marks a NULL so it keeps its slot under concat_ws
         md5(concat_ws("\u0001",
-          content.map(c => col(c).cast("string")): _*)).as(s"h_$side"))
+          content.map(c =>
+            coalesce(col(c).cast("string"), lit("\u0002"))): _*)).as("h"))
+        .groupBy(col("id"))
+        .agg(min(struct(col("g"), col("h"))).as("m"))
+        .select(col("id"), col("m.g").as(s"grp_$side"),
+          col("m.h").as(s"h_$side"))
     }
     keyed(from, "a").join(keyed(to, "b"), Seq("id"), "full_outer")
       .select(coalesce(col("grp_b"), col("grp_a")).as(groupCol),

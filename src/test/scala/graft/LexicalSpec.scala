@@ -6,7 +6,6 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.LexicalStore
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Pins for the persisted lexical (inverted) index + hybrid fusion:
   * driver/plan bucket parity, partition pruning to the query terms'
@@ -25,12 +24,8 @@ class LexicalSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
-  private def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-    case q: QueryStageExec => leafScans(q.plan)
-    case f: FileSourceScanExec => Seq(f)
-    case other => other.children.flatMap(leafScans)
-  }
+  private def leafScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    PlanScans.leafScans(p)
   private val path = "/root/repo/target/test_lex_index"
 
   private def built(): Unit =

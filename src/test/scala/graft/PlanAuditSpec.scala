@@ -28,15 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private def planStr(name: String): String = qe(name).executedPlan.toString
 
-  /** Every parquet leaf scan under an (adaptive) physical plan — ONE
-    * definition for every pruning/pushdown audit below, so a Spark
-    * upgrade that wraps plans in a new AQE node is a one-line fix. */
-  private def leafScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
-    case q: QueryStageExec => leafScans(q.plan)
-    case f: FileSourceScanExec => Seq(f)
-    case other => other.children.flatMap(leafScans)
-  }
+  private def leafScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    PlanScans.leafScans(p)
 
   test("q10: the part dimension joins via broadcast, never a shuffle") {
     val p = planStr("q10_join_broadcast")

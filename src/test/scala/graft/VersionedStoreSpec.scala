@@ -249,6 +249,33 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(self.forall(_ == ((0L, 0L, 0L))))
   }
 
+  test("diffVersions counts DOCUMENTS under duplicate ids and keeps " +
+      "NULL columns in their hash slot") {
+    import spark.implicits._
+    val p = freshPath("diffdup")
+    // v1 holds id 1 TWICE (identical rows) — appends don't enforce
+    // id uniqueness; the diff must not double-count the survivor
+    VersionedStore.create(spark, df(1L -> "A", 1L -> "A", 2L -> "A"), p)
+    VersionedStore.deleteWhere(spark, p, col("id") === 2)
+    val got = VersionedStore.diffVersions(spark, p, 1, 2, "id", "grp")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(got == Seq(("A", 1L, 1L)), // one removal, ONE unchanged doc
+      got.toString)
+    // NULL keeps its slot: (NULL, "x") vs ("x", NULL) must CHANGE
+    val p2 = freshPath("diffnull")
+    val rows1 = Seq((1L, Option.empty[String], Option("x")))
+      .toDF("id", "c1", "c2")
+    val rows2 = Seq((1L, Option("x"), Option.empty[String]))
+      .toDF("id", "c1", "c2")
+    VersionedStore.create(spark, rows1.withColumn("grp", lit("G")), p2)
+    VersionedStore.deleteWhere(spark, p2, lit(true))
+    VersionedStore.append(spark, rows2.withColumn("grp", lit("G")), p2)
+    val nulls = VersionedStore.diffVersions(spark, p2, 1, 3, "id", "grp")
+      .collect().head
+    assert(nulls.getLong(3) == 1L && nulls.getLong(4) == 0L,
+      s"swapped NULL slots must report changed, got $nulls")
+  }
+
   test("compact preserves schema-evolved columns (mergeSchema on the " +
       "multi-segment rewrite)") {
     import spark.implicits._
