@@ -73,6 +73,84 @@ object LexicalStore {
   /** The standard reciprocal-rank-fusion constant (Cormack et al.). */
   val DefaultRrfK = 60
 
+  // ---- analyzers -----------------------------------------------------
+  //
+  // Lucene-class normalization, as a BUILD-TIME property of the layout:
+  // `raw` is the engine's original exact-token rule (whitespace split,
+  // nothing folded — every pre-r16 layout and oracle), `folded` is
+  // lowercase + ASCII-punctuation-to-space, the minimum analyzer a
+  // production lexical stack ships (a query for "The" must match
+  // "the", and "sheets," must not be a different term from "sheets").
+  // The choice is persisted in a one-row `_analyzer` sidecar written
+  // by every build path and read back by every search verb, so index
+  // and query time CANNOT drift — the failure mode of letting callers
+  // pass an analyzer at query time is answering from an index that
+  // folded differently. Layouts without the sidecar are `raw`, so all
+  // existing layouts, oracles and hashes are untouched.
+
+  /** Exact whitespace tokens — the engine's original rule. */
+  val AnalyzerRaw = "raw"
+
+  /** Lowercase + `[^a-z0-9 ]` → space, then whitespace tokens. The
+    * fold is an explicit ASCII class (not `\\p{L}`-family) so the
+    * Spark and DuckDB regex engines provably agree byte-for-byte. */
+  val AnalyzerFolded = "folded"
+
+  private val FoldPattern = "[^a-z0-9 ]"
+
+  private def requireAnalyzer(a: String): Unit =
+    require(a == AnalyzerRaw || a == AnalyzerFolded,
+      s"unknown analyzer '$a' (expected $AnalyzerRaw or $AnalyzerFolded)")
+
+  /** Plan-side fold of a text column under `analyzer` — applied
+    * BEFORE tokenization by every build path of an analyzed layout. */
+  def foldText(c: Column, analyzer: String): Column = analyzer match {
+    case AnalyzerRaw => c
+    case _           => regexp_replace(lower(c), FoldPattern, " ")
+  }
+
+  /** Driver-side fold of query terms — evaluates the SAME catalyst
+    * Lower + RegExpReplace tree the build plan used (the [[bucketOf]]
+    * parity discipline: never trust a JVM locale lowercase to agree
+    * with the plan's), then re-splits on the build's whitespace rule.
+    * A term that folds to several tokens expands IN ORDER (so a
+    * phrase keeps its shape); one that folds to nothing drops. */
+  def foldQueryTerms(terms: Seq[String], analyzer: String): Seq[String] =
+    analyzer match {
+      case AnalyzerRaw => terms
+      case _ =>
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace}
+        terms.flatMap { t =>
+          RegExpReplace(Lower(Literal(t)), Literal(FoldPattern), Literal(" "))
+            .eval(null).toString.split(" ").filter(_.nonEmpty)
+        }
+    }
+
+  // per-(session, path) analyzer memo: one fs stat + 1-row read on
+  // first use; build paths pre-populate it, so warm searches never
+  // touch the filesystem for this
+  private val analyzerCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  private def writeAnalyzer(spark: SparkSession, path: String,
+                            analyzer: String): Unit = {
+    import spark.implicits._
+    Seq(analyzer).toDF("analyzer").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_analyzer")
+    analyzerCache((IndexStore.sessionKey(spark), path)) = analyzer
+  }
+
+  /** The analyzer a layout was built with (`raw` when the sidecar is
+    * absent — every pre-analyzer layout). */
+  def analyzerOf(spark: SparkSession, path: String): String =
+    analyzerCache.getOrElseUpdate((IndexStore.sessionKey(spark), path), {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_analyzer")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.parquet(s"$path/_analyzer").head().getString(0)
+      else AnalyzerRaw
+    })
+
   private def bucketCol(term: Column): Column =
     pmod(xxhash64(term), lit(NumBuckets)).cast("int")
 
@@ -125,17 +203,26 @@ object LexicalStore {
     * also clears any `_tombstones` left by [[deleteLexical]] — the
     * new corpus version starts with nothing deleted. */
   def build(spark: SparkSession, docs: DataFrame, path: String,
-            idCol: String = "doc_id", textCol: String = "text"): Unit = {
+            idCol: String = "doc_id", textCol: String = "text",
+            analyzer: String = AnalyzerRaw): Unit = {
+    requireAnalyzer(analyzer)
     // id keeps its native type (long doc ids, string chunk ids — the
     // layout serves doc-level and chunk-level corpora alike)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val toks = graft.operators.Corpus.tokens(base, "text", "doc_id")
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(base, analyzer)
       .localCheckpoint() // one tokenize pass feeds tf, df, len, stats
-    writePostings(spark, tf, path)
+    writePostings(spark, tf, path, analyzer)
     clearTombstones(spark, path)
   }
+
+  /** (doc_id, term, tf) of a (doc_id, text) frame under `analyzer` —
+    * the one tokenization kernel every lexical build path shares. */
+  private def termFreqs(base: DataFrame, analyzer: String): DataFrame =
+    graft.operators.Corpus.tokens(
+        base.withColumn("text", foldText(col("text"), analyzer)),
+        "text", "doc_id")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
 
   /** Denormalize df(term) and len(doc_id) into each posting row via
     * partial-agg joins: a vocabulary-sized `groupBy(term).count` and
@@ -161,7 +248,7 @@ object LexicalStore {
     * safe — re-aggregated to df/len/stats and written as the
     * bucket-partitioned layout + `_stats` sidecar. */
   private def writePostings(spark: SparkSession, tf: DataFrame,
-                            path: String): Unit = {
+                            path: String, analyzer: String): Unit = {
     withDfLen(tf)
       .withColumn("bucket", bucketCol(col("term")))
       // one task per bucket -> one file per directory
@@ -183,6 +270,9 @@ object LexicalStore {
     // and postings can't drift.
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_vocab")
+    // written AFTER the postings overwrite (a static-mode write clears
+    // the whole path first, like `_stats`/`_vocab` above)
+    writeAnalyzer(spark, path, analyzer)
   }
 
   // ---- maintenance: tombstone delete, compact, upsert ---------------
@@ -254,7 +344,8 @@ object LexicalStore {
     * this, scores equal a from-scratch build over the survivors
     * (LexicalSpec compares byte-for-value). */
   def compactLexical(spark: SparkSession, path: String): Unit = {
-    writePostings(spark, survivorTf(spark, path), path)
+    val analyzer = analyzerOf(spark, path)
+    writePostings(spark, survivorTf(spark, path), path, analyzer)
     clearTombstones(spark, path)
   }
 
@@ -265,15 +356,17 @@ object LexicalStore {
     * reappears in `docs` is live again with its new text. */
   def upsertLexical(spark: SparkSession, path: String, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // new texts tokenize under the LAYOUT's analyzer (read from the
+    // sidecar) — an upsert must never mix folding rules in one index
+    val analyzer = analyzerOf(spark, path)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val newTf = graft.operators.Corpus.tokens(base, "text", "doc_id")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val newTf = termFreqs(base, analyzer)
       .localCheckpoint() // one tokenize pass feeds the df/len joins + stats
     val survivors = survivorTf(spark, path)
       .join(base.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     // survivors are already materialized and newTf never reads `path`,
     // so the union can overwrite the layout without a second checkpoint
-    writePostings(spark, survivors.union(newTf), path)
+    writePostings(spark, survivors.union(newTf), path, analyzer)
     clearTombstones(spark, path)
   }
 
@@ -299,11 +392,10 @@ object LexicalStore {
 
   /** Per-segment (doc_id, term, tf, df, len) rows of one document
     * batch — the build() aggregation scoped to the batch. */
-  private def segmentRows(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame = {
+  private def segmentRows(docs: DataFrame, idCol: String, textCol: String,
+                          analyzer: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val tf = graft.operators.Corpus.tokens(base, "text", "doc_id")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(base, analyzer)
       .localCheckpoint() // one tokenize pass feeds the df/len joins
     withDfLen(tf)
   }
@@ -322,9 +414,19 @@ object LexicalStore {
     * into a segmented layout is delete+append. */
   def appendLexicalSegment(spark: SparkSession, docs: DataFrame, path: String,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): Unit = {
-    val seg = segIds(spark, path).lastOption.fold(0)(_ + 1)
-    val rows = segmentRows(docs, idCol, textCol).localCheckpoint()
+                           textCol: String = "text",
+                           analyzer: String = AnalyzerRaw): Unit = {
+    requireAnalyzer(analyzer)
+    val existing = segIds(spark, path)
+    // a second batch must fold exactly like the first — a segmented
+    // index whose segments disagree on the analyzer is two indexes
+    if (existing.nonEmpty) {
+      val built = analyzerOf(spark, path)
+      require(built == analyzer,
+        s"layout at $path was built with analyzer '$built', append got '$analyzer'")
+    }
+    val seg = existing.lastOption.fold(0)(_ + 1)
+    val rows = segmentRows(docs, idCol, textCol, analyzer).localCheckpoint()
     rows.withColumn("bucket", bucketCol(col("term")))
       .repartition(NumBuckets, col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
@@ -336,6 +438,17 @@ object LexicalStore {
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
       .select(lit(seg).as("seg"), col("n_docs"), col("sum_len"))
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/_segstats")
+    // per-segment term dictionary — the Lucene terms index this layout
+    // was missing (the r15 gap: prefix/did-you-mean only worked on the
+    // denormalized layout's `_vocab`). One (term, df) row per segment
+    // term, written to the SEGMENT's own `_segvocab` directory so the
+    // append-only contract holds: no existing segment's dictionary is
+    // touched. Query-time merge sums dfs (disjoint doc sets — the
+    // searchTopKSegmented gdf argument).
+    rows.select(col("term"), col("df")).distinct()
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_segvocab/seg=$seg")
+    if (existing.isEmpty) writeAnalyzer(spark, path, analyzer)
   }
 
   /** Merge all segments back into one (the Lucene forceMerge):
@@ -348,6 +461,7 @@ object LexicalStore {
     * Amortization policy (when to merge) is the caller's, as in
     * Lucene. */
   def compactSegments(spark: SparkSession, path: String): Unit = {
+    val analyzer = analyzerOf(spark, path) // read BEFORE the delete
     val tf = spark.read.parquet(path)
       .select(col("doc_id"), col("term"), col("tf")).localCheckpoint()
     val p = new org.apache.hadoop.fs.Path(path)
@@ -366,6 +480,13 @@ object LexicalStore {
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
       .select(lit(0).as("seg"), col("n_docs"), col("sum_len"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_segstats")
+    // the merged segment's dictionary: global df straight from the
+    // checkpointed tf (one vocabulary-sized agg — rows would re-run
+    // the df/len joins a second time)
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_segvocab/seg=0")
+    writeAnalyzer(spark, path, analyzer)
   }
 
   /** Segmented top-`k`: postings pruned to the query terms' buckets
@@ -377,7 +498,8 @@ object LexicalStore {
     * corpus (q157 pins it hash-exact). */
   def searchTopKSegmented(spark: SparkSession, path: String,
                           queryTerms: Seq[String], k: Int = 10): DataFrame = {
-    val terms = queryTerms.filter(_.nonEmpty).distinct
+    val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
+      .filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "lexical search needs at least one term")
     val buckets = terms.map(bucketOf).distinct
     val stats = spark.read.parquet(s"$path/_segstats")
@@ -417,26 +539,31 @@ object LexicalStore {
     * (buildIvfOnce/buildHnswOnce) — a same-path build over different
     * columns must not silently no-op. */
   def buildOnce(spark: SparkSession, docs: => DataFrame, path: String,
-                idCol: String = "doc_id", textCol: String = "text"): Unit =
+                idCol: String = "doc_id", textCol: String = "text",
+                analyzer: String = AnalyzerRaw): Unit =
     builtOnce.getOrElseUpdate(
-      (IndexStore.sessionKey(spark), path, idCol, textCol, "scoring"),
-      build(spark, docs, path, idCol, textCol))
+      (IndexStore.sessionKey(spark), path, idCol, textCol, s"scoring/$analyzer"),
+      build(spark, docs, path, idCol, textCol, analyzer))
 
   /** [[buildPositional]] under the same once-per-(session, path) memo
     * as [[buildOnce]] — gate paths build each layout once per verify
     * session. */
   def buildPositionalOnce(spark: SparkSession, docs: => DataFrame,
                           path: String, idCol: String = "doc_id",
-                          textCol: String = "text"): Unit =
+                          textCol: String = "text",
+                          analyzer: String = AnalyzerRaw): Unit =
     builtOnce.getOrElseUpdate(
-      (IndexStore.sessionKey(spark), path, idCol, textCol, "positional"),
-      buildPositional(spark, docs, path, idCol, textCol))
+      (IndexStore.sessionKey(spark), path, idCol, textCol,
+        s"positional/$analyzer"),
+      buildPositional(spark, docs, path, idCol, textCol, analyzer))
 
   /** Drop every session's build-once memo for `path` — called by
     * [[IndexStore.renameCollection]]/[[IndexStore.deleteCollection]]
     * when the name frees up, so a later build at it really builds. */
-  private[sources] def dropBuildMemos(path: String): Unit =
+  private[sources] def dropBuildMemos(path: String): Unit = {
     builtOnce.keys.filter(_._2 == path).foreach(builtOnce.remove)
+    analyzerCache.keys.filter(_._2 == path).foreach(analyzerCache.remove)
+  }
 
   /** Lexical top-`k`: (doc_id, lex_rank, lex_micros) for the documents
     * best matching `queryTerms` under the quantized BM25 above.
@@ -450,7 +577,10 @@ object LexicalStore {
                         queryTerms: Seq[String], k: Int = 10,
                         where: Option[Column] = None,
                         allow: Option[DataFrame] = None): DataFrame = {
-    val terms = queryTerms.filter(_.nonEmpty).distinct
+    // query terms fold under the LAYOUT's analyzer (sidecar-read, so
+    // index and query time provably agree) — `raw` is the identity
+    val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
+      .filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "lexical search needs at least one term")
     val buckets = terms.map(bucketOf).distinct
     val stats = spark.read.parquet(s"$path/_stats")
@@ -511,14 +641,18 @@ object LexicalStore {
                     queryTerms: Seq[String], k: Int = 10, fbDocs: Int = 5,
                     fbTerms: Int = 5, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val qTerms = queryTerms.filter(_.nonEmpty).distinct
+    // the feedback docs re-tokenize under the layout's analyzer, so
+    // mined candidate terms live in the same folded vocabulary the
+    // postings index (searchTopKLexical folds the seed query itself)
+    val analyzer = analyzerOf(spark, path)
+    val qTerms = foldQueryTerms(queryTerms, analyzer)
+      .filter(_.nonEmpty).distinct
     val seedIds = searchTopKLexical(spark, path, qTerms, fbDocs)
       .select(col("doc_id")).collect().map(_.get(0)).toSeq
-    val fbTfAll = graft.operators.Corpus.tokens(
+    val fbTfAll = termFreqs(
         docs.filter(col(idCol).isInCollection(seedIds))
           .select(col(idCol).as("doc_id"), col(textCol).as("text")),
-        "text", "doc_id")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        analyzer)
       .localCheckpoint() // bounded: fbDocs docs' distinct terms
     // len must count the WHOLE doc (query terms included) — compute it
     // before the candidate exclusion
@@ -585,14 +719,34 @@ object LexicalStore {
     * build is one tokenize pass + one (doc, term) partial agg. */
   def buildPositional(spark: SparkSession, docs: DataFrame, path: String,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): Unit = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      posexplode(expr(
-        s"filter(split($textCol, ' '), w -> length(w) > 0)"))
-        .as(Seq("pos", "term")))
-    toks.groupBy(col("doc_id"), col("term"))
+                      textCol: String = "text",
+                      analyzer: String = AnalyzerRaw): Unit = {
+    requireAnalyzer(analyzer)
+    writePositional(spark,
+      positionalRows(docs, idCol, textCol, analyzer), path, analyzer)
+    clearTombstones(spark, path)
+  }
+
+  /** (doc_id, term, positions) of one document batch — build()'s
+    * tokenize + offset aggregation, factored so upsert can run it on
+    * the replacement docs alone. */
+  private def positionalRows(docs: DataFrame, idCol: String,
+                             textCol: String, analyzer: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        foldText(col(textCol), analyzer).as("text"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "filter(split(text, ' '), w -> length(w) > 0)"))
+          .as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("bucket", bucketCol(col("term")))
+
+  /** Shared positional write path (the [[writePostings]] sibling):
+    * already-materialized (doc_id, term, positions) rows land
+    * bucket-partitioned with the analyzer sidecar rewritten after. */
+  private def writePositional(spark: SparkSession, rows: DataFrame,
+                              path: String, analyzer: String): Unit = {
+    rows.withColumn("bucket", bucketCol(col("term")))
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       // static even when a session-level conf says dynamic (the q83
@@ -600,6 +754,48 @@ object LexicalStore {
       // leave phantom buckets from the previous build behind
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket").parquet(path)
+    writeAnalyzer(spark, path, analyzer)
+  }
+
+  /** Surviving (doc_id, term, positions) rows: current layout minus
+    * tombstoned ids, materialized so the caller can overwrite the
+    * layout they came from — [[survivorTf]] for the positional
+    * sibling. */
+  private def survivorPositional(spark: SparkSession,
+                                 path: String): DataFrame = {
+    val rows = spark.read.parquet(path)
+      .select(col("doc_id"), col("term"), col("positions"))
+    tombstones(spark, path).fold(rows)(t =>
+      rows.join(t, Seq("doc_id"), "left_anti")).localCheckpoint()
+  }
+
+  /** Rewrite the positional layout from survivors and drop the
+    * tombstones — the expungeDeletes [[compactLexical]] performs for
+    * the scoring layout. Position rows carry no corpus-derived
+    * statistics (no df/len), so this is a pure survivor rewrite; a
+    * takedown on the phrase index no longer forces a full rebuild
+    * (the r15 gap: compactLexical read `tf`, which positional rows
+    * lack, and failed loudly). */
+  def compactPositional(spark: SparkSession, path: String): Unit = {
+    val analyzer = analyzerOf(spark, path)
+    writePositional(spark, survivorPositional(spark, path), path, analyzer)
+    clearTombstones(spark, path)
+  }
+
+  /** Upsert (id, text) documents into a positional layout: rows of
+    * the upserted ids (and any tombstoned ids) drop, the new texts
+    * tokenize in under the layout's analyzer, one rewrite — the
+    * [[upsertLexical]] shape minus the stats re-aggregation. */
+  def upsertPositional(spark: SparkSession, path: String, docs: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): Unit = {
+    val analyzer = analyzerOf(spark, path)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val newRows = positionalRows(base, "doc_id", "text", analyzer)
+      .localCheckpoint()
+    val survivors = survivorPositional(spark, path)
+      .join(base.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    writePositional(spark, survivors.union(newRows), path, analyzer)
     clearTombstones(spark, path)
   }
 
@@ -614,21 +810,55 @@ object LexicalStore {
     * — offsets never explode into rows. A repeated-word phrase
     * ("the the") works unchanged: both slots read the same rows and
     * the filter counts overlapping runs. */
-  def searchPhrase(spark: SparkSession, path: String,
-                   phrase: Seq[String], k: Int = 10): DataFrame = {
-    val terms = phrase.filter(_.nonEmpty)
-    require(terms.size >= 2, "a phrase needs at least two terms")
+  /** Slot indices in ascending document frequency of their term
+    * (ties by phrase position) — Lucene's conjunction ordering: the
+    * FIRST intersection should be the rarest-vs-next-rarest pair, so
+    * every later join streams against a candidate set already bounded
+    * by the rarest term's df. Without it, "of the zyzzyva" first
+    * intersects the two corpus-wide terms — an n_docs-sized
+    * intermediate carrying the position arrays (the widest columns in
+    * the layout) that the rare third term then prunes to nothing.
+    * Catalyst cannot fix this itself: the pruned reads carry no
+    * per-term stats, and AQE sizes broadcast sides but never reorders
+    * a left-deep equi-join chain. */
+  private[graft] def slotOrderByDf(terms: Seq[String],
+                                   df: Map[String, Long]): Seq[Int] =
+    terms.indices.sortBy(i => (df.getOrElse(terms(i), 0L), i))
+
+  /** The bucket-pruned, tombstone-masked positional read for a term
+    * set, plus per-term df from those same rows — one tiny aggregate
+    * (|terms| rows to the driver) that buys the rarest-first join
+    * order in [[searchPhrase]]/[[searchSpanNear]]. */
+  private def positionalSlots(spark: SparkSession, path: String,
+                              terms: Seq[String])
+      : (Seq[DataFrame], Map[String, Long]) = {
     val post = spark.read.parquet(path)
       .filter(col("bucket").isin(
           terms.distinct.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(terms.distinct: _*))
       .transform(p => tombstones(spark, path)
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
+    // df per query term from the already-pruned read (positions stay
+    // unread: column pruning keeps this ids-free and positions-free)
+    val dfByTerm = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val slots = terms.zipWithIndex.map { case (t, i) =>
       post.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"p$i"))
     }
-    val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
+    (slots, dfByTerm)
+  }
+
+  def searchPhrase(spark: SparkSession, path: String,
+                   phrase: Seq[String], k: Int = 10): DataFrame = {
+    val terms = foldQueryTerms(phrase.filter(_.nonEmpty),
+      analyzerOf(spark, path))
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val (slots, dfByTerm) = positionalSlots(spark, path, terms)
+    // rarest-first intersection; the adjacency filter references the
+    // slots by PHRASE position (p0..pm), so join order is free
+    val joined = slotOrderByDf(terms, dfByTerm).map(slots)
+      .reduce((a, b) => a.join(b, "doc_id"))
     val adjacency = (1 until terms.size)
       .map(i => s"array_contains(p$i, x + $i)").mkString(" AND ")
     joined
@@ -650,8 +880,16 @@ object LexicalStore {
     * higher-order fold over the two position arrays — O(tf_a · tf_b)
     * per doc on in-row arrays, no row explosion, nothing pairwise in
     * the corpus. Ranking (min_dist ASC, doc_id) is all integers. */
-  def searchNear(spark: SparkSession, path: String, a: String, b: String,
+  def searchNear(spark: SparkSession, path: String, a0: String, b0: String,
                  slop: Int, k: Int = 10): DataFrame = {
+    val analyzer = analyzerOf(spark, path)
+    val (a, b) = (foldQueryTerms(Seq(a0), analyzer),
+        foldQueryTerms(Seq(b0), analyzer)) match {
+      case (Seq(x), Seq(y)) => (x, y)
+      case (fa, fb) => sys.error(
+        s"NEAR terms must fold to one token each, got $fa / $fb — " +
+          "use searchSpanNear for multi-token proximity")
+    }
     require(a.nonEmpty && b.nonEmpty && a != b,
       "NEAR takes two distinct non-empty terms")
     require(slop >= 1, s"slop must be >= 1, got $slop")
@@ -676,6 +914,50 @@ object LexicalStore {
       .select(col("doc_id"), col("near_rank"), col("min_dist"))
   }
 
+  /** ORDERED sloppy span search — Lucene SpanNearQuery's
+    * inOrder=true mode, the m-term generalization [[searchPhrase]]
+    * (slop 0, adjacency) and [[searchNear]] (2 terms, unordered)
+    * between them could not express: a doc matches where the terms
+    * occur IN QUERY ORDER at strictly increasing offsets p0 < p1 <
+    * … < pm with at most `slop` extra positions inside the span —
+    * gap = pm − p0 − (m−1) ≤ slop (gap 0 is the exact phrase,
+    * modulo other terms never interleaving... they may: gap counts
+    * ANY intervening tokens, Lucene's definition). Scored by the
+    * doc's MINIMUM gap, ranked (gap ASC, doc_id) — all integers.
+    *
+    * The match test is a scan-side fold: for each anchor x0 in p0,
+    * greedily take the EARLIEST next-term offset above the previous
+    * one (`array_min(filter(p_i, y -> y > prev))`) — for a fixed
+    * anchor the greedy chain minimizes pm (exchange argument), so
+    * the min over anchors is the doc's true minimum gap, and a
+    * missing link folds to NULL which `array_min` skips and the
+    * slop filter drops. O(m · Σ|p_i|) per doc over in-row arrays —
+    * no row explosion, nothing pairwise. Same bucket-pruned read
+    * and rarest-first doc_id intersection as [[searchPhrase]]. */
+  def searchSpanNear(spark: SparkSession, path: String,
+                     span: Seq[String], slop: Int,
+                     k: Int = 10): DataFrame = {
+    val terms = foldQueryTerms(span.filter(_.nonEmpty),
+      analyzerOf(spark, path))
+    require(terms.size >= 2, "a span query needs at least two terms")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val (slots, dfByTerm) = positionalSlots(spark, path, terms)
+    val joined = slotOrderByDf(terms, dfByTerm).map(slots)
+      .reduce((a, b) => a.join(b, "doc_id"))
+    val chainEnd = (1 until terms.size).foldLeft("x0") { (prev, i) =>
+      s"array_min(filter(p$i, y$i -> y$i > $prev))"
+    }
+    joined
+      .select(col("doc_id"),
+        expr(s"array_min(transform(p0, x0 -> " +
+          s"$chainEnd - x0 - ${terms.size - 1}))").as("span_gap"))
+      .filter(col("span_gap") <= slop)
+      .orderBy(col("span_gap").asc, col("doc_id")).limit(k)
+      .withColumn("span_rank", row_number().over(
+        Window.orderBy(col("span_gap").asc, col("doc_id"))))
+      .select(col("doc_id"), col("span_rank"), col("span_gap"))
+  }
+
   /** Boolean query — Lucene's BooleanQuery shape over the scoring
     * layout: candidates must contain EVERY `must` term, no `mustNot`
     * term, and rank by summed [[bm25Micros]] over the must+should
@@ -689,9 +971,12 @@ object LexicalStore {
                     must: Seq[String], should: Seq[String] = Seq.empty,
                     mustNot: Seq[String] = Seq.empty,
                     k: Int = 10): DataFrame = {
-    val mustT = must.filter(_.nonEmpty).distinct
-    val shouldT = should.filter(_.nonEmpty).distinct
-    val notT = mustNot.filter(_.nonEmpty).distinct
+    val analyzer = analyzerOf(spark, path)
+    def fold(ts: Seq[String]) =
+      foldQueryTerms(ts.filter(_.nonEmpty), analyzer).distinct
+    val mustT = fold(must)
+    val shouldT = fold(should)
+    val notT = fold(mustNot)
     require(mustT.nonEmpty || shouldT.nonEmpty,
       "boolean search needs at least one must or should term")
     require(notT.intersect(mustT ++ shouldT).isEmpty,
@@ -742,17 +1027,46 @@ object LexicalStore {
     * path. The expansion round-trips the driver (bounded by
     * maxExpansions — the query-rows convention) because the final
     * search prunes buckets from literal terms. */
+  /** True when `path` holds the SEGMENTED layout (its `_segstats`
+    * sidecar is the discriminator — the layouts share no other
+    * structure a probe could race on). */
+  private def isSegmented(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_segstats")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The layout's term dictionary as (term, df) with GLOBAL df:
+    * `_vocab` verbatim for the denormalized layout; for the
+    * segmented layout, the per-segment `_segvocab` dictionaries with
+    * df summed across segments (disjoint doc sets — the
+    * [[searchTopKSegmented]] gdf argument, applied to the
+    * dictionary). Vocabulary-sized either way, never corpus-sized. */
+  private def termDictionary(spark: SparkSession, path: String): DataFrame =
+    if (isSegmented(spark, path))
+      spark.read.parquet(s"$path/_segvocab")
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    else spark.read.parquet(s"$path/_vocab")
+
   def searchPrefix(spark: SparkSession, path: String, prefix: String,
                    k: Int = 10, maxExpansions: Int = 16): DataFrame = {
     require(prefix.nonEmpty, "prefix must be non-empty")
     require(maxExpansions >= 1, s"maxExpansions must be >= 1")
-    val expanded = spark.read.parquet(s"$path/_vocab")
-      .filter(col("term").startsWith(prefix))
+    // the prefix folds like any query text (an analyzed layout's
+    // dictionary is all-lowercase, so 'St' must expand as 'st')
+    val folded = foldQueryTerms(Seq(prefix), analyzerOf(spark, path))
+    require(folded.size == 1,
+      s"prefix must fold to one token, '$prefix' folded to $folded")
+    val expanded = termDictionary(spark, path)
+      .filter(col("term").startsWith(folded.head))
       .orderBy(col("df").desc, col("term")).limit(maxExpansions)
       .select(col("term")).collect().map(_.getString(0)).toSeq
     require(expanded.nonEmpty,
-      s"no indexed term starts with '$prefix' — nothing to search")
-    searchTopKLexical(spark, path, expanded, k)
+      s"no indexed term starts with '${folded.head}' — nothing to search")
+    // both scorers re-fold the expansions (identity: dictionary terms
+    // are already folded) and route to the layout's own rank path
+    if (isSegmented(spark, path))
+      searchTopKSegmented(spark, path, expanded, k)
+    else searchTopKLexical(spark, path, expanded, k)
   }
 
   /** Best snippet window per candidate doc — the highlighter half of
@@ -773,7 +1087,8 @@ object LexicalStore {
   def snippetBest(spark: SparkSession, path: String,
                   queryTerms: Seq[String], cands: DataFrame,
                   w: Int): DataFrame = {
-    val terms = queryTerms.filter(_.nonEmpty).distinct
+    val terms = foldQueryTerms(queryTerms.filter(_.nonEmpty),
+      analyzerOf(spark, path)).distinct
     require(terms.nonEmpty, "snippets need at least one query term")
     require(w >= 1, s"window must be >= 1 token, got $w")
     val post = spark.read.parquet(path)
@@ -820,11 +1135,17 @@ object LexicalStore {
     * candidate read, not these semantics. An exact dictionary hit
     * still reports at distance 0, so the caller can tell "correctly
     * spelled" from "unknown word". */
-  def suggestTerms(spark: SparkSession, path: String, term: String,
+  def suggestTerms(spark: SparkSession, path: String, term0: String,
                    maxDist: Int = 2, k: Int = 5): DataFrame = {
-    require(term.nonEmpty, "suggest needs a non-empty term")
+    require(term0.nonEmpty, "suggest needs a non-empty term")
     require(maxDist >= 0 && k >= 1, s"bad maxDist=$maxDist / k=$k")
-    spark.read.parquet(s"$path/_vocab")
+    // fold the probe term (a misspelling of a folded word is searched
+    // folded); a multi-token fold keeps the first token — the caller
+    // is correcting ONE word
+    val term = foldQueryTerms(Seq(term0), analyzerOf(spark, path))
+      .headOption.getOrElse(
+        sys.error(s"'$term0' folds to nothing under this layout's analyzer"))
+    termDictionary(spark, path)
       .select(col("term"), col("df"),
         levenshtein(col("term"), lit(term)).as("dist"))
       .filter(col("dist") <= maxDist)
@@ -846,8 +1167,10 @@ object LexicalStore {
                              queries: Seq[(Long, String)], k: Int = 10,
                              where: Option[Column] = None,
                              allow: Option[DataFrame] = None): DataFrame = {
+    val batchAnalyzer = analyzerOf(spark, path)
     val qTerms = queries.flatMap { case (qid, text) =>
-      text.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
+      foldQueryTerms(text.split(" ").filter(_.nonEmpty).toSeq, batchAnalyzer)
+        .distinct.map(qid -> _)
     }
     require(qTerms.nonEmpty, "batch lexical search needs at least one term")
     val terms = qTerms.map(_._2).distinct
