@@ -687,4 +687,257 @@ class LexicalSpec extends AnyFunSuite {
     assert(!JFiles.exists(JPaths.get(s"$tdPath/_tombstones")),
       "reviving the only tombstoned id empties and removes the sidecar")
   }
+
+  // ---- r16: analyzer normalization -----------------------------------
+
+  test("folded analyzer: case and punctuation fold identically at " +
+      "index and query time") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The QUICK brown fox."),   // uppercase + trailing punct
+      (2L, "a quick, brown fix"),     // comma glued to 'quick'
+      (3L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val folded = "/root/repo/target/test_lex_folded"
+    val raw = "/root/repo/target/test_lex_rawcase"
+    LexicalStore.build(spark, docs, folded,
+      analyzer = LexicalStore.AnalyzerFolded)
+    LexicalStore.build(spark, docs, raw)
+    // the r15 verdict's exact scenario: "The Quick" against a layout
+    // whose corpus spells it differently in case and punctuation
+    val hits = LexicalStore.searchTopKLexical(spark, folded,
+        Seq("Quick!", "BROWN"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L),
+      s"folded layout must match across case and punctuation: $hits")
+    // the raw layout keeps the engine's original exact-token contract
+    val rawHits = LexicalStore.searchTopKLexical(spark, raw,
+        Seq("Quick!", "BROWN"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(rawHits.isEmpty,
+      s"raw layout must stay exact-token (got $rawHits)")
+    // the analyzer rides the layout, not the call: sidecar-read
+    assert(LexicalStore.analyzerOf(spark, folded)
+      == LexicalStore.AnalyzerFolded)
+    assert(LexicalStore.analyzerOf(spark, raw) == LexicalStore.AnalyzerRaw)
+  }
+
+  test("foldQueryTerms: multi-token expansion keeps order, empty folds drop") {
+    assert(LexicalStore.foldQueryTerms(
+        Seq("Don't", "STOP!"), LexicalStore.AnalyzerFolded)
+      == Seq("don", "t", "stop"))
+    assert(LexicalStore.foldQueryTerms(
+        Seq("...", "ok"), LexicalStore.AnalyzerFolded) == Seq("ok"))
+    assert(LexicalStore.foldQueryTerms(
+        Seq("MiXeD", "..."), LexicalStore.AnalyzerRaw)
+      == Seq("MiXeD", "..."), "raw is the identity")
+  }
+
+  test("folded analyzer flows through phrase, prefix, suggest and upsert") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Stream PROCESSING, at scale."),
+      (2L, "stream processing basics"),
+      (3L, "batch processing stream")   // words present, not adjacent
+    ).toDF("doc_id", "text")
+    val pos = "/root/repo/target/test_lex_folded_pos"
+    LexicalStore.buildPositional(spark, docs, pos,
+      analyzer = LexicalStore.AnalyzerFolded)
+    val phrased = LexicalStore.searchPhrase(spark, pos,
+        Seq("STREAM", "Processing?"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(phrased == Set(1L, 2L),
+      s"folded phrase must match 'Stream PROCESSING,' ($phrased)")
+    val scoring = "/root/repo/target/test_lex_folded_score"
+    LexicalStore.build(spark, docs, scoring,
+      analyzer = LexicalStore.AnalyzerFolded)
+    // dictionary terms are folded, so a mixed-case prefix expands
+    val pref = LexicalStore.searchPrefix(spark, scoring, "PROC", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pref == Set(1L, 2L, 3L), pref.toString)
+    val sugg = LexicalStore.suggestTerms(spark, scoring, "Streem,",
+        maxDist = 2, k = 3).collect().map(_.getString(1)).toSeq
+    assert(sugg.contains("stream"), sugg.toString)
+    // an upsert folds its new text under the layout's stored analyzer
+    LexicalStore.upsertLexical(spark, scoring,
+      Seq((4L, "STREAM! Stream; stream")).toDF("doc_id", "text"))
+    val after = LexicalStore.searchTopKLexical(spark, scoring,
+        Seq("stream"), k = 10).collect().map(_.getLong(0)).toSet
+    assert(after.contains(4L),
+      "upserted uppercase text must index folded")
+  }
+
+  test("segment appends must not mix analyzers") {
+    import spark.implicits._
+    val p = "/root/repo/target/test_lex_seg_mixana"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    LexicalStore.appendLexicalSegment(spark,
+      Seq((1L, "a b")).toDF("doc_id", "text"), p,
+      analyzer = LexicalStore.AnalyzerFolded)
+    intercept[IllegalArgumentException] {
+      LexicalStore.appendLexicalSegment(spark,
+        Seq((2L, "c d")).toDF("doc_id", "text"), p)
+    }
+  }
+
+  // ---- r16: rarest-first conjunction ordering -------------------------
+
+  test("slotOrderByDf: ascending df, phrase position breaks ties") {
+    assert(LexicalStore.slotOrderByDf(
+        Seq("of", "the", "zyzzyva"),
+        Map("of" -> 900L, "the" -> 1000L, "zyzzyva" -> 2L))
+      == Seq(2, 0, 1))
+    assert(LexicalStore.slotOrderByDf(
+        Seq("a", "b", "a"), Map("a" -> 5L, "b" -> 5L))
+      == Seq(0, 1, 2), "ties keep phrase order")
+    assert(LexicalStore.slotOrderByDf(
+        Seq("seen", "unseen"), Map("seen" -> 3L))
+      == Seq(1, 0), "an unindexed term is rarest (df 0) and goes first")
+  }
+
+  test("phrase search intersects rarest term first (plan pin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    // 'common1 common2' everywhere; 'needle' once — the r15 verdict's
+    // scale-killer shape: phrase order (common, common, rare) must NOT
+    // become join order
+    val docs = (1L to 200L).map(i => (i, "common1 common2 filler")) :+
+      (201L, "common1 common2 needle")
+    val p = "/root/repo/target/test_lex_rarest"
+    LexicalStore.buildPositional(spark, docs.toDF("doc_id", "text"), p)
+    val df = LexicalStore.searchPhrase(spark, p,
+      Seq("common1", "common2", "needle"), k = 10)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(201L))
+    val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.size == 2, s"expected a two-join chain, got $joins")
+    val innermost = joins.filter(j =>
+      j.children.forall(_.collect { case x: LJoin => x }.isEmpty))
+    assert(innermost.size == 1)
+    val leftFilters = innermost.head.left.collect {
+      case f: LFilter => f.condition.toString }
+    assert(leftFilters.exists(_.contains("needle")),
+      "the FIRST intersection must be anchored on the rarest term " +
+        s"(df 1), not the phrase-order head; filters were $leftFilters")
+  }
+
+  // ---- r16: positional maintenance ------------------------------------
+
+  test("positional compact and upsert equal a fresh build over the " +
+      "replaced corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "z a b"),
+      (4L, "a z b"), (5L, "b a q")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_pos_maint"
+    val fresh = "/root/repo/target/test_lex_pos_fresh"
+    def phrase(path: String) =
+      LexicalStore.searchPhrase(spark, path, Seq("a", "b"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // compact = expungeDeletes: physical removal, tombstones cleared
+    LexicalStore.buildPositional(spark, docs, p)
+    LexicalStore.deleteLexical(spark, p, Seq(1L, 3L))
+    LexicalStore.compactPositional(spark, p)
+    assert(spark.read.parquet(p).filter(col("doc_id").isin(1L, 3L)).count() == 0,
+      "compacted layout must physically drop tombstoned rows")
+    assert(!new java.io.File(s"$p/_tombstones").exists())
+    LexicalStore.buildPositional(spark,
+      docs.filter(!col("doc_id").isin(1L, 3L)), fresh)
+    assert(phrase(p) == phrase(fresh),
+      "compact must equal a fresh build over the survivors")
+    // upsert = compact-with-adds: replaced ids re-text, new ids insert,
+    // a tombstoned id that reappears is live again
+    LexicalStore.buildPositional(spark, docs, p)
+    LexicalStore.deleteLexical(spark, p, Seq(2L, 4L))
+    LexicalStore.upsertPositional(spark, p,
+      Seq((4L, "a b a b"), (6L, "q a b")).toDF("doc_id", "text"))
+    val replaced = docs.filter(!col("doc_id").isin(2L, 4L))
+      .union(Seq((4L, "a b a b"), (6L, "q a b")).toDF("doc_id", "text"))
+    LexicalStore.buildPositional(spark, replaced, fresh)
+    assert(phrase(p) == phrase(fresh),
+      "upsert must equal a fresh build over the replaced corpus")
+  }
+
+  // ---- r16: segmented term dictionary ---------------------------------
+
+  test("segmented prefix/suggest equal the single-layout dictionary; " +
+      "compactSegments keeps them working") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "star star stone alpha"), (2L, "stone star beta"),
+      (3L, "steel stone gamma"), (4L, "alpha beta gamma"),
+      (5L, "star steel stick"), (6L, "stick stone star")
+    ).toDF("doc_id", "text")
+    val segP = "/root/repo/target/test_lex_seg_dict"
+    val oneP = "/root/repo/target/test_lex_seg_dict_one"
+    val fs = new org.apache.hadoop.fs.Path(segP)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(segP), true)
+    LexicalStore.appendLexicalSegment(spark,
+      docs.filter(col("doc_id") <= 3), segP)
+    LexicalStore.appendLexicalSegment(spark,
+      docs.filter(col("doc_id") > 3), segP)
+    LexicalStore.build(spark, docs, oneP)
+    def prefixSeg() = LexicalStore.searchPrefix(spark, segP, "st", k = 10,
+        maxExpansions = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("lex_rank"), r.getAs[Long]("lex_micros"))).toSeq
+    val one = LexicalStore.searchPrefix(spark, oneP, "st", k = 10,
+        maxExpansions = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("lex_rank"), r.getAs[Long]("lex_micros"))).toSeq
+    assert(prefixSeg() == one,
+      "merged per-segment dictionaries must expand and score exactly " +
+        "like the single layout's _vocab")
+    def suggSeg() = LexicalStore.suggestTerms(spark, segP, "stonee",
+        maxDist = 2, k = 5)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+    val suggOne = LexicalStore.suggestTerms(spark, oneP, "stonee",
+        maxDist = 2, k = 5)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(suggSeg() == suggOne,
+      "summed per-segment dfs must equal the global dictionary's")
+    // the forceMerge rewrites the dictionary with the merged layout
+    LexicalStore.compactSegments(spark, segP)
+    assert(prefixSeg() == one && suggSeg() == suggOne,
+      "dictionary verbs must survive compactSegments")
+  }
+
+  // ---- r16: ordered sloppy span search ---------------------------------
+
+  test("span near: ordered, slop-bounded, greedy-min gap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),            // exact phrase: gap 0
+      (2L, "a x b y c"),        // one extra token per link: gap 2
+      (3L, "c b a"),            // all terms, wrong order: no match
+      (4L, "a x x b x x c"),    // gap 4 > slop 2: filtered
+      (5L, "a b"),              // missing c: never joins
+      (6L, "b a b z c"),        // a@1 -> b@2 -> c@4: gap 1
+      (7L, "a c b c")           // a@0 -> b@2 -> c@3: gap 1
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_span"
+    LexicalStore.buildPositional(spark, docs, p)
+    val got = LexicalStore.searchSpanNear(spark, p, Seq("a", "b", "c"),
+        slop = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 1, 0), (6L, 2, 1), (7L, 3, 1), (2L, 4, 2)),
+      got.toString)
+    // slop 0 degenerates to the exact adjacent chain
+    assert(LexicalStore.searchSpanNear(spark, p, Seq("a", "b", "c"), slop = 0)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // two-term ordered: "b ... a" docs only
+    assert(LexicalStore.searchSpanNear(spark, p, Seq("b", "a"), slop = 1)
+      .collect().map(_.getLong(0)).toSet == Set(3L, 6L),
+      "order matters: b-before-a only")
+    // repeated word spans need two distinct increasing offsets
+    val rep = Seq((10L, "w w"), (11L, "w z w"), (12L, "w"))
+      .toDF("doc_id", "text")
+    val p2 = "/root/repo/target/test_lex_span_rep"
+    LexicalStore.buildPositional(spark, rep, p2)
+    val reps = LexicalStore.searchSpanNear(spark, p2, Seq("w", "w"), slop = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(reps == Map(10L -> 0, 11L -> 1), reps.toString)
+  }
 }

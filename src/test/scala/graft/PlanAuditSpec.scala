@@ -216,6 +216,63 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q204: the analyzed search prunes the postings read to the " +
+      "FOLDED query terms' buckets") {
+    // four mixed-case/punctuated inputs fold to four literal terms; the
+    // bucket set is theirs — folding happens before pruning, not after
+    // the scan
+    val df = SparkEntry.queries("q204_analyzed_search")(spark, d)
+    df.collect()
+    val folded = Seq("the", "stream", "window", "merge")
+    val maxDirs = folded.map(graft.sources.LexicalStore.bucketOf).distinct.size
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(p =>
+        p.toString.contains("q204_lex_analyzed") && !p.toString.contains("_stats")))
+    assert(idxScans.nonEmpty, df.queryExecution.executedPlan.toString)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"postings scan must carry a bucket partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= maxDirs,
+        s"analyzed search with $maxDirs folded buckets read $read: $f")
+    }
+  }
+
+  test("q205: span search prunes the positional read to the span " +
+      "terms' buckets and stays HOF-shaped (no row explosion)") {
+    val df = SparkEntry.queries("q205_span_near")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q197_pos_index")))
+    assert(idxScans.nonEmpty, p)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"positional scan must carry a bucket partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= 3,
+        s"a three-term span must open at most 3 bucket directories, read $read: $f")
+    }
+    // the greedy chain is an in-row fold: positions never explode
+    assert(!p.contains("Generate"),
+      s"span matching must not posexplode at query time:\n$p")
+  }
+
+  test("q207: segmented prefix expansion reads only the _segvocab " +
+      "dictionary sidecar, never unpruned postings") {
+    val df = SparkEntry.queries("q207_segmented_prefix")(spark, d)
+    df.collect()
+    val scans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("q157_lex_segments")))
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.foreach { f =>
+      val root = f.relation.location.rootPaths.map(_.toString).mkString(",")
+      if (!root.contains("_segvocab") && !root.contains("_segstats"))
+        assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+          s"the post-expansion postings scan must bucket-prune: $f")
+    }
+  }
+
   test("q134: funnel stage aggregations reuse the user_id shuffle key") {
     // every join and aggregation in the funnel is keyed on user_id —
     // no event-log window, no cartesian; the physical plan must
