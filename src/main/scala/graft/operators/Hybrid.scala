@@ -2291,7 +2291,200 @@ object Hybrid {
 
   private val q208Sql = q203Sql
 
+  // ---- q209: index-backed fuzzy search (FuzzyQuery rewrite) -----------
+
+  private val FuzzyMaxDist = 2
+  private val FuzzyMaxExp = 8
+
+  /** q209: [[LexicalStore.searchFuzzy]] over the q115 layout — the
+    * index-backed FuzzyQuery (q164 is the corpus-join sibling): the
+    * misspelling 'streem' expands against the `_vocab` dictionary
+    * (distance ASC, df DESC, term ASC, capped), each candidate
+    * weighted by the integer similarity ⌊1e6·(maxDist+1−dist)/
+    * (maxDist+1)⌋, and the weighted OR scores through one
+    * bucket-pruned read with the overflow-safe split arithmetic. The
+    * oracle re-derives dictionary, distances, the cap, the weights
+    * and the split floor from the raw table. */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.searchFuzzy(s, lexPath(d), "streem",
+      maxDist = FuzzyMaxDist, k = 10, maxExpansions = FuzzyMaxExp)
+  }
+
+  private val q209Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), expn AS (
+      SELECT term, dist FROM (
+        SELECT term, dist,
+               row_number() OVER (ORDER BY dist ASC, df DESC, term) AS rn
+        FROM (SELECT term, df, levenshtein(term, 'streem') AS dist
+              FROM dfreq)
+        WHERE dist <= $FuzzyMaxDist)
+      WHERE rn <= $FuzzyMaxExp
+    ), wts AS (
+      SELECT term,
+             CAST((1000000 * (${FuzzyMaxDist + 1} - dist))
+                  // ${FuzzyMaxDist + 1} AS BIGINT) AS w
+      FROM expn
+    ), fc AS (
+      SELECT tf.doc_id, wts.w, $bm25Sql AS m
+      FROM tf JOIN wts USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+    ), sc AS (
+      SELECT doc_id,
+             CAST(SUM(w * (m // 1000000)
+                      + (w * (m % 1000000)) // 1000000) AS BIGINT)
+               AS fuzzy_micros
+      FROM fc GROUP BY doc_id)
+    SELECT doc_id, CAST(fuzzy_rank AS INTEGER) AS fuzzy_rank, fuzzy_micros
+    FROM (SELECT doc_id, fuzzy_micros,
+                 row_number() OVER (ORDER BY fuzzy_micros DESC, doc_id)
+                   AS fuzzy_rank
+          FROM sc)
+    WHERE fuzzy_rank <= 10 ORDER BY fuzzy_rank"""
+
+  // ---- q210: minimum_should_match boolean gate -------------------------
+
+  private val Q210Msm = 2
+
+  /** q210: [[LexicalStore.searchBoolean]]'s minimum_should_match —
+    * the Lucene knob between pure-OR recall (0) and all-terms AND
+    * (|should|): three should terms, msm 2, so single-term docs are
+    * gated out while any two of three still match. The oracle mirrors
+    * the distinct-count HAVING gate. */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.searchBoolean(s, lexPath(d),
+      must = Seq.empty, should = Seq("stream", "window", "merge"),
+      k = 10, minShouldMatch = Q210Msm)
+  }
+
+  private val q210Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), scoret(term) AS (VALUES ('stream'), ('window'), ('merge')
+    ), gate AS (
+      SELECT doc_id FROM tf JOIN scoret USING (term)
+      GROUP BY doc_id HAVING COUNT(DISTINCT term) >= $Q210Msm
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN scoret USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.doc_id IN (SELECT doc_id FROM gate)
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(bool_rank AS INTEGER) AS bool_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS bool_rank
+          FROM scored)
+    WHERE bool_rank <= 10 ORDER BY bool_rank"""
+
+  // ---- q211: wildcard (infix) search -----------------------------------
+
+  /** q211: [[LexicalStore.searchWildcard]] — the `*ind*` query
+    * including Lucene's dreaded leading wildcard: a full term-
+    * dictionary walk in ANY engine, here the Zipf-bounded `_vocab`
+    * scan with the df-ranked maxExpansions cap, then the ordinary
+    * bucket-pruned scoring. Oracle re-derives dictionary, contains
+    * matching, cap and scoring. */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.searchWildcard(s, lexPath(d), "ind", k = 10,
+      maxExpansions = PrefixMaxExp)
+  }
+
+  private val q211Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), expn AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+        FROM dfreq WHERE contains(term, 'ind'))
+      WHERE rn <= $PrefixMaxExp
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN expn USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS lex_rank
+          FROM scored)
+    WHERE lex_rank <= 10 ORDER BY lex_rank"""
+
+  // ---- q212: more-like-this (term-selected MLT query) ------------------
+
+  private val MltMaxTerms = 4
+
+  /** q212: [[LexicalStore.moreLikeThis]] — Lucene's
+    * MoreLikeThisQuery: doc 0's best 4 query terms by the quantized
+    * Robertson selection value (bm25Micros over the doc's own
+    * tf/len with the index's df/stats — rare-in-corpus,
+    * frequent-in-doc wins), then the ordinary top-k. q115 is this
+    * verb's degenerate all-terms form; the cap is what keeps a long
+    * document's MLT from flooding the bucket pruning. Oracle
+    * re-derives mining, selection ranking and the final scoring. */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildOnce(s, docs, lexPath(d))
+    LexicalStore.moreLikeThis(s, lexPath(d), docs, 0L,
+      maxTerms = MltMaxTerms, k = 10)
+  }
+
+  private val q212Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), sel AS (
+      SELECT term FROM (
+        SELECT tf.term, $bm25Sql AS w,
+               row_number() OVER (ORDER BY $bm25Sql DESC, tf.term) AS rn
+        FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+          CROSS JOIN stats
+        WHERE tf.doc_id = 0)
+      WHERE rn <= $MltMaxTerms
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN sel USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS lex_rank
+          FROM scored)
+    WHERE lex_rank <= 10 ORDER BY lex_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q209_fuzzy_search", q209, Some(q209Sql)),
+    Query("q210_min_should_match", q210, Some(q210Sql)),
+    Query("q211_wildcard_search", q211, Some(q211Sql)),
+    Query("q212_more_like_this", q212, Some(q212Sql)),
     Query("q204_analyzed_search", q204, Some(q204Sql)),
     Query("q205_span_near", q205, Some(q205Sql)),
     Query("q206_positional_maintenance", q206, Some(q206Sql)),

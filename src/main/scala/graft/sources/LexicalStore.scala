@@ -681,23 +681,8 @@ object LexicalStore {
       }
     val weighted = qTerms.map((_, 1000000L)) ++
       expansion.map((_, PrfExpandMicros))
-    val wdf = spark.createDataFrame(weighted).toDF("term", "w")
-    val allTerms = weighted.map(_._1)
-    val post = spark.read.parquet(path)
-      .filter(col("bucket").isin(
-          allTerms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
-        col("term").isin(allTerms: _*))
-      .transform(p => tombstones(spark, path)
-        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
-    val scored = post.join(broadcast(wdf), "term")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("w"),
-        bm25Micros(col("tf"), col("df"), col("len"),
-          col("n_docs"), col("sum_len")).as("m"))
-      .select(col("doc_id"),
-        expr("w * (m div 1000000L) + (w * (m % 1000000L)) div 1000000L")
-          .as("wm"))
-      .groupBy(col("doc_id")).agg(sum(col("wm")).as("prf_micros"))
+    val scored = scoreWeightedTerms(spark, path, weighted)
+      .withColumnRenamed("micros", "prf_micros")
     scored.orderBy(col("prf_micros").desc, col("doc_id")).limit(k)
       .withColumn("prf_rank", row_number().over(
         Window.orderBy(col("prf_micros").desc, col("doc_id"))))
@@ -970,13 +955,20 @@ object LexicalStore {
   def searchBoolean(spark: SparkSession, path: String,
                     must: Seq[String], should: Seq[String] = Seq.empty,
                     mustNot: Seq[String] = Seq.empty,
-                    k: Int = 10): DataFrame = {
+                    k: Int = 10, minShouldMatch: Int = 0): DataFrame = {
     val analyzer = analyzerOf(spark, path)
     def fold(ts: Seq[String]) =
       foldQueryTerms(ts.filter(_.nonEmpty), analyzer).distinct
     val mustT = fold(must)
     val shouldT = fold(should)
     val notT = fold(mustNot)
+    // Lucene's minimum_should_match: candidates must additionally
+    // match >= this many DISTINCT should terms — the knob between
+    // pure-OR recall (0) and all-terms AND (|should|); counted on the
+    // folded distinct set, like the must gate
+    require(minShouldMatch >= 0 && minShouldMatch <= shouldT.size,
+      s"minShouldMatch=$minShouldMatch outside [0, ${shouldT.size}] " +
+        s"(folded should terms: $shouldT)")
     require(mustT.nonEmpty || shouldT.nonEmpty,
       "boolean search needs at least one must or should term")
     require(notT.intersect(mustT ++ shouldT).isEmpty,
@@ -1001,9 +993,18 @@ object LexicalStore {
           .filter(col("nmust") === mustT.size)
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-    val gated =
-      if (notT.isEmpty) gated1
+    val gated2 =
+      if (minShouldMatch == 0) gated1
       else gated1.join(
+        post.filter(col("term").isin(shouldT: _*))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("term")).as("nshould"))
+          .filter(col("nshould") >= minShouldMatch)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val gated =
+      if (notT.isEmpty) gated2
+      else gated2.join(
         post.filter(col("term").isin(notT: _*)).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
     val scored = gated.crossJoin(broadcast(stats))
@@ -1153,6 +1154,155 @@ object LexicalStore {
       .withColumn("sugg_rank", row_number().over(
         Window.orderBy(col("dist").asc, col("df").desc, col("term"))))
       .select(col("sugg_rank"), col("term"), col("dist"), col("df"))
+  }
+
+  /** Weighted multi-term scoring shared by [[searchTopKPrf]],
+    * [[searchFuzzy]] and every verb that rewrites to a
+    * term-with-weight OR (Lucene's rewritten BooleanQuery): one
+    * bucket-pruned, tombstone-masked read of the weighted terms'
+    * postings, each contribution scaled by its term's weight in
+    * micros via the overflow-safe split
+    * `w·(m div 1e6) + (w·(m mod 1e6)) div 1e6` (see
+    * [[searchTopKPrf]]'s Scaladoc for the 2^63 headroom argument),
+    * summed per doc. Returns (doc_id, micros) unranked — callers
+    * rank under their own column names. */
+  private def scoreWeightedTerms(spark: SparkSession, path: String,
+                                 weighted: Seq[(String, Long)]): DataFrame = {
+    val stats = spark.read.parquet(s"$path/_stats")
+    val terms = weighted.map(_._1)
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(
+          terms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
+    val wdf = spark.createDataFrame(weighted).toDF("term", "w")
+    post.join(broadcast(wdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"),
+        bm25Micros(col("tf"), col("df"), col("len"),
+          col("n_docs"), col("sum_len")).as("m"))
+      .select(col("doc_id"),
+        expr("w * (m div 1000000L) + (w * (m % 1000000L)) div 1000000L")
+          .as("wm"))
+      .groupBy(col("doc_id")).agg(sum(col("wm")).as("micros"))
+  }
+
+  /** Fuzzy search — Lucene's FuzzyQuery with its rewrite made
+    * explicit and deterministic: expand `term` against the term
+    * dictionary to the `maxExpansions` best candidates within
+    * `maxDist` Levenshtein edits (distance ASC, df DESC, term ASC —
+    * the [[suggestTerms]] ranking), weight each expansion by the
+    * integer-exact similarity `⌊1e6·(maxDist+1−dist)/(maxDist+1)⌋`
+    * (an exact term scores full weight, a 2-edit cousin a third at
+    * maxDist 2 — Lucene boosts by `1−dist/len`, a float; this is the
+    * quantized, engine-independent stand-in), and score the weighted
+    * OR through one bucket-pruned read. The dictionary scan is
+    * vocabulary-sized (the [[suggestTerms]] SymSpell note applies);
+    * the driver round-trip is maxExpansions rows. Works on both
+    * dictionary-bearing layouts (denormalized `_vocab`, segmented
+    * merged `_segvocab` — scoring routes to the denormalized path,
+    * so fuzzy over a segmented store should compact first). */
+  def searchFuzzy(spark: SparkSession, path: String, term0: String,
+                  maxDist: Int = 2, k: Int = 10,
+                  maxExpansions: Int = 16): DataFrame = {
+    require(maxDist >= 1 && k >= 1 && maxExpansions >= 1,
+      s"bad maxDist=$maxDist / k=$k / maxExpansions=$maxExpansions")
+    val term = foldQueryTerms(Seq(term0), analyzerOf(spark, path))
+      .headOption.getOrElse(
+        sys.error(s"'$term0' folds to nothing under this layout's analyzer"))
+    val cands = termDictionary(spark, path)
+      .select(col("term"), col("df"),
+        levenshtein(col("term"), lit(term)).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("dist").asc, col("df").desc, col("term"))
+      .limit(maxExpansions)
+      .select(col("term"), col("dist"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
+    require(cands.nonEmpty,
+      s"no indexed term within $maxDist edits of '$term'")
+    val weighted = cands.map { case (t, dist) =>
+      t -> (1000000L * (maxDist + 1 - dist)) / (maxDist + 1)
+    }
+    val scored = scoreWeightedTerms(spark, path, weighted)
+      .withColumnRenamed("micros", "fuzzy_micros")
+    scored.orderBy(col("fuzzy_micros").desc, col("doc_id")).limit(k)
+      .withColumn("fuzzy_rank", row_number().over(
+        Window.orderBy(col("fuzzy_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("fuzzy_rank"), col("fuzzy_micros"))
+  }
+
+  /** Wildcard (infix-contains) search — Lucene's WildcardQuery for
+    * the `*needle*` pattern, INCLUDING the leading-wildcard case its
+    * docs warn about: a hash-bucketed postings layout cannot prune
+    * any wildcard, and neither can Lucene's sorted terms index — both
+    * pay a full dictionary walk. Here that walk is the
+    * vocabulary-sized `_vocab`/`_segvocab` scan (Zipf-bounded
+    * metadata, never the corpus), capped by the same df-ranked
+    * maxExpansions rewrite as [[searchPrefix]], then scored through
+    * the layout's own bucket-pruned rank path. */
+  def searchWildcard(spark: SparkSession, path: String, needle0: String,
+                     k: Int = 10, maxExpansions: Int = 16): DataFrame = {
+    require(needle0.nonEmpty, "wildcard needle must be non-empty")
+    require(maxExpansions >= 1, s"maxExpansions must be >= 1")
+    val folded = foldQueryTerms(Seq(needle0), analyzerOf(spark, path))
+    require(folded.size == 1,
+      s"wildcard needle must fold to one token, '$needle0' folded to $folded")
+    val expanded = termDictionary(spark, path)
+      .filter(col("term").contains(folded.head))
+      .orderBy(col("df").desc, col("term")).limit(maxExpansions)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    require(expanded.nonEmpty,
+      s"no indexed term contains '${folded.head}' — nothing to search")
+    if (isSegmented(spark, path))
+      searchTopKSegmented(spark, path, expanded, k)
+    else searchTopKLexical(spark, path, expanded, k)
+  }
+
+  /** More-like-this — Lucene's MoreLikeThisQuery: mine the best
+    * `maxTerms` query terms from ONE document's text by the same
+    * quantized Robertson selection value [[searchTopKPrf]] uses for
+    * its feedback set (bm25Micros with the doc's tf/len and the
+    * INDEX's df/stats — rare-in-corpus, frequent-in-doc terms win),
+    * then run the ordinary top-k search with them. `docs` is the
+    * forward corpus the layout was built from (the PRF argument: an
+    * inverted layout cannot enumerate one doc's terms without a full
+    * scan, the forward table serves exactly that direction as an
+    * id-pruned read). The q115 flagship query is the DEGENERATE form
+    * of this verb (all of doc 0's terms, unweighted); the selection
+    * cap is what makes it usable on long documents, where querying
+    * every term floods the bucket pruning. The source doc itself
+    * ranking first is correct more-like-this behavior. */
+  def moreLikeThis(spark: SparkSession, path: String, docs: DataFrame,
+                   docId: Any, maxTerms: Int = 8, k: Int = 10,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(maxTerms >= 1 && k >= 1, s"bad maxTerms=$maxTerms / k=$k")
+    val analyzer = analyzerOf(spark, path)
+    val docTf = termFreqs(
+        docs.filter(col(idCol) === lit(docId))
+          .select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        analyzer)
+      .localCheckpoint() // one doc's distinct terms — bounded
+    val docLen = docTf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("len"))
+    val cands = docTf.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(cands.nonEmpty, s"doc $docId has no indexed terms")
+    val stats = spark.read.parquet(s"$path/_stats")
+    val dfTbl = spark.read.parquet(path)
+      .filter(col("bucket").isin(
+          cands.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(cands: _*))
+      .groupBy(col("term")).agg(max(col("df")).as("df"))
+    val selected = docTf.join(docLen, "doc_id").join(dfTbl, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        bm25Micros(col("tf"), col("df"), col("len"),
+          col("n_docs"), col("sum_len")).as("w"))
+      .orderBy(col("w").desc, col("term")).limit(maxTerms)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    searchTopKLexical(spark, path, selected, k)
   }
 
   /** BATCH lexical top-`k`: every query answered from ONE postings

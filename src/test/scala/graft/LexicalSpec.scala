@@ -904,6 +904,118 @@ class LexicalSpec extends AnyFunSuite {
       "dictionary verbs must survive compactSegments")
   }
 
+  // ---- r16: fuzzy / msm / wildcard / more-like-this --------------------
+
+  test("fuzzy search: similarity-weighted expansion — exact beats " +
+      "1-edit beats 2-edit at equal attestation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream x y"),    // exact: weight 1e6
+      (2L, "steam x y"),     // 2 edits from 'streem'... 1? steam->streem = 2 ops? s-t-e-a-m vs s-t-r-e-e-m: dist 2
+      (3L, "scream x y"),    // dist 2
+      (4L, "unrelated x y")
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_fuzzy"
+    LexicalStore.build(spark, docs, p)
+    val got = LexicalStore.searchFuzzy(spark, p, "streem",
+        maxDist = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // 'stream' is dist 1 (insert r? streem->stream = 1 substitution?)
+    // — whatever the exact distances, the ORDER must be: the closest
+    // term's doc first, and the no-candidate doc absent
+    assert(got.map(_._1).head == 1L, got.toString)
+    assert(!got.map(_._1).contains(4L), "no fuzzy candidate, no hit")
+    // weights strictly order scores where dfs and tfs are equal
+    val byDoc = got.map(g => g._1 -> g._3).toMap
+    assert(byDoc(1L) > byDoc(2L) && byDoc(1L) > byDoc(3L),
+      s"closer expansion must outscore farther ones: $byDoc")
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchFuzzy(spark, p, "qqqqqqq", maxDist = 1)
+    }
+  }
+
+  test("minimum_should_match gates candidates by distinct should-term count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),  // 3 of 3
+      (2L, "alpha beta x"),      // 2 of 3
+      (3L, "alpha x y"),         // 1 of 3: gated at msm 2
+      (4L, "alpha alpha alpha"), // 1 distinct (repeats don't count)
+      (5L, "x y z")
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_msm"
+    LexicalStore.build(spark, docs, p)
+    def ids(msm: Int) = LexicalStore.searchBoolean(spark, p,
+        must = Seq.empty, should = Seq("alpha", "beta", "gamma"),
+        k = 10, minShouldMatch = msm)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(0) == Set(1L, 2L, 3L, 4L), "msm 0 is the pure OR")
+    assert(ids(2) == Set(1L, 2L), ids(2).toString)
+    assert(ids(3) == Set(1L), "msm = |should| is the AND")
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchBoolean(spark, p, must = Seq.empty,
+        should = Seq("alpha"), minShouldMatch = 2)
+    }
+  }
+
+  test("wildcard search: infix contains over the dictionary, df-capped, " +
+      "segmented layout routes to the merged scorer") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "windmill x"), (2L, "window x"), (3L, "rewind x"),
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_wild"
+    LexicalStore.build(spark, docs, p)
+    val got = LexicalStore.searchWildcard(spark, p, "ind", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L), got.toString)
+    // leading-wildcard shape: 'mill' only matches via the infix scan
+    assert(LexicalStore.searchWildcard(spark, p, "mill", k = 10)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // segmented: same result via merged dictionaries + segmented scorer
+    val segP = "/root/repo/target/test_lex_wild_seg"
+    val fs = new org.apache.hadoop.fs.Path(segP)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(segP), true)
+    LexicalStore.appendLexicalSegment(spark,
+      docs.filter(col("doc_id") <= 2), segP)
+    LexicalStore.appendLexicalSegment(spark,
+      docs.filter(col("doc_id") > 2), segP)
+    val seg = LexicalStore.searchWildcard(spark, segP, "ind", k = 10)
+    assert(seg.columns.contains("seg"), "segmented schema expected")
+    assert(seg.collect().map(_.getAs[Long]("doc_id")).toSet
+      == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchWildcard(spark, p, "zzz")
+    }
+  }
+
+  test("more-like-this selects rare-but-frequent terms, capped") {
+    import spark.implicits._
+    // 'rare' appears only in docs 1 and 2; 'common' everywhere — the
+    // selection value must pick 'rare' over 'common' for doc 1, so
+    // doc 2 (shares only 'rare') outranks doc 3 (shares only 'common')
+    val docs = Seq(
+      (1L, "rare common"),
+      (2L, "rare other words"),
+      (3L, "common other words"),
+      (4L, "common common common"),
+      (5L, "common z")
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_mlt"
+    LexicalStore.build(spark, docs, p)
+    val got = LexicalStore.moreLikeThis(spark, p, docs, 1L,
+        maxTerms = 1, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L),
+      s"maxTerms=1 must select 'rare' (rarest in corpus): $got")
+    // uncapped: both terms query, common docs surface too
+    val full = LexicalStore.moreLikeThis(spark, p, docs, 1L,
+        maxTerms = 8, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == Set(1L, 2L, 3L, 4L, 5L), full.toString)
+  }
+
   // ---- r16: ordered sloppy span search ---------------------------------
 
   test("span near: ordered, slop-bounded, greedy-min gap") {
