@@ -2480,7 +2480,107 @@ object Hybrid {
           FROM scored)
     WHERE lex_rank <= 10 ORDER BY lex_rank"""
 
+  // ---- q213: multi-field weighted search (title^2 + body) -------------
+
+  private def titlePath(d: String): String =
+    "/root/repo/target/q213_title_index/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val TitleTokens = 5
+  private val TitleWeight = 2000000L // title^2
+  private val BodyWeight = 1000000L
+
+  /** q213: [[LexicalStore.searchTopKFields]] — Elasticsearch's
+    * `fields: ["title^2", "body"]` shape over two persisted per-field
+    * layouts: the q115 body index plus a title index over each doc's
+    * first 5 tokens (a deterministic derived field, so the oracle
+    * re-derives it — real corpora carry a separate title column; the
+    * mechanism is identical). Each field scores with its OWN stats
+    * (a 5-token title normalizes against title lengths — why
+    * per-field layouts beat concatenation), fused by the weighted
+    * overflow-safe split sum; title-only and body-only hits both
+    * surface (outer union). */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildOnce(s, docs, lexPath(d))
+    LexicalStore.buildOnce(s,
+      docs.select(col("doc_id"), expr(
+        s"array_join(slice(filter(split(text, ' '), x -> length(x) > 0)," +
+          s" 1, $TitleTokens), ' ')").as("text")),
+      titlePath(d))
+    LexicalStore.searchTopKFields(s,
+      Seq(titlePath(d) -> TitleWeight, lexPath(d) -> BodyWeight),
+      Q150QueryText.split(" ").toIndexedSeq, k = 10)
+  }
+
+  private val q213Sql = s"""
+    WITH qt(term) AS (
+      VALUES ('stream'), ('window'), ('partition'), ('merge')
+    ), bodytf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), bodydf AS (SELECT term, COUNT(*) AS df FROM bodytf GROUP BY term
+    ), bodylen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                   FROM bodytf GROUP BY doc_id
+    ), bodystats AS (SELECT COUNT(*) AS n_docs,
+                            CAST(SUM(len) AS BIGINT) AS sum_len FROM bodylen
+    ), titles AS (
+      SELECT doc_id,
+             array_to_string(list_slice(
+               list_filter(string_split(text, ' '), w -> length(w) > 0),
+               1, $TitleTokens), ' ') AS text
+      FROM documents
+    ), titletf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM titles)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), titledf AS (SELECT term, COUNT(*) AS df FROM titletf GROUP BY term
+    ), titlelen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                    FROM titletf GROUP BY doc_id
+    ), titlestats AS (SELECT COUNT(*) AS n_docs,
+                             CAST(SUM(len) AS BIGINT) AS sum_len FROM titlelen
+    ), bodysc AS (
+      SELECT doc_id, CAST(SUM(micros) AS BIGINT) AS m FROM (
+        SELECT tf.doc_id, $bm25Sql AS micros
+        FROM (SELECT * FROM bodytf) tf
+          JOIN qt USING (term)
+          JOIN (SELECT * FROM bodydf) dfreq USING (term)
+          JOIN (SELECT * FROM bodylen) lens USING (doc_id)
+          CROSS JOIN (SELECT * FROM bodystats) stats)
+      GROUP BY doc_id
+    ), titlesc AS (
+      SELECT doc_id, CAST(SUM(micros) AS BIGINT) AS m FROM (
+        SELECT tf.doc_id, $bm25Sql AS micros
+        FROM (SELECT * FROM titletf) tf
+          JOIN qt USING (term)
+          JOIN (SELECT * FROM titledf) dfreq USING (term)
+          JOIN (SELECT * FROM titlelen) lens USING (doc_id)
+          CROSS JOIN (SELECT * FROM titlestats) stats)
+      GROUP BY doc_id
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(wm) AS BIGINT) AS field_micros FROM (
+        SELECT doc_id,
+               $TitleWeight * (m // 1000000)
+                 + ($TitleWeight * (m % 1000000)) // 1000000 AS wm
+        FROM titlesc
+        UNION ALL
+        SELECT doc_id,
+               $BodyWeight * (m // 1000000)
+                 + ($BodyWeight * (m % 1000000)) // 1000000 AS wm
+        FROM bodysc)
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(field_rank AS INTEGER) AS field_rank, field_micros
+    FROM (SELECT doc_id, field_micros,
+                 row_number() OVER (ORDER BY field_micros DESC, doc_id)
+                   AS field_rank
+          FROM fused)
+    WHERE field_rank <= 10 ORDER BY field_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q213_multi_field", q213, Some(q213Sql)),
     Query("q209_fuzzy_search", q209, Some(q209Sql)),
     Query("q210_min_should_match", q210, Some(q210Sql)),
     Query("q211_wildcard_search", q211, Some(q211Sql)),

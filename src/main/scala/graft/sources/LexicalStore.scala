@@ -573,14 +573,16 @@ object LexicalStore {
     * pairs. `where` optionally filters candidate doc_ids BENEATH the
     * rank (the V9 `where=` composition — a predicate over the posting
     * columns, i.e. doc_id). */
-  def searchTopKLexical(spark: SparkSession, path: String,
-                        queryTerms: Seq[String], k: Int = 10,
-                        where: Option[Column] = None,
-                        allow: Option[DataFrame] = None): DataFrame = {
-    // query terms fold under the LAYOUT's analyzer (sidecar-read, so
-    // index and query time provably agree) — `raw` is the identity
-    val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
-      .filter(_.nonEmpty).distinct
+  /** UNRANKED exact BM25 scores of every matching doc — the shared
+    * scan-and-aggregate [[searchTopKLexical]] ranks and
+    * [[searchTopKFields]] weight-sums across field layouts (a doc in
+    * the fused top-k need not be in any single field's top-k, so the
+    * field scorer must not truncate). Same pruned read, same
+    * (doc_id, micros) exchanges. */
+  private def scoreLexical(spark: SparkSession, path: String,
+                           terms: Seq[String],
+                           where: Option[Column] = None,
+                           allow: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "lexical search needs at least one term")
     val buckets = terms.map(bucketOf).distinct
     val stats = spark.read.parquet(s"$path/_stats")
@@ -591,15 +593,63 @@ object LexicalStore {
       .transform(p => allowFilter(p, allow))
       .transform(p => tombstones(spark, path)
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
-    val scored = post.crossJoin(broadcast(stats))
+    post.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         bm25Micros(col("tf"), col("df"), col("len"),
           col("n_docs"), col("sum_len")).as("micros"))
       .groupBy(col("doc_id")).agg(sum(col("micros")).as("lex_micros"))
+  }
+
+  def searchTopKLexical(spark: SparkSession, path: String,
+                        queryTerms: Seq[String], k: Int = 10,
+                        where: Option[Column] = None,
+                        allow: Option[DataFrame] = None): DataFrame = {
+    // query terms fold under the LAYOUT's analyzer (sidecar-read, so
+    // index and query time provably agree) — `raw` is the identity
+    val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
+      .filter(_.nonEmpty).distinct
+    val scored = scoreLexical(spark, path, terms, where, allow)
     scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("lex_micros").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"), col("lex_micros"))
+  }
+
+  /** Multi-field weighted search — Lucene's MultiFieldQueryParser
+    * with per-field boosts (the practical cousin of BM25F: BM25F
+    * proper mixes tf ACROSS fields under one idf, which needs a
+    * combined-field layout; the weighted SUM of per-field BM25 is
+    * what Elasticsearch's `fields: ["title^2", "body"]` best_fields/
+    * most_fields family actually computes, and it composes from the
+    * per-field layouts already built). `fields` = (layout path,
+    * weight in micros; 1e6 = neutral, 2e6 = counts double). Each
+    * field scores UNRANKED over its own bucket-pruned read (its own
+    * analyzer, its own stats — a short title field normalizes against
+    * title lengths, exactly why the fields stay separate layouts); a
+    * doc's fused score is Σ ⌊w_f·micros_f/1e6⌋ via the overflow-safe
+    * split, missing fields contribute 0 (outer union — a title-only
+    * hit still surfaces). Exchanges carry (doc_id, micros) pairs
+    * only; the fan-in is |fields| k-free aggregates, never a corpus
+    * join. */
+  def searchTopKFields(spark: SparkSession,
+                       fields: Seq[(String, Long)],
+                       queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    require(fields.nonEmpty, "multi-field search needs at least one field")
+    require(fields.forall(_._2 > 0), s"field weights must be positive")
+    val perField = fields.map { case (path, w) =>
+      val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
+        .filter(_.nonEmpty).distinct
+      scoreLexical(spark, path, terms)
+        .select(col("doc_id"),
+          expr(s"${w}L * (lex_micros div 1000000L) + " +
+            s"(${w}L * (lex_micros % 1000000L)) div 1000000L").as("wm"))
+    }
+    val fused = perField.reduce(_.union(_))
+      .groupBy(col("doc_id")).agg(sum(col("wm")).as("field_micros"))
+    fused.orderBy(col("field_micros").desc, col("doc_id")).limit(k)
+      .withColumn("field_rank", row_number().over(
+        Window.orderBy(col("field_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("field_rank"), col("field_micros"))
   }
 
   /** Weight an expansion term carries in [[searchTopKPrf]]'s final

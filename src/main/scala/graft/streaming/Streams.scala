@@ -976,7 +976,117 @@ object Streams {
     WHERE a.avg_micros >= thr.t
     GROUP BY d.source ORDER BY d.source"""
 
+  // ---- q214: streaming lexical ingestion (segment per micro-batch) ----
+
+  /** q214: the segmented lexical layout fed BY A STREAM — the
+    * incremental-index story (q83) applied to the BM25 surface: each
+    * arriving document batch appends one immutable segment
+    * ([[graft.sources.LexicalStore.appendLexicalSegment]] inside
+    * foreachBatch — O(batch) work, no existing segment touched, the
+    * exact trade the segmented layout exists for), and a query
+    * arriving at ANY point scores with merged cross-segment
+    * statistics. The inbox is staged as two files with
+    * maxFilesPerTrigger=1, so the stream genuinely processes two
+    * micro-batches; the output drops the `seg` column because
+    * batch→segment assignment depends on file arrival order — the
+    * MERGED ranking provably does not (that is the q157 theorem),
+    * which is exactly what makes the gate hash stable. `n_segs` (from
+    * the layout's partition listing) pins that two append-only
+    * segments really exist. The oracle scores a from-scratch build of
+    * the whole corpus: hash-equality proves streamed incremental
+    * ingestion converged to the batch build, the strongest claim an
+    * incremental index can make. */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    val tmp = Paths.get("/root/repo/target/q214_stream/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_"))
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(tmp.toFile)
+    val inbox = tmp.resolve("inbox")
+    Files.createDirectories(inbox)
+    val segPath = tmp.resolve("segments").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // stage the two arrival batches (the q157 split) as one parquet
+    // file each — a collector's drops, oldest first
+    def stageBatch(df: DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"${name}_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part staged for $name"))
+      Files.copy(part.toPath, inbox.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageBatch(docs.filter(pmod(col("doc_id"), lit(3)) =!= 2), "b0")
+    stageBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 2), "b1")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = s.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inbox.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the q180 lesson: a replayed/empty batch must not append an
+        // empty segment (it would shift seg ids and write a 0-doc
+        // stats row)
+        if (!batch.isEmpty)
+          graft.sources.LexicalStore.appendLexicalSegment(
+            batch.sparkSession, batch, segPath)
+        ()
+      }
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val qTerms = Tables.documents(s, d).filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).toSeq
+    val nSegs = s.read.parquet(segPath)
+      .agg(countDistinct(col("seg")).cast(IntegerType).as("n_segs"))
+    graft.sources.LexicalStore.searchTopKSegmented(s, segPath, qTerms, 10)
+      .select(col("lex_rank"), col("doc_id"), col("lex_micros"))
+      .crossJoin(broadcast(nSegs))
+      .orderBy(col("lex_rank"))
+  }
+
+  /** The q157 oracle minus the order-dependent seg column: global
+    * df/stats over the full corpus — what the stream's merged scoring
+    * must converge to — plus the constant two-segment pin (both %3
+    * batches are non-empty at every sf). */
+  private val q214Sql = """
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), qterms AS (
+      SELECT DISTINCT term FROM tf WHERE doc_id = 0
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), lex AS (
+      SELECT doc_id, CAST(SUM(CAST(floor(1000000.0 * (
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(len AS DOUBLE))
+                          / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        )) AS BIGINT)) AS BIGINT) AS lex_micros
+      FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id)
+    SELECT CAST(lex_rank AS INTEGER) AS lex_rank, doc_id, lex_micros,
+           CAST(2 AS INTEGER) AS n_segs
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS lex_rank
+          FROM lex)
+    WHERE lex_rank <= 10 ORDER BY lex_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q214_stream_lexical", q214, Some(q214Sql)),
     Query("q189_stream_dsir", q189, Some(q189Sql)),
     Query("q180_stream_retrain", q180, Some(q180Sql)),
     Query("q168_stream_versioned", q168, Some(q168Sql)),

@@ -206,4 +206,22 @@ class StreamingSpec extends AnyFunSuite {
       .select("chunk").collect().map(_.getString(0))
     assert(texts.toSeq == Seq("revised stream document 0"), texts.toSeq.toString)
   }
+
+  test("q214: streamed segment ingestion is deterministic across " +
+      "full re-streams and really appends per micro-batch") {
+    val d = "/root/testdata/sf0.001"
+    val first = SparkEntry.queries("q214_stream_lexical")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(first.nonEmpty)
+    // two staged files under maxFilesPerTrigger=1 => two segments
+    assert(first.head.last == 2,
+      s"expected exactly 2 streamed segments, got ${first.head.last}")
+    // the lifecycle wipes and re-streams from scratch per invocation:
+    // a second full run must land byte-identical ranks (the merged
+    // scoring is arrival-order-free — the q157 theorem, exercised
+    // through the actual stream)
+    val second = SparkEntry.queries("q214_stream_lexical")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(first == second)
+  }
 }
