@@ -2579,7 +2579,81 @@ object Hybrid {
           FROM fused)
     WHERE field_rank <= 10 ORDER BY field_rank"""
 
+  // ---- q215: keyset pagination (searchAfter) ---------------------------
+
+  private val PageK = 5
+
+  /** q215: [[LexicalStore.searchAfter]] — page 2 of the q150 query
+    * via the (score, doc_id) cursor of page 1's last hit: the
+    * deep-paging API every search stack ships (Lucene searchAfter /
+    * ES search_after), keyset-not-offset so page depth never changes
+    * the per-page cost. Integer scores make the cursor exact; the
+    * oracle re-derives the full ranking and checks rows k+1..2k
+    * renumbered — any tear at the page boundary breaks the hash. */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    val qTerms = Q150QueryText.split(" ").toIndexedSeq
+    val last = LexicalStore.searchTopKLexical(s, lexPath(d), qTerms, PageK)
+      .orderBy(col("lex_rank").desc).head()
+    LexicalStore.searchAfter(s, lexPath(d), qTerms, PageK,
+      last.getAs[Long]("lex_micros"), last.getAs[Long]("doc_id"))
+  }
+
+  private val q215Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), qt(term) AS (
+      VALUES ('stream'), ('window'), ('partition'), ('merge')
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(rn - $PageK AS INTEGER) AS page_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn > $PageK AND rn <= ${2 * PageK} ORDER BY page_rank"""
+
+  // ---- q216: facet counts over the match set ---------------------------
+
+  /** q216: [[LexicalStore.facetCounts]] — Lucene faceting's
+    * drill-down counts for the q150 query over the `source` facet:
+    * how many docs MATCH (the BM25 OR set, not the top-k) per source,
+    * the sidebar every search UI renders. Ids-only exchanges (the
+    * postings carry no metadata by design; the facet joins in by id),
+    * one |facet-values|-row aggregate out. */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildOnce(s, docs, lexPath(d))
+    LexicalStore.facetCounts(s, lexPath(d),
+      Q150QueryText.split(" ").toIndexedSeq,
+      docs.select(col("doc_id"), col("source")), "source")
+  }
+
+  private val q216Sql = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), qt(term) AS (
+      VALUES ('stream'), ('window'), ('partition'), ('merge')
+    ), matched AS (
+      SELECT DISTINCT doc_id FROM tf JOIN qt USING (term))
+    SELECT d.source AS facet, COUNT(*) AS n_docs
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY facet"""
+
   val queries: Seq[Query] = Seq(
+    Query("q215_search_after", q215, Some(q215Sql)),
+    Query("q216_facet_counts", q216, Some(q216Sql)),
     Query("q213_multi_field", q213, Some(q213Sql)),
     Query("q209_fuzzy_search", q209, Some(q209Sql)),
     Query("q210_min_should_match", q210, Some(q210Sql)),

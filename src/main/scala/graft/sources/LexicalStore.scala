@@ -615,6 +615,56 @@ object LexicalStore {
       .select(col("doc_id"), col("lex_rank"), col("lex_micros"))
   }
 
+  /** Keyset pagination — Lucene's IndexSearcher.searchAfter: the
+    * page AFTER a (score, doc_id) cursor in the total order
+    * (lex_micros DESC, doc_id ASC), i.e. strictly
+    * `micros < cursor.micros OR (micros = cursor.micros AND doc_id >
+    * cursor.docId)`. Deep paging done right at scale: offset-k
+    * pagination re-sorts and DISCARDS o rows per page (page 1000 of a
+    * web index heap-sorts 10k rows per executor); the keyset
+    * predicate filters BEFORE the top-k heap, so every page costs
+    * exactly one k-row TakeOrdered over the pruned scan, independent
+    * of page depth. Integer scores make the cursor exact — no
+    * float-tie page tearing (the reason Lucene's FieldDoc cursor
+    * carries the doc id too). Page rows are numbered 1..k within the
+    * page (a global rank would require knowing the offset — the thing
+    * keyset pagination exists to avoid). */
+  def searchAfter(spark: SparkSession, path: String,
+                  queryTerms: Seq[String], k: Int,
+                  afterMicros: Long, afterDocId: Any): DataFrame = {
+    val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
+      .filter(_.nonEmpty).distinct
+    val scored = scoreLexical(spark, path, terms)
+      .filter(col("lex_micros") < afterMicros ||
+        (col("lex_micros") === afterMicros && col("doc_id") > lit(afterDocId)))
+    scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
+      .withColumn("page_rank", row_number().over(
+        Window.orderBy(col("lex_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("page_rank"), col("lex_micros"))
+  }
+
+  /** Facet counts — Lucene faceting's contract over the MATCH SET
+    * (not the top-k): for every value of a metadata facet, how many
+    * docs match the query at all. `facets` is the forward metadata
+    * (doc_id, facet) — the postings carry no metadata by design (the
+    * V9 allowlist argument), so the match set's ids semi-join out of
+    * the pruned scan and the facet column joins in by id: ids-only
+    * exchanges until the final |facet-values|-row aggregate. The
+    * match set is the BM25 OR (any query term) — the set the ranked
+    * list is drawn from, which is what makes facet drill-down counts
+    * consistent with the visible results. */
+  def facetCounts(spark: SparkSession, path: String,
+                  queryTerms: Seq[String], facets: DataFrame,
+                  facetCol: String = "facet"): DataFrame = {
+    val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
+      .filter(_.nonEmpty).distinct
+    val matched = scoreLexical(spark, path, terms).select(col("doc_id"))
+    matched.join(facets.select(col("doc_id"), col(facetCol).as("facet")),
+        Seq("doc_id"))
+      .groupBy(col("facet")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("facet"))
+  }
+
   /** Multi-field weighted search — Lucene's MultiFieldQueryParser
     * with per-field boosts (the practical cousin of BM25F: BM25F
     * proper mixes tf ACROSS fields under one idf, which needs a

@@ -1016,6 +1016,48 @@ class LexicalSpec extends AnyFunSuite {
     assert(full == Set(1L, 2L, 3L, 4L, 5L), full.toString)
   }
 
+  // ---- r16: pagination + facets -----------------------------------------
+
+  test("searchAfter: pages stitch into the full ranking with no tear " +
+      "or overlap, including score ties") {
+    import spark.implicits._
+    // deliberate score ties: identical texts score identically, so the
+    // cursor MUST use the doc_id tiebreak to avoid losing/duping rows
+    val docs = Seq(
+      (1L, "hit hit filler"), (2L, "hit hit filler"), (3L, "hit hit filler"),
+      (4L, "hit filler x"), (5L, "hit filler x"), (6L, "hit filler x"),
+      (7L, "none of these")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_pages"
+    LexicalStore.build(spark, docs, p)
+    val all = LexicalStore.searchTopKLexical(spark, p, Seq("hit"), 6)
+      .orderBy(col("lex_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val page1 = all.take(2)
+    val after1 = LexicalStore.searchAfter(spark, p, Seq("hit"), 2,
+        page1.last._2, page1.last._1)
+      .orderBy(col("page_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val after2 = LexicalStore.searchAfter(spark, p, Seq("hit"), 2,
+        after1.last._2, after1.last._1)
+      .orderBy(col("page_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(page1 ++ after1 ++ after2 == all,
+      s"pages must stitch exactly: ${page1 ++ after1 ++ after2} vs $all")
+  }
+
+  test("facetCounts: counts the whole match set per facet value") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hit x", "web"), (2L, "hit y", "web"), (3L, "hit z", "book"),
+      (4L, "miss a", "web")).toDF("doc_id", "text", "source")
+    val p = "/root/repo/target/test_lex_facets"
+    LexicalStore.build(spark, docs, p)
+    val got = LexicalStore.facetCounts(spark, p, Seq("hit"),
+        docs.select(col("doc_id"), col("source")), "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("web" -> 2L, "book" -> 1L), got.toString)
+  }
+
   // ---- r16: ordered sloppy span search ---------------------------------
 
   test("span near: ordered, slop-bounded, greedy-min gap") {
