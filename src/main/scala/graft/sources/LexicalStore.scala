@@ -137,6 +137,11 @@ object LexicalStore {
     import spark.implicits._
     Seq(analyzer).toDF("analyzer").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_analyzer")
+    // a rebuild invalidates EVERY session's memo for this path, not
+    // just the building session's — another session in the same JVM
+    // holding a stale entry would silently fold queries under the
+    // previous build's rule
+    analyzerCache.keys.filter(_._2 == path).foreach(analyzerCache.remove)
     analyzerCache((IndexStore.sessionKey(spark), path)) = analyzer
   }
 
@@ -659,7 +664,12 @@ object LexicalStore {
     val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
       .filter(_.nonEmpty).distinct
     val matched = scoreLexical(spark, path, terms).select(col("doc_id"))
-    matched.join(facets.select(col("doc_id"), col(facetCol).as("facet")),
+    // distinct BEFORE the count: duplicate (doc_id, facet) rows in the
+    // caller's metadata must not double-count a document (a doc with
+    // several DISTINCT facet values still counts once per value —
+    // Lucene's multi-valued facet semantics)
+    matched.join(
+        facets.select(col("doc_id"), col(facetCol).as("facet")).distinct(),
         Seq("doc_id"))
       .groupBy(col("facet")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("facet"))
@@ -686,14 +696,20 @@ object LexicalStore {
                        queryTerms: Seq[String], k: Int = 10): DataFrame = {
     require(fields.nonEmpty, "multi-field search needs at least one field")
     require(fields.forall(_._2 > 0), s"field weights must be positive")
-    val perField = fields.map { case (path, w) =>
+    // a field whose analyzer folds the whole query away contributes 0
+    // (it drops out of the union) — it must not fail the search while
+    // another field can still match the raw form
+    val perField = fields.flatMap { case (path, w) =>
       val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
         .filter(_.nonEmpty).distinct
-      scoreLexical(spark, path, terms)
+      if (terms.isEmpty) None
+      else Some(scoreLexical(spark, path, terms)
         .select(col("doc_id"),
           expr(s"${w}L * (lex_micros div 1000000L) + " +
-            s"(${w}L * (lex_micros % 1000000L)) div 1000000L").as("wm"))
+            s"(${w}L * (lex_micros % 1000000L)) div 1000000L").as("wm")))
     }
+    require(perField.nonEmpty,
+      s"query $queryTerms folds to nothing under every field's analyzer")
     val fused = perField.reduce(_.union(_))
       .groupBy(col("doc_id")).agg(sum(col("wm")).as("field_micros"))
     fused.orderBy(col("field_micros").desc, col("doc_id")).limit(k)
@@ -1148,26 +1164,53 @@ object LexicalStore {
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
     else spark.read.parquet(s"$path/_vocab")
 
-  def searchPrefix(spark: SparkSession, path: String, prefix: String,
-                   k: Int = 10, maxExpansions: Int = 16): DataFrame = {
-    require(prefix.nonEmpty, "prefix must be non-empty")
-    require(maxExpansions >= 1, s"maxExpansions must be >= 1")
-    // the prefix folds like any query text (an analyzed layout's
-    // dictionary is all-lowercase, so 'St' must expand as 'st')
-    val folded = foldQueryTerms(Seq(prefix), analyzerOf(spark, path))
+  /** Fold a dictionary probe (prefix/needle) to its single token —
+    * the shared head of every dictionary-expansion verb. */
+  private def foldProbe(spark: SparkSession, path: String, probe: String,
+                        what: String): String = {
+    require(probe.nonEmpty, s"$what must be non-empty")
+    val folded = foldQueryTerms(Seq(probe), analyzerOf(spark, path))
     require(folded.size == 1,
-      s"prefix must fold to one token, '$prefix' folded to $folded")
+      s"$what must fold to one token, '$probe' folded to $folded")
+    folded.head
+  }
+
+  /** Expand a dictionary match predicate to the `maxExpansions`
+    * highest-df terms (df DESC, term ASC — the rewrite cap that stops
+    * `a%` from becoming a thousand-term query) — the shared middle of
+    * [[searchPrefix]]/[[searchWildcard]]. Bounded driver round-trip
+    * (the query-rows convention); the downstream search prunes
+    * buckets from the literal expansions. */
+  private def expandDictionary(spark: SparkSession, path: String,
+                               pred: Column, maxExpansions: Int,
+                               noMatch: => String): Seq[String] = {
+    require(maxExpansions >= 1, s"maxExpansions must be >= 1")
     val expanded = termDictionary(spark, path)
-      .filter(col("term").startsWith(folded.head))
+      .filter(pred)
       .orderBy(col("df").desc, col("term")).limit(maxExpansions)
       .select(col("term")).collect().map(_.getString(0)).toSeq
-    require(expanded.nonEmpty,
-      s"no indexed term starts with '${folded.head}' — nothing to search")
-    // both scorers re-fold the expansions (identity: dictionary terms
-    // are already folded) and route to the layout's own rank path
+    require(expanded.nonEmpty, noMatch)
+    expanded
+  }
+
+  /** Route expanded terms to the layout's own rank path — the
+    * scorers re-fold them (identity: dictionary terms are already
+    * folded). */
+  private def routeScore(spark: SparkSession, path: String,
+                         terms: Seq[String], k: Int): DataFrame =
     if (isSegmented(spark, path))
-      searchTopKSegmented(spark, path, expanded, k)
-    else searchTopKLexical(spark, path, expanded, k)
+      searchTopKSegmented(spark, path, terms, k)
+    else searchTopKLexical(spark, path, terms, k)
+
+  def searchPrefix(spark: SparkSession, path: String, prefix: String,
+                   k: Int = 10, maxExpansions: Int = 16): DataFrame = {
+    // the prefix folds like any query text (an analyzed layout's
+    // dictionary is all-lowercase, so 'St' must expand as 'st')
+    val p = foldProbe(spark, path, prefix, "prefix")
+    val expanded = expandDictionary(spark, path,
+      col("term").startsWith(p), maxExpansions,
+      s"no indexed term starts with '$p' — nothing to search")
+    routeScore(spark, path, expanded, k)
   }
 
   /** Best snippet window per candidate doc — the highlighter half of
@@ -1246,11 +1289,7 @@ object LexicalStore {
     val term = foldQueryTerms(Seq(term0), analyzerOf(spark, path))
       .headOption.getOrElse(
         sys.error(s"'$term0' folds to nothing under this layout's analyzer"))
-    termDictionary(spark, path)
-      .select(col("term"), col("df"),
-        levenshtein(col("term"), lit(term)).as("dist"))
-      .filter(col("dist") <= maxDist)
-      .orderBy(col("dist").asc, col("df").desc, col("term")).limit(k)
+    editCandidates(spark, path, term, maxDist, k)
       .withColumn("sugg_rank", row_number().over(
         Window.orderBy(col("dist").asc, col("df").desc, col("term"))))
       .select(col("sugg_rank"), col("term"), col("dist"), col("df"))
@@ -1288,6 +1327,18 @@ object LexicalStore {
       .groupBy(col("doc_id")).agg(sum(col("wm")).as("micros"))
   }
 
+  /** Dictionary candidates within `maxDist` edits of `term`, ranked
+    * (distance ASC, df DESC, term ASC) and capped — the shared middle
+    * of [[suggestTerms]] and [[searchFuzzy]]'s rewrite. */
+  private def editCandidates(spark: SparkSession, path: String,
+                             term: String, maxDist: Int,
+                             limit: Int): DataFrame =
+    termDictionary(spark, path)
+      .select(col("term"), col("df"),
+        levenshtein(col("term"), lit(term)).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("dist").asc, col("df").desc, col("term")).limit(limit)
+
   /** Fuzzy search — Lucene's FuzzyQuery with its rewrite made
     * explicit and deterministic: expand `term` against the term
     * dictionary to the `maxExpansions` best candidates within
@@ -1299,24 +1350,24 @@ object LexicalStore {
     * quantized, engine-independent stand-in), and score the weighted
     * OR through one bucket-pruned read. The dictionary scan is
     * vocabulary-sized (the [[suggestTerms]] SymSpell note applies);
-    * the driver round-trip is maxExpansions rows. Works on both
-    * dictionary-bearing layouts (denormalized `_vocab`, segmented
-    * merged `_segvocab` — scoring routes to the denormalized path,
-    * so fuzzy over a segmented store should compact first). */
+    * the driver round-trip is maxExpansions rows. Denormalized
+    * layouts only: the weighted scorer reads `_stats`, so a segmented
+    * store fails fast with a compact-first message instead of an
+    * obscure missing-path error after the dictionary walk. */
   def searchFuzzy(spark: SparkSession, path: String, term0: String,
                   maxDist: Int = 2, k: Int = 10,
                   maxExpansions: Int = 16): DataFrame = {
     require(maxDist >= 1 && k >= 1 && maxExpansions >= 1,
       s"bad maxDist=$maxDist / k=$k / maxExpansions=$maxExpansions")
+    // fail BEFORE the dictionary walk, not in an unrelated-looking
+    // _stats read after it: the weighted scorer is denormalized-only
+    require(!isSegmented(spark, path),
+      s"searchFuzzy needs the denormalized layout's _stats — " +
+        s"compactSegments($path) first")
     val term = foldQueryTerms(Seq(term0), analyzerOf(spark, path))
       .headOption.getOrElse(
         sys.error(s"'$term0' folds to nothing under this layout's analyzer"))
-    val cands = termDictionary(spark, path)
-      .select(col("term"), col("df"),
-        levenshtein(col("term"), lit(term)).as("dist"))
-      .filter(col("dist") <= maxDist)
-      .orderBy(col("dist").asc, col("df").desc, col("term"))
-      .limit(maxExpansions)
+    val cands = editCandidates(spark, path, term, maxDist, maxExpansions)
       .select(col("term"), col("dist"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
     require(cands.nonEmpty,
@@ -1343,20 +1394,11 @@ object LexicalStore {
     * the layout's own bucket-pruned rank path. */
   def searchWildcard(spark: SparkSession, path: String, needle0: String,
                      k: Int = 10, maxExpansions: Int = 16): DataFrame = {
-    require(needle0.nonEmpty, "wildcard needle must be non-empty")
-    require(maxExpansions >= 1, s"maxExpansions must be >= 1")
-    val folded = foldQueryTerms(Seq(needle0), analyzerOf(spark, path))
-    require(folded.size == 1,
-      s"wildcard needle must fold to one token, '$needle0' folded to $folded")
-    val expanded = termDictionary(spark, path)
-      .filter(col("term").contains(folded.head))
-      .orderBy(col("df").desc, col("term")).limit(maxExpansions)
-      .select(col("term")).collect().map(_.getString(0)).toSeq
-    require(expanded.nonEmpty,
-      s"no indexed term contains '${folded.head}' — nothing to search")
-    if (isSegmented(spark, path))
-      searchTopKSegmented(spark, path, expanded, k)
-    else searchTopKLexical(spark, path, expanded, k)
+    val needle = foldProbe(spark, path, needle0, "wildcard needle")
+    val expanded = expandDictionary(spark, path,
+      col("term").contains(needle), maxExpansions,
+      s"no indexed term contains '$needle' — nothing to search")
+    routeScore(spark, path, expanded, k)
   }
 
   /** More-like-this — Lucene's MoreLikeThisQuery: mine the best

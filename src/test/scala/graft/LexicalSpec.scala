@@ -1016,6 +1016,81 @@ class LexicalSpec extends AnyFunSuite {
     assert(full == Set(1L, 2L, 3L, 4L, 5L), full.toString)
   }
 
+  // ---- r16: review-fix regression pins ----------------------------------
+
+  test("a rebuild with a different analyzer invalidates OTHER sessions' " +
+      "analyzer memos for the path") {
+    import spark.implicits._
+    val docs = Seq((1L, "The Word.")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_ana_xsession"
+    LexicalStore.build(spark, docs, p) // raw
+    // session A memoizes 'raw' for the path
+    assert(LexicalStore.analyzerOf(spark, p) == LexicalStore.AnalyzerRaw)
+    // session B (same JVM, different sessionKey) rebuilds it folded
+    val sessionB = spark.newSession()
+    LexicalStore.build(sessionB,
+      docs.sparkSession.createDataFrame(docs.collect().toSeq.map(r =>
+        (r.getLong(0), r.getString(1)))).toDF("doc_id", "text"), p,
+      analyzer = LexicalStore.AnalyzerFolded)
+    // session A must see the NEW analyzer, not its stale memo
+    assert(LexicalStore.analyzerOf(spark, p) == LexicalStore.AnalyzerFolded,
+      "stale per-session analyzer memo after an in-place rebuild")
+    assert(LexicalStore.searchTopKLexical(spark, p, Seq("WORD!"), 5)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("facetCounts: duplicate (doc_id, facet) metadata rows count once; " +
+      "multi-valued facets count per value") {
+    import spark.implicits._
+    val docs = Seq((1L, "hit a"), (2L, "hit b"), (3L, "miss c"))
+      .toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_facet_dup"
+    LexicalStore.build(spark, docs, p)
+    val facets = Seq(
+      (1L, "web"), (1L, "web"),       // duplicate pair: one count
+      (1L, "news"),                   // second value: counts there too
+      (2L, "web"), (3L, "web")        // doc 3 doesn't match
+    ).toDF("doc_id", "source")
+    val got = LexicalStore.facetCounts(spark, p, Seq("hit"),
+        facets, "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("web" -> 2L, "news" -> 1L), got.toString)
+  }
+
+  test("multi-field search: a field whose analyzer folds the query away " +
+      "contributes zero instead of failing") {
+    import spark.implicits._
+    val docs = Seq((1L, "... ..."), (2L, "plain text")).toDF("doc_id", "text")
+    val foldedP = "/root/repo/target/test_lex_mf_folded"
+    val rawP = "/root/repo/target/test_lex_mf_raw"
+    LexicalStore.build(spark, docs, foldedP,
+      analyzer = LexicalStore.AnalyzerFolded)
+    LexicalStore.build(spark, docs, rawP)
+    // '...' folds to nothing in the folded field but is a raw token
+    val got = LexicalStore.searchTopKFields(spark,
+        Seq(foldedP -> 2000000L, rawP -> 1000000L), Seq("..."), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), got.toString)
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchTopKFields(spark,
+        Seq(foldedP -> 1000000L), Seq("..."))
+    }
+  }
+
+  test("searchFuzzy fails fast on a segmented layout") {
+    import spark.implicits._
+    val p = "/root/repo/target/test_lex_fuzzy_seg"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    LexicalStore.appendLexicalSegment(spark,
+      Seq((1L, "stream things")).toDF("doc_id", "text"), p)
+    val e = intercept[IllegalArgumentException] {
+      LexicalStore.searchFuzzy(spark, p, "streem")
+    }
+    assert(e.getMessage.contains("compactSegments"), e.getMessage)
+  }
+
   // ---- r16: pagination + facets -----------------------------------------
 
   test("searchAfter: pages stitch into the full ranking with no tear " +
