@@ -995,8 +995,30 @@ object Streams {
     * segments really exist. The oracle scores a from-scratch build of
     * the whole corpus: hash-equality proves streamed incremental
     * ingestion converged to the batch build, the strongest claim an
-    * incremental index can make. */
-  private def q214(s: SparkSession, d: String): DataFrame = {
+    * incremental index can make.
+    *
+    * Bounded sub-corpus (the q151/q206 lifecycle convention): the
+    * stream's mechanics — micro-batch boundaries, segment appends,
+    * checkpointing, the merged-stats search — are corpus-size-
+    * independent, the full-corpus merged-scoring theorem is already
+    * gated by q157, and the lifecycle runs once per (session, sf) —
+    * the q151 memo convention: the stream is deterministic (the
+    * checkpointed run is wiped and re-staged identically), so a
+    * second in-session invocation would only re-pay ~5 s of
+    * micro-batch fixed overhead to land byte-identical segments
+    * (StreamingSpec pins exactly that determinism by running the
+    * UNMEMOIZED lifecycle twice). */
+  private val Q214Docs = 1000
+
+  private val q214Memo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  private def q214(s: SparkSession, d: String): DataFrame =
+    q214Memo.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d),
+      q214Lifecycle(s, d).localCheckpoint())
+
+  private[graft] def q214Lifecycle(s: SparkSession, d: String): DataFrame = {
     val tmp = Paths.get("/root/repo/target/q214_stream/" +
       d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_"))
     def wipe(f: java.io.File): Unit = {
@@ -1007,7 +1029,9 @@ object Streams {
     val inbox = tmp.resolve("inbox")
     Files.createDirectories(inbox)
     val segPath = tmp.resolve("segments").toString
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < Q214Docs)
+      .select(col("doc_id"), col("text"))
     // stage the two arrival batches (the q157 split) as one parquet
     // file each — a collector's drops, oldest first
     def stageBatch(df: DataFrame, name: String): Unit = {
@@ -1055,10 +1079,11 @@ object Streams {
     * df/stats over the full corpus — what the stream's merged scoring
     * must converge to — plus the constant two-segment pin (both %3
     * batches are non-empty at every sf). */
-  private val q214Sql = """
+  private val q214Sql = s"""
     WITH tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < $Q214Docs)
       WHERE length(term) > 0 GROUP BY doc_id, term
     ), qterms AS (
       SELECT DISTINCT term FROM tf WHERE doc_id = 0

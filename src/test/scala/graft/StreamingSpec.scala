@@ -210,7 +210,10 @@ class StreamingSpec extends AnyFunSuite {
   test("q214: streamed segment ingestion is deterministic across " +
       "full re-streams and really appends per micro-batch") {
     val d = "/root/testdata/sf0.001"
-    val first = SparkEntry.queries("q214_stream_lexical")(spark, d)
+    // the UNMEMOIZED lifecycle, deliberately: the gate memoizes per
+    // session (the q151 convention), so the determinism claim the
+    // memo leans on must be pinned against two REAL re-streams
+    val first = graft.streaming.Streams.q214Lifecycle(spark, d)
       .collect().map(_.toSeq).toSeq
     assert(first.nonEmpty)
     // two staged files under maxFilesPerTrigger=1 => two segments
@@ -220,7 +223,7 @@ class StreamingSpec extends AnyFunSuite {
     // a second full run must land byte-identical ranks (the merged
     // scoring is arrival-order-free — the q157 theorem, exercised
     // through the actual stream)
-    val second = SparkEntry.queries("q214_stream_lexical")(spark, d)
+    val second = graft.streaming.Streams.q214Lifecycle(spark, d)
       .collect().map(_.toSeq).toSeq
     assert(first == second)
   }
