@@ -128,33 +128,52 @@ object LexicalStore {
 
   // per-(session, path) analyzer memo: one fs stat + 1-row read on
   // first use; build paths pre-populate it, so warm searches never
-  // touch the filesystem for this
+  // touch the filesystem for this. The per-path generation counter
+  // closes the lost-invalidation race: a sidecar read that straddles
+  // a rebuild must not publish the pre-rebuild value into the cache.
   private val analyzerCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
+  private val analyzerGen = scala.collection.concurrent.TrieMap
+    .empty[String, Long]
+
+  /** Invalidate EVERY session's analyzer memo for `path` — a rebuild
+    * or collection delete/rename must not leave another session in
+    * the same JVM folding queries under the previous build's rule.
+    * The generation bump happens FIRST so an in-flight sidecar read
+    * that started before the sweep fails its publish check. */
+  private def dropAnalyzerMemos(path: String): Unit = {
+    analyzerGen.updateWith(path)(g => Some(g.getOrElse(0L) + 1L))
+    analyzerCache.keys.filter(_._2 == path).foreach(analyzerCache.remove)
+  }
 
   private def writeAnalyzer(spark: SparkSession, path: String,
                             analyzer: String): Unit = {
     import spark.implicits._
     Seq(analyzer).toDF("analyzer").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_analyzer")
-    // a rebuild invalidates EVERY session's memo for this path, not
-    // just the building session's — another session in the same JVM
-    // holding a stale entry would silently fold queries under the
-    // previous build's rule
-    analyzerCache.keys.filter(_._2 == path).foreach(analyzerCache.remove)
+    dropAnalyzerMemos(path)
     analyzerCache((IndexStore.sessionKey(spark), path)) = analyzer
   }
 
   /** The analyzer a layout was built with (`raw` when the sidecar is
     * absent — every pre-analyzer layout). */
-  def analyzerOf(spark: SparkSession, path: String): String =
-    analyzerCache.getOrElseUpdate((IndexStore.sessionKey(spark), path), {
-      val p = new org.apache.hadoop.fs.Path(s"$path/_analyzer")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        spark.read.parquet(s"$path/_analyzer").head().getString(0)
-      else AnalyzerRaw
-    })
+  def analyzerOf(spark: SparkSession, path: String): String = {
+    val key = (IndexStore.sessionKey(spark), path)
+    analyzerCache.get(key) match {
+      case Some(a) => a
+      case None =>
+        val g0 = analyzerGen.getOrElse(path, 0L)
+        val p = new org.apache.hadoop.fs.Path(s"$path/_analyzer")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val a =
+          if (fs.exists(p))
+            spark.read.parquet(s"$path/_analyzer").head().getString(0)
+          else AnalyzerRaw
+        if (analyzerGen.getOrElse(path, 0L) == g0) {
+          analyzerCache.putIfAbsent(key, a); analyzerCache.getOrElse(key, a)
+        } else analyzerOf(spark, path) // a rebuild landed mid-read: retry
+    }
+  }
 
   private def bucketCol(term: Column): Column =
     pmod(xxhash64(term), lit(NumBuckets)).cast("int")
@@ -567,7 +586,7 @@ object LexicalStore {
     * when the name frees up, so a later build at it really builds. */
   private[sources] def dropBuildMemos(path: String): Unit = {
     builtOnce.keys.filter(_._2 == path).foreach(builtOnce.remove)
-    analyzerCache.keys.filter(_._2 == path).foreach(analyzerCache.remove)
+    dropAnalyzerMemos(path)
   }
 
   /** Lexical top-`k`: (doc_id, lex_rank, lex_micros) for the documents
@@ -664,13 +683,17 @@ object LexicalStore {
     val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
       .filter(_.nonEmpty).distinct
     val matched = scoreLexical(spark, path, terms).select(col("doc_id"))
-    // distinct BEFORE the count: duplicate (doc_id, facet) rows in the
-    // caller's metadata must not double-count a document (a doc with
-    // several DISTINCT facet values still counts once per value —
-    // Lucene's multi-valued facet semantics)
+    // distinct AFTER the join, over the match-set-sized output (the
+    // matched spine is already duplicate-free out of the groupBy):
+    // duplicate (doc_id, facet) rows in the caller's metadata must not
+    // double-count a document, but a corpus-sized pre-join dedupe
+    // would pay a full shuffle for metadata that is usually already
+    // clean. A doc with several DISTINCT facet values still counts
+    // once per value — Lucene's multi-valued facet semantics.
     matched.join(
-        facets.select(col("doc_id"), col(facetCol).as("facet")).distinct(),
+        facets.select(col("doc_id"), col(facetCol).as("facet")),
         Seq("doc_id"))
+      .distinct()
       .groupBy(col("facet")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("facet"))
   }

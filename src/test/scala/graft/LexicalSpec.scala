@@ -1026,11 +1026,11 @@ class LexicalSpec extends AnyFunSuite {
     LexicalStore.build(spark, docs, p) // raw
     // session A memoizes 'raw' for the path
     assert(LexicalStore.analyzerOf(spark, p) == LexicalStore.AnalyzerRaw)
-    // session B (same JVM, different sessionKey) rebuilds it folded
+    // session B (same JVM, different sessionKey) rebuilds it folded —
+    // the memo keys on the SESSION PASSED to build, so the frame can
+    // be session A's
     val sessionB = spark.newSession()
-    LexicalStore.build(sessionB,
-      docs.sparkSession.createDataFrame(docs.collect().toSeq.map(r =>
-        (r.getLong(0), r.getString(1)))).toDF("doc_id", "text"), p,
+    LexicalStore.build(sessionB, docs, p,
       analyzer = LexicalStore.AnalyzerFolded)
     // session A must see the NEW analyzer, not its stale memo
     assert(LexicalStore.analyzerOf(spark, p) == LexicalStore.AnalyzerFolded,
