@@ -273,6 +273,52 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q213: each field of the multi-field search prunes its OWN " +
+      "layout to the query terms' buckets") {
+    val df = SparkEntry.queries("q213_multi_field")(spark, d)
+    df.collect()
+    val roots = Seq("q115_lex_index", "q213_title_index")
+    roots.foreach { root =>
+      val scans = leafScans(df.queryExecution.executedPlan).filter(
+        _.relation.location.rootPaths.exists(p =>
+          p.toString.contains(root) && !p.toString.contains("_stats")))
+      assert(scans.nonEmpty, s"expected a pruned scan of $root:\n" +
+        df.queryExecution.executedPlan)
+      scans.foreach { f =>
+        assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+          s"$root scan must carry a bucket partition filter: $f")
+      }
+    }
+  }
+
+  test("q215: the keyset cursor filters BEFORE the top-k heap — no " +
+      "offset-sized sort, no unpruned read") {
+    val df = SparkEntry.queries("q215_search_after")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"page fetch must be a k-row heap, not a global sort:\n$p")
+    val idxScans = leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(r =>
+        r.toString.contains("q115_lex_index") && !r.toString.contains("_stats")))
+    assert(idxScans.nonEmpty, p)
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"paged search must keep the bucket pruning: $f")
+    }
+  }
+
+  test("q216: facet counting exchanges ids and facet values only — " +
+      "no document text in any shuffled subtree") {
+    val q = SparkEntry.queries("q216_facet_counts")(spark, d).queryExecution
+    q.optimizedPlan.foreach { node =>
+      val isAgg = node.nodeName == "Aggregate"
+      if (isAgg)
+        assert(!node.output.exists(_.name == "text"),
+          s"facet aggregate must not carry text: ${node.output.map(_.name)}")
+    }
+  }
+
   test("q134: funnel stage aggregations reuse the user_id shuffle key") {
     // every join and aggregation in the funnel is keyed on user_id —
     // no event-log window, no cartesian; the physical plan must
