@@ -2651,7 +2651,33 @@ object Hybrid {
     FROM matched m JOIN documents d USING (doc_id)
     GROUP BY d.source ORDER BY facet"""
 
+  // ---- q217: SymSpell-indexed suggestion -------------------------------
+
+  private val q217Built = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Unit]
+
+  /** q217: [[LexicalStore.suggestTermsIndexed]] — q203's
+    * did-you-mean answered from the `_symspell` deletion-neighborhood
+    * index instead of the full dictionary scan (the billion-term
+    * path the r15 Scaladocs named; now built). The oracle is the
+    * q203 SQL VERBATIM (the scan): hash-equality IS the proof the
+    * symmetric-delete candidate set is a superset of every true
+    * ≤2-edit match and the indexed path returns byte-identical
+    * suggestions. Build once per (session, sf) — one dictionary
+    * explode, the buildIvfOnce discipline. */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    q217Built.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d),
+      LexicalStore.buildSymSpell(s, lexPath(d), maxDist = 2))
+    LexicalStore.suggestTermsIndexed(s, lexPath(d), "streem",
+      maxDist = 2, k = 5)
+  }
+
+  private val q217Sql = q203Sql
+
   val queries: Seq[Query] = Seq(
+    Query("q217_symspell_suggest", q217, Some(q217Sql)),
     Query("q215_search_after", q215, Some(q215Sql)),
     Query("q216_facet_counts", q216, Some(q216Sql)),
     Query("q213_multi_field", q213, Some(q213Sql)),

@@ -1297,8 +1297,9 @@ object LexicalStore {
     * wins deterministically. Levenshtein is an exact integer in any
     * engine — nothing here can drift. The scan is vocabulary-sized
     * (Zipf-bounded, orders of magnitude under the corpus); at a
-    * billion-term dictionary the scale path is a SymSpell
-    * deletion-neighborhood index over `_vocab`, which changes the
+    * billion-term dictionary the scale path is
+    * [[buildSymSpell]]/[[suggestTermsIndexed]] — built since r16 and
+    * pinned byte-identical to this scan (q217) — which changes the
     * candidate read, not these semantics. An exact dictionary hit
     * still reports at distance 0, so the caller can tell "correctly
     * spelled" from "unknown word". */
@@ -1348,6 +1349,110 @@ object LexicalStore {
         expr("w * (m div 1000000L) + (w * (m % 1000000L)) div 1000000L")
           .as("wm"))
       .groupBy(col("doc_id")).agg(sum(col("wm")).as("micros"))
+  }
+
+  // ---- SymSpell deletion-neighborhood index ---------------------------
+  //
+  // The billion-term scale path the dictionary verbs' Scaladocs have
+  // been NAMING since r15, now built: suggest/fuzzy scan the whole
+  // `_vocab` per call (Zipf-bounded, fine at fixture scale; a web
+  // corpus's dictionary is 1e8-1e9 terms and a full scan per
+  // keystroke is not a product). SymSpell (Garbe's symmetric-delete
+  // algorithm, public domain): precompute every ≤maxDist-DELETION
+  // variant of every dictionary term; at query time generate the
+  // probe's own ≤maxDist deletion variants (≤ 1+L+L² strings, driver-
+  // bounded) and join — the standard result that lev(a,b) ≤ d implies
+  // a common string reachable by ≤d deletions from each side makes
+  // the collision set a SUPERSET of the true candidates, and the
+  // exact levenshtein verify on that tiny set makes the answer equal
+  // the full scan's (q217's oracle IS the scan — hash-equality is the
+  // proof). Layout: path/_symspell/vbucket=<b>/(variant, term, df),
+  // vbucket = pmod(xxhash64(variant), NumBuckets) — the probe's
+  // variant set prunes directories exactly like query terms prune
+  // postings (at production bucket counts, ~500 variants open ≤500 of
+  // 4096 dirs; the variant IN-list prunes row groups regardless).
+  // The EMPTY-STRING variant is load-bearing: 'a'→{'a',''} and
+  // 'b'→{'b',''} collide only on '' — dropping it would lose true
+  // distance-1 matches between short terms.
+
+  /** ≤`maxDist` deletion variants of `c` (the string itself
+    * included), as a SQL array expression — ONE definition evaluated
+    * by both the build plan and the query side (which runs it
+    * through a 1-row plan, the bucketOf parity discipline: JVM
+    * string ops on surrogate pairs need not match Spark's). */
+  private def deletionVariantsSql(c: String, maxDist: Int): String = {
+    val v1 = s"transform(sequence(1, length($c)), i -> " +
+      s"concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))"
+    if (maxDist == 1) s"array_distinct(concat(array($c), $v1))"
+    else {
+      val v2 = s"flatten(transform($v1, w -> " +
+        "transform(sequence(1, length(w)), j -> " +
+        "concat(substring(w, 1, j - 1), substring(w, j + 1, length(w))))))"
+      s"array_distinct(concat(array($c), $v1, $v2))"
+    }
+  }
+
+  /** Build the `_symspell` sidecar over the layout's term dictionary.
+    * One dictionary pass: explode each term's deletion neighborhood,
+    * hash-partition by variant. Rebuild after compact/upsert changes
+    * the vocabulary (it derives from [[termDictionary]], so it serves
+    * both layout families). */
+  def buildSymSpell(spark: SparkSession, path: String,
+                    maxDist: Int = 2): Unit = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"symspell supports maxDist 1..2, got $maxDist")
+    import spark.implicits._
+    termDictionary(spark, path)
+      .select(col("term"), col("df"),
+        explode(expr(deletionVariantsSql("term", maxDist))).as("variant"))
+      .withColumn("vbucket", bucketCol(col("variant")))
+      .repartition(NumBuckets, col("vbucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("vbucket")
+      .parquet(s"$path/_symspell")
+    Seq(maxDist).toDF("max_dist").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_symspellmeta")
+  }
+
+  /** [[suggestTerms]] answered from the `_symspell` index instead of
+    * a dictionary scan: generate the probe's deletion variants
+    * plan-side (parity with the build), read ONLY their vbucket
+    * directories with the variant IN-list pushed down, then the same
+    * exact-levenshtein verify and (dist, df DESC, term) ranking —
+    * byte-identical output to the scan path (q217 pins it by hash
+    * against the scan oracle). */
+  def suggestTermsIndexed(spark: SparkSession, path: String,
+                          term0: String, maxDist: Int = 2,
+                          k: Int = 5): DataFrame = {
+    require(maxDist >= 0 && k >= 1, s"bad maxDist=$maxDist / k=$k")
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/_symspellmeta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaP),
+      s"no _symspell index at $path — buildSymSpell first")
+    val builtDist = spark.read.parquet(s"$path/_symspellmeta")
+      .head().getInt(0)
+    require(maxDist <= builtDist,
+      s"index built for maxDist $builtDist, queried with $maxDist")
+    val term = foldQueryTerms(Seq(term0), analyzerOf(spark, path))
+      .headOption.getOrElse(
+        sys.error(s"'$term0' folds to nothing under this layout's analyzer"))
+    import spark.implicits._
+    val probes = Seq(term).toDF("t")
+      .select(explode(expr(deletionVariantsSql("t", maxDist))).as("v"))
+      .collect().map(_.getString(0)).toSeq.distinct
+    val buckets = probes.map(bucketOf).distinct
+    spark.read.parquet(s"$path/_symspell")
+      .filter(col("vbucket").isin(buckets.map(Integer.valueOf): _*) &&
+        col("variant").isin(probes: _*))
+      .select(col("term"), col("df")).distinct()
+      .select(col("term"), col("df"),
+        levenshtein(col("term"), lit(term)).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("dist").asc, col("df").desc, col("term")).limit(k)
+      .withColumn("sugg_rank", row_number().over(
+        Window.orderBy(col("dist").asc, col("df").desc, col("term"))))
+      .select(col("sugg_rank"), col("term"), col("dist"), col("df"))
   }
 
   /** Dictionary candidates within `maxDist` edits of `term`, ranked

@@ -1091,6 +1091,62 @@ class LexicalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("compactSegments"), e.getMessage)
   }
 
+  // ---- r16: symspell deletion index ---------------------------------------
+
+  test("symspell index: indexed suggestions equal the dictionary scan, " +
+      "including short-term matches that need the empty variant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream stream steam a q"),
+      (2L, "scream b steam z"),
+      (3L, "stream x y w")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_symspell"
+    LexicalStore.build(spark, docs, p)
+    LexicalStore.buildSymSpell(spark, p, maxDist = 2)
+    def pair(term: String, maxDist: Int, k: Int) = (
+      LexicalStore.suggestTerms(spark, p, term, maxDist, k)
+        .collect().map(_.toSeq).toSeq,
+      LexicalStore.suggestTermsIndexed(spark, p, term, maxDist, k)
+        .collect().map(_.toSeq).toSeq)
+    val (scan, indexed) = pair("streem", 2, 5)
+    assert(scan.nonEmpty && scan == indexed, s"$scan vs $indexed")
+    // a built-for-2 index serves maxDist-1 queries exactly too
+    val (scan1, indexed1) = pair("streem", 1, 5)
+    assert(scan1 == indexed1)
+    // the 1-char case: 'a' matches 'b' at dist 1 ONLY via the ''
+    // deletion variant — the collision SymSpell's correctness needs
+    val (scanA, indexedA) = pair("a", 1, 5)
+    assert(scanA.map(_(1)).contains("b"), scanA.toString)
+    assert(scanA == indexedA, s"$scanA vs $indexedA")
+    // querying beyond the built distance fails loudly
+    intercept[IllegalArgumentException] {
+      LexicalStore.suggestTermsIndexed(spark, p, "streem", maxDist = 3)
+    }
+    // no index -> loud, named error
+    intercept[IllegalArgumentException] {
+      LexicalStore.suggestTermsIndexed(spark,
+        "/root/repo/target/test_lex_prefix", "streem")
+    }
+  }
+
+  test("symspell query prunes the variant read to the probe's buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = "/root/repo/target/test_lex_symspell"
+    // short probe: 'qq' has <= 1 + 2 + 1 variants -> few buckets
+    val df = LexicalStore.suggestTermsIndexed(spark, p, "qq", maxDist = 2)
+    df.collect()
+    val scans = PlanScans.leafScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("_symspell")))
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "vbucket")),
+        s"variant scan must carry a vbucket partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= 4,
+        s"a 2-char probe's <=4 variants must open <=4 dirs, read $read: $f")
+    }
+  }
+
   // ---- r16: pagination + facets -----------------------------------------
 
   test("searchAfter: pages stitch into the full ranking with no tear " +
