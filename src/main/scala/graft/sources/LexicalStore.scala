@@ -1305,18 +1305,9 @@ object LexicalStore {
     * spelled" from "unknown word". */
   def suggestTerms(spark: SparkSession, path: String, term0: String,
                    maxDist: Int = 2, k: Int = 5): DataFrame = {
-    require(term0.nonEmpty, "suggest needs a non-empty term")
     require(maxDist >= 0 && k >= 1, s"bad maxDist=$maxDist / k=$k")
-    // fold the probe term (a misspelling of a folded word is searched
-    // folded); a multi-token fold keeps the first token — the caller
-    // is correcting ONE word
-    val term = foldQueryTerms(Seq(term0), analyzerOf(spark, path))
-      .headOption.getOrElse(
-        sys.error(s"'$term0' folds to nothing under this layout's analyzer"))
-    editCandidates(spark, path, term, maxDist, k)
-      .withColumn("sugg_rank", row_number().over(
-        Window.orderBy(col("dist").asc, col("df").desc, col("term"))))
-      .select(col("sugg_rank"), col("term"), col("dist"), col("df"))
+    val term = foldSuggestProbe(spark, path, term0)
+    rankTail(editCandidates(spark, path, term, maxDist, k))
   }
 
   /** Weighted multi-term scoring shared by [[searchTopKPrf]],
@@ -1381,6 +1372,10 @@ object LexicalStore {
     * through a 1-row plan, the bucketOf parity discipline: JVM
     * string ops on surrogate pairs need not match Spark's). */
   private def deletionVariantsSql(c: String, maxDist: Int): String = {
+    // loud, not silent: a maxDist-3 caller getting <=2-deletion
+    // variants would quietly break the superset guarantee
+    require(maxDist >= 1 && maxDist <= 2,
+      s"symspell supports maxDist 1..2, got $maxDist")
     val v1 = s"transform(sequence(1, length($c)), i -> " +
       s"concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))"
     if (maxDist == 1) s"array_distinct(concat(array($c), $v1))"
@@ -1392,6 +1387,41 @@ object LexicalStore {
     }
   }
 
+  // built-maxDist memo, invalidated by every rebuild — the analyzer
+  // cache's shape (warm suggestions must not stat+read the meta file
+  // per keystroke); the generation counter closes the same
+  // straddling-read race
+  private val symspellCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Int]
+  private val symspellGen = scala.collection.concurrent.TrieMap
+    .empty[String, Long]
+
+  private def dropSymspellMemos(path: String): Unit = {
+    symspellGen.updateWith(path)(g => Some(g.getOrElse(0L) + 1L))
+    symspellCache.keys.filter(_._2 == path).foreach(symspellCache.remove)
+  }
+
+  /** The built maxDist of `path`'s `_symspell` index, or a loud
+    * error naming [[buildSymSpell]] when there is none (including
+    * the half-built crash state: the meta sidecar is deleted FIRST
+    * on rebuild, so meta-present always implies index-present). */
+  private def symspellDist(spark: SparkSession, path: String): Int = {
+    val key = (IndexStore.sessionKey(spark), path)
+    symspellCache.get(key) match {
+      case Some(d) => d
+      case None =>
+        val g0 = symspellGen.getOrElse(path, 0L)
+        val metaP = new org.apache.hadoop.fs.Path(s"$path/_symspellmeta")
+        val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(metaP),
+          s"no _symspell index at $path — buildSymSpell first")
+        val d = spark.read.parquet(s"$path/_symspellmeta").head().getInt(0)
+        if (symspellGen.getOrElse(path, 0L) == g0) {
+          symspellCache.putIfAbsent(key, d); symspellCache.getOrElse(key, d)
+        } else symspellDist(spark, path) // a rebuild landed mid-read: retry
+    }
+  }
+
   /** Build the `_symspell` sidecar over the layout's term dictionary.
     * One dictionary pass: explode each term's deletion neighborhood,
     * hash-partition by variant. Rebuild after compact/upsert changes
@@ -1399,9 +1429,15 @@ object LexicalStore {
     * both layout families). */
   def buildSymSpell(spark: SparkSession, path: String,
                     maxDist: Int = 2): Unit = {
-    require(maxDist >= 1 && maxDist <= 2,
-      s"symspell supports maxDist 1..2, got $maxDist")
     import spark.implicits._
+    // meta deleted FIRST: a rebuild that dies between clearing the
+    // index and rewriting it leaves NO meta, so the query side fails
+    // with the named buildSymSpell-first message, never an obscure
+    // missing-path read of a half-built index
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/_symspellmeta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaP)) fs.delete(metaP, true)
+    dropSymspellMemos(path)
     termDictionary(spark, path)
       .select(col("term"), col("df"),
         explode(expr(deletionVariantsSql("term", maxDist))).as("variant"))
@@ -1413,6 +1449,8 @@ object LexicalStore {
       .parquet(s"$path/_symspell")
     Seq(maxDist).toDF("max_dist").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_symspellmeta")
+    dropSymspellMemos(path)
+    symspellCache((IndexStore.sessionKey(spark), path)) = maxDist
   }
 
   /** [[suggestTerms]] answered from the `_symspell` index instead of
@@ -1425,35 +1463,57 @@ object LexicalStore {
   def suggestTermsIndexed(spark: SparkSession, path: String,
                           term0: String, maxDist: Int = 2,
                           k: Int = 5): DataFrame = {
-    require(maxDist >= 0 && k >= 1, s"bad maxDist=$maxDist / k=$k")
-    val metaP = new org.apache.hadoop.fs.Path(s"$path/_symspellmeta")
-    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(metaP),
-      s"no _symspell index at $path — buildSymSpell first")
-    val builtDist = spark.read.parquet(s"$path/_symspellmeta")
-      .head().getInt(0)
+    require(maxDist >= 1 && maxDist <= 2 && k >= 1,
+      s"bad maxDist=$maxDist / k=$k (symspell serves maxDist 1..2; " +
+        "use suggestTerms for exact lookup)")
+    val builtDist = symspellDist(spark, path)
     require(maxDist <= builtDist,
       s"index built for maxDist $builtDist, queried with $maxDist")
-    val term = foldQueryTerms(Seq(term0), analyzerOf(spark, path))
-      .headOption.getOrElse(
-        sys.error(s"'$term0' folds to nothing under this layout's analyzer"))
+    val term = foldSuggestProbe(spark, path, term0)
     import spark.implicits._
     val probes = Seq(term).toDF("t")
       .select(explode(expr(deletionVariantsSql("t", maxDist))).as("v"))
       .collect().map(_.getString(0)).toSeq.distinct
     val buckets = probes.map(bucketOf).distinct
-    spark.read.parquet(s"$path/_symspell")
+    val collisions = spark.read.parquet(s"$path/_symspell")
       .filter(col("vbucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("variant").isin(probes: _*))
       .select(col("term"), col("df")).distinct()
+    rankTail(distRanked(collisions, term, maxDist, k))
+  }
+
+  /** Fold a suggestion/fuzzy probe to its single searched token —
+    * ONE definition for the scan, indexed and fuzzy paths (they are
+    * pinned byte-identical, so their input validation must be too).
+    * A multi-token fold keeps the first token: the caller is
+    * correcting ONE word. */
+  private def foldSuggestProbe(spark: SparkSession, path: String,
+                               term0: String): String = {
+    require(term0.nonEmpty, "suggest needs a non-empty term")
+    foldQueryTerms(Seq(term0), analyzerOf(spark, path))
+      .headOption.getOrElse(
+        sys.error(s"'$term0' folds to nothing under this layout's analyzer"))
+  }
+
+  /** (term, df) candidates → distance-verified, (dist ASC, df DESC,
+    * term ASC)-ranked, capped (term, df, dist) — the shared ranking
+    * of every edit-distance verb; the indexed path feeding its
+    * collision set here is what makes it provably byte-identical to
+    * the scan. */
+  private def distRanked(cands: DataFrame, term: String, maxDist: Int,
+                         limit: Int): DataFrame =
+    cands
       .select(col("term"), col("df"),
         levenshtein(col("term"), lit(term)).as("dist"))
       .filter(col("dist") <= maxDist)
-      .orderBy(col("dist").asc, col("df").desc, col("term")).limit(k)
-      .withColumn("sugg_rank", row_number().over(
+      .orderBy(col("dist").asc, col("df").desc, col("term")).limit(limit)
+
+  /** The suggestion output shape over an already-ranked candidate
+    * frame. */
+  private def rankTail(ranked: DataFrame): DataFrame =
+    ranked.withColumn("sugg_rank", row_number().over(
         Window.orderBy(col("dist").asc, col("df").desc, col("term"))))
       .select(col("sugg_rank"), col("term"), col("dist"), col("df"))
-  }
 
   /** Dictionary candidates within `maxDist` edits of `term`, ranked
     * (distance ASC, df DESC, term ASC) and capped — the shared middle
@@ -1461,11 +1521,7 @@ object LexicalStore {
   private def editCandidates(spark: SparkSession, path: String,
                              term: String, maxDist: Int,
                              limit: Int): DataFrame =
-    termDictionary(spark, path)
-      .select(col("term"), col("df"),
-        levenshtein(col("term"), lit(term)).as("dist"))
-      .filter(col("dist") <= maxDist)
-      .orderBy(col("dist").asc, col("df").desc, col("term")).limit(limit)
+    distRanked(termDictionary(spark, path), term, maxDist, limit)
 
   /** Fuzzy search — Lucene's FuzzyQuery with its rewrite made
     * explicit and deterministic: expand `term` against the term
@@ -1492,9 +1548,7 @@ object LexicalStore {
     require(!isSegmented(spark, path),
       s"searchFuzzy needs the denormalized layout's _stats — " +
         s"compactSegments($path) first")
-    val term = foldQueryTerms(Seq(term0), analyzerOf(spark, path))
-      .headOption.getOrElse(
-        sys.error(s"'$term0' folds to nothing under this layout's analyzer"))
+    val term = foldSuggestProbe(spark, path, term0)
     val cands = editCandidates(spark, path, term, maxDist, maxExpansions)
       .select(col("term"), col("dist"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq

@@ -15,4 +15,18 @@ object PlanScans {
     case f: FileSourceScanExec => Seq(f)
     case other => other.children.flatMap(leafScans)
   }
+
+  /** Every shuffle exchange under an (adaptive) physical plan — the
+    * walk the exchanges-carry-ids-only audits need: logical plans
+    * have no Exchange nodes at all, so a shuffled-width claim checked
+    * on `optimizedPlan` is vacuous. */
+  def shuffles(p: SparkPlan)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+    p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
 }
