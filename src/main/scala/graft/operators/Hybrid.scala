@@ -2676,7 +2676,25 @@ object Hybrid {
 
   private val q217Sql = q203Sql
 
+  /** q218: [[LexicalStore.searchFuzzyIndexed]] — q209's fuzzy search
+    * answered from the `_symspell` index instead of the dictionary
+    * scan. The oracle is q209's SQL VERBATIM: hash-equality proves
+    * the indexed rewrite (collision superset → exact verify → same
+    * cap, weights and weighted-OR scoring) returns byte-identical
+    * pages. Shares q217's once-per-session sidecar build. */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    q217Built.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d),
+      LexicalStore.buildSymSpell(s, lexPath(d), maxDist = 2))
+    LexicalStore.searchFuzzyIndexed(s, lexPath(d), "streem",
+      maxDist = FuzzyMaxDist, k = 10, maxExpansions = FuzzyMaxExp)
+  }
+
+  private val q218Sql = q209Sql
+
   val queries: Seq[Query] = Seq(
+    Query("q218_symspell_fuzzy", q218, Some(q218Sql)),
     Query("q217_symspell_suggest", q217, Some(q217Sql)),
     Query("q215_search_after", q215, Some(q215Sql)),
     Query("q216_facet_counts", q216, Some(q216Sql)),

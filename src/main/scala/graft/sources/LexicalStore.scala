@@ -1470,16 +1470,27 @@ object LexicalStore {
     require(maxDist <= builtDist,
       s"index built for maxDist $builtDist, queried with $maxDist")
     val term = foldSuggestProbe(spark, path, term0)
+    rankTail(distRanked(symspellCollisions(spark, path, term, maxDist),
+      term, maxDist, k))
+  }
+
+  /** The symmetric-delete candidate read: the probe's deletion
+    * variants (generated plan-side — build parity) prune the
+    * `_symspell` read to their vbucket directories with the variant
+    * IN-list pushed down; returns the distinct colliding (term, df)
+    * set — a SUPERSET of every true ≤maxDist match, which the shared
+    * [[distRanked]] verify then makes exact. */
+  private def symspellCollisions(spark: SparkSession, path: String,
+                                 term: String, maxDist: Int): DataFrame = {
     import spark.implicits._
     val probes = Seq(term).toDF("t")
       .select(explode(expr(deletionVariantsSql("t", maxDist))).as("v"))
       .collect().map(_.getString(0)).toSeq.distinct
     val buckets = probes.map(bucketOf).distinct
-    val collisions = spark.read.parquet(s"$path/_symspell")
+    spark.read.parquet(s"$path/_symspell")
       .filter(col("vbucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("variant").isin(probes: _*))
       .select(col("term"), col("df")).distinct()
-    rankTail(distRanked(collisions, term, maxDist, k))
   }
 
   /** Fold a suggestion/fuzzy probe to its single searched token —
@@ -1549,8 +1560,21 @@ object LexicalStore {
       s"searchFuzzy needs the denormalized layout's _stats — " +
         s"compactSegments($path) first")
     val term = foldSuggestProbe(spark, path, term0)
-    val cands = editCandidates(spark, path, term, maxDist, maxExpansions)
-      .select(col("term"), col("dist"))
+    fuzzyRank(spark, path,
+      editCandidates(spark, path, term, maxDist, maxExpansions),
+      term, maxDist, k)
+  }
+
+  /** The fuzzy rewrite's shared back half: ranked+capped (term, dist)
+    * candidates → similarity weights → weighted-OR scoring → ranked
+    * page. One definition for the scan ([[searchFuzzy]]) and indexed
+    * ([[searchFuzzyIndexed]]) paths — they are pinned byte-identical
+    * (q218's oracle is q209's), so their scoring must be one code
+    * path. */
+  private def fuzzyRank(spark: SparkSession, path: String,
+                        ranked: DataFrame, term: String, maxDist: Int,
+                        k: Int): DataFrame = {
+    val cands = ranked.select(col("term"), col("dist"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
     require(cands.nonEmpty,
       s"no indexed term within $maxDist edits of '$term'")
@@ -1563,6 +1587,31 @@ object LexicalStore {
       .withColumn("fuzzy_rank", row_number().over(
         Window.orderBy(col("fuzzy_micros").desc, col("doc_id"))))
       .select(col("doc_id"), col("fuzzy_rank"), col("fuzzy_micros"))
+  }
+
+  /** [[searchFuzzy]] answered from the `_symspell` index: the
+    * probe's deletion variants prune the collision read (the
+    * [[suggestTermsIndexed]] candidate path), then the SAME
+    * distance-ranked cap, similarity weights and weighted-OR scoring
+    * — the per-keystroke fuzzy query at a billion-term dictionary,
+    * byte-identical to the scan rewrite by construction (q218 pins
+    * it against q209's oracle). */
+  def searchFuzzyIndexed(spark: SparkSession, path: String, term0: String,
+                         maxDist: Int = 2, k: Int = 10,
+                         maxExpansions: Int = 16): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2 && k >= 1 && maxExpansions >= 1,
+      s"bad maxDist=$maxDist / k=$k / maxExpansions=$maxExpansions")
+    require(!isSegmented(spark, path),
+      s"searchFuzzyIndexed needs the denormalized layout's _stats — " +
+        s"compactSegments($path) first")
+    val builtDist = symspellDist(spark, path)
+    require(maxDist <= builtDist,
+      s"index built for maxDist $builtDist, queried with $maxDist")
+    val term = foldSuggestProbe(spark, path, term0)
+    fuzzyRank(spark, path,
+      distRanked(symspellCollisions(spark, path, term, maxDist),
+        term, maxDist, maxExpansions),
+      term, maxDist, k)
   }
 
   /** Wildcard (infix-contains) search — Lucene's WildcardQuery for

@@ -1129,6 +1129,15 @@ class LexicalSpec extends AnyFunSuite {
     }
   }
 
+  test("symspell-indexed fuzzy equals the scan-rewrite fuzzy") {
+    val p = "/root/repo/target/test_lex_symspell"
+    val scan = LexicalStore.searchFuzzy(spark, p, "streem",
+        maxDist = 2, k = 10).collect().map(_.toSeq).toSeq
+    val indexed = LexicalStore.searchFuzzyIndexed(spark, p, "streem",
+        maxDist = 2, k = 10).collect().map(_.toSeq).toSeq
+    assert(scan.nonEmpty && scan == indexed, s"$scan vs $indexed")
+  }
+
   test("symspell query prunes the variant read to the probe's buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val p = "/root/repo/target/test_lex_symspell"
