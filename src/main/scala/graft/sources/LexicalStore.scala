@@ -128,11 +128,17 @@ object LexicalStore {
 
   // per-(session, path) analyzer memo: one fs stat + 1-row read on
   // first use; build paths pre-populate it, so warm searches never
-  // touch the filesystem for this. The per-path generation counter
-  // closes the lost-invalidation race: a sidecar read that straddles
-  // a rebuild must not publish the pre-rebuild value into the cache.
+  // touch the filesystem for this. Entries are STAMPED with the
+  // per-path generation observed before the sidecar read and
+  // validated against the current generation on every hit, which
+  // closes the lost-invalidation race completely: a read that
+  // straddles a rebuild may still publish the pre-rebuild value, but
+  // the stale stamp makes every later reader reject it and re-read —
+  // the check-then-publish window of a bare putIfAbsent (where the
+  // sweep lands between the gen re-check and the publish) cannot
+  // poison the cache permanently.
   private val analyzerCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), String]
+    .empty[(String, String), (Long, String)]
   private val analyzerGen = scala.collection.concurrent.TrieMap
     .empty[String, Long]
 
@@ -140,7 +146,8 @@ object LexicalStore {
     * or collection delete/rename must not leave another session in
     * the same JVM folding queries under the previous build's rule.
     * The generation bump happens FIRST so an in-flight sidecar read
-    * that started before the sweep fails its publish check. */
+    * that started before the sweep publishes a dead-on-arrival
+    * stamp. */
   private def dropAnalyzerMemos(path: String): Unit = {
     analyzerGen.updateWith(path)(g => Some(g.getOrElse(0L) + 1L))
     analyzerCache.keys.filter(_._2 == path).foreach(analyzerCache.remove)
@@ -152,26 +159,38 @@ object LexicalStore {
     Seq(analyzer).toDF("analyzer").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_analyzer")
     dropAnalyzerMemos(path)
-    analyzerCache((IndexStore.sessionKey(spark), path)) = analyzer
+    // a rewrite under a NEW analyzer also orphans any _symspell memo
+    // (the dictionary it mirrored is gone with the old vocabulary)
+    dropSymspellMemos(path)
+    analyzerCache((IndexStore.sessionKey(spark), path)) =
+      (analyzerGen.getOrElse(path, 0L), analyzer)
   }
 
   /** The analyzer a layout was built with (`raw` when the sidecar is
-    * absent — every pre-analyzer layout). */
+    * absent — every pre-analyzer layout). The sidecar value is
+    * re-validated on read: a corrupted or hand-edited `_analyzer`
+    * file must fail the same [[requireAnalyzer]] gate that guards
+    * build-time inputs, not silently switch every search on the
+    * layout to the catch-all folded rule. */
   def analyzerOf(spark: SparkSession, path: String): String = {
     val key = (IndexStore.sessionKey(spark), path)
+    val g0 = analyzerGen.getOrElse(path, 0L)
     analyzerCache.get(key) match {
-      case Some(a) => a
-      case None =>
-        val g0 = analyzerGen.getOrElse(path, 0L)
+      case Some((g, a)) if g == g0 => a
+      case _ =>
         val p = new org.apache.hadoop.fs.Path(s"$path/_analyzer")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val a =
-          if (fs.exists(p))
-            spark.read.parquet(s"$path/_analyzer").head().getString(0)
-          else AnalyzerRaw
-        if (analyzerGen.getOrElse(path, 0L) == g0) {
-          analyzerCache.putIfAbsent(key, a); analyzerCache.getOrElse(key, a)
-        } else analyzerOf(spark, path) // a rebuild landed mid-read: retry
+          if (fs.exists(p)) {
+            val v = spark.read.parquet(s"$path/_analyzer").head().getString(0)
+            requireAnalyzer(v)
+            v
+          } else AnalyzerRaw
+        // stamped with the generation observed BEFORE the read: if a
+        // rebuild bumped it mid-read this entry self-invalidates
+        analyzerCache(key) = (g0, a)
+        if (analyzerGen.getOrElse(path, 0L) == g0) a
+        else analyzerOf(spark, path) // a rebuild landed mid-read: retry
     }
   }
 
@@ -273,6 +292,14 @@ object LexicalStore {
     * bucket-partitioned layout + `_stats` sidecar. */
   private def writePostings(spark: SparkSession, tf: DataFrame,
                             path: String, analyzer: String): Unit = {
+    // `_symspell` derives from the vocabulary this rewrite replaces:
+    // invalidate it FIRST (memo bump, then meta, then index — the
+    // meta-present-implies-index-present invariant), so the indexed
+    // suggest/fuzzy verbs fail loudly with the named "buildSymSpell
+    // first" message on the new vocabulary instead of serving the
+    // previous build's deletion dictionary (the r16 silent-drift
+    // defect) or an obscure missing-path read through a stale memo.
+    invalidateSymSpell(spark, path)
     withDfLen(tf)
       .withColumn("bucket", bucketCol(col("term")))
       // one task per bucket -> one file per directory
@@ -282,6 +309,14 @@ object LexicalStore {
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket")
       .parquet(path)
+    // `_analyzer` is written FIRST among the sidecars (the static
+    // postings overwrite above clears the whole path, so every
+    // sidecar is gone here): a crash after any later sidecar write
+    // then leaves `_stats`/`_vocab` missing — a LOUD missing-path
+    // read — whereas analyzer-last left a complete-looking folded
+    // layout that silently read back as `raw` and misranked every
+    // query with no error.
+    writeAnalyzer(spark, path, analyzer)
     tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_stats")
@@ -294,9 +329,6 @@ object LexicalStore {
     // and postings can't drift.
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_vocab")
-    // written AFTER the postings overwrite (a static-mode write clears
-    // the whole path first, like `_stats`/`_vocab` above)
-    writeAnalyzer(spark, path, analyzer)
   }
 
   // ---- maintenance: tombstone delete, compact, upsert ---------------
@@ -450,6 +482,10 @@ object LexicalStore {
         s"layout at $path was built with analyzer '$built', append got '$analyzer'")
     }
     val seg = existing.lastOption.fold(0)(_ + 1)
+    // an append grows the vocabulary, so any `_symspell` index over
+    // the merged dictionary is stale the moment the segment lands —
+    // same delete-first invalidation as the denormalized rewrites
+    invalidateSymSpell(spark, path)
     val rows = segmentRows(docs, idCol, textCol, analyzer).localCheckpoint()
     rows.withColumn("bucket", bucketCol(col("term")))
       .repartition(NumBuckets, col("bucket"))
@@ -458,6 +494,12 @@ object LexicalStore {
       .option("partitionOverwriteMode", "dynamic") // only this seg's dirs
       .partitionBy("bucket")
       .parquet(s"$path/seg=$seg")
+    // first segment: the analyzer sidecar lands BEFORE `_segstats`
+    // (the writePostings ordering argument): a crash between the two
+    // leaves a layout without its `_segstats` discriminator, whose
+    // next read fails loudly on the missing `_vocab` path — never a
+    // complete-looking layout silently reading back as `raw`
+    if (existing.isEmpty) writeAnalyzer(spark, path, analyzer)
     rows.select(col("doc_id"), col("len")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
       .select(lit(seg).as("seg"), col("n_docs"), col("sum_len"))
@@ -472,7 +514,6 @@ object LexicalStore {
     rows.select(col("term"), col("df")).distinct()
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/_segvocab/seg=$seg")
-    if (existing.isEmpty) writeAnalyzer(spark, path, analyzer)
   }
 
   /** Merge all segments back into one (the Lucene forceMerge):
@@ -488,6 +529,12 @@ object LexicalStore {
     val analyzer = analyzerOf(spark, path) // read BEFORE the delete
     val tf = spark.read.parquet(path)
       .select(col("doc_id"), col("term"), col("tf")).localCheckpoint()
+    // the merge rewrites the dictionary the `_symspell` index mirrors
+    // (per-segment dfs collapse into global ones): invalidate meta-
+    // first BEFORE the whole-path delete, so no crash state and no
+    // stale memo can leave the indexed suggest/fuzzy verbs answering
+    // from the pre-merge deletion dictionary
+    invalidateSymSpell(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -499,6 +546,11 @@ object LexicalStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(s"$path/seg=0")
+    // analyzer sidecar FIRST among the sidecars (the writePostings
+    // ordering argument): any later crash leaves `_segstats` missing
+    // — the segmented discriminator — so the next read fails loudly
+    // instead of silently folding under the wrong rule
+    writeAnalyzer(spark, path, analyzer)
     tf.select(col("doc_id"), col("tf"))
       .groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
@@ -510,7 +562,6 @@ object LexicalStore {
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/_segvocab/seg=0")
-    writeAnalyzer(spark, path, analyzer)
   }
 
   /** Segmented top-`k`: postings pruned to the query terms' buckets
@@ -584,9 +635,14 @@ object LexicalStore {
   /** Drop every session's build-once memo for `path` — called by
     * [[IndexStore.renameCollection]]/[[IndexStore.deleteCollection]]
     * when the name frees up, so a later build at it really builds. */
-  private[sources] def dropBuildMemos(path: String): Unit = {
+  private[graft] def dropBuildMemos(path: String): Unit = {
     builtOnce.keys.filter(_._2 == path).foreach(builtOnce.remove)
     dropAnalyzerMemos(path)
+    // a delete/rename frees the path for a DIFFERENT corpus: a later
+    // build there must not serve suggestions through this path's old
+    // symspell memo (the memo mirrors the meta sidecar — it must die
+    // with every other per-path memo here)
+    dropSymspellMemos(path)
   }
 
   /** Lexical top-`k`: (doc_id, lex_rank, lex_micros) for the documents
@@ -1389,10 +1445,11 @@ object LexicalStore {
 
   // built-maxDist memo, invalidated by every rebuild — the analyzer
   // cache's shape (warm suggestions must not stat+read the meta file
-  // per keystroke); the generation counter closes the same
-  // straddling-read race
+  // per keystroke), including its generation-stamped entries: a
+  // straddling read publishes a dead-on-arrival stamp, never a
+  // permanently poisoned value.
   private val symspellCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Int]
+    .empty[(String, String), (Long, Int)]
   private val symspellGen = scala.collection.concurrent.TrieMap
     .empty[String, Long]
 
@@ -1401,24 +1458,44 @@ object LexicalStore {
     symspellCache.keys.filter(_._2 == path).foreach(symspellCache.remove)
   }
 
+  /** Invalidate `path`'s `_symspell` sidecar AND its memos — called
+    * by every write that changes the term dictionary the index
+    * mirrors (build/compact/upsert/append/merge). Memos drop first
+    * (an in-flight meta read must not publish a live stamp), then
+    * meta, then the index — the meta-present-implies-index-present
+    * invariant holds through any crash point, so the indexed verbs
+    * fail with the named "buildSymSpell first" message, never an
+    * obscure missing-path read and never a stale dictionary. */
+  private def invalidateSymSpell(spark: SparkSession, path: String): Unit = {
+    dropSymspellMemos(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$path/_symspellmeta", s"$path/_symspell").foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** The built maxDist of `path`'s `_symspell` index, or a loud
     * error naming [[buildSymSpell]] when there is none (including
     * the half-built crash state: the meta sidecar is deleted FIRST
     * on rebuild, so meta-present always implies index-present). */
   private def symspellDist(spark: SparkSession, path: String): Int = {
     val key = (IndexStore.sessionKey(spark), path)
+    val g0 = symspellGen.getOrElse(path, 0L)
     symspellCache.get(key) match {
-      case Some(d) => d
-      case None =>
-        val g0 = symspellGen.getOrElse(path, 0L)
+      case Some((g, d)) if g == g0 => d
+      case _ =>
         val metaP = new org.apache.hadoop.fs.Path(s"$path/_symspellmeta")
         val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(fs.exists(metaP),
           s"no _symspell index at $path — buildSymSpell first")
         val d = spark.read.parquet(s"$path/_symspellmeta").head().getInt(0)
-        if (symspellGen.getOrElse(path, 0L) == g0) {
-          symspellCache.putIfAbsent(key, d); symspellCache.getOrElse(key, d)
-        } else symspellDist(spark, path) // a rebuild landed mid-read: retry
+        // stamped with the generation observed BEFORE the read — a
+        // rebuild landing mid-read self-invalidates this entry
+        symspellCache(key) = (g0, d)
+        if (symspellGen.getOrElse(path, 0L) == g0) d
+        else symspellDist(spark, path) // a rebuild landed mid-read: retry
     }
   }
 
@@ -1430,14 +1507,12 @@ object LexicalStore {
   def buildSymSpell(spark: SparkSession, path: String,
                     maxDist: Int = 2): Unit = {
     import spark.implicits._
-    // meta deleted FIRST: a rebuild that dies between clearing the
-    // index and rewriting it leaves NO meta, so the query side fails
-    // with the named buildSymSpell-first message, never an obscure
-    // missing-path read of a half-built index
-    val metaP = new org.apache.hadoop.fs.Path(s"$path/_symspellmeta")
-    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaP)) fs.delete(metaP, true)
-    dropSymspellMemos(path)
+    // meta deleted FIRST (inside invalidateSymSpell): a rebuild that
+    // dies between clearing the index and rewriting it leaves NO
+    // meta, so the query side fails with the named buildSymSpell-
+    // first message, never an obscure missing-path read of a
+    // half-built index
+    invalidateSymSpell(spark, path)
     termDictionary(spark, path)
       .select(col("term"), col("df"),
         explode(expr(deletionVariantsSql("term", maxDist))).as("variant"))
@@ -1450,7 +1525,8 @@ object LexicalStore {
     Seq(maxDist).toDF("max_dist").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_symspellmeta")
     dropSymspellMemos(path)
-    symspellCache((IndexStore.sessionKey(spark), path)) = maxDist
+    symspellCache((IndexStore.sessionKey(spark), path)) =
+      (symspellGen.getOrElse(path, 0L), maxDist)
   }
 
   /** [[suggestTerms]] answered from the `_symspell` index instead of

@@ -1234,4 +1234,101 @@ class LexicalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
     assert(reps == Map(10L -> 0, 11L -> 1), reps.toString)
   }
+
+  // ---- r17: symspell staleness (the r16 verdict's one defect) -----------
+
+  test("postings rewrites invalidate _symspell: indexed verbs fail " +
+      "loudly after upsert/compact and equal the scan again after rebuild") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream stream steam alpha"),
+      (2L, "scream beta steam gamma"),
+      (3L, "stream delta epsilon zeta")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_sym_stale"
+    LexicalStore.build(spark, docs, p)
+    LexicalStore.buildSymSpell(spark, p, maxDist = 2)
+    // sanity: indexed path live and scan-identical before the rewrite
+    assert(LexicalStore.suggestTermsIndexed(spark, p, "streem", 2, 5)
+      .collect().nonEmpty)
+    // upsert changes the vocabulary -> the deletion index is stale ->
+    // BOTH indexed verbs must fail with the named message, not serve
+    // the old dictionary and not die on an obscure missing path
+    LexicalStore.upsertLexical(spark, p,
+      Seq((4L, "streame theta")).toDF("doc_id", "text"))
+    val e1 = intercept[IllegalArgumentException] {
+      LexicalStore.suggestTermsIndexed(spark, p, "streem", 2, 5).collect()
+    }
+    assert(e1.getMessage.contains("buildSymSpell first"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      LexicalStore.searchFuzzyIndexed(spark, p, "streem", 2, 5).collect()
+    }
+    assert(e2.getMessage.contains("buildSymSpell first"), e2.getMessage)
+    // rebuild -> byte-identical to the dictionary scan again, and the
+    // new term is visible (it wasn't in the pre-upsert dictionary)
+    LexicalStore.buildSymSpell(spark, p, maxDist = 2)
+    val scan = LexicalStore.suggestTerms(spark, p, "streem", 2, 5)
+      .collect().map(_.toSeq).toSeq
+    val indexed = LexicalStore.suggestTermsIndexed(spark, p, "streem", 2, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(scan == indexed, s"$scan vs $indexed")
+    assert(indexed.map(_(1)).contains("streame"),
+      s"post-upsert vocabulary must serve: $indexed")
+    // compact (tombstone-driven rewrite) invalidates again
+    LexicalStore.deleteLexical(spark, p, Seq(4L))
+    LexicalStore.compactLexical(spark, p)
+    val e3 = intercept[IllegalArgumentException] {
+      LexicalStore.suggestTermsIndexed(spark, p, "streem", 2, 5).collect()
+    }
+    assert(e3.getMessage.contains("buildSymSpell first"), e3.getMessage)
+  }
+
+  test("segment append and merge invalidate _symspell the same way") {
+    import spark.implicits._
+    val p = "/root/repo/target/test_lex_sym_seg_stale"
+    val fsPath = new org.apache.hadoop.fs.Path(p)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(fsPath)) fs.delete(fsPath, true)
+    LexicalStore.appendLexicalSegment(spark,
+      Seq((1L, "stream steam alpha")).toDF("doc_id", "text"), p)
+    LexicalStore.buildSymSpell(spark, p, maxDist = 2)
+    assert(LexicalStore.suggestTermsIndexed(spark, p, "streem", 2, 5)
+      .collect().nonEmpty)
+    // an append GROWS the dictionary -> stale index unreachable
+    LexicalStore.appendLexicalSegment(spark,
+      Seq((2L, "scream streame beta")).toDF("doc_id", "text"), p)
+    val e1 = intercept[IllegalArgumentException] {
+      LexicalStore.suggestTermsIndexed(spark, p, "streem", 2, 5).collect()
+    }
+    assert(e1.getMessage.contains("buildSymSpell first"), e1.getMessage)
+    // rebuild serves the merged dictionary; the forceMerge then
+    // invalidates once more
+    LexicalStore.buildSymSpell(spark, p, maxDist = 2)
+    val indexed = LexicalStore.suggestTermsIndexed(spark, p, "streem", 2, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed.map(_(1)).contains("streame"), indexed.toString)
+    LexicalStore.compactSegments(spark, p)
+    val e2 = intercept[IllegalArgumentException] {
+      LexicalStore.suggestTermsIndexed(spark, p, "streem", 2, 5).collect()
+    }
+    assert(e2.getMessage.contains("buildSymSpell first"), e2.getMessage)
+  }
+
+  test("a corrupted _analyzer sidecar fails loudly, not as silent fold") {
+    import spark.implicits._
+    val p = "/root/repo/target/test_lex_bad_analyzer"
+    LexicalStore.build(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), p)
+    // hand-corrupt the sidecar value (requireAnalyzer guards builds,
+    // so only external mutation can produce this state)
+    Seq("porter2-en").toDF("analyzer").coalesce(1)
+      .write.mode("overwrite").parquet(s"$p/_analyzer")
+    // drop the memo the build populated so the read hits the sidecar
+    // (a fresh session would): renameCollection's path — use a fresh
+    // session key by clearing via the package-private hook
+    graft.sources.LexicalStore.dropBuildMemos(p)
+    val e = intercept[IllegalArgumentException] {
+      LexicalStore.searchTopKLexical(spark, p, Seq("alpha"), 5).collect()
+    }
+    assert(e.getMessage.contains("unknown analyzer"), e.getMessage)
+  }
 }
