@@ -133,6 +133,8 @@ object Verify {
         () => operators.Corpus.materializeDsirAux(spark, sfDir, auxDir)),
       ("q158 tri-hybrid query", Set("q158_tri_hybrid", "q193_ranker_agreement"),
         () => operators.Hybrid.materializeTriHybridAux(spark, sfDir, auxDir)),
+      ("q219 stem map", Set("q219_stemmed_search"),
+        () => operators.Hybrid.materializeStemAux(spark, sfDir, auxDir)),
       ("q41 chunks", Set("q41_chunk_stats"),
         () => operators.TextOps.materializeChunkAux(spark, sfDir, auxDir)),
       ("media", Set("q90_media_features", "q91_frame_sample"),

@@ -2693,7 +2693,117 @@ object Hybrid {
 
   private val q218Sql = q209Sql
 
+  // ---- q219: english analyzer (stopwords + porter stemming) -----------
+
+  private def lexEngPath(d: String): String =
+    "/root/repo/target/q219_lex_english/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The q219 corpus: documents deterministically INFLECTED (docs
+    * ≡0 mod 3 get every token suffixed `ing`, ≡1 mod 3 get `s`, ≡2
+    * stay base forms — the fixture has no morphology of its own, so
+    * without this the stem tier would be vacuous, the q204
+    * de-normalization argument). Both engines re-derive the
+    * transform from the raw table. */
+  private def q219Corpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, expr(
+        "array_join(transform(filter(split(text, ' '), " +
+          "w -> length(w) > 0), w -> concat(w, 'ing')), ' ')"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, expr(
+          "array_join(transform(filter(split(text, ' '), " +
+            "w -> length(w) > 0), w -> concat(w, 's')), ' ')"))
+        .otherwise(col("text")).as("text"))
+
+  /** q219: the `english` analyzer tier end to end — Lucene's
+    * EnglishAnalyzer chain (fold + classic stop set + Porter stem)
+    * as a build-time property of the layout: the corpus carries
+    * `streaming`/`streams`/`stream` across thirds, the query arrives
+    * as mixed-case inflections (`Streaming`, `windows;`, `MERGED` —
+    * `merged` never occurs in the corpus in ANY form) plus a pure
+    * stopword (`The`), and must rank exactly as the stemmed base
+    * forms. The oracle re-derives the inflection transform, fold,
+    * stop gate, tf re-aggregation over stems, BM25 and ranks from
+    * the raw table; only the vocabulary-sized (token, stem) mapping
+    * comes from the Verify aux dump (this DuckDB cannot load `fts`,
+    * so the stem kernel is pinned by StemmerSpec's published
+    * vectors instead — the q150 token-vector convention). */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, q219Corpus(s, d), lexEngPath(d),
+      analyzer = LexicalStore.AnalyzerEnglish)
+    LexicalStore.searchTopKLexical(s, lexEngPath(d),
+      Seq("The", "Streaming", "windows;", "MERGED"), k = 10)
+  }
+
+  /** The q219 oracle's aux: (tok, stem) for every distinct folded
+    * token of the inflected corpus plus the query's folded tokens —
+    * vocabulary-sized, evaluated through the same codegen'd
+    * PorterStem expression the build plan uses. */
+  def materializeStemAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import s.implicits._
+    val corpusToks = q219Corpus(s, d)
+      .select(explode(split(LexicalStore.foldText(col("text"),
+        LexicalStore.AnalyzerFolded), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val queryToks = Seq("the", "streaming", "windows", "merged").toDF("tok")
+    corpusToks.union(queryToks).distinct()
+      .withColumn("stem",
+        graft.functions.PorterStem.porterStem(col("tok")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q219_stems.parquet")
+  }
+
+  private val stopListSql =
+    LexicalStore.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  private val q219Sql = s"""
+    WITH src AS (
+      SELECT doc_id, CASE
+        WHEN doc_id % 3 = 0 THEN array_to_string(list_transform(
+          list_filter(string_split(text, ' '), w -> length(w) > 0),
+          w -> w || 'ing'), ' ')
+        WHEN doc_id % 3 = 1 THEN array_to_string(list_transform(
+          list_filter(string_split(text, ' '), w -> length(w) > 0),
+          w -> w || 's'), ' ')
+        ELSE text END AS text
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' ')) AS tok
+      FROM src
+    ), filt AS (
+      SELECT doc_id, tok FROM toks
+      WHERE length(tok) > 0 AND tok NOT IN ($stopListSql)
+    ), smap AS (
+      SELECT tok, stem FROM
+      read_parquet('/root/repo/target/verify_aux/q219_stems.parquet/*.parquet')
+    ), tf AS (
+      SELECT doc_id, stem AS term, COUNT(*) AS tf
+      FROM filt JOIN smap USING (tok) GROUP BY doc_id, stem
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), qraw(tok) AS (
+      VALUES ('the'), ('streaming'), ('windows'), ('merged')
+    ), qt AS (
+      SELECT DISTINCT stem AS term FROM qraw JOIN smap USING (tok)
+      WHERE tok NOT IN ($stopListSql)
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS lex_rank
+          FROM scored)
+    WHERE lex_rank <= 10 ORDER BY lex_rank"""
+
   val queries: Seq[Query] = Seq(
+    Query("q219_stemmed_search", q219, Some(q219Sql)),
     Query("q218_symspell_fuzzy", q218, Some(q218Sql)),
     Query("q217_symspell_suggest", q217, Some(q217Sql)),
     Query("q215_search_after", q215, Some(q215Sql)),

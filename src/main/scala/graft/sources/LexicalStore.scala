@@ -96,11 +96,37 @@ object LexicalStore {
     * Spark and DuckDB regex engines provably agree byte-for-byte. */
   val AnalyzerFolded = "folded"
 
+  /** The [[AnalyzerFolded]] fold, then the classic English stop set
+    * dropped and every surviving token Porter-stemmed — the Lucene
+    * EnglishAnalyzer tier (StandardTokenizer + LowerCaseFilter +
+    * StopFilter + PorterStemFilter): "Running" matches "runs" and
+    * "run", and "the" stops flooding every conjunction. Applied at
+    * BUILD time like the other tiers (the `_analyzer` sidecar folds
+    * queries through the identical chain, so index and query time
+    * cannot drift). Positional note: offsets are dense over the
+    * POST-STOPWORD token sequence (Lucene instead leaves position
+    * gaps via posIncrement; the dense rule keeps offsets derivable
+    * by the oracle from the filtered sequence alone, and phrase
+    * adjacency then means "adjacent after stopword removal" —
+    * `"quality of data"` matches the phrase `"quality data"`, which
+    * is classic stop-phrase behavior). */
+  val AnalyzerEnglish = "english"
+
+  /** Lucene StopAnalyzer's classic 33-word English stop set (public
+    * knowledge, stable across Lucene's history — the default of its
+    * English analysis chain). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with")
+
   private val FoldPattern = "[^a-z0-9 ]"
 
   private def requireAnalyzer(a: String): Unit =
-    require(a == AnalyzerRaw || a == AnalyzerFolded,
-      s"unknown analyzer '$a' (expected $AnalyzerRaw or $AnalyzerFolded)")
+    require(a == AnalyzerRaw || a == AnalyzerFolded || a == AnalyzerEnglish,
+      s"unknown analyzer '$a' (expected $AnalyzerRaw, $AnalyzerFolded " +
+        s"or $AnalyzerEnglish)")
 
   /** Plan-side fold of a text column under `analyzer` — applied
     * BEFORE tokenization by every build path of an analyzed layout. */
@@ -120,10 +146,17 @@ object LexicalStore {
       case AnalyzerRaw => terms
       case _ =>
         import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace}
-        terms.flatMap { t =>
+        val folded = terms.flatMap { t =>
           RegExpReplace(Lower(Literal(t)), Literal(FoldPattern), Literal(" "))
             .eval(null).toString.split(" ").filter(_.nonEmpty)
         }
+        // the english tier then applies the SAME stop set and the
+        // SAME static stem function the build plan's PorterStem
+        // expression calls — one definition, so parity is structural
+        if (analyzer == AnalyzerEnglish)
+          folded.filterNot(EnglishStopwords.contains)
+            .map(graft.functions.PorterStemmer.stem)
+        else folded
     }
 
   // per-(session, path) analyzer memo: one fs stat + 1-row read on
@@ -258,12 +291,33 @@ object LexicalStore {
     clearTombstones(spark, path)
   }
 
+  /** Token-stage analysis under `analyzer`, applied AFTER the text
+    * fold and whitespace split by every build path: the `english`
+    * tier drops the stop set and Porter-stems each surviving token
+    * through the codegen'd [[graft.functions.PorterStem]] expression
+    * (no ScalaUDF ahead of the tf shuffle); raw/folded are the
+    * identity. The query side reaches the identical chain via
+    * [[foldQueryTerms]] — same stop Seq, same static stem method. */
+  private def analyzeTerms(toks: DataFrame, analyzer: String): DataFrame =
+    if (analyzer != AnalyzerEnglish) toks
+    else toks.filter(!col("term").isInCollection(EnglishStopwords))
+      .withColumn("term",
+        graft.functions.PorterStem.porterStem(col("term")))
+
+  /** The english stop set as a SQL array literal — the positional
+    * builder filters stopwords INSIDE its array lambda so offsets
+    * stay dense over the surviving tokens. */
+  private def stopArraySql: String =
+    EnglishStopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+
   /** (doc_id, term, tf) of a (doc_id, text) frame under `analyzer` —
     * the one tokenization kernel every lexical build path shares. */
   private def termFreqs(base: DataFrame, analyzer: String): DataFrame =
-    graft.operators.Corpus.tokens(
-        base.withColumn("text", foldText(col("text"), analyzer)),
-        "text", "doc_id")
+    analyzeTerms(
+        graft.operators.Corpus.tokens(
+          base.withColumn("text", foldText(col("text"), analyzer)),
+          "text", "doc_id"),
+        analyzer)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
@@ -911,15 +965,27 @@ object LexicalStore {
     * tokenize + offset aggregation, factored so upsert can run it on
     * the replacement docs alone. */
   private def positionalRows(docs: DataFrame, idCol: String,
-                             textCol: String, analyzer: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+                             textCol: String, analyzer: String): DataFrame = {
+    // english: stopwords drop INSIDE the array lambda, so offsets are
+    // dense over the surviving tokens (see [[AnalyzerEnglish]]'s
+    // positional note), and the stem applies after the posexplode —
+    // a stem never changes a token's position
+    val keep =
+      if (analyzer == AnalyzerEnglish)
+        "filter(split(text, ' '), w -> length(w) > 0 AND NOT " +
+          s"array_contains($stopArraySql, w))"
+      else "filter(split(text, ' '), w -> length(w) > 0)"
+    val exploded = docs.select(col(idCol).as("doc_id"),
         foldText(col(textCol), analyzer).as("text"))
-      .select(col("doc_id"),
-        posexplode(expr(
-          "filter(split(text, ' '), w -> length(w) > 0)"))
-          .as(Seq("pos", "term")))
-      .groupBy(col("doc_id"), col("term"))
+      .select(col("doc_id"), posexplode(expr(keep)).as(Seq("pos", "term")))
+    val analyzed =
+      if (analyzer == AnalyzerEnglish)
+        exploded.withColumn("term",
+          graft.functions.PorterStem.porterStem(col("term")))
+      else exploded
+    analyzed.groupBy(col("doc_id"), col("term"))
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
+  }
 
   /** Shared positional write path (the [[writePostings]] sibling):
     * already-materialized (doc_id, term, positions) rows land

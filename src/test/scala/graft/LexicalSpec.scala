@@ -1313,6 +1313,58 @@ class LexicalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("buildSymSpell first"), e2.getMessage)
   }
 
+  // ---- r17: english analyzer (stopwords + porter stemming) --------------
+
+  test("english analyzer: stem+stopword fold-through on search, " +
+      "suggest, prefix and phrase") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Running quickly, the data streams merge!"),
+      (2L, "runs of data stream merging"),
+      (3L, "He ran the quality of data checks"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_english"
+    LexicalStore.build(spark, docs, p,
+      analyzer = LexicalStore.AnalyzerEnglish)
+    // inflected, mixed-case, stopword-laden query matches OTHER
+    // inflections: 'STREAMED?' (absent from the corpus in any form)
+    // stems to 'stream' and hits streams/stream docs
+    val hits = LexicalStore.searchTopKLexical(spark, p,
+        Seq("The", "STREAMED?", "merges"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L), hits.toString)
+    // the dictionary holds stems; a probe folds through the same
+    // chain, so an inflected probe exact-matches at distance 0
+    val sugg = LexicalStore.suggestTerms(spark, p, "streaming",
+      maxDist = 1, k = 1).collect()
+    assert(sugg.head.getString(1) == "stream" && sugg.head.getInt(2) == 0,
+      sugg.mkString(","))
+    // prefix expansion walks the stemmed dictionary
+    val pre = LexicalStore.searchPrefix(spark, p, "merg", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pre == Set(1L, 2L), pre.toString)
+    // positional: offsets are dense over the post-stopword sequence,
+    // so "quality of data" phrase-matches via the stop-phrase rule
+    val pp = "/root/repo/target/test_lex_english_pos"
+    LexicalStore.buildPositional(spark, docs, pp,
+      analyzer = LexicalStore.AnalyzerEnglish)
+    val ph = LexicalStore.searchPhrase(spark, pp,
+        Seq("quality", "of", "Data"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ph == Seq(3L), ph.toString)
+    // a pure-stopword query folds to nothing -> loud
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchTopKLexical(spark, p, Seq("the", "of"), 5).collect()
+    }
+    // upsert re-tokenizes under the layout's english rule (sidecar)
+    LexicalStore.upsertLexical(spark, p,
+      Seq((5L, "The streams were MERGING")).toDF("doc_id", "text"))
+    val hits2 = LexicalStore.searchTopKLexical(spark, p,
+        Seq("streamed"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits2.contains(5L), hits2.toString)
+  }
+
   test("a corrupted _analyzer sidecar fails loudly, not as silent fold") {
     import spark.implicits._
     val p = "/root/repo/target/test_lex_bad_analyzer"
