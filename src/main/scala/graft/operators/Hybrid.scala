@@ -2693,6 +2693,63 @@ object Hybrid {
 
   private val q218Sql = q209Sql
 
+  // ---- q220: multi-token did-you-mean (phrase suggestion) -------------
+
+  private val Q220PerSlot = 3
+
+  /** q220: [[LexicalStore.suggestPhrase]] — whole-query spelling
+    * correction over the `_symspell` index: both tokens of
+    * 'par kye' are misspellings ('par' sits ≤2 edits from part, a
+    * AND spark; 'kye' from key and the), so the joint corpus-support
+    * rank (total df DESC, total dist ASC, phrase ASC) is genuinely
+    * exercised, including a df tie broken by phrase. The oracle
+    * re-derives the per-slot q203 ranking with its perSlot cap and
+    * the cross-product re-rank from the raw table. Shares q217's
+    * once-per-session symspell build. */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    q217Built.getOrElseUpdate(
+      (graft.sources.IndexStore.sessionKey(s), d),
+      LexicalStore.buildSymSpell(s, lexPath(d), maxDist = 2))
+    LexicalStore.suggestPhrase(s, lexPath(d), Seq("par", "kye"),
+      maxDist = 2, perSlot = Q220PerSlot, k = 5)
+  }
+
+  private val q220Sql = s"""
+    WITH tf AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      WHERE length(term) > 0 GROUP BY doc_id, term),
+    vocab AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    s0 AS (
+      SELECT term, df, dist FROM (
+        SELECT term, df, dist,
+               row_number() OVER (ORDER BY dist ASC, df DESC, term) AS rn
+        FROM (SELECT term, df, levenshtein(term, 'par') AS dist FROM vocab)
+        WHERE dist <= 2)
+      WHERE rn <= $Q220PerSlot),
+    s1 AS (
+      SELECT term, df, dist FROM (
+        SELECT term, df, dist,
+               row_number() OVER (ORDER BY dist ASC, df DESC, term) AS rn
+        FROM (SELECT term, df, levenshtein(term, 'kye') AS dist FROM vocab)
+        WHERE dist <= 2)
+      WHERE rn <= $Q220PerSlot),
+    comb AS (
+      SELECT s0.term || ' ' || s1.term AS phrase,
+             CAST(s0.dist + s1.dist AS INTEGER) AS total_dist,
+             CAST(s0.df + s1.df AS BIGINT) AS total_df
+      FROM s0 CROSS JOIN s1)
+    SELECT CAST(sugg_rank AS INTEGER) AS sugg_rank, phrase,
+           total_dist, total_df
+    FROM (SELECT phrase, total_dist, total_df,
+                 row_number() OVER (
+                   ORDER BY total_df DESC, total_dist ASC, phrase)
+                   AS sugg_rank
+          FROM comb)
+    WHERE sugg_rank <= 5 ORDER BY sugg_rank"""
+
   // ---- q219: english analyzer (stopwords + porter stemming) -----------
 
   private def lexEngPath(d: String): String =
@@ -2803,6 +2860,7 @@ object Hybrid {
     WHERE lex_rank <= 10 ORDER BY lex_rank"""
 
   val queries: Seq[Query] = Seq(
+    Query("q220_phrase_suggest", q220, Some(q220Sql)),
     Query("q219_stemmed_search", q219, Some(q219Sql)),
     Query("q218_symspell_fuzzy", q218, Some(q218Sql)),
     Query("q217_symspell_suggest", q217, Some(q217Sql)),

@@ -1756,6 +1756,69 @@ object LexicalStore {
       term, maxDist, k)
   }
 
+  /** Multi-token did-you-mean — the per-position generalization of
+    * [[suggestTermsIndexed]] (Lucene's PhraseSuggester contract: a
+    * two-word query with a typo in word two gets a whole-query
+    * correction, which single-term suggest cannot express): each
+    * query position expands independently against the `_symspell`
+    * deletion index (symmetric-delete collisions → exact levenshtein
+    * verify → the q203 (dist ASC, df DESC, term ASC) rank, capped at
+    * `perSlot`), then the corrected QUERY is the joint re-rank of
+    * the per-slot candidate cross by CORPUS SUPPORT — total df DESC,
+    * ties by total edit distance ASC then phrase ASC — so the
+    * correction the corpus attests most wins deterministically.
+    *
+    * Scale shape: per-slot candidate reads are vbucket-pruned with
+    * the variant IN-list pushed down (the q217 path, once per slot);
+    * each slot round-trips ≤`perSlot` rows to the driver (the
+    * fuzzyRank query-rows convention) and the joint cross is
+    * driver-local — ≤perSlot^m rows for an m-token query,
+    * query-sized, never corpus-sized. A slot with no candidate
+    * within `maxDist` fails loudly naming the token (a silent
+    * keep-the-typo would un-correct the query while still reporting
+    * corrections). */
+  def suggestPhrase(spark: SparkSession, path: String, phrase: Seq[String],
+                    maxDist: Int = 2, perSlot: Int = 4,
+                    k: Int = 5): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2 && perSlot >= 1 && k >= 1,
+      s"bad maxDist=$maxDist / perSlot=$perSlot / k=$k " +
+        "(symspell serves maxDist 1..2)")
+    val builtDist = symspellDist(spark, path)
+    require(maxDist <= builtDist,
+      s"index built for maxDist $builtDist, queried with $maxDist")
+    val terms = foldQueryTerms(phrase.filter(_.nonEmpty),
+      analyzerOf(spark, path))
+    require(terms.size >= 2,
+      s"a phrase suggestion needs at least two tokens, got $terms — " +
+        "use suggestTermsIndexed for one")
+    // per-slot candidates round-trip the driver (≤perSlot rows each —
+    // the fuzzyRank query-rows convention), which is also where an
+    // empty slot fails by name
+    val slots: Seq[Seq[(String, Long, Int)]] = terms.map { t =>
+      val cands = distRanked(symspellCollisions(spark, path, t, maxDist),
+          t, maxDist, perSlot)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSeq
+      require(cands.nonEmpty,
+        s"no indexed term within $maxDist edits of '$t' — cannot " +
+          "correct this position")
+      cands
+    }
+    val combos = slots.foldLeft(Seq((List.empty[String], 0L, 0))) {
+      case (acc, cands) => for {
+        (p, df, dist) <- acc
+        (t, tdf, tdist) <- cands
+      } yield (p :+ t, df + tdf, dist + tdist)
+    }.map { case (ts, df, dist) => (ts.mkString(" "), dist, df) }
+    import spark.implicits._
+    val ord = Seq(col("total_df").desc, col("total_dist").asc, col("phrase"))
+    combos.toDF("phrase", "total_dist", "total_df")
+      .orderBy(ord: _*).limit(k)
+      .withColumn("sugg_rank", row_number().over(Window.orderBy(ord: _*)))
+      .select(col("sugg_rank"), col("phrase"), col("total_dist"),
+        col("total_df"))
+  }
+
   /** Wildcard (infix-contains) search — Lucene's WildcardQuery for
     * the `*needle*` pattern, INCLUDING the leading-wildcard case its
     * docs warn about: a hash-bucketed postings layout cannot prune

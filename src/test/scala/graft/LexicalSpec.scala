@@ -1313,6 +1313,48 @@ class LexicalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("buildSymSpell first"), e2.getMessage)
   }
 
+  // ---- r17: multi-token did-you-mean -------------------------------------
+
+  test("suggestPhrase: per-slot symspell candidates, joint " +
+      "corpus-support rank with dist and phrase tiebreaks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream alpha key"), (2L, "stream beta key"),
+      (3L, "stream gamma kei"), (4L, "steam delta key"))
+      .toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_phrase_sugg"
+    LexicalStore.build(spark, docs, p)
+    LexicalStore.buildSymSpell(spark, p, maxDist = 2)
+    val got = LexicalStore.suggestPhrase(spark, p, Seq("streem", "kee"),
+        maxDist = 2, perSlot = 2, k = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    // dfs: stream 3, steam 1, key 3, kei 1 -> combos ranked by total
+    // df DESC; the (stream kei, steam key) df tie breaks by distance
+    assert(got == Seq(
+      (1, "stream key", 2, 6L),
+      (2, "stream kei", 2, 4L),
+      (3, "steam key", 3, 4L)), got.toString)
+    // a position with no candidate fails by name
+    val e = intercept[IllegalArgumentException] {
+      LexicalStore.suggestPhrase(spark, p, Seq("streem", "zzzzzzzz"))
+        .collect()
+    }
+    assert(e.getMessage.contains("zzzzzzzz"), e.getMessage)
+    // single-token input routes to the single-term verb
+    intercept[IllegalArgumentException] {
+      LexicalStore.suggestPhrase(spark, p, Seq("streem"))
+    }
+    // the verb rides the symspell staleness gate like its siblings
+    LexicalStore.upsertLexical(spark, p,
+      Seq((5L, "fresh words")).toDF("doc_id", "text"))
+    val e2 = intercept[IllegalArgumentException] {
+      LexicalStore.suggestPhrase(spark, p, Seq("streem", "kee")).collect()
+    }
+    assert(e2.getMessage.contains("buildSymSpell first"), e2.getMessage)
+  }
+
   // ---- r17: english analyzer (stopwords + porter stemming) --------------
 
   test("english analyzer: stem+stopword fold-through on search, " +
