@@ -2693,6 +2693,47 @@ object Hybrid {
 
   private val q218Sql = q209Sql
 
+  // ---- q221: general glob wildcard search ------------------------------
+
+  /** q221: [[LexicalStore.searchGlob]] — WildcardQuery's full
+    * pattern grammar: `s?a*` puts `?` mid-pattern and `*` at the
+    * tail, so neither the prefix (q200) nor the infix-contains
+    * (q211) rewrite can serve it. Dictionary walk + df-ranked cap +
+    * the ordinary bucket-pruned scoring; the oracle mirrors the
+    * anchored regex (`^s.a.*$` — literal chars are [a-z0-9], never
+    * regex-special, so the two engines' regex semantics agree). */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.searchGlob(s, lexPath(d), "s?a*", k = 10,
+      maxExpansions = PrefixMaxExp)
+  }
+
+  private val q221Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), expn AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+        FROM dfreq WHERE regexp_matches(term, '^s.a.*$$'))
+      WHERE rn <= $PrefixMaxExp
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN expn USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS lex_rank
+          FROM scored)
+    WHERE lex_rank <= 10 ORDER BY lex_rank"""
+
   // ---- q220: multi-token did-you-mean (phrase suggestion) -------------
 
   private val Q220PerSlot = 3
@@ -2860,6 +2901,7 @@ object Hybrid {
     WHERE lex_rank <= 10 ORDER BY lex_rank"""
 
   val queries: Seq[Query] = Seq(
+    Query("q221_glob_search", q221, Some(q221Sql)),
     Query("q220_phrase_suggest", q220, Some(q220Sql)),
     Query("q219_stemmed_search", q219, Some(q219Sql)),
     Query("q218_symspell_fuzzy", q218, Some(q218Sql)),

@@ -1837,6 +1837,45 @@ object LexicalStore {
     routeScore(spark, path, expanded, k)
   }
 
+  /** General wildcard search — Lucene's WildcardQuery with `*` and
+    * `?` allowed ANYWHERE in the pattern ([[searchWildcard]] serves
+    * only the infix `*needle*` form; this serves `ne*dle`, `n??dle`
+    * and the leading-wildcard forms Lucene's docs warn about): the
+    * pattern lowercases through the same Catalyst Lower tree the
+    * analyzers use (glob metachars are case-fold-invariant),
+    * translates to an ANCHORED regex — `*` → `.*`, `?` → `.`;
+    * literal characters are restricted to `[a-z0-9]`, which are
+    * never regex-special, so the translation needs no escaping and
+    * Spark's and any oracle engine's regex semantics provably agree
+    * — and walks the `_vocab`/`_segvocab` dictionary with `rlike`:
+    * the same vocabulary-sized scan (no engine can prune a leading
+    * wildcard), the same df-ranked `maxExpansions` rewrite cap, then
+    * the layout's own bucket-pruned rank path. On an `english`
+    * layout the dictionary holds stems and the pattern matches them
+    * verbatim (a glob cannot be stemmed — Lucene's multi-term
+    * queries likewise bypass the analysis chain). */
+  def searchGlob(spark: SparkSession, path: String, pattern0: String,
+                 k: Int = 10, maxExpansions: Int = 16): DataFrame = {
+    require(pattern0.nonEmpty, "glob pattern must be non-empty")
+    val lowered = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
+      Lower(Literal(pattern0)).eval(null).toString
+    }
+    require(lowered.matches("[a-z0-9*?]+"),
+      s"glob pattern must be [a-z0-9*?]+ after lowering, got '$lowered'")
+    require(lowered.exists(c => c != '*' && c != '?'),
+      "glob pattern needs at least one literal character")
+    val rx = "^" + lowered.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c => c.toString
+    } + "$"
+    val expanded = expandDictionary(spark, path,
+      col("term").rlike(rx), maxExpansions,
+      s"no indexed term matches glob '$lowered' — nothing to search")
+    routeScore(spark, path, expanded, k)
+  }
+
   /** More-like-this — Lucene's MoreLikeThisQuery: mine the best
     * `maxTerms` query terms from ONE document's text by the same
     * quantized Robertson selection value [[searchTopKPrf]] uses for

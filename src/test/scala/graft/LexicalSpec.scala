@@ -1313,6 +1313,39 @@ class LexicalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("buildSymSpell first"), e2.getMessage)
   }
 
+  // ---- r17: general glob wildcard ----------------------------------------
+
+  test("searchGlob: ? and * anywhere, case-folded, loud on bad input") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "window windows wind"), (2L, "widow window x"),
+      (3L, "sandbox y z")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_glob"
+    LexicalStore.build(spark, docs, p)
+    // mid-pattern ? plus tail *: w?ndow* serves window/windows, not
+    // widow — neither prefix nor infix-contains could express this
+    val g1 = LexicalStore.searchGlob(spark, p, "w?ndow*", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(g1 == Set(1L, 2L), g1.toString)
+    // leading wildcard (the form Lucene warns about) still serves
+    val g2 = LexicalStore.searchGlob(spark, p, "*box", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(g2 == Set(3L), g2.toString)
+    // the pattern lowercases like every query text
+    assert(LexicalStore.searchGlob(spark, p, "W?NDOW*", 10)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // bad characters, all-wildcard, and no-match all fail loudly
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchGlob(spark, p, "a b*")
+    }
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchGlob(spark, p, "*?")
+    }
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchGlob(spark, p, "zz*qq")
+    }
+  }
+
   // ---- r17: multi-token did-you-mean -------------------------------------
 
   test("suggestPhrase: per-slot symspell candidates, joint " +
