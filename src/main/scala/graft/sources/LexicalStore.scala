@@ -713,10 +713,17 @@ object LexicalStore {
     * the fused top-k need not be in any single field's top-k, so the
     * field scorer must not truncate). Same pruned read, same
     * (doc_id, micros) exchanges. */
-  private def scoreLexical(spark: SparkSession, path: String,
-                           terms: Seq[String],
-                           where: Option[Column] = None,
-                           allow: Option[DataFrame] = None): DataFrame = {
+  /** The per-(doc, term) contribution frame every denormalized-layout
+    * scorer aggregates: bucket-pruned, term-IN-pushed, allow-filtered,
+    * tombstone-masked posting rows with the 1-row stats broadcast in
+    * and [[bm25Micros]] evaluated — (doc_id, term, tf, df, len,
+    * micros). ONE definition feeds [[scoreLexical]]'s sum AND
+    * [[explainScore]]'s decomposition, so the explanation is the
+    * score's own code path, not a parallel reimplementation. */
+  private def contributions(spark: SparkSession, path: String,
+                            terms: Seq[String],
+                            where: Option[Column] = None,
+                            allow: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "lexical search needs at least one term")
     val buckets = terms.map(bucketOf).distinct
     val stats = spark.read.parquet(s"$path/_stats")
@@ -728,10 +735,40 @@ object LexicalStore {
       .transform(p => tombstones(spark, path)
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
     post.crossJoin(broadcast(stats))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("len"),
         bm25Micros(col("tf"), col("df"), col("len"),
           col("n_docs"), col("sum_len")).as("micros"))
+  }
+
+  private def scoreLexical(spark: SparkSession, path: String,
+                           terms: Seq[String],
+                           where: Option[Column] = None,
+                           allow: Option[DataFrame] = None): DataFrame =
+    contributions(spark, path, terms, where, allow)
+      .select(col("doc_id"), col("micros"))
       .groupBy(col("doc_id")).agg(sum(col("micros")).as("lex_micros"))
+
+  /** Relevance explain — Lucene's Explanation for the quantized
+    * BM25: the per-(doc, term) decomposition of a query's scores
+    * over a candidate set `cands` (a 1-column doc_id frame,
+    * typically the ranked page the caller is debugging — "why does
+    * doc X outrank doc Y" reads as two rows per term instead of one
+    * opaque integer). Each row carries every factor the
+    * contribution is computed FROM — tf, df, len (with n_docs and
+    * sum_len folded in by the shared kernel) — plus the integer
+    * `micros` itself; because scores are exact integers, the
+    * explanation is SUM-EXACT: per-doc Σ micros equals
+    * [[searchTopKLexical]]'s lex_micros to the last digit
+    * (LexicalSpec pins it), a promise float-BM25 explain APIs
+    * cannot make. Same bucket-pruned read as the rank path with the
+    * candidate spine filtered beneath it; ≤ |cands|·|terms| rows
+    * out, ordered (doc_id, term). */
+  def explainScore(spark: SparkSession, path: String,
+                   queryTerms: Seq[String], cands: DataFrame): DataFrame = {
+    val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
+      .filter(_.nonEmpty).distinct
+    contributions(spark, path, terms, allow = Some(cands))
+      .orderBy(col("doc_id"), col("term"))
   }
 
   def searchTopKLexical(spark: SparkSession, path: String,
