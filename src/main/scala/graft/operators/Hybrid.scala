@@ -2857,10 +2857,15 @@ object Hybrid {
   private val q219Sql = s"""
     WITH src AS (
       SELECT doc_id, CASE
-        WHEN doc_id % 3 = 0 THEN array_to_string(list_transform(
+        -- ((x % 3) + 3) % 3 == Spark's pmod for any sign: DuckDB's %
+        -- follows the dividend's sign, so the bare form would diverge
+        -- from the Spark transform on negative ids (latent today —
+        -- fixture ids are non-negative — but the transforms must be
+        -- sign-safe to genuinely mirror each other)
+        WHEN ((doc_id % 3) + 3) % 3 = 0 THEN array_to_string(list_transform(
           list_filter(string_split(text, ' '), w -> length(w) > 0),
           w -> w || 'ing'), ' ')
-        WHEN doc_id % 3 = 1 THEN array_to_string(list_transform(
+        WHEN ((doc_id % 3) + 3) % 3 = 1 THEN array_to_string(list_transform(
           list_filter(string_split(text, ' '), w -> length(w) > 0),
           w -> w || 's'), ' ')
         ELSE text END AS text

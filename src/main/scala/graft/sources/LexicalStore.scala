@@ -220,8 +220,16 @@ object LexicalStore {
             v
           } else AnalyzerRaw
         // stamped with the generation observed BEFORE the read: if a
-        // rebuild bumped it mid-read this entry self-invalidates
-        analyzerCache(key) = (g0, a)
+        // rebuild bumped it mid-read this entry self-invalidates.
+        // CONDITIONAL publish — a reader that started before a
+        // rebuild must not overwrite a fresher same-path entry with
+        // its stale-stamped one (correct either way, the stale stamp
+        // forces a re-read, but the clobber costs an avoidable
+        // filesystem round-trip under races)
+        analyzerCache.updateWith(key) {
+          case fresher @ Some((g, _)) if g > g0 => fresher
+          case _ => Some((g0, a))
+        }
         if (analyzerGen.getOrElse(path, 0L) == g0) a
         else analyzerOf(spark, path) // a rebuild landed mid-read: retry
     }
@@ -629,6 +637,17 @@ object LexicalStore {
                           queryTerms: Seq[String], k: Int = 10): DataFrame = {
     val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
       .filter(_.nonEmpty).distinct
+    rankAnalyzedSegmented(spark, path, terms, k)
+  }
+
+  /** [[rankAnalyzed]]'s segmented sibling — the post-fold body of
+    * [[searchTopKSegmented]], reachable with PRE-ANALYZED terms (the
+    * dictionary-expansion verbs route here on segmented layouts; see
+    * rankAnalyzed's Scaladoc for why a second fold is wrong). */
+  private[graft] def rankAnalyzedSegmented(spark: SparkSession, path: String,
+                                           terms0: Seq[String],
+                                           k: Int): DataFrame = {
+    val terms = terms0.filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "lexical search needs at least one term")
     val buckets = terms.map(bucketOf).distinct
     val stats = spark.read.parquet(s"$path/_segstats")
@@ -779,7 +798,27 @@ object LexicalStore {
     // index and query time provably agree) — `raw` is the identity
     val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
       .filter(_.nonEmpty).distinct
-    val scored = scoreLexical(spark, path, terms, where, allow)
+    rankAnalyzed(spark, path, terms, k, where, allow)
+  }
+
+  /** Rank PRE-ANALYZED terms — the internal entry point for every
+    * verb whose terms are already in the layout's indexed vocabulary
+    * (the dictionary expansions of searchPrefix/searchWildcard/
+    * searchGlob, moreLikeThis's mined terms, searchTopKPrf's folded
+    * seed). [[foldQueryTerms]] must NOT run again on such terms: the
+    * english analyzer is not idempotent — Porter re-stems stems
+    * (corpus `agreed` indexes as `agre`, but stem("agre") == "agr")
+    * and re-drops stems that collide with stopwords (`thens` indexes
+    * as `then`) — so a second fold silently empties the match set.
+    * Lucene's rewritten multi-term queries bypass the analysis chain
+    * for exactly this reason. User query text enters through
+    * [[searchTopKLexical]], which folds exactly once. */
+  private[graft] def rankAnalyzed(spark: SparkSession, path: String,
+                                  terms: Seq[String], k: Int,
+                                  where: Option[Column] = None,
+                                  allow: Option[DataFrame] = None): DataFrame = {
+    val scored = scoreLexical(spark, path,
+      terms.filter(_.nonEmpty).distinct, where, allow)
     scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("lex_micros").desc, col("doc_id"))))
@@ -933,7 +972,10 @@ object LexicalStore {
     val analyzer = analyzerOf(spark, path)
     val qTerms = foldQueryTerms(queryTerms, analyzer)
       .filter(_.nonEmpty).distinct
-    val seedIds = searchTopKLexical(spark, path, qTerms, fbDocs)
+    // qTerms are folded HERE (the weighted final pass needs them in
+    // indexed form) — the seed search takes them pre-analyzed, not
+    // through searchTopKLexical's second fold (see [[rankAnalyzed]])
+    val seedIds = rankAnalyzed(spark, path, qTerms, fbDocs)
       .select(col("doc_id")).collect().map(_.get(0)).toSeq
     val fbTfAll = termFreqs(
         docs.filter(col(idCol).isInCollection(seedIds))
@@ -1347,11 +1389,23 @@ object LexicalStore {
     else spark.read.parquet(s"$path/_vocab")
 
   /** Fold a dictionary probe (prefix/needle) to its single token —
-    * the shared head of every dictionary-expansion verb. */
+    * the shared head of every dictionary-expansion verb. Multi-term
+    * queries bypass the analysis chain (Lucene's PrefixQuery /
+    * WildcardQuery contract, and [[searchGlob]]'s documented
+    * behavior): on an `english` layout the probe only lowercases +
+    * strips (the folded rule) — the dictionary holds stems and the
+    * user's pattern matches them verbatim. Stemming the probe would
+    * make `agre*` unfindable (stem("agre") == "agr") and error out
+    * stopword-shaped prefixes like `the` that legitimately prefix
+    * stems (`theori`). */
   private def foldProbe(spark: SparkSession, path: String, probe: String,
                         what: String): String = {
     require(probe.nonEmpty, s"$what must be non-empty")
-    val folded = foldQueryTerms(Seq(probe), analyzerOf(spark, path))
+    val rule = analyzerOf(spark, path) match {
+      case AnalyzerEnglish => AnalyzerFolded
+      case a => a
+    }
+    val folded = foldQueryTerms(Seq(probe), rule)
     require(folded.size == 1,
       s"$what must fold to one token, '$probe' folded to $folded")
     folded.head
@@ -1375,14 +1429,17 @@ object LexicalStore {
     expanded
   }
 
-  /** Route expanded terms to the layout's own rank path — the
-    * scorers re-fold them (identity: dictionary terms are already
-    * folded). */
+  /** Route expanded terms to the layout's own rank path. Dictionary
+    * terms are ALREADY analyzed (they come out of `_vocab`), so they
+    * enter through the pre-analyzed rankers — re-folding them through
+    * the layout analyzer would re-stem stems on an `english` layout
+    * (Porter is not idempotent) and silently match nothing; see
+    * [[rankAnalyzed]]. */
   private def routeScore(spark: SparkSession, path: String,
                          terms: Seq[String], k: Int): DataFrame =
     if (isSegmented(spark, path))
-      searchTopKSegmented(spark, path, terms, k)
-    else searchTopKLexical(spark, path, terms, k)
+      rankAnalyzedSegmented(spark, path, terms, k)
+    else rankAnalyzed(spark, path, terms, k)
 
   def searchPrefix(spark: SparkSession, path: String, prefix: String,
                    k: Int = 10, maxExpansions: Int = 16): DataFrame = {
@@ -1595,8 +1652,13 @@ object LexicalStore {
           s"no _symspell index at $path — buildSymSpell first")
         val d = spark.read.parquet(s"$path/_symspellmeta").head().getInt(0)
         // stamped with the generation observed BEFORE the read — a
-        // rebuild landing mid-read self-invalidates this entry
-        symspellCache(key) = (g0, d)
+        // rebuild landing mid-read self-invalidates this entry; the
+        // conditional publish keeps a straggler from clobbering a
+        // fresher entry (analyzerOf's avoidable-re-read argument)
+        symspellCache.updateWith(key) {
+          case fresher @ Some((g, _)) if g > g0 => fresher
+          case _ => Some((g0, d))
+        }
         if (symspellGen.getOrElse(path, 0L) == g0) d
         else symspellDist(spark, path) // a rebuild landed mid-read: retry
     }
@@ -1828,6 +1890,14 @@ object LexicalStore {
     require(terms.size >= 2,
       s"a phrase suggestion needs at least two tokens, got $terms — " +
         "use suggestTermsIndexed for one")
+    // the combo enumeration below is perSlot^|tokens| driver-side
+    // tuples: bounded-input guard like every sibling verb's (Lucene's
+    // suggesters cap phrase expansion the same way) — at the cap,
+    // 4^8 = 65536 tuples, still query-sized; a pathological 20-token
+    // phrase would be ~10^12 and must fail loudly instead
+    require(terms.size <= 8,
+      s"phrase suggestion serves at most 8 tokens, got ${terms.size} " +
+        s"($terms) — correct longer queries per clause")
     // per-slot candidates round-trip the driver (≤perSlot rows each —
     // the fuzzyRank query-rows convention), which is also where an
     // empty slot fails by name
@@ -1956,7 +2026,10 @@ object LexicalStore {
           col("n_docs"), col("sum_len")).as("w"))
       .orderBy(col("w").desc, col("term")).limit(maxTerms)
       .select(col("term")).collect().map(_.getString(0)).toSeq
-    searchTopKLexical(spark, path, selected, k)
+    // mined terms came out of termFreqs under the layout analyzer —
+    // already stems on an `english` layout, so they must not fold
+    // again (rankAnalyzed's Porter-non-idempotence argument)
+    rankAnalyzed(spark, path, selected, k)
   }
 
   /** BATCH lexical top-`k`: every query answered from ONE postings

@@ -1379,6 +1379,14 @@ class LexicalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       LexicalStore.suggestPhrase(spark, p, Seq("streem"))
     }
+    // phrase-length guard: the combo enumeration is perSlot^|tokens|
+    // driver tuples — a pathological 9-token phrase fails loudly
+    // BEFORE any candidate read, like every sibling's input guards
+    val e9 = intercept[IllegalArgumentException] {
+      LexicalStore.suggestPhrase(spark, p,
+        (1 to 9).map(i => s"tok$i"))
+    }
+    assert(e9.getMessage.contains("at most 8 tokens"), e9.getMessage)
     // the verb rides the symspell staleness gate like its siblings
     LexicalStore.upsertLexical(spark, p,
       Seq((5L, "fresh words")).toDF("doc_id", "text"))
@@ -1438,6 +1446,64 @@ class LexicalSpec extends AnyFunSuite {
         Seq("streamed"), 10)
       .collect().map(_.getLong(0)).toSet
     assert(hits2.contains(5L), hits2.toString)
+  }
+
+  // ---- r18: pre-analyzed terms must not fold twice ----------------------
+
+  test("english layout: dictionary expansions and mined terms are " +
+      "not re-analyzed (Porter is not idempotent)") {
+    import spark.implicits._
+    // 'agreed' indexes as stem 'agre', and stem("agre") == "agr" — a
+    // verb that re-folds its own dictionary expansion queries 'agr'
+    // and silently matches nothing. 'thens' indexes as stem 'then',
+    // which IS a stopword as a query token — a re-fold drops it.
+    val docs = Seq(
+      (1L, "agreed agreed terms agreed upon"),
+      (2L, "thens upon thens again"),
+      (3L, "unrelated content entirely")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_english_noreanalyze"
+    LexicalStore.build(spark, docs, p,
+      analyzer = LexicalStore.AnalyzerEnglish)
+    // prefix: the probe only lowercases (multi-term queries bypass
+    // the analysis chain), expands dictionary stem 'agre', and the
+    // expansion scores WITHOUT a second fold
+    val pre = LexicalStore.searchPrefix(spark, p, "agre", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pre == Set(1L), pre.toString)
+    // glob reaches the scorer through the same pre-analyzed route
+    val gl = LexicalStore.searchGlob(spark, p, "agre*", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(gl == Set(1L), gl.toString)
+    // a stem that collides with a stopword must survive expansion
+    val wc = LexicalStore.searchWildcard(spark, p, "then", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(wc == Set(2L), wc.toString)
+    // a stopword-shaped PREFIX is legitimate on a stemmed dictionary
+    // (Lucene's PrefixQuery bypasses analysis): 'the' expands 'then'
+    val sp = LexicalStore.searchPrefix(spark, p, "The", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(sp == Set(2L), sp.toString)
+    // moreLikeThis mines stems from the forward text and must pass
+    // them to the scorer pre-analyzed
+    val mlt = LexicalStore.moreLikeThis(spark, p, docs, 1L,
+      maxTerms = 4, k = 10).collect().map(_.getLong(0))
+    assert(mlt.nonEmpty && mlt.head == 1L, mlt.mkString(","))
+    // PRF folds the user query once ('thens' -> 'then'); its seed
+    // search must not re-drop the folded stem as a stopword. Doc 2
+    // seeds, and the mined expansion stem 'upon' (shared with doc 1)
+    // proves the feedback docs were actually found and mined
+    val prf = LexicalStore.searchTopKPrf(spark, p, docs,
+      Seq("thens"), k = 5).collect().map(_.getLong(0))
+    assert(prf.head == 2L && prf.toSet == Set(1L, 2L), prf.mkString(","))
+    // the segmented rank path routes pre-analyzed expansions too
+    val ps = "/root/repo/target/test_lex_english_noreanalyze_seg"
+    LexicalStore.appendLexicalSegment(spark, docs.filter(col("doc_id") <= 2),
+      ps, analyzer = LexicalStore.AnalyzerEnglish)
+    LexicalStore.appendLexicalSegment(spark, docs.filter(col("doc_id") === 3),
+      ps, analyzer = LexicalStore.AnalyzerEnglish)
+    val seg = LexicalStore.searchPrefix(spark, ps, "agre", 10)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+    assert(seg == Set(1L), seg.toString)
   }
 
   test("a corrupted _analyzer sidecar fails loudly, not as silent fold") {
