@@ -2905,7 +2905,73 @@ object Hybrid {
           FROM scored)
     WHERE lex_rank <= 10 ORDER BY lex_rank"""
 
+  // ---- q222/q224: relevance explain (sum-exact BM25 decomposition) ----
+
+  private val Q222Terms = Seq("stream", "window", "partition", "merge")
+
+  /** q222: [[LexicalStore.explainScore]] — Lucene's Explanation for
+    * the quantized BM25, gated end to end: rank the q216 query's
+    * top-5 page, then decompose those docs' scores into per-(doc,
+    * term) rows carrying every factor (tf, df, len) plus the integer
+    * micros. The oracle re-derives the whole decomposition from the
+    * raw table — tf/df/len/stats, the contribution kernel, the page
+    * rank, the candidate filter — so the gate proves both the
+    * factors and the sum-exactness claim (the page docs' Σ micros
+    * reproduce the ranking the page was drawn by). LexicalSpec pins
+    * Σ micros == lex_micros against the engine's own rank path. */
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    val page = LexicalStore.searchTopKLexical(s, lexPath(d), Q222Terms, k = 5)
+    LexicalStore.explainScore(s, lexPath(d), Q222Terms,
+      page.select(col("doc_id")))
+  }
+
+  private val q222Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), qt(term) AS (
+      VALUES ('stream'), ('window'), ('partition'), ('merge')
+    ), contrib AS (
+      SELECT tf.doc_id, tf.term, tf.tf AS tf, df, len,
+             $bm25Sql AS micros
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+    ), page AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS rn
+        FROM (SELECT doc_id, CAST(SUM(micros) AS BIGINT) AS lex_micros
+              FROM contrib GROUP BY doc_id))
+      WHERE rn <= 5)
+    SELECT doc_id, term, tf, df, len, micros
+    FROM contrib JOIN page USING (doc_id)
+    ORDER BY doc_id, term"""
+
+  /** q224: [[LexicalStore.explainScore]] on the SEGMENTED layout —
+    * the q157 two-segment store's merged-statistics decomposition.
+    * The oracle is q222's SQL VERBATIM (the single-build
+    * decomposition): hash-equality proves the segmented explain's
+    * per-segment df merge, global stats sum, and candidate page all
+    * equal the from-scratch build's — the q157 merge-equivalence
+    * argument extended from the score to every factor under it. */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    val path = ensureSegStore(s, d)
+    val page = LexicalStore.searchTopKSegmented(s, path, Q222Terms, k = 5)
+    LexicalStore.explainScore(s, path, Q222Terms,
+      page.select(col("doc_id")))
+  }
+
+  private val q224Sql = q222Sql
+
   val queries: Seq[Query] = Seq(
+    Query("q222_explain_score", q222, Some(q222Sql)),
+    Query("q224_explain_segmented", q224, Some(q224Sql)),
     Query("q221_glob_search", q221, Some(q221Sql)),
     Query("q220_phrase_suggest", q220, Some(q220Sql)),
     Query("q219_stemmed_search", q219, Some(q219Sql)),

@@ -647,7 +647,29 @@ object LexicalStore {
   private[graft] def rankAnalyzedSegmented(spark: SparkSession, path: String,
                                            terms0: Seq[String],
                                            k: Int): DataFrame = {
-    val terms = terms0.filter(_.nonEmpty).distinct
+    val scored = contributionsSegmented(spark, path,
+        terms0.filter(_.nonEmpty).distinct)
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(sum(col("micros")).as("lex_micros"))
+    scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("lex_micros").desc, col("doc_id"))))
+      .select(col("lex_rank"), col("doc_id"), col("seg"), col("lex_micros"))
+  }
+
+  /** [[contributions]]' segmented sibling: the per-(doc, term)
+    * frame [[rankAnalyzedSegmented]] aggregates and
+    * [[explainScore]] decomposes — ONE definition, so the segmented
+    * explanation is the merged-statistics scorer's own code path.
+    * Global df merges from the PRE-candidate-filter pruned rows
+    * (per-segment dfs sum — disjoint doc sets): a candidate filter
+    * narrows whose scores are explained, never the corpus
+    * statistics they are computed from. Returns (doc_id, seg, term,
+    * tf, df, len, micros) with df already the MERGED global value. */
+  private def contributionsSegmented(spark: SparkSession, path: String,
+                                     terms: Seq[String],
+                                     allow: Option[DataFrame] = None)
+      : DataFrame = {
     require(terms.nonEmpty, "lexical search needs at least one term")
     val buckets = terms.map(bucketOf).distinct
     val stats = spark.read.parquet(s"$path/_segstats")
@@ -659,17 +681,13 @@ object LexicalStore {
     // one distinct (seg, term, df) row per segment contributes once
     val gdf = post.select(col("seg"), col("term"), col("df")).distinct()
       .groupBy(col("term")).agg(sum(col("df")).as("gdf"))
-    val scored = post.join(broadcast(gdf), "term")
+    post.transform(p => allowFilter(p, allow))
+      .join(broadcast(gdf), "term")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("seg"),
+      .select(col("doc_id"), col("seg"), col("term"), col("tf"),
+        col("gdf").as("df"), col("len"),
         bm25Micros(col("tf"), col("gdf"), col("len"),
           col("n_docs"), col("sum_len")).as("micros"))
-      .groupBy(col("doc_id"), col("seg"))
-      .agg(sum(col("micros")).as("lex_micros"))
-    scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
-      .withColumn("lex_rank", row_number().over(
-        Window.orderBy(col("lex_micros").desc, col("doc_id"))))
-      .select(col("lex_rank"), col("doc_id"), col("seg"), col("lex_micros"))
   }
 
   // key includes the LAYOUT KIND: the scoring and positional builders
@@ -776,18 +794,62 @@ object LexicalStore {
     * contribution is computed FROM — tf, df, len (with n_docs and
     * sum_len folded in by the shared kernel) — plus the integer
     * `micros` itself; because scores are exact integers, the
-    * explanation is SUM-EXACT: per-doc Σ micros equals
-    * [[searchTopKLexical]]'s lex_micros to the last digit
-    * (LexicalSpec pins it), a promise float-BM25 explain APIs
-    * cannot make. Same bucket-pruned read as the rank path with the
-    * candidate spine filtered beneath it; ≤ |cands|·|terms| rows
-    * out, ordered (doc_id, term). */
+    * explanation is SUM-EXACT: per-doc Σ micros equals the rank
+    * path's lex_micros to the last digit (LexicalSpec pins it for
+    * BOTH layout families, and q222/q224 gate it against the
+    * oracle), a promise float-BM25 explain APIs cannot make. Serves
+    * the denormalized AND the segmented layout — each through the
+    * contribution frame its OWN scorer aggregates
+    * ([[contributions]] / [[contributionsSegmented]]), so the
+    * explanation is the score's code path, not a parallel
+    * reimplementation; the segmented frame's df is the merged
+    * global value the scorer used. Same bucket-pruned read as the
+    * rank path with the candidate spine filtered beneath it;
+    * ≤ |cands|·|terms| rows out, ordered (doc_id, term). */
   def explainScore(spark: SparkSession, path: String,
                    queryTerms: Seq[String], cands: DataFrame): DataFrame = {
     val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
       .filter(_.nonEmpty).distinct
-    contributions(spark, path, terms, allow = Some(cands))
+    val contrib =
+      if (isSegmented(spark, path))
+        contributionsSegmented(spark, path, terms, Some(cands))
+      else contributions(spark, path, terms, allow = Some(cands))
+    contrib.select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("len"), col("micros"))
       .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** [[explainScore]] for [[searchTopKFields]]: the per-(field,
+    * doc, term) decomposition of a weighted multi-field score.
+    * `field` is the 0-based position in `fields` (the caller's own
+    * ordering); rows carry the UNWEIGHTED micros plus the field's
+    * weight, because the field scorer applies its weight to the
+    * per-(field, doc) SUBTOTAL through the overflow-safe integer
+    * split `w·(S div 1e6) + (w·(S mod 1e6)) div 1e6` — a floor that
+    * does NOT distribute over terms, so per-term weighted rows
+    * could not sum exactly. The recombination IS exact and pinned
+    * (LexicalSpec): group by (field, doc), S = Σ micros, apply the
+    * split, sum over fields == field_micros to the last digit. A
+    * field whose analyzer folds the whole query away contributes no
+    * rows, mirroring the scorer's union-drop. */
+  def explainScoreFields(spark: SparkSession,
+                         fields: Seq[(String, Long)],
+                         queryTerms: Seq[String],
+                         cands: DataFrame): DataFrame = {
+    require(fields.nonEmpty, "multi-field explain needs at least one field")
+    require(fields.forall(_._2 > 0), s"field weights must be positive")
+    val perField = fields.zipWithIndex.flatMap { case ((path, w), i) =>
+      val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
+        .filter(_.nonEmpty).distinct
+      if (terms.isEmpty) None
+      else Some(contributions(spark, path, terms, allow = Some(cands))
+        .select(lit(i).as("field"), lit(w).as("weight"), col("doc_id"),
+          col("term"), col("tf"), col("df"), col("len"), col("micros")))
+    }
+    require(perField.nonEmpty,
+      s"query $queryTerms folds to nothing under every field's analyzer")
+    perField.reduce(_.union(_))
+      .orderBy(col("field"), col("doc_id"), col("term"))
   }
 
   def searchTopKLexical(spark: SparkSession, path: String,

@@ -31,6 +31,12 @@ class LexicalSpec extends AnyFunSuite {
   private def built(): Unit =
     LexicalStore.buildOnce(spark, Tables.documents(spark, d), path)
 
+  private def deleteDir(p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+  }
+
   test("driver-side bucketOf matches the plan-side bucket expression") {
     import spark.implicits._
     val terms = Seq("grouped", "aggregation", "x", "", "partitioned-batches",
@@ -1448,6 +1454,105 @@ class LexicalSpec extends AnyFunSuite {
     assert(hits2.contains(5L), hits2.toString)
   }
 
+  // ---- r18: relevance explain is sum-exact -------------------------------
+
+  test("explainScore: per-doc sum of micros equals the rank path's " +
+      "lex_micros exactly, on both layout families") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream stream window merge"),
+      (2L, "stream window window partition"),
+      (3L, "merge partition stream window stream"),
+      (4L, "window alone"),
+      (5L, "nothing matching here")).toDF("doc_id", "text")
+    val terms = Seq("stream", "window", "merge")
+    // denormalized layout
+    val p = "/root/repo/target/test_lex_explain"
+    LexicalStore.build(spark, docs, p)
+    val page = LexicalStore.searchTopKLexical(spark, p, terms, 3)
+    val want = page.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ex = LexicalStore.explainScore(spark, p, terms,
+      page.select(col("doc_id")))
+    val got = ex.groupBy(col("doc_id")).agg(sum(col("micros")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"explain sums $got != rank path $want")
+    // explain rows cover ONLY the candidate page
+    assert(ex.select(col("doc_id")).distinct().count() == want.size)
+    // every factor column is the posting's own value (spot-check a
+    // known row: doc 1 has tf(stream)=2)
+    val r1 = ex.filter(col("doc_id") === 1 && col("term") === "stream")
+      .collect()
+    assert(r1.length == 1 && r1.head.getAs[Long]("tf") == 2L, r1.mkString)
+    // segmented layout over the same corpus: merged-stats scorer and
+    // its explain share the contribution frame; scores equal the
+    // denormalized build's (the q157 merge-equivalence), so the
+    // explain sums must too
+    val ps = "/root/repo/target/test_lex_explain_seg"
+    deleteDir(ps) // appends accumulate — a rerun must start fresh
+    LexicalStore.appendLexicalSegment(spark,
+      docs.filter(col("doc_id") <= 2), ps)
+    LexicalStore.appendLexicalSegment(spark,
+      docs.filter(col("doc_id") > 2), ps)
+    val segPage = LexicalStore.searchTopKSegmented(spark, ps, terms, 3)
+    val segWant = segPage.collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val exSeg = LexicalStore.explainScore(spark, ps, terms,
+      segPage.select(col("doc_id")))
+    val gotSeg = exSeg.groupBy(col("doc_id")).agg(sum(col("micros")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSeg == segWant, s"segmented explain $gotSeg != $segWant")
+    assert(gotSeg == want, "segment merge drifted from the single build")
+    // the segmented frame's df is the MERGED global df: 'stream'
+    // appears in docs 1,2 (seg 0) and 3 (seg 1) -> df 3 on every row
+    val dfs = exSeg.filter(col("term") === "stream")
+      .select(col("df")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(dfs == Seq(3L), dfs.toString)
+    // english layout: the explain folds the query exactly once
+    val pe = "/root/repo/target/test_lex_explain_eng"
+    LexicalStore.build(spark, docs, pe,
+      analyzer = LexicalStore.AnalyzerEnglish)
+    val ePage = LexicalStore.searchTopKLexical(spark, pe,
+      Seq("The", "Streaming", "windows;"), 3)
+    val eWant = ePage.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val eGot = LexicalStore.explainScore(spark, pe,
+        Seq("The", "Streaming", "windows;"), ePage.select(col("doc_id")))
+      .groupBy(col("doc_id")).agg(sum(col("micros")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eGot == eWant, s"english explain $eGot != $eWant")
+  }
+
+  test("explainScoreFields recombines exactly to searchTopKFields' " +
+      "field_micros") {
+    import spark.implicits._
+    val title = Seq(
+      (1L, "stream processing"), (2L, "window functions"),
+      (3L, "stream window internals")).toDF("doc_id", "text")
+    val body = Seq(
+      (1L, "a body about windows and merges"),
+      (2L, "stream stream stream details"),
+      (3L, "unrelated body text")).toDF("doc_id", "text")
+    val pt = "/root/repo/target/test_lex_fields_title"
+    val pb = "/root/repo/target/test_lex_fields_body"
+    LexicalStore.build(spark, title, pt)
+    LexicalStore.build(spark, body, pb)
+    val fields = Seq((pt, 2L), (pb, 1L))
+    val q = Seq("stream", "window")
+    val fused = LexicalStore.searchTopKFields(spark, fields, q, 3)
+    val want = fused.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ex = LexicalStore.explainScoreFields(spark, fields, q,
+      fused.select(col("doc_id"))).collect()
+    // driver-side recombination: per (field, doc) subtotal S, the
+    // scorer's own overflow-safe weight split, then sum over fields
+    val wm = ex.groupBy(r => (r.getAs[Int]("field"), r.getAs[Long]("doc_id")))
+      .toSeq.map { case ((_, doc), rows) =>
+        val w = rows.head.getAs[Long]("weight")
+        val s = rows.map(_.getAs[Long]("micros")).sum
+        (doc, w * (s / 1000000L) + (w * (s % 1000000L)) / 1000000L)
+      }
+    val got = wm.groupBy(_._1).map { case (doc, xs) => doc -> xs.map(_._2).sum }
+    assert(got == want, s"recombined $got != field scorer $want")
+  }
+
   // ---- r18: pre-analyzed terms must not fold twice ----------------------
 
   test("english layout: dictionary expansions and mined terms are " +
@@ -1497,6 +1602,7 @@ class LexicalSpec extends AnyFunSuite {
     assert(prf.head == 2L && prf.toSet == Set(1L, 2L), prf.mkString(","))
     // the segmented rank path routes pre-analyzed expansions too
     val ps = "/root/repo/target/test_lex_english_noreanalyze_seg"
+    deleteDir(ps) // appends accumulate — a rerun must start fresh
     LexicalStore.appendLexicalSegment(spark, docs.filter(col("doc_id") <= 2),
       ps, analyzer = LexicalStore.AnalyzerEnglish)
     LexicalStore.appendLexicalSegment(spark, docs.filter(col("doc_id") === 3),
