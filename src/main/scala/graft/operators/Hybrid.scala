@@ -2734,6 +2734,48 @@ object Hybrid {
           FROM scored)
     WHERE lex_rank <= 10 ORDER BY lex_rank"""
 
+  // ---- q223: regexp search ---------------------------------------------
+
+  /** q223: [[LexicalStore.searchRegexp]] — Lucene's RegexpQuery over
+    * the term dictionary: `(str|wind)[a-z]*` exercises alternation,
+    * a character class and a star in one pattern (none of the
+    * prefix/infix/glob rewrites can express alternation). The
+    * pattern grammar is the documented Java∩RE2 subset, so the
+    * oracle mirrors the anchored pattern verbatim through
+    * `regexp_matches`; same df-ranked cap, same bucket-pruned
+    * scoring as the sibling dictionary verbs. */
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.searchRegexp(s, lexPath(d), "(str|wind)[a-z]*", k = 10,
+      maxExpansions = PrefixMaxExp)
+  }
+
+  private val q223Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), expn AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+        FROM dfreq WHERE regexp_matches(term, '^(str|wind)[a-z]*$$'))
+      WHERE rn <= $PrefixMaxExp
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN expn USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS lex_rank
+          FROM scored)
+    WHERE lex_rank <= 10 ORDER BY lex_rank"""
+
   // ---- q220: multi-token did-you-mean (phrase suggestion) -------------
 
   private val Q220PerSlot = 3
@@ -2971,6 +3013,7 @@ object Hybrid {
 
   val queries: Seq[Query] = Seq(
     Query("q222_explain_score", q222, Some(q222Sql)),
+    Query("q223_regexp_search", q223, Some(q223Sql)),
     Query("q224_explain_segmented", q224, Some(q224Sql)),
     Query("q221_glob_search", q221, Some(q221Sql)),
     Query("q220_phrase_suggest", q220, Some(q220Sql)),

@@ -2045,6 +2045,54 @@ object LexicalStore {
     routeScore(spark, path, expanded, k)
   }
 
+  /** Regexp query — Lucene's RegexpQuery, the last multi-term query
+    * form after prefix ([[searchPrefix]]), infix ([[searchWildcard]])
+    * and glob ([[searchGlob]]): expand a regular expression against
+    * the term dictionary, cap, score. Pattern contract (the
+    * documented escaping rule — REJECT, don't escape-translate):
+    * after lowercasing through the same Catalyst Lower tree the
+    * analyzers use, the pattern may contain only `[a-z0-9]` literals
+    * and the operators `. * + ? | ( ) [ ] -` — character classes
+    * over `[a-z0-9]` with ranges included. On that subset Java's
+    * regex (Spark's `rlike`) and the RE2/POSIX family agree exactly:
+    * no backslash escapes, no brace quantifiers, no anchors or
+    * negated classes — every construct where engine dialects diverge
+    * is outside the grammar, so an oracle engine provably matches
+    * the same terms. The pattern is compiled driver-side first, so
+    * an ill-formed one (unbalanced parens, dangling quantifier)
+    * fails loudly by name before any read. Anchored `^...$` —
+    * Lucene's RegexpQuery matches the WHOLE term, and anchoring also
+    * aligns partial-match engines (DuckDB `regexp_matches`). Then
+    * the same vocabulary-sized dictionary walk as [[searchGlob]] (no
+    * hash-bucketed — or sorted — terms index can prune a general
+    * regexp; Lucene intersects its FST the same way), the same
+    * df-ranked `maxExpansions` rewrite cap, and the layout's own
+    * bucket-pruned rank path with pre-analyzed expansions. On an
+    * `english` layout the dictionary holds stems and the pattern
+    * matches them verbatim (the multi-term analysis-chain bypass). */
+  def searchRegexp(spark: SparkSession, path: String, pattern0: String,
+                   k: Int = 10, maxExpansions: Int = 16): DataFrame = {
+    require(pattern0.nonEmpty, "regexp pattern must be non-empty")
+    val lowered = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
+      Lower(Literal(pattern0)).eval(null).toString
+    }
+    require(lowered.matches("""[a-z0-9.*+?|()\[\]\-]+"""),
+      s"regexp pattern may contain only [a-z0-9] literals and the " +
+        s"operators . * + ? | ( ) [ ] - after lowering, got '$lowered'")
+    val rx =
+      try { java.util.regex.Pattern.compile(lowered); "^" + lowered + "$" }
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"invalid regexp '$lowered': ${e.getDescription}")
+      }
+    val expanded = expandDictionary(spark, path,
+      col("term").rlike(rx), maxExpansions,
+      s"no indexed term matches regexp '$lowered' — nothing to search")
+    routeScore(spark, path, expanded, k)
+  }
+
   /** More-like-this — Lucene's MoreLikeThisQuery: mine the best
     * `maxTerms` query terms from ONE document's text by the same
     * quantized Robertson selection value [[searchTopKPrf]] uses for

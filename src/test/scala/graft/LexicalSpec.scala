@@ -1352,6 +1352,48 @@ class LexicalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- r18: regexp search -------------------------------------------------
+
+  test("searchRegexp: alternation/class/star over the dictionary, " +
+      "leading-wildcard form, and loud guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "window windows wind"), (2L, "widow window x"),
+      (3L, "sandbox y z")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_regexp"
+    LexicalStore.build(spark, docs, p)
+    // alternation + class + star: wid|wind matches widow-family AND
+    // wind-family terms — inexpressible as prefix/infix/glob
+    val r1 = LexicalStore.searchRegexp(spark, p, "(wido|windo)[a-z]*", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L), r1.toString)
+    // leading-wildcard-equivalent .*box walks the dictionary like
+    // glob's *box (no engine can prune it; the walk is vocab-sized)
+    val r2 = LexicalStore.searchRegexp(spark, p, ".*box", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(r2 == Set(3L), r2.toString)
+    // the pattern lowercases through the analyzers' own Lower tree
+    assert(LexicalStore.searchRegexp(spark, p, "WIND(OW)?S?", 10)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // outside-grammar characters are REJECTED, not escaped: braces,
+    // backslashes and anchors are where regex dialects diverge
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchRegexp(spark, p, "a{2}")
+    }
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchRegexp(spark, p, """a\d""")
+    }
+    // an ill-formed pattern fails at driver-side compile, by name
+    val bad = intercept[IllegalArgumentException] {
+      LexicalStore.searchRegexp(spark, p, "a(b")
+    }
+    assert(bad.getMessage.contains("invalid regexp"), bad.getMessage)
+    // no dictionary match fails loudly like the sibling verbs
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchRegexp(spark, p, "zz+q")
+    }
+  }
+
   // ---- r17: multi-token did-you-mean -------------------------------------
 
   test("suggestPhrase: per-slot symspell candidates, joint " +
