@@ -1654,6 +1654,47 @@ class LexicalSpec extends AnyFunSuite {
     assert(seg == Set(1L), seg.toString)
   }
 
+  // ---- r18: analyzer composition — snippets & MLT on english ------------
+
+  test("english layout: snippets render over stemmed dense positions " +
+      "and more-like-this crosses inflections") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: after stop-drop (the/of/and) + stem, the dense token
+      // sequence is [stream, merg, window, detail] — the 3-token
+      // window covering stream+merg+window starts at offset 0
+      (1L, "The streaming of merges and windowing details"),
+      (2L, "streams merged quickly window checks"),
+      (3L, "partitions alone here")).toDF("doc_id", "text")
+    val pp = "/root/repo/target/test_lex_eng_snippets"
+    LexicalStore.buildPositional(spark, docs, pp,
+      analyzer = LexicalStore.AnalyzerEnglish)
+    // inflected, mixed-case, stopword-laden query folds to stems
+    // [stream, merg, window]; candidates are both matching docs
+    val cands = Seq(1L, 2L, 3L).toDF("doc_id")
+    val sn = LexicalStore.snippetBest(spark, pp,
+        Seq("The", "Streamed", "merging", "Windows"), cands, w = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // doc 1: stems sit at dense offsets 0,1,2 (stopwords dropped
+    // INSIDE the lambda) -> the 3-token window from 0 covers all 3
+    assert(sn(1L) == (0, 3), sn.toString)
+    // doc 2: [stream, merg, quickli, window, check] -> no 3-window
+    // covers all three; the earliest best window [stream, merg] wins
+    assert(sn(2L) == (0, 2), sn.toString)
+    // doc 3 matches no query stem -> filtered out, not 0-scored
+    assert(!sn.contains(3L), sn.toString)
+
+    // more-like-this on the scoring english layout: doc 2's mined
+    // stems (stream/merg/window...) retrieve doc 1, which shares NO
+    // surface token with doc 2 — only stems
+    val ps = "/root/repo/target/test_lex_eng_mlt"
+    LexicalStore.build(spark, docs, ps,
+      analyzer = LexicalStore.AnalyzerEnglish)
+    val mlt = LexicalStore.moreLikeThis(spark, ps, docs, 2L,
+      maxTerms = 4, k = 3).collect().map(_.getLong(0))
+    assert(mlt.head == 2L && mlt.contains(1L), mlt.mkString(","))
+  }
+
   test("a corrupted _analyzer sidecar fails loudly, not as silent fold") {
     import spark.implicits._
     val p = "/root/repo/target/test_lex_bad_analyzer"
