@@ -2350,6 +2350,72 @@ object Hybrid {
           FROM sc)
     WHERE fuzzy_rank <= 10 ORDER BY fuzzy_rank"""
 
+  // ---- q225: weighted-OR explain (fuzzy decomposition) -----------------
+
+  /** q225: [[LexicalStore.explainFuzzy]] — the weighted-OR family's
+    * relevance explain, gated on q209's fuzzy query: decompose the
+    * 'streem' rewrite's top-10 page into per-(doc, term) rows
+    * carrying the factors, the similarity weight, the raw micros and
+    * the weighted micros. The weighted split applies PER ROW before
+    * the doc sum (unlike the multi-field fusion), so the explain is
+    * distributive and per-doc Σ weighted_micros reproduces q209's
+    * fuzzy_micros — the oracle re-derives expansion, cap, weights,
+    * both contribution columns, the page and the candidate filter
+    * from the raw table. */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    val page = LexicalStore.searchFuzzy(s, lexPath(d), "streem",
+      maxDist = FuzzyMaxDist, k = 10, maxExpansions = FuzzyMaxExp)
+    LexicalStore.explainFuzzy(s, lexPath(d), "streem",
+      page.select(col("doc_id")),
+      maxDist = FuzzyMaxDist, maxExpansions = FuzzyMaxExp)
+  }
+
+  private val q225Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), expn AS (
+      SELECT term, dist FROM (
+        SELECT term, dist,
+               row_number() OVER (ORDER BY dist ASC, df DESC, term) AS rn
+        FROM (SELECT term, df, levenshtein(term, 'streem') AS dist
+              FROM dfreq)
+        WHERE dist <= $FuzzyMaxDist)
+      WHERE rn <= $FuzzyMaxExp
+    ), wts AS (
+      SELECT term,
+             CAST((1000000 * (${FuzzyMaxDist + 1} - dist))
+                  // ${FuzzyMaxDist + 1} AS BIGINT) AS w
+      FROM expn
+    ), fc AS (
+      SELECT tf.doc_id, tf.term, wts.w AS weight, tf.tf AS tf, df, len,
+             $bm25Sql AS micros
+      FROM tf JOIN wts USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+    ), fc2 AS (
+      SELECT doc_id, term, weight, tf, df, len, micros,
+             CAST(weight * (micros // 1000000)
+                  + (weight * (micros % 1000000)) // 1000000 AS BIGINT)
+               AS weighted_micros
+      FROM fc
+    ), page AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY fuzzy_micros DESC, doc_id) AS rn
+        FROM (SELECT doc_id, CAST(SUM(weighted_micros) AS BIGINT)
+                       AS fuzzy_micros
+              FROM fc2 GROUP BY doc_id))
+      WHERE rn <= 10)
+    SELECT doc_id, term, weight, tf, df, len, micros, weighted_micros
+    FROM fc2 JOIN page USING (doc_id)
+    ORDER BY doc_id, term"""
+
   // ---- q210: minimum_should_match boolean gate -------------------------
 
   private val Q210Msm = 2
@@ -3014,6 +3080,7 @@ object Hybrid {
   val queries: Seq[Query] = Seq(
     Query("q222_explain_score", q222, Some(q222Sql)),
     Query("q223_regexp_search", q223, Some(q223Sql)),
+    Query("q225_explain_fuzzy", q225, Some(q225Sql)),
     Query("q224_explain_segmented", q224, Some(q224Sql)),
     Query("q221_glob_search", q221, Some(q221Sql)),
     Query("q220_phrase_suggest", q220, Some(q220Sql)),

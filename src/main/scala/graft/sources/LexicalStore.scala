@@ -1599,25 +1599,86 @@ object LexicalStore {
     * summed per doc. Returns (doc_id, micros) unranked — callers
     * rank under their own column names. */
   private def scoreWeightedTerms(spark: SparkSession, path: String,
-                                 weighted: Seq[(String, Long)]): DataFrame = {
+                                 weighted: Seq[(String, Long)]): DataFrame =
+    contributionsWeighted(spark, path, weighted)
+      .select(col("doc_id"), col("wm"))
+      .groupBy(col("doc_id")).agg(sum(col("wm")).as("micros"))
+
+  /** The per-(doc, term) frame the weighted-OR scorer aggregates and
+    * [[explainScoreWeighted]] decomposes ([[contributions]]' weighted
+    * sibling — one definition, so the explanation is the score's own
+    * code path): bucket-pruned, tombstone-masked posting rows with
+    * the weight table and 1-row stats broadcast in, the raw
+    * contribution `m` evaluated, and the weighted contribution `wm`
+    * computed by the scorer's own overflow-safe split — which, unlike
+    * the multi-field fusion's, applies PER POSTING ROW before the doc
+    * sum, so the weighted explain is distributive and sum-exact. */
+  private def contributionsWeighted(spark: SparkSession, path: String,
+                                    weighted: Seq[(String, Long)],
+                                    allow: Option[DataFrame] = None)
+      : DataFrame = {
     val stats = spark.read.parquet(s"$path/_stats")
     val terms = weighted.map(_._1)
     val post = spark.read.parquet(path)
       .filter(col("bucket").isin(
           terms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
+      .transform(p => allowFilter(p, allow))
       .transform(p => tombstones(spark, path)
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
     val wdf = spark.createDataFrame(weighted).toDF("term", "w")
     post.join(broadcast(wdf), Seq("term"))
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("w"),
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("len"), col("w"),
         bm25Micros(col("tf"), col("df"), col("len"),
           col("n_docs"), col("sum_len")).as("m"))
-      .select(col("doc_id"),
-        expr("w * (m div 1000000L) + (w * (m % 1000000L)) div 1000000L")
-          .as("wm"))
-      .groupBy(col("doc_id")).agg(sum(col("wm")).as("micros"))
+      .withColumn("wm",
+        expr("w * (m div 1000000L) + (w * (m % 1000000L)) div 1000000L"))
+  }
+
+  /** [[explainScore]] for the weighted-OR family — every verb that
+    * rewrites to a term-with-weight OR ([[searchFuzzy]]/
+    * [[searchFuzzyIndexed]], [[searchTopKPrf]]'s final pass): the
+    * per-(doc, term) decomposition of a weighted query's scores over
+    * the candidate page `cands`, each row carrying the factors (tf,
+    * df, len), the term's weight (micros of a full term), the raw
+    * contribution `micros`, and the weighted contribution
+    * `weighted_micros` — the scorer's own per-row split, so per-doc
+    * Σ weighted_micros equals the verb's score to the last digit
+    * (LexicalSpec pins it; q225 gates the fuzzy form). Callers pass
+    * the SAME weighted term list the verb used — [[explainFuzzy]]
+    * re-derives fuzzy's deterministically. */
+  def explainScoreWeighted(spark: SparkSession, path: String,
+                           weighted: Seq[(String, Long)],
+                           cands: DataFrame): DataFrame = {
+    require(weighted.nonEmpty, "weighted explain needs at least one term")
+    contributionsWeighted(spark, path, weighted, Some(cands))
+      .select(col("doc_id"), col("term"), col("w").as("weight"),
+        col("tf"), col("df"), col("len"), col("m").as("micros"),
+        col("wm").as("weighted_micros"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** [[explainScoreWeighted]] with [[searchFuzzy]]'s own expansion:
+    * re-runs the SAME deterministic rewrite (dictionary walk →
+    * (dist ASC, df DESC, term) cap → integer similarity weights) and
+    * decomposes the weighted OR over `cands` — "why did doc X match
+    * my misspelling" as one call. Same preconditions as the verb. */
+  def explainFuzzy(spark: SparkSession, path: String, term0: String,
+                   cands: DataFrame, maxDist: Int = 2,
+                   maxExpansions: Int = 16): DataFrame = {
+    require(maxDist >= 1 && maxExpansions >= 1,
+      s"bad maxDist=$maxDist / maxExpansions=$maxExpansions")
+    require(!isSegmented(spark, path),
+      s"explainFuzzy needs the denormalized layout's _stats — " +
+        s"compactSegments($path) first")
+    val term = foldSuggestProbe(spark, path, term0)
+    explainScoreWeighted(spark, path,
+      fuzzyWeights(
+        editCandidates(spark, path, term, maxDist, maxExpansions),
+        term, maxDist),
+      cands)
   }
 
   // ---- SymSpell deletion-neighborhood index ---------------------------
@@ -1868,6 +1929,22 @@ object LexicalStore {
       term, maxDist, k)
   }
 
+  /** Ranked+capped (term, dist) candidates → the fuzzy rewrite's
+    * integer similarity weights `⌊1e6·(maxDist+1−dist)/(maxDist+1)⌋`
+    * — factored so [[fuzzyRank]] and [[explainFuzzy]] provably weight
+    * identically; the candidate collect is the maxExpansions-bounded
+    * query-rows convention, and the empty case fails by name here. */
+  private def fuzzyWeights(ranked: DataFrame, term: String,
+                           maxDist: Int): Seq[(String, Long)] = {
+    val cands = ranked.select(col("term"), col("dist"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
+    require(cands.nonEmpty,
+      s"no indexed term within $maxDist edits of '$term'")
+    cands.map { case (t, dist) =>
+      t -> (1000000L * (maxDist + 1 - dist)) / (maxDist + 1)
+    }
+  }
+
   /** The fuzzy rewrite's shared back half: ranked+capped (term, dist)
     * candidates → similarity weights → weighted-OR scoring → ranked
     * page. One definition for the scan ([[searchFuzzy]]) and indexed
@@ -1877,14 +1954,8 @@ object LexicalStore {
   private def fuzzyRank(spark: SparkSession, path: String,
                         ranked: DataFrame, term: String, maxDist: Int,
                         k: Int): DataFrame = {
-    val cands = ranked.select(col("term"), col("dist"))
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
-    require(cands.nonEmpty,
-      s"no indexed term within $maxDist edits of '$term'")
-    val weighted = cands.map { case (t, dist) =>
-      t -> (1000000L * (maxDist + 1 - dist)) / (maxDist + 1)
-    }
-    val scored = scoreWeightedTerms(spark, path, weighted)
+    val scored = scoreWeightedTerms(spark, path,
+      fuzzyWeights(ranked, term, maxDist))
       .withColumnRenamed("micros", "fuzzy_micros")
     scored.orderBy(col("fuzzy_micros").desc, col("doc_id")).limit(k)
       .withColumn("fuzzy_rank", row_number().over(

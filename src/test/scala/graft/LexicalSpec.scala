@@ -1595,6 +1595,33 @@ class LexicalSpec extends AnyFunSuite {
     assert(got == want, s"recombined $got != field scorer $want")
   }
 
+  test("explainFuzzy: per-row weighted split sums exactly to " +
+      "searchFuzzy's fuzzy_micros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream stream steam"), (2L, "steam strem x"),
+      (3L, "other words here")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_explain_fuzzy"
+    LexicalStore.build(spark, docs, p)
+    val page = LexicalStore.searchFuzzy(spark, p, "streem",
+      maxDist = 2, k = 3, maxExpansions = 4)
+    val want = page.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ex = LexicalStore.explainFuzzy(spark, p, "streem",
+      page.select(col("doc_id")), maxDist = 2, maxExpansions = 4)
+    val got = ex.groupBy(col("doc_id"))
+      .agg(sum(col("weighted_micros")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"explain sums $got != fuzzy scorer $want")
+    // the integer similarity ladder surfaces per row: 1-edit
+    // candidates (stream, strem) at 2/3, the 2-edit (steam) at 1/3
+    val w = ex.select(col("term"), col("weight")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("stream") == 666666L && w("strem") == 666666L &&
+      w("steam") == 333333L, w.toString)
+    // rows only for page docs; doc 3 matches nothing
+    assert(!got.contains(3L) && got.keySet == want.keySet)
+  }
+
   // ---- r18: pre-analyzed terms must not fold twice ----------------------
 
   test("english layout: dictionary expansions and mined terms are " +
