@@ -1865,6 +1865,61 @@ object Hybrid {
           FROM scored)
     WHERE bool_rank <= 10 ORDER BY bool_rank"""
 
+  // ---- q226: boolean explain -------------------------------------------
+
+  /** q226: [[LexicalStore.explainBoolean]] — BooleanQuery's
+    * Explanation over q199's exact clauses: per-(doc, term) rows of
+    * the scored clauses (must + should) for the top-10 page's docs,
+    * every one of which passed the must-all gate and the exclusion.
+    * Gates are boolean admission, not score factors (Lucene reports
+    * a BooleanQuery the same way), so the oracle re-derives the
+    * gates as filters and the decomposition as per-row contribution
+    * columns; per-doc Σ micros reproduces q199's lex_micros (the
+    * page CTE IS that sum). */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    val page = LexicalStore.searchBoolean(s, lexPath(d),
+      must = Seq("stream", "window"), should = Seq("merge"),
+      mustNot = Seq("slow"), k = 10)
+    LexicalStore.explainBoolean(s, lexPath(d), page.select(col("doc_id")),
+      must = Seq("stream", "window"), should = Seq("merge"),
+      mustNot = Seq("slow"))
+  }
+
+  private val q226Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), mustt(term) AS (VALUES ('stream'), ('window')
+    ), scoret(term) AS (VALUES ('stream'), ('window'), ('merge')
+    ), nott(term) AS (VALUES ('slow')
+    ), gate AS (
+      SELECT doc_id FROM tf JOIN mustt USING (term)
+      GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+    ), banned AS (SELECT DISTINCT doc_id FROM tf JOIN nott USING (term)
+    ), contrib AS (
+      SELECT tf.doc_id, tf.term, tf.tf AS tf, df, len,
+             $bm25Sql AS micros
+      FROM tf JOIN scoret USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.doc_id IN (SELECT doc_id FROM gate)
+        AND tf.doc_id NOT IN (SELECT doc_id FROM banned)
+    ), page AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS rn
+        FROM (SELECT doc_id, CAST(SUM(micros) AS BIGINT) AS lex_micros
+              FROM contrib GROUP BY doc_id))
+      WHERE rn <= 10)
+    SELECT doc_id, term, tf, df, len, micros
+    FROM contrib JOIN page USING (doc_id)
+    ORDER BY doc_id, term"""
+
   // ---- q200: prefix search via the term-dictionary sidecar -----------
 
   private val PrefixMaxExp = 8
@@ -3081,6 +3136,7 @@ object Hybrid {
     Query("q222_explain_score", q222, Some(q222Sql)),
     Query("q223_regexp_search", q223, Some(q223Sql)),
     Query("q225_explain_fuzzy", q225, Some(q225Sql)),
+    Query("q226_explain_boolean", q226, Some(q226Sql)),
     Query("q224_explain_segmented", q224, Some(q224Sql)),
     Query("q221_glob_search", q221, Some(q221Sql)),
     Query("q220_phrase_suggest", q220, Some(q220Sql)),

@@ -1358,6 +1358,31 @@ object LexicalStore {
                     must: Seq[String], should: Seq[String] = Seq.empty,
                     mustNot: Seq[String] = Seq.empty,
                     k: Int = 10, minShouldMatch: Int = 0): DataFrame = {
+    val scored = booleanContributions(spark, path, must, should, mustNot,
+        minShouldMatch)
+      .groupBy(col("doc_id")).agg(sum(col("micros")).as("lex_micros"))
+    scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
+      .withColumn("bool_rank", row_number().over(
+        Window.orderBy(col("lex_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("bool_rank"), col("lex_micros"))
+  }
+
+  /** The gated per-(doc, term) frame [[searchBoolean]] aggregates
+    * and [[explainBoolean]] decomposes — one definition, the
+    * [[contributions]] discipline applied to BooleanQuery: rows are
+    * the SCORED clauses' (must + should) postings of documents that
+    * pass all three gates (every must term, ≥ msm distinct should
+    * terms, no excluded term), with the factors and [[bm25Micros]]
+    * evaluated per row. `allow` narrows whose rows come back — each
+    * doc's gates depend only on its OWN postings, so filtering the
+    * pruned read early is equivalent and keeps the checkpoint
+    * candidate-sized when explaining a page. */
+  private def booleanContributions(spark: SparkSession, path: String,
+                                   must: Seq[String], should: Seq[String],
+                                   mustNot: Seq[String],
+                                   minShouldMatch: Int,
+                                   allow: Option[DataFrame] = None)
+      : DataFrame = {
     val analyzer = analyzerOf(spark, path)
     def fold(ts: Seq[String]) =
       foldQueryTerms(ts.filter(_.nonEmpty), analyzer).distinct
@@ -1382,6 +1407,7 @@ object LexicalStore {
       .filter(col("bucket").isin(
           allTerms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(allTerms: _*))
+      .transform(p => allowFilter(p, allow))
       .transform(p => tombstones(spark, path)
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
       .localCheckpoint() // one pruned read feeds all three clauses
@@ -1409,16 +1435,28 @@ object LexicalStore {
       else gated2.join(
         post.filter(col("term").isin(notT: _*)).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
-    val scored = gated.crossJoin(broadcast(stats))
-      .select(col("doc_id"),
+    gated.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("len"),
         bm25Micros(col("tf"), col("df"), col("len"),
           col("n_docs"), col("sum_len")).as("micros"))
-      .groupBy(col("doc_id")).agg(sum(col("micros")).as("lex_micros"))
-    scored.orderBy(col("lex_micros").desc, col("doc_id")).limit(k)
-      .withColumn("bool_rank", row_number().over(
-        Window.orderBy(col("lex_micros").desc, col("doc_id"))))
-      .select(col("doc_id"), col("bool_rank"), col("lex_micros"))
   }
+
+  /** [[explainScore]] for [[searchBoolean]]: the per-(doc, term)
+    * decomposition of a boolean query's scores over the candidate
+    * page `cands`. Rows exist only for the SCORED clauses (must +
+    * should) of documents that pass every gate — the gates are
+    * boolean admission, not score factors, which is exactly how
+    * Lucene's Explanation reports a BooleanQuery (scoring clauses
+    * only; a non-matching doc explains as no-match). Per-doc
+    * Σ micros equals searchBoolean's lex_micros exactly
+    * (LexicalSpec pins it; q226 gates the decomposition). */
+  def explainBoolean(spark: SparkSession, path: String, cands: DataFrame,
+                     must: Seq[String], should: Seq[String] = Seq.empty,
+                     mustNot: Seq[String] = Seq.empty,
+                     minShouldMatch: Int = 0): DataFrame =
+    booleanContributions(spark, path, must, should, mustNot,
+        minShouldMatch, Some(cands))
+      .orderBy(col("doc_id"), col("term"))
 
   /** Prefix query — Lucene's PrefixQuery with its maxExpansions
     * guard: expand `prefix` against the `_vocab` term dictionary

@@ -1595,6 +1595,45 @@ class LexicalSpec extends AnyFunSuite {
     assert(got == want, s"recombined $got != field scorer $want")
   }
 
+  test("explainBoolean: gated decomposition sums exactly to " +
+      "searchBoolean, gates admit but never score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),       // must-pass, has should term
+      (2L, "alpha beta"),             // must-pass, no should term
+      (3L, "alpha beta gamma banned"),// excluded
+      (4L, "alpha gamma")             // fails must (no beta)
+    ).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_explain_bool"
+    LexicalStore.build(spark, docs, p)
+    val page = LexicalStore.searchBoolean(spark, p,
+      must = Seq("alpha", "beta"), should = Seq("gamma"),
+      mustNot = Seq("banned"), k = 10)
+    val want = page.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(want.keySet == Set(1L, 2L), want.toString)
+    val ex = LexicalStore.explainBoolean(spark, p,
+      page.select(col("doc_id")),
+      must = Seq("alpha", "beta"), should = Seq("gamma"),
+      mustNot = Seq("banned"))
+    val got = ex.groupBy(col("doc_id")).agg(sum(col("micros")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"explain sums $got != boolean scorer $want")
+    // only SCORED clauses appear: doc 1 rows are alpha/beta/gamma,
+    // doc 2 alpha/beta; the exclusion term never shows as a row
+    val terms = ex.collect().groupBy(_.getLong(0))
+      .map { case (d2, rs) => d2 -> rs.map(_.getString(1)).sorted.toSeq }
+    assert(terms == Map(
+      1L -> Seq("alpha", "beta", "gamma"),
+      2L -> Seq("alpha", "beta")), terms.toString)
+    // gated-out docs (excluded 3, sub-must 4) have NO rows even when
+    // the caller passes them as candidates — no-match explains empty
+    val forced = LexicalStore.explainBoolean(spark, p,
+      Seq(3L, 4L).toDF("doc_id"),
+      must = Seq("alpha", "beta"), should = Seq("gamma"),
+      mustNot = Seq("banned"))
+    assert(forced.count() == 0, forced.collect().mkString(","))
+  }
+
   test("explainFuzzy: per-row weighted split sums exactly to " +
       "searchFuzzy's fuzzy_micros") {
     import spark.implicits._
