@@ -2700,6 +2700,76 @@ object Hybrid {
           FROM fused)
     WHERE field_rank <= 10 ORDER BY field_rank"""
 
+  // ---- q227: BM25F combined-field layout -------------------------------
+
+  private def bm25fPath(d: String): String =
+    "/root/repo/target/q227_bm25f_index/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val Bm25fTitleW = 3L
+  private val Bm25fBodyW = 1L
+
+  /** q227: [[LexicalStore.buildBm25F]] — the combined-field layout
+    * the q213 Scaladoc called BM25F's true form: per-field weighted
+    * tf combine BEFORE the saturation (title^3 + body over the same
+    * derived title as q213), document df counts a doc ONCE however
+    * many fields hold the term, and the ordinary searchTopKLexical
+    * serves the result — the layout IS the standard denormalized
+    * layout over transformed tf rows, which is why hash-equality
+    * with an oracle that re-derives the combine proves the whole
+    * family (build transform + unchanged query path) at once. */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildBm25FOnce(s,
+      Tables.documents(s, d).select(col("doc_id"),
+        expr(s"array_join(slice(filter(split(text, ' '), " +
+          s"x -> length(x) > 0), 1, $TitleTokens), ' ')").as("title"),
+        col("text").as("body")),
+      bm25fPath(d),
+      Seq("title" -> Bm25fTitleW, "body" -> Bm25fBodyW))
+    LexicalStore.searchTopKLexical(s, bm25fPath(d),
+      Q150QueryText.split(" ").toIndexedSeq, k = 10)
+  }
+
+  private val q227Sql = s"""
+    WITH titles AS (
+      SELECT doc_id,
+             array_to_string(list_slice(
+               list_filter(string_split(text, ' '), w -> length(w) > 0),
+               1, $TitleTokens), ' ') AS text
+      FROM documents
+    ), titletf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM titles)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), bodytf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), tf AS (
+      SELECT doc_id, term, CAST(SUM(tf) AS BIGINT) AS tf FROM (
+        SELECT doc_id, term, $Bm25fTitleW * tf AS tf FROM titletf
+        UNION ALL
+        SELECT doc_id, term, $Bm25fBodyW * tf AS tf FROM bodytf)
+      GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), qt(term) AS (
+      VALUES ('stream'), ('window'), ('partition'), ('merge')
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS lex_rank
+          FROM scored)
+    WHERE lex_rank <= 10 ORDER BY lex_rank"""
+
   // ---- q215: keyset pagination (searchAfter) ---------------------------
 
   private val PageK = 5
@@ -3137,6 +3207,7 @@ object Hybrid {
     Query("q223_regexp_search", q223, Some(q223Sql)),
     Query("q225_explain_fuzzy", q225, Some(q225Sql)),
     Query("q226_explain_boolean", q226, Some(q226Sql)),
+    Query("q227_bm25f_search", q227, Some(q227Sql)),
     Query("q224_explain_segmented", q224, Some(q224Sql)),
     Query("q221_glob_search", q221, Some(q221Sql)),
     Query("q220_phrase_suggest", q220, Some(q220Sql)),

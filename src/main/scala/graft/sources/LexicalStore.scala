@@ -299,6 +299,59 @@ object LexicalStore {
     clearTombstones(spark, path)
   }
 
+  /** Build a BM25F combined-field layout (Robertson & Zaragoza 2009
+    * §2.2; Lucene ships the same idea as CombinedFieldQuery): the
+    * principled alternative to per-field score fusion
+    * ([[graft.operators.Hybrid]]'s searchTopKFields) when fields
+    * should share ONE saturation curve — per-field weighted term
+    * frequencies combine BEFORE the BM25 nonlinearity,
+    * tf̃(t,d) = Σ_f w_f·tf_f(t,d), document length l̃(d) = Σ_f
+    * w_f·len_f(d), df(t) = #docs containing t in ANY field, and the
+    * ordinary kernel runs on the combined quantities. With integer
+    * field weights every combined quantity is an exact integer, so
+    * the layout is literally the standard denormalized layout built
+    * from transformed tf rows — [[writePostings]] re-aggregates
+    * df/len/stats from them, and EVERY existing search verb
+    * (top-k, boolean, prefix/fuzzy/regexp expansion, explain, batch,
+    * where-filter) works on it unchanged. `fieldCols` maps text
+    * columns of `docs` to their positive integer weights; fields may
+    * overlap (a title repeated inside the body double-counts by
+    * design — that is BM25F's field-boost semantic). One tokenize
+    * pass per field, one (doc, term) partial agg — the build cost of
+    * [[build]] times |fields|, same bucket-partitioned output. */
+  def buildBm25F(spark: SparkSession, docs: DataFrame, path: String,
+                 fieldCols: Seq[(String, Long)],
+                 idCol: String = "doc_id",
+                 analyzer: String = AnalyzerRaw): Unit = {
+    requireAnalyzer(analyzer)
+    require(fieldCols.nonEmpty, "BM25F needs at least one field")
+    require(fieldCols.forall(_._2 > 0), "field weights must be positive")
+    val combined = fieldCols.map { case (c, w) =>
+        termFreqs(docs.select(col(idCol).as("doc_id"), col(c).as("text")),
+            analyzer)
+          .select(col("doc_id"), col("term"),
+            (col("tf") * lit(w)).as("tf"))
+      }
+      .reduce(_.union(_))
+      .groupBy(col("doc_id"), col("term")).agg(sum(col("tf")).as("tf"))
+      .localCheckpoint() // one combined pass feeds tf, df, len, stats
+    writePostings(spark, combined, path, analyzer)
+    clearTombstones(spark, path)
+  }
+
+  /** [[buildBm25F]] under the [[buildOnce]] memo — the fields
+    * descriptor rides the key's text-column slot, so a same-path
+    * build over different fields/weights must not silently no-op. */
+  def buildBm25FOnce(spark: SparkSession, docs: => DataFrame, path: String,
+                     fieldCols: Seq[(String, Long)],
+                     idCol: String = "doc_id",
+                     analyzer: String = AnalyzerRaw): Unit =
+    builtOnce.getOrElseUpdate(
+      (IndexStore.sessionKey(spark), path, idCol,
+        fieldCols.map { case (c, w) => s"$c^$w" }.mkString(","),
+        s"bm25f/$analyzer"),
+      buildBm25F(spark, docs, path, fieldCols, idCol, analyzer))
+
   /** Token-stage analysis under `analyzer`, applied AFTER the text
     * fold and whitespace split by every build path: the `english`
     * tier drops the stop set and Porter-stems each surviving token

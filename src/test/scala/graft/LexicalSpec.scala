@@ -1595,6 +1595,44 @@ class LexicalSpec extends AnyFunSuite {
     assert(got == want, s"recombined $got != field scorer $want")
   }
 
+  test("buildBm25F: weighted tf combine before saturation, df counts " +
+      "a doc once across fields, every verb serves the layout") {
+    import spark.implicits._
+    // identical bodies; only the title differs — the field boost is
+    // the ONLY signal separating docs 1 and 2
+    val docs = Seq(
+      (1L, "alpha news", "alpha beta gamma delta"),
+      (2L, "other news", "alpha beta gamma delta"),
+      (3L, "plain here", "beta gamma delta epsilon"))
+      .toDF("doc_id", "title", "body")
+    val p = "/root/repo/target/test_lex_bm25f"
+    LexicalStore.buildBm25F(spark, docs, p,
+      Seq("title" -> 3L, "body" -> 1L))
+    val hits = LexicalStore.searchTopKLexical(spark, p, Seq("alpha"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // title hit outranks body-only hit; doc 3 has no alpha at all
+    assert(hits.map(_._1).toSeq == Seq(1L, 2L), hits.mkString(","))
+    assert(hits(0)._2 > hits(1)._2, hits.mkString(","))
+    // the layout is the standard denormalized one: explain serves it,
+    // and its rows pin the combined quantities — df(alpha)=2 (doc 1
+    // counted ONCE though alpha sits in both fields), doc 1's
+    // tf=3·1+1·1=4, len=3·2+1·4=10
+    val ex = LexicalStore.explainScore(spark, p, Seq("alpha"),
+      Seq(1L, 2L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Long]("len"))).toMap
+    assert(ex(1L) == ((4L, 2L, 10L)), ex.toString)
+    assert(ex(2L) == ((1L, 2L, 10L)), ex.toString)
+    // dictionary verbs walk the combined vocabulary
+    val pre = LexicalStore.searchPrefix(spark, p, "alph", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pre == Seq(1L, 2L), pre.toString)
+    // weights gate
+    intercept[IllegalArgumentException] {
+      LexicalStore.buildBm25F(spark, docs, p, Seq("title" -> 0L))
+    }
+  }
+
   test("explainBoolean: gated decomposition sums exactly to " +
       "searchBoolean, gates admit but never score") {
     import spark.implicits._
