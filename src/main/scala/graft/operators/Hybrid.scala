@@ -1718,6 +1718,87 @@ object Hybrid {
           FROM sc)
     WHERE prf_rank <= $Q150K ORDER BY prf_rank"""
 
+  // ---- q228: PRF explain ------------------------------------------------
+
+  /** q228: [[LexicalStore.explainPrf]] — the Rocchio expansion's
+    * decomposition over q196's top-10 page: per-(doc, term) rows
+    * with the factors, the term's weight (1e6 originals,
+    * [[LexicalStore.PrfExpandMicros]] expansions — the weight column
+    * IS the original-vs-expansion provenance), raw and weighted
+    * micros. The oracle re-derives the ENTIRE rewrite — seed rank,
+    * feedback mining, term selection, weights, both contribution
+    * columns, page and candidate filter — so a divergence in any
+    * stage of the explain's own rewrite breaks the hash, the same
+    * guarantee q196 gives the search. */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildOnce(s, docs, lexPath(d))
+    val page = LexicalStore.searchTopKPrf(s, lexPath(d), docs,
+      Q150QueryText.split(" ").toIndexedSeq, k = Q150K,
+      fbDocs = PrfFbDocs, fbTerms = PrfFbTerms)
+    LexicalStore.explainPrf(s, lexPath(d), docs,
+      Q150QueryText.split(" ").toIndexedSeq, page.select(col("doc_id")),
+      fbDocs = PrfFbDocs, fbTerms = PrfFbTerms)
+  }
+
+  private val q228Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), qt(term) AS (
+      VALUES ('stream'), ('window'), ('partition'), ('merge')
+    ), seedsum AS (
+      SELECT tf.doc_id, SUM($bm25Sql) AS lex_micros
+      FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), seed AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lex_micros DESC, doc_id) AS rn
+        FROM seedsum) WHERE rn <= $PrfFbDocs
+    ), wts AS (
+      SELECT tf.term, SUM($bm25Sql) AS w
+      FROM tf JOIN seed USING (doc_id) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.term NOT IN (SELECT term FROM qt)
+      GROUP BY tf.term
+    ), expn AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY w DESC, term) AS rn
+        FROM wts) WHERE rn <= $PrfFbTerms
+    ), allt AS (
+      SELECT term, CAST(1000000 AS BIGINT) AS w FROM qt
+      UNION ALL
+      SELECT term, CAST(${LexicalStore.PrfExpandMicros} AS BIGINT) FROM expn
+    ), fc AS (
+      SELECT tf.doc_id, tf.term, a.w AS weight, tf.tf AS tf, df, len,
+             $bm25Sql AS micros
+      FROM tf JOIN allt a USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+    ), fc2 AS (
+      SELECT doc_id, term, weight, tf, df, len, micros,
+             CAST(weight * (micros // 1000000)
+                  + (weight * (micros % 1000000)) // 1000000 AS BIGINT)
+               AS weighted_micros
+      FROM fc
+    ), page AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY prf_micros DESC, doc_id) AS rn
+        FROM (SELECT doc_id, CAST(SUM(weighted_micros) AS BIGINT)
+                       AS prf_micros
+              FROM fc2 GROUP BY doc_id))
+      WHERE rn <= $Q150K)
+    SELECT doc_id, term, weight, tf, df, len, micros, weighted_micros
+    FROM fc2 JOIN page USING (doc_id)
+    ORDER BY doc_id, term"""
+
   // ---- q197: exact phrase search over positional postings ------------
 
   private def posPath(d: String): String =
@@ -3208,6 +3289,7 @@ object Hybrid {
     Query("q225_explain_fuzzy", q225, Some(q225Sql)),
     Query("q226_explain_boolean", q226, Some(q226Sql)),
     Query("q227_bm25f_search", q227, Some(q227Sql)),
+    Query("q228_explain_prf", q228, Some(q228Sql)),
     Query("q224_explain_segmented", q224, Some(q224Sql)),
     Query("q221_glob_search", q221, Some(q221Sql)),
     Query("q220_phrase_suggest", q220, Some(q220Sql)),

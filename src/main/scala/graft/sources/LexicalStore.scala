@@ -1081,6 +1081,26 @@ object LexicalStore {
                     queryTerms: Seq[String], k: Int = 10, fbDocs: Int = 5,
                     fbTerms: Int = 5, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    val scored = scoreWeightedTerms(spark, path,
+        prfWeights(spark, path, docs, queryTerms, fbDocs, fbTerms,
+          idCol, textCol))
+      .withColumnRenamed("micros", "prf_micros")
+    scored.orderBy(col("prf_micros").desc, col("doc_id")).limit(k)
+      .withColumn("prf_rank", row_number().over(
+        Window.orderBy(col("prf_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("prf_rank"), col("prf_micros"))
+  }
+
+  /** The Rocchio rewrite itself — seed rank, feedback-doc mining,
+    * term selection — returning the weighted term list the final
+    * pass scores (originals at 1e6, expansions at
+    * [[PrfExpandMicros]]). Deterministic for fixed inputs, and
+    * factored so [[searchTopKPrf]] and [[explainPrf]] provably run
+    * the SAME rewrite. */
+  private def prfWeights(spark: SparkSession, path: String,
+                         docs: DataFrame, queryTerms: Seq[String],
+                         fbDocs: Int, fbTerms: Int, idCol: String,
+                         textCol: String): Seq[(String, Long)] = {
     // the feedback docs re-tokenize under the layout's analyzer, so
     // mined candidate terms live in the same folded vocabulary the
     // postings index (searchTopKLexical folds the seed query itself)
@@ -1122,15 +1142,24 @@ object LexicalStore {
           .orderBy(col("w").desc, col("term")).limit(fbTerms)
           .collect().map(_.getString(0)).toSeq
       }
-    val weighted = qTerms.map((_, 1000000L)) ++
-      expansion.map((_, PrfExpandMicros))
-    val scored = scoreWeightedTerms(spark, path, weighted)
-      .withColumnRenamed("micros", "prf_micros")
-    scored.orderBy(col("prf_micros").desc, col("doc_id")).limit(k)
-      .withColumn("prf_rank", row_number().over(
-        Window.orderBy(col("prf_micros").desc, col("doc_id"))))
-      .select(col("doc_id"), col("prf_rank"), col("prf_micros"))
+    qTerms.map((_, 1000000L)) ++ expansion.map((_, PrfExpandMicros))
   }
+
+  /** [[explainScoreWeighted]] with [[searchTopKPrf]]'s own rewrite:
+    * re-runs the SAME deterministic Rocchio expansion and decomposes
+    * the weighted final pass over `cands` — expansion terms surface
+    * as rows at [[PrfExpandMicros]] weight, originals at 1e6, so
+    * "why did this off-query doc rank" reads directly. Per-doc
+    * Σ weighted_micros equals prf_micros exactly (q228 gates it). */
+  def explainPrf(spark: SparkSession, path: String, docs: DataFrame,
+                 queryTerms: Seq[String], cands: DataFrame,
+                 fbDocs: Int = 5, fbTerms: Int = 5,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    explainScoreWeighted(spark, path,
+      prfWeights(spark, path, docs, queryTerms, fbDocs, fbTerms,
+        idCol, textCol),
+      cands)
 
   /** Build a POSITIONAL postings layout: one row per (doc, term) with
     * the sorted 0-based offsets of that term in the doc's compacted

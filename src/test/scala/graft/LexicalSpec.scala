@@ -1699,6 +1699,38 @@ class LexicalSpec extends AnyFunSuite {
     assert(!got.contains(3L) && got.keySet == want.keySet)
   }
 
+  test("explainPrf: the re-run Rocchio rewrite sums exactly to " +
+      "searchTopKPrf, weights carry provenance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta shared topic"),
+      (2L, "alpha shared deep topic"),
+      (3L, "shared topic words only"),
+      (4L, "unrelated filler entirely")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_explain_prf"
+    LexicalStore.build(spark, docs, p)
+    val page = LexicalStore.searchTopKPrf(spark, p, docs,
+      Seq("alpha"), k = 4, fbDocs = 1, fbTerms = 2)
+    val want = page.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // expansion recalls doc 3, which shares no query term
+    assert(want.contains(3L), want.toString)
+    val ex = LexicalStore.explainPrf(spark, p, docs, Seq("alpha"),
+      page.select(col("doc_id")), fbDocs = 1, fbTerms = 2)
+    val rows = ex.collect()
+    val got = rows.groupBy(_.getLong(0))
+      .map { case (doc, rs) =>
+        doc -> rs.map(_.getAs[Long]("weighted_micros")).sum }
+    assert(got == want, s"explain sums $got != prf scorer $want")
+    // the weight column IS the provenance: originals at 1e6,
+    // expansions at PrfExpandMicros — and doc 3's rows are ALL
+    // expansion rows
+    val w3 = rows.filter(_.getLong(0) == 3L).map(_.getAs[Long]("weight"))
+    assert(w3.nonEmpty && w3.forall(_ == LexicalStore.PrfExpandMicros),
+      w3.mkString(","))
+    assert(rows.filter(r => r.getString(1) == "alpha")
+      .forall(_.getAs[Long]("weight") == 1000000L))
+  }
+
   // ---- r18: pre-analyzed terms must not fold twice ----------------------
 
   test("english layout: dictionary expansions and mined terms are " +
