@@ -597,6 +597,20 @@ object LexicalStore {
         s"layout at $path was built with analyzer '$built', append got '$analyzer'")
     }
     val seg = existing.lastOption.fold(0)(_ + 1)
+    // a tombstoned id cannot be re-appended: its dead rows sit in an
+    // old segment this append-only path must not touch, so clearing
+    // the tombstone would resurrect them alongside the new rows (a
+    // doc in two segments — double-counted everywhere). The
+    // denormalized upsert CAN resurrect because it rewrites; here the
+    // honest answer is a loud compact-first message. Ids-only check,
+    // batch-sized, only when tombstones exist at all.
+    tombstones(spark, path).foreach { t =>
+      val clash = docs.select(col(idCol).as("doc_id"))
+        .join(t, Seq("doc_id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"batch re-appends tombstoned doc ids — the append-only " +
+          s"layout cannot resurrect them: compactSegments($path) first")
+    }
     // an append grows the vocabulary, so any `_symspell` index over
     // the merged dictionary is stale the moment the segment lands —
     // same delete-first invalidation as the denormalized rewrites
@@ -642,8 +656,15 @@ object LexicalStore {
     * Lucene. */
   def compactSegments(spark: SparkSession, path: String): Unit = {
     val analyzer = analyzerOf(spark, path) // read BEFORE the delete
+    // the merge is the segmented layout's expungeDeletes: tombstoned
+    // docs drop HERE (search masked them since the delete; the merged
+    // segment's re-aggregated df/stats finally stop counting them —
+    // Lucene's docFreq-until-merge semantics end at the merge too)
     val tf = spark.read.parquet(path)
-      .select(col("doc_id"), col("term"), col("tf")).localCheckpoint()
+      .select(col("doc_id"), col("term"), col("tf"))
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
+      .localCheckpoint()
     // the merge rewrites the dictionary the `_symspell` index mirrors
     // (per-segment dfs collapse into global ones): invalidate meta-
     // first BEFORE the whole-path delete, so no crash state and no
@@ -677,6 +698,7 @@ object LexicalStore {
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/_segvocab/seg=0")
+    clearTombstones(spark, path) // the survivors ARE the new corpus
   }
 
   /** Segmented top-`k`: postings pruned to the query terms' buckets
@@ -687,11 +709,9 @@ object LexicalStore {
     * Scores equal a from-scratch single-layout build over the union
     * corpus (q157 pins it hash-exact). */
   def searchTopKSegmented(spark: SparkSession, path: String,
-                          queryTerms: Seq[String], k: Int = 10): DataFrame = {
-    val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
-      .filter(_.nonEmpty).distinct
-    rankAnalyzedSegmented(spark, path, terms, k)
-  }
+                          queryTerms: Seq[String], k: Int = 10): DataFrame =
+    rankAnalyzedSegmented(spark, path,
+      foldQueryTerms(queryTerms, analyzerOf(spark, path)), k)
 
   /** [[rankAnalyzed]]'s segmented sibling — the post-fold body of
     * [[searchTopKSegmented]], reachable with PRE-ANALYZED terms (the
@@ -731,10 +751,15 @@ object LexicalStore {
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
     // global df: per-segment dfs are disjoint doc sets, so they sum;
-    // one distinct (seg, term, df) row per segment contributes once
+    // one distinct (seg, term, df) row per segment contributes once.
+    // Computed BEFORE the tombstone mask — docFreq counts deleted
+    // docs until segments merge, Lucene's own semantics and this
+    // layout's settled `_vocab` convention
     val gdf = post.select(col("seg"), col("term"), col("df")).distinct()
       .groupBy(col("term")).agg(sum(col("df")).as("gdf"))
     post.transform(p => allowFilter(p, allow))
+      .transform(p => tombstones(spark, path)
+        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
       .join(broadcast(gdf), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("seg"), col("term"), col("tf"),
@@ -910,10 +935,10 @@ object LexicalStore {
                         where: Option[Column] = None,
                         allow: Option[DataFrame] = None): DataFrame = {
     // query terms fold under the LAYOUT's analyzer (sidecar-read, so
-    // index and query time provably agree) — `raw` is the identity
-    val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
-      .filter(_.nonEmpty).distinct
-    rankAnalyzed(spark, path, terms, k, where, allow)
+    // index and query time provably agree) — `raw` is the identity;
+    // rankAnalyzed normalizes (nonEmpty, distinct)
+    rankAnalyzed(spark, path,
+      foldQueryTerms(queryTerms, analyzerOf(spark, path)), k, where, allow)
   }
 
   /** Rank PRE-ANALYZED terms — the internal entry point for every
@@ -1793,7 +1818,7 @@ object LexicalStore {
     require(!isSegmented(spark, path),
       s"explainFuzzy needs the denormalized layout's _stats — " +
         s"compactSegments($path) first")
-    val term = foldSuggestProbe(spark, path, term0)
+    val term = foldProbe(spark, path, term0, "fuzzy probe")
     explainScoreWeighted(spark, path,
       fuzzyWeights(
         editCandidates(spark, path, term, maxDist, maxExpansions),
@@ -1977,11 +2002,15 @@ object LexicalStore {
       .select(col("term"), col("df")).distinct()
   }
 
-  /** Fold a suggestion/fuzzy probe to its single searched token —
-    * ONE definition for the scan, indexed and fuzzy paths (they are
-    * pinned byte-identical, so their input validation must be too).
-    * A multi-token fold keeps the first token: the caller is
-    * correcting ONE word. */
+  /** Fold a SUGGESTION probe to its single searched token — one
+    * definition for the scan and indexed suggest paths (pinned
+    * byte-identical, so their input validation must be too). A
+    * did-you-mean corrects the ANALYZED token, so this folds the
+    * full chain incl. the stem (an inflected probe exact-matches at
+    * distance 0 — the r17-pinned semantic); the FUZZY verbs instead
+    * take the multi-term bypass via [[foldProbe]]. A multi-token
+    * fold keeps the first token: the caller is correcting ONE
+    * word. */
   private def foldSuggestProbe(spark: SparkSession, path: String,
                                term0: String): String = {
     require(term0.nonEmpty, "suggest needs a non-empty term")
@@ -2043,7 +2072,14 @@ object LexicalStore {
     require(!isSegmented(spark, path),
       s"searchFuzzy needs the denormalized layout's _stats — " +
         s"compactSegments($path) first")
-    val term = foldSuggestProbe(spark, path, term0)
+    // fuzzy is a rewritten MULTI-TERM query (Lucene FuzzyQuery
+    // bypasses the analysis chain like Prefix/Wildcard/Regexp): the
+    // probe folds lowercase-only on an `english` layout, so a probe
+    // that IS a dictionary stem ('agre') matches at distance 0 at
+    // full weight instead of being re-stemmed to 'agr'. The SUGGEST
+    // family deliberately keeps the full fold ([[foldSuggestProbe]]
+    // — a did-you-mean corrects the analyzed token, r17-pinned).
+    val term = foldProbe(spark, path, term0, "fuzzy probe")
     fuzzyRank(spark, path,
       editCandidates(spark, path, term, maxDist, maxExpansions),
       term, maxDist, k)
@@ -2101,7 +2137,9 @@ object LexicalStore {
     val builtDist = symspellDist(spark, path)
     require(maxDist <= builtDist,
       s"index built for maxDist $builtDist, queried with $maxDist")
-    val term = foldSuggestProbe(spark, path, term0)
+    // same multi-term analysis-chain bypass as [[searchFuzzy]] — the
+    // two paths are pinned byte-identical, so they must fold alike
+    val term = foldProbe(spark, path, term0, "fuzzy probe")
     fuzzyRank(spark, path,
       distRanked(symspellCollisions(spark, path, term, maxDist),
         term, maxDist, maxExpansions),
@@ -2214,13 +2252,19 @@ object LexicalStore {
     * layout the dictionary holds stems and the pattern matches them
     * verbatim (a glob cannot be stemmed — Lucene's multi-term
     * queries likewise bypass the analysis chain). */
+  /** Lowercase a dictionary pattern through the SAME Catalyst Lower
+    * tree the analyzers use (the bucketOf parity discipline — a JVM
+    * locale lowercase need not agree with the plan's) — the shared
+    * head of [[searchGlob]] and [[searchRegexp]]. */
+  private def lowerPattern(pattern0: String, what: String): String = {
+    require(pattern0.nonEmpty, s"$what must be non-empty")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
+    Lower(Literal(pattern0)).eval(null).toString
+  }
+
   def searchGlob(spark: SparkSession, path: String, pattern0: String,
                  k: Int = 10, maxExpansions: Int = 16): DataFrame = {
-    require(pattern0.nonEmpty, "glob pattern must be non-empty")
-    val lowered = {
-      import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
-      Lower(Literal(pattern0)).eval(null).toString
-    }
+    val lowered = lowerPattern(pattern0, "glob pattern")
     require(lowered.matches("[a-z0-9*?]+"),
       s"glob pattern must be [a-z0-9*?]+ after lowering, got '$lowered'")
     require(lowered.exists(c => c != '*' && c != '?'),
@@ -2263,11 +2307,7 @@ object LexicalStore {
     * matches them verbatim (the multi-term analysis-chain bypass). */
   def searchRegexp(spark: SparkSession, path: String, pattern0: String,
                    k: Int = 10, maxExpansions: Int = 16): DataFrame = {
-    require(pattern0.nonEmpty, "regexp pattern must be non-empty")
-    val lowered = {
-      import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
-      Lower(Literal(pattern0)).eval(null).toString
-    }
+    val lowered = lowerPattern(pattern0, "regexp pattern")
     require(lowered.matches("""[a-z0-9.*+?|()\[\]\-]+"""),
       s"regexp pattern may contain only [a-z0-9] literals and the " +
         s"operators . * + ? | ( ) [ ] - after lowering, got '$lowered'")

@@ -1771,6 +1771,20 @@ class LexicalSpec extends AnyFunSuite {
     val mlt = LexicalStore.moreLikeThis(spark, p, docs, 1L,
       maxTerms = 4, k = 10).collect().map(_.getLong(0))
     assert(mlt.nonEmpty && mlt.head == 1L, mlt.mkString(","))
+    // fuzzy is a rewritten multi-term query and takes the same
+    // bypass: the probe 'agre' (a dictionary stem) matches at
+    // distance 0 at FULL weight — re-stemming it to 'agr' would
+    // demote the exact hit to a 1-edit cousin
+    val fz = LexicalStore.explainFuzzy(spark, p, "agre",
+      Seq(1L).toDF("doc_id"), maxDist = 1, maxExpansions = 4)
+      .filter(col("term") === "agre").collect()
+    assert(fz.length == 1 && fz.head.getAs[Long]("weight") == 1000000L,
+      fz.mkString(","))
+    // a stopword-shaped fuzzy probe is legal under the bypass
+    val fz2 = LexicalStore.searchFuzzy(spark, p, "The",
+        maxDist = 1, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(fz2 == Set(2L), fz2.toString) // 'then' sits 1 edit away
     // PRF folds the user query once ('thens' -> 'then'); its seed
     // search must not re-drop the folded stem as a stopword. Doc 2
     // seeds, and the mined expansion stem 'upon' (shared with doc 1)
@@ -1788,6 +1802,57 @@ class LexicalSpec extends AnyFunSuite {
     val seg = LexicalStore.searchPrefix(spark, ps, "agre", 10)
       .collect().map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
     assert(seg == Set(1L), seg.toString)
+  }
+
+  // ---- r18: segmented tombstones -----------------------------------------
+
+  test("segmented layout: deletes mask immediately, docFreq counts " +
+      "them until merge, compact expunges, re-append is loud") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "beta gamma"), (4L, "alpha delta")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_seg_tombstones"
+    deleteDir(p)
+    LexicalStore.appendLexicalSegment(spark, docs.filter(col("doc_id") <= 2), p)
+    LexicalStore.appendLexicalSegment(spark, docs.filter(col("doc_id") > 2), p)
+    LexicalStore.deleteLexical(spark, p, Seq(1L))
+    // the deleted doc stops surfacing immediately — search AND explain
+    val hits = LexicalStore.searchTopKSegmented(spark, p, Seq("alpha"), 10)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+    assert(hits == Set(2L, 4L), hits.toString)
+    val ex = LexicalStore.explainScore(spark, p, Seq("alpha"),
+      Seq(1L, 2L, 4L).toDF("doc_id")).collect()
+    assert(ex.map(_.getLong(0)).toSet == Set(2L, 4L), ex.mkString(","))
+    // docFreq counts the deleted doc until segments merge (Lucene's
+    // semantics, the layout's settled `_vocab` convention): alpha's
+    // merged df is still 3 on every surviving row
+    assert(ex.map(_.getAs[Long]("df")).toSet == Set(3L), ex.mkString(","))
+    // appending FRESH ids while tombstones exist is fine...
+    LexicalStore.appendLexicalSegment(spark,
+      Seq((5L, "alpha fresh")).toDF("doc_id", "text"), p)
+    // ...but re-appending a tombstoned id would resurrect its dead
+    // rows in the old segment — loud compact-first failure
+    val e = intercept[IllegalArgumentException] {
+      LexicalStore.appendLexicalSegment(spark,
+        Seq((1L, "alpha reborn")).toDF("doc_id", "text"), p)
+    }
+    assert(e.getMessage.contains("compactSegments"), e.getMessage)
+    // the merge expunges: rows physically gone, stats stop counting
+    // the deleted doc, tombstones cleared
+    LexicalStore.compactSegments(spark, p)
+    val ex2 = LexicalStore.explainScore(spark, p, Seq("alpha"),
+      Seq(1L, 2L, 4L, 5L).toDF("doc_id")).collect()
+    assert(ex2.map(_.getLong(0)).toSet == Set(2L, 4L, 5L), ex2.mkString(","))
+    assert(ex2.map(_.getAs[Long]("df")).toSet == Set(3L), // 2,4,5 remain
+      ex2.mkString(","))
+    assert(spark.read.parquet(p).filter(col("doc_id") === 1).count() == 0)
+    // cleared tombstones: the id is appendable again after the merge
+    LexicalStore.appendLexicalSegment(spark,
+      Seq((1L, "alpha reborn")).toDF("doc_id", "text"), p)
+    val hits2 = LexicalStore.searchTopKSegmented(spark, p, Seq("reborn"), 10)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id"))).toSeq
+    assert(hits2 == Seq(1L), hits2.toString)
   }
 
   // ---- r18: analyzer composition — snippets & MLT on english ------------
