@@ -1672,6 +1672,32 @@ class LexicalSpec extends AnyFunSuite {
     assert(forced.count() == 0, forced.collect().mkString(","))
   }
 
+  test("explain reads prune the postings scan to the query terms' " +
+      "buckets, like the rank path") {
+    import spark.implicits._
+    built()
+    val terms = Tables.documents(spark, d).filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).distinct.take(2).toSeq
+    val maxDirs = terms.map(LexicalStore.bucketOf).distinct.size
+    val ex = LexicalStore.explainScore(spark, path, terms,
+      Seq(0L, 1L).toDF("doc_id"))
+    ex.collect()
+    val scans = leafScans(ex.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(p =>
+        p.toString.contains("test_lex_index") && !p.toString.contains("_stats")))
+    assert(scans.nonEmpty, ex.queryExecution.executedPlan.toString)
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"explain scan must carry a bucket partition filter: $f")
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read <= maxDirs,
+        s"explain with $maxDirs distinct buckets read $read directories: $f")
+      assert(f.dataFilters.exists(_.references.exists(_.name == "term")),
+        s"term IN-list must reach the explain scan: $f")
+    }
+  }
+
   test("explainFuzzy: per-row weighted split sums exactly to " +
       "searchFuzzy's fuzzy_micros") {
     import spark.implicits._
