@@ -2851,6 +2851,102 @@ object Hybrid {
           FROM scored)
     WHERE lex_rank <= 10 ORDER BY lex_rank"""
 
+  // ---- q229: multi-field explain ---------------------------------------
+
+  /** q229: [[LexicalStore.explainScoreFields]] — the weighted
+    * multi-field fusion's decomposition over q213's top-10 page:
+    * per-(field, doc, term) rows carrying the field ordinal, its
+    * weight, the factors and the UNWEIGHTED micros (the fusion's
+    * overflow-safe split floors at the per-(field, doc) subtotal and
+    * does not distribute over terms — so rows stay raw and the exact
+    * recombination is the spec-pinned driver-side fold). The oracle
+    * re-derives both fields' tf/df/len/stats, the q213 page, and
+    * every row — title rows normalize against title stats, body rows
+    * against body stats, exactly the per-field property the fusion
+    * exists for, made visible per row. */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LexicalStore.buildOnce(s, docs, lexPath(d))
+    LexicalStore.buildOnce(s,
+      docs.select(col("doc_id"), expr(
+        s"array_join(slice(filter(split(text, ' '), x -> length(x) > 0)," +
+          s" 1, $TitleTokens), ' ')").as("text")),
+      titlePath(d))
+    val fields = Seq(titlePath(d) -> TitleWeight, lexPath(d) -> BodyWeight)
+    val page = LexicalStore.searchTopKFields(s, fields,
+      Q150QueryText.split(" ").toIndexedSeq, k = 10)
+    LexicalStore.explainScoreFields(s, fields,
+      Q150QueryText.split(" ").toIndexedSeq, page.select(col("doc_id")))
+  }
+
+  private val q229Sql = s"""
+    WITH qt(term) AS (
+      VALUES ('stream'), ('window'), ('partition'), ('merge')
+    ), bodytf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), bodydf AS (SELECT term, COUNT(*) AS df FROM bodytf GROUP BY term
+    ), bodylen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                   FROM bodytf GROUP BY doc_id
+    ), bodystats AS (SELECT COUNT(*) AS n_docs,
+                            CAST(SUM(len) AS BIGINT) AS sum_len FROM bodylen
+    ), titles AS (
+      SELECT doc_id,
+             array_to_string(list_slice(
+               list_filter(string_split(text, ' '), w -> length(w) > 0),
+               1, $TitleTokens), ' ') AS text
+      FROM documents
+    ), titletf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM titles)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), titledf AS (SELECT term, COUNT(*) AS df FROM titletf GROUP BY term
+    ), titlelen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                    FROM titletf GROUP BY doc_id
+    ), titlestats AS (SELECT COUNT(*) AS n_docs,
+                             CAST(SUM(len) AS BIGINT) AS sum_len FROM titlelen
+    ), titlerows AS (
+      SELECT CAST(0 AS INTEGER) AS field,
+             CAST($TitleWeight AS BIGINT) AS weight,
+             tf.doc_id, tf.term, tf.tf AS tf, df, len, $bm25Sql AS micros
+      FROM (SELECT * FROM titletf) tf
+        JOIN qt USING (term)
+        JOIN (SELECT * FROM titledf) dfreq USING (term)
+        JOIN (SELECT * FROM titlelen) lens USING (doc_id)
+        CROSS JOIN (SELECT * FROM titlestats) stats
+    ), bodyrows AS (
+      SELECT CAST(1 AS INTEGER) AS field,
+             CAST($BodyWeight AS BIGINT) AS weight,
+             tf.doc_id, tf.term, tf.tf AS tf, df, len, $bm25Sql AS micros
+      FROM (SELECT * FROM bodytf) tf
+        JOIN qt USING (term)
+        JOIN (SELECT * FROM bodydf) dfreq USING (term)
+        JOIN (SELECT * FROM bodylen) lens USING (doc_id)
+        CROSS JOIN (SELECT * FROM bodystats) stats
+    ), allrows AS (
+      SELECT * FROM titlerows UNION ALL SELECT * FROM bodyrows
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(wm) AS BIGINT) AS field_micros FROM (
+        SELECT field, doc_id,
+               weight * (s // 1000000)
+                 + (weight * (s % 1000000)) // 1000000 AS wm
+        FROM (SELECT field, doc_id, MAX(weight) AS weight,
+                     CAST(SUM(micros) AS BIGINT) AS s
+              FROM allrows GROUP BY field, doc_id))
+      GROUP BY doc_id
+    ), page AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY field_micros DESC, doc_id) AS rn
+        FROM fused)
+      WHERE rn <= 10)
+    SELECT field, weight, doc_id, term, tf, df, len, micros
+    FROM allrows JOIN page USING (doc_id)
+    ORDER BY field, doc_id, term"""
+
   // ---- q215: keyset pagination (searchAfter) ---------------------------
 
   private val PageK = 5
@@ -3290,6 +3386,7 @@ object Hybrid {
     Query("q226_explain_boolean", q226, Some(q226Sql)),
     Query("q227_bm25f_search", q227, Some(q227Sql)),
     Query("q228_explain_prf", q228, Some(q228Sql)),
+    Query("q229_explain_fields", q229, Some(q229Sql)),
     Query("q224_explain_segmented", q224, Some(q224Sql)),
     Query("q221_glob_search", q221, Some(q221Sql)),
     Query("q220_phrase_suggest", q220, Some(q220Sql)),
