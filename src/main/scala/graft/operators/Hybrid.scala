@@ -2702,7 +2702,13 @@ object Hybrid {
     * per-field layouts beat concatenation), fused by the weighted
     * overflow-safe split sum; title-only and body-only hits both
     * surface (outer union). */
-  private def q213(s: SparkSession, d: String): DataFrame = {
+  /** Build (once) the q213 field pair — title^2 over each doc's
+    * first [[TitleTokens]] tokens plus the q115 body layout — and
+    * return the weighted field list. ONE definition for the q213
+    * search gate and the q229 explain gate: the explain must
+    * decompose against the very title derivation the search ranked
+    * with, or the two gates silently drift apart. */
+  private def ensureFieldStores(s: SparkSession, d: String): Seq[(String, Long)] = {
     val docs = Tables.documents(s, d)
     LexicalStore.buildOnce(s, docs, lexPath(d))
     LexicalStore.buildOnce(s,
@@ -2710,10 +2716,12 @@ object Hybrid {
         s"array_join(slice(filter(split(text, ' '), x -> length(x) > 0)," +
           s" 1, $TitleTokens), ' ')").as("text")),
       titlePath(d))
-    LexicalStore.searchTopKFields(s,
-      Seq(titlePath(d) -> TitleWeight, lexPath(d) -> BodyWeight),
-      Q150QueryText.split(" ").toIndexedSeq, k = 10)
+    Seq(titlePath(d) -> TitleWeight, lexPath(d) -> BodyWeight)
   }
+
+  private def q213(s: SparkSession, d: String): DataFrame =
+    LexicalStore.searchTopKFields(s, ensureFieldStores(s, d),
+      Q150QueryText.split(" ").toIndexedSeq, k = 10)
 
   private val q213Sql = s"""
     WITH qt(term) AS (
@@ -2865,14 +2873,7 @@ object Hybrid {
     * against body stats, exactly the per-field property the fusion
     * exists for, made visible per row. */
   private def q229(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    LexicalStore.buildOnce(s, docs, lexPath(d))
-    LexicalStore.buildOnce(s,
-      docs.select(col("doc_id"), expr(
-        s"array_join(slice(filter(split(text, ' '), x -> length(x) > 0)," +
-          s" 1, $TitleTokens), ' ')").as("text")),
-      titlePath(d))
-    val fields = Seq(titlePath(d) -> TitleWeight, lexPath(d) -> BodyWeight)
+    val fields = ensureFieldStores(s, d)
     val page = LexicalStore.searchTopKFields(s, fields,
       Q150QueryText.split(" ").toIndexedSeq, k = 10)
     LexicalStore.explainScoreFields(s, fields,

@@ -581,8 +581,16 @@ object LexicalStore {
 
   /** Append `docs` as the next segment: one batch-sized aggregation
     * and write; no existing segment file is touched. Caller contract
-    * (as in Lucene): a doc id appears in at most one segment — upsert
-    * into a segmented layout is delete+append. */
+    * (as in Lucene): a doc id appears in at most one segment —
+    * upsert into a segmented layout is therefore delete, then
+    * [[compactSegments]] (which expunges the dead rows and clears
+    * the tombstones), then append: a tombstoned id cannot be
+    * re-appended directly, because this append-only path cannot
+    * touch the old segment holding its dead rows (the guard below
+    * fails loudly with exactly that message; it deliberately also
+    * rejects ids that were tombstoned without ever being indexed —
+    * distinguishing those would cost a corpus probe per append for
+    * a caller mistake better surfaced than absorbed). */
   def appendLexicalSegment(spark: SparkSession, docs: DataFrame, path: String,
                            idCol: String = "doc_id",
                            textCol: String = "text",
@@ -659,12 +667,11 @@ object LexicalStore {
     // the merge is the segmented layout's expungeDeletes: tombstoned
     // docs drop HERE (search masked them since the delete; the merged
     // segment's re-aggregated df/stats finally stop counting them —
-    // Lucene's docFreq-until-merge semantics end at the merge too)
-    val tf = spark.read.parquet(path)
-      .select(col("doc_id"), col("term"), col("tf"))
-      .transform(p => tombstones(spark, path)
-        .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
-      .localCheckpoint()
+    // Lucene's docFreq-until-merge semantics end at the merge too).
+    // One survivor definition with the denormalized compact/upsert;
+    // the whole-path delete below also removes the `_tombstones`
+    // sidecar, so the rewritten layout starts with nothing deleted.
+    val tf = survivorTf(spark, path)
     // the merge rewrites the dictionary the `_symspell` index mirrors
     // (per-segment dfs collapse into global ones): invalidate meta-
     // first BEFORE the whole-path delete, so no crash state and no
@@ -698,7 +705,6 @@ object LexicalStore {
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/_segvocab/seg=0")
-    clearTombstones(spark, path) // the survivors ARE the new corpus
   }
 
   /** Segmented top-`k`: postings pruned to the query terms' buckets
@@ -2079,6 +2085,11 @@ object LexicalStore {
     // full weight instead of being re-stemmed to 'agr'. The SUGGEST
     // family deliberately keeps the full fold ([[foldSuggestProbe]]
     // — a did-you-mean corrects the analyzed token, r17-pinned).
+    // Like its siblings' probes (and Lucene's single-Term
+    // FuzzyQuery), a probe that folds to SEVERAL tokens on an
+    // analyzed layout ('data-driven') fails loudly here — suggest's
+    // keep-first-token rule is a correction-UI convenience this
+    // search verb does not inherit.
     val term = foldProbe(spark, path, term0, "fuzzy probe")
     fuzzyRank(spark, path,
       editCandidates(spark, path, term, maxDist, maxExpansions),
@@ -2235,6 +2246,16 @@ object LexicalStore {
     routeScore(spark, path, expanded, k)
   }
 
+  /** Lowercase a dictionary pattern through the SAME Catalyst Lower
+    * tree the analyzers use (the bucketOf parity discipline — a JVM
+    * locale lowercase need not agree with the plan's) — the shared
+    * head of [[searchGlob]] and [[searchRegexp]]. */
+  private def lowerPattern(pattern0: String, what: String): String = {
+    require(pattern0.nonEmpty, s"$what must be non-empty")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
+    Lower(Literal(pattern0)).eval(null).toString
+  }
+
   /** General wildcard search — Lucene's WildcardQuery with `*` and
     * `?` allowed ANYWHERE in the pattern ([[searchWildcard]] serves
     * only the infix `*needle*` form; this serves `ne*dle`, `n??dle`
@@ -2252,16 +2273,6 @@ object LexicalStore {
     * layout the dictionary holds stems and the pattern matches them
     * verbatim (a glob cannot be stemmed — Lucene's multi-term
     * queries likewise bypass the analysis chain). */
-  /** Lowercase a dictionary pattern through the SAME Catalyst Lower
-    * tree the analyzers use (the bucketOf parity discipline — a JVM
-    * locale lowercase need not agree with the plan's) — the shared
-    * head of [[searchGlob]] and [[searchRegexp]]. */
-  private def lowerPattern(pattern0: String, what: String): String = {
-    require(pattern0.nonEmpty, s"$what must be non-empty")
-    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
-    Lower(Literal(pattern0)).eval(null).toString
-  }
-
   def searchGlob(spark: SparkSession, path: String, pattern0: String,
                  k: Int = 10, maxExpansions: Int = 16): DataFrame = {
     val lowered = lowerPattern(pattern0, "glob pattern")
