@@ -1394,6 +1394,57 @@ class LexicalSpec extends AnyFunSuite {
     }
   }
 
+  test("searchRegexp subsumes searchGlob: the glob translation " +
+      "scores byte-identically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "window windows wind"), (2L, "widow window x"),
+      (3L, "sandbox y z")).toDF("doc_id", "text")
+    val p = "/root/repo/target/test_lex_glob_vs_regexp"
+    LexicalStore.build(spark, docs, p)
+    // the glob grammar is a sub-grammar of the regexp one (* -> .*,
+    // ? -> .); the two verbs share the dictionary walk, cap and
+    // scorer, so the translated pattern must reproduce the glob's
+    // pages byte-for-byte — a cross-verb contract no oracle gates
+    for (pat <- Seq("w?ndow*", "*box", "W?NDOW*", "wi*")) {
+      val g = LexicalStore.searchGlob(spark, p, pat, 10).collect().toSeq
+      val rx = pat.toLowerCase.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c => c.toString
+      }
+      val r = LexicalStore.searchRegexp(spark, p, rx, 10).collect().toSeq
+      assert(g == r, s"'$pat' -> '$rx': glob $g != regexp $r")
+    }
+  }
+
+  test("buildBm25F composes with the english analyzer: per-field " +
+      "inflections fold to shared stems") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Streaming guide", "the windows were merging quickly"),
+      (2L, "Unrelated title", "streams and windows everywhere"),
+      (3L, "Plain other", "nothing relevant here"))
+      .toDF("doc_id", "title", "body")
+    val p = "/root/repo/target/test_lex_bm25f_english"
+    LexicalStore.buildBm25F(spark, docs, p,
+      Seq("title" -> 3L, "body" -> 1L),
+      analyzer = LexicalStore.AnalyzerEnglish)
+    // 'STREAMED?' stems to 'stream' and must hit doc 1 (title, ^3)
+    // above doc 2 (body only) — both fields folded under one chain
+    val hits = LexicalStore.searchTopKLexical(spark, p,
+        Seq("The", "STREAMED?"), 10)
+      .collect().map(_.getLong(0))
+    assert(hits.toSeq == Seq(1L, 2L), hits.mkString(","))
+    // combined tf carries the field weight through the stem: doc 1 =
+    // 3·tf_title(stream)+1·tf_body = 3; df(stream) = 2 docs
+    val ex = LexicalStore.explainScore(spark, p, Seq("streams"),
+        Seq(1L, 2L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("tf"), r.getAs[Long]("df")))
+      .toMap
+    assert(ex(1L) == ((3L, 2L)) && ex(2L) == ((1L, 2L)), ex.toString)
+  }
+
   // ---- r17: multi-token did-you-mean -------------------------------------
 
   test("suggestPhrase: per-slot symspell candidates, joint " +
