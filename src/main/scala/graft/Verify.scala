@@ -50,7 +50,8 @@ object Verify {
       ("q98 ivf index", Set("q98_ivf_search", "q104_filtered_search",
           "q104b_contains_search", "q112_ivf_batch", "q114_ivf_probe_curve",
           "q116_where_dict", "q118_hybrid_ivf", "q119_hybrid_batch",
-          "q120_hybrid_filtered", "q125_mmr_rerank", "q141_mmr_batch"),
+          "q120_hybrid_filtered", "q125_mmr_rerank", "q141_mmr_batch",
+          "q233_explain_ivf"),
         () => operators.VectorSearch.materializeIvfIndexAux(spark, sfDir, auxDir)),
       ("q125 mmr query", Set("q125_mmr_rerank"),
         () => operators.VectorSearch.materializeMmrAux(spark, sfDir, auxDir)),
@@ -74,14 +75,16 @@ object Verify {
         () => operators.VectorSearch.materializeUpsertAux(spark, sfDir, auxDir)),
       ("q117 update expected corpus", Set("q117_update_inventory"),
         () => operators.VectorSearch.materializeUpdateAux(spark, sfDir, auxDir)),
-      ("q118 hybrid query vector", Set("q118_hybrid_ivf", "q120_hybrid_filtered"),
+      ("q118 hybrid query vector", Set("q118_hybrid_ivf", "q120_hybrid_filtered",
+          "q233_explain_ivf"),
         () => operators.Hybrid.materializeHybridAux(spark, sfDir, auxDir)),
       ("q119 hybrid batch queries", Set("q119_hybrid_batch"),
         () => operators.Hybrid.materializeHybridBatchAux(spark, sfDir, auxDir)),
       ("q150 token vectors", Set("q150_late_interaction", "q153_colbert_index",
-          "q158_tri_hybrid", "q181_colbert_takedown"),
+          "q158_tri_hybrid", "q181_colbert_takedown", "q232_explain_hybrid"),
         () => operators.Hybrid.materializeLateInteractionAux(spark, sfDir, auxDir)),
-      ("q153 colbert centroids", Set("q153_colbert_index", "q158_tri_hybrid"),
+      ("q153 colbert centroids", Set("q153_colbert_index", "q158_tri_hybrid",
+          "q232_explain_hybrid"),
         () => operators.Hybrid.materializeColbertAux(spark, sfDir, auxDir)),
       ("q181 takedown sub-corpus", Set("q181_colbert_takedown"),
         () => operators.Hybrid.materializeColbertTdAux(spark, sfDir, auxDir)),
@@ -110,7 +113,7 @@ object Verify {
         () => operators.VectorSearch.materializePqrAux(spark, sfDir, auxDir)),
       ("q139 cluster topics", Set("q139_cluster_topics", "q140_cluster_mixture",
           "q158_tri_hybrid", "q174_eval_mrr", "q193_ranker_agreement",
-          "q194_eval_ndcg"),
+          "q194_eval_ndcg", "q232_explain_hybrid"),
         () => operators.VectorSearch.materializeClusterTopicsAux(spark, sfDir, auxDir)),
       ("q174 eval queries", Set("q174_eval_mrr", "q194_eval_ndcg"),
         () => operators.VectorSearch.materializeEvalAux(spark, sfDir, auxDir)),
@@ -131,7 +134,8 @@ object Verify {
         () => operators.Corpus.materializeBloomAux(spark, sfDir, auxDir)),
       ("q186 dsir gram buckets", Set("q186_dsir_select", "q189_stream_dsir"),
         () => operators.Corpus.materializeDsirAux(spark, sfDir, auxDir)),
-      ("q158 tri-hybrid query", Set("q158_tri_hybrid", "q193_ranker_agreement"),
+      ("q158 tri-hybrid query", Set("q158_tri_hybrid", "q193_ranker_agreement",
+          "q232_explain_hybrid"),
         () => operators.Hybrid.materializeTriHybridAux(spark, sfDir, auxDir)),
       ("q219 stem map", Set("q219_stemmed_search"),
         () => operators.Hybrid.materializeStemAux(spark, sfDir, auxDir)),

@@ -1854,6 +1854,79 @@ object IndexStore {
       .limit(k), space, includeDistance, include)
   }
 
+  /** Search explain for the IVF layout — the vector-side counterpart
+    * of [[graft.sources.LexicalStore.explainScore]]: for each hit of
+    * [[searchTopKIvfVec]]'s page, every stage the pipeline ranked it
+    * through, as exact integers — `cell` (the stored coarse-quantizer
+    * assignment), `probe_pos` (1-based position of that cell in the
+    * query's probe list — which probe FOUND the hit), `approx_rank`
+    * (its SQ8 pre-rank position among the `overfetch` candidates),
+    * `approx_micros` = ⌊1e6·(SQ8 dot × factors)⌋ (the quantized
+    * pre-rank score), `rank` (exact-rerank position — the page rank)
+    * and `sim_micros` = ⌊1e6·sim⌋ (the quantized exact score). The
+    * micro-quantizations exist for the oracle contract: the
+    * underlying doubles come from expression trees a mirroring
+    * engine reproduces bit-for-bit (the q115 IEEE argument), so the
+    * floors are identical integers. "Why did X outrank Y" reads as
+    * two rows: same probed cell or not, pre-rank vs rerank inversion
+    * (an SQ8 inversion the exact rerank corrected is VISIBLE here —
+    * approx_rank and rank disagree). Same pruned read, candidate
+    * generation and rerank expressions as the search verb, with the
+    * probe-position join (a probes-sized broadcast) the only
+    * addition; k rows out, ordered by rank. */
+  def explainSearchIvf(spark: SparkSession, path: String, queryText: String,
+                       k: Int = 10, probes: Int = 3, overfetch: Int = 32,
+                       dim: Int = Embed.DefaultDim,
+                       where: Option[Column] = None): DataFrame =
+    explainSearchIvfVec(spark, path, Embed.embed(queryText, dim), k,
+      probes, overfetch, where)
+
+  /** [[explainSearchIvf]] for a caller-supplied query vector. */
+  def explainSearchIvfVec(spark: SparkSession, path: String,
+                          qvec: Array[Float], k: Int = 10,
+                          probes: Int = 3, overfetch: Int = 32,
+                          where: Option[Column] = None): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val space = collectionSpace(spark, path)
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    require(cents.head.length == qvec.length,
+      s"$path was trained at dim=${cents.head.length}, query vector has dim=${qvec.length}")
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
+      math.min(probes, ids.length)).toLongArray().toSeq
+    val qCode = graft.functions.VecIndex.sq8Code(qData)
+    val qFac = graft.functions.VecIndex.sq8Factor(qData)
+    import spark.implicits._
+    val probeDf = probeCells.zipWithIndex
+      .map { case (c, i) => (c, i + 1) }.toDF("pcell", "probe_pos")
+    val pruned = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+    val idx = where.fold(pruned)(pruned.filter)
+    val wApprox = Window.orderBy(col("approx").desc, col("cid"))
+    val candidates = idx
+      .select(col("chunk_id").as("cid"),
+        (vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode)) * col("sq8_factor") * lit(qFac))
+          .as("approx"))
+      .orderBy(col("approx").desc, col("cid"))
+      .limit(overfetch)
+      .withColumn("approx_rank", row_number().over(wApprox))
+    idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
+      .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("chunk_id"))))
+      .join(broadcast(probeDf), col("cell").cast("long") === col("pcell"))
+      .select(col("rank"), col("chunk_id"), col("cell").cast("long").as("cell"),
+        col("probe_pos"), col("approx_rank"),
+        floor(lit(1000000.0d) * col("approx")).cast("long").as("approx_micros"),
+        floor(lit(1000000.0d) * col("sim")).cast("long").as("sim_micros"))
+      .orderBy(col("rank"))
+  }
+
   /** Multi-query search over the IVF layout — chroma's
     * `query(query_texts=[...])` batch surface on the partitioned
     * index (the IVF counterpart of [[searchTopKHnswBatch]]). Each

@@ -313,7 +313,13 @@ object LexicalStore {
     * from transformed tf rows — [[writePostings]] re-aggregates
     * df/len/stats from them, and EVERY existing search verb
     * (top-k, boolean, prefix/fuzzy/regexp expansion, explain, batch,
-    * where-filter) works on it unchanged. `fieldCols` maps text
+    * where-filter) works on it unchanged. Maintenance splits by
+    * whether the verb re-tokenizes: [[deleteLexical]] and
+    * [[compactLexical]] operate on the already-combined rows and
+    * serve the layout as-is; [[upsertLexical]] would tokenize plain
+    * single-field text into combined postings and is GUARDED OFF —
+    * the stored `_fields` descriptor routes new documents through
+    * [[upsertBm25F]] instead. `fieldCols` maps text
     * columns of `docs` to their positive integer weights; fields may
     * overlap (a title repeated inside the body double-counts by
     * design — that is BM25F's field-boost semantic). One tokenize
@@ -324,9 +330,28 @@ object LexicalStore {
                  idCol: String = "doc_id",
                  analyzer: String = AnalyzerRaw): Unit = {
     requireAnalyzer(analyzer)
+    requireBm25fFields(fieldCols)
+    val combined = combinedTermFreqs(docs, fieldCols, idCol, analyzer)
+      .localCheckpoint() // one combined pass feeds tf, df, len, stats
+    writePostings(spark, combined, path, analyzer, fields = Some(fieldCols))
+    clearTombstones(spark, path)
+  }
+
+  private def requireBm25fFields(fieldCols: Seq[(String, Long)]): Unit = {
     require(fieldCols.nonEmpty, "BM25F needs at least one field")
     require(fieldCols.forall(_._2 > 0), "field weights must be positive")
-    val combined = fieldCols.map { case (c, w) =>
+  }
+
+  /** The BM25F combined-tf transform — ONE definition for
+    * [[buildBm25F]] and [[upsertBm25F]], so a maintenance batch is
+    * provably the same transform the build ran: per-field tokenize
+    * under `analyzer`, weight each field's tf by its integer w_f,
+    * sum per (doc, term). */
+  private def combinedTermFreqs(docs: DataFrame,
+                                fieldCols: Seq[(String, Long)],
+                                idCol: String,
+                                analyzer: String): DataFrame =
+    fieldCols.map { case (c, w) =>
         termFreqs(docs.select(col(idCol).as("doc_id"), col(c).as("text")),
             analyzer)
           .select(col("doc_id"), col("term"),
@@ -334,9 +359,20 @@ object LexicalStore {
       }
       .reduce(_.union(_))
       .groupBy(col("doc_id"), col("term")).agg(sum(col("tf")).as("tf"))
-      .localCheckpoint() // one combined pass feeds tf, df, len, stats
-    writePostings(spark, combined, path, analyzer)
-    clearTombstones(spark, path)
+
+  /** The BM25F field descriptor stored with the layout — Some((name,
+    * weight) in build order) iff the layout was built by
+    * [[buildBm25F]] (and kept by [[upsertBm25F]]/[[compactLexical]]),
+    * None for a plain layout. A plain [[build]] clears it (its static
+    * postings overwrite removes every sidecar — a full rebuild
+    * legitimately redefines the layout as single-field). */
+  def fieldsOf(spark: SparkSession, path: String): Option[Seq[(String, Long)]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_fields")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$path/_fields")
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq)
   }
 
   /** [[buildBm25F]] under the [[buildOnce]] memo — the fields
@@ -404,9 +440,21 @@ object LexicalStore {
   /** Shared write path: (doc_id, term, tf) rows — already
     * materialized, so overwriting a layout they were read from is
     * safe — re-aggregated to df/len/stats and written as the
-    * bucket-partitioned layout + `_stats` sidecar. */
+    * bucket-partitioned layout + `_stats` sidecar.
+    *
+    * `fields`: Some(descriptor) marks the layout BM25F — its tf rows
+    * are combined-field quantities, so plain (id, text) maintenance
+    * must not union single-field rows into them ([[upsertLexical]]'s
+    * guard reads this sidecar). Written in the sidecar block right
+    * after `_analyzer`, BEFORE `_stats`: a crash between the two
+    * leaves `_stats` missing — a loud failure — never a
+    * complete-looking combined layout that reads back unmarked and
+    * silently accepts a corrupting plain upsert. None on a plain
+    * rewrite; the static postings overwrite has already cleared any
+    * previous sidecar, so absence needs no delete. */
   private def writePostings(spark: SparkSession, tf: DataFrame,
-                            path: String, analyzer: String): Unit = {
+                            path: String, analyzer: String,
+                            fields: Option[Seq[(String, Long)]] = None): Unit = {
     // `_symspell` derives from the vocabulary this rewrite replaces:
     // invalidate it FIRST (memo bump, then meta, then index — the
     // meta-present-implies-index-present invariant), so the indexed
@@ -432,6 +480,13 @@ object LexicalStore {
     // layout that silently read back as `raw` and misranked every
     // query with no error.
     writeAnalyzer(spark, path, analyzer)
+    fields.foreach { fs =>
+      import spark.implicits._
+      fs.zipWithIndex.map { case ((f, w), i) => (i, f, w) }
+        .toDF("pos", "field", "weight")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/_fields")
+    }
     tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_stats")
@@ -516,7 +571,12 @@ object LexicalStore {
     * (LexicalSpec compares byte-for-value). */
   def compactLexical(spark: SparkSession, path: String): Unit = {
     val analyzer = analyzerOf(spark, path)
-    writePostings(spark, survivorTf(spark, path), path, analyzer)
+    // a BM25F layout compacts legitimately (survivor tf rows are
+    // already combined-field quantities) — but the rewrite must
+    // re-thread the `_fields` descriptor or the compacted layout
+    // would read back unmarked and accept a corrupting plain upsert
+    val fields = fieldsOf(spark, path)
+    writePostings(spark, survivorTf(spark, path), path, analyzer, fields)
     clearTombstones(spark, path)
   }
 
@@ -527,6 +587,16 @@ object LexicalStore {
     * reappears in `docs` is live again with its new text. */
   def upsertLexical(spark: SparkSession, path: String, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // the wrong-family-verb guard, lexical edition: on a BM25F layout
+    // the survivor tf rows are COMBINED-field quantities — unioning a
+    // plain single-field tokenize into them would score revised docs
+    // BM25 while survivors score BM25F, a silent ranking corruption
+    // with no error anywhere downstream
+    require(fieldsOf(spark, path).isEmpty,
+      s"$path is a BM25F combined-field layout — a plain (id, text) " +
+        "upsert would mix single-field tf rows into combined-field " +
+        "postings; use upsertBm25F (it routes the batch through the " +
+        "stored field/weight transform)")
     // new texts tokenize under the LAYOUT's analyzer (read from the
     // sidecar) — an upsert must never mix folding rules in one index
     val analyzer = analyzerOf(spark, path)
@@ -538,6 +608,38 @@ object LexicalStore {
     // survivors are already materialized and newTf never reads `path`,
     // so the union can overwrite the layout without a second checkpoint
     writePostings(spark, survivors.union(newTf), path, analyzer)
+    clearTombstones(spark, path)
+  }
+
+  /** [[upsertLexical]] for a BM25F layout: the batch's documents
+    * carry the SAME field columns the layout was built from — the
+    * stored `_fields` descriptor names them — and tokenize through
+    * the identical [[combinedTermFreqs]] transform (weighted tf
+    * combine before saturation), so revised and surviving documents
+    * score under one kernel over one kind of quantity. Same
+    * compact-with-adds rewrite as the plain upsert: replaced and
+    * tombstoned ids drop, the merged corpus re-aggregates df/len/
+    * stats, and the descriptor rides the rewrite. Fails loudly on a
+    * plain layout (use [[upsertLexical]]) — the guard pair keeps
+    * each maintenance verb on its own layout family. */
+  def upsertBm25F(spark: SparkSession, path: String, docs: DataFrame,
+                  idCol: String = "doc_id"): Unit = {
+    val fields = fieldsOf(spark, path).getOrElse(sys.error(
+      s"$path is a plain lexical layout (no _fields descriptor) — " +
+        "use upsertLexical"))
+    val missing = fields.map(_._1).filterNot(docs.columns.contains)
+    require(missing.isEmpty,
+      s"BM25F upsert batch is missing field column(s) " +
+        s"${missing.mkString(", ")} — the layout was built from " +
+        fields.map { case (f, w) => s"$f^$w" }.mkString(", "))
+    val analyzer = analyzerOf(spark, path)
+    val newTf = combinedTermFreqs(docs, fields, idCol, analyzer)
+      .localCheckpoint()
+    val ids = docs.select(col(idCol).as("doc_id")).distinct()
+    val survivors = survivorTf(spark, path)
+      .join(ids, Seq("doc_id"), "left_anti")
+    writePostings(spark, survivors.union(newTf), path, analyzer,
+      fields = Some(fields))
     clearTombstones(spark, path)
   }
 
@@ -2200,6 +2302,15 @@ object LexicalStore {
     require(terms.size <= 8,
       s"phrase suggestion serves at most 8 tokens, got ${terms.size} " +
         s"($terms) — correct longer queries per clause")
+    // ...and the exponent's BASE needs the same cap: the token guard
+    // alone still admits perSlot=50 × 8 tokens ≈ 4e13 tuples. Bound
+    // the PRODUCT directly (the quantity the fold below materializes)
+    // so any (perSlot, tokens) pair a caller picks either stays
+    // query-sized or fails loudly here.
+    require(math.pow(perSlot.toDouble, terms.size.toDouble) <= 65536.0,
+      s"perSlot=$perSlot over ${terms.size} tokens enumerates " +
+        s"~$perSlot^${terms.size} candidate phrases — cap is 65536 " +
+        "(= 4^8); lower perSlot or shorten the phrase")
     // per-slot candidates round-trip the driver (≤perSlot rows each —
     // the fuzzyRank query-rows convention), which is also where an
     // empty slot fails by name
@@ -2322,6 +2433,16 @@ object LexicalStore {
     require(lowered.matches("""[a-z0-9.*+?|()\[\]\-]+"""),
       s"regexp pattern may contain only [a-z0-9] literals and the " +
         s"operators . * + ? | ( ) [ ] - after lowering, got '$lowered'")
+    // stacked quantifiers ('a*+', 'a++', 'a?*') pass the character
+    // grammar above but are POSSESSIVE quantifiers to java.util.regex
+    // (which can change match EXISTENCE under backtracking) while the
+    // RE2/POSIX family rejects them — the one construct inside the
+    // character set where dialects diverge, so it fails loudly like
+    // braces and backslashes do (the reject-don't-translate rule)
+    require(!lowered.matches(""".*[*+?][*+?].*"""),
+      s"stacked quantifiers (possessive/double '$lowered') are outside " +
+        "the portable grammar — java and RE2/POSIX dialects diverge on " +
+        "them; rewrite without adjacent * + ?")
     val rx =
       try { java.util.regex.Pattern.compile(lowered); "^" + lowered + "$" }
       catch {
@@ -2437,10 +2558,47 @@ object LexicalStore {
     * both lists are k-row, so this is a driver-trivial merge at any
     * corpus size). Output: top-`k` (rank, doc_id, lex_rank, vec_rank,
     * rrf_micros), ranks NULL where a side didn't surface the doc. */
+  /** One arm's reciprocal-rank contribution in integer nanos —
+    * ⌊RrfScale/(rrfK + rank)⌋, 0 for an arm that missed the doc
+    * (NULL rank). ONE definition for [[rrfFuse]]/[[rrfFuseBatch]],
+    * the tri-hybrid fusion and [[explainRrf]], so the explain is the
+    * fusion's own expression, not a parallel reimplementation. */
+  def rrfPart(r: Column, rrfK: Int = DefaultRrfK): Column = coalesce(
+    floor(lit(RrfScale) / (lit(rrfK) + r)).cast(LongType), lit(0L))
+
+  /** Relevance explain for reciprocal-rank fusion — the hybrid
+    * counterpart of [[explainScore]]: decompose a fused page's
+    * `rrf_micros` per arm. `fused` is a frame carrying `doc_id` and
+    * one `<arm>_rank` column per entry of `arms` (exactly what
+    * [[rrfFuse]] and the tri-hybrid fusion return); each output row
+    * is one (doc, arm) with the arm's rank (NULL where the arm
+    * missed the doc) and its [[rrfPart]] contribution. Scores are
+    * exact integers, so the explanation is SUM-EXACT by
+    * construction: per-doc Σ rrf_contrib == rrf_micros to the last
+    * digit (LexicalSpec pins it against the fused column for both
+    * the 2-arm and 3-arm shapes). Page-sized input, |arms|·|page|
+    * rows out, ordered (doc_id, arm) — no index read at all: the
+    * fusion's inputs ARE the rank lists being explained. */
+  def explainRrf(fused: DataFrame, arms: Seq[String],
+                 rrfK: Int = DefaultRrfK): DataFrame = {
+    require(arms.nonEmpty, "RRF explain needs at least one arm")
+    val missing = arms.map(a => s"${a}_rank")
+      .filterNot(fused.columns.contains)
+    require(missing.isEmpty,
+      s"fused frame lacks rank column(s) ${missing.mkString(", ")} — " +
+        s"have ${fused.columns.mkString(", ")}")
+    arms.map { a =>
+        fused.select(col("doc_id"), lit(a).as("arm"),
+          col(s"${a}_rank").as("arm_rank"),
+          rrfPart(col(s"${a}_rank"), rrfK).as("rrf_contrib"))
+      }
+      .reduce(_.union(_))
+      .orderBy(col("doc_id"), col("arm"))
+  }
+
   def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
               rrfK: Int = DefaultRrfK): DataFrame = {
-    def part(r: Column): Column = coalesce(
-      floor(lit(RrfScale) / (lit(rrfK) + r)).cast(LongType), lit(0L))
+    def part(r: Column): Column = rrfPart(r, rrfK)
     val fused = lex.select(col("doc_id"), col("lex_rank"))
       .join(vec.select(col("doc_id"), col("vec_rank")), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
@@ -2457,8 +2615,7 @@ object LexicalStore {
     * two (batch × k)-row lists in, one ranked list per query out. */
   def rrfFuseBatch(lex: DataFrame, vec: DataFrame, k: Int,
                    rrfK: Int = DefaultRrfK): DataFrame = {
-    def part(r: Column): Column = coalesce(
-      floor(lit(RrfScale) / (lit(rrfK) + r)).cast(LongType), lit(0L))
+    def part(r: Column): Column = rrfPart(r, rrfK)
     val fused = lex.select(col("query_id"), col("doc_id"), col("lex_rank"))
       .join(vec.select(col("query_id"), col("doc_id"), col("vec_rank")),
         Seq("query_id", "doc_id"), "full_outer")

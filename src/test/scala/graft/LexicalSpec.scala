@@ -144,6 +144,41 @@ class LexicalSpec extends AnyFunSuite {
     assert(doc3.isNullAt(2) && !doc3.isNullAt(3))
   }
 
+  test("explainRrf: per-arm decomposition is sum-exact against the " +
+      "fused score, NULL arms explain as 0, bad arms fail by name") {
+    import spark.implicits._
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "lex_rank")
+    val vec = Seq((1L, 1), (3L, 2)).toDF("doc_id", "vec_rank")
+    val fused = LexicalStore.rrfFuse(lex, vec, k = 10)
+    val ex = LexicalStore.explainRrf(fused, Seq("lex", "vec")).collect()
+    // 2 arms x 3 page docs; contributions re-derive from rank via the
+    // fusion's own rrfPart expression
+    assert(ex.length == 6, ex.mkString(","))
+    val byDoc = ex.groupBy(_.getLong(0))
+      .map { case (doc, rs) => doc -> rs.map(_.getAs[Long]("rrf_contrib")).sum }
+    val want = fused.collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(byDoc == want, s"sum $byDoc != fused $want")
+    // doc 3 missed the lex arm: NULL rank, contribution exactly 0
+    val d3lex = ex.find(r => r.getLong(0) == 3L && r.getString(1) == "lex").get
+    assert(d3lex.isNullAt(2) && d3lex.getAs[Long]("rrf_contrib") == 0L)
+    // the 3-arm tri-hybrid shape decomposes the same way
+    val tri = fused.withColumn("li_rank",
+      when(col("doc_id") === 1L, lit(4)).otherwise(lit(null)))
+      .withColumn("rrf_micros",
+        col("rrf_micros") + LexicalStore.rrfPart(col("li_rank")))
+    val ex3 = LexicalStore.explainRrf(tri, Seq("lex", "vec", "li")).collect()
+    val byDoc3 = ex3.groupBy(_.getLong(0))
+      .map { case (doc, rs) => doc -> rs.map(_.getAs[Long]("rrf_contrib")).sum }
+    val want3 = tri.select(col("doc_id"), col("rrf_micros")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc3 == want3, s"sum $byDoc3 != fused $want3")
+    // an arm the frame doesn't carry fails loudly, by name
+    val e = intercept[IllegalArgumentException] {
+      LexicalStore.explainRrf(fused, Seq("lex", "li"))
+    }
+    assert(e.getMessage.contains("li_rank"), e.getMessage)
+  }
+
   private val maintPath = "/root/repo/target/test_lex_maint"
 
   private def terms0: Seq[String] =
@@ -1392,6 +1427,19 @@ class LexicalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       LexicalStore.searchRegexp(spark, p, "zz+q")
     }
+    // stacked quantifiers pass the character grammar but are
+    // POSSESSIVE to java.util.regex while RE2/POSIX rejects them —
+    // the reject-don't-translate rule applies to them too
+    val poss = intercept[IllegalArgumentException] {
+      LexicalStore.searchRegexp(spark, p, "win*+")
+    }
+    assert(poss.getMessage.contains("stacked quantifiers"), poss.getMessage)
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchRegexp(spark, p, "a++b")
+    }
+    intercept[IllegalArgumentException] {
+      LexicalStore.searchRegexp(spark, p, "wi?*nd")
+    }
   }
 
   test("searchRegexp subsumes searchGlob: the glob translation " +
@@ -1486,6 +1534,13 @@ class LexicalSpec extends AnyFunSuite {
         (1 to 9).map(i => s"tok$i"))
     }
     assert(e9.getMessage.contains("at most 8 tokens"), e9.getMessage)
+    // ...and the exponent's BASE is capped too: 8 tokens with
+    // perSlot=50 would enumerate ~4e13 tuples despite the token guard
+    val eBig = intercept[IllegalArgumentException] {
+      LexicalStore.suggestPhrase(spark, p,
+        (1 to 8).map(i => s"tok$i"), perSlot = 50)
+    }
+    assert(eBig.getMessage.contains("65536"), eBig.getMessage)
     // the verb rides the symspell staleness gate like its siblings
     LexicalStore.upsertLexical(spark, p,
       Seq((5L, "fresh words")).toDF("doc_id", "text"))
@@ -1682,6 +1737,80 @@ class LexicalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       LexicalStore.buildBm25F(spark, docs, p, Seq("title" -> 0L))
     }
+  }
+
+  test("BM25F maintenance: plain upsert is guarded off, upsertBm25F " +
+      "equals a fresh combined build, compact keeps the descriptor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha news", "alpha beta gamma delta"),
+      (2L, "other news", "alpha beta gamma delta"),
+      (3L, "plain here", "beta gamma delta epsilon"))
+      .toDF("doc_id", "title", "body")
+    val p = "/root/repo/target/test_lex_bm25f_maint"
+    def dump(path: String) = LexicalStore.searchTopKLexical(
+        spark, path, Seq("alpha", "epsilon"), 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    LexicalStore.buildBm25F(spark, docs, p, Seq("title" -> 3L, "body" -> 1L))
+    assert(LexicalStore.fieldsOf(spark, p)
+      .contains(Seq("title" -> 3L, "body" -> 1L)))
+    // the silent-corruption path fails loudly, by name
+    val e = intercept[IllegalArgumentException] {
+      LexicalStore.upsertLexical(spark, p,
+        Seq((2L, "alpha alpha")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("upsertBm25F"), e.getMessage)
+    // upsertBm25F on a plain layout fails loudly the other way
+    val plain = "/root/repo/target/test_lex_bm25f_maint_plain"
+    LexicalStore.build(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), plain)
+    val e2 = intercept[RuntimeException] {
+      LexicalStore.upsertBm25F(spark, plain, docs)
+    }
+    assert(e2.getMessage.contains("upsertLexical"), e2.getMessage)
+    // a batch missing a stored field column fails naming the column
+    val e3 = intercept[IllegalArgumentException] {
+      LexicalStore.upsertBm25F(spark, p,
+        Seq((2L, "alpha alpha")).toDF("doc_id", "body"))
+    }
+    assert(e3.getMessage.contains("title"), e3.getMessage)
+    // delete -> upsert: revised doc 2 + new doc 4 through the stored
+    // transform; result is byte-for-value a fresh buildBm25F over the
+    // merged corpus (doc 3 tombstoned and not re-upserted: gone)
+    LexicalStore.deleteLexical(spark, p, Seq(3L))
+    LexicalStore.upsertBm25F(spark, p, Seq(
+        (2L, "epsilon news", "epsilon beta"),
+        (4L, "fresh title", "alpha epsilon"))
+      .toDF("doc_id", "title", "body"))
+    val merged = Seq(
+      (1L, "alpha news", "alpha beta gamma delta"),
+      (2L, "epsilon news", "epsilon beta"),
+      (4L, "fresh title", "alpha epsilon"))
+      .toDF("doc_id", "title", "body")
+    val ref = "/root/repo/target/test_lex_bm25f_maint_ref"
+    LexicalStore.buildBm25F(spark, merged, ref,
+      Seq("title" -> 3L, "body" -> 1L))
+    assert(dump(p) == dump(ref), s"${dump(p)} != ${dump(ref)}")
+    assert(LexicalStore.fieldsOf(spark, p)
+      .contains(Seq("title" -> 3L, "body" -> 1L)))
+    // compact preserves the descriptor (survivor rows are already
+    // combined — compaction legitimately serves the layout)
+    LexicalStore.deleteLexical(spark, p, Seq(4L))
+    LexicalStore.compactLexical(spark, p)
+    assert(LexicalStore.fieldsOf(spark, p)
+      .contains(Seq("title" -> 3L, "body" -> 1L)))
+    intercept[IllegalArgumentException] {
+      LexicalStore.upsertLexical(spark, p,
+        Seq((2L, "alpha")).toDF("doc_id", "text"))
+    }
+    // a plain full rebuild redefines the layout: descriptor cleared,
+    // plain upsert accepted again
+    LexicalStore.build(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), p)
+    assert(LexicalStore.fieldsOf(spark, p).isEmpty)
+    LexicalStore.upsertLexical(spark, p,
+      Seq((2L, "beta gamma")).toDF("doc_id", "text"))
+    assert(LexicalStore.fieldsOf(spark, p).isEmpty)
   }
 
   test("explainBoolean: gated decomposition sums exactly to " +
