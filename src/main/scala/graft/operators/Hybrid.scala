@@ -3132,6 +3132,152 @@ object Hybrid {
           UNION ALL SELECT * FROM p3)
     ORDER BY phase, lex_rank"""
 
+  // ---- q231: query-string parser over the verb inventory ---------------
+
+  private val Q231MaxExp = 8
+
+  /** q231: [[graft.sources.QueryParser]] + [[LexicalStore
+    * .searchQueryString]] — the search-box surface: ONE composite
+    * query string exercising the documented Lucene-QueryParser
+    * subset end-to-end — a `+must` term, a boosted field clause
+    * (`title:window^2` against the q213 title layout), a default
+    * SHOULD term, a trailing-star prefix (`s*`, the q200 df-ranked
+    * cap), a quoted phrase (doc 0's first two tokens, gating on the
+    * q197 positional layout), a `-must_not` term and a `~2` fuzzy
+    * clause (the q209 rewrite) — compiled driver-side and routed to
+    * the existing verb internals. The oracle re-derives every clause
+    * from the raw tables (each mirror is its standalone gate's SQL
+    * shape) plus the gate/fuse combination — hash equality proves
+    * parse, routing, per-clause scoring, boost splits, gating and
+    * the fused ranking all at once. */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    ensureFieldStores(s, d) // builds the body + title layouts
+    LexicalStore.buildPositionalOnce(s, docs, posPath(d))
+    val toks = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).take(2).toSeq
+    val q = s"""+stream title:window^2 merge s* "${toks.head} ${toks(1)}" -slow streem~2"""
+    LexicalStore.searchQueryString(s, q,
+      fields = Map("body" -> lexPath(d), "title" -> titlePath(d)),
+      defaultField = "body",
+      positional = Map("body" -> posPath(d)),
+      k = 10, maxExpansions = Q231MaxExp)
+  }
+
+  private val q231Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
+    ), c_stream AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS wm
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.term = 'stream' GROUP BY tf.doc_id
+    ), c_merge AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS wm
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.term = 'merge' GROUP BY tf.doc_id
+    ), expn AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+        FROM dfreq WHERE term LIKE 's%')
+      WHERE rn <= $Q231MaxExp
+    ), c_prefix AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS wm
+      FROM tf JOIN expn USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), titles AS (
+      SELECT doc_id,
+             array_to_string(list_slice(
+               list_filter(string_split(text, ' '), w -> length(w) > 0),
+               1, $TitleTokens), ' ') AS text
+      FROM documents
+    ), titletf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM titles)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), titledf AS (SELECT term, COUNT(*) AS df FROM titletf GROUP BY term
+    ), titlelen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                    FROM titletf GROUP BY doc_id
+    ), titlestats AS (SELECT COUNT(*) AS n_docs,
+                             CAST(SUM(len) AS BIGINT) AS sum_len FROM titlelen
+    ), c_title AS (
+      SELECT doc_id,
+             CAST(2000000 * (m // 1000000)
+                  + (2000000 * (m % 1000000)) // 1000000 AS BIGINT) AS wm
+      FROM (
+        SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS m
+        FROM (SELECT * FROM titletf) tf
+          JOIN (SELECT * FROM titledf) dfreq USING (term)
+          JOIN (SELECT * FROM titlelen) lens USING (doc_id)
+          CROSS JOIN (SELECT * FROM titlestats) stats
+        WHERE tf.term = 'window' GROUP BY tf.doc_id)
+    ), base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS fw
+      FROM documents
+    ), qp AS (SELECT fw[1] AS t0, fw[2] AS t1 FROM base WHERE doc_id = 0
+    ), tokpos AS (
+      SELECT doc_id, fw[i] AS term, i - 1 AS pos
+      FROM base, UNNEST(generate_series(1, len(fw))) AS u(i)
+    ), p0 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+              FROM tokpos JOIN qp ON term = t0 GROUP BY doc_id
+    ), p1 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+              FROM tokpos JOIN qp ON term = t1 GROUP BY doc_id
+    ), phmatch AS (
+      SELECT p0.doc_id FROM p0 JOIN p1 USING (doc_id)
+      WHERE len(list_filter(p0.ps, x -> list_contains(p1.ps, x + 1))) > 0
+    ), phterms AS (
+      SELECT t0 AS term FROM qp UNION SELECT t1 AS term FROM qp
+    ), c_phrase AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS wm
+      FROM tf JOIN phterms USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.doc_id IN (SELECT doc_id FROM phmatch)
+      GROUP BY tf.doc_id
+    ), fexpn AS (
+      SELECT term, dist FROM (
+        SELECT term, dist,
+               row_number() OVER (ORDER BY dist ASC, df DESC, term) AS rn
+        FROM (SELECT term, df, levenshtein(term, 'streem') AS dist
+              FROM dfreq)
+        WHERE dist <= 2)
+      WHERE rn <= $Q231MaxExp
+    ), fwts AS (
+      SELECT term, CAST((1000000 * (3 - dist)) // 3 AS BIGINT) AS w
+      FROM fexpn
+    ), c_fuzzy AS (
+      SELECT doc_id,
+             CAST(SUM(w * (m // 1000000)
+                      + (w * (m % 1000000)) // 1000000) AS BIGINT) AS wm
+      FROM (SELECT tf.doc_id, fwts.w, $bm25Sql AS m
+            FROM tf JOIN fwts USING (term) JOIN dfreq USING (term)
+              JOIN lens USING (doc_id) CROSS JOIN stats)
+      GROUP BY doc_id
+    ), cand AS (
+      SELECT DISTINCT doc_id FROM tf WHERE term = 'stream'
+        AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'slow')
+    ), allwm AS (
+      SELECT * FROM c_stream UNION ALL SELECT * FROM c_title
+      UNION ALL SELECT * FROM c_merge UNION ALL SELECT * FROM c_prefix
+      UNION ALL SELECT * FROM c_phrase UNION ALL SELECT * FROM c_fuzzy
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(wm) AS BIGINT) AS parsed_micros
+      FROM allwm WHERE doc_id IN (SELECT doc_id FROM cand)
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(parsed_rank AS INTEGER) AS parsed_rank, parsed_micros
+    FROM (SELECT doc_id, parsed_micros,
+                 row_number() OVER (ORDER BY parsed_micros DESC, doc_id)
+                   AS parsed_rank
+          FROM fused)
+    WHERE parsed_rank <= 10 ORDER BY parsed_rank"""
+
   // ---- q229: multi-field explain ---------------------------------------
 
   /** q229: [[LexicalStore.explainScoreFields]] — the weighted
@@ -3660,6 +3806,7 @@ object Hybrid {
     Query("q226_explain_boolean", q226, Some(q226Sql)),
     Query("q227_bm25f_search", q227, Some(q227Sql)),
     Query("q230_bm25f_maintenance", q230, Some(q230Sql)),
+    Query("q231_query_parser", q231, Some(q231Sql)),
     Query("q232_explain_hybrid", q232, Some(q232Sql)),
     Query("q233_explain_ivf", q233, Some(q233Sql)),
     Query("q228_explain_prf", q228, Some(q228Sql)),

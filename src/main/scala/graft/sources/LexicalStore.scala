@@ -2386,6 +2386,17 @@ object LexicalStore {
     * queries likewise bypass the analysis chain). */
   def searchGlob(spark: SparkSession, path: String, pattern0: String,
                  k: Int = 10, maxExpansions: Int = 16): DataFrame = {
+    val (lowered, pred) = globTermPred(pattern0)
+    val expanded = expandDictionary(spark, path, pred, maxExpansions,
+      s"no indexed term matches glob '$lowered' — nothing to search")
+    routeScore(spark, path, expanded, k)
+  }
+
+  /** Validate + translate a glob to its anchored dictionary-match
+    * predicate — ONE definition for [[searchGlob]] and
+    * [[searchParsed]]'s wildcard atoms, so the pinned glob-regexp
+    * subsumption holds for both entry points. */
+  private def globTermPred(pattern0: String): (String, Column) = {
     val lowered = lowerPattern(pattern0, "glob pattern")
     require(lowered.matches("[a-z0-9*?]+"),
       s"glob pattern must be [a-z0-9*?]+ after lowering, got '$lowered'")
@@ -2396,10 +2407,7 @@ object LexicalStore {
       case '?' => "."
       case c => c.toString
     } + "$"
-    val expanded = expandDictionary(spark, path,
-      col("term").rlike(rx), maxExpansions,
-      s"no indexed term matches glob '$lowered' — nothing to search")
-    routeScore(spark, path, expanded, k)
+    (lowered, col("term").rlike(rx))
   }
 
   /** Regexp query — Lucene's RegexpQuery, the last multi-term query
@@ -2558,6 +2566,191 @@ object LexicalStore {
     * both lists are k-row, so this is a driver-trivial merge at any
     * corpus size). Output: top-`k` (rank, doc_id, lex_rank, vec_rank,
     * rrf_micros), ranks NULL where a side didn't surface the doc. */
+  // ---- parsed query execution (Lucene QueryParser subset) -----------
+
+  /** The doc_id MATCH SET of a phrase over a positional layout —
+    * [[searchPhrase]]'s adjacency test (slop 0) or
+    * [[searchSpanNear]]'s ordered-span test (slop > 0) WITHOUT the
+    * rank: [[searchParsed]]'s phrase clauses gate on this set (a must
+    * phrase admits, a should phrase selects who gets its score), so
+    * it must be the whole match set, not a top-k page — and dropping
+    * the window keeps it a filter over the pruned positional read,
+    * nothing global. Same [[positionalSlots]] read, same rarest-first
+    * join order, same fold expressions as the ranked verbs. */
+  private def phraseMatchSet(spark: SparkSession, path: String,
+                             terms: Seq[String], slop: Int): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val (slots, dfByTerm) = positionalSlots(spark, path, terms)
+    val joined = slotOrderByDf(terms, dfByTerm).map(slots)
+      .reduce((a, b) => a.join(b, "doc_id"))
+    if (slop == 0) {
+      val adjacency = (1 until terms.size)
+        .map(i => s"array_contains(p$i, x + $i)").mkString(" AND ")
+      joined.select(col("doc_id"),
+          expr(s"size(filter(p0, x -> $adjacency))").as("phrase_tf"))
+        .filter(col("phrase_tf") > 0).select(col("doc_id"))
+    } else {
+      val chainEnd = (1 until terms.size).foldLeft("x0") { (prev, i) =>
+        s"array_min(filter(p$i, y$i -> y$i > $prev))"
+      }
+      joined.select(col("doc_id"),
+          expr(s"array_min(transform(p0, x0 -> " +
+            s"$chainEnd - x0 - ${terms.size - 1}))").as("span_gap"))
+        .filter(col("span_gap") <= slop).select(col("doc_id"))
+    }
+  }
+
+  /** Execute a [[QueryParser.Parsed]] query — the engine's answer to
+    * Lucene's `QueryParser.parse(...)` + `IndexSearcher.search(...)`
+    * pair: every clause routes through the SAME internals its
+    * standalone verb uses (one analyzer fold per clause at entry;
+    * dictionary atoms fold with the lowercase-only probe rule — the
+    * r18 multi-term bypass; expansion caps and loud empty-expansion
+    * failures identical), so a parsed query provably scores like the
+    * hand-assembled calls it abbreviates (LexicalSpec pins the
+    * boolean and pure-OR equivalences).
+    *
+    * `fields` maps query field names to scoring layouts;
+    * `positional` maps the fields that may carry phrase clauses to
+    * their positional layouts (a phrase on an unmapped field fails
+    * loudly — position data cannot be conjured from a frequency
+    * layout). Semantics per [[QueryParser]]'s contract:
+    *
+    *  - each clause yields a MATCH SET and (unless MUST_NOT) a
+    *    per-doc integer score: a term's [[bm25Micros]] sum; a
+    *    dictionary atom's expansion scored like its verb (prefix/
+    *    glob: df-ranked cap then plain sum; fuzzy: similarity-
+    *    weighted split sum); a phrase GATES on the positional match
+    *    set ([[phraseMatchSet]]) and scores its terms' ordinary BM25
+    *    over the scoring layout restricted to that set — one scale
+    *    (micros of the shared kernel) for every clause, which is
+    *    what makes the fused sum meaningful and exact (Lucene's
+    *    phraseFreq saturation is a different curve; documented
+    *    divergence, chosen for the integer-exact contract);
+    *  - a clause whose text folds away under its field's analyzer
+    *    DROPS silently (Lucene's stopword-clause behavior) — even a
+    *    must clause: analyzer-consumed tokens never gate;
+    *  - `^n` boosts floor at the per-(clause, doc) SUBTOTAL via the
+    *    overflow-safe split (the [[searchTopKFields]] rule);
+    *  - candidates: every MUST set intersected (ids-only semi-joins)
+    *    minus every MUST_NOT set; no musts → union of SHOULD sets
+    *    (minShouldMatch=1, [[searchBoolean]]'s rule);
+    *  - score: Σ boosted clause subtotals over must+should clauses,
+    *    ranked (parsed_micros DESC, doc_id), top-k.
+    *
+    * Scale shape: clause reads are bucket-pruned postings or
+    * vocabulary-sized dictionary walks (each clause exactly its
+    * standalone verb's read); gates and the fuse exchange (doc_id,
+    * micros) pairs only. Driver work is the parse plus the
+    * query-sized expansion round-trips. */
+  def searchParsed(spark: SparkSession, parsed: QueryParser.Parsed,
+                   fields: Map[String, String], defaultField: String,
+                   positional: Map[String, String] = Map.empty,
+                   k: Int = 10, maxExpansions: Int = 16): DataFrame = {
+    import QueryParser._
+    require(fields.contains(defaultField),
+      s"defaultField '$defaultField' is not in fields " +
+        fields.keys.toSeq.sorted.mkString("{", ", ", "}"))
+    def boosted(frame: DataFrame, w: Long): DataFrame =
+      frame.select(col("doc_id"),
+        expr(s"${w}L * (m div 1000000L) + " +
+          s"(${w}L * (m % 1000000L)) div 1000000L").as("wm"))
+    // per clause: its match set + its boosted (doc_id, wm) frame;
+    // None = the clause folded away under its field's analyzer
+    val built: Seq[(Occur, DataFrame, DataFrame)] =
+      parsed.clauses.flatMap { c =>
+        val fieldName = c.field.getOrElse(defaultField)
+        val path = fields.getOrElse(fieldName, sys.error(
+          s"unknown field '$fieldName' — fields: " +
+            fields.keys.toSeq.sorted.mkString(", ")))
+        val analyzer = analyzerOf(spark, path)
+        val matchAndScore: Option[(DataFrame, DataFrame)] = c.atom match {
+          case TermAtom(t) =>
+            val terms = foldQueryTerms(Seq(t), analyzer)
+              .filter(_.nonEmpty).distinct
+            if (terms.isEmpty) None
+            else {
+              val m = scoreLexical(spark, path, terms)
+                .withColumnRenamed("lex_micros", "m")
+              Some((m.select(col("doc_id")), m))
+            }
+          case PhraseAtom(words, slop) =>
+            val posPath = positional.getOrElse(fieldName, sys.error(
+              s"phrase clause on field '$fieldName' needs a positional " +
+                s"layout — pass positional = Map(\"$fieldName\" -> path)"))
+            val posTerms = foldQueryTerms(words,
+              analyzerOf(spark, posPath)).filter(_.nonEmpty)
+            require(posTerms.size >= 2,
+              s"phrase $words folds to fewer than two tokens under " +
+                s"field '$fieldName''s analyzer")
+            val matches = phraseMatchSet(spark, posPath, posTerms, slop)
+            val scoreTerms = foldQueryTerms(words, analyzer)
+              .filter(_.nonEmpty).distinct
+            val m = scoreLexical(spark, path, scoreTerms,
+                allow = Some(matches))
+              .withColumnRenamed("lex_micros", "m")
+            Some((matches, m))
+          case PrefixAtom(p0) =>
+            val p = foldProbe(spark, path, p0, "prefix")
+            val expanded = expandDictionary(spark, path,
+              col("term").startsWith(p), maxExpansions,
+              s"no indexed term starts with '$p' — nothing to search")
+            val m = scoreLexical(spark, path, expanded)
+              .withColumnRenamed("lex_micros", "m")
+            Some((m.select(col("doc_id")), m))
+          case WildcardAtom(pat0) =>
+            val (lowered, pred) = globTermPred(pat0)
+            val expanded = expandDictionary(spark, path, pred, maxExpansions,
+              s"no indexed term matches glob '$lowered' — nothing to search")
+            val m = scoreLexical(spark, path, expanded)
+              .withColumnRenamed("lex_micros", "m")
+            Some((m.select(col("doc_id")), m))
+          case FuzzyAtom(t, d) =>
+            require(!isSegmented(spark, path),
+              s"fuzzy clause needs the denormalized layout's _stats — " +
+                s"compactSegments($path) first")
+            val term = foldProbe(spark, path, t, "fuzzy probe")
+            val weighted = fuzzyWeights(
+              editCandidates(spark, path, term, d, maxExpansions), term, d)
+            val m = scoreWeightedTerms(spark, path, weighted)
+              .withColumnRenamed("micros", "m")
+            Some((m.select(col("doc_id")), m))
+        }
+        matchAndScore.map { case (matches, m) =>
+          (c.occur, matches, boosted(m, c.boostMicros))
+        }
+      }
+    val scoring = built.filter(_._1 != MustNot)
+    require(scoring.nonEmpty,
+      "every scoring clause folded away under its field's analyzer")
+    val musts = built.filter(_._1 == Must)
+    val base =
+      if (musts.nonEmpty)
+        musts.map(_._2.distinct())
+          .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+      else scoring.map(_._2).reduce(_.union(_)).distinct()
+    val cand = built.filter(_._1 == MustNot).map(_._2)
+      .foldLeft(base)((acc, n) =>
+        acc.join(n.distinct(), Seq("doc_id"), "left_anti"))
+    val scored = scoring.map(_._3).reduce(_.union(_))
+      .join(cand, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("wm")).as("parsed_micros"))
+    scored.orderBy(col("parsed_micros").desc, col("doc_id")).limit(k)
+      .withColumn("parsed_rank", row_number().over(
+        Window.orderBy(col("parsed_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("parsed_rank"), col("parsed_micros"))
+  }
+
+  /** [[QueryParser.parse]] + [[searchParsed]] in one call — the
+    * search-box entry point. */
+  def searchQueryString(spark: SparkSession, query: String,
+                        fields: Map[String, String], defaultField: String,
+                        positional: Map[String, String] = Map.empty,
+                        k: Int = 10, maxExpansions: Int = 16): DataFrame =
+    searchParsed(spark, QueryParser.parse(query), fields, defaultField,
+      positional, k, maxExpansions)
+
   /** One arm's reciprocal-rank contribution in integer nanos —
     * ⌊RrfScale/(rrfK + rank)⌋, 0 for an arm that missed the doc
     * (NULL rank). ONE definition for [[rrfFuse]]/[[rrfFuseBatch]],
