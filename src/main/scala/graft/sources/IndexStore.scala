@@ -166,6 +166,12 @@ object IndexStore {
       // per-write option, NOT a session-conf mutation: a library call
       // must never silently flip later unrelated overwrites to dynamic
       .option("partitionOverwriteMode", "dynamic")
+      // NO repartition-by-source here, deliberately — the opposite
+      // call from the cell-partitioned layouts: sources are FEW and
+      // LARGE (a corpus has a handful of sheets, an IVF layout has
+      // hundreds of cells), so many files per source directory is the
+      // correct shape and coalescing to one writer per source would
+      // serialize the whole corpus through |sources| tasks
       .partitionBy("source")
       .parquet(path)
   }
@@ -341,8 +347,9 @@ object IndexStore {
 
   /** IVF-partitioned index — the other 100 TB layout besides LSH
     * buckets: rows land in the parquet partition of their
-    * nearest-centroid cell (`NearestCell` scan-side assignment, no
-    * corpus shuffle beyond the partitioned write), and the trained
+    * nearest-centroid cell (`NearestCell` scan-side assignment; ONE
+    * cell-keyed exchange of the finished rows feeds the partitioned
+    * write so each cell gets one file, not one per task), and the trained
     * centroid table persists as a `_centroids` sidecar (underscore
     * prefix = invisible to Spark's file index). A query probes its
     * `probes` nearest cells -> partition pruning opens only those
@@ -383,6 +390,16 @@ object IndexStore {
     val (ids, cents) = graft.operators.VectorSearch.ivfCentroids(
       rows, "chunk_id", "embedding", seeds, lloydIters, bitExact = bitExact)
     rows.withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
+      // repartition by the partition column BEFORE the partitioned
+      // write (the appendIvf/compactIvf discipline, now on the bulk
+      // build too — the r19 scale probe measured the direct write 6×
+      // slower even at 50k rows): without it every upstream task
+      // writes a sliver into every cell it holds rows for —
+      // nTasks×nCells files, a metadata explosion at cluster scale
+      // (10k tasks × 1k cells = 10M files). One exchange of the
+      // finished rows buys one file per cell; chunk+embed still
+      // computes upstream at full parallelism.
+      .repartition(math.max(1, ids.length), col("cell"))
       .write.mode(SaveMode.Overwrite)
       // a FULL rebuild must truncate the whole layout: dynamic mode
       // (right for build()'s per-source refresh) would leave stale
@@ -863,6 +880,9 @@ object IndexStore {
           .drop("enc_cvec", "resid"))
       }
     encoded
+      // one file per cell, not one per (task, cell) — see
+      // buildIvfFromRows's repartition note
+      .repartition(math.max(1, ids.length), col("cell"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell")

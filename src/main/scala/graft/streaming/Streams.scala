@@ -814,6 +814,8 @@ object Streams {
           VectorSearch.Q142BaseClusters)
         .select(col("vec_id").cast(StringType).as("chunk_id"), col("embedding"))
         .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
+        // one file per cell (the buildIvfFromRows repartition note)
+        .repartition(math.max(1, ids.length), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(index)
       import s.implicits._
       ids.toSeq.zip(cents.toSeq.map(_.toSeq)).toDF("cent_id", "cvec")
