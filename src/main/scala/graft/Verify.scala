@@ -62,7 +62,8 @@ object Verify {
       ("q112 ivf batch", Set("q112_ivf_batch"),
         () => operators.VectorSearch.materializeIvfBatchAux(spark, sfDir, auxDir)),
       ("q123 pq index", Set("q123_ivfpq_search", "q124_pq_metrics",
-          "q127_ivfpq_batch", "q132_matryoshka_prerank"),
+          "q127_ivfpq_batch", "q132_matryoshka_prerank",
+          "q234_explain_ivfpq"),
         () => operators.VectorSearch.materializePqAux(spark, sfDir, auxDir)),
       ("q127 pq batch queries", Set("q127_ivfpq_batch"),
         () => operators.VectorSearch.materializePqBatchAux(spark, sfDir, auxDir)),

@@ -2820,6 +2820,85 @@ object VectorSearch {
       FROM scored)
     WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  // ---- q234: IVF-PQ search explain ----------------------------------
+
+  /** q234: [[graft.sources.IndexStore.explainSearchIvfPq]] over the
+    * shared q123 layout with the q123 query — the PQ family's
+    * Explanation, completing the per-stage decomposition across
+    * every scoring path the engine ships: per hit, the stored cell,
+    * which probe found it, the integer-ADC pre-rank position and the
+    * ADC score itself (exact micros by construction — the LUT
+    * quantizes at build), the exact-rerank position, and the
+    * micro-quantized exact score. The oracle re-derives coarse
+    * assignment, the ORDERED probe list with positions, the PQ codes
+    * from embeddings × codebooks (the q123 discipline — the stored
+    * code column is deliberately unread, so a build-side encode
+    * defect still fails this gate), the LUT, the ADC rank and the
+    * rerank from the dumped artifact. */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = q123IndexPath(d)
+    IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path)
+    IndexStore.explainSearchIvfPq(s, path, Q123QueryText, k = 10,
+      probes = Q123Probes, overfetch = Q123Overfetch)
+  }
+
+  private val q234Sql = s"""
+    WITH cents AS (SELECT cent_id, cvec FROM $AuxQ123Cents),
+    qv AS (SELECT qvec FROM $AuxQ123Query),
+    books AS (SELECT sub, code_id, cvec FROM $AuxQ123Books),
+    idx AS (SELECT * FROM $AuxQ123Index),
+    assign AS (
+      SELECT x.chunk_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.chunk_id
+               ORDER BY ${l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM idx x, cents c),
+    assigned AS (SELECT chunk_id, cent_id AS cell FROM assign WHERE arn = 1),
+    probe AS (
+      SELECT cell, probe_pos FROM (
+        SELECT c.cent_id AS cell,
+               row_number() OVER (
+                 ORDER BY ${l2Sql("qv.qvec", "c.cvec")}, c.cent_id)
+                 AS probe_pos
+        FROM cents c, qv)
+      WHERE probe_pos <= $Q123Probes),
+    pruned AS (
+      SELECT x.*, a.cell, p.probe_pos FROM idx x
+      JOIN assigned a USING (chunk_id) JOIN probe p ON a.cell = p.cell),
+    $pqLutSql,
+    subcodes AS (
+      SELECT p.chunk_id, b.sub, b.code_id,
+             row_number() OVER (PARTITION BY p.chunk_id, b.sub
+               ORDER BY sqrt(list_sum(list_transform(
+                   generate_series(1, len(b.cvec)),
+                   i -> (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))
+                      * (CAST(p.embedding[b.sub * $PqDsub + i] AS DOUBLE)
+                       - CAST(b.cvec[i] AS DOUBLE))))), b.code_id) AS crn
+      FROM pruned p CROSS JOIN books b),
+    codes AS (SELECT chunk_id, sub, code_id FROM subcodes WHERE crn = 1),
+    adct AS (
+      SELECT chunk_id, CAST(SUM(micros) AS BIGINT) AS adc
+      FROM codes JOIN lut USING (sub, code_id) GROUP BY chunk_id),
+    cand AS (
+      SELECT chunk_id, adc, adc_rank FROM (
+        SELECT chunk_id, adc,
+               row_number() OVER (ORDER BY adc DESC, chunk_id) AS adc_rank
+        FROM adct)
+      WHERE adc_rank <= $Q123Overfetch),
+    scored AS (
+      SELECT p.chunk_id, p.cell, p.probe_pos, c.adc, c.adc_rank,
+             ${cosColsSql("p.embedding", "qv.qvec")} AS sim
+      FROM pruned p JOIN cand c USING (chunk_id) CROSS JOIN qv)
+    SELECT CAST(rank AS INTEGER) AS rank, chunk_id,
+           CAST(cell AS BIGINT) AS cell,
+           CAST(probe_pos AS INTEGER) AS probe_pos,
+           CAST(adc_rank AS INTEGER) AS adc_rank, adc,
+           CAST(floor(1000000.0 * sim) AS BIGINT) AS sim_micros
+    FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, chunk_id) AS rank
+          FROM scored)
+    WHERE rank <= 10 ORDER BY rank"""
+
   /** q124: the compressed-domain quality/size meter — on ONE
     * artifact (the q123 layout carries float embeddings, SQ8 codes
     * AND PQ codes), how many of the exact cosine top-10 does each
@@ -4773,6 +4852,7 @@ object VectorSearch {
     Query("q105_filtered_recall", q105, Some(q105Sql)),
     Query("q106_hnsw_batch",    q106, Some(q106Sql)),
     Query("q123_ivfpq_search",  q123, Some(q123Sql)),
+    Query("q234_explain_ivfpq", q234, Some(q234Sql)),
     Query("q124_pq_metrics",    q124, Some(q124Sql)),
     Query("q132_matryoshka_prerank", q132, Some(q132Sql)),
     Query("q125_mmr_rerank",    q125, Some(q125Sql)),

@@ -1947,6 +1947,76 @@ object IndexStore {
       .orderBy(col("rank"))
   }
 
+  /** [[explainSearchIvf]] for the IVF-PQ layout — completing the
+    * explain family across every scoring path (lexical q222/q224,
+    * weighted-OR q225/q228, boolean q226, multi-field q229, RRF
+    * q232, IVF-SQ q233): per returned hit — stored cell, which probe
+    * found it, its integer-ADC pre-rank position and the ADC score
+    * itself (already exact integer micros, no quantization needed —
+    * the LUT is micro-quantized at construction), the exact-rerank
+    * position and the micro-quantized exact score. A residual layout
+    * explains through the same dot(q,c)+ADC(residual) constant the
+    * search ranks with. Same pruned read and expressions as
+    * [[searchTopKIvfPqVec]]; k rows out, ordered by rank. */
+  def explainSearchIvfPq(spark: SparkSession, path: String, queryText: String,
+                         k: Int = 10, probes: Int = 3, overfetch: Int = 64,
+                         dim: Int = Embed.DefaultDim,
+                         where: Option[Column] = None): DataFrame =
+    explainSearchIvfPqVec(spark, path, Embed.embed(queryText, dim), k,
+      probes, overfetch, where)
+
+  /** [[explainSearchIvfPq]] for a caller-supplied query vector. */
+  def explainSearchIvfPqVec(spark: SparkSession, path: String,
+                            qvec: Array[Float], k: Int = 10,
+                            probes: Int = 3, overfetch: Int = 64,
+                            where: Option[Column] = None): DataFrame = {
+    import graft.functions.vecIndexExprs
+    val space = collectionSpace(spark, path)
+    val centRows = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    require(cents.head.length == qvec.length,
+      s"$path was trained at dim=${cents.head.length}, query vector has dim=${qvec.length}")
+    val books = readPqBooks(spark, path)
+    val lut = graft.operators.VectorSearch.pqLut(qvec, books)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
+      math.min(probes, ids.length)).toLongArray().toSeq
+    import spark.implicits._
+    val probeDf = probeCells.zipWithIndex
+      .map { case (c, i) => (c, i + 1) }.toDF("pcell", "probe_pos")
+    val pruned = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+    val idx = where.fold(pruned)(pruned.filter)
+    val adcExpr =
+      if (pqEncoding(spark, path) == "residual") {
+        val constMap = probeCells.map { c =>
+          c -> graft.operators.VectorSearch.microsDot(qvec,
+            cents(ids.indexOf(c)))
+        }.toMap
+        element_at(typedlit(constMap), col("cell").cast("long")) +
+          vecIndexExprs.pqAdc(col("pq_code"), lut)
+      } else vecIndexExprs.pqAdc(col("pq_code"), lut)
+    val wAdc = Window.orderBy(col("adc").desc, col("cid"))
+    val candidates = idx
+      .select(col("chunk_id").as("cid"), adcExpr.as("adc"))
+      .orderBy(col("adc").desc, col("cid"))
+      .limit(overfetch)
+      .withColumn("adc_rank", row_number().over(wAdc))
+    idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
+      .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
+      .orderBy(col("sim").desc, col("chunk_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("chunk_id"))))
+      .join(broadcast(probeDf), col("cell").cast("long") === col("pcell"))
+      .select(col("rank"), col("chunk_id"), col("cell").cast("long").as("cell"),
+        col("probe_pos"), col("adc_rank"), col("adc"),
+        floor(lit(1000000.0d) * col("sim")).cast("long").as("sim_micros"))
+      .orderBy(col("rank"))
+  }
+
   /** Multi-query search over the IVF layout — chroma's
     * `query(query_texts=[...])` batch surface on the partitioned
     * index (the IVF counterpart of [[searchTopKHnswBatch]]). Each
