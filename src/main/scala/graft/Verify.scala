@@ -82,10 +82,11 @@ object Verify {
       ("q119 hybrid batch queries", Set("q119_hybrid_batch"),
         () => operators.Hybrid.materializeHybridBatchAux(spark, sfDir, auxDir)),
       ("q150 token vectors", Set("q150_late_interaction", "q153_colbert_index",
-          "q158_tri_hybrid", "q181_colbert_takedown", "q232_explain_hybrid"),
+          "q158_tri_hybrid", "q181_colbert_takedown", "q232_explain_hybrid",
+          "q235_explain_colbert"),
         () => operators.Hybrid.materializeLateInteractionAux(spark, sfDir, auxDir)),
       ("q153 colbert centroids", Set("q153_colbert_index", "q158_tri_hybrid",
-          "q232_explain_hybrid"),
+          "q232_explain_hybrid", "q235_explain_colbert"),
         () => operators.Hybrid.materializeColbertAux(spark, sfDir, auxDir)),
       ("q181 takedown sub-corpus", Set("q181_colbert_takedown"),
         () => operators.Hybrid.materializeColbertTdAux(spark, sfDir, auxDir)),

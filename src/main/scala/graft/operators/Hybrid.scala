@@ -1067,6 +1067,83 @@ object Hybrid {
       .select(col("rank"), col("doc_id"), col("li_micros"))
   }
 
+  /** Relevance explain for the late-interaction scorer — MaxSim's
+    * Explanation, the one scoring family the explain surface didn't
+    * yet cover: for each candidate doc and each query token, WHICH
+    * document token won the max (its position `tpos`) and the exact
+    * integer contribution it carries (⌊1e6·cos⌋ — the same floored
+    * expression [[searchColbert]] aggregates, so per-doc
+    * Σ max_micros == the rank path's li_micros to the last digit;
+    * HybridSpec pins it). This is ColBERT's native interpretability
+    * story made queryable: "query token 'window' matched doc 7 at
+    * token 12 with 0.83" reads as one row. Ties break to the
+    * EARLIEST document token (deterministic across engines).
+    * `cands` is the ranked page being debugged — the read is the
+    * candidates' token rows (spine semi-join, tombstones masked like
+    * the search), |cands|·|qtoks| rows out, ordered (doc_id,
+    * qtok_id). */
+  def explainColbert(s: SparkSession, path: String, queryText: String,
+                     cands: DataFrame): DataFrame = {
+    import s.implicits._
+    val qToks = queryText.split(" ").filter(_.nonEmpty).toIndexedSeq
+    require(qToks.nonEmpty, "late-interaction explain needs query tokens")
+    val qvecs = qToks.zipWithIndex.map { case (t, i) =>
+      (i.toLong,
+        graft.functions.Embed.embed(t, graft.functions.Embed.DefaultDim).toSeq)
+    }.toDF("qtok_id", "qvec")
+    val spine = cands.select(col("doc_id")).distinct()
+    val toks0 = s.read.parquet(path)
+      .join(broadcast(spine), Seq("doc_id"), "left_semi")
+    val toks = colbertTombstones(s, path) match {
+      case Some(t) => toks0.join(
+        broadcast(t.select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+      case None => toks0
+    }
+    val w = Window.partitionBy(col("doc_id"), col("qtok_id"))
+      .orderBy(col("sim_micros").desc, col("tpos"))
+    toks.crossJoin(broadcast(qvecs))
+      .select(col("doc_id"), col("qtok_id"), col("tpos"),
+        floor(VectorOps.vecCosine(col("tokvec"), col("qvec")) * lit(1000000d))
+          .cast("long").as("sim_micros"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("qtok_id"), col("tpos"),
+        col("sim_micros").as("max_micros"))
+      .orderBy(col("doc_id"), col("qtok_id"))
+  }
+
+  /** q235: [[explainColbert]] over q153's top-10 page — the oracle
+    * re-derives the page through the full persisted-MaxSim mirror
+    * (assignment, probes, candidates, rerank) and every (doc, query
+    * token) argmax row from the dumped token vectors; hash equality
+    * proves the winning token POSITION and its exact contribution
+    * for every cell of the page × query-token grid. */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    val path = colbertPath(d)
+    buildColbertOnce(s, Tables.documents(s, d), path, Q150MaxToks, Q153Cells)
+    val page = searchColbert(s, path, Q150QueryText, Q153Probes, Q150K)
+    explainColbert(s, path, Q150QueryText, page.select(col("doc_id")))
+  }
+
+  private val q235Sql = s"""
+    WITH ${colbertScoredCte(auxPq("q150_tokvecs"), auxPq("q153_cents"),
+      auxPq("q150_qtoks"), Q153Probes)},
+    page AS (
+      SELECT doc_id FROM scored
+      ORDER BY li_micros DESC, doc_id LIMIT $Q150K),
+    simrows AS (
+      SELECT t.doc_id, q.qtok_id, t.tpos,
+             CAST(floor(1000000.0 *
+               (${VectorSearch.cosColsSql("t.tokvec", "q.qvec")})) AS BIGINT)
+               AS sim_micros
+      FROM toks t JOIN page USING (doc_id) CROSS JOIN qs q)
+    SELECT doc_id, qtok_id, CAST(tpos AS INTEGER) AS tpos,
+           sim_micros AS max_micros
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, qtok_id
+            ORDER BY sim_micros DESC, tpos) AS rn
+          FROM simrows)
+    WHERE rn = 1 ORDER BY doc_id, qtok_id"""
+
   /** q153: [[q150]]'s scorer productized as a PERSISTED, ANN-pruned
     * index lifecycle — build the token-vector IVF layout, probe per
     * query token, gather candidates, exact-MaxSim rerank. Same query
@@ -3809,6 +3886,7 @@ object Hybrid {
     Query("q231_query_parser", q231, Some(q231Sql)),
     Query("q232_explain_hybrid", q232, Some(q232Sql)),
     Query("q233_explain_ivf", q233, Some(q233Sql)),
+    Query("q235_explain_colbert", q235, Some(q235Sql)),
     Query("q228_explain_prf", q228, Some(q228Sql)),
     Query("q229_explain_fields", q229, Some(q229Sql)),
     Query("q224_explain_segmented", q224, Some(q224Sql)),

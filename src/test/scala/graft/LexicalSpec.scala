@@ -635,6 +635,40 @@ class LexicalSpec extends AnyFunSuite {
     assert(inc == reb, "append-then-search must equal rebuild-then-search at full probe")
   }
 
+  test("explainColbert: per-(doc, query-token) argmax rows are sum-exact " +
+      "against searchColbert and name the winning token position") {
+    import operators.Hybrid
+    val path = "/root/repo/target/test_colbert_index"
+    Hybrid.buildColbert(spark, Tables.documents(spark, d), path,
+      maxToks = 16, kCells = 8)
+    val query = "stream window partition merge"
+    val page = Hybrid.searchColbert(spark, path, query, probes = 2, k = 10)
+      .localCheckpoint()
+    val want = page.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    import spark.implicits._
+    val ex = Hybrid.explainColbert(spark, path, query,
+      page.select(col("doc_id"))).collect()
+    // one row per (page doc, query token)
+    assert(ex.length == want.size * 4, s"${ex.length} rows for ${want.size} docs")
+    // sum-exact: per-doc Σ max_micros == the rank path's li_micros
+    val sums = ex.groupBy(_.getLong(0))
+      .map { case (doc, rs) => doc -> rs.map(_.getAs[Long]("max_micros")).sum }
+    assert(sums == want, s"explain sums $sums != rank $want")
+    // the named winning position is real: re-scoring THAT token of
+    // that doc against that query token reproduces max_micros exactly
+    val r0 = ex.head
+    val qtok = query.split(" ")(r0.getLong(1).toInt)
+    val qvec = graft.functions.Embed.embed(qtok,
+      graft.functions.Embed.DefaultDim).toSeq
+    val got = spark.read.parquet(path)
+      .filter(col("doc_id") === r0.getLong(0) && col("tpos") === r0.getInt(2))
+      .crossJoin(broadcast(Seq(Tuple1(qvec)).toDF("qvec")))
+      .select(floor(graft.functions.VectorOps.vecCosine(col("tokvec"),
+        col("qvec")) * lit(1000000d)).cast("long"))
+      .head().getLong(0)
+    assert(got == r0.getAs[Long]("max_micros"), s"$got != $r0")
+  }
+
   test("colbert takedown: tombstone equals fresh-build-without-doc exactly; " +
       "compact reclaims rows touching only the doomed doc's cells") {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
