@@ -77,9 +77,14 @@ object ScaleProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
     def phase[A](f: => A): (A, Double, Long, Long, Long) = {
-      val (r0, w0, i0) = meter.snap()
+      // stage-completion events arrive on the ASYNC listener bus —
+      // settle before each snapshot or the last stages' bytes land in
+      // the next phase's delta (listenerBus.waitUntilEmpty is
+      // private[spark]; a settle is adequate for a dev probe)
+      def settled(): (Long, Long, Long) = { Thread.sleep(800); meter.snap() }
+      val (r0, w0, i0) = settled()
       val (a, secs) = timed(f)
-      val (r1, w1, i1) = meter.snap()
+      val (r1, w1, i1) = settled()
       (a, secs, r1 - r0, w1 - w0, i1 - i0)
     }
 

@@ -1023,6 +1023,27 @@ object Hybrid {
     * are integer micros end to end. Tombstoned docs
     * ([[deleteColbert]]) are anti-joined out of the candidate set
     * BEFORE the gather, so a takedown is effective immediately. */
+  /** The per-token query vectors (qtok_id, qvec) + token count — ONE
+    * definition for [[searchColbert]] and [[explainColbert]], like
+    * [[colbertSimMicros]] below: the explain must embed and floor
+    * exactly what the scorer did. */
+  private def colbertQueryVecs(s: SparkSession, queryText: String)
+      : (DataFrame, Int) = {
+    import s.implicits._
+    val qToks = queryText.split(" ").filter(_.nonEmpty).toIndexedSeq
+    require(qToks.nonEmpty, "late-interaction query needs tokens")
+    (qToks.zipWithIndex.map { case (t, i) =>
+      (i.toLong,
+        graft.functions.Embed.embed(t, graft.functions.Embed.DefaultDim).toSeq)
+    }.toDF("qtok_id", "qvec"), qToks.length)
+  }
+
+  /** The floored per-(doc token, query token) similarity micros the
+    * MaxSim scorer aggregates and the explain decomposes. */
+  private def colbertSimMicros: org.apache.spark.sql.Column =
+    floor(VectorOps.vecCosine(col("tokvec"), col("qvec")) * lit(1000000d))
+      .cast("long")
+
   def searchColbert(s: SparkSession, path: String, queryText: String,
                     probes: Int, k: Int): DataFrame = {
     import graft.functions.vecIndexExprs
@@ -1032,10 +1053,7 @@ object Hybrid {
       .sortBy(_.getLong(0))
     val ids = cRows.map(_.getLong(0))
     val cents = cRows.map(_.getSeq[Float](1).toArray)
-    val qToks = queryText.split(" ").filter(_.nonEmpty).toIndexedSeq
-    val qvecs = qToks.zipWithIndex.map { case (t, i) =>
-      (i.toLong, graft.functions.Embed.embed(t, graft.functions.Embed.DefaultDim).toSeq)
-    }.toDF("qtok_id", "qvec")
+    val (qvecs, nQToks) = colbertQueryVecs(s, queryText)
     // probed cell VALUES (≤ nQ·probes longs) — the partition-pruning list
     val probed = qvecs.select(
         explode(vecIndexExprs.nearestCells(col("qvec"), ids, cents, probes))
@@ -1053,14 +1071,13 @@ object Hybrid {
       .join(broadcast(cand), Seq("doc_id"), "left_semi")
     val maxSim = toks.crossJoin(broadcast(qvecs))
       .select(col("doc_id"), col("qtok_id"),
-        floor(VectorOps.vecCosine(col("tokvec"), col("qvec")) * lit(1000000d))
-          .cast("long").as("sim_micros"))
+        colbertSimMicros.as("sim_micros"))
       .groupBy(col("doc_id"), col("qtok_id"))
       .agg(max(col("sim_micros")).as("max_micros"))
     maxSim.groupBy(col("doc_id"))
       .agg(sum(col("max_micros")).as("li_micros"),
         count(lit(1)).as("n_qtoks"))
-      .filter(col("n_qtoks") === qToks.length)
+      .filter(col("n_qtoks") === nQToks)
       .orderBy(col("li_micros").desc, col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("li_micros").desc, col("doc_id"))))
@@ -1084,13 +1101,7 @@ object Hybrid {
     * qtok_id). */
   def explainColbert(s: SparkSession, path: String, queryText: String,
                      cands: DataFrame): DataFrame = {
-    import s.implicits._
-    val qToks = queryText.split(" ").filter(_.nonEmpty).toIndexedSeq
-    require(qToks.nonEmpty, "late-interaction explain needs query tokens")
-    val qvecs = qToks.zipWithIndex.map { case (t, i) =>
-      (i.toLong,
-        graft.functions.Embed.embed(t, graft.functions.Embed.DefaultDim).toSeq)
-    }.toDF("qtok_id", "qvec")
+    val (qvecs, _) = colbertQueryVecs(s, queryText)
     val spine = cands.select(col("doc_id")).distinct()
     val toks0 = s.read.parquet(path)
       .join(broadcast(spine), Seq("doc_id"), "left_semi")
@@ -1103,8 +1114,7 @@ object Hybrid {
       .orderBy(col("sim_micros").desc, col("tpos"))
     toks.crossJoin(broadcast(qvecs))
       .select(col("doc_id"), col("qtok_id"), col("tpos"),
-        floor(VectorOps.vecCosine(col("tokvec"), col("qvec")) * lit(1000000d))
-          .cast("long").as("sim_micros"))
+        colbertSimMicros.as("sim_micros"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("qtok_id"), col("tpos"),

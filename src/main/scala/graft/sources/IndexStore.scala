@@ -960,14 +960,16 @@ object IndexStore {
     searchTopKIvfPqVec(spark, path, Embed.embed(queryText, dim), k,
       probes, overfetch, where, includeDistance, include)
 
-  /** [[searchTopKIvfPq]] for a caller-supplied query vector. */
-  def searchTopKIvfPqVec(spark: SparkSession, path: String, qvec: Array[Float],
-                         k: Int = 10, probes: Int = 3, overfetch: Int = 64,
-                         where: Option[Column] = None,
-                         includeDistance: Boolean = false,
-                         include: Seq[String] = Nil): DataFrame = {
+  /** [[ivfQueryPrep]]'s PQ sibling, shared by [[searchTopKIvfPqVec]]
+    * and [[explainSearchIvfPqVec]]: (probed cells in proximity
+    * order, the pruned+filtered read, the integer ADC Column — with
+    * the residual encoding's per-probed-cell dot(q,c) constant
+    * folded in when the `_pqmeta` contract says so). */
+  private def pqQueryPrep(spark: SparkSession, path: String,
+                          qvec: Array[Float], probes: Int,
+                          where: Option[Column])
+      : (Seq[Long], DataFrame, Column) = {
     import graft.functions.vecIndexExprs
-    val space = collectionSpace(spark, path)
     val centRows = spark.read.parquet(s"$path/_centroids")
       .collect().sortBy(_.getLong(0))
     val ids = centRows.map(_.getLong(0))
@@ -994,6 +996,17 @@ object IndexStore {
         element_at(typedlit(constMap), col("cell").cast("long")) +
           vecIndexExprs.pqAdc(col("pq_code"), lut)
       } else vecIndexExprs.pqAdc(col("pq_code"), lut)
+    (probeCells, idx, adcExpr)
+  }
+
+  /** [[searchTopKIvfPq]] for a caller-supplied query vector. */
+  def searchTopKIvfPqVec(spark: SparkSession, path: String, qvec: Array[Float],
+                         k: Int = 10, probes: Int = 3, overfetch: Int = 64,
+                         where: Option[Column] = None,
+                         includeDistance: Boolean = false,
+                         include: Seq[String] = Nil): DataFrame = {
+    val space = collectionSpace(spark, path)
+    val (_, idx, adcExpr) = pqQueryPrep(spark, path, qvec, probes, where)
     val candidates = idx
       .select(col("chunk_id").as("cid"), adcExpr.as("adc"))
       .orderBy(col("adc").desc, col("cid"))
@@ -1838,16 +1851,17 @@ object IndexStore {
     searchTopKIvfVec(spark, path, Embed.embed(queryText, dim), k,
       probes, overfetch, where, includeDistance, include)
 
-  /** [[searchTopKIvf]] for a caller-supplied query vector (the
-    * `query_embeddings` form; probe cells and the SQ8 code come from
-    * the given vector against the stored quantizer). */
-  def searchTopKIvfVec(spark: SparkSession, path: String, qvec: Array[Float],
-                       k: Int = 10, probes: Int = 3, overfetch: Int = 32,
-                       where: Option[Column] = None,
-                       includeDistance: Boolean = false,
-                       include: Seq[String] = Nil): DataFrame = {
+  /** Driver-side query prep shared by [[searchTopKIvfVec]] and
+    * [[explainSearchIvfVec]] — one definition (the explain-is-the-
+    * scorer's-own-code-path discipline), so the explain probes the
+    * same cells and pre-ranks with the same SQ8 approx expression
+    * the search did: (probed cells in proximity order, the
+    * tombstone-free pruned+filtered read, the approx Column). */
+  private def ivfQueryPrep(spark: SparkSession, path: String,
+                           qvec: Array[Float], probes: Int,
+                           where: Option[Column])
+      : (Seq[Long], DataFrame, Column) = {
     import graft.functions.vecIndexExprs
-    val space = collectionSpace(spark, path)
     val centRows = spark.read.parquet(s"$path/_centroids")
       .collect().sortBy(_.getLong(0))
     val ids = centRows.map(_.getLong(0))
@@ -1862,10 +1876,23 @@ object IndexStore {
     val pruned = spark.read.parquet(path)
       .filter(col("cell").isin(probeCells: _*))
     val idx = where.fold(pruned)(pruned.filter)
+    val approx = vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode)) *
+      col("sq8_factor") * lit(qFac)
+    (probeCells, idx, approx)
+  }
+
+  /** [[searchTopKIvf]] for a caller-supplied query vector (the
+    * `query_embeddings` form; probe cells and the SQ8 code come from
+    * the given vector against the stored quantizer). */
+  def searchTopKIvfVec(spark: SparkSession, path: String, qvec: Array[Float],
+                       k: Int = 10, probes: Int = 3, overfetch: Int = 32,
+                       where: Option[Column] = None,
+                       includeDistance: Boolean = false,
+                       include: Seq[String] = Nil): DataFrame = {
+    val space = collectionSpace(spark, path)
+    val (_, idx, approx) = ivfQueryPrep(spark, path, qvec, probes, where)
     val candidates = idx
-      .select(col("chunk_id").as("cid"),
-        (vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode)) * col("sq8_factor") * lit(qFac))
-          .as("approx"))
+      .select(col("chunk_id").as("cid"), approx.as("approx"))
       .orderBy(col("approx").desc, col("cid"))
       .limit(overfetch)
     present(idx.join(broadcast(candidates), col("chunk_id") === col("cid"))
@@ -1906,30 +1933,15 @@ object IndexStore {
                           qvec: Array[Float], k: Int = 10,
                           probes: Int = 3, overfetch: Int = 32,
                           where: Option[Column] = None): DataFrame = {
-    import graft.functions.vecIndexExprs
     val space = collectionSpace(spark, path)
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val ids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
-    require(cents.head.length == qvec.length,
-      s"$path was trained at dim=${cents.head.length}, query vector has dim=${qvec.length}")
-    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
-    val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
-      math.min(probes, ids.length)).toLongArray().toSeq
-    val qCode = graft.functions.VecIndex.sq8Code(qData)
-    val qFac = graft.functions.VecIndex.sq8Factor(qData)
+    val (probeCells, idx, approx) =
+      ivfQueryPrep(spark, path, qvec, probes, where)
     import spark.implicits._
     val probeDf = probeCells.zipWithIndex
       .map { case (c, i) => (c, i + 1) }.toDF("pcell", "probe_pos")
-    val pruned = spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*))
-    val idx = where.fold(pruned)(pruned.filter)
     val wApprox = Window.orderBy(col("approx").desc, col("cid"))
     val candidates = idx
-      .select(col("chunk_id").as("cid"),
-        (vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode)) * col("sq8_factor") * lit(qFac))
-          .as("approx"))
+      .select(col("chunk_id").as("cid"), approx.as("approx"))
       .orderBy(col("approx").desc, col("cid"))
       .limit(overfetch)
       .withColumn("approx_rank", row_number().over(wApprox))
@@ -1970,34 +1982,12 @@ object IndexStore {
                             qvec: Array[Float], k: Int = 10,
                             probes: Int = 3, overfetch: Int = 64,
                             where: Option[Column] = None): DataFrame = {
-    import graft.functions.vecIndexExprs
     val space = collectionSpace(spark, path)
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val ids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
-    require(cents.head.length == qvec.length,
-      s"$path was trained at dim=${cents.head.length}, query vector has dim=${qvec.length}")
-    val books = readPqBooks(spark, path)
-    val lut = graft.operators.VectorSearch.pqLut(qvec, books)
-    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
-    val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
-      math.min(probes, ids.length)).toLongArray().toSeq
+    val (probeCells, idx, adcExpr) =
+      pqQueryPrep(spark, path, qvec, probes, where)
     import spark.implicits._
     val probeDf = probeCells.zipWithIndex
       .map { case (c, i) => (c, i + 1) }.toDF("pcell", "probe_pos")
-    val pruned = spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*))
-    val idx = where.fold(pruned)(pruned.filter)
-    val adcExpr =
-      if (pqEncoding(spark, path) == "residual") {
-        val constMap = probeCells.map { c =>
-          c -> graft.operators.VectorSearch.microsDot(qvec,
-            cents(ids.indexOf(c)))
-        }.toMap
-        element_at(typedlit(constMap), col("cell").cast("long")) +
-          vecIndexExprs.pqAdc(col("pq_code"), lut)
-      } else vecIndexExprs.pqAdc(col("pq_code"), lut)
     val wAdc = Window.orderBy(col("adc").desc, col("cid"))
     val candidates = idx
       .select(col("chunk_id").as("cid"), adcExpr.as("adc"))

@@ -445,13 +445,16 @@ object LexicalStore {
     * `fields`: Some(descriptor) marks the layout BM25F — its tf rows
     * are combined-field quantities, so plain (id, text) maintenance
     * must not union single-field rows into them ([[upsertLexical]]'s
-    * guard reads this sidecar). Written in the sidecar block right
-    * after `_analyzer`, BEFORE `_stats`: a crash between the two
-    * leaves `_stats` missing — a loud failure — never a
-    * complete-looking combined layout that reads back unmarked and
-    * silently accepts a corrupting plain upsert. None on a plain
-    * rewrite; the static postings overwrite has already cleared any
-    * previous sidecar, so absence needs no delete. */
+    * guard reads this sidecar). Written FIRST among the sidecars,
+    * before even `_analyzer`: the missing-`_stats` loudness below
+    * protects search but NOT maintenance (upsert never reads
+    * `_stats`), so any crash window that left combined postings
+    * unmarked would let a plain upsert pass the guard silently;
+    * fields-first means an interrupted BM25F rewrite either carries
+    * its mark or has no `_analyzer` — and analyzerOf fails loudly on
+    * every verb. None on a plain rewrite; the static postings
+    * overwrite has already cleared any previous sidecar, so absence
+    * needs no delete. */
   private def writePostings(spark: SparkSession, tf: DataFrame,
                             path: String, analyzer: String,
                             fields: Option[Seq[(String, Long)]] = None): Unit = {
@@ -479,7 +482,15 @@ object LexicalStore {
     // read — whereas analyzer-last left a complete-looking folded
     // layout that silently read back as `raw` and misranked every
     // query with no error.
-    writeAnalyzer(spark, path, analyzer)
+    // `_fields` lands FIRST among the sidecars on a BM25F rewrite —
+    // BEFORE `_analyzer` (self-review r19): the missing-`_stats`
+    // loudness argument below protects SEARCH but not MAINTENANCE
+    // (upsertLexical reads fieldsOf + analyzerOf + postings, never
+    // `_stats`), so a crash that left combined postings UNMARKED
+    // would let a later plain upsert pass the BM25F guard and
+    // silently corrupt the layout. Fields-first closes every window:
+    // crash before `_fields` leaves no `_analyzer` either, and
+    // analyzerOf fails loudly on any subsequent verb.
     fields.foreach { fs =>
       import spark.implicits._
       fs.zipWithIndex.map { case ((f, w), i) => (i, f, w) }
@@ -487,6 +498,7 @@ object LexicalStore {
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/_fields")
     }
+    writeAnalyzer(spark, path, analyzer)
     tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_stats")
@@ -1451,6 +1463,25 @@ object LexicalStore {
     (slots, dfByTerm)
   }
 
+  /** The exact-adjacency phrase count over slots p0..pm — ONE
+    * definition for [[searchPhrase]] and [[phraseMatchSet]], so the
+    * parsed-query phrase gate provably matches the ranked verb. */
+  private def phraseTfExpr(n: Int): Column = {
+    val adjacency = (1 until n)
+      .map(i => s"array_contains(p$i, x + $i)").mkString(" AND ")
+    expr(s"size(filter(p0, x -> $adjacency))")
+  }
+
+  /** The minimum ordered-span gap over slots p0..pm — ONE definition
+    * for [[searchSpanNear]] and [[phraseMatchSet]] (see
+    * searchSpanNear's Scaladoc for the greedy-chain argument). */
+  private def spanGapExpr(n: Int): Column = {
+    val chainEnd = (1 until n).foldLeft("x0") { (prev, i) =>
+      s"array_min(filter(p$i, y$i -> y$i > $prev))"
+    }
+    expr(s"array_min(transform(p0, x0 -> $chainEnd - x0 - ${n - 1}))")
+  }
+
   def searchPhrase(spark: SparkSession, path: String,
                    phrase: Seq[String], k: Int = 10): DataFrame = {
     val terms = foldQueryTerms(phrase.filter(_.nonEmpty),
@@ -1461,11 +1492,8 @@ object LexicalStore {
     // slots by PHRASE position (p0..pm), so join order is free
     val joined = slotOrderByDf(terms, dfByTerm).map(slots)
       .reduce((a, b) => a.join(b, "doc_id"))
-    val adjacency = (1 until terms.size)
-      .map(i => s"array_contains(p$i, x + $i)").mkString(" AND ")
     joined
-      .select(col("doc_id"),
-        expr(s"size(filter(p0, x -> $adjacency))").as("phrase_tf"))
+      .select(col("doc_id"), phraseTfExpr(terms.size).as("phrase_tf"))
       .filter(col("phrase_tf") > 0)
       .orderBy(col("phrase_tf").desc, col("doc_id")).limit(k)
       .withColumn("phrase_rank", row_number().over(
@@ -1546,13 +1574,8 @@ object LexicalStore {
     val (slots, dfByTerm) = positionalSlots(spark, path, terms)
     val joined = slotOrderByDf(terms, dfByTerm).map(slots)
       .reduce((a, b) => a.join(b, "doc_id"))
-    val chainEnd = (1 until terms.size).foldLeft("x0") { (prev, i) =>
-      s"array_min(filter(p$i, y$i -> y$i > $prev))"
-    }
     joined
-      .select(col("doc_id"),
-        expr(s"array_min(transform(p0, x0 -> " +
-          s"$chainEnd - x0 - ${terms.size - 1}))").as("span_gap"))
+      .select(col("doc_id"), spanGapExpr(terms.size).as("span_gap"))
       .filter(col("span_gap") <= slop)
       .orderBy(col("span_gap").asc, col("doc_id")).limit(k)
       .withColumn("span_rank", row_number().over(
@@ -2441,16 +2464,31 @@ object LexicalStore {
     require(lowered.matches("""[a-z0-9.*+?|()\[\]\-]+"""),
       s"regexp pattern may contain only [a-z0-9] literals and the " +
         s"operators . * + ? | ( ) [ ] - after lowering, got '$lowered'")
-    // stacked quantifiers ('a*+', 'a++', 'a?*') pass the character
-    // grammar above but are POSSESSIVE quantifiers to java.util.regex
-    // (which can change match EXISTENCE under backtracking) while the
-    // RE2/POSIX family rejects them — the one construct inside the
-    // character set where dialects diverge, so it fails loudly like
-    // braces and backslashes do (the reject-don't-translate rule)
-    require(!lowered.matches(""".*[*+?][*+?].*"""),
-      s"stacked quantifiers (possessive/double '$lowered') are outside " +
-        "the portable grammar — java and RE2/POSIX dialects diverge on " +
-        "them; rewrite without adjacent * + ?")
+    // stacked quantifiers ('a*+', 'a++') pass the character grammar
+    // above but are POSSESSIVE quantifiers to java.util.regex (which
+    // can change match EXISTENCE under backtracking) while the
+    // RE2/POSIX family rejects them; reluctant forms ('a*?') agree on
+    // existence but ride the same adjacency and stay rejected for the
+    // grammar's simplicity (the reject-don't-translate rule). INSIDE
+    // a character class, '*'/'+'/'?' are literals in BOTH dialects —
+    // 'x[*+]y' is portable and passes — so the adjacency scan blanks
+    // class contents first (no nesting or escapes exist in this
+    // grammar; the first ']' closes).
+    val outsideClasses = {
+      val sb = new StringBuilder
+      var inClass = false
+      lowered.foreach {
+        case '[' if !inClass => inClass = true; sb += '['
+        case ']' if inClass => inClass = false; sb += ']'
+        case c => sb += (if (inClass) 'a' else c)
+      }
+      sb.toString
+    }
+    require(!outsideClasses.matches(""".*[*+?][*+?].*"""),
+      s"stacked quantifiers (possessive/reluctant/double, in " +
+        s"'$lowered') are outside the portable grammar — java and " +
+        "RE2/POSIX dialects diverge on possessive forms; rewrite " +
+        "without adjacent * + ? outside character classes")
     val rx =
       try { java.util.regex.Pattern.compile(lowered); "^" + lowered + "$" }
       catch {
@@ -2584,21 +2622,12 @@ object LexicalStore {
     val (slots, dfByTerm) = positionalSlots(spark, path, terms)
     val joined = slotOrderByDf(terms, dfByTerm).map(slots)
       .reduce((a, b) => a.join(b, "doc_id"))
-    if (slop == 0) {
-      val adjacency = (1 until terms.size)
-        .map(i => s"array_contains(p$i, x + $i)").mkString(" AND ")
-      joined.select(col("doc_id"),
-          expr(s"size(filter(p0, x -> $adjacency))").as("phrase_tf"))
+    if (slop == 0)
+      joined.select(col("doc_id"), phraseTfExpr(terms.size).as("phrase_tf"))
         .filter(col("phrase_tf") > 0).select(col("doc_id"))
-    } else {
-      val chainEnd = (1 until terms.size).foldLeft("x0") { (prev, i) =>
-        s"array_min(filter(p$i, y$i -> y$i > $prev))"
-      }
-      joined.select(col("doc_id"),
-          expr(s"array_min(transform(p0, x0 -> " +
-            s"$chainEnd - x0 - ${terms.size - 1}))").as("span_gap"))
+    else
+      joined.select(col("doc_id"), spanGapExpr(terms.size).as("span_gap"))
         .filter(col("span_gap") <= slop).select(col("doc_id"))
-    }
   }
 
   /** Execute a [[QueryParser.Parsed]] query — the engine's answer to
@@ -2652,6 +2681,16 @@ object LexicalStore {
     require(fields.contains(defaultField),
       s"defaultField '$defaultField' is not in fields " +
         fields.keys.toSeq.sorted.mkString("{", ", ", "}"))
+    // fail BEFORE any clause work, by name (the searchFuzzy
+    // discipline): the clause scorers aggregate through the
+    // denormalized layout's `_stats`/`_vocab` — a segmented field
+    // would otherwise die in an unrelated-looking missing-path read
+    // halfway through clause 3
+    fields.foreach { case (f, p) =>
+      require(!isSegmented(spark, p),
+        s"field '$f' ($p) is a segmented layout — parsed queries " +
+          s"serve the denormalized family; compactSegments($p) first")
+    }
     def boosted(frame: DataFrame, w: Long): DataFrame =
       frame.select(col("doc_id"),
         expr(s"${w}L * (m div 1000000L) + " +
@@ -2681,16 +2720,26 @@ object LexicalStore {
                 s"layout — pass positional = Map(\"$fieldName\" -> path)"))
             val posTerms = foldQueryTerms(words,
               analyzerOf(spark, posPath)).filter(_.nonEmpty)
-            require(posTerms.size >= 2,
-              s"phrase $words folds to fewer than two tokens under " +
-                s"field '$fieldName''s analyzer")
-            val matches = phraseMatchSet(spark, posPath, posTerms, slop)
-            val scoreTerms = foldQueryTerms(words, analyzer)
-              .filter(_.nonEmpty).distinct
-            val m = scoreLexical(spark, path, scoreTerms,
-                allow = Some(matches))
-              .withColumnRenamed("lex_micros", "m")
-            Some((matches, m))
+            // Lucene's stopword-reduced PhraseQuery degrade: on an
+            // analyzed layout "the merge" folds to one token and
+            // becomes a TERM clause (no adjacency left to gate on);
+            // a pure-stopword phrase folds away and DROPS like any
+            // analyzer-consumed clause — never an error
+            posTerms.size match {
+              case 0 => None
+              case 1 =>
+                val m = scoreLexical(spark, path, posTerms)
+                  .withColumnRenamed("lex_micros", "m")
+                Some((m.select(col("doc_id")), m))
+              case _ =>
+                val matches = phraseMatchSet(spark, posPath, posTerms, slop)
+                val scoreTerms = foldQueryTerms(words, analyzer)
+                  .filter(_.nonEmpty).distinct
+                val m = scoreLexical(spark, path, scoreTerms,
+                    allow = Some(matches))
+                  .withColumnRenamed("lex_micros", "m")
+                Some((matches, m))
+            }
           case PrefixAtom(p0) =>
             val p = foldProbe(spark, path, p0, "prefix")
             val expanded = expandDictionary(spark, path,

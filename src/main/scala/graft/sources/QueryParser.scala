@@ -169,6 +169,17 @@ object QueryParser {
         require(n.nonEmpty && n.forall(_.isDigit) && n.toLong > 0,
           s"boost must be a positive integer in '$tok0', got '^$n' " +
             "(fractional boosts are outside the integer-exact contract)")
+        // overflow headroom, computed on the per-CLAUSE subtotal: an
+        // expansion clause sums up to maxExpansions = 16 per-term
+        // contributions, each inside the engine's standing ~2.2e16
+        // micros bound, so m ≤ 3.5e17 and the split's first term
+        // w·(m div 1e6) needs n·1e6·3.5e11 < 2^63 — n ≤ 26. Cap at
+        // 16 for margin; real relevance boosts are single digits.
+        require(n.toLong <= 16,
+          s"boost ^$n exceeds the cap of 16 in '$tok0' — larger " +
+            "factors overflow the exact-integer scoring headroom " +
+            "(16-term expansion clause × 2.2e16 micros × n·1e6 must " +
+            "stay under 2^63)")
         (body0.take(c), n.toLong * 1000000L)
     }
     require(body1.nonEmpty, s"empty atom in '$tok0'")

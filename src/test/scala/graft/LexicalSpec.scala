@@ -1474,6 +1474,14 @@ class LexicalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       LexicalStore.searchRegexp(spark, p, "wi?*nd")
     }
+    // ...but quantifier characters INSIDE a class are literals in
+    // both dialects — portable, and must pass the adjacency guard
+    // (no fixture term contains a literal '*', so expansion comes up
+    // empty: the no-match failure, NOT the grammar failure)
+    val inClass = intercept[IllegalArgumentException] {
+      LexicalStore.searchRegexp(spark, p, "x[*+]y")
+    }
+    assert(inClass.getMessage.contains("no indexed term"), inClass.getMessage)
   }
 
   test("searchRegexp subsumes searchGlob: the glob translation " +

@@ -97,6 +97,34 @@ class QueryParserSpec extends AnyFunSuite {
     bad("NOT +a", "cannot combine")
     bad("-a -b", "all-negative")
     bad("", "empty query")
+    // overflow headroom: the split computes w*(m div 1e6) with clause
+    // subtotals bounded by 16 expansion terms x ~2.2e16 micros, so
+    // the boost factor caps at 16
+    bad("a^17", "cap of 16")
+    assert(QueryParser.parse("a^16").clauses.head.boostMicros == 16000000L)
+  }
+
+  test("every clause's postings read is bucket-pruned to its own terms") {
+    buildStores()
+    val res = LexicalStore.searchQueryString(spark,
+      "+alpha title:gamma^2 \"alpha beta\" -banned",
+      fields = Map("body" -> bodyP, "title" -> titleP),
+      defaultField = "body", positional = Map("body" -> posP))
+    res.collect()
+    // postings scans only — the `_stats`/`_vocab`/`_tombstones`
+    // sidecars are metadata-sized and legitimately unpartitioned
+    val scans = PlanScans.leafScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists { p =>
+        p.toString.contains("test_qp_") && !p.toString.contains("/_")
+      })
+    assert(scans.nonEmpty, "expected layout scans in the parsed plan")
+    // every layout scan carries a bucket partition filter — no clause
+    // reads a whole postings table (the searchTopKLexical discipline,
+    // clause by clause)
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"unpruned scan in parsed-query plan: $sc")
+    }
   }
 
   // ---- executor routing equivalences ----------------------------------
@@ -191,6 +219,51 @@ class QueryParserSpec extends AnyFunSuite {
         fields = Map("body" -> bodyP), defaultField = "nope")
     }
     assert(e3.getMessage.contains("defaultField"), e3.getMessage)
+  }
+
+  test("phrase clauses degrade under analyzed layouts: a stopword-" +
+      "reduced phrase becomes a term clause, an all-stopword one drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "merge the stream"), (2L, "stream only here"),
+      (3L, "nothing relevant")).toDF("doc_id", "text")
+    val bp = "/root/repo/target/test_qp_eng_body"
+    val pp = "/root/repo/target/test_qp_eng_pos"
+    LexicalStore.build(spark, docs, bp,
+      analyzer = LexicalStore.AnalyzerEnglish)
+    LexicalStore.buildPositional(spark, docs, pp,
+      analyzer = LexicalStore.AnalyzerEnglish)
+    def eng(q: String) = LexicalStore.searchQueryString(spark, q,
+      fields = Map("body" -> bp), defaultField = "body",
+      positional = Map("body" -> pp))
+      .collect().map(_.getLong(0)).toSet
+    // "the merge" folds to one token -> a TERM clause (Lucene's
+    // stopword-reduced PhraseQuery degrade), matching both merge docs
+    assert(eng("\"the merge\"") == Set(1L))
+    // an all-stopword phrase DROPS; the surviving should clause serves
+    assert(eng("\"the of\" stream") == Set(1L, 2L))
+    // ...but a query where EVERY clause folds away fails loudly
+    val e = intercept[IllegalArgumentException] {
+      LexicalStore.searchQueryString(spark, "\"the of\"",
+        fields = Map("body" -> bp), defaultField = "body",
+        positional = Map("body" -> pp))
+    }
+    assert(e.getMessage.contains("folded away"), e.getMessage)
+  }
+
+  test("segmented layouts are rejected loudly at entry") {
+    import spark.implicits._
+    val sp = "/root/repo/target/test_qp_seg"
+    val fs = new org.apache.hadoop.fs.Path(sp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sp), true)
+    LexicalStore.appendLexicalSegment(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), sp)
+    val e = intercept[IllegalArgumentException] {
+      LexicalStore.searchQueryString(spark, "alpha",
+        fields = Map("body" -> sp), defaultField = "body")
+    }
+    assert(e.getMessage.contains("segmented layout"), e.getMessage)
   }
 
   test("no-must query requires at least one should match (msm=1)") {
