@@ -81,6 +81,8 @@ object Verify {
         () => operators.Hybrid.materializeHybridAux(spark, sfDir, auxDir)),
       ("q119 hybrid batch queries", Set("q119_hybrid_batch"),
         () => operators.Hybrid.materializeHybridBatchAux(spark, sfDir, auxDir)),
+      ("q238 doc-ivf index + parsed query vector", Set("q238_parsed_hybrid"),
+        () => operators.Hybrid.materializeParsedHybridAux(spark, sfDir, auxDir)),
       ("q150 token vectors", Set("q150_late_interaction", "q153_colbert_index",
           "q158_tri_hybrid", "q181_colbert_takedown", "q232_explain_hybrid",
           "q235_explain_colbert"),

@@ -3237,7 +3237,12 @@ object Hybrid {
     * shape) plus the gate/fuse combination — hash equality proves
     * parse, routing, per-clause scoring, boost splits, gating and
     * the fused ranking all at once. */
-  private def q231(s: SparkSession, d: String): DataFrame = {
+  /** The q231 composite's shared setup — (fields, positional, query
+    * string), built once and reused by q238's lexical arm and q239's
+    * explain so the three gates provably exercise ONE parse and ONE
+    * set of layouts. */
+  private def q231Setup(s: SparkSession, d: String)
+      : (Map[String, String], Map[String, String], String) = {
     val docs = Tables.documents(s, d)
     ensureFieldStores(s, d) // builds the body + title layouts
     LexicalStore.buildPositionalOnce(s, docs, posPath(d))
@@ -3245,23 +3250,50 @@ object Hybrid {
       .select(col("text")).head().getString(0)
       .split(" ").filter(_.nonEmpty).take(2).toSeq
     val q = s"""+stream title:window^2 merge s* "${toks.head} ${toks(1)}" -slow streem~2"""
-    LexicalStore.searchQueryString(s, q,
-      fields = Map("body" -> lexPath(d), "title" -> titlePath(d)),
-      defaultField = "body",
-      positional = Map("body" -> posPath(d)),
-      k = 10, maxExpansions = Q231MaxExp)
+    (Map("body" -> lexPath(d), "title" -> titlePath(d)),
+      Map("body" -> posPath(d)), q)
   }
 
-  private val q231Sql = s"""
-    WITH toks AS (
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    val (fields, positional, q) = q231Setup(s, d)
+    LexicalStore.searchQueryString(s, q, fields, defaultField = "body",
+      positional = positional, k = 10, maxExpansions = Q231MaxExp)
+  }
+
+  /** Shared DuckDB CTE fragments for the parsed-query oracle family
+    * (q231/q236/q237/q238/q239): the body layout's tf/df/len/stats
+    * and the q213 title derivation's — ONE text, so the family's
+    * scoring mirrors cannot drift apart. */
+  private val parsedBodyCtes = """toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ), tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM toks
       WHERE length(term) > 0 GROUP BY doc_id, term
     ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
     ), lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
-    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens
-    ), c_stream AS (
+    ), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM lens)"""
+
+  private val parsedTitleCtes = s"""titles AS (
+      SELECT doc_id,
+             array_to_string(list_slice(
+               list_filter(string_split(text, ' '), w -> length(w) > 0),
+               1, $TitleTokens), ' ') AS text
+      FROM documents
+    ), titletf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM titles)
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), titledf AS (SELECT term, COUNT(*) AS df FROM titletf GROUP BY term
+    ), titlelen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                    FROM titletf GROUP BY doc_id
+    ), titlestats AS (SELECT COUNT(*) AS n_docs,
+                             CAST(SUM(len) AS BIGINT) AS sum_len FROM titlelen)"""
+
+  /** The q231 composite's per-clause mirrors through `fused` —
+    * shared verbatim with q238 (which ranks `fused` as its lexical
+    * arm) and q239 (which emits the per-clause frames this chain
+    * aggregates). */
+  private val q231ClauseCtes = s"""c_stream AS (
       SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS wm
       FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
       WHERE tf.term = 'stream' GROUP BY tf.doc_id
@@ -3279,21 +3311,6 @@ object Hybrid {
       FROM tf JOIN expn USING (term) JOIN dfreq USING (term)
         JOIN lens USING (doc_id) CROSS JOIN stats
       GROUP BY tf.doc_id
-    ), titles AS (
-      SELECT doc_id,
-             array_to_string(list_slice(
-               list_filter(string_split(text, ' '), w -> length(w) > 0),
-               1, $TitleTokens), ' ') AS text
-      FROM documents
-    ), titletf AS (
-      SELECT doc_id, term, COUNT(*) AS tf FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM titles)
-      WHERE length(term) > 0 GROUP BY doc_id, term
-    ), titledf AS (SELECT term, COUNT(*) AS df FROM titletf GROUP BY term
-    ), titlelen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
-                    FROM titletf GROUP BY doc_id
-    ), titlestats AS (SELECT COUNT(*) AS n_docs,
-                             CAST(SUM(len) AS BIGINT) AS sum_len FROM titlelen
     ), c_title AS (
       SELECT doc_id,
              CAST(2000000 * (m // 1000000)
@@ -3357,6 +3374,86 @@ object Hybrid {
     ), fused AS (
       SELECT doc_id, CAST(SUM(wm) AS BIGINT) AS parsed_micros
       FROM allwm WHERE doc_id IN (SELECT doc_id FROM cand)
+      GROUP BY doc_id)"""
+
+  private val q231Sql = s"""
+    WITH $parsedBodyCtes, $parsedTitleCtes, $q231ClauseCtes
+    SELECT doc_id, CAST(parsed_rank AS INTEGER) AS parsed_rank, parsed_micros
+    FROM (SELECT doc_id, parsed_micros,
+                 row_number() OVER (ORDER BY parsed_micros DESC, doc_id)
+                   AS parsed_rank
+          FROM fused)
+    WHERE parsed_rank <= 10 ORDER BY parsed_rank"""
+
+  // ---- q236: grouping parens through the parser -----------------------
+
+  private val Q236MaxExp = 4
+
+  /** q236: one-level GROUPING PARENS through [[graft.sources
+    * .QueryParser]] — the highest-leverage search-box shapes after
+    * plain terms, in ONE composite: an OR-group promoted to MUST by
+    * `AND` (`(stream OR merge) AND window` — the group's match set
+    * is the union, intersected with window's), a MUST_NOT group
+    * (`-(slow fast)` — excludes the union), and a field-distributed
+    * BOOSTED group (`title:(window batch)^2` — both terms score on
+    * the title layout, the ×2 split floors at the GROUP subtotal),
+    * plus a `[query TO sort]` term range under a deliberately small
+    * maxExpansions so the df-ranked dictionary cap bites. The oracle
+    * re-derives each group's member contributions, the group
+    * subtotals, the boost split, the range expansion, the three-way
+    * candidate gate and the fused ranking from the raw tables. */
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    ensureFieldStores(s, d) // builds the body + title layouts
+    val q = "(stream OR merge) AND window -(slow fast) " +
+      "title:(window batch)^2 [query TO sort]"
+    LexicalStore.searchQueryString(s, q,
+      fields = Map("body" -> lexPath(d), "title" -> titlePath(d)),
+      defaultField = "body", k = 10, maxExpansions = Q236MaxExp)
+  }
+
+  private val q236Sql = s"""
+    WITH $parsedBodyCtes, $parsedTitleCtes,
+    c_g1 AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS wm
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.term IN ('stream', 'merge') GROUP BY tf.doc_id
+    ), c_window AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS wm
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      WHERE tf.term = 'window' GROUP BY tf.doc_id
+    ), c_titleg AS (
+      SELECT doc_id,
+             CAST(2000000 * (m // 1000000)
+                  + (2000000 * (m % 1000000)) // 1000000 AS BIGINT) AS wm
+      FROM (
+        SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS m
+        FROM (SELECT * FROM titletf) tf
+          JOIN (SELECT * FROM titledf) dfreq USING (term)
+          JOIN (SELECT * FROM titlelen) lens USING (doc_id)
+          CROSS JOIN (SELECT * FROM titlestats) stats
+        WHERE tf.term IN ('window', 'batch') GROUP BY tf.doc_id)
+    ), rexpn AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+        FROM dfreq WHERE term >= 'query' AND term <= 'sort')
+      WHERE rn <= $Q236MaxExp
+    ), c_range AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS wm
+      FROM tf JOIN rexpn USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), cand AS (
+      SELECT DISTINCT doc_id FROM tf
+      WHERE term IN ('stream', 'merge')
+        AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'window')
+        AND doc_id NOT IN (SELECT doc_id FROM tf
+                           WHERE term IN ('slow', 'fast'))
+    ), allwm AS (
+      SELECT * FROM c_g1 UNION ALL SELECT * FROM c_window
+      UNION ALL SELECT * FROM c_titleg UNION ALL SELECT * FROM c_range
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(wm) AS BIGINT) AS parsed_micros
+      FROM allwm WHERE doc_id IN (SELECT doc_id FROM cand)
       GROUP BY doc_id)
     SELECT doc_id, CAST(parsed_rank AS INTEGER) AS parsed_rank, parsed_micros
     FROM (SELECT doc_id, parsed_micros,
@@ -3364,6 +3461,253 @@ object Hybrid {
                    AS parsed_rank
           FROM fused)
     WHERE parsed_rank <= 10 ORDER BY parsed_rank"""
+
+  // ---- q237: term range query ------------------------------------------
+
+  private val Q237MaxExp = 6
+
+  /** q237: [[LexicalStore.searchTermRange]] — Lucene's
+    * TermRangeQuery over the `_vocab` term dictionary: a
+    * MIXED-bracket range (`[merge TO sort}` — inclusive lower,
+    * exclusive upper) whose 8 in-range dictionary terms exceed the
+    * maxExpansions=6 cap, so the df-ranked rewrite (df DESC, term
+    * ASC) demonstrably bites; the survivors score through the
+    * ordinary bucket-pruned BM25 rank path. The oracle re-derives
+    * the dictionary, the bounds, the cap and the scoring from the
+    * raw table. */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    LexicalStore.buildOnce(s, Tables.documents(s, d), lexPath(d))
+    LexicalStore.searchTermRange(s, lexPath(d), "merge", "sort",
+      inclLo = true, inclHi = false, k = 10, maxExpansions = Q237MaxExp)
+  }
+
+  private val q237Sql = s"""
+    WITH $parsedBodyCtes,
+    rexpn AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+        FROM dfreq WHERE term >= 'merge' AND term < 'sort')
+      WHERE rn <= $Q237MaxExp
+    ), scored AS (
+      SELECT tf.doc_id, CAST(SUM($bm25Sql) AS BIGINT) AS lex_micros
+      FROM tf JOIN rexpn USING (term) JOIN dfreq USING (term)
+        JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank, lex_micros
+    FROM (SELECT doc_id, lex_micros,
+                 row_number() OVER (ORDER BY lex_micros DESC, doc_id)
+                   AS lex_rank
+          FROM scored)
+    WHERE lex_rank <= 10 ORDER BY lex_rank"""
+
+  // ---- q238: one-call query-string → hybrid ----------------------------
+
+  private def docIvfPath(d: String): String =
+    "/root/repo/target/q238_doc_ivf/" +
+      d.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val Q238Cells = 8
+  private val Q238Probes = 3
+  private val Q238Overfetch = 32
+
+  /** Build (once) the DOC-level IVF-SQ layout the parsed-hybrid's
+    * dense arm probes: whole-document embeddings (the q139/q158
+    * pass) in the SAME persisted layout every chunk-level IVF search
+    * prunes — `chunk_id` carries the doc_id (the layout's id column
+    * contract). bitExact so the dumped mirror reproduces the build. */
+  private def buildDocIvfOnce(s: SparkSession, d: String): Unit = {
+    import graft.functions.vecIndexExprs
+    graft.sources.IndexStore.buildIvfOnceRows(s,
+      VectorSearch.docEmbCached(s, d)
+        // the full collection-row contract (present() projects the
+        // provenance columns): a whole doc IS the "chunk", sheet_row
+        // follows the A1 convention every layout carries
+        .select(col("doc_id").as("chunk_id"), col("doc_id"), col("source"),
+          col("text").as("chunk"), (col("doc_id") + 2).as("sheet_row"),
+          col("embedding"))
+        .withColumn("sq8_code", vecIndexExprs.sq8Code(col("embedding")))
+        .withColumn("sq8_factor", vecIndexExprs.sq8Factor(col("embedding")))
+        .localCheckpoint(),
+      docIvfPath(d), nCells = Q238Cells, bitExact = true)
+  }
+
+  /** ONE-CALL query string → hybrid page — the full search-box
+    * endpoint (the r19 verdict's missing #4): parse
+    * ([[graft.sources.QueryParser]]), run the lexical arm through
+    * [[LexicalStore.searchParsed]] (every clause its standalone
+    * verb's internals), embed the query's [[graft.sources
+    * .QueryParser.plainText]] (scoring clauses' surface text —
+    * syntax never reaches the encoder) and run the dense arm through
+    * the shared IVF probe path ([[graft.sources.IndexStore
+    * .searchTopKIvfVec]] — partition-pruned cells, SQ8 pre-rank,
+    * exact rerank), then fuse by reciprocal rank
+    * ([[LexicalStore.rrfFuse]]); [[explainRrf]]/[[explainParsed]]
+    * compose over the result for free. Both arms keep their own
+    * pinned pruning/plan properties; the fusion joins two k-row rank
+    * lists. */
+  def searchParsedHybrid(s: SparkSession, query: String,
+                         fields: Map[String, String], defaultField: String,
+                         ivfPath: String,
+                         positional: Map[String, String] = Map.empty,
+                         k: Int = 10, kLex: Int = 10, kVec: Int = 10,
+                         probes: Int = 3, overfetch: Int = 32,
+                         maxExpansions: Int = 16): DataFrame = {
+    val parsed = graft.sources.QueryParser.parse(query)
+    val lex = LexicalStore.searchParsed(s, parsed, fields, defaultField,
+        positional, kLex, maxExpansions)
+      .select(col("doc_id"), col("parsed_rank").as("lex_rank"))
+    val qvec = graft.functions.Embed.embed(
+      graft.sources.QueryParser.plainText(parsed),
+      graft.functions.Embed.DefaultDim)
+    val vec = graft.sources.IndexStore.searchTopKIvfVec(s, ivfPath, qvec,
+        kVec, probes, overfetch)
+      .select(col("chunk_id").as("doc_id"), col("rank").as("vec_rank"))
+    LexicalStore.rrfFuse(lex, vec, k)
+  }
+
+  /** q238: [[searchParsedHybrid]] gated end-to-end — the q231
+    * composite as the lexical arm (rank list == q231's page by
+    * construction — one parse, one set of layouts via [[q231Setup]])
+    * fused with the doc-level IVF probe of the parsed plain text.
+    * Oracle: the q231 clause mirror ranked at depth 10, the
+    * probe → SQ8 → rerank mirror over the dumped doc-IVF index with
+    * the dumped query vector (the q118 CTE shape at doc granularity),
+    * and the integer RRF merge. */
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    val (fields, positional, q) = q231Setup(s, d)
+    buildDocIvfOnce(s, d)
+    searchParsedHybrid(s, q, fields, "body", docIvfPath(d), positional,
+      k = 10, kLex = 10, kVec = 10, probes = Q238Probes,
+      overfetch = Q238Overfetch, maxExpansions = Q231MaxExp)
+  }
+
+  /** Dump the doc-IVF index rows + centroids + the parsed plain-text
+    * query vector/code for q238's oracle mirror (the
+    * materializeIvfIndexAux shape at doc granularity). */
+  def materializeParsedHybridAux(s: SparkSession, d: String,
+                                 auxDir: String): Unit = {
+    val (_, _, q) = q231Setup(s, d)
+    buildDocIvfOnce(s, d)
+    s.read.parquet(docIvfPath(d))
+      .select(col("chunk_id").as("doc_id"),
+        VectorSearch.bytesToInts(col("sq8_code")).as("sq8"),
+        col("sq8_factor").as("fac"), col("embedding"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q238_index.parquet")
+    s.read.parquet(s"${docIvfPath(d)}/_centroids")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q238_cents.parquet")
+    val qvec = graft.functions.Embed.embed(
+      graft.sources.QueryParser.plainText(graft.sources.QueryParser.parse(q)),
+      graft.functions.Embed.DefaultDim)
+    val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
+    import s.implicits._
+    Seq((qvec.toSeq,
+        graft.functions.VecIndex.sq8Code(qData).map(_.toInt).toSeq,
+        graft.functions.VecIndex.sq8Factor(qData)))
+      .toDF("qvec", "qcode", "qfac")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/q238_query.parquet")
+  }
+
+  private val AuxQ238Index =
+    "read_parquet('/root/repo/target/verify_aux/q238_index.parquet/*.parquet')"
+  private val AuxQ238Cents =
+    "read_parquet('/root/repo/target/verify_aux/q238_cents.parquet/*.parquet')"
+  private val AuxQ238Query =
+    "read_parquet('/root/repo/target/verify_aux/q238_query.parquet/*.parquet')"
+
+  private val q238Sql = s"""
+    WITH $parsedBodyCtes, $parsedTitleCtes, $q231ClauseCtes,
+    lexk AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY parsed_micros DESC, doc_id)
+                 AS lex_rank
+        FROM fused)
+      WHERE lex_rank <= 10
+    ), dcents AS (SELECT cent_id, cvec FROM $AuxQ238Cents),
+    dqv AS (SELECT qvec, qcode, qfac FROM $AuxQ238Query),
+    didx AS (SELECT * FROM $AuxQ238Index),
+    dassign AS (
+      SELECT x.doc_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.doc_id
+               ORDER BY ${VectorSearch.l2Sql("x.embedding", "c.cvec")}, c.cent_id) AS arn
+      FROM didx x, dcents c),
+    dassigned AS (SELECT doc_id, cent_id AS cell FROM dassign WHERE arn = 1),
+    dprobe AS (
+      SELECT c.cent_id AS cell FROM dcents c, dqv
+      ORDER BY ${VectorSearch.l2Sql("dqv.qvec", "c.cvec")}, c.cent_id
+      LIMIT $Q238Probes),
+    dpruned AS (
+      SELECT x.* FROM didx x
+      JOIN dassigned a USING (doc_id) JOIN dprobe p ON a.cell = p.cell),
+    dcand AS (
+      SELECT x.doc_id FROM dpruned x CROSS JOIN dqv
+      ORDER BY CAST(list_sum(list_transform(generate_series(1, len(x.sq8)),
+          k -> x.sq8[k] * dqv.qcode[k])) AS DOUBLE) * x.fac * dqv.qfac DESC,
+        x.doc_id
+      LIMIT $Q238Overfetch),
+    veck AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT x.doc_id,
+               row_number() OVER (ORDER BY
+                 ${VectorSearch.cosColsSql("x.embedding", "dqv.qvec")} DESC,
+                 x.doc_id) AS vec_rank
+        FROM dpruned x JOIN dcand USING (doc_id) CROSS JOIN dqv)
+      WHERE vec_rank <= 10
+    ), rrf AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+        COALESCE(CAST(floor(1000000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+        + COALESCE(CAST(floor(1000000000.0 / (60 + v.vec_rank)) AS BIGINT), 0)
+          AS rrf_micros
+      FROM lexk l FULL OUTER JOIN veck v ON l.doc_id = v.doc_id)
+    SELECT CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id)
+             AS INTEGER) AS rank,
+           doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(vec_rank AS INTEGER) AS vec_rank, rrf_micros
+    FROM rrf ORDER BY rrf_micros DESC, doc_id LIMIT 10"""
+
+  // ---- q239: parsed-query explain ----------------------------------------
+
+  /** q239: [[LexicalStore.explainParsed]] over the q231 composite's
+    * own top-10 page — the explain that completes coverage of the
+    * public query surface: one row per (scoring clause, doc) with the
+    * clause's parse-order ordinal, occur, field and the BOOSTED
+    * per-clause subtotal `wm` (the overflow-safe split the fuse
+    * sums), so per-doc Σ wm == parsed_micros EXACTLY (the q229
+    * recombination discipline, pre-folded because the fuse floors at
+    * the clause subtotal, never inside one). The MUST_NOT clause is
+    * admission, not a score row (Lucene's BooleanQuery Explanation
+    * rule). The oracle re-emits every clause mirror of the shared
+    * q231 CTE chain as labeled rows over the re-derived page. */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    val (fields, positional, q) = q231Setup(s, d)
+    val parsed = graft.sources.QueryParser.parse(q)
+    val page = LexicalStore.searchParsed(s, parsed, fields, "body",
+      positional, k = 10, maxExpansions = Q231MaxExp)
+    LexicalStore.explainParsed(s, parsed, fields, "body",
+      page.select(col("doc_id")), positional, Q231MaxExp)
+  }
+
+  private val q239Sql = s"""
+    WITH $parsedBodyCtes, $parsedTitleCtes, $q231ClauseCtes,
+    page AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY parsed_micros DESC, doc_id)
+                 AS rn
+        FROM fused)
+      WHERE rn <= 10)
+    SELECT clause, occur, field, doc_id, wm FROM (
+      SELECT 0 AS clause, 'must' AS occur, 'body' AS field, doc_id, wm
+      FROM c_stream
+      UNION ALL SELECT 1, 'should', 'title', doc_id, wm FROM c_title
+      UNION ALL SELECT 2, 'should', 'body', doc_id, wm FROM c_merge
+      UNION ALL SELECT 3, 'should', 'body', doc_id, wm FROM c_prefix
+      UNION ALL SELECT 4, 'should', 'body', doc_id, wm FROM c_phrase
+      UNION ALL SELECT 6, 'should', 'body', doc_id, wm FROM c_fuzzy
+    ) u WHERE doc_id IN (SELECT doc_id FROM page)
+    ORDER BY doc_id, clause"""
 
   // ---- q229: multi-field explain ---------------------------------------
 
@@ -3894,6 +4238,10 @@ object Hybrid {
     Query("q227_bm25f_search", q227, Some(q227Sql)),
     Query("q230_bm25f_maintenance", q230, Some(q230Sql)),
     Query("q231_query_parser", q231, Some(q231Sql)),
+    Query("q236_group_parser", q236, Some(q236Sql)),
+    Query("q237_term_range", q237, Some(q237Sql)),
+    Query("q238_parsed_hybrid", q238, Some(q238Sql)),
+    Query("q239_explain_parsed", q239, Some(q239Sql)),
     Query("q232_explain_hybrid", q232, Some(q232Sql)),
     Query("q233_explain_ivf", q233, Some(q233Sql)),
     Query("q235_explain_colbert", q235, Some(q235Sql)),

@@ -357,6 +357,54 @@ object IndexStore {
     * (1 byte/dim reads) and only the top-`overfetch` rows pay the
     * float embedding read + exact cosine — the FAISS IVF-SQ pattern
     * as a parquet layout. */
+  /** Rows-per-writer bound for the cell-partitioned bulk writes —
+    * ~250k rows ≈ 0.5–1 GB of embedding+code columns per parquet
+    * file, the conventional target. Overridable per build for probes. */
+  private[graft] val MaxRowsPerCellFile = 1 << 18
+
+  /** Writer-skew-bounded partitioning for a cell-partitioned write —
+    * the r20 refinement of the r19 one-file-per-cell fix, which gave
+    * each cell exactly ONE writer task: correct for the file-count
+    * explosion, but a skewed corpus (the engine's own q190 report
+    * exists because corpora cluster unevenly) serializes a hot
+    * cell's entire mass through one task and lands it in one giant
+    * file. Here quiet cells KEEP the 1-task/1-file contract, while a
+    * cell holding more than `maxRowsPerCellFile` rows splits across
+    * UP TO ⌈n/bound⌉ salted writer sub-tasks (id-hashed, so the
+    * split is deterministic given the data; the salt count is a
+    * parallelism target — hash imbalance can merge buckets, never
+    * exceed them) — measured in the r20 skew probe
+    * (dev/bench/r20_skew_probe.json): the bound turns the hot cell's
+    * single-writer wall into parallel writers without adding a
+    * single file to quiet cells. Costs one nCells-row count pass
+    * over the (caller-materialized) assigned rows — assignment math
+    * only, no re-embed, priced ≪ the write. Layout content, pruning
+    * and search results are unchanged: this is a file/task-layout
+    * decision, like compactIvf. */
+  private[graft] def cellWritePartitioning(assigned: DataFrame, nCells: Int,
+      maxRowsPerCellFile: Int = MaxRowsPerCellFile): DataFrame = {
+    // cast once: a freshly-assigned frame carries cell as LONG, but a
+    // layout read back for compaction carries the partition-directory
+    // column with its INFERRED (integer) type
+    val cellL = col("cell").cast("long")
+    val counts = assigned.groupBy(cellL.as("_cl")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (counts.values.forall(_ <= maxRowsPerCellFile))
+      assigned.repartition(math.max(1, nCells), col("cell"))
+    else {
+      val saltsOf = counts.map { case (c, n) =>
+        c -> ((n + maxRowsPerCellFile - 1) / maxRowsPerCellFile).max(1L) }
+      val saltMap = map(saltsOf.toSeq.sortBy(_._1)
+        .flatMap { case (c, s) => Seq(lit(c), lit(s)) }: _*)
+      val parts = saltsOf.values.sum
+      assigned
+        .withColumn("_salt",
+          pmod(xxhash64(col("chunk_id")), element_at(saltMap, cellL)))
+        .repartition(math.max(1, parts.toInt), col("cell"), col("_salt"))
+        .drop("_salt")
+    }
+  }
+
   def buildIvf(spark: SparkSession, docs: DataFrame, path: String,
                nCells: Int = 16, lloydIters: Int = 2,
                dim: Int = Embed.DefaultDim, bitExact: Boolean = false,
@@ -372,7 +420,9 @@ object IndexStore {
   private[graft] def buildIvfFromRows(spark: SparkSession, rows: DataFrame,
                                       path: String, nCells: Int = 16,
                                       lloydIters: Int = 2,
-                                      bitExact: Boolean = false): Unit = {
+                                      bitExact: Boolean = false,
+                                      maxRowsPerCellFile: Int =
+                                        MaxRowsPerCellFile): Unit = {
     import graft.functions.vecIndexExprs
     // deterministic seed pick: first nCells chunks by id (offline
     // build; at scale use a sampled seed set + more Lloyd steps)
@@ -389,17 +439,20 @@ object IndexStore {
     // index mirrors the one the query searched.
     val (ids, cents) = graft.operators.VectorSearch.ivfCentroids(
       rows, "chunk_id", "embedding", seeds, lloydIters, bitExact = bitExact)
-    rows.withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
-      // repartition by the partition column BEFORE the partitioned
-      // write (the appendIvf/compactIvf discipline, now on the bulk
-      // build too — the r19 scale probe measured the direct write 6×
-      // slower even at 50k rows): without it every upstream task
-      // writes a sliver into every cell it holds rows for —
-      // nTasks×nCells files, a metadata explosion at cluster scale
-      // (10k tasks × 1k cells = 10M files). One exchange of the
-      // finished rows buys one file per cell; chunk+embed still
-      // computes upstream at full parallelism.
-      .repartition(math.max(1, ids.length), col("cell"))
+    // repartition by the partition column BEFORE the partitioned
+    // write (the appendIvf/compactIvf discipline, now on the bulk
+    // build too — the r19 scale probe measured the direct write 6×
+    // slower even at 50k rows): without it every upstream task
+    // writes a sliver into every cell it holds rows for —
+    // nTasks×nCells files, a metadata explosion at cluster scale
+    // (10k tasks × 1k cells = 10M files). One exchange of the
+    // finished rows buys one file per cell (hot cells excepted — see
+    // cellWritePartitioning); chunk+embed still computes upstream at
+    // full parallelism.
+    cellWritePartitioning(
+      rows.withColumn("cell",
+        vecIndexExprs.nearestCell(col("embedding"), ids, cents)),
+      ids.length, maxRowsPerCellFile)
       .write.mode(SaveMode.Overwrite)
       // a FULL rebuild must truncate the whole layout: dynamic mode
       // (right for build()'s per-source refresh) would leave stale
@@ -509,7 +562,11 @@ object IndexStore {
     rows
       .withColumn("cell", vecIndexExprs.nearestCell(col("embedding"), ids, cents))
       // one writer task per cell -> ONE file per touched cell per
-      // append (the documented contract). Without this every upstream
+      // append (the documented contract). Appends deliberately skip
+      // the bulk builds' writer-skew bound: these rows are NOT
+      // materialized (a count pass would re-run chunk+embed), batches
+      // are incremental, and a skewed append history is what
+      // compactIvf exists for. Without this every upstream
       // task writes a sliver into every cell it holds rows for —
       // measured: 8 small appends left 1138 files across 16 cells.
       // The exchange carries only the appended batch; chunk+embed
@@ -546,10 +603,12 @@ object IndexStore {
       // read the crowded cells BEFORE the overwrite truncates them
       // (same read-own-writes discipline as appendHnsw)
       .localCheckpoint()
-    rows
-      // repartition by the partition column: each cell's rows land in
-      // exactly one task -> exactly one file per rewritten directory
-      .repartition(math.max(1, crowded.size), col("cell"))
+    // repartition by the partition column: each cell's rows land in
+    // exactly one task -> exactly one file per rewritten directory —
+    // except a hot cell past the writer-skew bound, which compacts to
+    // ⌈n/bound⌉ files instead of serializing through one task (the
+    // goal is FEW files, not one giant one; see cellWritePartitioning)
+    cellWritePartitioning(rows, crowded.size)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
@@ -879,10 +938,10 @@ object IndexStore {
             vecIndexExprs.pqEncode(col("resid"), bk))
           .drop("enc_cvec", "resid"))
       }
-    encoded
-      // one file per cell, not one per (task, cell) — see
-      // buildIvfFromRows's repartition note
-      .repartition(math.max(1, ids.length), col("cell"))
+    // one file per quiet cell, not one per (task, cell); hot cells
+    // split by the writer-skew bound — see buildIvfFromRows's
+    // repartition note and cellWritePartitioning
+    cellWritePartitioning(encoded, ids.length)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell")

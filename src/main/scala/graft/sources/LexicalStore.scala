@@ -1790,6 +1790,53 @@ object LexicalStore {
     routeScore(spark, path, expanded, k)
   }
 
+  /** The term-range dictionary expansion shared by [[searchTermRange]]
+    * and [[searchParsed]]'s `[lo TO hi]` clauses — ONE definition so
+    * the parsed form provably expands like the standalone verb: fold
+    * both bounds under the probe rule (the dictionary holds analyzed
+    * tokens, so 'Merge' bounds as 'merge'; stems stay verbatim —
+    * the [[foldProbe]] contract), fail loudly on an inverted range,
+    * then walk the dictionary BETWEEN the bounds with the df-ranked
+    * `maxExpansions` cap every dictionary atom carries. */
+  private def expandTermRange(spark: SparkSession, path: String,
+                              lo0: String, hi0: String,
+                              inclLo: Boolean, inclHi: Boolean,
+                              maxExpansions: Int): Seq[String] = {
+    val lo = foldProbe(spark, path, lo0, "range lower bound")
+    val hi = foldProbe(spark, path, hi0, "range upper bound")
+    require(lo <= hi,
+      s"empty term range: folded lower bound '$lo' sorts after upper " +
+        s"bound '$hi'")
+    val pred =
+      (if (inclLo) col("term") >= lo else col("term") > lo) &&
+        (if (inclHi) col("term") <= hi else col("term") < hi)
+    def b(o: Boolean, c: String, s: String) = if (o) c else s
+    expandDictionary(spark, path, pred, maxExpansions,
+      s"no indexed term in range ${b(inclLo, "[", "{")}$lo TO $hi" +
+        s"${b(inclHi, "]", "}")} — nothing to search")
+  }
+
+  /** Term range query — Lucene's TermRangeQuery with its
+    * maxExpansions guard (reference: chromadb has no term
+    * dictionary at all; Lucene's `[lo TO hi]` is the public
+    * contract): expand the dictionary scan between the folded
+    * bounds ([[expandTermRange]] — square/curly = inclusive/
+    * exclusive per side), keep the `maxExpansions` highest-df
+    * matches (df DESC, term ASC — the same rewrite cap the prefix/
+    * wildcard family carries), then score the expansions through
+    * the layout's own bucket-pruned rank path. Serves both layout
+    * families through [[routeScore]] (the dictionary is `_vocab` or
+    * the merged `_segvocab`). The vocabulary-sized dictionary walk
+    * is the honest cost of a hash-bucketed layout that cannot prune
+    * a lexicographic range; the search itself prunes buckets from
+    * the literal expansions. */
+  def searchTermRange(spark: SparkSession, path: String,
+                      lo: String, hi: String,
+                      inclLo: Boolean = true, inclHi: Boolean = true,
+                      k: Int = 10, maxExpansions: Int = 16): DataFrame =
+    routeScore(spark, path,
+      expandTermRange(spark, path, lo, hi, inclLo, inclHi, maxExpansions), k)
+
   /** Best snippet window per candidate doc — the highlighter half of
     * search-result presentation (Lucene's FastVectorHighlighter runs
     * on exactly this: term positions + a fragment size): for each doc
@@ -2657,11 +2704,18 @@ object LexicalStore {
     *    what makes the fused sum meaningful and exact (Lucene's
     *    phraseFreq saturation is a different curve; documented
     *    divergence, chosen for the integer-exact contract);
+    *  - a GROUP clause `(...)` combines its inner clauses by the
+    *    same candidate rule ([[parsedCandidates]] — the nested
+    *    boolean), scores as the Σ of inner scoring subtotals over
+    *    its own match set, and then gates/boosts in the outer query
+    *    as ONE clause; a RANGE clause `[lo TO hi]` expands through
+    *    [[expandTermRange]] exactly like [[searchTermRange]];
     *  - a clause whose text folds away under its field's analyzer
     *    DROPS silently (Lucene's stopword-clause behavior) — even a
     *    must clause: analyzer-consumed tokens never gate;
     *  - `^n` boosts floor at the per-(clause, doc) SUBTOTAL via the
-    *    overflow-safe split (the [[searchTopKFields]] rule);
+    *    overflow-safe split (the [[searchTopKFields]] rule; a
+    *    group's subtotal is the group Σ, floored once per group);
     *  - candidates: every MUST set intersected (ids-only semi-joins)
     *    minus every MUST_NOT set; no musts → union of SHOULD sets
     *    (minShouldMatch=1, [[searchBoolean]]'s rule);
@@ -2678,110 +2732,18 @@ object LexicalStore {
                    positional: Map[String, String] = Map.empty,
                    k: Int = 10, maxExpansions: Int = 16): DataFrame = {
     import QueryParser._
-    require(fields.contains(defaultField),
-      s"defaultField '$defaultField' is not in fields " +
-        fields.keys.toSeq.sorted.mkString("{", ", ", "}"))
-    // fail BEFORE any clause work, by name (the searchFuzzy
-    // discipline): the clause scorers aggregate through the
-    // denormalized layout's `_stats`/`_vocab` — a segmented field
-    // would otherwise die in an unrelated-looking missing-path read
-    // halfway through clause 3
-    fields.foreach { case (f, p) =>
-      require(!isSegmented(spark, p),
-        s"field '$f' ($p) is a segmented layout — parsed queries " +
-          s"serve the denormalized family; compactSegments($p) first")
-    }
-    def boosted(frame: DataFrame, w: Long): DataFrame =
-      frame.select(col("doc_id"),
-        expr(s"${w}L * (m div 1000000L) + " +
-          s"(${w}L * (m % 1000000L)) div 1000000L").as("wm"))
-    // per clause: its match set + its boosted (doc_id, wm) frame;
-    // None = the clause folded away under its field's analyzer
-    val built: Seq[(Occur, DataFrame, DataFrame)] =
-      parsed.clauses.flatMap { c =>
-        val fieldName = c.field.getOrElse(defaultField)
-        val path = fields.getOrElse(fieldName, sys.error(
-          s"unknown field '$fieldName' — fields: " +
-            fields.keys.toSeq.sorted.mkString(", ")))
-        val analyzer = analyzerOf(spark, path)
-        val matchAndScore: Option[(DataFrame, DataFrame)] = c.atom match {
-          case TermAtom(t) =>
-            val terms = foldQueryTerms(Seq(t), analyzer)
-              .filter(_.nonEmpty).distinct
-            if (terms.isEmpty) None
-            else {
-              val m = scoreLexical(spark, path, terms)
-                .withColumnRenamed("lex_micros", "m")
-              Some((m.select(col("doc_id")), m))
-            }
-          case PhraseAtom(words, slop) =>
-            val posPath = positional.getOrElse(fieldName, sys.error(
-              s"phrase clause on field '$fieldName' needs a positional " +
-                s"layout — pass positional = Map(\"$fieldName\" -> path)"))
-            val posTerms = foldQueryTerms(words,
-              analyzerOf(spark, posPath)).filter(_.nonEmpty)
-            // Lucene's stopword-reduced PhraseQuery degrade: on an
-            // analyzed layout "the merge" folds to one token and
-            // becomes a TERM clause (no adjacency left to gate on);
-            // a pure-stopword phrase folds away and DROPS like any
-            // analyzer-consumed clause — never an error
-            posTerms.size match {
-              case 0 => None
-              case 1 =>
-                val m = scoreLexical(spark, path, posTerms)
-                  .withColumnRenamed("lex_micros", "m")
-                Some((m.select(col("doc_id")), m))
-              case _ =>
-                val matches = phraseMatchSet(spark, posPath, posTerms, slop)
-                val scoreTerms = foldQueryTerms(words, analyzer)
-                  .filter(_.nonEmpty).distinct
-                val m = scoreLexical(spark, path, scoreTerms,
-                    allow = Some(matches))
-                  .withColumnRenamed("lex_micros", "m")
-                Some((matches, m))
-            }
-          case PrefixAtom(p0) =>
-            val p = foldProbe(spark, path, p0, "prefix")
-            val expanded = expandDictionary(spark, path,
-              col("term").startsWith(p), maxExpansions,
-              s"no indexed term starts with '$p' — nothing to search")
-            val m = scoreLexical(spark, path, expanded)
-              .withColumnRenamed("lex_micros", "m")
-            Some((m.select(col("doc_id")), m))
-          case WildcardAtom(pat0) =>
-            val (lowered, pred) = globTermPred(pat0)
-            val expanded = expandDictionary(spark, path, pred, maxExpansions,
-              s"no indexed term matches glob '$lowered' — nothing to search")
-            val m = scoreLexical(spark, path, expanded)
-              .withColumnRenamed("lex_micros", "m")
-            Some((m.select(col("doc_id")), m))
-          case FuzzyAtom(t, d) =>
-            require(!isSegmented(spark, path),
-              s"fuzzy clause needs the denormalized layout's _stats — " +
-                s"compactSegments($path) first")
-            val term = foldProbe(spark, path, t, "fuzzy probe")
-            val weighted = fuzzyWeights(
-              editCandidates(spark, path, term, d, maxExpansions), term, d)
-            val m = scoreWeightedTerms(spark, path, weighted)
-              .withColumnRenamed("micros", "m")
-            Some((m.select(col("doc_id")), m))
-        }
-        matchAndScore.map { case (matches, m) =>
-          (c.occur, matches, boosted(m, c.boostMicros))
+    parsedEntryChecks(spark, parsed, fields, defaultField)
+    val built = parsedClauseFrames(spark, parsed, fields, defaultField,
+        positional, maxExpansions)
+      .flatMap { case (_, c, fr) =>
+        fr.map { case (matches, m) =>
+          (c.occur, matches, boostedWm(m, c.boostMicros))
         }
       }
     val scoring = built.filter(_._1 != MustNot)
     require(scoring.nonEmpty,
       "every scoring clause folded away under its field's analyzer")
-    val musts = built.filter(_._1 == Must)
-    val base =
-      if (musts.nonEmpty)
-        musts.map(_._2.distinct())
-          .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
-      else scoring.map(_._2).reduce(_.union(_)).distinct()
-    val cand = built.filter(_._1 == MustNot).map(_._2)
-      .foldLeft(base)((acc, n) =>
-        acc.join(n.distinct(), Seq("doc_id"), "left_anti"))
+    val cand = parsedCandidates(built)
     val scored = scoring.map(_._3).reduce(_.union(_))
       .join(cand, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(sum(col("wm")).as("parsed_micros"))
@@ -2789,6 +2751,275 @@ object LexicalStore {
       .withColumn("parsed_rank", row_number().over(
         Window.orderBy(col("parsed_micros").desc, col("doc_id"))))
       .select(col("doc_id"), col("parsed_rank"), col("parsed_micros"))
+  }
+
+  /** The shared fail-fast entry checks of [[searchParsed]] /
+    * [[explainParsed]]: fail BEFORE any clause work, by name (the
+    * searchFuzzy discipline) — the clause scorers aggregate through
+    * the denormalized layout's `_stats`/`_vocab`, so a segmented
+    * field would otherwise die in an unrelated-looking missing-path
+    * read halfway through clause 3. */
+  private def parsedEntryChecks(spark: SparkSession,
+                                parsed: QueryParser.Parsed,
+                                fields: Map[String, String],
+                                defaultField: String): Unit = {
+    require(fields.contains(defaultField),
+      s"defaultField '$defaultField' is not in fields " +
+        fields.keys.toSeq.sorted.mkString("{", ", ", "}"))
+    fields.foreach { case (f, p) =>
+      require(!isSegmented(spark, p),
+        s"field '$f' ($p) is a segmented layout — parsed queries " +
+          s"serve the denormalized family; compactSegments($p) first")
+    }
+  }
+
+  /** The overflow-safe integer boost split, applied at the
+    * per-(clause, doc) SUBTOTAL (the [[searchTopKFields]] rule; for
+    * a group clause the subtotal is the group's own Σ, so the split
+    * floors once per group, never per inner clause). */
+  private def boostedWm(frame: DataFrame, w: Long): DataFrame =
+    frame.select(col("doc_id"),
+      expr(s"${w}L * (m div 1000000L) + " +
+        s"(${w}L * (m % 1000000L)) div 1000000L").as("wm"))
+
+  /** [[searchBoolean]]'s candidate rule over built clause frames:
+    * every MUST match set intersected (ids-only semi-joins) minus
+    * every MUST_NOT set; no musts → union of SHOULD sets
+    * (minShouldMatch=1). One definition for the outer query
+    * ([[searchParsed]]/[[explainParsed]]) AND each group's inner
+    * combination, so a group provably gates like a nested boolean
+    * query. */
+  private def parsedCandidates(
+      built: Seq[(QueryParser.Occur, DataFrame, DataFrame)]): DataFrame = {
+    import QueryParser._
+    val musts = built.filter(_._1 == Must)
+    val base =
+      if (musts.nonEmpty)
+        musts.map(_._2.distinct())
+          .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+      else built.filter(_._1 != MustNot).map(_._2)
+        .reduce(_.union(_)).distinct()
+    built.filter(_._1 == MustNot).map(_._2)
+      .foldLeft(base)((acc, n) =>
+        acc.join(n.distinct(), Seq("doc_id"), "left_anti"))
+  }
+
+  /** One SIMPLE (non-group) atom's MATCH SET and UNboosted score
+    * frame (doc_id, m) over its field's layout — the clause cases
+    * [[searchParsed]] has always routed through the standalone verb
+    * internals, factored so groups and [[explainParsed]] execute the
+    * same definitions. None = the clause folded away under its
+    * field's analyzer (Lucene's stopword-clause drop). */
+  private def simpleClauseFrame(spark: SparkSession, fieldName: String,
+                                path: String,
+                                positional: Map[String, String],
+                                atom: QueryParser.Atom,
+                                maxExpansions: Int)
+      : Option[(DataFrame, DataFrame)] = {
+    import QueryParser._
+    val analyzer = analyzerOf(spark, path)
+    atom match {
+      case TermAtom(t) =>
+        val terms = foldQueryTerms(Seq(t), analyzer)
+          .filter(_.nonEmpty).distinct
+        if (terms.isEmpty) None
+        else {
+          val m = scoreLexical(spark, path, terms)
+            .withColumnRenamed("lex_micros", "m")
+          Some((m.select(col("doc_id")), m))
+        }
+      case PhraseAtom(words, slop) =>
+        val posPath = positional.getOrElse(fieldName, sys.error(
+          s"phrase clause on field '$fieldName' needs a positional " +
+            s"layout — pass positional = Map(\"$fieldName\" -> path)"))
+        val posTerms = foldQueryTerms(words,
+          analyzerOf(spark, posPath)).filter(_.nonEmpty)
+        // Lucene's stopword-reduced PhraseQuery degrade: on an
+        // analyzed layout "the merge" folds to one token and
+        // becomes a TERM clause (no adjacency left to gate on);
+        // a pure-stopword phrase folds away and DROPS like any
+        // analyzer-consumed clause — never an error
+        posTerms.size match {
+          case 0 => None
+          case 1 =>
+            // the POSITIONAL analyzer decides the degrade (gate
+            // side); the surviving text then scores under the
+            // SCORING field's analyzer like any term clause — the
+            // two layouts may legitimately carry different chains
+            // (r19 advisor note), and the >=2 branch already
+            // re-folds this way
+            val scoreTerms = foldQueryTerms(words, analyzer)
+              .filter(_.nonEmpty).distinct
+            if (scoreTerms.isEmpty) None
+            else {
+              val m = scoreLexical(spark, path, scoreTerms)
+                .withColumnRenamed("lex_micros", "m")
+              Some((m.select(col("doc_id")), m))
+            }
+          case _ =>
+            val matches = phraseMatchSet(spark, posPath, posTerms, slop)
+            val scoreTerms = foldQueryTerms(words, analyzer)
+              .filter(_.nonEmpty).distinct
+            val m = scoreLexical(spark, path, scoreTerms,
+                allow = Some(matches))
+              .withColumnRenamed("lex_micros", "m")
+            Some((matches, m))
+        }
+      case PrefixAtom(p0) =>
+        val p = foldProbe(spark, path, p0, "prefix")
+        val expanded = expandDictionary(spark, path,
+          col("term").startsWith(p), maxExpansions,
+          s"no indexed term starts with '$p' — nothing to search")
+        val m = scoreLexical(spark, path, expanded)
+          .withColumnRenamed("lex_micros", "m")
+        Some((m.select(col("doc_id")), m))
+      case WildcardAtom(pat0) =>
+        val (lowered, pred) = globTermPred(pat0)
+        val expanded = expandDictionary(spark, path, pred, maxExpansions,
+          s"no indexed term matches glob '$lowered' — nothing to search")
+        val m = scoreLexical(spark, path, expanded)
+          .withColumnRenamed("lex_micros", "m")
+        Some((m.select(col("doc_id")), m))
+      case RangeAtom(lo, hi, inclLo, inclHi) =>
+        val expanded = expandTermRange(spark, path, lo, hi, inclLo, inclHi,
+          maxExpansions)
+        val m = scoreLexical(spark, path, expanded)
+          .withColumnRenamed("lex_micros", "m")
+        Some((m.select(col("doc_id")), m))
+      case FuzzyAtom(t, d) =>
+        require(!isSegmented(spark, path),
+          s"fuzzy clause needs the denormalized layout's _stats — " +
+            s"compactSegments($path) first")
+        val term = foldProbe(spark, path, t, "fuzzy probe")
+        val weighted = fuzzyWeights(
+          editCandidates(spark, path, term, d, maxExpansions), term, d)
+        val m = scoreWeightedTerms(spark, path, weighted)
+          .withColumnRenamed("micros", "m")
+        Some((m.select(col("doc_id")), m))
+      case _: GroupAtom => sys.error(
+        "group atom in simple-clause position — QueryParser guarantees " +
+          "one level of nesting; this is a parser bug")
+    }
+  }
+
+  /** Per-clause execution frames, shared by [[searchParsed]] and
+    * [[explainParsed]] (so the explain decomposes the search's own
+    * frames, not a parallel reimplementation): for each clause in
+    * parse order, (index, clause, None when analyzer-consumed, else
+    * (match set, UNboosted (doc_id, m) score frame)). A GROUP clause
+    * builds each inner clause through [[simpleClauseFrame]] and
+    * combines: match set = [[parsedCandidates]] over the inner
+    * frames (the nested-boolean rule), score = Σ inner scoring
+    * subtotals restricted to that set — the group then boosts/gates
+    * in the outer query as ONE clause. Also prices the exact-integer
+    * headroom per clause: boost × innerScoringClauses ×
+    * maxExpansions ≤ 256 (= 2^63 / the standing ~2.2e16 per-term
+    * micros bound, with margin) — the parser's ^16 cap assumed the
+    * default maxExpansions=16 and one clause; the product is the
+    * real invariant (r19 advisor note). */
+  private def parsedClauseFrames(spark: SparkSession,
+                                 parsed: QueryParser.Parsed,
+                                 fields: Map[String, String],
+                                 defaultField: String,
+                                 positional: Map[String, String],
+                                 maxExpansions: Int)
+      : Seq[(Int, QueryParser.Clause, Option[(DataFrame, DataFrame)])] = {
+    import QueryParser._
+    def pathOf(fieldName: String): String =
+      fields.getOrElse(fieldName, sys.error(
+        s"unknown field '$fieldName' — fields: " +
+          fields.keys.toSeq.sorted.mkString(", ")))
+    parsed.clauses.zipWithIndex.map { case (c, i) =>
+      val innerScoring = c.atom match {
+        case g: GroupAtom => g.clauses.count(_.occur != MustNot)
+        case _ => 1
+      }
+      require((c.boostMicros / 1000000L) * innerScoring * maxExpansions
+          <= 256,
+        s"clause ${i + 1}: boost ${c.boostMicros / 1000000L} × " +
+          s"$innerScoring scoring clause(s) × maxExpansions=" +
+          s"$maxExpansions exceeds the exact-integer headroom product " +
+          "of 256 (each per-term contribution is bounded by ~2.2e16 " +
+          "micros; the boosted subtotal must stay under 2^63) — lower " +
+          "the boost or maxExpansions")
+      val fieldName = c.field.getOrElse(defaultField)
+      val frames: Option[(DataFrame, DataFrame)] = c.atom match {
+        case g: GroupAtom =>
+          val inner = g.clauses.flatMap { ic =>
+            val f = ic.field.getOrElse(defaultField)
+            simpleClauseFrame(spark, f, pathOf(f), positional, ic.atom,
+                maxExpansions)
+              .map { case (mt, m) => (ic.occur, mt, m) }
+          }
+          val scoring = inner.filter(_._1 != MustNot)
+          // the whole group analyzer-consumed → drops like a
+          // stopword clause (even the inner must-nots: exclusion
+          // without a scoring clause is not a group the parser
+          // admits, and folded-away exclusions never gate)
+          if (scoring.isEmpty) None
+          else {
+            val matches = parsedCandidates(inner)
+            val m = scoring.map(_._3).reduce(_.union(_))
+              .join(matches, Seq("doc_id"), "left_semi")
+              .groupBy(col("doc_id")).agg(sum(col("m")).as("m"))
+            Some((matches, m))
+          }
+        case a =>
+          simpleClauseFrame(spark, fieldName, pathOf(fieldName), positional,
+            a, maxExpansions)
+      }
+      (i, c, frames)
+    }
+  }
+
+  /** Relevance explain for [[searchParsed]] — the per-(clause, doc)
+    * decomposition of a parsed query's fused score over a candidate
+    * page `cands`: one row per SCORING clause (must + should; a
+    * MUST_NOT clause is boolean admission, not a score factor —
+    * exactly how Lucene's Explanation reports a BooleanQuery) and
+    * doc that matches it AND passes every gate, carrying the clause's
+    * parse-order ordinal, its occur, its field, and `wm` — the
+    * BOOSTED per-(clause, doc) subtotal through the same
+    * overflow-safe split the fuse applies ([[boostedWm]], which
+    * floors at the clause subtotal and does not distribute over
+    * terms — the q229 recombination discipline, already folded in
+    * here). Because the fuse IS Σ of exactly these subtotals, the
+    * explanation is SUM-EXACT by construction: per-doc Σ wm ==
+    * parsed_micros to the last digit (QueryParserSpec pins it; q239
+    * gates it against the oracle). Same clause frames as the search
+    * ([[parsedClauseFrames]] — one definition), same candidate gate,
+    * with the page spine semi-joined beneath each clause read;
+    * ≤ |cands|·|clauses| rows out, ordered (doc_id, clause). */
+  def explainParsed(spark: SparkSession, parsed: QueryParser.Parsed,
+                    fields: Map[String, String], defaultField: String,
+                    cands: DataFrame,
+                    positional: Map[String, String] = Map.empty,
+                    maxExpansions: Int = 16): DataFrame = {
+    import QueryParser._
+    parsedEntryChecks(spark, parsed, fields, defaultField)
+    val frames = parsedClauseFrames(spark, parsed, fields, defaultField,
+        positional, maxExpansions)
+      .flatMap { case (i, c, fr) => fr.map { case (mt, m) => (i, c, mt, m) } }
+    val scoring = frames.filter(_._2.occur != MustNot)
+    require(scoring.nonEmpty,
+      "every scoring clause folded away under its field's analyzer")
+    val cand = parsedCandidates(frames.map(f => (f._2.occur, f._3, f._4)))
+    val gate = cand.join(cands.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    scoring.map { case (i, c, _, m) =>
+        boostedWm(m, c.boostMicros)
+          .join(gate, Seq("doc_id"), "left_semi")
+          .select(lit(i).as("clause"),
+            lit(c.occur match {
+              case Must => "must"
+              case Should => "should"
+              case MustNot => "must_not"
+            }).as("occur"),
+            lit(c.field.getOrElse(defaultField)).as("field"),
+            col("doc_id"), col("wm"))
+      }
+      .reduce(_.union(_))
+      .orderBy(col("doc_id"), col("clause"))
   }
 
   /** [[QueryParser.parse]] + [[searchParsed]] in one call — the

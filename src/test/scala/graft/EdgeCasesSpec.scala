@@ -285,4 +285,55 @@ class EdgeCasesSpec extends AnyFunSuite {
       (2L, "2024-02-10", 1L, 0, 9.0)),
       "grid spans each key's own [first, last] day; no global calendar")
   }
+
+  test("writer-skew bound: a hot cell splits across bounded writers, " +
+      "quiet cells keep exactly one file, content is intact") {
+    import graft.functions.{vecIndexExprs, Embed}
+    import graft.sources.IndexStore
+    // ids 0..7 carry distinct texts (the build's seed rows — distinct
+    // centroids); ids 8..71 share ONE text, so one embedding, so one
+    // hot cell with 64+ rows
+    val rows = spark.range(72)
+      .select(col("id").as("chunk_id"),
+        when(col("id") < 8, concat(lit("t"), col("id")))
+          .otherwise(lit("hot hot hot")).as("chunk"))
+      .withColumn("embedding", Embed.embedCol(col("chunk")))
+      .withColumn("sq8_code", vecIndexExprs.sq8Code(col("embedding")))
+      .withColumn("sq8_factor", vecIndexExprs.sq8Factor(col("embedding")))
+      .localCheckpoint()
+    def filesPerCell(path: String): Map[Long, Int] = {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(s => s.getPath.getName.stripPrefix("cell=").toLong ->
+          fs.listStatus(s.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))).toMap
+    }
+    val bounded = "/root/repo/target/test_skew_bounded"
+    IndexStore.buildIvfFromRows(spark, rows, bounded, nCells = 4,
+      maxRowsPerCellFile = 16)
+    // partition-directory columns read back with inferred (integer)
+    // type — normalize to long for the file-count keys
+    val cellRows = spark.read.parquet(bounded)
+      .groupBy(col("cell").cast("long").as("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a hot cell splits across UP TO ceil(rows/bound) id-hashed
+    // writers (the salt is a parallelism target — hash imbalance can
+    // merge buckets, never exceed them); quiet cells keep ONE file
+    val files = filesPerCell(bounded)
+    assert(cellRows.values.sum == 72 && cellRows.values.max >= 64)
+    cellRows.foreach { case (c, n) =>
+      val maxFiles = ((n + 15) / 16).toInt
+      if (n <= 16) assert(files(c) == 1, s"quiet cell $c: ${files(c)} files")
+      else assert(files(c) >= 2 && files(c) <= maxFiles,
+        s"hot cell $c: ${files(c)} files for $n rows (want 2..$maxFiles)")
+    }
+    // content is a file-layout decision only: same 72 ids either way
+    val unbounded = "/root/repo/target/test_skew_unbounded"
+    IndexStore.buildIvfFromRows(spark, rows, unbounded, nCells = 4)
+    assert(filesPerCell(unbounded).values.forall(_ == 1))
+    assert(spark.read.parquet(bounded).select("chunk_id").collect().toSet ==
+      spark.read.parquet(unbounded).select("chunk_id").collect().toSet)
+  }
 }
