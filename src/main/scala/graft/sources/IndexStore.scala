@@ -370,10 +370,11 @@ object IndexStore {
     * cell's entire mass through one task and lands it in one giant
     * file. Here quiet cells KEEP the 1-task/1-file contract, while a
     * cell holding more than `maxRowsPerCellFile` rows splits across
-    * UP TO ⌈n/bound⌉ salted writer sub-tasks (id-hashed, so the
-    * split is deterministic given the data; the salt count is a
-    * parallelism target — hash imbalance can merge buckets, never
-    * exceed them) — measured in the r20 skew probe
+    * UP TO ⌈n/bound⌉ salted writer sub-tasks (whole-row-hashed, so
+    * the split is deterministic given the data and assumes no id
+    * schema; the salt count is a parallelism target — hash imbalance
+    * can merge buckets, never exceed them) — measured in the r20
+    * skew probe
     * (dev/bench/r20_skew_probe.json): the bound turns the hot cell's
     * single-writer wall into parallel writers without adding a
     * single file to quiet cells. Costs one nCells-row count pass
@@ -397,9 +398,14 @@ object IndexStore {
       val saltMap = map(saltsOf.toSeq.sortBy(_._1)
         .flatMap { case (c, s) => Seq(lit(c), lit(s)) }: _*)
       val parts = saltsOf.values.sum
+      // salt on a whole-row hash, not a named id column: the helper
+      // serves every cell-partitioned layout (chunk ids, doc-level
+      // ids, colbert token rows) and must not assume a schema beyond
+      // `cell` — deterministic given the data either way
+      val saltKey = xxhash64(
+        assigned.columns.filter(_ != "cell").map(col).toIndexedSeq: _*)
       assigned
-        .withColumn("_salt",
-          pmod(xxhash64(col("chunk_id")), element_at(saltMap, cellL)))
+        .withColumn("_salt", pmod(saltKey, element_at(saltMap, cellL)))
         .repartition(math.max(1, parts.toInt), col("cell"), col("_salt"))
         .drop("_salt")
     }

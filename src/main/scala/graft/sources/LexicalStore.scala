@@ -2843,12 +2843,17 @@ object LexicalStore {
           case 0 => None
           case 1 =>
             // the POSITIONAL analyzer decides the degrade (gate
-            // side); the surviving text then scores under the
-            // SCORING field's analyzer like any term clause — the
-            // two layouts may legitimately carry different chains
-            // (r19 advisor note), and the >=2 branch already
-            // re-folds this way
-            val scoreTerms = foldQueryTerms(words, analyzer)
+            // side) AND which word survived; only THAT word scores —
+            // translated into the SCORING field's analyzer like any
+            // term clause (the two layouts may carry different
+            // chains, r19 advisor note). Folding ALL words here
+            // would re-admit positionally-consumed stopwords into
+            // the clause's ungated match set — Lucene's degrade is
+            // TermQuery(the surviving term), nothing more.
+            val survivors = words.filter(w =>
+              foldQueryTerms(Seq(w), analyzerOf(spark, posPath))
+                .exists(_.nonEmpty))
+            val scoreTerms = foldQueryTerms(survivors, analyzer)
               .filter(_.nonEmpty).distinct
             if (scoreTerms.isEmpty) None
             else {

@@ -261,8 +261,11 @@ object QueryParser {
         // extra-':' scan over the UNQUOTED region only (a colon inside
         // a quoted phrase is phrase content, not a field separator);
         // group bodies skip it — their inner clauses re-parse and a
-        // misplaced field fails by name there
-        if (!rest.startsWith("(")) {
+        // misplaced field fails by name there — and range bodies skip
+        // it too (a ':' inside a bound is bound content; the range
+        // grammar validates its own shape)
+        if (!rest.startsWith("(") && !rest.startsWith("[") &&
+            !rest.startsWith("{")) {
           val outsideQuotes = {
             val sb = new StringBuilder; var inQ = false
             rest.foreach { ch =>

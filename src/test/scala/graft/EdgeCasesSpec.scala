@@ -318,7 +318,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     val cellRows = spark.read.parquet(bounded)
       .groupBy(col("cell").cast("long").as("cell")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // a hot cell splits across UP TO ceil(rows/bound) id-hashed
+    // a hot cell splits across UP TO ceil(rows/bound) row-hashed
     // writers (the salt is a parallelism target — hash imbalance can
     // merge buckets, never exceed them); quiet cells keep ONE file
     val files = filesPerCell(bounded)
@@ -335,5 +335,14 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(filesPerCell(unbounded).values.forall(_ == 1))
     assert(spark.read.parquet(bounded).select("chunk_id").collect().toSet ==
       spark.read.parquet(unbounded).select("chunk_id").collect().toSet)
+    // the salt keys on a whole-row hash, never a named id column: a
+    // cell-partitioned frame WITHOUT chunk_id (compactIvf serves
+    // colbert token layouts too) splits fine
+    import spark.implicits._
+    val noId = (0 until 40).map(i => (i.toLong, s"p$i", (i % 2).toLong))
+      .toDF("doc_id", "payload", "cell")
+    val split = IndexStore.cellWritePartitioning(noId, 2,
+      maxRowsPerCellFile = 8)
+    assert(split.count() == 40 && !split.columns.contains("_salt"))
   }
 }

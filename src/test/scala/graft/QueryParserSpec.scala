@@ -178,6 +178,11 @@ class QueryParserSpec extends AnyFunSuite {
     }
     bad("[a TO *]", "open-ended")
     bad("[* TO b]", "open-ended")
+    // a ':' inside a bound is bound content, fielded or not (the
+    // extra-colon scan skips range bodies like it skips groups)
+    assert(QueryParser.parse("f:[v1:2 TO v1:9]").clauses.head ==
+      Clause(Should, Some("f"),
+        RangeAtom("v1:2", "v1:9", inclLo = true, inclHi = true), 1000000L))
     bad("[a b]", "[lo TO hi]")
     bad("[a to b]", "[lo TO hi]")
     bad("[a TO b", "unbalanced")
@@ -194,8 +199,11 @@ class QueryParserSpec extends AnyFunSuite {
 
   test("every clause's postings read is bucket-pruned to its own terms") {
     buildStores()
+    // groups and ranges included: a group's inner clauses and a range's
+    // dictionary expansions route through the same bucket-pruned reads
     val res = LexicalStore.searchQueryString(spark,
-      "+alpha title:gamma^2 \"alpha beta\" -banned",
+      "+alpha title:gamma^2 \"alpha beta\" -banned " +
+        "(delta OR epsilon) [banned TO delta]",
       fields = Map("body" -> bodyP, "title" -> titleP),
       defaultField = "body", positional = Map("body" -> posP))
     res.collect()
@@ -330,6 +338,20 @@ class QueryParserSpec extends AnyFunSuite {
     assert(eng("\"the merge\"") == Set(1L))
     // an all-stopword phrase DROPS; the surviving should clause serves
     assert(eng("\"the of\" stream") == Set(1L, 2L))
+    // MIXED analyzers (positional 'english', scoring 'folded'): the
+    // degrade scores ONLY the surviving word, translated to the
+    // scoring chain — a positionally-consumed stopword must never
+    // re-enter the clause's match set through the scoring fold
+    val mixedScore = "/root/repo/target/test_qp_mixed_body"
+    LexicalStore.build(spark,
+      Seq((1L, "merge the stream"), (2L, "the thing here"),
+        (3L, "stream only")).toDF("doc_id", "text"),
+      mixedScore) // default folded analyzer
+    val mixed = LexicalStore.searchQueryString(spark, "\"the merge\"",
+      fields = Map("body" -> mixedScore), defaultField = "body",
+      positional = Map("body" -> pp)) // pp is the ENGLISH positional
+      .collect().map(_.getLong(0)).toSet
+    assert(mixed == Set(1L), s"stopword re-admitted: $mixed")
     // ...but a query where EVERY clause folds away fails loudly
     val e = intercept[IllegalArgumentException] {
       LexicalStore.searchQueryString(spark, "\"the of\"",
