@@ -2804,30 +2804,71 @@ object LexicalStore {
         acc.join(n.distinct(), Seq("doc_id"), "left_anti"))
   }
 
-  /** One SIMPLE (non-group) atom's MATCH SET and UNboosted score
-    * frame (doc_id, m) over its field's layout — the clause cases
-    * [[searchParsed]] has always routed through the standalone verb
-    * internals, factored so groups and [[explainParsed]] execute the
-    * same definitions. None = the clause folded away under its
-    * field's analyzer (Lucene's stopword-clause drop). */
-  private def simpleClauseFrame(spark: SparkSession, fieldName: String,
+  /** One SIMPLE (non-group) atom RESOLVED to its read requirements —
+    * the driver-side folding/expansion half of the old
+    * simpleClauseFrame, split out so [[parsedClauseFrames]] can issue
+    * ONE pruned read per layout over the union of every clause's
+    * terms instead of one scan per clause. Resolution is byte-for-
+    * byte the standalone verbs' (same folds, same expansion caps,
+    * same loud empty-expansion failures). None = the clause folded
+    * away under its field's analyzer (Lucene's stopword-clause
+    * drop). */
+  private sealed trait ResolvedAtom { def path: String }
+  /** Plain term set (term / prefix / wildcard / range expansions) —
+    * scores as an unweighted BM25 sum. */
+  private case class RTerms(path: String, terms: Seq[String])
+    extends ResolvedAtom
+  /** Similarity-weighted expansion (fuzzy) — scores by the per-row
+    * overflow-safe split ([[contributionsWeighted]]'s rule). */
+  private case class RWeighted(path: String, weighted: Seq[(String, Long)])
+    extends ResolvedAtom
+  /** Positional-gated phrase: `matches` is the adjacency match set
+    * over the POSITIONAL layout; scoring is the terms' ordinary BM25
+    * over the scoring layout restricted to that set. */
+  private case class RPhrase(path: String, scoreTerms: Seq[String],
+                             matches: DataFrame) extends ResolvedAtom
+
+  /** Bounded daemon pool for the parsed path's independent driver
+    * round-trips (dictionary expansions, shared-read checkpoints) —
+    * each thunk fires its own query-sized jobs; the scheduler
+    * back-fills them concurrently (guide §2.6). */
+  private lazy val prepPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-parsed-prep")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Run independent thunks concurrently, return results in input
+    * order; the first failure IN INPUT ORDER rethrows, so error
+    * reporting is indistinguishable from the serial form. */
+  private def awaitInOrder[A](thunks: Seq[() => A]): Seq[A] =
+    if (thunks.size <= 1) thunks.map(_())
+    else thunks
+      .map(th => prepPool.submit(new java.util.concurrent.Callable[A] {
+        override def call(): A = th()
+      }))
+      .map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+
+  private def resolveSimpleAtom(spark: SparkSession, fieldName: String,
                                 path: String,
                                 positional: Map[String, String],
                                 atom: QueryParser.Atom,
-                                maxExpansions: Int)
-      : Option[(DataFrame, DataFrame)] = {
+                                maxExpansions: Int): Option[ResolvedAtom] = {
     import QueryParser._
     val analyzer = analyzerOf(spark, path)
     atom match {
       case TermAtom(t) =>
         val terms = foldQueryTerms(Seq(t), analyzer)
           .filter(_.nonEmpty).distinct
-        if (terms.isEmpty) None
-        else {
-          val m = scoreLexical(spark, path, terms)
-            .withColumnRenamed("lex_micros", "m")
-          Some((m.select(col("doc_id")), m))
-        }
+        if (terms.isEmpty) None else Some(RTerms(path, terms))
       case PhraseAtom(words, slop) =>
         val posPath = positional.getOrElse(fieldName, sys.error(
           s"phrase clause on field '$fieldName' needs a positional " +
@@ -2855,56 +2896,91 @@ object LexicalStore {
                 .exists(_.nonEmpty))
             val scoreTerms = foldQueryTerms(survivors, analyzer)
               .filter(_.nonEmpty).distinct
-            if (scoreTerms.isEmpty) None
-            else {
-              val m = scoreLexical(spark, path, scoreTerms)
-                .withColumnRenamed("lex_micros", "m")
-              Some((m.select(col("doc_id")), m))
-            }
+            if (scoreTerms.isEmpty) None else Some(RTerms(path, scoreTerms))
           case _ =>
+            // checkpoint the ids-only adjacency set: it feeds BOTH the
+            // clause gate and the scoring allow-filter, and the fuse's
+            // gate pushdown would otherwise re-run the positional read
+            // inside every union branch it lands in
             val matches = phraseMatchSet(spark, posPath, posTerms, slop)
+              .localCheckpoint()
             val scoreTerms = foldQueryTerms(words, analyzer)
               .filter(_.nonEmpty).distinct
-            val m = scoreLexical(spark, path, scoreTerms,
-                allow = Some(matches))
-              .withColumnRenamed("lex_micros", "m")
-            Some((matches, m))
+            Some(RPhrase(path, scoreTerms, matches))
         }
       case PrefixAtom(p0) =>
         val p = foldProbe(spark, path, p0, "prefix")
         val expanded = expandDictionary(spark, path,
           col("term").startsWith(p), maxExpansions,
           s"no indexed term starts with '$p' — nothing to search")
-        val m = scoreLexical(spark, path, expanded)
-          .withColumnRenamed("lex_micros", "m")
-        Some((m.select(col("doc_id")), m))
+        Some(RTerms(path, expanded))
       case WildcardAtom(pat0) =>
         val (lowered, pred) = globTermPred(pat0)
         val expanded = expandDictionary(spark, path, pred, maxExpansions,
           s"no indexed term matches glob '$lowered' — nothing to search")
-        val m = scoreLexical(spark, path, expanded)
-          .withColumnRenamed("lex_micros", "m")
-        Some((m.select(col("doc_id")), m))
+        Some(RTerms(path, expanded))
       case RangeAtom(lo, hi, inclLo, inclHi) =>
-        val expanded = expandTermRange(spark, path, lo, hi, inclLo, inclHi,
-          maxExpansions)
-        val m = scoreLexical(spark, path, expanded)
-          .withColumnRenamed("lex_micros", "m")
-        Some((m.select(col("doc_id")), m))
+        Some(RTerms(path, expandTermRange(spark, path, lo, hi, inclLo,
+          inclHi, maxExpansions)))
       case FuzzyAtom(t, d) =>
         require(!isSegmented(spark, path),
           s"fuzzy clause needs the denormalized layout's _stats — " +
             s"compactSegments($path) first")
         val term = foldProbe(spark, path, t, "fuzzy probe")
-        val weighted = fuzzyWeights(
-          editCandidates(spark, path, term, d, maxExpansions), term, d)
-        val m = scoreWeightedTerms(spark, path, weighted)
-          .withColumnRenamed("micros", "m")
-        Some((m.select(col("doc_id")), m))
+        Some(RWeighted(path, fuzzyWeights(
+          editCandidates(spark, path, term, d, maxExpansions), term, d)))
       case _: GroupAtom => sys.error(
         "group atom in simple-clause position — QueryParser guarantees " +
           "one level of nesting; this is a parser bug")
     }
+  }
+
+  /** One SIMPLE atom's MATCH SET and UNboosted score frame
+    * (doc_id, m), sliced from the query's shared per-layout read
+    * (`shared(path)` = the checkpointed (doc_id, term, micros)
+    * contribution frame over the UNION of the query's terms on that
+    * layout). Slicing by `term IN (clause terms)` recovers exactly
+    * the rows the clause's own pruned scan would have produced —
+    * the bucket filter is a superset prune, the term filter is
+    * decisive — and the integer sums are partition-order-free, so
+    * each frame is bit-identical to its pre-r21 per-clause-scan
+    * form (QueryParserSpec pins the searchBoolean equivalence; q231/
+    * q236/q238/q239 gate it against the oracle). */
+  private def frameFromResolved(spark: SparkSession,
+                                shared: Map[String, DataFrame],
+                                r: ResolvedAtom)
+      : (DataFrame, DataFrame) = r match {
+    case RTerms(p, terms) =>
+      val m = slicePlain(shared(p), terms)
+      (m.select(col("doc_id")), m)
+    case RPhrase(p, scoreTerms, matches) =>
+      require(scoreTerms.nonEmpty, "lexical search needs at least one term")
+      val m = slicePlain(shared(p), scoreTerms, allow = Some(matches))
+      (matches, m)
+    case RWeighted(p, weighted) =>
+      val wdf = spark.createDataFrame(weighted).toDF("term", "w")
+      val m = shared(p)
+        .filter(col("term").isin(weighted.map(_._1): _*))
+        .join(broadcast(wdf), Seq("term"))
+        // micros here IS contributionsWeighted's per-row `m`; the
+        // weighted split applies PER POSTING ROW before the doc sum
+        .select(col("doc_id"), expr(
+          "w * (micros div 1000000L) + " +
+            "(w * (micros % 1000000L)) div 1000000L").as("wm"))
+        .groupBy(col("doc_id")).agg(sum(col("wm")).as("m"))
+      (m.select(col("doc_id")), m)
+  }
+
+  /** Unweighted BM25 sum of a clause's terms over the shared
+    * contribution frame — [[scoreLexical]]'s aggregation with the
+    * read already done. */
+  private def slicePlain(sharedRead: DataFrame, terms: Seq[String],
+                         allow: Option[DataFrame] = None): DataFrame = {
+    require(terms.nonEmpty, "lexical search needs at least one term")
+    sharedRead.filter(col("term").isin(terms: _*))
+      .transform(p => allowFilter(p, allow))
+      .select(col("doc_id"), col("micros"))
+      .groupBy(col("doc_id")).agg(sum(col("micros")).as("m"))
   }
 
   /** Per-clause execution frames, shared by [[searchParsed]] and
@@ -2934,27 +3010,77 @@ object LexicalStore {
       fields.getOrElse(fieldName, sys.error(
         s"unknown field '$fieldName' — fields: " +
           fields.keys.toSeq.sorted.mkString(", ")))
-    parsed.clauses.zipWithIndex.map { case (c, i) =>
-      val innerScoring = c.atom match {
-        case g: GroupAtom => g.clauses.count(_.occur != MustNot)
-        case _ => 1
-      }
-      require((c.boostMicros / 1000000L) * innerScoring * maxExpansions
-          <= 256,
-        s"clause ${i + 1}: boost ${c.boostMicros / 1000000L} × " +
-          s"$innerScoring scoring clause(s) × maxExpansions=" +
-          s"$maxExpansions exceeds the exact-integer headroom product " +
-          "of 256 (each per-term contribution is bounded by ~2.2e16 " +
-          "micros; the boosted subtotal must stay under 2^63) — lower " +
-          "the boost or maxExpansions")
-      val fieldName = c.field.getOrElse(defaultField)
+    // phase 1 — resolve every clause's read requirements (all the
+    // driver-side folding, dictionary expansion and positional-gate
+    // work, unchanged from the per-clause form — same caps, same
+    // loud failures). The expansions are independent query-sized
+    // round-trips, so they run CONCURRENTLY (guide §2.6: overlap
+    // independent jobs — the scheduler back-fills, wall time ≈ the
+    // slowest expansion instead of the sum); awaiting in clause
+    // order keeps failure reporting identical to the serial form.
+    val resolved: Seq[(Int, QueryParser.Clause,
+        Seq[(QueryParser.Occur, ResolvedAtom)])] =
+      awaitInOrder(parsed.clauses.zipWithIndex.map { case (c, i) => () => {
+        val innerScoring = c.atom match {
+          case g: GroupAtom => g.clauses.count(_.occur != MustNot)
+          case _ => 1
+        }
+        require((c.boostMicros / 1000000L) * innerScoring * maxExpansions
+            <= 256,
+          s"clause ${i + 1}: boost ${c.boostMicros / 1000000L} × " +
+            s"$innerScoring scoring clause(s) × maxExpansions=" +
+            s"$maxExpansions exceeds the exact-integer headroom product " +
+            "of 256 (each per-term contribution is bounded by ~2.2e16 " +
+            "micros; the boosted subtotal must stay under 2^63) — lower " +
+            "the boost or maxExpansions")
+        val fieldName = c.field.getOrElse(defaultField)
+        val rs = c.atom match {
+          case g: GroupAtom =>
+            g.clauses.flatMap { ic =>
+              val f = ic.field.getOrElse(defaultField)
+              resolveSimpleAtom(spark, f, pathOf(f), positional, ic.atom,
+                maxExpansions).map(ic.occur -> _)
+            }
+          case a =>
+            resolveSimpleAtom(spark, fieldName, pathOf(fieldName),
+              positional, a, maxExpansions).map(c.occur -> _).toSeq
+        }
+        (i, c, rs)
+      }})
+    // phase 2 — ONE bucket-pruned, tombstone-masked read per layout
+    // over the UNION of every clause's resolved terms, checkpointed
+    // ([[booleanContributions]]'s one-read discipline, applied across
+    // clauses): without this, Catalyst pushes the fuse's candidate
+    // gate down into every scoring branch and each duplicate re-runs
+    // its own parquet scans — the r20 plan re-read the postings 76
+    // times for a 7-clause query. The checkpoint is term-postings-
+    // sized (exactly the rows the per-clause scans read), so the
+    // 100 TB bound is unchanged. Per-layout reads are independent —
+    // they materialize concurrently too.
+    val shared: Map[String, DataFrame] = {
+      val byPath = resolved
+        .flatMap(_._3.map(_._2))
+        .flatMap {
+          case RTerms(p, ts) => ts.map(p -> _)
+          case RWeighted(p, w) => w.map { case (t, _) => p -> t }
+          case RPhrase(p, ts, _) => ts.map(p -> _)
+        }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      byPath.map(_._1).zip(awaitInOrder(byPath.map { case (p, xs) => () =>
+        contributions(spark, p, xs.map(_._2).distinct)
+          .select(col("doc_id"), col("term"), col("micros"))
+          .localCheckpoint()
+      })).toMap
+    }
+    // phase 3 — slice each clause's (match set, m) frame from the
+    // shared read; a group combines its inner slices by the same
+    // nested-boolean rule as before
+    resolved.map { case (i, c, rs) =>
       val frames: Option[(DataFrame, DataFrame)] = c.atom match {
-        case g: GroupAtom =>
-          val inner = g.clauses.flatMap { ic =>
-            val f = ic.field.getOrElse(defaultField)
-            simpleClauseFrame(spark, f, pathOf(f), positional, ic.atom,
-                maxExpansions)
-              .map { case (mt, m) => (ic.occur, mt, m) }
+        case _: GroupAtom =>
+          val inner = rs.map { case (occ, r) =>
+            val (mt, m) = frameFromResolved(spark, shared, r)
+            (occ, mt, m)
           }
           val scoring = inner.filter(_._1 != MustNot)
           // the whole group analyzer-consumed → drops like a
@@ -2969,9 +3095,10 @@ object LexicalStore {
               .groupBy(col("doc_id")).agg(sum(col("m")).as("m"))
             Some((matches, m))
           }
-        case a =>
-          simpleClauseFrame(spark, fieldName, pathOf(fieldName), positional,
-            a, maxExpansions)
+        case _ =>
+          rs.headOption.map { case (_, r) =>
+            frameFromResolved(spark, shared, r)
+          }
       }
       (i, c, frames)
     }
