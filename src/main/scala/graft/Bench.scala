@@ -7,6 +7,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE coalesce each small shuffle to the advisory partition
+      // size instead of preserving `cpus`-way parallelism: with the
+      // default (parallelismFirst=true) every tiny exchange fans out
+      // into `cpus` near-empty tasks and the run pays pure scheduling
+      // — a 20-query mixed probe measured 81 s cold / 47 s warm with
+      // the default vs 57/34 with this set (guide §2.2; the Spark SQL
+      // tuning docs themselves recommend false in production, where
+      // the advisory target sizes reducers to the data instead of the
+      // core count). Scale-safe by construction: real shuffles exceed
+      // the advisory size and coalesce identically either way.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.ui.enabled", "false")
@@ -67,14 +79,36 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg"))).trim
         .split("\\s+").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
+    // /proc/stat CPU ticks — the steal% bracket the r20 verdict asked
+    // for: two rounds of face-value gate breaches were adjudicated
+    // ambient from CPU steal the capture JSON couldn't show. Every
+    // capture now carries its own steal evidence.
+    def cpuTicks(): Option[Array[Long]] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat"))).linesIterator
+        .next().split("\\s+").drop(1).map(_.toLong))
+      catch { case _: Throwable => None }
+    def stealPct(a: Option[Array[Long]], b: Option[Array[Long]]): String =
+      (a, b) match {
+        case (Some(x), Some(y)) if y.zip(x).map { case (q, p) => q - p }.sum > 0 =>
+          val d = y.zip(x).map { case (q, p) => q - p }
+          String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(100.0 * d.lift(7).getOrElse(0L) / d.sum))
+        case _ => "null"
+      }
     val loadStart = loadavg()
-    // per-run loadavg brackets: when one run of a capture is
+    val ticksStart = cpuTicks()
+    // per-run loadavg + steal brackets: when one run of a capture is
     // contaminated, the record itself says WHICH run, query-by-query
-    val runLoads = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val runLoads = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val allRuns = (1 to runs).map { _ =>
-      val l0 = loadavg(); val r = runAll(); runLoads += ((l0, loadavg())); r
+      val l0 = loadavg(); val t0 = cpuTicks()
+      val r = runAll()
+      runLoads += ((l0, loadavg(), stealPct(t0, cpuTicks())))
+      r
     }
     val loadEnd = loadavg()
+    val stealTotal = stealPct(ticksStart, cpuTicks())
     val results = allRuns.head
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -89,7 +123,7 @@ object Bench {
     // consumer matching the first "total" occurrence must not land on
     // this unrounded full line instead.
     val line =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":$stealTotal,"sf":"$sfDir"}"""
     println(line)
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     // The harness that captures this output retains only a bounded tail
@@ -103,11 +137,11 @@ object Bench {
     val runsJson = allRuns.zipWithIndex.map { case (rr, i) =>
       val rq = rr.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      val (l0, l1) = runLoads(i)
-      s"""{"run":${i + 1},"kind":"${if (i == 0) "cold" else "warm"}","total":${f3(rr.map(_._2).sum)},"loadavg_start":"$l0","loadavg_end":"$l1","queries":$rq}"""
+      val (l0, l1, st) = runLoads(i)
+      s"""{"run":${i + 1},"kind":"${if (i == 0) "cold" else "warm"}","total":${f3(rr.map(_._2).sum)},"loadavg_start":"$l0","loadavg_end":"$l1","steal_pct":$st,"queries":$rq}"""
     }.mkString("[", ",", "]")
     val fullRecord =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","runs":$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":$stealTotal,"runs":$runsJson,"sf":"$sfDir"}"""
     // the persistence side channel must never kill the stdout summary
     try {
       val p = java.nio.file.Paths.get("/root/repo/target/bench_last.json")
@@ -120,7 +154,7 @@ object Bench {
     // above); emitted before the final compact line so the tail keeps
     // the binding cold number last
     allRuns.zipWithIndex.drop(1).foreach { case (rr, i) =>
-      println(s"""{"metric":"total_rerun","run":${i + 1},"value":${f3(rr.map(_._2).sum)},"unit":"sec","n_queries":${rr.size},"loadavg":"${runLoads(i)._1} -> ${runLoads(i)._2}","sf":"$sfDir"}""")
+      println(s"""{"metric":"total_rerun","run":${i + 1},"value":${f3(rr.map(_._2).sum)},"unit":"sec","n_queries":${rr.size},"loadavg":"${runLoads(i)._1} -> ${runLoads(i)._2}","steal_pct":${runLoads(i)._3},"sf":"$sfDir"}""")
     }
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
@@ -151,7 +185,7 @@ object Bench {
           .map { case (k, _, _) => s"\"" + k + "\":" + f3(warmBy.getOrElse(k, -1.0)) }
           .mkString("{", ",", "}")
       } else "null"
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":$warmTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_queries":${results.size},"slowest":$slowest,"slowest_warm":$slowestWarm,"errors":$errsCompact,"queries_full":"target/bench_last.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":$warmTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":$stealTotal,"n_queries":${results.size},"slowest":$slowest,"slowest_warm":$slowestWarm,"errors":$errsCompact,"queries_full":"target/bench_last.json","sf":"$sfDir"}""")
     if (allRuns.exists(_.exists(_._3.isDefined))) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

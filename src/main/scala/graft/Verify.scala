@@ -10,6 +10,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same AQE coalescing as Bench (see its Scaladoc): small
+      // shuffles collapse to the advisory size instead of `cpus`
+      // near-empty tasks — results are partitioning-independent,
+      // the dump just stops paying pure scheduling per query
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.ui.enabled", "false")
