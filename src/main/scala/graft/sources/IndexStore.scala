@@ -393,11 +393,17 @@ object IndexStore {
     if (counts.values.forall(_ <= maxRowsPerCellFile))
       assigned.repartition(math.max(1, nCells), col("cell"))
     else {
-      val saltsOf = counts.map { case (c, n) =>
-        c -> ((n + maxRowsPerCellFile - 1) / maxRowsPerCellFile).max(1L) }
+      // the salt map carries HOT cells only (r20 verdict note): a
+      // quiet cell needs no entry — element_at misses → null →
+      // coalesce to 1 salt — so the plan literal is O(hot cells),
+      // not O(nCells); a 65k-cell 100 TB layout with a handful of
+      // hot cells no longer bakes a 65k-entry map into codegen
+      val saltsOf = counts.collect { case (c, n) if n > maxRowsPerCellFile =>
+        c -> ((n + maxRowsPerCellFile - 1) / maxRowsPerCellFile) }
       val saltMap = map(saltsOf.toSeq.sortBy(_._1)
         .flatMap { case (c, s) => Seq(lit(c), lit(s)) }: _*)
-      val parts = saltsOf.values.sum
+      val parts = saltsOf.values.sum +
+        counts.size - saltsOf.size
       // salt on a whole-row hash, not a named id column: the helper
       // serves every cell-partitioned layout (chunk ids, doc-level
       // ids, colbert token rows) and must not assume a schema beyond
@@ -405,7 +411,8 @@ object IndexStore {
       val saltKey = xxhash64(
         assigned.columns.filter(_ != "cell").map(col).toIndexedSeq: _*)
       assigned
-        .withColumn("_salt", pmod(saltKey, element_at(saltMap, cellL)))
+        .withColumn("_salt",
+          pmod(saltKey, coalesce(element_at(saltMap, cellL), lit(1L))))
         .repartition(math.max(1, parts.toInt), col("cell"), col("_salt"))
         .drop("_salt")
     }

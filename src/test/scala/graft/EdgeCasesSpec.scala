@@ -345,4 +345,31 @@ class EdgeCasesSpec extends AnyFunSuite {
       maxRowsPerCellFile = 8)
     assert(split.count() == 40 && !split.columns.contains("_salt"))
   }
+
+  test("salt map literal is O(hot cells), not O(nCells): 4096 cells " +
+      "with one hot cell plan a bounded constant") {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    // 4096 quiet cells with 1 row each + one hot cell with 40 rows:
+    // r20 baked EVERY cell into the plan's map literal (a 65k-cell
+    // 100 TB layout = a 65k-entry constant in every write plan and
+    // its codegen); r21 keys the map on cells OVER the bound only —
+    // quiet cells miss the map and coalesce to 1 salt
+    val rows = ((0 until 4096).map(c => (c.toLong * 100, c.toLong)) ++
+        (0 until 40).map(i => (500000L + i, 4096L)))
+      .toDF("doc_id", "cell")
+      // checkpoint: a LocalRelation input lets the optimizer constant-
+      // fold the salt expression away and the plan shows no literal
+      .localCheckpoint()
+    val split = IndexStore.cellWritePartitioning(rows, 4097,
+      maxRowsPerCellFile = 8)
+    assert(split.count() == 4136)
+    val plan = split.queryExecution.optimizedPlan.toString
+    // one hot cell -> one map entry; an O(nCells) literal would put
+    // ~8k numbers (tens of KB) into the plan string
+    assert(plan.length < 10000,
+      s"salt-map plan constant should be O(hot cells), " +
+        s"plan is ${plan.length} chars")
+    assert(plan.contains("4096"), "the hot cell must be in the salt map")
+  }
 }
