@@ -3683,11 +3683,11 @@ object Hybrid {
     * q231 CTE chain as labeled rows over the re-derived page. */
   private def q239(s: SparkSession, d: String): DataFrame = {
     val (fields, positional, q) = q231Setup(s, d)
-    val parsed = graft.sources.QueryParser.parse(q)
-    val page = LexicalStore.searchParsed(s, parsed, fields, "body",
-      positional, k = 10, maxExpansions = Q231MaxExp)
-    LexicalStore.explainParsed(s, parsed, fields, "body",
-      page.select(col("doc_id")), positional, Q231MaxExp)
+    // one set of clause frames feeds the page AND its decomposition
+    // (r21: the two-verb composition paid the parse-resolve-checkpoint
+    // pipeline twice for byte-identical frames)
+    LexicalStore.explainParsedTopK(s, graft.sources.QueryParser.parse(q),
+      fields, "body", positional, k = 10, maxExpansions = Q231MaxExp)
   }
 
   private val q239Sql = s"""

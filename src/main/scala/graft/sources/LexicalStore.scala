@@ -2731,10 +2731,20 @@ object LexicalStore {
                    fields: Map[String, String], defaultField: String,
                    positional: Map[String, String] = Map.empty,
                    k: Int = 10, maxExpansions: Int = 16): DataFrame = {
-    import QueryParser._
     parsedEntryChecks(spark, parsed, fields, defaultField)
-    val built = parsedClauseFrames(spark, parsed, fields, defaultField,
-        positional, maxExpansions)
+    rankParsedFrames(parsedClauseFrames(spark, parsed, fields, defaultField,
+      positional, maxExpansions), k)
+  }
+
+  /** The fuse-and-rank tail of [[searchParsed]] over already-built
+    * clause frames — split out so a search-plus-explain composition
+    * ([[explainParsedTopK]]) builds the frames (and their shared
+    * checkpointed reads) ONCE instead of once per verb. */
+  private def rankParsedFrames(
+      frames: Seq[(Int, QueryParser.Clause, Option[(DataFrame, DataFrame)])],
+      k: Int): DataFrame = {
+    import QueryParser._
+    val built = frames
       .flatMap { case (_, c, fr) =>
         fr.map { case (matches, m) =>
           (c.occur, matches, boostedWm(m, c.boostMicros))
@@ -3127,10 +3137,40 @@ object LexicalStore {
                     cands: DataFrame,
                     positional: Map[String, String] = Map.empty,
                     maxExpansions: Int = 16): DataFrame = {
-    import QueryParser._
+    parsedEntryChecks(spark, parsed, fields, defaultField)
+    explainParsedFrames(parsedClauseFrames(spark, parsed, fields,
+      defaultField, positional, maxExpansions), defaultField, cands)
+  }
+
+  /** [[searchParsed]]'s top-k page AND its [[explainParsed]]
+    * decomposition from ONE set of clause frames — the seam the q239
+    * gate composes: both verbs are deterministic, so running the
+    * frame construction (dictionary expansions, shared checkpointed
+    * reads) twice could only reproduce identical frames at double
+    * cost. Returns exactly
+    * `explainParsed(..., searchParsed(...).select("doc_id"), ...)`. */
+  private[graft] def explainParsedTopK(spark: SparkSession,
+                                       parsed: QueryParser.Parsed,
+                                       fields: Map[String, String],
+                                       defaultField: String,
+                                       positional: Map[String, String] =
+                                         Map.empty,
+                                       k: Int = 10,
+                                       maxExpansions: Int = 16): DataFrame = {
     parsedEntryChecks(spark, parsed, fields, defaultField)
     val frames = parsedClauseFrames(spark, parsed, fields, defaultField,
-        positional, maxExpansions)
+      positional, maxExpansions)
+    explainParsedFrames(frames, defaultField,
+      rankParsedFrames(frames, k).select(col("doc_id")))
+  }
+
+  /** The decomposition tail of [[explainParsed]] over already-built
+    * clause frames (see [[rankParsedFrames]]). */
+  private def explainParsedFrames(
+      built: Seq[(Int, QueryParser.Clause, Option[(DataFrame, DataFrame)])],
+      defaultField: String, cands: DataFrame): DataFrame = {
+    import QueryParser._
+    val frames = built
       .flatMap { case (i, c, fr) => fr.map { case (mt, m) => (i, c, mt, m) } }
     val scoring = frames.filter(_._2.occur != MustNot)
     require(scoring.nonEmpty,
