@@ -1940,11 +1940,11 @@ object Hybrid {
   private def q228(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     LexicalStore.buildOnce(s, docs, lexPath(d))
-    val page = LexicalStore.searchTopKPrf(s, lexPath(d), docs,
+    // one Rocchio rewrite feeds the page AND its decomposition (r21:
+    // the two-verb composition paid the seed-rank / feedback-mining /
+    // selection round-trips twice for the identical weighted list)
+    LexicalStore.explainPrfTopK(s, lexPath(d), docs,
       Q150QueryText.split(" ").toIndexedSeq, k = Q150K,
-      fbDocs = PrfFbDocs, fbTerms = PrfFbTerms)
-    LexicalStore.explainPrf(s, lexPath(d), docs,
-      Q150QueryText.split(" ").toIndexedSeq, page.select(col("doc_id")),
       fbDocs = PrfFbDocs, fbTerms = PrfFbTerms)
   }
 

@@ -1257,18 +1257,21 @@ object LexicalStore {
     // through searchTopKLexical's second fold (see [[rankAnalyzed]])
     val seedIds = rankAnalyzed(spark, path, qTerms, fbDocs)
       .select(col("doc_id")).collect().map(_.get(0)).toSeq
-    val fbTfAll = termFreqs(
+    // ONE driver round-trip for the feedback docs' term freqs
+    // (bounded: fbDocs docs' distinct terms — query-sized); lens and
+    // the candidate set derive driver-side, which drops the r20
+    // form's checkpoint job and candidate-collect job from the
+    // rewrite's serial chain. len counts the WHOLE doc (query terms
+    // included) — computed before the candidate exclusion.
+    val fbRows = termFreqs(
         docs.filter(col(idCol).isInCollection(seedIds))
           .select(col(idCol).as("doc_id"), col(textCol).as("text")),
         analyzer)
-      .localCheckpoint() // bounded: fbDocs docs' distinct terms
-    // len must count the WHOLE doc (query terms included) — compute it
-    // before the candidate exclusion
-    val fbLens = fbTfAll.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).cast("long").as("len"))
-    val fbTf = fbTfAll.filter(!col("term").isin(qTerms: _*))
-    val cands = fbTf.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      .collect()
+    val lenOf: Map[Any, Long] = fbRows.groupBy(_.get(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).sum }
+    val cands = fbRows.iterator.map(_.getString(1)).toSeq.distinct
+      .filterNot(qTerms.contains)
     val stats = spark.read.parquet(s"$path/_stats")
     val expansion: Seq[String] =
       if (cands.isEmpty) Seq.empty
@@ -1278,7 +1281,17 @@ object LexicalStore {
               cands.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
             col("term").isin(cands: _*))
           .groupBy(col("term")).agg(max(col("df")).as("df"))
-        fbTf.join(fbLens, "doc_id").join(dfTbl, "term")
+        // the same (doc, term, tf, len) row multiset the r20 join
+        // chain produced, now a broadcast-sized local relation; the
+        // per-row bm25 micros are integers, so the per-term sum is
+        // reduction-order-free
+        val fbLocal = spark.createDataFrame(
+            fbRows.toSeq.collect {
+              case r if !qTerms.contains(r.getString(1)) =>
+                (r.getString(1), r.getLong(2), lenOf(r.get(0)))
+            })
+          .toDF("term", "tf", "len")
+        fbLocal.join(dfTbl, "term")
           .crossJoin(broadcast(stats))
           .select(col("term"),
             bm25Micros(col("tf"), col("df"), col("len"),
@@ -1305,6 +1318,28 @@ object LexicalStore {
       prfWeights(spark, path, docs, queryTerms, fbDocs, fbTerms,
         idCol, textCol),
       cands)
+
+  /** [[searchTopKPrf]]'s top-k page AND its [[explainPrf]]
+    * decomposition from ONE Rocchio rewrite — the seam the q228 gate
+    * composes: [[prfWeights]] is deterministic for fixed inputs, so
+    * running its seed-rank / feedback-mining / selection round-trips
+    * twice could only reproduce the identical weighted term list at
+    * double cost. Returns exactly
+    * `explainPrf(..., searchTopKPrf(...).select("doc_id"), ...)`. */
+  private[graft] def explainPrfTopK(spark: SparkSession, path: String,
+                                    docs: DataFrame,
+                                    queryTerms: Seq[String], k: Int = 10,
+                                    fbDocs: Int = 5, fbTerms: Int = 5,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text"): DataFrame = {
+    val weighted = prfWeights(spark, path, docs, queryTerms, fbDocs,
+      fbTerms, idCol, textCol)
+    val scored = scoreWeightedTerms(spark, path, weighted)
+      .withColumnRenamed("micros", "prf_micros")
+    val page = scored.orderBy(col("prf_micros").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"))
+    explainScoreWeighted(spark, path, weighted, page)
+  }
 
   /** Build a POSITIONAL postings layout: one row per (doc, term) with
     * the sorted 0-based offsets of that term in the doc's compacted
