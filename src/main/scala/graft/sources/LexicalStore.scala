@@ -499,9 +499,12 @@ object LexicalStore {
         .parquet(s"$path/_fields")
     }
     writeAnalyzer(spark, path, analyzer)
-    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_stats")
+    // `_stats` and `_vocab` both derive from the checkpointed tf and
+    // are ordered only AFTER `_analyzer` (the crash-window discipline
+    // above needs analyzer-first; between these two the order is
+    // immaterial — a crash leaving either missing is a LOUD
+    // missing-path read) — so the two little aggregate+write jobs
+    // overlap instead of queueing (guide §2.6).
     // `_vocab` sidecar (term, df) — the term dictionary prefix/
     // wildcard expansion reads (Lucene's terms index): bucket =
     // hash(term) makes the postings unprunable BY DESIGN for a
@@ -509,8 +512,12 @@ object LexicalStore {
     // sidecar instead of the corpus-sized postings. Rewritten by
     // every postings rewrite (build/compact/upsert), so dictionary
     // and postings can't drift.
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_vocab")
+    awaitInOrder(Seq(
+      () => tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_stats"),
+      () => tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_vocab")))
   }
 
   // ---- maintenance: tombstone delete, compact, upsert ---------------
