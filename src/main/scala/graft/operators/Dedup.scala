@@ -32,6 +32,24 @@ object Dedup {
     * verify-time hash mismatch. */
   val DefaultShingleMaxDf = 500
 
+  /** All unordered (a < b) pairs of a SORTED, DISTINCT array, as an
+    * array of (a, b) structs — the aggregation-side pair generator of
+    * the bounded-key families (shingle/winnow/co-occurrence): once a
+    * join key's rows are capped (df cap, basket cap), collecting them
+    * into one ≤cap-sized array and exploding pairs from it costs ONE
+    * exchange, where the equivalent self-join shuffled the posting
+    * twice and re-ran the whole upstream subtree in both branches
+    * (guide §2.3/§2.4 — the r21 plan audit measured q170 at 24
+    * Exchanges / 14 Windows through the join form, 5 Exchanges / 1
+    * Window through this one). Spark's array ordering matches its
+    * `<` comparison for every atomic and struct type, so `a < b`
+    * within the sorted array is the self-join's `a.key < b.key`
+    * condition exactly. */
+  private[graft] def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Build a materialized signature table: spread the docs across
     * cores FIRST (the fixture parquet is one row group, so the scan
     * alone is a single task and would run the per-doc hash kernel
@@ -301,19 +319,27 @@ object Dedup {
   /** Phase 1 of [[shingleSharedCounts]], exposed for the DedupSpec
     * hot-key bound: candidate (source, id_a, id_b) pairs from the
     * df-capped posting list. Shingles in more than `maxDf` docs of a
-    * block never enter the self-join. */
+    * block never enter pair generation. */
   private[graft] def shingleCandidatePairs(posting: DataFrame, maxDf: Int): DataFrame = {
-    // partial-agg df per (block, hash); the capped posting has <= maxDf
-    // rows per join key, so the self-join fan-out is bounded
-    val rare = posting.groupBy(col("source"), col("h"))
+    // partial-agg df per (block, hash), reduced to the OVER-cap set —
+    // tiny by definition (boilerplate grams are few; sane-data bound
+    // |posting| / maxDf) — and anti-joined away, the winnow stop-fp
+    // discipline: the old form inner-joined the near-COMPLETE
+    // under-cap key set, paying a full extra shuffle of the posting
+    // for keys that almost all survive. Unhinted: AQE broadcasts the
+    // hot set when it is small (always, in practice) but nothing
+    // forces an adversarial all-boilerplate corpus driver-side.
+    val hot = posting.groupBy(col("source"), col("h"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("source"), col("h"))
-    val capped = posting.join(rare, Seq("source", "h"))
-    capped.as("a").join(capped.as("b"),
-        col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"),
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .filter(col("df") > maxDf).select(col("source"), col("h"))
+    val capped = posting.join(hot, Seq("source", "h"), "left_anti")
+    // <= maxDf rows per key by construction, so each key's doc list
+    // collects into one bounded array and pairs explode from it —
+    // one exchange instead of the self-join's two (see [[sortedPairs]])
+    capped.groupBy(col("source"), col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("source"), explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("source"), col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
 
@@ -464,9 +490,8 @@ object Dedup {
     // hot fingerprint in one task BEFORE it could drop it — the
     // exact skew the filter exists to prevent. n_fp is computed
     // BEFORE the filter so the overlap denominator stays honest. The
-    // checkpointed signature table feeds the df aggregate and both
-    // sides of the pair self-join instead of re-running the kernel
-    // per branch.
+    // checkpointed signature table feeds the df aggregate and the
+    // pair generation instead of re-running the kernel per branch.
     val raw = signatures(s, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))(
       _.select(col("doc_id"), hashExprs.winnowFp(col("text"), kGram, window).as("wf"))
         .select(col("doc_id"), size(col("wf")).as("n_fp"), explode(col("wf")).as("fp")))
@@ -474,11 +499,18 @@ object Dedup {
       .filter(col("df") > maxDf).select(col("fp"))
     val fps = raw.join(broadcast(stopFps), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"), col("n_fp"))
-    fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // <= maxDf docs per surviving fp, so each fp's (doc, n_fp) list
+    // collects into one bounded array and the shared-fp pairs explode
+    // from it — one exchange where the self-join shuffled fps twice
+    // (see [[sortedPairs]]; sort_array orders the structs by doc_id,
+    // their distinct first field, so pair orientation is exactly the
+    // join's a.doc_id < b.doc_id)
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_fp")))).as("ds"))
+      .select(explode(sortedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"),
-        min(col("a.n_fp")).as("fp_a"), min(col("b.n_fp")).as("fp_b"))
+        min(col("p.a.n_fp")).as("fp_a"), min(col("p.b.n_fp")).as("fp_b"))
       .withColumn("overlap", col("n_shared").cast("double") / least(col("fp_a"), col("fp_b")))
       .filter(col("overlap") >= minOverlap)
       .select(col("id_a"), col("id_b"), col("n_shared"), round(col("overlap"), 4).as("overlap"))
