@@ -32,24 +32,6 @@ object Dedup {
     * verify-time hash mismatch. */
   val DefaultShingleMaxDf = 500
 
-  /** All unordered (a < b) pairs of a SORTED, DISTINCT array, as an
-    * array of (a, b) structs — the aggregation-side pair generator of
-    * the bounded-key families (shingle/winnow/co-occurrence): once a
-    * join key's rows are capped (df cap, basket cap), collecting them
-    * into one ≤cap-sized array and exploding pairs from it costs ONE
-    * exchange, where the equivalent self-join shuffled the posting
-    * twice and re-ran the whole upstream subtree in both branches
-    * (guide §2.3/§2.4 — the r21 plan audit measured q170 at 24
-    * Exchanges / 14 Windows through the join form, 5 Exchanges / 1
-    * Window through this one). Spark's array ordering matches its
-    * `<` comparison for every atomic and struct type, so `a < b`
-    * within the sorted array is the self-join's `a.key < b.key`
-    * condition exactly. */
-  private[graft] def sortedPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        y => struct(x.as("a"), y.as("b")))))
-
   /** Build a materialized signature table: spread the docs across
     * cores FIRST (the fixture parquet is one row group, so the scan
     * alone is a single task and would run the per-doc hash kernel
@@ -332,14 +314,20 @@ object Dedup {
     val hot = posting.groupBy(col("source"), col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("source"), col("h"))
+    // checkpointed: the pair self-join reads the capped posting twice,
+    // and without the materialization Catalyst re-runs the df gate in
+    // both branches (an aggregation-side pair generator — collect each
+    // key's <= maxDf doc list, explode pairs from the array — was
+    // A/B-probed here and LOST: the higher-order pair expression is
+    // interpreted, and its per-row cost exceeds the whole broadcast
+    // self-join; graft.dev.PairProbe, r21)
     val capped = posting.join(hot, Seq("source", "h"), "left_anti")
-    // <= maxDf rows per key by construction, so each key's doc list
-    // collects into one bounded array and pairs explode from it —
-    // one exchange instead of the self-join's two (see [[sortedPairs]])
-    capped.groupBy(col("source"), col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(col("source"), explode(sortedPairs(col("ids"))).as("p"))
-      .select(col("source"), col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .localCheckpoint()
+    capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
 
@@ -497,20 +485,18 @@ object Dedup {
         .select(col("doc_id"), size(col("wf")).as("n_fp"), explode(col("wf")).as("fp")))
     val stopFps = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
+    // checkpointed: the pair self-join reads the pruned fps twice, and
+    // without the materialization the stop-fp anti-join re-runs in
+    // both branches (the aggregation-side pair generator lost the A/B
+    // probe here too — see [[shingleCandidatePairs]])
     val fps = raw.join(broadcast(stopFps), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"), col("n_fp"))
-    // <= maxDf docs per surviving fp, so each fp's (doc, n_fp) list
-    // collects into one bounded array and the shared-fp pairs explode
-    // from it — one exchange where the self-join shuffled fps twice
-    // (see [[sortedPairs]]; sort_array orders the structs by doc_id,
-    // their distinct first field, so pair orientation is exactly the
-    // join's a.doc_id < b.doc_id)
-    fps.groupBy(col("fp"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_fp")))).as("ds"))
-      .select(explode(sortedPairs(col("ds"))).as("p"))
-      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
+      .localCheckpoint()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"),
-        min(col("p.a.n_fp")).as("fp_a"), min(col("p.b.n_fp")).as("fp_b"))
+        min(col("a.n_fp")).as("fp_a"), min(col("b.n_fp")).as("fp_b"))
       .withColumn("overlap", col("n_shared").cast("double") / least(col("fp_a"), col("fp_b")))
       .filter(col("overlap") >= minOverlap)
       .select(col("id_a"), col("id_b"), col("n_shared"), round(col("overlap"), 4).as("overlap"))
@@ -1179,10 +1165,17 @@ object Dedup {
     val cg = grams(clean, cleanId, cleanStr, "clean_id").localCheckpoint()
     val dn = dg.groupBy(col("dirty_id")).agg(count(lit(1)).as("nd"))
     val cn = cg.groupBy(col("clean_id")).agg(count(lit(1)).as("nc"))
-    // blocking grams: drop grams too common on the clean side
-    val rare = cg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("gram"))
-    val cand = dg.join(rare, "gram").join(cg, "gram")
+    // blocking grams: drop grams too common on the clean side — the
+    // stop-gram set is the OVER-cap keys (tiny by definition:
+    // boilerplate grams are few), anti-joined away, so the near-
+    // complete under-cap key set never rides a shuffle join (the q53
+    // discipline; AQE broadcasts the hot set). A dirty gram absent
+    // from the clean side survives the anti-join and then drops in
+    // the cg inner join exactly as it dropped out of the old
+    // under-cap inner join — same candidate set.
+    val hot = cg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("gram"))
+    val cand = dg.join(hot, Seq("gram"), "left_anti").join(cg, "gram")
       .groupBy(col("dirty_id"), col("clean_id"))
       .agg(count(lit(1)).as("n_shared_blocking"))
       .select(col("dirty_id"), col("clean_id"))

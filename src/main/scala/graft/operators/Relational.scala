@@ -1391,20 +1391,20 @@ object Relational {
         Window.partitionBy(col("basket")).orderBy(col("item"))))
       .filter(col("rn") <= maxBasketSize)
       .drop("rn")
+    // checkpointed: the within-basket self-join reads the capped table
+    // twice, and without the materialization Catalyst re-runs the
+    // whole size-gate/truncation subtree in both branches (24
+    // Exchanges / 14 Windows at sf0.1; 1.3x the runtime — probed in
+    // graft.dev.PairProbe, which also rejected an aggregation-side
+    // collect+explode pair generator: its higher-order pair
+    // expression is interpreted and costs more per row than the
+    // broadcast self-join it replaces)
     val capped = baskets.join(big, Seq("basket"), "left_anti")
       .unionByName(truncated)
-    // <= maxBasketSize items per basket by construction, so each
-    // basket collects into one bounded sorted array and its pairs
-    // explode from the array scan-side (Dedup.sortedPairs — `a < b`
-    // within the sorted array IS the self-join's x.item < y.item):
-    // one exchange, where the within-basket self-join shuffled the
-    // capped table twice and re-ran the whole size-gate/truncation
-    // subtree in both branches (24 Exchanges / 14 Windows at sf0.1
-    // through the join form vs 5 / 1 through this one — guide §2.4)
-    capped.groupBy(col("basket"))
-      .agg(sort_array(collect_list(col("item"))).as("items"))
-      .select(explode(Dedup.sortedPairs(col("items"))).as("p"))
-      .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .localCheckpoint()
+    capped.as("x").join(capped.as("y"),
+        col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
+      .select(col("x.item").as("item_a"), col("y.item").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
   }

@@ -303,21 +303,6 @@ class DedupSpec extends AnyFunSuite {
       docs, "doc_id", "text", "source", maxDf = 8).count() == 0)
   }
 
-  test("sortedPairs emits exactly the a<b unordered pairs of a sorted array") {
-    import spark.implicits._
-    val got = Seq(Tuple1(Seq(1L, 2L, 3L, 4L)), Tuple1(Seq(7L)),
-        Tuple1(Seq.empty[Long]))
-      .toDF("ids")
-      .select(explode(operators.Dedup.sortedPairs(col("ids"))).as("p"))
-      .select(col("p.a"), col("p.b")).as[(Long, Long)]
-      .collect().toSet
-    // the 1-element and empty arrays contribute nothing (explode of
-    // an empty pair array emits no row) — same as a self-join with
-    // a < b, which a singleton basket cannot satisfy
-    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
-      (3L, 4L)))
-  }
-
   test("two-phase ngramJaccardPairs matches pairwise string-shingle jaccard " +
       "on the planted corpus") {
     import spark.implicits._
