@@ -485,13 +485,15 @@ object Dedup {
         .select(col("doc_id"), size(col("wf")).as("n_fp"), explode(col("wf")).as("fp")))
     val stopFps = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
-    // checkpointed: the pair self-join reads the pruned fps twice, and
-    // without the materialization the stop-fp anti-join re-runs in
-    // both branches (the aggregation-side pair generator lost the A/B
-    // probe here too — see [[shingleCandidatePairs]])
+    // the pair self-join reads `fps` twice, re-running the broadcast
+    // stop-fp anti-join in both branches — cheap re-reads of the
+    // checkpointed `raw`, and the r21 A/B (graft.dev.PairProbe +
+    // in-session bench) showed both a localCheckpoint of `fps` and an
+    // aggregation-side collect+explode pair generator measure WORSE
+    // (the former pays a real materialization pass, the latter an
+    // interpreted higher-order expression per row)
     val fps = raw.join(broadcast(stopFps), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"), col("n_fp"))
-      .localCheckpoint()
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

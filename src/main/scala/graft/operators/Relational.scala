@@ -1391,17 +1391,17 @@ object Relational {
         Window.partitionBy(col("basket")).orderBy(col("item"))))
       .filter(col("rn") <= maxBasketSize)
       .drop("rn")
-    // checkpointed: the within-basket self-join reads the capped table
-    // twice, and without the materialization Catalyst re-runs the
-    // whole size-gate/truncation subtree in both branches (24
-    // Exchanges / 14 Windows at sf0.1; 1.3x the runtime — probed in
-    // graft.dev.PairProbe, which also rejected an aggregation-side
-    // collect+explode pair generator: its higher-order pair
-    // expression is interpreted and costs more per row than the
-    // broadcast self-join it replaces)
+    // the self-join reads `capped` twice and Catalyst re-runs the
+    // size-gate/truncation subtree in both branches — but every
+    // branch is broadcast-cheap re-reads of the `baskets` checkpoint,
+    // and the r21 A/B (graft.dev.PairProbe + in-session bench) showed
+    // BOTH alternatives lose: a localCheckpoint of `capped` pays a
+    // real extra materialization pass (warm q170 4.3 -> 4.7 s), and
+    // an aggregation-side collect+explode pair generator pays an
+    // interpreted higher-order expression per row (4.3 -> 5.5 s).
+    // Duplicated-but-cheap beats deduplicated-but-materialized here.
     val capped = baskets.join(big, Seq("basket"), "left_anti")
       .unionByName(truncated)
-      .localCheckpoint()
     capped.as("x").join(capped.as("y"),
         col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
       .select(col("x.item").as("item_a"), col("y.item").as("item_b"))
