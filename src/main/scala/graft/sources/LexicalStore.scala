@@ -3274,12 +3274,19 @@ object LexicalStore {
     require(missing.isEmpty,
       s"fused frame lacks rank column(s) ${missing.mkString(", ")} — " +
         s"have ${fused.columns.mkString(", ")}")
-    arms.map { a =>
-        fused.select(col("doc_id"), lit(a).as("arm"),
-          col(s"${a}_rank").as("arm_rank"),
+    // single-pass unpivot (explode of one per-arm struct array), NOT
+    // a per-arm union of `fused`: a union references the page subtree
+    // once per arm, and when the caller hands in a LAZY search page
+    // (q232 passes the whole tri-hybrid pipeline) Catalyst executes
+    // that search once per arm — 3x the query for a 30-row unpivot
+    // (r21; q232 warm 1.9 s vs its underlying q158's 1.2 s)
+    fused.select(col("doc_id"), explode(array(arms.map { a =>
+        struct(lit(a).as("arm"), col(s"${a}_rank").as("arm_rank"),
           rrfPart(col(s"${a}_rank"), rrfK).as("rrf_contrib"))
-      }
-      .reduce(_.union(_))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("x.arm").as("arm"),
+        col("x.arm_rank").as("arm_rank"),
+        col("x.rrf_contrib").as("rrf_contrib"))
       .orderBy(col("doc_id"), col("arm"))
   }
 
