@@ -1043,11 +1043,17 @@ object LexicalStore {
                          cands: DataFrame): DataFrame = {
     require(fields.nonEmpty, "multi-field explain needs at least one field")
     require(fields.forall(_._2 > 0), s"field weights must be positive")
+    // page-sized checkpoint: each field's contribution read gates on
+    // `cands`, and a lazy search page handed in as cands would
+    // otherwise re-execute once PER FIELD (q229 ran its own
+    // searchTopKFields three times for a 10-row decomposition —
+    // the explainRrf disease, r21)
+    val page = if (fields.sizeIs > 1) cands.localCheckpoint() else cands
     val perField = fields.zipWithIndex.flatMap { case ((path, w), i) =>
       val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
         .filter(_.nonEmpty).distinct
       if (terms.isEmpty) None
-      else Some(contributions(spark, path, terms, allow = Some(cands))
+      else Some(contributions(spark, path, terms, allow = Some(page))
         .select(lit(i).as("field"), lit(w).as("weight"), col("doc_id"),
           col("term"), col("tf"), col("df"), col("len"), col("micros")))
     }
@@ -1901,15 +1907,19 @@ object LexicalStore {
       analyzerOf(spark, path)).distinct
     require(terms.nonEmpty, "snippets need at least one query term")
     require(w >= 1, s"window must be >= 1 token, got $w")
+    // page-sized checkpoint: `cands` feeds both the postings gate and
+    // the result spine, and a lazy search page handed in as cands
+    // would re-execute once per reference (the explainRrf disease,
+    // r21)
+    val page = cands.select(col("doc_id")).localCheckpoint()
     val post = spark.read.parquet(path)
       .filter(col("bucket").isin(
           terms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
-      .join(broadcast(cands.select(col("doc_id"))), Seq("doc_id"),
-        "left_semi")
+      .join(broadcast(page), Seq("doc_id"), "left_semi")
       .transform(p => tombstones(spark, path)
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
-    val spine = cands.select(col("doc_id"))
+    val spine = page
     val slotted = terms.zipWithIndex.foldLeft(spine) { case (acc, (t, i)) =>
       acc.join(post.filter(col("term") === t)
           .select(col("doc_id"), col("positions").as(s"p$i")),
