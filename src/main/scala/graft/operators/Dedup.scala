@@ -768,7 +768,7 @@ object Dedup {
       _.select(col("doc_id"),
         explode(hashExprs.minhashBands(col("text"), nHashes, shingleK, nBands))
           .as("band")))
-    val store = s.read.parquet(storePath)
+    val store = graft.sources.Relations.parquet(s, storePath)
     val hitStore = nb.as("n").join(store.as("s"),
         col("n.band") === col("s.band") && col("n.doc_id") =!= col("s.doc_id"),
         "left_semi")
@@ -792,7 +792,7 @@ object Dedup {
     * At 100 TB the store is band-prefix-partitioned and this runs
     * per partition, like [[graft.sources.IndexStore.compactIvf]]. */
   def compactBandStore(spark: SparkSession, storePath: String): Unit = {
-    val distinctRows = spark.read.parquet(storePath)
+    val distinctRows = graft.sources.Relations.parquet(spark, storePath)
       .distinct().localCheckpoint()
     distinctRows.write.mode("overwrite").parquet(storePath)
   }

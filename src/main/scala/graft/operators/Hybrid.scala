@@ -184,7 +184,7 @@ object Hybrid {
                        where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.sources.IndexStore
     val terms = queryText.split(" ").filter(_.nonEmpty).toSeq
-    val allow = where.map(w => s.read.parquet(ivfPath).filter(w)
+    val allow = where.map(w => graft.sources.Relations.parquet(s, ivfPath).filter(w)
       .select(col("chunk_id").as("doc_id")))
     val lex = LexicalStore.searchTopKLexical(s, lexPath, terms, kLex,
       allow = allow)
@@ -378,7 +378,7 @@ object Hybrid {
                             overfetch: Int = Q118Overfetch,
                             where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.sources.IndexStore
-    val allow = where.map(w => s.read.parquet(ivfPath).filter(w)
+    val allow = where.map(w => graft.sources.Relations.parquet(s, ivfPath).filter(w)
       .select(col("chunk_id").as("doc_id")))
     val lex = LexicalStore.searchTopKLexicalBatch(s, lexPath, queries, kLex,
       allow = allow)
@@ -891,11 +891,8 @@ object Hybrid {
   def appendColbert(s: SparkSession, docs: DataFrame, path: String,
                     maxToks: Int): Unit = {
     import graft.functions.vecIndexExprs
-    val cRows = s.read.parquet(s"$path/_centroids")
-      .select(col("cent_id").cast("long"), col("cvec")).collect()
-      .sortBy(_.getLong(0))
-    val ids = cRows.map(_.getLong(0))
-    val cents = cRows.map(_.getSeq[Float](1).toArray)
+    val (ids, cents) =
+      graft.sources.Relations.centroids(s, s"$path/_centroids")
     tokenVectors(docs, maxToks)
       .withColumn("cell",
         vecIndexExprs.nearestCell(col("tokvec"), ids, cents))
@@ -925,7 +922,7 @@ object Hybrid {
   private def colbertTombstones(s: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(s.read.parquet(s"$path/_tombstones")) else None
+    if (fs.exists(p)) Some(graft.sources.Relations.parquet(s, s"$path/_tombstones")) else None
   }
 
   /** The physical-reclaim core: rewrite ONLY the cell directories
@@ -935,7 +932,7 @@ object Hybrid {
   private def reclaimColbert(s: SparkSession, path: String,
                              doomed: DataFrame): Unit = {
     val t = doomed.select(col("doc_id")).distinct().localCheckpoint()
-    val all = s.read.parquet(path)
+    val all = graft.sources.Relations.parquet(s, path)
     val touched = all.join(broadcast(t), Seq("doc_id"), "left_semi")
       .select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
@@ -1027,15 +1024,26 @@ object Hybrid {
     * definition for [[searchColbert]] and [[explainColbert]], like
     * [[colbertSimMicros]] below: the explain must embed and floor
     * exactly what the scorer did. */
-  private def colbertQueryVecs(s: SparkSession, queryText: String)
-      : (DataFrame, Int) = {
-    import s.implicits._
+  private def colbertQueryToks(queryText: String)
+      : IndexedSeq[(Long, Array[Float])] = {
     val qToks = queryText.split(" ").filter(_.nonEmpty).toIndexedSeq
     require(qToks.nonEmpty, "late-interaction query needs tokens")
-    (qToks.zipWithIndex.map { case (t, i) =>
+    qToks.zipWithIndex.map { case (t, i) =>
       (i.toLong,
-        graft.functions.Embed.embed(t, graft.functions.Embed.DefaultDim).toSeq)
-    }.toDF("qtok_id", "qvec"), qToks.length)
+        graft.functions.Embed.embed(t, graft.functions.Embed.DefaultDim))
+    }
+  }
+
+  private def colbertQueryVecsFrom(s: SparkSession,
+      toks: IndexedSeq[(Long, Array[Float])]): DataFrame = {
+    import s.implicits._
+    toks.map { case (i, v) => (i, v.toSeq) }.toDF("qtok_id", "qvec")
+  }
+
+  private def colbertQueryVecs(s: SparkSession, queryText: String)
+      : (DataFrame, Int) = {
+    val toks = colbertQueryToks(queryText)
+    (colbertQueryVecsFrom(s, toks), toks.length)
   }
 
   /** The floored per-(doc token, query token) similarity micros the
@@ -1046,20 +1054,24 @@ object Hybrid {
 
   def searchColbert(s: SparkSession, path: String, queryText: String,
                     probes: Int, k: Int): DataFrame = {
-    import graft.functions.vecIndexExprs
-    import s.implicits._
-    val cRows = s.read.parquet(s"$path/_centroids")
-      .select(col("cent_id").cast("long"), col("cvec")).collect()
-      .sortBy(_.getLong(0))
-    val ids = cRows.map(_.getLong(0))
-    val cents = cRows.map(_.getSeq[Float](1).toArray)
-    val (qvecs, nQToks) = colbertQueryVecs(s, queryText)
-    // probed cell VALUES (≤ nQ·probes longs) — the partition-pruning list
-    val probed = qvecs.select(
-        explode(vecIndexExprs.nearestCells(col("qvec"), ids, cents, probes))
-          .as("cell"))
-      .distinct().as[Long].collect().toSeq
-    val cand0 = s.read.parquet(path)
+    val (ids, cents) =
+      graft.sources.Relations.centroids(s, s"$path/_centroids")
+    val qToks = colbertQueryToks(queryText)
+    val qvecs = colbertQueryVecsFrom(s, qToks)
+    val nQToks = qToks.length
+    // probed cell VALUES (≤ nQ·probes longs) — the partition-pruning
+    // list, computed DRIVER-SIDE through the same static
+    // [[graft.functions.VecIndex.nearestCells]] kernel the expression
+    // form codegens (bit-identical assignment), instead of a
+    // distinct+collect job over a |qtoks|-row local relation (guide
+    // §5: the driver already holds both operands). Sorted so the
+    // pruning literal list is deterministic across runs.
+    val probed = qToks.flatMap { case (_, v) =>
+      graft.functions.VecIndex.nearestCells(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        ids, cents, probes).toLongArray()
+    }.distinct.sorted
+    val cand0 = graft.sources.Relations.parquet(s, path)
       .filter(col("cell").isin(probed.map(Long.box): _*))
       .select(col("doc_id")).distinct()
     val cand = colbertTombstones(s, path) match {
@@ -1067,7 +1079,7 @@ object Hybrid {
         broadcast(t.select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
       case None => cand0
     }
-    val toks = s.read.parquet(path)
+    val toks = graft.sources.Relations.parquet(s, path)
       .join(broadcast(cand), Seq("doc_id"), "left_semi")
     val maxSim = toks.crossJoin(broadcast(qvecs))
       .select(col("doc_id"), col("qtok_id"),
@@ -1103,7 +1115,7 @@ object Hybrid {
                      cands: DataFrame): DataFrame = {
     val (qvecs, _) = colbertQueryVecs(s, queryText)
     val spine = cands.select(col("doc_id")).distinct()
-    val toks0 = s.read.parquet(path)
+    val toks0 = graft.sources.Relations.parquet(s, path)
       .join(broadcast(spine), Seq("doc_id"), "left_semi")
     val toks = colbertTombstones(s, path) match {
       case Some(t) => toks0.join(
@@ -1175,7 +1187,7 @@ object Hybrid {
                             auxDir: String): Unit = {
     val path = colbertPath(d)
     buildColbertOnce(s, Tables.documents(s, d), path, Q150MaxToks, Q153Cells)
-    s.read.parquet(s"$path/_centroids")
+    graft.sources.Relations.parquet(s, s"$path/_centroids")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$auxDir/q153_cents.parquet")
   }
@@ -3588,13 +3600,13 @@ object Hybrid {
                                  auxDir: String): Unit = {
     val (_, _, q) = q231Setup(s, d)
     buildDocIvfOnce(s, d)
-    s.read.parquet(docIvfPath(d))
+    graft.sources.Relations.parquet(s, docIvfPath(d))
       .select(col("chunk_id").as("doc_id"),
         VectorSearch.bytesToInts(col("sq8_code")).as("sq8"),
         col("sq8_factor").as("fac"), col("embedding"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$auxDir/q238_index.parquet")
-    s.read.parquet(s"${docIvfPath(d)}/_centroids")
+    graft.sources.Relations.parquet(s, s"${docIvfPath(d)}/_centroids")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$auxDir/q238_cents.parquet")
     val qvec = graft.functions.Embed.embed(

@@ -435,13 +435,13 @@ object Multimodal {
     import graft.sources.IndexStore
     val path = q177IndexPath(d)
     IndexStore.buildIvfOnceRows(s, mediaRowsCached(s, d), path, bitExact = true)
-    s.read.parquet(path)
+    graft.sources.Relations.parquet(s, path)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("cell").cast("long").as("cell"),
         VectorSearch.bytesToInts(col("sq8_code")).as("sq8"),
         col("sq8_factor").as("fac"), col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q177_index.parquet")
-    s.read.parquet(s"$path/_centroids")
+    graft.sources.Relations.parquet(s, s"$path/_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q177_cents.parquet")
     val qvec = graft.functions.Embed.embed(q177QueryText(s, d),
       graft.functions.Embed.DefaultDim)

@@ -1091,13 +1091,13 @@ object VectorSearch {
     import graft.sources.IndexStore
     val path = q98IndexPath(d)
     IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
-    s.read.parquet(path)
+    graft.sources.Relations.parquet(s, path)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("cell").cast("long").as("cell"),
         bytesToInts(col("sq8_code")).as("sq8"), col("sq8_factor").as("fac"),
         col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q98_index.parquet")
-    s.read.parquet(s"$path/_centroids")
+    graft.sources.Relations.parquet(s, s"$path/_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q98_cents.parquet")
     val qvec = Embed.embed(Q98QueryText, Embed.DefaultDim)
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
@@ -1235,7 +1235,7 @@ object VectorSearch {
     val path = q103IndexPath(d)
     IndexStore.buildHnswOnceRows(s, docRowsCached(s, d), path)
     val qvec = Embed.embed(Q103QueryText, Embed.DefaultDim)
-    val scored = s.read.parquet(path)
+    val scored = graft.sources.Relations.parquet(s, path)
       .select(col("chunk_id"), col("doc_id"),
         VectorOps.vecCosineConst(col("embedding"), qvec).as("sim"))
     val sels = Q105Sels.toDF("selectivity", "m")
@@ -1449,7 +1449,7 @@ object VectorSearch {
     val path = idxPath("q107_src_index", d)
     lifecycleOnce(s, d, "q107") {
       IndexStore.buildFromRows(s, subsetRows(s, d), path)
-      val doomed = s.read.parquet(path)
+      val doomed = graft.sources.Relations.parquet(s, path)
         .filter(col("doc_id") % 10 === 7)
         .select("chunk_id").collect().map(_.getString(0)).toSeq.sorted
       IndexStore.deleteIds(s, path, doomed)
@@ -1548,7 +1548,7 @@ object VectorSearch {
       IndexStore.buildFromRows(s, subsetRows(s, d), path)
       IndexStore.upsertDocs(s, q108Revised(s, d), path)
     }
-    IndexStore.inventoryBySource(s.read.parquet(path))
+    IndexStore.inventoryBySource(graft.sources.Relations.parquet(s, path))
   }
 
   /** Recomputed EXPECTED post-upsert corpus for the q108 oracle:
@@ -1605,7 +1605,7 @@ object VectorSearch {
       IndexStore.buildFromRows(s, subsetRows(s, d), path)
       IndexStore.updateDocs(s, q117Updates(s, d), path)
     }
-    IndexStore.inventoryBySource(s.read.parquet(path))
+    IndexStore.inventoryBySource(graft.sources.Relations.parquet(s, path))
   }
 
   /** Recomputed EXPECTED post-update corpus for the q117 oracle: the
@@ -1684,7 +1684,7 @@ object VectorSearch {
         bytesToInts(col("sq8_code")).as("sq8"), col("sq8_factor").as("fac"),
         col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q111_index.parquet")
-    s.read.parquet(s"$path/_centroids")
+    graft.sources.Relations.parquet(s, s"$path/_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q111_cents.parquet")
     val qvec = Embed.embed(Q111QueryText, Embed.DefaultDim)
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
@@ -1811,10 +1811,7 @@ object VectorSearch {
     import s.implicits._
     val path = q98IndexPath(d)
     IndexStore.buildIvfOnceRows(s, docRowsCached(s, d), path, bitExact = true)
-    val centRows = s.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val cids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val (cids, cents) = graft.sources.Relations.centroids(s, s"$path/_centroids")
     val qvec = Embed.embed(Q98QueryText, Embed.DefaultDim)
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     // the query's full centroid-distance order — cell -> probe rank
@@ -1826,7 +1823,7 @@ object VectorSearch {
     val qDf = Seq((graft.functions.VecIndex.sq8Code(qData),
         graft.functions.VecIndex.sq8Factor(qData)))
       .toDF("qcode", "qfac")
-    val scored = s.read.parquet(path)
+    val scored = graft.sources.Relations.parquet(s, path)
       .join(broadcast(cellRank), col("cell").cast("long") === col("cell_l"))
       .crossJoin(broadcast(qDf))
       .select(col("chunk_id"),
@@ -2333,7 +2330,7 @@ object VectorSearch {
     import graft.sources.IndexStore
     val path = q103IndexPath(d)
     IndexStore.buildHnswOnceRows(s, docRowsCached(s, d), path)
-    s.read.parquet(path)
+    graft.sources.Relations.parquet(s, path)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q103_index.parquet")
@@ -2632,16 +2629,16 @@ object VectorSearch {
     import graft.sources.IndexStore
     val path = q123IndexPath(d)
     IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path)
-    s.read.parquet(path)
+    graft.sources.Relations.parquet(s, path)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("cell").cast("long").as("cell"),
         bytesToUInts(col("pq_code")).as("pq"),
         bytesToInts(col("sq8_code")).as("sq8"), col("sq8_factor").as("fac"),
         col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q123_index.parquet")
-    s.read.parquet(s"$path/_centroids")
+    graft.sources.Relations.parquet(s, s"$path/_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q123_cents.parquet")
-    s.read.parquet(s"$path/_pq")
+    graft.sources.Relations.parquet(s, s"$path/_pq")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q123_books.parquet")
     val qvec = Embed.embed(Q123QueryText, Embed.DefaultDim)
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
@@ -2917,7 +2914,7 @@ object VectorSearch {
     val qCode = graft.functions.VecIndex.sq8Code(qData)
     val qFac = graft.functions.VecIndex.sq8Factor(qData)
     val lut = pqLut(qvec, IndexStore.readPqBooks(s, path))
-    val idx = s.read.parquet(path)
+    val idx = graft.sources.Relations.parquet(s, path)
       .select(col("chunk_id"), col("embedding"), col("sq8_code"),
         col("sq8_factor"), col("pq_code"))
       .localCheckpoint() // three rank branches, one physical read
@@ -3078,7 +3075,7 @@ object VectorSearch {
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     val qCode = graft.functions.VecIndex.sq8Code(qData)
     val qFac = graft.functions.VecIndex.sq8Factor(qData)
-    val idx = s.read.parquet(path)
+    val idx = graft.sources.Relations.parquet(s, path)
       .select(col("chunk_id"), col("embedding"), col("sq8_code"),
         col("sq8_factor"))
       .localCheckpoint() // four rank branches, one physical read
@@ -3306,7 +3303,7 @@ object VectorSearch {
       val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(fp)) fs.delete(fp, true)
       IndexStore.forkCollection(s, orig, fork)
-      val doomed = s.read.parquet(fork)
+      val doomed = graft.sources.Relations.parquet(s, fork)
         .filter(col("doc_id") % 10 === 4)
         .select("chunk_id").collect().map(_.getString(0)).toSeq.sorted
       IndexStore.deleteIds(s, fork, doomed)
@@ -4450,13 +4447,13 @@ object VectorSearch {
     val path = q138IndexPath(d)
     IndexStore.buildIvfPqOnceRows(s, docRowsCached(s, d), path,
       residual = true)
-    s.read.parquet(path)
+    graft.sources.Relations.parquet(s, path)
       .select(col("chunk_id"), col("doc_id"), col("source"), col("chunk"),
         col("cell").cast("long").as("cell"), col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q138_index.parquet")
-    s.read.parquet(s"$path/_centroids")
+    graft.sources.Relations.parquet(s, s"$path/_centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q138_cents.parquet")
-    s.read.parquet(s"$path/_pq")
+    graft.sources.Relations.parquet(s, s"$path/_pq")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q138_books.parquet")
     val qvec = Embed.embed(Q123QueryText, Embed.DefaultDim)
     import s.implicits._

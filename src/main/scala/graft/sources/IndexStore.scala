@@ -120,7 +120,7 @@ object IndexStore {
         // holds live sidecars, not collection history
         collMetaCache.keys.filter(k => k._1 == path && k._2 != mtime)
           .foreach(collMetaCache.remove)
-        spark.read.parquet(s"$path/_collmeta").collect()
+        Relations.parquet(spark, s"$path/_collmeta").collect()
           .map(r => r.getString(0) -> r.getString(1)).toMap
       })
     } catch {
@@ -262,7 +262,7 @@ object IndexStore {
     // the collection's hnsw:space metadata picks the rank metric —
     // a default-space layout pays one local fs stat, no Spark job
     val space = collectionSpace(spark, path)
-    val idx = spark.read.parquet(path)
+    val idx = Relations.parquet(spark, path)
     present(where.fold(idx)(idx.filter)
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
       .orderBy(col("sim").desc, col("chunk_id"))
@@ -291,7 +291,7 @@ object IndexStore {
                        include: Seq[String] = Nil): DataFrame = {
     val space = collectionSpace(spark, path)
     val qBuckets = Lsh.queryBuckets(qvec, qvec.length, LshBits, LshTables)
-    val hit = spark.read.parquet(path)
+    val hit = Relations.parquet(spark, path)
       .filter(arrays_overlap(col("lsh_buckets"),
         lit(qBuckets)))
     present(where.fold(hit)(hit.filter)
@@ -329,7 +329,7 @@ object IndexStore {
     val qvecData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     val qCode = graft.functions.VecIndex.sq8Code(qvecData)
     val qFac = graft.functions.VecIndex.sq8Factor(qvecData)
-    val all = spark.read.parquet(path)
+    val all = Relations.parquet(spark, path)
     // beneath the pre-rank: candidates are filter-survivors, so the
     // overfetch budget is spent on rows that can actually be returned
     val idx = where.fold(all)(all.filter)
@@ -538,10 +538,7 @@ object IndexStore {
     val fs = pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(pqPath)) rows
     else if (pqEncoding(spark, path) == "residual") {
-      val centRows = spark.read.parquet(s"$path/_centroids")
-        .collect().sortBy(_.getLong(0))
-      val ids = centRows.map(_.getLong(0))
-      val cents = centRows.map(_.getSeq[Float](1).toArray)
+      val (ids, cents) = Relations.centroids(spark, s"$path/_centroids")
       val s2 = spark
       import s2.implicits._
       val centsDf = ids.toSeq.zip(cents.toSeq.map(_.toSeq))
@@ -563,10 +560,7 @@ object IndexStore {
                                    path: String,
                                    dim: Int = Embed.DefaultDim): Unit = {
     import graft.functions.vecIndexExprs
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val ids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val (ids, cents) = Relations.centroids(spark, s"$path/_centroids")
     // the persisted quantizer is authoritative for the embedding dim —
     // appending vectors of another width would silently mis-assign
     require(cents.head.length == dim,
@@ -611,7 +605,7 @@ object IndexStore {
         .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
       .map(_.getPath.getName.stripPrefix("cell=").toLong)
     if (crowded.isEmpty) return
-    val rows = spark.read.parquet(path)
+    val rows = Relations.parquet(spark, path)
       .filter(col("cell").isin(crowded: _*))
       // read the crowded cells BEFORE the overwrite truncates them
       // (same read-own-writes discipline as appendHnsw)
@@ -692,7 +686,7 @@ object IndexStore {
                     lambdaMicros: Long = 500000L,
                     dim: Int = Embed.DefaultDim,
                     where: Option[Column] = None): DataFrame = {
-    val idx0 = spark.read.parquet(path)
+    val idx0 = Relations.parquet(spark, path)
     mmrOverFetchSet(spark, where.fold(idx0)(idx0.filter),
       collectionSpace(spark, path), Embed.embed(queryText, dim),
       k, fetchK, lambdaMicros)
@@ -711,16 +705,13 @@ object IndexStore {
                        dim: Int = Embed.DefaultDim,
                        where: Option[Column] = None): DataFrame = {
     val qvec = Embed.embed(queryText, dim)
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val ids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val (ids, cents) = Relations.centroids(spark, s"$path/_centroids")
     require(cents.head.length == qvec.length,
       s"$path was trained at dim=${cents.head.length}, query has dim=${qvec.length}")
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
       math.min(probes, ids.length)).toLongArray().toSeq
-    val pruned = spark.read.parquet(path)
+    val pruned = Relations.parquet(spark, path)
       .filter(col("cell").isin(probeCells: _*))
     mmrOverFetchSet(spark, where.fold(pruned)(pruned.filter),
       collectionSpace(spark, path), qvec, k, fetchK, lambdaMicros)
@@ -778,7 +769,7 @@ object IndexStore {
                          dim: Int = Embed.DefaultDim,
                          where: Option[Column] = None): DataFrame = {
     import spark.implicits._
-    val idx0 = spark.read.parquet(path)
+    val idx0 = Relations.parquet(spark, path)
     val uniq = where.fold(idx0)(idx0.filter).dropDuplicates("chunk_id")
     val qDf = queries.sortBy(_._1)
       .map { case (qid, t) => (qid, Embed.embed(t, dim).toSeq) }
@@ -805,10 +796,7 @@ object IndexStore {
                             dim: Int = Embed.DefaultDim,
                             where: Option[Column] = None): DataFrame = {
     import spark.implicits._
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val cids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val (cids, cents) = Relations.centroids(spark, s"$path/_centroids")
     val qMeta = queries.sortBy(_._1).map { case (qid, t) =>
       val qvec = Embed.embed(t, dim)
       require(qvec.length == cents.head.length,
@@ -821,7 +809,7 @@ object IndexStore {
     }
     val qDf = qMeta.toDF("query_id", "qvec", "qcells")
     val allCells = qMeta.flatMap(_._3).distinct.sorted
-    val pruned0 = spark.read.parquet(path).filter(col("cell").isin(allCells: _*))
+    val pruned0 = Relations.parquet(spark, path).filter(col("cell").isin(allCells: _*))
     val pruned = where.fold(pruned0)(pruned0.filter)
     val qProbe = qDf.select(col("query_id"), col("qvec"),
       explode(col("qcells")).as("qcell"))
@@ -983,7 +971,7 @@ object IndexStore {
     val mPath = new org.apache.hadoop.fs.Path(s"$path/_pqmeta")
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(mPath)) "raw"
-    else spark.read.parquet(s"$path/_pqmeta").head().getString(0)
+    else Relations.collectCached(spark, s"$path/_pqmeta").head.getString(0)
   }
 
   /** [[buildIvfPq]] executed at most once per (session, path,
@@ -1005,8 +993,10 @@ object IndexStore {
   /** Read the `_pq` codebook sidecar back as books[m][ksub][dsub]. */
   private[graft] def readPqBooks(spark: SparkSession, path: String)
       : Array[Array[Array[Float]]] = {
-    val rows = spark.read.parquet(s"$path/_pq")
-      .select(col("sub"), col("code_id"), col("cvec")).collect()
+    // collectCached: the codebook is (m·ksub) tiny rows re-read by
+    // every PQ search/append — the raw sidecar columns ARE
+    // (sub, code_id, cvec), the writer's own order
+    val rows = Relations.collectCached(spark, s"$path/_pq")
     val m = rows.map(_.getInt(0)).max + 1
     val books = Array.ofDim[Array[Array[Float]]](m)
     rows.groupBy(_.getInt(0)).foreach { case (s, rs) =>
@@ -1042,10 +1032,7 @@ object IndexStore {
                           where: Option[Column])
       : (Seq[Long], DataFrame, Column) = {
     import graft.functions.vecIndexExprs
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val ids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val (ids, cents) = Relations.centroids(spark, s"$path/_centroids")
     require(cents.head.length == qvec.length,
       s"$path was trained at dim=${cents.head.length}, query vector has dim=${qvec.length}")
     val books = readPqBooks(spark, path)
@@ -1053,7 +1040,7 @@ object IndexStore {
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
     val probeCells = graft.functions.VecIndex.nearestCells(qData, ids, cents,
       math.min(probes, ids.length)).toLongArray().toSeq
-    val pruned = spark.read.parquet(path)
+    val pruned = Relations.parquet(spark, path)
       .filter(col("cell").isin(probeCells: _*))
     val idx = where.fold(pruned)(pruned.filter)
     // residual encoding: dot(q,v) ≈ dot(q,c) + dot(q,residual) — the
@@ -1114,10 +1101,7 @@ object IndexStore {
                               k: Int = 10, probes: Int = 3, overfetch: Int = 64,
                               where: Option[Column] = None): DataFrame = {
     import graft.functions.vecIndexExprs
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val cids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val (cids, cents) = Relations.centroids(spark, s"$path/_centroids")
     queries.foreach { case (qid, qvec) =>
       require(qvec.length == cents.head.length,
         s"$path was trained at dim=${cents.head.length}, " +
@@ -1145,7 +1129,7 @@ object IndexStore {
     import spark.implicits._
     val qDf = qMeta.toDF("query_id", "qvec", "qlut", "qcells", "qconsts")
     val allCells = qMeta.flatMap(_._4).distinct.sorted
-    val pruned0 = spark.read.parquet(path).filter(col("cell").isin(allCells: _*))
+    val pruned0 = Relations.parquet(spark, path).filter(col("cell").isin(allCells: _*))
     val pruned = where.fold(pruned0)(pruned0.filter)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("cid"))
@@ -1263,7 +1247,7 @@ object IndexStore {
     require(partDirs.exists(_.getPath.getName.startsWith(s"$partCol=")),
       s"$path is not partitioned by '$partCol' — use the delete/upsert " +
         "verb matching the layout family (source/cell/shard)")
-    val all = spark.read.parquet(path)
+    val all = Relations.parquet(spark, path)
     // the bucket= column probe: LexicalStore layouts (scoring postings
     // AND positional postings) also partition by bucket=, so the
     // directory check above cannot tell them from an LSH row layout.
@@ -1358,7 +1342,7 @@ object IndexStore {
     val getIncludes = QueryIncludes - "distances"
     require(include.forall(getIncludes),
       s"get include must be among ${getIncludes.mkString(", ")}, got $include")
-    val all = spark.read.parquet(path)
+    val all = Relations.parquet(spark, path)
     val byIds =
       if (ids.isEmpty) all
       else {
@@ -1384,7 +1368,7 @@ object IndexStore {
   /** chroma `collection.count`: corpus size of the layout at `path`
     * (parquet footer metadata — no row scan). */
   def count(spark: SparkSession, path: String): Long =
-    spark.read.parquet(path).count()
+    Relations.parquet(spark, path).count()
 
   /** Per-source chunk inventory of a layout — the maintenance gates'
     * shared observable (q108 batch upsert, q113 streaming upsert): a
@@ -1548,7 +1532,7 @@ object IndexStore {
     require(fs.exists(p), s"no collection at $path")
     def has(side: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$side"))
-    val df = spark.read.parquet(path)
+    val df = Relations.parquet(spark, path)
     val entries = fs.listStatus(p).map(_.getPath.getName)
     val partCol = Seq("source", "cell", "bucket", "shard")
       .find(c => entries.exists(_.startsWith(c + "=")))
@@ -1686,7 +1670,7 @@ object IndexStore {
     * LSH hash of the new embeddings — no trained state to consult. */
   def upsertBucketed(spark: SparkSession, docs: DataFrame, path: String,
                      dim: Int = Embed.DefaultDim): Unit = {
-    val all = spark.read.parquet(path)
+    val all = Relations.parquet(spark, path)
     val bucketT = all.schema("bucket").dataType
     val newRows = indexRows(docs, dim)
       .withColumn("bucket", explode(col("lsh_buckets")))
@@ -1754,7 +1738,7 @@ object IndexStore {
     val touched = newRows.select("source").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return
-    val survivors = spark.read.parquet(path)
+    val survivors = Relations.parquet(spark, path)
       .filter(col("source").isin(touched: _*))
       .join(broadcast(keys), Seq("source", "doc_id"), "left_anti")
       .localCheckpoint()
@@ -1771,11 +1755,8 @@ object IndexStore {
     * duplicated it — upsert replaces instead). */
   def upsertIvf(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     import graft.functions.vecIndexExprs
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val cids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
-    val all = spark.read.parquet(path)
+    val (cids, cents) = Relations.centroids(spark, s"$path/_centroids")
+    val all = Relations.parquet(spark, path)
     // new rows carry the partition column in the READ schema's native
     // type, so every cell predicate below prunes directories
     val cellT = all.schema("cell").dataType
@@ -1826,9 +1807,9 @@ object IndexStore {
     // fail loudly instead
     require(trainSample >= 1.0 || buckets >= 1,
       s"trainSample $trainSample selects zero of 256 md5 buckets")
-    val cents = spark.read.parquet(s"$path/_centroids")
+    val cents = Relations.parquet(spark, s"$path/_centroids")
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
-    val all = spark.read.parquet(path)
+    val all = Relations.parquet(spark, path)
     val train =
       if (trainSample >= 1.0) all
       else all.filter(
@@ -1852,7 +1833,7 @@ object IndexStore {
         pmod(xxhash64(col("chunk_id")), lit(meta.numShards.toLong)).cast("int"))
       .localCheckpoint()
     val keys = newRows.select(col("source"), col("doc_id")).distinct()
-    val all = spark.read.parquet(path)
+    val all = Relations.parquet(spark, path)
     val touched = all.join(broadcast(keys), Seq("source", "doc_id"), "left_semi")
       .select("shard").union(newRows.select("shard"))
       .distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
@@ -1880,7 +1861,7 @@ object IndexStore {
     * — a column-pruned metadata-cheap scan at any corpus size. */
   private def existingOnly(spark: SparkSession, docs: DataFrame,
                            path: String): DataFrame = {
-    val existing = spark.read.parquet(path)
+    val existing = Relations.parquet(spark, path)
       .select(col("source"), col("doc_id")).distinct()
     docs.join(existing, Seq("source", "doc_id"), "left_semi")
   }
@@ -1934,10 +1915,7 @@ object IndexStore {
                            where: Option[Column])
       : (Seq[Long], DataFrame, Column) = {
     import graft.functions.vecIndexExprs
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val ids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val (ids, cents) = Relations.centroids(spark, s"$path/_centroids")
     require(cents.head.length == qvec.length,
       s"$path was trained at dim=${cents.head.length}, query vector has dim=${qvec.length}")
     val qData = new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec)
@@ -1945,7 +1923,7 @@ object IndexStore {
       math.min(probes, ids.length)).toLongArray().toSeq
     val qCode = graft.functions.VecIndex.sq8Code(qData)
     val qFac = graft.functions.VecIndex.sq8Factor(qData)
-    val pruned = spark.read.parquet(path)
+    val pruned = Relations.parquet(spark, path)
       .filter(col("cell").isin(probeCells: _*))
     val idx = where.fold(pruned)(pruned.filter)
     val approx = vecIndexExprs.sq8Dot(col("sq8_code"), lit(qCode)) *
@@ -2115,10 +2093,7 @@ object IndexStore {
                             k: Int = 10, probes: Int = 3, overfetch: Int = 32,
                             where: Option[Column] = None): DataFrame = {
     import graft.functions.vecIndexExprs
-    val centRows = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getLong(0))
-    val cids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val (cids, cents) = Relations.centroids(spark, s"$path/_centroids")
     queries.foreach { case (qid, qvec) =>
       require(qvec.length == cents.head.length,
         s"$path was trained at dim=${cents.head.length}, " +
@@ -2135,7 +2110,7 @@ object IndexStore {
     import spark.implicits._
     val qDf = qMeta.toDF("query_id", "qvec", "qcode", "qfac", "qcells")
     val allCells = qMeta.flatMap(_._5).distinct.sorted
-    val pruned0 = spark.read.parquet(path).filter(col("cell").isin(allCells: _*))
+    val pruned0 = Relations.parquet(spark, path).filter(col("cell").isin(allCells: _*))
     val pruned = where.fold(pruned0)(pruned0.filter)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("cid"))
@@ -2213,7 +2188,7 @@ object IndexStore {
 
   private[graft] def readHnswMeta(spark: SparkSession, path: String): HnswMeta =
     try {
-      val r = spark.read.parquet(s"$path/_meta")
+      val r = Relations.parquet(spark, s"$path/_meta")
         .select("num_shards", "m", "ef_construction", "dim", "target_nodes").head()
       HnswMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
     } catch {
@@ -2239,7 +2214,7 @@ object IndexStore {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
         .map(_.getPath.getName.stripPrefix("shard=").toInt)
       require(shardVals.nonEmpty, s"$path has no shard= partition directories")
-      val dim = spark.read.parquet(path)
+      val dim = Relations.parquet(spark, path)
         .select("embedding", "hnsw_node", "hnsw_level", "hnsw_links")
         .head().getSeq[Float](0).length
       // max(dir)+1 UNDER-counts if the original build's top shard(s)
@@ -2250,7 +2225,7 @@ object IndexStore {
       // shard); the first scan passes in the common no-empty-shard
       // case, and an unverifiable layout fails fast instead of
       // writing a corrupting sidecar.
-      val pairs = spark.read.parquet(path)
+      val pairs = Relations.parquet(spark, path)
         .select(col("chunk_id"), col("shard").cast("int").as("shard"))
       val base = shardVals.max + 1
       val numShards = (base until base + 8).find { m =>
@@ -2440,10 +2415,10 @@ object IndexStore {
     // O(corpus) over any append history; between reshards, appends
     // keep touching only their hash shards. (Size target accordingly:
     // a shard may reach 2x targetNodesPerShard before resharding.)
-    val total = spark.read.parquet(path).count() + newRows.count()
+    val total = Relations.parquet(spark, path).count() + newRows.count()
     if (total > 2L * meta.targetNodesPerShard * meta.numShards) {
       val shards = hnswNumShards(total, meta.targetNodesPerShard)
-      val all = spark.read.parquet(path)
+      val all = Relations.parquet(spark, path)
         .drop("hnsw_node", "hnsw_level", "hnsw_links", "shard")
         .unionByName(newRows)
         .withColumn("shard",
@@ -2465,7 +2440,7 @@ object IndexStore {
     val hashed = newRows.withColumn("shard",
       pmod(xxhash64(col("chunk_id")), lit(meta.numShards.toLong)).cast("int"))
     val touched = hashed.select("shard").distinct()
-    val existing = spark.read.parquet(path)
+    val existing = Relations.parquet(spark, path)
       .join(broadcast(touched), Seq("shard"), "left_semi")
       .drop("hnsw_node", "hnsw_level", "hnsw_links")
     // the localCheckpoint here is LOAD-BEARING, not an optimization:
@@ -2557,7 +2532,7 @@ object IndexStore {
       else {
         val s = new HnswPinSlot(() => {
           val meta = readHnswMeta(spark, path)
-          val frame = spark.read.parquet(path)
+          val frame = Relations.parquet(spark, path)
             .select(col("shard"), col("chunk_id"), col("hnsw_node"),
               col("hnsw_level"), col("hnsw_links"), col("embedding"))
             .repartition(col("shard"))
@@ -2715,7 +2690,7 @@ object IndexStore {
           .select(col("cid"))
       else hnswCandidatesBatchVec(spark, path, Seq(0L -> qvec), k, efSearch)
         .select(col("cid"))
-    val joined = spark.read.parquet(path)
+    val joined = Relations.parquet(spark, path)
       .join(broadcast(cands), col("chunk_id") === col("cid"))
     present(where.fold(joined)(joined.filter)
       .withColumn("sim", VectorOps.spaceSim(space, col("embedding"), qvec))
@@ -2765,7 +2740,7 @@ object IndexStore {
         hnswCandidatesBatchVec(spark, path, queries, k * whereOverfetch,
           math.max(efSearch, k * whereOverfetch))
       else hnswCandidatesBatchVec(spark, path, queries, k, efSearch)
-    val idx = spark.read.parquet(path)
+    val idx = Relations.parquet(spark, path)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("chunk_id"))
     val ranked = where.fold(idx)(idx.filter)
@@ -2836,7 +2811,7 @@ object IndexStore {
     val qBuckets =
       if (multiprobe) Lsh.queryBucketsMultiprobe(qvec, dim, LshBits, LshTables)
       else Lsh.queryBuckets(qvec, dim, LshBits, LshTables)
-    val pruned = spark.read.parquet(path)
+    val pruned = Relations.parquet(spark, path)
       .filter(col("bucket").isin(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(qBuckets): _*))
     present(where.fold(pruned)(pruned.filter)

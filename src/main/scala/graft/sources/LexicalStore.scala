@@ -215,7 +215,7 @@ object LexicalStore {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val a =
           if (fs.exists(p)) {
-            val v = spark.read.parquet(s"$path/_analyzer").head().getString(0)
+            val v = Relations.parquet(spark, s"$path/_analyzer").head().getString(0)
             requireAnalyzer(v)
             v
           } else AnalyzerRaw
@@ -370,8 +370,11 @@ object LexicalStore {
     val p = new org.apache.hadoop.fs.Path(s"$path/_fields")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(s"$path/_fields")
-      .orderBy(col("pos")).collect()
+    // collectCached + driver sort on `pos` — the descriptor is a
+    // handful of rows; the old per-call orderBy+collect was a one-task
+    // job per maintenance/search verb
+    else Some(Relations.collectCached(spark, s"$path/_fields")
+      .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getLong(2))).toSeq)
   }
 
@@ -546,7 +549,7 @@ object LexicalStore {
     val p = new org.apache.hadoop.fs.Path(tombDir(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      Some(spark.read.parquet(tombDir(path)).select(col("doc_id")).distinct())
+      Some(Relations.parquet(spark, tombDir(path)).select(col("doc_id")).distinct())
     else None
   }
 
@@ -573,13 +576,13 @@ object LexicalStore {
   }
 
   private def idType(spark: SparkSession, path: String) =
-    spark.read.parquet(path).schema("doc_id").dataType
+    Relations.parquet(spark, path).schema("doc_id").dataType
 
   /** Surviving (doc_id, term, tf) rows: current postings minus
     * tombstoned ids, materialized so the caller can overwrite the
     * layout they came from. */
   private def survivorTf(spark: SparkSession, path: String): DataFrame = {
-    val tf = spark.read.parquet(path).select(col("doc_id"), col("term"), col("tf"))
+    val tf = Relations.parquet(spark, path).select(col("doc_id"), col("term"), col("tf"))
     tombstones(spark, path).fold(tf)(t => tf.join(t, Seq("doc_id"), "left_anti"))
       .localCheckpoint()
   }
@@ -620,9 +623,14 @@ object LexicalStore {
     // sidecar) — an upsert must never mix folding rules in one index
     val analyzer = analyzerOf(spark, path)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val newTf = termFreqs(base, analyzer)
-      .localCheckpoint() // one tokenize pass feeds the df/len joins + stats
-    val survivors = survivorTf(spark, path)
+    // the two materializations are independent (newTf reads `docs`,
+    // survivors reads the layout) — overlap their jobs (guide §2.6);
+    // input order preserves the serial form's error reporting
+    val Seq(newTf, survivorsAll) = awaitInOrder(Seq(
+      () => termFreqs(base, analyzer)
+        .localCheckpoint(), // one tokenize pass feeds the df/len joins + stats
+      () => survivorTf(spark, path)))
+    val survivors = survivorsAll
       .join(base.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     // survivors are already materialized and newTf never reads `path`,
     // so the union can overwrite the layout without a second checkpoint
@@ -652,10 +660,14 @@ object LexicalStore {
         s"${missing.mkString(", ")} — the layout was built from " +
         fields.map { case (f, w) => s"$f^$w" }.mkString(", "))
     val analyzer = analyzerOf(spark, path)
-    val newTf = combinedTermFreqs(docs, fields, idCol, analyzer)
-      .localCheckpoint()
+    // independent materializations, overlapped (the upsertLexical
+    // argument)
+    val Seq(newTf, survivorsAll) = awaitInOrder(Seq(
+      () => combinedTermFreqs(docs, fields, idCol, analyzer)
+        .localCheckpoint(),
+      () => survivorTf(spark, path)))
     val ids = docs.select(col(idCol).as("doc_id")).distinct()
-    val survivors = survivorTf(spark, path)
+    val survivors = survivorsAll
       .join(ids, Seq("doc_id"), "left_anti")
     writePostings(spark, survivors.union(newTf), path, analyzer,
       fields = Some(fields))
@@ -758,20 +770,22 @@ object LexicalStore {
     // next read fails loudly on the missing `_vocab` path — never a
     // complete-looking layout silently reading back as `raw`
     if (existing.isEmpty) writeAnalyzer(spark, path, analyzer)
-    rows.select(col("doc_id"), col("len")).distinct()
-      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
-      .select(lit(seg).as("seg"), col("n_docs"), col("sum_len"))
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/_segstats")
-    // per-segment term dictionary — the Lucene terms index this layout
-    // was missing (the r15 gap: prefix/did-you-mean only worked on the
-    // denormalized layout's `_vocab`). One (term, df) row per segment
-    // term, written to the SEGMENT's own `_segvocab` directory so the
-    // append-only contract holds: no existing segment's dictionary is
-    // touched. Query-time merge sums dfs (disjoint doc sets — the
-    // searchTopKSegmented gdf argument).
-    rows.select(col("term"), col("df")).distinct()
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/_segvocab/seg=$seg")
+    // `_segstats` and `_segvocab` both derive from the checkpointed
+    // rows and are ordered only after `_analyzer` (the writePostings
+    // sidecar discipline) — overlap the two small aggregate+write jobs
+    // (guide §2.6); per-segment term dictionary: one (term, df) row
+    // per segment term in the SEGMENT's own `_segvocab` directory so
+    // the append-only contract holds (query-time merge sums disjoint
+    // dfs — the searchTopKSegmented gdf argument).
+    awaitInOrder(Seq(
+      () => rows.select(col("doc_id"), col("len")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+        .select(lit(seg).as("seg"), col("n_docs"), col("sum_len"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/_segstats"),
+      () => rows.select(col("term"), col("df")).distinct()
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/_segvocab/seg=$seg")))
+    ()
   }
 
   /** Merge all segments back into one (the Lucene forceMerge):
@@ -815,17 +829,21 @@ object LexicalStore {
     // — the segmented discriminator — so the next read fails loudly
     // instead of silently folding under the wrong rule
     writeAnalyzer(spark, path, analyzer)
-    tf.select(col("doc_id"), col("tf"))
-      .groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
-      .select(lit(0).as("seg"), col("n_docs"), col("sum_len"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_segstats")
-    // the merged segment's dictionary: global df straight from the
-    // checkpointed tf (one vocabulary-sized agg — rows would re-run
-    // the df/len joins a second time)
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/_segvocab/seg=0")
+    // both sidecars derive from the checkpointed tf — overlap the two
+    // small aggregate+write jobs (guide §2.6); the merged dictionary's
+    // global df comes straight from tf (rows would re-run the df/len
+    // joins a second time)
+    awaitInOrder(Seq(
+      () => tf.select(col("doc_id"), col("tf"))
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+        .select(lit(0).as("seg"), col("n_docs"), col("sum_len"))
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/_segstats"),
+      () => tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/_segvocab/seg=0")))
+    ()
   }
 
   /** Segmented top-`k`: postings pruned to the query terms' buckets
@@ -872,9 +890,14 @@ object LexicalStore {
       : DataFrame = {
     require(terms.nonEmpty, "lexical search needs at least one term")
     val buckets = terms.map(bucketOf).distinct
-    val stats = spark.read.parquet(s"$path/_segstats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_len")).as("sum_len"))
-    val post = spark.read.parquet(path)
+    // summed driver-side from the collectCached segment-stats rows —
+    // per-segment longs, same Long addition the old 1-row aggregate
+    // performed distributively (order-free), minus its per-query scan
+    // + broadcast jobs
+    val segRows = Relations.collectCached(spark, s"$path/_segstats")
+    val nDocs = lit(segRows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum)
+    val sumLen = lit(segRows.map(r => r.getLong(r.fieldIndex("sum_len"))).sum)
+    val post = Relations.parquet(spark, path)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
     // global df: per-segment dfs are disjoint doc sets, so they sum;
@@ -888,11 +911,10 @@ object LexicalStore {
       .transform(p => tombstones(spark, path)
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
       .join(broadcast(gdf), "term")
-      .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("seg"), col("term"), col("tf"),
         col("gdf").as("df"), col("len"),
         bm25Micros(col("tf"), col("gdf"), col("len"),
-          col("n_docs"), col("sum_len")).as("micros"))
+          nDocs, sumLen).as("micros"))
   }
 
   // key includes the LAYOUT KIND: the scoring and positional builders
@@ -962,24 +984,40 @@ object LexicalStore {
     * micros). ONE definition feeds [[scoreLexical]]'s sum AND
     * [[explainScore]]'s decomposition, so the explanation is the
     * score's own code path, not a parallel reimplementation. */
+  /** The `_stats` sidecar's single (n_docs, sum_len) row as driver
+    * literals. Every denormalized-layout scorer used to crossJoin the
+    * broadcast 1-row frame into its plan — a sidecar scan plus a
+    * broadcast-exchange job PER QUERY for two constants the driver
+    * can hold (guide §2.4); the collectCached read pays one one-task
+    * job per layout VERSION instead, invalidated by the sidecar's
+    * listing signature on every rewrite. Missing `_stats` still fails
+    * loudly (the crash-window contract) — the uncached fallback read
+    * throws the same missing-path error at the same verb-call point. */
+  private def statsLits(spark: SparkSession, path: String)
+      : (Column, Column) = {
+    val r = Relations.collectCached(spark, s"$path/_stats").head
+    (lit(r.getLong(r.fieldIndex("n_docs"))),
+      lit(r.getLong(r.fieldIndex("sum_len"))))
+  }
+
   private def contributions(spark: SparkSession, path: String,
                             terms: Seq[String],
                             where: Option[Column] = None,
                             allow: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "lexical search needs at least one term")
     val buckets = terms.map(bucketOf).distinct
-    val stats = spark.read.parquet(s"$path/_stats")
-    val post = spark.read.parquet(path)
+    val (nDocs, sumLen) = statsLits(spark, path)
+    val post = Relations.parquet(spark, path)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
       .filter(where.getOrElse(lit(true)))
       .transform(p => allowFilter(p, allow))
       .transform(p => tombstones(spark, path)
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
-    post.crossJoin(broadcast(stats))
+    post
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("len"),
         bm25Micros(col("tf"), col("df"), col("len"),
-          col("n_docs"), col("sum_len")).as("micros"))
+          nDocs, sumLen).as("micros"))
   }
 
   private def scoreLexical(spark: SparkSession, path: String,
@@ -1285,11 +1323,11 @@ object LexicalStore {
       .map { case (id, rs) => id -> rs.map(_.getLong(2)).sum }
     val cands = fbRows.iterator.map(_.getString(1)).toSeq.distinct
       .filterNot(qTerms.contains)
-    val stats = spark.read.parquet(s"$path/_stats")
+    val (nDocs, sumLen) = statsLits(spark, path)
     val expansion: Seq[String] =
       if (cands.isEmpty) Seq.empty
       else {
-        val dfTbl = spark.read.parquet(path)
+        val dfTbl = Relations.parquet(spark, path)
           .filter(col("bucket").isin(
               cands.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
             col("term").isin(cands: _*))
@@ -1305,10 +1343,9 @@ object LexicalStore {
             })
           .toDF("term", "tf", "len")
         fbLocal.join(dfTbl, "term")
-          .crossJoin(broadcast(stats))
           .select(col("term"),
             bm25Micros(col("tf"), col("df"), col("len"),
-              col("n_docs"), col("sum_len")).as("m"))
+              nDocs, sumLen).as("m"))
           .groupBy(col("term")).agg(sum(col("m")).as("w"))
           .orderBy(col("w").desc, col("term")).limit(fbTerms)
           .collect().map(_.getString(0)).toSeq
@@ -1425,7 +1462,7 @@ object LexicalStore {
     * sibling. */
   private def survivorPositional(spark: SparkSession,
                                  path: String): DataFrame = {
-    val rows = spark.read.parquet(path)
+    val rows = Relations.parquet(spark, path)
       .select(col("doc_id"), col("term"), col("positions"))
     tombstones(spark, path).fold(rows)(t =>
       rows.join(t, Seq("doc_id"), "left_anti")).localCheckpoint()
@@ -1453,9 +1490,13 @@ object LexicalStore {
                        textCol: String = "text"): Unit = {
     val analyzer = analyzerOf(spark, path)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val newRows = positionalRows(base, "doc_id", "text", analyzer)
-      .localCheckpoint()
-    val survivors = survivorPositional(spark, path)
+    // independent materializations, overlapped (the upsertLexical
+    // argument)
+    val Seq(newRows, survivorsAll) = awaitInOrder(Seq(
+      () => positionalRows(base, "doc_id", "text", analyzer)
+        .localCheckpoint(),
+      () => survivorPositional(spark, path)))
+    val survivors = survivorsAll
       .join(base.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     writePositional(spark, survivors.union(newRows), path, analyzer)
     clearTombstones(spark, path)
@@ -1494,16 +1535,23 @@ object LexicalStore {
   private def positionalSlots(spark: SparkSession, path: String,
                               terms: Seq[String])
       : (Seq[DataFrame], Map[String, Long]) = {
-    val post = spark.read.parquet(path)
+    val post = Relations.parquet(spark, path)
       .filter(col("bucket").isin(
           terms.distinct.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(terms.distinct: _*))
       .transform(p => tombstones(spark, path)
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
     // df per query term from the already-pruned read (positions stay
-    // unread: column pruning keeps this ids-free and positions-free)
-    val dfByTerm = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unread: column pruning keeps this ids-free and positions-free).
+    // With <= 2 distinct terms the rarest-first ordering cannot change
+    // the join tree (one equi-join, commutative; the adjacency/span
+    // expressions reference slots by PHRASE position) — skip the
+    // aggregate+collect job entirely (guide §2.6: it exists only to
+    // order a >= 3-way intersection)
+    val dfByTerm =
+      if (terms.distinct.size <= 2) Map.empty[String, Long]
+      else post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val slots = terms.zipWithIndex.map { case (t, i) =>
       post.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"p$i"))
@@ -1571,7 +1619,7 @@ object LexicalStore {
     require(a.nonEmpty && b.nonEmpty && a != b,
       "NEAR takes two distinct non-empty terms")
     require(slop >= 1, s"slop must be >= 1, got $slop")
-    val post = spark.read.parquet(path)
+    val post = Relations.parquet(spark, path)
       .filter(col("bucket").isin(
           Seq(a, b).map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(a, b))
@@ -1688,8 +1736,8 @@ object LexicalStore {
       s"terms cannot be both required/scored and excluded: " +
         notT.intersect(mustT ++ shouldT).mkString(", "))
     val allTerms = (mustT ++ shouldT ++ notT).distinct
-    val stats = spark.read.parquet(s"$path/_stats")
-    val post = spark.read.parquet(path)
+    val (nDocs, sumLen) = statsLits(spark, path)
+    val post = Relations.parquet(spark, path)
       .filter(col("bucket").isin(
           allTerms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(allTerms: _*))
@@ -1721,10 +1769,10 @@ object LexicalStore {
       else gated2.join(
         post.filter(col("term").isin(notT: _*)).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
-    gated.crossJoin(broadcast(stats))
+    gated
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("len"),
         bm25Micros(col("tf"), col("df"), col("len"),
-          col("n_docs"), col("sum_len")).as("micros"))
+          nDocs, sumLen).as("micros"))
   }
 
   /** [[explainScore]] for [[searchBoolean]]: the per-(doc, term)
@@ -1770,9 +1818,9 @@ object LexicalStore {
     * dictionary). Vocabulary-sized either way, never corpus-sized. */
   private def termDictionary(spark: SparkSession, path: String): DataFrame =
     if (isSegmented(spark, path))
-      spark.read.parquet(s"$path/_segvocab")
+      Relations.parquet(spark, s"$path/_segvocab")
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    else spark.read.parquet(s"$path/_vocab")
+    else Relations.parquet(spark, s"$path/_vocab")
 
   /** Fold a dictionary probe (prefix/needle) to its single token —
     * the shared head of every dictionary-expansion verb. Multi-term
@@ -1912,7 +1960,7 @@ object LexicalStore {
     // would re-execute once per reference (the explainRrf disease,
     // r21)
     val page = cands.select(col("doc_id")).localCheckpoint()
-    val post = spark.read.parquet(path)
+    val post = Relations.parquet(spark, path)
       .filter(col("bucket").isin(
           terms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
@@ -1992,9 +2040,9 @@ object LexicalStore {
                                     weighted: Seq[(String, Long)],
                                     allow: Option[DataFrame] = None)
       : DataFrame = {
-    val stats = spark.read.parquet(s"$path/_stats")
+    val (nDocs, sumLen) = statsLits(spark, path)
     val terms = weighted.map(_._1)
-    val post = spark.read.parquet(path)
+    val post = Relations.parquet(spark, path)
       .filter(col("bucket").isin(
           terms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
@@ -2003,11 +2051,10 @@ object LexicalStore {
         .fold(p)(t => p.join(t, Seq("doc_id"), "left_anti")))
     val wdf = spark.createDataFrame(weighted).toDF("term", "w")
     post.join(broadcast(wdf), Seq("term"))
-      .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("len"), col("w"),
         bm25Micros(col("tf"), col("df"), col("len"),
-          col("n_docs"), col("sum_len")).as("m"))
+          nDocs, sumLen).as("m"))
       .withColumn("wm",
         expr("w * (m div 1000000L) + (w * (m % 1000000L)) div 1000000L"))
   }
@@ -2148,7 +2195,7 @@ object LexicalStore {
         val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(fs.exists(metaP),
           s"no _symspell index at $path — buildSymSpell first")
-        val d = spark.read.parquet(s"$path/_symspellmeta").head().getInt(0)
+        val d = Relations.parquet(spark, s"$path/_symspellmeta").head().getInt(0)
         // stamped with the generation observed BEFORE the read — a
         // rebuild landing mid-read self-invalidates this entry; the
         // conditional publish keeps a straggler from clobbering a
@@ -2226,7 +2273,7 @@ object LexicalStore {
       .select(explode(expr(deletionVariantsSql("t", maxDist))).as("v"))
       .collect().map(_.getString(0)).toSeq.distinct
     val buckets = probes.map(bucketOf).distinct
-    spark.read.parquet(s"$path/_symspell")
+    Relations.parquet(spark, s"$path/_symspell")
       .filter(col("vbucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("variant").isin(probes: _*))
       .select(col("term"), col("df")).distinct()
@@ -2631,17 +2678,16 @@ object LexicalStore {
     val cands = docTf.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     require(cands.nonEmpty, s"doc $docId has no indexed terms")
-    val stats = spark.read.parquet(s"$path/_stats")
-    val dfTbl = spark.read.parquet(path)
+    val (nDocs, sumLen) = statsLits(spark, path)
+    val dfTbl = Relations.parquet(spark, path)
       .filter(col("bucket").isin(
           cands.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
         col("term").isin(cands: _*))
       .groupBy(col("term")).agg(max(col("df")).as("df"))
     val selected = docTf.join(docLen, "doc_id").join(dfTbl, "term")
-      .crossJoin(broadcast(stats))
       .select(col("term"),
         bm25Micros(col("tf"), col("df"), col("len"),
-          col("n_docs"), col("sum_len")).as("w"))
+          nDocs, sumLen).as("w"))
       .orderBy(col("w").desc, col("term")).limit(maxTerms)
       .select(col("term")).collect().map(_.getString(0)).toSeq
     // mined terms came out of termFreqs under the layout analyzer —
@@ -2670,8 +2716,8 @@ object LexicalStore {
     require(qTerms.nonEmpty, "batch lexical search needs at least one term")
     val terms = qTerms.map(_._2).distinct
     val buckets = terms.map(bucketOf).distinct
-    val stats = spark.read.parquet(s"$path/_stats")
-    val post = spark.read.parquet(path)
+    val (nDocs, sumLen) = statsLits(spark, path)
+    val post = Relations.parquet(spark, path)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
       .filter(where.getOrElse(lit(true)))
@@ -2681,10 +2727,9 @@ object LexicalStore {
     import spark.implicits._
     val qt = qTerms.toDF("query_id", "term")
     val scored = post.join(broadcast(qt), Seq("term"))
-      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         bm25Micros(col("tf"), col("df"), col("len"),
-          col("n_docs"), col("sum_len")).as("micros"))
+          nDocs, sumLen).as("micros"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("micros")).as("lex_micros"))
     val w = Window.partitionBy(col("query_id"))
@@ -2906,7 +2951,14 @@ object LexicalStore {
     * order; the first failure IN INPUT ORDER rethrows, so error
     * reporting is indistinguishable from the serial form. */
   private def awaitInOrder[A](thunks: Seq[() => A]): Seq[A] =
-    if (thunks.size <= 1) thunks.map(_())
+    // caller-runs fallback when already ON a prepPool thread: a
+    // nested awaitInOrder would park this pool thread in f.get()
+    // while its children queue behind it — pool-exhaustion deadlock
+    // risk for a future re-entrant caller (no current path nests,
+    // but the invariant is now enforced, not assumed)
+    if (thunks.size <= 1
+        || Thread.currentThread().getName.startsWith("graft-parsed-prep"))
+      thunks.map(_())
     else thunks
       .map(th => prepPool.submit(new java.util.concurrent.Callable[A] {
         override def call(): A = th()

@@ -182,7 +182,7 @@ object VersionedStore {
     val cur = readManifest(path, versions(path).last)
     // segment-list-sized collect: which segments hold doomed rows
     val touched = cur.filter { seg =>
-      spark.read.parquet(dataDir(path, seg)).filter(doomed).limit(1).count() > 0
+      Relations.parquet(spark, dataDir(path, seg)).filter(doomed).limit(1).count() > 0
     }
     if (touched.isEmpty) commit(path, cur)
     else {
@@ -254,7 +254,7 @@ object VersionedStore {
     }
     val segs = readManifest(path, v)
     if (segs.isEmpty)
-      spark.read.parquet(dataDir(path, "seg=0")).limit(0)
+      Relations.parquet(spark, dataDir(path, "seg=0")).limit(0)
     else spark.read.option("mergeSchema", "true")
       .parquet(segs.map(dataDir(path, _)): _*)
   }
@@ -290,7 +290,7 @@ object VersionedStore {
     * job per segment write, aggregating to a single row. */
   def writeZoneMap(spark: SparkSession, path: String, seg: String,
                    cols: Seq[String]): Unit = {
-    val row = spark.read.parquet(dataDir(path, seg))
+    val row = Relations.parquet(spark, dataDir(path, seg))
       .agg(lit(1).as("_one"),
         cols.flatMap(c => Seq(min(col(c)).cast("long").as(s"min_$c"),
           max(col(c)).cast("long").as(s"max_$c"))): _*)
@@ -379,7 +379,7 @@ object VersionedStore {
     val summaryPq = s"${summaryDir(path)}/summary.parquet"
     val merged =
       if (absorbed.isEmpty) delta
-      else spark.read.parquet(summaryPq).unionByName(delta)
+      else Relations.parquet(spark, summaryPq).unionByName(delta)
         .groupBy(col(groupCol))
         .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_val")).as("sum_val"))
     // stage-then-swap: the summary read above must complete before its
@@ -393,7 +393,7 @@ object VersionedStore {
 
   /** The maintained summary as a DataFrame. */
   def readSummary(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"${summaryDir(path)}/summary.parquet")
+    Relations.parquet(spark, s"${summaryDir(path)}/summary.parquet")
 
   /** Operational description of a versioned store — the
     * `describeCollection` counterpart for this layout (the judge's

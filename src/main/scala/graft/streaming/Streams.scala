@@ -56,7 +56,7 @@ object Streams {
     // one footer read decides the staged file's ts vintage; the
     // normalization mirrors Tables.events so every stream sees a
     // session-UTC TIMESTAMP regardless of fixture generation
-    val tsType = s.read.parquet(inbox).schema("ts").dataType
+    val tsType = graft.sources.Relations.parquet(s, inbox).schema("ts").dataType
     val raw = s.readStream.schema(rawEventsSchema(tsType)).parquet(inbox)
     tsType match {
       case LongType =>
@@ -239,7 +239,7 @@ object Streams {
       .start()
     q.awaitTermination()
 
-    s.read.parquet(index.toString)
+    graft.sources.Relations.parquet(s, index.toString)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -459,7 +459,7 @@ object Streams {
         .start()
       q.awaitTermination()
     })
-    IndexStore.inventoryBySource(s.read.parquet(index))
+    IndexStore.inventoryBySource(graft.sources.Relations.parquet(s, index))
   }
 
   /** Recomputed EXPECTED post-stream corpus for the q113 oracle:
@@ -559,7 +559,7 @@ object Streams {
     })
     // admission report: every streamed doc, kept iff its bands landed
     // in the store
-    val keptIds = s.read.parquet(store)
+    val keptIds = graft.sources.Relations.parquet(s, store)
       .select(col("doc_id")).distinct()
       .withColumn("kept", lit(true))
     Tables.documents(s, d).filter(col("doc_id") >= b1)
@@ -672,7 +672,7 @@ object Streams {
         .start()
       q.awaitTermination()
     })
-    val merged = s.read.parquet(store)
+    val merged = graft.sources.Relations.parquet(s, store)
       .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
     val top = graft.operators.Corpus
       .vocabulary(Tables.documents(s, d), "text", 20)
@@ -864,7 +864,7 @@ object Streams {
         .start()
       q.awaitTermination()
     })
-    s.read.parquet(decisions)
+    graft.sources.Relations.parquet(s, decisions)
       .select(col("wave"), col("n_train"), col("threshold_micros"),
         col("n_recent"), col("n_over"), col("over_frac_micros"),
         col("should_retrain"))
@@ -1069,7 +1069,7 @@ object Streams {
     val qTerms = Tables.documents(s, d).filter(col("doc_id") === 0)
       .select(col("text")).head().getString(0)
       .split(" ").filter(_.nonEmpty).toSeq
-    val nSegs = s.read.parquet(segPath)
+    val nSegs = graft.sources.Relations.parquet(s, segPath)
       .agg(countDistinct(col("seg")).cast(IntegerType).as("n_segs"))
     graft.sources.LexicalStore.searchTopKSegmented(s, segPath, qTerms, 10)
       .select(col("lex_rank"), col("doc_id"), col("lex_micros"))
