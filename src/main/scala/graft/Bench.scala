@@ -186,6 +186,15 @@ object Bench {
           .mkString("{", ",", "}")
       } else "null"
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":$warmTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":$stealTotal,"n_queries":${results.size},"slowest":$slowest,"slowest_warm":$slowestWarm,"errors":$errsCompact,"queries_full":"target/bench_last.json","sf":"$sfDir"}""")
+    // FINAL line, minimal by design (< 200 bytes): the harness retains
+    // a bounded stdout tail, and round 20's per-query comparison was
+    // lost to a tail that truncated mid-JSON-line. Whatever else the
+    // tail cuts, this line always fits whole, so the headline totals
+    // survive any truncation. It repeats the compact line's rounded
+    // values under its own metric name ("total_min") so a consumer
+    // matching the first "total" occurrence still lands on the full
+    // compact line above.
+    println(s"""{"metric":"total_min","value":${f3(total)},"unit":"sec","warm_total":$warmTotal,"n_queries":${results.size},"n_errors":${errList.size},"steal_pct":$stealTotal}""")
     if (allRuns.exists(_.exists(_._3.isDefined))) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

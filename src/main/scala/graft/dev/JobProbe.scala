@@ -38,16 +38,28 @@ object JobProbe {
     // — the per-wave attribution that tells WHICH verb fires the jobs
     val detail = sys.env.get("SPARK_GRAFT_JOBDETAIL").contains("1")
     val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val siteOf = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          if (detail) sites.add(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobStart.put(e.jobId, e.time)
+          if (detail) siteOf.put(e.jobId,
             e.stageInfos.lastOption.map(_.name).getOrElse("?") +
               s" [${e.stageInfos.map(_.numTasks).sum}t]")
+        }
         override def onJobEnd(
-            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           jobs.incrementAndGet()
+          if (detail) {
+            val d = Option(jobStart.get(e.jobId))
+              .map(t => e.time - t.longValue).getOrElse(-1L)
+            sites.add(
+              Option(siteOf.get(e.jobId)).getOrElse("?") + s" ${d}ms")
+          }
+          ()
+        }
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
           stages.incrementAndGet()

@@ -1875,6 +1875,11 @@ object Corpus {
     * already-deduplicated gram keys; nothing pairwise, no window. */
   def ngramDiversity(docs: DataFrame, textCol: String,
                      groupCol: String): DataFrame = {
+    // A one-scan stack() variant (all three n levels fanned from one
+    // pass) was A/B'd in r22 and measured WORSE isolated (cold 0.8 ->
+    // 2.0 s, warm flat): the fixture's documents scan is one task, so
+    // the three-branch union IS the scan parallelism at bench SF, and
+    // the gram shuffle dominates either way — kept as-is.
     def gramsOf(n: Int): DataFrame =
       docs.select(col(groupCol), compactWords(col(textCol)).as("ws"))
         .select(col(groupCol), lit(n).as("n"),

@@ -265,22 +265,30 @@ object Dedup {
       _.select(col("doc_id"), col("source"),
         hashExprs.shingleHashes(col("text"), shingleK).as("sh")))
     val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    // materialized once: the df aggregate and both self-join sides
-    // read the exploded posting list, not a re-explode per consumer
+    // lazy here: the capped path's consumers (the df aggregate and
+    // the anti-join side) each re-explode from the CHECKPOINTED base
+    // — a cheap scan — and shingleCandidatePairs materializes only
+    // the capped posting, so exactly ONE posting-sized checkpoint is
+    // resident per call instead of two (r22, ADVICE item: checkpoint
+    // blocks live until RDD GC, which compounds at 100 TB). The
+    // uncapped branch still checkpoints: its self-join reads the
+    // exploded posting twice with no cap between.
     val posting = base.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
-      .localCheckpoint()
     val shared =
       if (maxDf == Int.MaxValue)
         // uncapped (the q68 exact-baseline setting): the direct
         // posting self-join + pair count IS the exact intersection —
         // the two-phase detour below would recompute it for the same
         // money twice
-        posting.as("a").join(posting.as("b"),
-            col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.source").as("source"),
-            col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("n_shared"))
+        {
+          val mat = posting.localCheckpoint()
+          mat.as("a").join(mat.as("b"),
+              col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.source").as("source"),
+              col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .agg(count(lit(1)).as("n_shared"))
+        }
       else {
         val cand = shingleCandidatePairs(posting, maxDf)
         // exact intersection over the full gram SETS, computed only
@@ -487,11 +495,16 @@ object Dedup {
       .filter(col("df") > maxDf).select(col("fp"))
     // the pair self-join reads `fps` twice, re-running the broadcast
     // stop-fp anti-join in both branches — cheap re-reads of the
-    // checkpointed `raw`, and the r21 A/B (graft.dev.PairProbe +
-    // in-session bench) showed both a localCheckpoint of `fps` and an
-    // aggregation-side collect+explode pair generator measure WORSE
-    // (the former pays a real materialization pass, the latter an
-    // interpreted higher-order expression per row)
+    // checkpointed `raw`. THREE alternatives have now been A/B'd and
+    // all measure worse at bench SF: a localCheckpoint of `fps` (r21:
+    // real materialization pass), an interpreted array-lambda pair
+    // explode (r21: 4.3 -> 5.5 s warm), and r22's CODEGEN'D
+    // [[graft.functions.PairGen.pairsKeyed]] collect_list+explode
+    // (isolated 3-run warm 1.84 -> 2.16 s: collect_list forces
+    // ObjectHashAggregate — no whole-stage codegen — while this join
+    // rides an AQE broadcast on the fp key; q170's basket-keyed pair
+    // family, where the join is a genuine two-sided shuffle, is where
+    // the kernel wins and ships).
     val fps = raw.join(broadcast(stopFps), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"), col("n_fp"))
     fps.as("a").join(fps.as("b"),

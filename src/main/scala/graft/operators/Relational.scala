@@ -1391,20 +1391,28 @@ object Relational {
         Window.partitionBy(col("basket")).orderBy(col("item"))))
       .filter(col("rn") <= maxBasketSize)
       .drop("rn")
-    // the self-join reads `capped` twice and Catalyst re-runs the
-    // size-gate/truncation subtree in both branches — but every
-    // branch is broadcast-cheap re-reads of the `baskets` checkpoint,
-    // and the r21 A/B (graft.dev.PairProbe + in-session bench) showed
-    // BOTH alternatives lose: a localCheckpoint of `capped` pays a
-    // real extra materialization pass (warm q170 4.3 -> 4.7 s), and
-    // an aggregation-side collect+explode pair generator pays an
-    // interpreted higher-order expression per row (4.3 -> 5.5 s).
-    // Duplicated-but-cheap beats deduplicated-but-materialized here.
     val capped = baskets.join(big, Seq("basket"), "left_anti")
       .unionByName(truncated)
-    capped.as("x").join(capped.as("y"),
-        col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
-      .select(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    // single-pass pair generation (guide §2.4): collect each capped
+    // basket's items (bounded <= maxBasketSize by the gate above, so
+    // no aggregation buffer can exceed it) and explode the i<j pairs
+    // through the CODEGEN'D [[graft.functions.PairGen]] kernel —
+    // sort_array makes position order item order, so the emitted
+    // pairs are exactly the old self-join's `x.item < y.item` row
+    // multiset. One exchange (the basket agg) replaces the join's two
+    // branch reads, and the gate subtree plans ONCE. The r21 A/B
+    // rejected this shape built from array lambdas because Catalyst's
+    // higher-order functions are CodegenFallback (interpreted per
+    // row; warm q170 4.3 -> 5.5 s) — the static-call kernel reverses
+    // that verdict HERE, where the self-join was a genuine two-sided
+    // shuffle (r22 isolated 3-run: cold 6.6 -> 5.8, warm 3.9 ->
+    // 3.3 s; the winnow family's fp-keyed join rides an AQE broadcast
+    // instead and keeps its join form — see winnowOverlapPairs).
+    capped.groupBy(col("basket"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(graft.functions.pairGenExprs.pairsLong(col("items")))
+        .as("pr"))
+      .select(col("pr.item_a").as("item_a"), col("pr.item_b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
   }

@@ -1081,22 +1081,31 @@ object LexicalStore {
                          cands: DataFrame): DataFrame = {
     require(fields.nonEmpty, "multi-field explain needs at least one field")
     require(fields.forall(_._2 > 0), s"field weights must be positive")
-    // page-sized checkpoint: each field's contribution read gates on
-    // `cands`, and a lazy search page handed in as cands would
-    // otherwise re-execute once PER FIELD (q229 ran its own
-    // searchTopKFields three times for a 10-row decomposition —
-    // the explainRrf disease, r21)
-    val page = if (fields.sizeIs > 1) cands.localCheckpoint() else cands
-    val perField = fields.zipWithIndex.flatMap { case ((path, w), i) =>
+    // fold per field FIRST (driver-side, no jobs): the all-fields-
+    // empty require must fire BEFORE any page execution, and the
+    // page-sized checkpoint below is only worth its materialization
+    // job when >= 2 fields will actually re-read the page (r22,
+    // ADVICE item)
+    val folded = fields.zipWithIndex.flatMap { case ((path, w), i) =>
       val terms = foldQueryTerms(queryTerms, analyzerOf(spark, path))
         .filter(_.nonEmpty).distinct
-      if (terms.isEmpty) None
-      else Some(contributions(spark, path, terms, allow = Some(page))
-        .select(lit(i).as("field"), lit(w).as("weight"), col("doc_id"),
-          col("term"), col("tf"), col("df"), col("len"), col("micros")))
+      if (terms.isEmpty) None else Some((path, w, i, terms))
     }
-    require(perField.nonEmpty,
+    require(folded.nonEmpty,
       s"query $queryTerms folds to nothing under every field's analyzer")
+    // page-sized checkpoint: each field's contribution read gates on
+    // `cands`, and a lazy search page handed in as cands would
+    // otherwise re-execute once PER CONTRIBUTING FIELD (q229 ran its
+    // own searchTopKFields three times for a 10-row decomposition —
+    // the explainRrf disease, r21)
+    val page =
+      if (folded.sizeIs > 1 && !isMaterialized(cands)) cands.localCheckpoint()
+      else cands
+    val perField = folded.map { case (path, w, i, terms) =>
+      contributions(spark, path, terms, allow = Some(page))
+        .select(lit(i).as("field"), lit(w).as("weight"), col("doc_id"),
+          col("term"), col("tf"), col("df"), col("len"), col("micros"))
+    }
     perField.reduce(_.union(_))
       .orderBy(col("field"), col("doc_id"), col("term"))
   }
@@ -1958,8 +1967,13 @@ object LexicalStore {
     // page-sized checkpoint: `cands` feeds both the postings gate and
     // the result spine, and a lazy search page handed in as cands
     // would re-execute once per reference (the explainRrf disease,
-    // r21)
-    val page = cands.select(col("doc_id")).localCheckpoint()
+    // r21). Skipped when the page is ALREADY materialized (a local
+    // literal or a checkpointed frame) — re-checkpointing those pays
+    // a blocking job and parks another block set until RDD GC (r22,
+    // ADVICE item).
+    val spine0 = cands.select(col("doc_id"))
+    val page =
+      if (isMaterialized(cands)) spine0 else spine0.localCheckpoint()
     val post = Relations.parquet(spark, path)
       .filter(col("bucket").isin(
           terms.map(bucketOf).distinct.map(Integer.valueOf): _*) &&
@@ -2946,6 +2960,29 @@ object LexicalStore {
         t.setDaemon(true)
         t
       })
+
+  /** True when `df` is already a materialized frame — a checkpoint's
+    * LogicalRDD or a driver-local relation — possibly under
+    * projections/aliases: re-referencing it is cheap (no upstream
+    * re-execution), so callers that checkpoint defensively against
+    * the lazy-page re-execution disease can skip the extra
+    * materialization job for it. */
+  private def isMaterialized(df: DataFrame): Boolean = {
+    @scala.annotation.tailrec
+    def base(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+          if pr.projectList.forall(_.deterministic) => base(pr.child)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        base(a.child)
+      case other => other
+    }
+    base(df.queryExecution.analyzed) match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+  }
 
   /** Run independent thunks concurrently, return results in input
     * order; the first failure IN INPUT ORDER rethrows, so error
