@@ -2188,8 +2188,10 @@ object IndexStore {
 
   private[graft] def readHnswMeta(spark: SparkSession, path: String): HnswMeta =
     try {
-      val r = Relations.parquet(spark, s"$path/_meta")
-        .select("num_shards", "m", "ef_construction", "dim", "target_nodes").head()
+      // collectCached: one one-task job per layout version instead of
+      // a head() job per search/maintenance call (the sidecar memo
+      // discipline — the writer's column order is the select below)
+      val r = Relations.collectCached(spark, s"$path/_meta").head
       HnswMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>
