@@ -1361,55 +1361,40 @@ object Relational {
     * keys before the explode (rank by a quality column upstream to
     * keep the best items instead), so one degenerate mega-basket
     * (a crawler session with 10^6 "items") can never contribute
-    * 10^12 pair rows. The truncation window runs ONLY over the
-    * over-cap baskets (a partial-agg size table finds them, a
-    * broadcast join routes them — degenerate baskets are few by
-    * definition); the normal-path rows never pay a per-basket
-    * window, and the window that does run is O(basket) — linear
-    * where the join it guards is quadratic. Support counting is one
-    * partial-agg shuffle on the pair key. Returns (item_a, item_b,
-    * support). */
+    * 10^12 pair rows. Item keys are BIGINT (the truncating collector
+    * is long-typed; every caller's keys already are).
+    *
+    * Shape (r22): ONE bounded aggregation + ONE codegen'd pair
+    * explode + the pair-count shuffle. The
+    * [[graft.functions.CollectSmallestAgg]] buffer holds the cap
+    * smallest DISTINCT items per basket — <= cap longs per group AT
+    * EVERY STAGE, truncating and deduplicating map-side — so the
+    * dedup distinct, its checkpoint, the size-gate aggregate, the
+    * over-cap window and the anti-join/union of the previous designs
+    * all collapse into the one exchange, and a mega-basket now ships
+    * <= cap values per mapper instead of its full row set to a
+    * window task (stronger than the r21 gate, which shuffled the
+    * whole basket before truncating it). The pair explode is the
+    * compiled [[graft.functions.PairGen.pairsLong]] kernel — the r21
+    * A/B rejected this single-pass shape built from array lambdas
+    * (CodegenFallback, interpreted per row; warm q170 4.3 -> 5.5 s);
+    * the static-call kernel + bounded collector reverse it (r22
+    * isolated 3-run warm 3.9 -> 2.1 s, 24 -> 8 Exchange plan refs).
+    * Null basket or item keys produce no pairs, exactly like the
+    * old equi-join. Support counting is one partial-agg shuffle on
+    * the pair key. Returns (item_a, item_b, support). */
   def coOccurrencePairs(items: DataFrame, basketCol: String, itemCol: String,
                         maxBasketSize: Int = 64): DataFrame = {
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    // materialized once (an EAGER job at call time — the signatures()
-    // discipline): the size aggregate, the normal-path anti-join, and
-    // the truncation branch all read the deduplicated basket table
-    // rather than re-running the distinct per consumer
-    val baskets = items
-      .select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
-      .localCheckpoint()
-    // plain (unhinted) joins: the over-cap set is small on sane data,
-    // and AQE will broadcast it when it is — but nothing guarantees
-    // it (an adversarial corpus could be ALL mega-baskets), so it
-    // must never be forced driver-side
-    val big = baskets.groupBy(col("basket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBasketSize).select(col("basket"))
-    val truncated = baskets.join(big, Seq("basket"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("basket")).orderBy(col("item"))))
-      .filter(col("rn") <= maxBasketSize)
-      .drop("rn")
-    val capped = baskets.join(big, Seq("basket"), "left_anti")
-      .unionByName(truncated)
-    // single-pass pair generation (guide §2.4): collect each capped
-    // basket's items (bounded <= maxBasketSize by the gate above, so
-    // no aggregation buffer can exceed it) and explode the i<j pairs
-    // through the CODEGEN'D [[graft.functions.PairGen]] kernel —
-    // sort_array makes position order item order, so the emitted
-    // pairs are exactly the old self-join's `x.item < y.item` row
-    // multiset. One exchange (the basket agg) replaces the join's two
-    // branch reads, and the gate subtree plans ONCE. The r21 A/B
-    // rejected this shape built from array lambdas because Catalyst's
-    // higher-order functions are CodegenFallback (interpreted per
-    // row; warm q170 4.3 -> 5.5 s) — the static-call kernel reverses
-    // that verdict HERE, where the self-join was a genuine two-sided
-    // shuffle (r22 isolated 3-run: cold 6.6 -> 5.8, warm 3.9 ->
-    // 3.3 s; the winnow family's fp-keyed join rides an AQE broadcast
-    // instead and keeps its join form — see winnowOverlapPairs).
-    capped.groupBy(col("basket"))
-      .agg(sort_array(collect_list(col("item"))).as("items"))
+    items
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      // a null basket/item never equi-joined into a pair in the join
+      // form; drop them before the collector (whose Long input cannot
+      // represent null) so the output is identical on any input
+      .filter(col("basket").isNotNull && col("item").isNotNull)
+      .groupBy(col("basket"))
+      .agg(graft.functions.CollectSmallestAgg
+        .collectSmallest(col("item"), maxBasketSize).as("items"))
       .select(explode(graft.functions.pairGenExprs.pairsLong(col("items")))
         .as("pr"))
       .select(col("pr.item_a").as("item_a"), col("pr.item_b").as("item_b"))

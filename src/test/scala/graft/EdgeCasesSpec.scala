@@ -50,6 +50,39 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
   }
 
+  test("CollectSmallestAgg keeps the cap smallest distinct values at " +
+      "every stage (insert and merge edge cases)") {
+    import graft.functions.{CollectSmallestAgg, SmallestBuf}
+    val agg = new CollectSmallestAgg(3)
+    // insert: below cap, at front/middle/end; duplicate dropped
+    var b = agg.zero
+    Seq(5L, 1L, 3L, 5L).foreach(v => b = agg.reduce(b, v))
+    assert(b.items.toSeq == Seq(1L, 3L, 5L))
+    // full buffer: smaller value displaces the max; larger is dropped
+    b = agg.reduce(b, 2L)
+    assert(b.items.toSeq == Seq(1L, 2L, 3L))
+    b = agg.reduce(b, 9L)
+    assert(b.items.toSeq == Seq(1L, 2L, 3L))
+    // merge: dedup across buffers, truncate to cap, empty sides
+    val m = agg.merge(SmallestBuf(Array(1L, 4L)), SmallestBuf(Array(1L, 2L, 8L)))
+    assert(m.items.toSeq == Seq(1L, 2L, 4L))
+    assert(agg.merge(agg.zero, SmallestBuf(Array(7L))).items.toSeq == Seq(7L))
+    assert(agg.merge(SmallestBuf(Array(7L)), agg.zero).items.toSeq == Seq(7L))
+  }
+
+  test("coOccurrencePairs plans single-pass pair generation: one " +
+      "bounded aggregation + the compiled kernel, no join, no window " +
+      "before the pair count") {
+    import spark.implicits._
+    val items = Seq((1L, 2L), (1L, 3L), (2L, 2L)).toDF("basket", "item")
+    val plan = operators.Relational.coOccurrencePairs(items, "basket", "item")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pairslong"), plan)
+    assert(plan.contains("collectsmallestagg"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
+
   test("coOccurrencePairs truncates a mega-basket to maxBasketSize " +
       "smallest items before the pair explode") {
     import spark.implicits._
