@@ -265,14 +265,13 @@ object Dedup {
       _.select(col("doc_id"), col("source"),
         hashExprs.shingleHashes(col("text"), shingleK).as("sh")))
     val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    // lazy here: the capped path's consumers (the df aggregate and
-    // the anti-join side) each re-explode from the CHECKPOINTED base
-    // — a cheap scan — and shingleCandidatePairs materializes only
-    // the capped posting, so exactly ONE posting-sized checkpoint is
-    // resident per call instead of two (r22, ADVICE item: checkpoint
-    // blocks live until RDD GC, which compounds at 100 TB). The
-    // uncapped branch still checkpoints: its self-join reads the
-    // exploded posting twice with no cap between.
+    // lazy here: the capped path consumes the exploded posting ONCE
+    // (shingleCandidatePairs is now a single bounded aggregation —
+    // no df branch, no anti-join, no checkpoint), so NO posting-sized
+    // checkpoint is resident at all in that path (r22, ADVICE item:
+    // checkpoint blocks live until RDD GC, which compounds at
+    // 100 TB). The uncapped branch still checkpoints: its self-join
+    // reads the exploded posting twice with no cap between.
     val posting = base.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
     val shared =
       if (maxDf == Int.MaxValue)
@@ -311,31 +310,37 @@ object Dedup {
     * df-capped posting list. Shingles in more than `maxDf` docs of a
     * block never enter pair generation. */
   private[graft] def shingleCandidatePairs(posting: DataFrame, maxDf: Int): DataFrame = {
-    // partial-agg df per (block, hash), reduced to the OVER-cap set —
-    // tiny by definition (boilerplate grams are few; sane-data bound
-    // |posting| / maxDf) — and anti-joined away, the winnow stop-fp
-    // discipline: the old form inner-joined the near-COMPLETE
-    // under-cap key set, paying a full extra shuffle of the posting
-    // for keys that almost all survive. Unhinted: AQE broadcasts the
-    // hot set when it is small (always, in practice) but nothing
-    // forces an adversarial all-boilerplate corpus driver-side.
-    val hot = posting.groupBy(col("source"), col("h"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("source"), col("h"))
-    // checkpointed: the pair self-join reads the capped posting twice,
-    // and without the materialization Catalyst re-runs the df gate in
-    // both branches (an aggregation-side pair generator — collect each
-    // key's <= maxDf doc list, explode pairs from the array — was
-    // A/B-probed here and LOST: the higher-order pair expression is
-    // interpreted, and its per-row cost exceeds the whole broadcast
-    // self-join; graft.dev.PairProbe, r21)
-    val capped = posting.join(hot, Seq("source", "h"), "left_anti")
-      .localCheckpoint()
-    capped.as("a").join(capped.as("b"),
-        col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"),
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // single-pass bounded gate + pair generation (r22, the q170
+    // kernel): collect_smallest(doc_id, maxDf + 1) per (block, hash)
+    // holds AT MOST maxDf + 1 distinct doc ids per key AT EVERY
+    // STAGE — a key whose true df exceeds the cap fills to exactly
+    // maxDf + 1 and the size filter drops it WHOLE, reproducing the
+    // old df-aggregate + broadcast-anti-join gate bit-for-bit while a
+    // boilerplate key now ships <= maxDf + 1 ids per mapper instead
+    // of its full posting. The compiled pairs_long explode then emits
+    // each key's a<b candidate pairs in the same pass, so the df
+    // branch, the anti-join, the pair self-join and its posting-sized
+    // localCheckpoint all collapse into ONE exchange. (The r21 A/B
+    // rejected the array-lambda version of this shape — interpreted
+    // per row; the r22 static-call kernel + bounded collector reverse
+    // it: isolated 3-run warm q53 2.6 -> 1.8 s, q175 3.0 -> 1.8 s.)
+    // Null
+    // keys/ids never paired under the old equi-join; the filter keeps
+    // that exact.
+    require(maxDf < Int.MaxValue,
+      "shingleCandidatePairs is the capped path (the uncapped baseline " +
+        "self-joins the posting directly)")
+    posting
+      .filter(col("source").isNotNull && col("h").isNotNull &&
+        col("doc_id").isNotNull)
+      .groupBy(col("source"), col("h"))
+      .agg(graft.functions.CollectSmallestAgg
+        .collectSmallest(col("doc_id"), maxDf + 1).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .select(col("source"),
+        explode(graft.functions.pairGenExprs.pairsLong(col("ds"))).as("pr"))
+      .select(col("source"),
+        col("pr.item_a").as("id_a"), col("pr.item_b").as("id_b"))
       .distinct()
   }
 
